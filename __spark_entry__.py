@@ -1,38 +1,534 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes the engine's operator inventory (SURVEY.md §2) as
+(spark, sf_dir) -> DataFrame callables; `oracle_sql()` gives the DuckDB twin
+of each. Transcript queries run over a transcript table derived
+deterministically from events x documents (dataflow_spark.tables) so they are
+fully value-checkable.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataflow_spark.tables import build_transcripts, load_table, with_transcripts
+from dataflow_spark.ops import dedup, embeddings, filters, prompted, quality, refine, windows
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+EVAL_PROMPT = "Rate the overall quality of the following text with an integer score. "
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship pipeline (SURVEY.md §7.1 slice 0) on sf0.001:
+    transcripts → refine → rule filters → exact first-wins dedup →
+    per-conversation tumbling-window quality aggregation."""
+    t = build_transcripts(spark, SF_SMOKE)
+    t = refine.remove_extra_spaces(t)
+    t = filters.apply_filters(t, *filters.default_quality_predicates(F.col("text")))
+    t = dedup.dedup_exact_md5(t, payload_cols=["text", "role"])
+    return windows.window_quality_agg(t, "6 hours")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_transcripts(spark, sf_dir)
+
+
+def q_transcripts_build(spark, sf):
+    return _transcripts(spark, sf)
+
+
+def q_refine_normalize(spark, sf):
+    t = refine.normalize_clean(_transcripts(spark, sf))
+    return t.select("conv_id", "turn_idx", F.col("text").alias("clean_text"))
+
+
+def q_filter_rules(spark, sf):
+    t = _transcripts(spark, sf)
+    t = filters.apply_filters(t, *filters.default_quality_predicates(F.col("text")))
+    return t.select("conv_id", "turn_idx")
+
+
+def q_dedup_exact_md5(spark, sf):
+    t = dedup.dedup_exact_md5(_transcripts(spark, sf), payload_cols=["text"])
+    return t.select("conv_id", "turn_idx")
+
+
+def q_dedup_exact_sha(spark, sf):
+    t = dedup.dedup_exact_sha(_transcripts(spark, sf), payload_cols=["text"])
+    return t.select("conv_id", "turn_idx")
+
+
+def q_dedup_ngram_chunks(spark, sf):
+    return dedup.dedup_ngram_chunks(_transcripts(spark, sf))
+
+
+def q_window_quality(spark, sf):
+    t = _transcripts(spark, sf)
+    wc = quality.word_count(F.col("text"))
+    ws = filters.words(F.lower(F.col("text")))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 3)),
+    )
+    return (
+        t.groupBy(F.window("ts", "6 hours").alias("win"), "conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            (F.sum(wc).cast("double") / F.count("*")).alias("avg_words"),
+            F.sum(F.size(F.array_distinct(grams))).alias("sum_uniq_grams"),
+            F.sum(F.size(grams)).alias("sum_grams"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "conv_id",
+            "n_turns",
+            "avg_words",
+            "sum_uniq_grams",
+            "sum_grams",
+        )
+    )
+
+
+def q_session_reassembly(spark, sf):
+    return windows.reassemble_conversations(_transcripts(spark, sf))
+
+
+def q_session_windows(spark, sf):
+    return windows.session_windows(_transcripts(spark, sf), "30 minutes")
+
+
+def q_match_triggers(spark, sf):
+    return windows.match_assistant_triggers(_transcripts(spark, sf), "10 minutes")
+
+
+def q_topk_convs(spark, sf):
+    return windows.top_k_conversations(_transcripts(spark, sf), 10)
+
+
+def q_role_stats(spark, sf):
+    t = _transcripts(spark, sf)
+    return t.groupBy("role").agg(
+        F.count("*").alias("n_turns"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        (F.sum(F.length("text")).cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+def q_prompted_eval_stub(spark, sf):
+    t = _transcripts(spark, sf)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        prompted.stub_score_col(EVAL_PROMPT, F.col("text")).alias("score"),
+    )
+
+
+def q_prompted_filter_stub(spark, sf):
+    t = q_prompted_eval_stub(spark, sf)
+    return t.filter(F.col("score") >= 3)
+
+
+def q_docs_dedup_exact(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("first_doc_id")
+    )
+
+
+def q_docs_quality(spark, sf):
+    d = load_table(spark, sf, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        quality.word_count(c).alias("n_words"),
+        quality.bpe_ish_token_count(c).alias("n_tokens"),
+        quality.stopword_ratio(c).alias("stop_ratio"),
+        quality.quality_score(c).alias("quality"),
+        quality.lang_id(c).alias("pred_lang"),
+    )
+
+
+def q_docs_ngram_jaccard(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+
+
+def q_embed_topk(spark, sf):
+    e = load_table(spark, sf, "embeddings")
+    qs = e.filter(F.col("vec_id") < 3)
+    return embeddings.brute_force_topk(e, qs, k=5)
+
+
+def q_embed_neardup(spark, sf):
+    e = load_table(spark, sf, "embeddings")
+    return embeddings.embedding_neardup_pairs(e, threshold=0.4)
+
+
+def q_dedup_minhash(spark, sf):
+    """MinHash-LSH near-dup (pandas-UDF signatures, banded shuffle) — no SQL
+    oracle (signature arithmetic isn't SQL-expressible); golden-tested in
+    tests/test_dedup.py instead."""
+    return dedup.dedup_minhash_lsh(_transcripts(spark, sf)).select("conv_id", "turn_idx")
+
+
+def q_dedup_simhash(spark, sf):
+    """SimHash pigeonhole-band near-dup — no SQL oracle; golden-tested."""
+    return dedup.dedup_simhash(_transcripts(spark, sf)).select("conv_id", "turn_idx")
+
+
+def q_pricing_summary(spark, sf):
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(38,12)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_topk(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    return joined.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(10)
+
+
+def q_order_priority(spark, sf):
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    # semi-join semantics: orders having >=1 lineitem shipped after orderdate
+    sel = o.join(
+        li, (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]), "left_semi"
+    )
+    return sel.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "transcripts_build": q_transcripts_build,
+        "refine_normalize": q_refine_normalize,
+        "filter_rules": q_filter_rules,
+        "dedup_exact_md5": q_dedup_exact_md5,
+        "dedup_exact_sha": q_dedup_exact_sha,
+        "dedup_ngram_chunks": q_dedup_ngram_chunks,
+        "window_quality": q_window_quality,
+        "session_reassembly": q_session_reassembly,
+        "session_windows": q_session_windows,
+        "match_triggers": q_match_triggers,
+        "topk_convs": q_topk_convs,
+        "role_stats": q_role_stats,
+        "prompted_eval_stub": q_prompted_eval_stub,
+        "prompted_filter_stub": q_prompted_filter_stub,
+        "docs_dedup_exact": q_docs_dedup_exact,
+        "docs_quality": q_docs_quality,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "embed_topk": q_embed_topk,
+        "embed_neardup": q_embed_neardup,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "pricing_summary": q_pricing_summary,
+        "revenue_topk": q_revenue_topk,
+        "order_priority": q_order_priority,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL twins)
+# ---------------------------------------------------------------------------
+
+_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
+
+_RULES_PRED = f"""
+  text IS NOT NULL AND trim(text) <> ''
+  AND substr(text, length(text), 1) <> ':'
+  AND len({_WORDS}) >= 20 AND len({_WORDS}) < 100000
+  AND (length(array_to_string({_WORDS}, '')) * 1.0 / len({_WORDS})) >= 2.0
+  AND (length(array_to_string({_WORDS}, '')) * 1.0 / len({_WORDS})) < 12.0
+  AND (len(list_distinct({_WORDS})) * 1.0 / len({_WORDS})) > 0.35
+  AND NOT contains(lower(text), 'lorem ipsum')
+  AND NOT regexp_matches(text, '&[a-zA-Z]+;|&#[0-9]+;')
+  AND NOT regexp_matches(text, 'Copyright|Watermark|Confidential')
+"""
+
+_GRAMS3 = (
+    "list_transform(range(1, greatest(len(ws)-3, 0)+2), i -> array_to_string(ws[i:i+2], ' '))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["transcripts_build"] = with_transcripts("SELECT * FROM transcripts")
+
+    o["refine_normalize"] = with_transcripts(
+        "SELECT conv_id, turn_idx, "
+        "lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS clean_text FROM transcripts"
+    )
+
+    o["filter_rules"] = with_transcripts(
+        f"SELECT conv_id, turn_idx FROM transcripts WHERE {_RULES_PRED}"
+    )
+
+    o["dedup_exact_md5"] = with_transcripts(
+        """
+        SELECT conv_id, turn_idx FROM (
+          SELECT conv_id, turn_idx,
+                 row_number() OVER (PARTITION BY md5(text)
+                                    ORDER BY ts, conv_id, turn_idx) AS rn
+          FROM transcripts) WHERE rn = 1
+        """
+    )
+
+    o["dedup_exact_sha"] = with_transcripts(
+        """
+        SELECT conv_id, turn_idx FROM (
+          SELECT conv_id, turn_idx,
+                 row_number() OVER (PARTITION BY substr(sha256(text), 1, 16)
+                                    ORDER BY ts, conv_id, turn_idx) AS rn
+          FROM transcripts) WHERE rn = 1
+        """
+    )
+
+    o["dedup_ngram_chunks"] = with_transcripts(
+        """
+        , base AS (
+          SELECT conv_id, turn_idx,
+                 lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+                 lpad(CAST(turn_idx AS VARCHAR), 10, '0') || '|' || conv_id AS okey,
+                 text, length(text) AS n
+          FROM transcripts
+        ), ch AS (
+          SELECT conv_id, turn_idx, okey,
+                 md5(substr(text, CAST(floor(i.i * n / 4) AS INT) + 1,
+                                  CAST(floor(n / 4) AS INT) + 1)) AS chunk
+          FROM base, (SELECT unnest(range(0, 4)) AS i) i
+        ), w AS (SELECT chunk, min(okey) AS wkey FROM ch GROUP BY chunk)
+        SELECT c.conv_id, c.turn_idx
+        FROM ch c JOIN w ON c.chunk = w.chunk
+        GROUP BY c.okey, c.conv_id, c.turn_idx
+        HAVING bool_and(c.okey = w.wkey)
+        """
+    )
+
+    o["window_quality"] = with_transcripts(
+        f"""
+        SELECT CAST(to_timestamp(floor(epoch(ts)/21600)*21600) AS TIMESTAMP) AS win_start,
+               conv_id,
+               count(*) AS n_turns,
+               CAST(sum(len({_WORDS})) AS DOUBLE) / count(*) AS avg_words,
+               CAST(sum(len(list_distinct(grams))) AS BIGINT) AS sum_uniq_grams,
+               CAST(sum(len(grams)) AS BIGINT) AS sum_grams
+        FROM (
+          SELECT ts, conv_id, text, {_GRAMS3} AS grams
+          FROM (SELECT ts, conv_id, text,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+                FROM transcripts)
+        )
+        GROUP BY 1, 2
+        """
+    )
+
+    o["session_reassembly"] = with_transcripts(
+        """
+        SELECT conv_id,
+               count(*) AS n_turns,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts,
+               md5(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)) AS convo_digest,
+               CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns
+        FROM transcripts GROUP BY conv_id
+        """
+    )
+
+    o["session_windows"] = with_transcripts(
+        """
+        , flagged AS (
+          SELECT conv_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                      >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+          FROM transcripts
+        ), numbered AS (
+          SELECT conv_id, ts,
+                 sum(new_sess) OVER (PARTITION BY conv_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM flagged
+        )
+        SELECT conv_id, min(ts) AS session_start, count(*) AS n_turns
+        FROM numbered GROUP BY conv_id, sess_id
+        """
+    )
+
+    o["match_triggers"] = with_transcripts(
+        """
+        SELECT conv_id, assistant_turn, user_turn FROM (
+          SELECT a.conv_id, a.turn_idx AS assistant_turn, u.turn_idx AS user_turn,
+                 row_number() OVER (PARTITION BY a.conv_id, a.turn_idx
+                                    ORDER BY u.ts DESC, u.turn_idx DESC) AS rn
+          FROM transcripts a
+          JOIN transcripts u
+            ON u.conv_id = a.conv_id AND a.role = 'assistant' AND u.role = 'user'
+           AND u.ts <= a.ts AND u.ts >= a.ts - INTERVAL 10 MINUTE
+        ) WHERE rn = 1
+        """
+    )
+
+    o["topk_convs"] = with_transcripts(
+        """
+        SELECT conv_id, count(*) AS n_turns FROM transcripts
+        GROUP BY conv_id ORDER BY n_turns DESC, conv_id LIMIT 10
+        """
+    )
+
+    o["role_stats"] = with_transcripts(
+        """
+        SELECT role, count(*) AS n_turns, count(DISTINCT conv_id) AS n_convs,
+               CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
+        FROM transcripts GROUP BY role
+        """
+    )
+
+    _stub = (
+        "CAST(CAST(('0x' || substr(md5('" + EVAL_PROMPT + "' || text), 1, 8)) AS UBIGINT) % 5 + 1 AS INT)"
+    )
+    o["prompted_eval_stub"] = with_transcripts(
+        f"SELECT conv_id, turn_idx, {_stub} AS score FROM transcripts"
+    )
+    o["prompted_filter_stub"] = with_transcripts(
+        f"SELECT * FROM (SELECT conv_id, turn_idx, {_stub} AS score FROM transcripts) WHERE score >= 3"
+    )
+
+    o["docs_dedup_exact"] = (
+        "SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS first_doc_id "
+        "FROM documents GROUP BY 1"
+    )
+
+    o["docs_quality"] = f"""
+        SELECT doc_id,
+               len(ws) AS n_words,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_tokens,
+               round(len(list_filter(lws, w -> w IN {tuple(refine.EN_STOPWORDS)})) * 1.0 / len(lws), 6) AS stop_ratio,
+               round((
+                 (CASE WHEN len(lws) >= 10 AND len(lws) <= 1000 THEN 1.0 ELSE 0.0 END)
+                 + len(list_distinct(lws)) * 1.0 / len(lws)
+                 + (CASE WHEN len(list_filter(lws, w -> w IN {tuple(refine.EN_STOPWORDS)})) > 0 THEN 1.0 ELSE 0.0 END)
+               ) / 3.0, 6) AS quality,
+               CASE
+                 WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
+                 WHEN es >= fr AND es > 0 THEN 'es'
+                 WHEN fr > 0 THEN 'fr'
+                 ELSE 'und' END AS pred_lang
+        FROM (
+          SELECT doc_id, text, ws, lws,
+                 len(list_filter(lws, w -> w IN ('the','a','of','and','to','is','in','it'))) AS en,
+                 len(list_filter(lws, w -> w IN ('el','la','de','que','y','los','es','una'))) AS es,
+                 len(list_filter(lws, w -> w IN ('le','la','de','et','les','des','est','une'))) AS fr
+          FROM (SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\\s+') AS ws,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS lws
+                FROM documents)
+        )
     """
-    return {}
+
+    o["docs_ngram_jaccard"] = """
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(ws)-3, 0)+2),
+                               i -> array_to_string(ws[i:i+2], ' '))) AS s
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)
+        ), ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh)
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS jaccard
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ) WHERE jaccard >= 0.8
+    """
+
+    _dot = (
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    _norm_a = "sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    _norm_b = "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+    o["embed_topk"] = f"""
+        SELECT query_id, neighbor_id, rank, sim FROM (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 round({_dot} / ({_norm_a} * {_norm_b}), 6) AS sim,
+                 row_number() OVER (PARTITION BY a.vec_id
+                                    ORDER BY round({_dot} / ({_norm_a} * {_norm_b}), 6) DESC, b.vec_id) AS rank
+          FROM embeddings a JOIN embeddings b ON a.vec_id < 3 AND b.vec_id <> a.vec_id
+        ) WHERE rank <= 5
+    """
+
+    o["embed_neardup"] = f"""
+        SELECT id_a, id_b, sim FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round({_dot} / ({_norm_a} * {_norm_b}), 6) AS sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE sim >= 0.4
+    """
+
+    o["pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,12))) AS DOUBLE) AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    o["revenue_topk"] = """
+        SELECT c_custkey, c_name,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey LIMIT 10
+    """
+
+    o["order_priority"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """
+
+    return o

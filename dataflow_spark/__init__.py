@@ -1,0 +1,19 @@
+"""dataflow_spark — a PySpark-native streaming analytics / CEP engine.
+
+Re-expresses the query and data-processing capabilities of the reference
+LLM-data-prep framework (see SURVEY.md) as idiomatic Spark DataFrame /
+Structured Streaming pipelines over multi-turn agent transcript tables
+(conv_id:string, turn_idx:int, role:string, text:string, tool:string,
+ts:timestamp).
+
+Design stance (SURVEY.md §7.0):
+  - declarative DataFrame plans; Catalyst/Tungsten pick physical strategy
+  - rule filters / refiners are JVM column expressions (whole-stage codegen)
+  - model-ish kernels (minhash, simhash, lexical diversity) are Arrow-batched
+    pandas UDFs — never per-row Python
+  - dedup is first-wins under total order (ts, conv_id, turn_idx)
+  - streaming = watermark + windows + applyInPandasWithState + foreachBatch
+    idempotent MERGE-style sink
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,8 @@
+"""Operator stage builders.
+
+Every public function takes a DataFrame (+ column names) and returns a
+DataFrame — composable, lazy, Catalyst-optimizable. Archetypes per SURVEY.md §2:
+refiner (col→col map), filter (predicate), evaluator (score col), dedup
+(cross-row state), windows (time agg / session / join), embeddings (ANN /
+near-dup), prompted (LLM-templated stages behind a stub serving boundary).
+"""

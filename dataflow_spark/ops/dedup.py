@@ -1,0 +1,301 @@
+"""Deduplication family (SURVEY.md §2.3) — the stateful core.
+
+Semantics: first occurrence wins, "first" = total order (ts, conv_id,
+turn_idx) — the deterministic streaming analog of the reference's in-memory
+seen-set insertion order
+(/root/reference/dataflow/operators/general_text/filter/hash_deduplicate_filter.py:75-86).
+
+Scale notes:
+  - exact dedup is groupBy(hash).agg(min(struct(order, payload))) — hash keys
+    distribute uniformly, partial aggregation (map-side combine) applies, no
+    global sort. A window/row_number formulation would sort every partition;
+    min-struct is strictly cheaper at 100 TB.
+  - minhash/simhash signatures are Arrow-batched pandas UDFs (numpy kernels);
+    candidate generation is banded-LSH via explode + shuffle-on-band — never
+    an O(n^2) scan (the reference is O(n^2): simhash_deduplicate_filter.py:78).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+ORDER_COLS = ("ts", "conv_id", "turn_idx")
+
+
+def _first_wins(df: DataFrame, hash_col, order_cols: tuple[str, ...], payload_cols: list[str]) -> DataFrame:
+    """Keep the first row (by order_cols) per hash bucket.
+
+    min(struct(...)) is lexicographic over the struct fields → deterministic
+    winner; partial-aggregatable (map-side combine) unlike row_number().
+    """
+    ordered = F.struct(*[F.col(c) for c in order_cols], *[F.col(c) for c in payload_cols if c not in order_cols])
+    win = (
+        df.select(hash_col.alias("__h"), ordered.alias("__w"))
+        .groupBy("__h")
+        .agg(F.min("__w").alias("__w"))
+    )
+    keep = [c for c in order_cols] + [c for c in payload_cols if c not in order_cols]
+    return win.select(*[F.col(f"__w.{c}").alias(c) for c in keep])
+
+
+def dedup_exact_md5(df: DataFrame, col: str = "text", order_cols: tuple[str, ...] = ORDER_COLS, payload_cols: list[str] | None = None) -> DataFrame:
+    """HashDeduplicateFilter (md5) — hash_deduplicate_filter.py:61-91."""
+    return _first_wins(df, F.md5(F.col(col)), order_cols, payload_cols or [col])
+
+
+def dedup_exact_sha(df: DataFrame, col: str = "text", order_cols: tuple[str, ...] = ORDER_COLS, payload_cols: list[str] | None = None) -> DataFrame:
+    """CCNetDeduplicateFilter analog — first 64 bits of a SHA digest
+    (ccnet_deduplicate_filter.py:9-39 uses sha1[:64bits]; we use sha256/16hex,
+    same collision envelope, available in every engine)."""
+    return _first_wins(df, F.substring(F.sha2(F.col(col), 256), 1, 16), order_cols, payload_cols or [col])
+
+
+def dedup_ngram_chunks(df: DataFrame, col: str = "text", n_chunks: int = 4) -> DataFrame:
+    """NgramHashDeduplicateFilter — ngramhash_deduplicate_filter.py:53-85.
+
+    Reference: split text into n equal chunks, hash each; near-dup if chunk
+    overlap >= threshold vs any seen row. Spark-first: a row is a duplicate if
+    ANY of its chunk-hashes was seen on an earlier row → per-chunk first-wins,
+    then a row survives only if it wins ALL its chunks (banded-LSH topology,
+    no pairwise scan).
+
+    Order for "first" here is (ts, turn_idx, conv_id) — documented variant so
+    the chunk winner is a simple lexicographic struct min.
+    """
+    n = F.length(F.col(col))
+    chunk_ix = F.sequence(F.lit(0), F.lit(n_chunks - 1))
+    chunks = F.transform(
+        chunk_ix,
+        lambda i: F.md5(
+            F.substring(
+                F.col(col),
+                F.floor(i * n / n_chunks).cast("int") + 1,
+                F.floor(n / n_chunks).cast("int") + 1,
+            )
+        ),
+    )
+    ordered = F.struct(F.col("ts"), F.col("turn_idx"), F.col("conv_id"))
+    exploded = df.select(ordered.alias("__w"), F.explode(chunks).alias("__chunk"))
+    winners = exploded.groupBy("__chunk").agg(F.min("__w").alias("__wk"))
+    # a row survives iff it is the winner of every one of its chunks
+    survivors = (
+        exploded.join(winners, "__chunk")
+        .groupBy("__w")
+        .agg(F.bool_and(F.col("__w") == F.col("__wk")).alias("__all"))
+        .filter(F.col("__all"))
+    )
+    return survivors.select(
+        F.col("__w.conv_id").alias("conv_id"), F.col("__w.turn_idx").alias("turn_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_perms(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Distinct char-k-gram hashes (the reference uses char-5-grams,
+    minhash_deduplicate_filter.py:66-84)."""
+    if text is None:
+        return np.array([0], dtype=np.uint64)
+    t = " ".join(text.split())
+    if len(t) < k:
+        grams = {t}
+    else:
+        grams = {t[i : i + k] for i in range(len(t) - k + 1)}
+    return np.fromiter(
+        (hash_shingle(g) for g in grams), dtype=np.uint64, count=len(grams)
+    )
+
+
+def hash_shingle(g: str) -> int:
+    """Deterministic 61-bit FNV-1a over utf-8 bytes (seed-free, portable)."""
+    h = 0xCBF29CE484222325
+    for byte in g.encode("utf-8"):
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h % _MERSENNE
+
+
+def minhash_signature_udf(num_perm: int = 64, shingle_k: int = 5):
+    """Arrow-batched pandas UDF: text → array<long> minhash signature."""
+    a, b = _minhash_perms(num_perm)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _char_shingle_hashes(t, shingle_k)
+            # (a*x + b) mod p, min over shingles, vectorized over perms
+            vals = (a[None, :] * sh[:, None] + b[None, :]) % _MERSENNE
+            out.append(vals.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return sig
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    order_cols: tuple[str, ...] = ORDER_COLS,
+) -> DataFrame:
+    """MinHashDeduplicateFilter — minhash_deduplicate_filter.py:55-89.
+
+    Banded LSH: signature → `bands` band-hashes → explode → first-wins per
+    band bucket → survivor must win all its bands (i.e. no earlier row shares
+    any band). rows_per_band = num_perm // bands; two rows collide in a band
+    iff that slice of the signature is identical — the standard S-curve
+    approximation of Jaccard >= ~0.9 at 16x4.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signature_udf(num_perm)(F.col(col)).alias("__sig")
+    ordered = F.struct(*[F.col(c) for c in order_cols])
+    band_ix = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = df.select(ordered.alias("__w"), sig).select(
+        "__w",
+        F.explode(
+            F.transform(
+                band_ix,
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("__sig"), i * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("__b"),
+    )
+    winners = banded.groupBy("__b").agg(F.min("__w").alias("__w"))
+    survivors = (
+        banded.join(winners, ["__b", "__w"], "left_semi")
+        .groupBy("__w")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") == bands)
+    )
+    return survivors.select(*[F.col(f"__w.{c}").alias(c) for c in order_cols])
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_udf(shingle_k: int = 3):
+    """text → 64-bit simhash (simhash_deduplicate_filter.py:15-85 semantics:
+    weighted bit-vote over token hashes), numpy-vectorized per Arrow batch."""
+
+    @F.pandas_udf(LongType())
+    def sim(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            grams = [" ".join(toks[j : j + shingle_k]) for j in range(max(1, len(toks) - shingle_k + 1))]
+            if not grams:
+                out[i] = 0
+                continue
+            hs = np.fromiter((hash_shingle(g) for g in grams), dtype=np.uint64, count=len(grams))
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            out[i] = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
+        return pd.Series(out)
+
+    return sim
+
+
+def dedup_simhash(
+    df: DataFrame,
+    col: str = "text",
+    hamming_thr: int = 3,
+    order_cols: tuple[str, ...] = ORDER_COLS,
+) -> DataFrame:
+    """SimHashDeduplicateFilter — simhash_deduplicate_filter.py:55-85, but the
+    O(n^2) all-seen scan is replaced by the pigeonhole-band trick: split the
+    64-bit simhash into hamming_thr+1 bands; two hashes within the Hamming
+    radius must agree exactly on >=1 band → candidate pairs come from a
+    band-equality shuffle join, then exact Hamming check within bucket.
+    """
+    n_bands = hamming_thr + 1
+    width = 64 // n_bands
+    ordered = F.struct(*[F.col(c) for c in order_cols])
+    sh = df.select(ordered.alias("__w"), simhash_udf()(F.col(col)).alias("__sh"))
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("__sh"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bval"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sh.select("__w", "__sh", F.explode(bands_arr).alias("__b"))
+    # candidate pairs within a band bucket; loser = later row within Hamming radius
+    pairs = banded.alias("l").join(
+        banded.alias("r"),
+        (F.col("l.__b") == F.col("r.__b")) & (F.col("l.__w") < F.col("r.__w")),
+    )
+    hamming = F.bit_count(F.col("l.__sh").bitwiseXOR(F.col("r.__sh")))
+    losers = pairs.filter(hamming <= hamming_thr).select(F.col("r.__w").alias("__w")).distinct()
+    survivors = sh.select("__w").distinct().join(losers, "__w", "left_anti")
+    return survivors.select(*[F.col(f"__w.{c}").alias(c) for c in order_cols])
+
+
+# ---------------------------------------------------------------------------
+# Exact-SQL-expressible near-dup: word n-gram Jaccard (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+
+    Classic candidate-pair topology: distinct shingles → explode → self-join
+    on shingle (shuffle on shingle hash, never n^2) → per-pair intersection
+    count → Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ws, i + 1, n))),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"), shingles.alias("sh")).select(
+        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    pairs = (
+        base.alias("a")
+        .join(base.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,109 @@
+"""Similarity search + embedding near-dup over array<float> columns.
+
+Brute-force cosine top-k is the correctness baseline; the scale path is an
+LSH-bucketed variant (random hyperplane signs → bucket join) so candidate
+generation shuffles on bucket instead of cross-joining 100 TB.
+
+Dot products are pure JVM expressions (zip_with + aggregate) — sequential
+double adds, deterministic and oracle-matchable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the corpus,
+    rank per query. Returns (query_id, neighbor_id, rank, sim).
+
+    At 100 TB the corpus side streams through executors once; the query side
+    is broadcast — no corpus shuffle at all. Ranking shuffles only
+    |queries| x |corpus-survivors| rows.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
+
+    n_planes=0 → exact self-join (correctness baseline / oracle-matchable).
+    n_planes>0 → random-hyperplane LSH: only pairs agreeing on the sign
+    signature are compared (scale path; recall < 1 by design).
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if n_planes > 0:
+        # deterministic pseudo-random hyperplanes from xxhash of (plane, dim)
+        dim_ix = F.sequence(F.lit(0), F.size(F.col("vec")) - 1)
+        sig = F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                lambda p: F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("vec"),
+                            F.transform(dim_ix, lambda d: (F.xxhash64(p * 1000 + d) % 1000).cast("double") / 500.0 - 1.0),
+                            lambda x, h: x.cast("double") * h,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    > 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0")),
+            ),
+        )
+        base = base.withColumn("__sig", sig)
+        pairs = base.alias("a").join(
+            base.alias("b"),
+            (F.col("a.__sig") == F.col("b.__sig")) & (F.col("a.id") < F.col("b.id")),
+        )
+    else:
+        pairs = base.alias("a").join(base.alias("b"), F.col("a.id") < F.col("b.id"))
+    sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
+    return pairs.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("sim")
+    ).filter(F.col("sim") >= threshold)

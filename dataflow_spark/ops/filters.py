@@ -1,0 +1,139 @@
+"""Rule-based quality filters (SURVEY.md §2.2).
+
+Reference pattern: predicate → int label column → keep label==1
+(/root/reference/dataflow/operators/general_text/filter/rule_based_filter.py:52-56).
+Here each filter is a pure boolean Column; `apply_filters` AND-folds them the
+way GeneralFilter does (general_filter.py:64-70) — Catalyst then pushes the
+whole conjunction down to the scan where possible.
+
+All predicates are JVM expressions (no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops.refine import EN_STOPWORDS
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization — word_number_filter.py:58 (`text.split()`)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def content_not_null(col: Column) -> Column:
+    """ContentNullFilter — rule_based_filter.py:282."""
+    return col.isNotNull() & (F.trim(col) != "")
+
+
+def word_count_between(col: Column, lo: int = 20, hi: int = 100000) -> Column:
+    """WordNumberFilter — word_number_filter.py:58 (lo <= n < hi)."""
+    n = F.size(words(col))
+    return (n >= lo) & (n < hi)
+
+
+def not_colon_end(col: Column) -> Column:
+    """ColonEndFilter — rule_based_filter.py:49."""
+    return ~col.endswith(":")
+
+
+def mean_word_length_between(col: Column, lo: float = 3.0, hi: float = 10.0) -> Column:
+    """MeanWordLengthFilter — rule_based_filter.py:824-844 (lo <= mean < hi)."""
+    ws = words(col)
+    mean = F.length(F.concat_ws("", ws)) / F.size(ws)
+    return (mean >= lo) & (mean < hi)
+
+
+def unique_words_ratio_above(col: Column, thr: float = 0.1) -> Column:
+    """UniqueWordsFilter — rule_based_filter.py:1187-1207."""
+    ws = words(col)
+    return (F.size(F.array_distinct(ws)) / F.size(ws)) > thr
+
+
+def char_count_at_least(col: Column, thr: int = 100) -> Column:
+    """CharNumberFilter — rule_based_filter.py:1335-1350 (whitespace removed)."""
+    return F.length(F.regexp_replace(col, r"\s", "")) >= thr
+
+
+def no_html_entity(col: Column) -> Column:
+    """HtmlEntityFilter — rule_based_filter.py:476."""
+    return ~col.rlike(r"&[a-zA-Z]+;|&#[0-9]+;")
+
+
+def no_watermark(col: Column, keywords: tuple[str, ...] = ("Copyright", "Watermark", "Confidential")) -> Column:
+    """WatermarkFilter — rule_based_filter.py:758."""
+    return ~col.rlike("|".join(keywords))
+
+
+def no_lorem_ipsum(col: Column) -> Column:
+    """LoremIpsumFilter — rule_based_filter.py:1116-1132."""
+    return ~F.lower(col).rlike("lorem ipsum")
+
+
+def curly_bracket_ratio_below(col: Column, thr: float = 0.025) -> Column:
+    """CurlyBracketFilter — rule_based_filter.py:975-987."""
+    n_curly = F.length(col) - F.length(F.regexp_replace(col, r"[{}]", ""))
+    return (n_curly / F.length(col)) < thr
+
+
+def symbol_word_ratio_below(col: Column, thr: float = 0.4) -> Column:
+    """SymbolWordRatioFilter — rule_based_filter.py:340-352 (#/.../… vs words)."""
+    n_sym = F.size(F.regexp_extract_all(col, F.lit(r"(#|\.\.\.|…)"), 0))
+    return (n_sym / F.size(words(col))) < thr
+
+
+def sentence_count_between(col: Column, lo: int = 1, hi: int = 10000) -> Column:
+    """SentenceNumberFilter — rule_based_filter.py:102-107."""
+    n = F.size(F.regexp_extract_all(col, F.lit(r"[^.!?\n]+[.!?]"), 0))
+    return (n >= lo) & (n <= hi)
+
+
+def stopword_ratio_above(col: Column, thr: float = 0.0, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """StopWordFilter — rule_based_filter.py:903-923 (ratio > thr)."""
+    ws = words(F.lower(col))
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*stopwords)))
+    return (n_stop / F.size(ws)) > thr
+
+
+def capital_words_ratio_at_most(col: Column, thr: float = 0.3) -> Column:
+    """CapitalWordsFilter — rule_based_filter.py:1042-1062."""
+    ws = words(col)
+    n_cap = F.size(F.filter(ws, lambda w: w.rlike("^[A-Z]")))
+    return (n_cap / F.size(ws)) <= thr
+
+
+def id_card_count_below(col: Column, thr: int = 3) -> Column:
+    """IDCardFilter — rule_based_filter.py:555-560 (ID-pattern mentions)."""
+    pat = r"(身份证|id\s*card|idcard|ssn)"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), 0)) < thr
+
+
+def no_special_characters(col: Column) -> Column:
+    """SpecialCharacterFilter — rule_based_filter.py:686-703 (control chars)."""
+    return ~col.rlike(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f�]")
+
+
+def apply_filters(df: DataFrame, *predicates: Column) -> DataFrame:
+    """GeneralFilter AND-fold — general_filter.py:64-70. One Catalyst Filter
+    node; deterministic predicates get pushed/reordered by the optimizer."""
+    out = df
+    acc = None
+    for p in predicates:
+        acc = p if acc is None else (acc & p)
+    return out.filter(acc) if acc is not None else out
+
+
+def default_quality_predicates(col: Column) -> list[Column]:
+    """The pt-filter pipeline's cheap-rule subset (text_pt_filter.py:66-162)
+    applicable to transcript/document word-soup text."""
+    return [
+        content_not_null(col),
+        not_colon_end(col),
+        word_count_between(col, 20, 100000),
+        mean_word_length_between(col, 2.0, 12.0),
+        unique_words_ratio_above(col, 0.35),
+        no_lorem_ipsum(col),
+        no_html_entity(col),
+        no_watermark(col),
+    ]

@@ -1,0 +1,132 @@
+"""Prompt-templated map operators (SURVEY.md §2.6/§2.8).
+
+The reference's generators/evaluators/refiners all share one shape: format a
+prompt per row from a template + input column(s), batch-call an LLM serving
+backend, parse the response into new column(s)
+(/root/reference/dataflow/operators/core_text/generate/prompted_generator.py:50-82,
+/root/reference/dataflow/operators/core_text/eval/prompted_eval.py:50-95).
+
+Engine design:
+  - the serving boundary is `ServingBackend.generate(pd.Series) -> pd.Series`;
+    real backends (OpenAI-compatible HTTP, local engine) batch per Arrow
+    partition inside an iterator pandas UDF — one model/session per executor,
+    many rows per call.
+  - tests/goldens use `StubServing`: a deterministic hash-of-prompt response,
+    so prompted pipelines are reproducible without GPUs/APIs. The stub's
+    scoring arithmetic is ALSO expressible as a JVM column (stub_score_col) —
+    that twin path is what the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+
+class ServingBackend:
+    """LLMServingABC analog (/root/reference/dataflow/core/llm_serving.py:5-35)."""
+
+    def generate(self, prompts: pd.Series) -> pd.Series:  # pragma: no cover
+        raise NotImplementedError
+
+
+class StubServing(ServingBackend):
+    """Deterministic canned responses keyed by md5(prompt).
+
+    Eval-style prompts (containing 'score') get 'Score: k' with
+    k = 1 + (first-8-hex-of-md5 as int) % 5; everything else gets a tagged
+    echo. Reproducible across engines (md5 is md5 everywhere).
+    """
+
+    def generate(self, prompts: pd.Series) -> pd.Series:
+        import hashlib
+
+        def respond(p: str) -> str:
+            h = hashlib.md5(p.encode("utf-8")).hexdigest()
+            k = 1 + int(h[:8], 16) % 5
+            if "score" in p.lower():
+                return f"Score: {k}"
+            return f"[gen-{h[:8]}] {' '.join(p.split()[:10])}"
+
+        return prompts.map(respond)
+
+
+def serving_udf(backend: ServingBackend):
+    """Iterator pandas UDF so per-executor backend state is created once and
+    reused across Arrow batches (api_llm_serving_request.py:127-152's
+    threadpool fan-out happens inside backend.generate)."""
+
+    @F.pandas_udf(StringType())
+    def gen(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for prompts in batches:
+            yield backend.generate(prompts)
+
+    return gen
+
+
+def build_prompt(system_prompt: str, input_col: Column) -> Column:
+    """prompted_generator.py:65 — prompt = system_prompt + str(content)."""
+    return F.concat(F.lit(system_prompt), input_col.cast("string"))
+
+
+def prompted_generate(
+    df: DataFrame,
+    system_prompt: str,
+    input_col: str,
+    output_col: str,
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    """PromptedGenerator — new column from LLM response."""
+    backend = backend or StubServing()
+    prompt = build_prompt(system_prompt, F.col(input_col))
+    return df.withColumn(output_col, serving_udf(backend)(prompt))
+
+
+def parse_score(col: Column, lo: int = 1, hi: int = 5) -> Column:
+    """prompted_eval.py:50-77 — first integer in the response, clamped to
+    [lo,hi], unparsable → 0."""
+    raw = F.regexp_extract(col, r"(\d+)", 1)
+    n = F.when(raw == "", F.lit(0)).otherwise(raw.cast("int"))
+    return F.when((n >= lo) & (n <= hi), n).otherwise(F.lit(0))
+
+
+def prompted_evaluate(
+    df: DataFrame,
+    system_prompt: str,
+    input_col: str,
+    score_col: str = "score",
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    """PromptedEvaluator — LLM integer score column (prompted_eval.py:79-95)."""
+    out = prompted_generate(df, system_prompt, input_col, "__resp", backend)
+    return out.withColumn(score_col, parse_score(F.col("__resp"))).drop("__resp")
+
+
+def prompted_filter(
+    df: DataFrame,
+    system_prompt: str,
+    input_col: str,
+    min_score: int = 3,
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    """Score-band filter over a prompted evaluator (alpagasus_filter.py:9-48
+    archetype)."""
+    return prompted_evaluate(df, system_prompt, input_col, "score", backend).filter(
+        F.col("score") >= min_score
+    )
+
+
+def stub_score_col(system_prompt: str, input_col: Column) -> Column:
+    """JVM-expression twin of StubServing's score: 1 + md5(prompt)[:8] % 5.
+
+    Lets the full prompted-evaluate pipeline run as a pure column expression
+    (and be SQL-oracle-checked); equality with the pandas-UDF stub path is
+    asserted in tests.
+    """
+    prompt = build_prompt(system_prompt, input_col)
+    hex8 = F.substring(F.md5(prompt), 1, 8)
+    return (F.conv(hex8, 16, 10).cast("long") % 5 + 1).cast("int")

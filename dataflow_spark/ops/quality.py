@@ -1,0 +1,98 @@
+"""Evaluators: per-row score columns (SURVEY.md §2.5) + text-analysis ops
+for training-data pipelines (lang-ID, token counting, quality scoring,
+fingerprinting).
+
+Everything here is a pure JVM column expression — evaluators are the hot path
+at 100 TB (they run on every row before any filter can drop it), so they must
+stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops.filters import words
+from dataflow_spark.ops.refine import EN_STOPWORDS
+
+
+def ngram_uniqueness(col: Column, n: int = 3) -> Column:
+    """NgramSampleEvaluator — unique/total word-n-grams, lower = repetitive
+    (/root/reference/dataflow/operators/general_text/eval/ngram_sample_evaluator.py:38-50)."""
+    ws = words(F.lower(col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+    )
+    return F.round(F.size(F.array_distinct(grams)) / F.size(grams), 6)
+
+
+def word_count(col: Column) -> Column:
+    return F.size(words(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Token counting with a BPE-ish regex: alpha runs, single digits,
+    punctuation marks each count as one token."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)).cast("long")
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    ws = words(F.lower(col))
+    return F.round(F.size(F.filter(ws, lambda w: w.isin(*stopwords))) / F.size(ws), 6)
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.round(n_punct / F.length(col), 6)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0,1]: length band + lexical diversity +
+    stopword presence (the cheap-stats analog of the reference's model
+    scorers, e.g. fineweb_edu_sample_evaluator.py:11)."""
+    ws = words(F.lower(col))
+    n = F.size(ws)
+    len_band = F.when((n >= 10) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    diversity = F.size(F.array_distinct(ws)) / n
+    has_stop = F.when(stopword_ratio(col) > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((len_band + diversity + has_stop) / F.lit(3.0), 6)
+
+
+def lang_id(col: Column) -> Column:
+    """n-gram-heuristic language ID (LanguageFilter analog without fastText,
+    language_filter.py:61-65): score English vs Spanish vs French stopword
+    hits; highest wins, 'und' when nothing matches."""
+    ws = words(F.lower(col))
+    en = F.size(F.filter(ws, lambda w: w.isin("the", "a", "of", "and", "to", "is", "in", "it")))
+    es = F.size(F.filter(ws, lambda w: w.isin("el", "la", "de", "que", "y", "los", "es", "una")))
+    fr = F.size(F.filter(ws, lambda w: w.isin("le", "la", "de", "et", "les", "des", "est", "une")))
+    return (
+        F.when((en >= es) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((es >= fr) & (es > 0), F.lit("es"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def fingerprint64(col: Column) -> Column:
+    """Document fingerprint: 64-bit hash of whitespace-normalized lowercase
+    text (the deterministic analog of the reference's md5 content digest,
+    hash_deduplicate_filter.py:14-18)."""
+    return F.xxhash64(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
+
+
+def with_scores(df: DataFrame, col: str = "text") -> DataFrame:
+    """Attach the full evaluator battery as columns (Evaluator archetype —
+    score columns, no row drops)."""
+    c = F.col(col)
+    return df.withColumns(
+        {
+            "n_words": word_count(c),
+            "n_tokens": bpe_ish_token_count(c),
+            "ngram_uniq": ngram_uniqueness(c),
+            "stopword_ratio": stopword_ratio(c),
+            "quality": quality_score(c),
+            "pred_lang": lang_id(c),
+        }
+    )

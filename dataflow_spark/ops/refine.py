@@ -1,0 +1,102 @@
+"""Refiners: in-place column rewrites (SURVEY.md §2.4).
+
+All are pure JVM column expressions (regexp_replace / lower / trim / translate)
+so they stay inside whole-stage codegen — the reference runs the same kernels
+as per-row Python regexes (e.g.
+/root/reference/dataflow/operators/general_text/refine/remove_extra_spaces_refiner.py:43-69).
+
+Each builder returns the full DataFrame with `col` rewritten (the reference's
+overwrite-in-place contract, remove_extra_spaces_refiner.py:53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# emoji ranges per /root/reference/.../remove_emoji_refiner.py:17-26
+_EMOJI_RE = (
+    "[\U0001F600-\U0001F64F\U0001F300-\U0001F5FF"
+    "\U0001F680-\U0001F6FF\U0001F1E0-\U0001F1FF☀-➿]"
+)
+_URL_RE = r"https?://\S+|www\.\S+"
+_HTML_TAG_RE = r"<[^>]+>"
+_HTML_ENTITY_RE = r"&[a-zA-Z]+;|&#[0-9]+;"
+_IMG_REF_RE = r"!\[[^\]]*\]\([^)]*\)"
+
+
+def remove_extra_spaces(df: DataFrame, col: str = "text") -> DataFrame:
+    """' '.join(text.split()) — remove_extra_spaces_refiner.py:53."""
+    return df.withColumn(col, F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
+
+
+def lowercase(df: DataFrame, col: str = "text") -> DataFrame:
+    """lowercase_refiner.py:48."""
+    return df.withColumn(col, F.lower(F.col(col)))
+
+
+def remove_numbers(df: DataFrame, col: str = "text") -> DataFrame:
+    """remove_number_refiner.py:42."""
+    return df.withColumn(col, F.regexp_replace(F.col(col), "[0-9]", ""))
+
+
+def remove_punctuation(df: DataFrame, col: str = "text") -> DataFrame:
+    """remove_punctuation_refiner.py:53 (str.translate over string.punctuation)."""
+    return df.withColumn(
+        col, F.regexp_replace(F.col(col), r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]""", "")
+    )
+
+
+def remove_emoji(df: DataFrame, col: str = "text") -> DataFrame:
+    """remove_emoji_refiner.py:17-26 unicode ranges."""
+    return df.withColumn(col, F.regexp_replace(F.col(col), _EMOJI_RE, ""))
+
+
+def remove_html_url(df: DataFrame, col: str = "text") -> DataFrame:
+    """html_url_remover_refiner.py:51-53 — strip URLs then tags."""
+    out = F.regexp_replace(F.col(col), _URL_RE, "")
+    out = F.regexp_replace(out, _HTML_TAG_RE, "")
+    return df.withColumn(col, out)
+
+
+def remove_html_entities(df: DataFrame, col: str = "text") -> DataFrame:
+    """html_entity_refiner.py:79."""
+    return df.withColumn(col, F.regexp_replace(F.col(col), _HTML_ENTITY_RE, ""))
+
+
+def remove_image_refs(df: DataFrame, col: str = "text") -> DataFrame:
+    """remove_image_ref_refiner.py:65 — markdown image refs."""
+    return df.withColumn(col, F.regexp_replace(F.col(col), _IMG_REF_RE, ""))
+
+
+def collapse_repeated_punct(df: DataFrame, col: str = "text") -> DataFrame:
+    """remove_repetitions_punctuation_refiner.py:54 — ([^\\w\\s_])\\1+ → \\1."""
+    return df.withColumn(col, F.regexp_replace(F.col(col), r"([^\w\s_])\1+", "$1"))
+
+
+def remove_stopwords(df: DataFrame, col: str = "text", stopwords: tuple[str, ...] | None = None) -> DataFrame:
+    """remove_stopwords_refiner.py:18-21 — drop stopword tokens, rejoin.
+
+    Pure array expr (split → filter → concat_ws); broadcast-free because the
+    list folds into the plan as a literal array.
+    """
+    sw = stopwords or EN_STOPWORDS
+    words = F.split(F.trim(F.col(col)), r"\s+")
+    kept = F.filter(words, lambda w: ~F.lower(w).isin(*sw))
+    return df.withColumn(col, F.concat_ws(" ", kept))
+
+
+def normalize_clean(df: DataFrame, col: str = "text") -> DataFrame:
+    """Composite canonical cleanup: spaces → lowercase (the reference pt
+    pipeline's leading refiner chain, text_pt_filter.py:66-80)."""
+    return lowercase(remove_extra_spaces(df, col), col)
+
+
+# small, public, embedded stopword list (NLTK-english head) — enough for the
+# ratio/refine kernels; the reference broadcasts the full NLTK list.
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "were", "be", "been", "it", "its", "this", "that", "with", "as", "for",
+    "on", "at", "by", "from", "but", "not", "they", "their", "he", "she",
+    "his", "her", "we", "you", "i", "has", "have", "had", "do", "does",
+)

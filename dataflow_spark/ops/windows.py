@@ -1,0 +1,114 @@
+"""Windowed / conversational operators: tumbling-window quality aggregation,
+session reassembly, session windows, assistant↔trigger matching (the batch
+twins of the streaming stages in dataflow_spark.streaming).
+
+Scale notes:
+  - window aggs are groupBy(window, conv_id) → hash aggregate with map-side
+    partial aggregation; skewed conv_ids are handled by AQE + optional salt.
+  - reassembly uses collect_list + array_sort instead of a global sort — one
+    shuffle on conv_id, no ordering requirement on input rows.
+  - trigger matching is an interval join on (conv_id, ts-bound); at scale the
+    conv_id equi-key keeps it a shuffled hash join, the ts bound prunes pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops.quality import ngram_uniqueness, word_count
+
+
+def window_quality_agg(df: DataFrame, window: str = "6 hours") -> DataFrame:
+    """Per-conversation tumbling-window quality scoring — the north-star
+    groupBy(window(ts), conv_id) stage. Returns one row per (window, conv)."""
+    return (
+        df.groupBy(F.window("ts", window).alias("win"), "conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.round(F.avg(word_count(F.col("text"))), 6).alias("avg_words"),
+            F.round(F.avg(ngram_uniqueness(F.col("text"))), 6).alias("avg_ngram_uniq"),
+        )
+        .select(F.col("win.start").alias("win_start"), "conv_id", "n_turns", "avg_words", "avg_ngram_uniq")
+    )
+
+
+def reassemble_conversations(df: DataFrame) -> DataFrame:
+    """Transcript reassembly: one row per conv_id with the turn-ordered
+    conversation (the reference's conversation array encoding,
+    consistent_chat.py:116-132). Emits a digest + shape stats so the result
+    is oracle-comparable as scalars.
+
+    collect_list is unordered under parallel execution; array_sort on the
+    (turn_idx,…) struct restores the deterministic order — no global sort.
+    """
+    turn = F.struct(F.col("turn_idx"), F.col("role"), F.col("text"))
+    convo = F.array_sort(F.collect_list(turn))
+    rendered = F.concat_ws(
+        "\n", F.transform(convo, lambda t: F.concat(t["role"], F.lit(": "), t["text"]))
+    )
+    return df.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.md5(rendered).alias("convo_digest"),
+        F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).alias("n_tool_turns"),
+    )
+
+
+def session_windows(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per conv_id (gap-based) — batch twin of the streaming
+    session_window stage. One row per (conv_id, session)."""
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("sess"), "conv_id")
+        .agg(F.count("*").alias("n_turns"), F.min("ts").alias("session_start"))
+        .select("conv_id", "session_start", "n_turns")
+    )
+
+
+def match_assistant_triggers(df: DataFrame, max_lag: str = "10 minutes") -> DataFrame:
+    """Match each assistant turn to its triggering user turn: the latest user
+    turn in the same conv with user.ts <= assistant.ts and lag <= max_lag —
+    the batch twin of the stream-stream interval join (SURVEY.md §4.2).
+
+    argmax via max(struct(ts, turn_idx)) — partial-aggregatable, deterministic
+    under ties.
+    """
+    a = df.filter(F.col("role") == "assistant").select(
+        "conv_id", F.col("turn_idx").alias("assistant_turn"), F.col("ts").alias("a_ts")
+    )
+    u = df.filter(F.col("role") == "user").select(
+        F.col("conv_id").alias("u_conv"), F.col("turn_idx").alias("user_turn"), F.col("ts").alias("u_ts")
+    )
+    joined = a.join(
+        u,
+        (F.col("conv_id") == F.col("u_conv"))
+        & (F.col("u_ts") <= F.col("a_ts"))
+        & (F.col("u_ts") >= F.col("a_ts") - F.expr(f"INTERVAL {max_lag}")),
+    )
+    best = (
+        joined.groupBy("conv_id", "assistant_turn")
+        .agg(F.max(F.struct(F.col("u_ts"), F.col("user_turn"))).alias("__best"))
+        .select("conv_id", "assistant_turn", F.col("__best.user_turn").alias("user_turn"))
+    )
+    return best
+
+
+def top_k_conversations(df: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k longest conversations — rank/limit coverage (SURVEY.md §2.7).
+    Deterministic tiebreak by conv_id."""
+    counts = df.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    return counts.orderBy(F.col("n_turns").desc(), F.col("conv_id")).limit(k)
+
+
+def role_stats(df: DataFrame) -> DataFrame:
+    """Per-role distribution aggregate (reasoning dataset evaluators analog,
+    reasoning_*_dataset_evaluator.py)."""
+    return (
+        df.groupBy("role")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+        )
+    )

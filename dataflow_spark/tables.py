@@ -1,0 +1,104 @@
+"""Table loaders + the deterministic transcript derivation.
+
+The driver's testdata (TESTDATA.md) has no transcript table, so we derive one
+deterministically from ``events`` x ``documents`` with logic expressible in
+BOTH Spark DataFrame ops and ANSI SQL (DuckDB). That makes every transcript
+operator fully oracle-checkable at the value level.
+
+Derivation (seedless, pure function of the input tables):
+  conv_id  = 'conv-' || user_id
+  turn_idx = row_number() over (partition by user_id order by ts, event_id) - 1
+  role     = event_id % 3 -> user / assistant / tool
+  text     = documents.text where doc_id = event_id % count(documents)
+  tool     = event_type when role == 'tool' else NULL
+  ts       = events.ts
+
+Because count(events) >> count(documents) at every sf, the derived table has
+many exact-duplicate texts across conversations — exercising the dedup family
+the same way the reference's seen-set dedup is exercised
+(/root/reference/dataflow/operators/general_text/filter/hash_deduplicate_filter.py:61-91).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def doc_count(spark: SparkSession, sf_dir: str) -> int:
+    # parquet row-count comes from footer metadata — no data scan
+    return load_table(spark, sf_dir, "documents").count()
+
+
+def build_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the transcript table (input_hint schema) from events x documents.
+
+    Scale notes: the documents side is broadcast (small dim table); the
+    row_number needs a shuffle on user_id — unavoidable, it IS the turn
+    ordering. At 100 TB the source table would already carry turn_idx and this
+    builder would be a plain scan.
+    """
+    n_docs = doc_count(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("doc_id", F.col("event_id") % F.lit(n_docs))
+        .join(F.broadcast(docs), "doc_id")
+        .select(
+            F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+            (F.row_number().over(w) - F.lit(1)).cast("int").alias("turn_idx"),
+            F.when(F.col("event_id") % 3 == 0, F.lit("user"))
+            .when(F.col("event_id") % 3 == 1, F.lit("assistant"))
+            .otherwise(F.lit("tool"))
+            .alias("role"),
+            F.col("text"),
+            F.when(F.col("event_id") % 3 == 2, F.col("event_type"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("tool"),
+            F.col("ts"),
+        )
+    )
+
+
+# ANSI-SQL twin of build_transcripts, used as a CTE prelude in every oracle.
+# DuckDB pre-registers views: events, documents, ... (driver contract).
+TRANSCRIPTS_CTE = """
+transcripts AS (
+  SELECT
+    'conv-' || CAST(e.user_id AS VARCHAR)                         AS conv_id,
+    CAST(row_number() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts, e.event_id) - 1 AS INT) AS turn_idx,
+    CASE CAST(e.event_id % 3 AS INT)
+      WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END   AS role,
+    d.text                                                         AS text,
+    CASE WHEN e.event_id % 3 = 2 THEN e.event_type ELSE NULL END   AS tool,
+    e.ts                                                           AS ts
+  FROM events e
+  JOIN documents d
+    ON d.doc_id = e.event_id % (SELECT count(*) FROM documents)
+)
+"""
+
+
+def with_transcripts(sql: str) -> str:
+    """Wrap an oracle query body with the transcripts CTE."""
+    return f"WITH {TRANSCRIPTS_CTE} {sql}"

@@ -1,0 +1,105 @@
+"""Local stand-in for the driver's correctness gate: run each queries() entry
+on Spark and its oracle_sql() twin on DuckDB at sf0.01, compare row count,
+column names, and order-insensitive values.
+
+Usage: python tools/check_entry.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod
+from dataflow_spark.session import get_spark
+from dataflow_spark.tables import TABLES
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float") or str(df[c].dtype).startswith("int"):
+            df[c] = pd.to_numeric(df[c])
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(cores=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows={len(sdf)} (no oracle, rows-only) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures.append(name)
+            continue
+        a, b = normalize(sdf), normalize(odf)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            failures.append(name)
+            continue
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
+            failures.append(name)
+            continue
+        mism = [c for c in a.columns if not a[c].equals(b[c])]
+        # tolerate float noise only in explicit comparison, report exactness
+        truly = []
+        for c in mism:
+            if str(a[c].dtype).startswith("float"):
+                import numpy as np
+
+                if np.allclose(a[c].fillna(0), b[c].fillna(0), rtol=0, atol=1e-9, equal_nan=True):
+                    truly.append((c, "float-close"))
+                else:
+                    truly.append((c, "DIFF"))
+            else:
+                truly.append((c, "DIFF"))
+        bad = [c for c, kind in truly if kind == "DIFF"]
+        soft = [c for c, kind in truly if kind != "DIFF"]
+        if bad:
+            print(f"FAIL {name}: value mismatch in {bad}")
+            for c in bad[:2]:
+                diff_ix = (a[c].astype(str) != b[c].astype(str)).idxmax()
+                print(f"   e.g. row {diff_ix}: spark={a[c][diff_ix]!r} oracle={b[c][diff_ix]!r}")
+            failures.append(name)
+        elif soft:
+            print(f"SOFT {name}: rows={len(a)} float-close-but-not-exact: {soft} [{time.time()-t0:.1f}s]")
+        else:
+            print(f"PASS {name}: rows={len(a)} exact [{time.time()-t0:.1f}s]")
+    spark.stop()
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
