@@ -1,0 +1,8 @@
+"""Structured-Streaming engine stages (the north-star tier).
+
+Stateless stages (refine/filter/score) are the SAME builders as batch —
+DataFrame functions compose identically over readStream. This package adds
+the stateful parts: watermarked dedup, windowed aggregation, session-state
+transcript reassembly, stream-stream trigger joins, idempotent sinks, and
+lineage/throughput metrics.
+"""

@@ -1,0 +1,62 @@
+"""Per-partition lineage + throughput metrics (north_rule observability).
+
+A StreamingQueryListener records one JSON line per micro-batch progress:
+batch id, input rows, rows/sec, per-stateful-operator state rows, and source
+offsets (the lineage pointer — which files/offsets produced the batch).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class LineageMetricsListener(StreamingQueryListener):
+    def __init__(self, out_path: str | None = None):
+        self.out_path = out_path
+        self.progress: list[dict] = []
+        self._lock = threading.Lock()
+
+    def onQueryStarted(self, event) -> None:
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        rec = {
+            "query_id": str(p.id),
+            "batch_id": p.batchId,
+            "num_input_rows": p.numInputRows,
+            "input_rows_per_sec": p.inputRowsPerSecond,
+            "processed_rows_per_sec": p.processedRowsPerSecond,
+            "duration_ms": dict(p.durationMs) if p.durationMs else {},
+            "state_operators": [
+                {
+                    "operator": so.operatorName,
+                    "rows_total": so.numRowsTotal,
+                    "rows_updated": so.numRowsUpdated,
+                    "memory_bytes": so.memoryUsedBytes,
+                }
+                for so in (p.stateOperators or [])
+            ],
+            "sources": [
+                {"description": s.description, "start": s.startOffset, "end": s.endOffset, "rows": s.numInputRows}
+                for s in (p.sources or [])
+            ],
+        }
+        with self._lock:
+            self.progress.append(rec)
+            if self.out_path:
+                with open(self.out_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        pass
+
+    def total_rows(self) -> int:
+        with self._lock:
+            return sum(r["num_input_rows"] for r in self.progress)

@@ -1,0 +1,103 @@
+"""Streaming pipeline stages.
+
+Source is a parquet-directory file source (the sandbox stand-in for an
+Iceberg table scan — swap `.format("parquet")` for `.format("iceberg")` +
+catalog config on a real cluster; the stage graph is identical).
+
+Exactly-once: every sink goes through foreachBatch with an idempotent,
+batch-id-keyed write (see sink.py) — replays from checkpoint rewrite the same
+output, so results are bit-identical under kill/restart (north_rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops import filters, refine
+from dataflow_spark.ops.quality import ngram_uniqueness, word_count
+from dataflow_spark.schema import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    return (
+        spark.readStream.format("parquet")
+        .schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(src_dir)
+    )
+
+
+def clean_stage(sdf: DataFrame) -> DataFrame:
+    """Stateless refine + rule-filter stage — identical builders as batch."""
+    out = refine.remove_extra_spaces(sdf)
+    return filters.apply_filters(out, *filters.default_quality_predicates(F.col("text")))
+
+
+def dedup_stage(sdf: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: watermark + dropDuplicatesWithinWatermark keyed
+    on the text hash. State is bounded by the watermark horizon; at 10^12
+    turns the state store shards by hash across executors (HDFS/RocksDB
+    state backend on a real cluster)."""
+    return (
+        sdf.withColumn("text_hash", F.md5("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .drop("text_hash")
+    )
+
+
+def window_quality_stage(
+    sdf: DataFrame, watermark: str = "10 minutes", window: str = "5 minutes"
+) -> DataFrame:
+    """Tumbling-window per-conversation quality scoring (append mode — rows
+    emit when the watermark passes the window end)."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.avg(word_count(F.col("text"))).alias("avg_words"),
+            F.avg(ngram_uniqueness(F.col("text"))).alias("avg_ngram_uniq"),
+        )
+        .select(F.col("win.start").alias("win_start"), "conv_id", "n_turns", "avg_words", "avg_ngram_uniq")
+    )
+
+
+def match_triggers_stage(
+    sdf: DataFrame, watermark: str = "10 minutes", max_lag: str = "5 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: assistant turns ↔ triggering user turns.
+
+    Both sides carry watermarks; the join condition bounds user.ts within
+    [assistant.ts - max_lag, assistant.ts], which lets Spark expire join state
+    (SURVEY.md §4.2). Emits every candidate (assistant, user) pair — the
+    argmax-per-assistant reduction happens at the sink (foreachBatch), where
+    late candidates can no longer arrive."""
+    a = (
+        sdf.filter(F.col("role") == "assistant")
+        .select("conv_id", F.col("turn_idx").alias("assistant_turn"), F.col("ts").alias("a_ts"))
+        .withWatermark("a_ts", watermark)
+    )
+    u = (
+        sdf.filter(F.col("role") == "user")
+        .select(
+            F.col("conv_id").alias("u_conv"),
+            F.col("turn_idx").alias("user_turn"),
+            F.col("ts").alias("u_ts"),
+        )
+        .withWatermark("u_ts", watermark)
+    )
+    return a.join(
+        u,
+        (F.col("conv_id") == F.col("u_conv"))
+        & (F.col("u_ts") <= F.col("a_ts"))
+        & (F.col("u_ts") >= F.col("a_ts") - F.expr(f"INTERVAL {max_lag}")),
+    ).select("conv_id", "assistant_turn", "user_turn", "a_ts", "u_ts")
+
+
+def run_to_completion(query) -> None:
+    """Drain an availableNow/file-bounded streaming query."""
+    query.awaitTermination()

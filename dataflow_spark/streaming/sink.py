@@ -1,0 +1,74 @@
+"""Exactly-once sinks.
+
+The real target is Iceberg `MERGE INTO target USING batch ON (conv_id,
+turn_idx)` inside foreachBatch (SURVEY.md §4.2). This sandbox has no Iceberg
+runtime jar, so two stand-ins with the same interface + guarantees:
+
+  - IdempotentBatchSink: each micro-batch writes to out_dir/batch_id=N with
+    overwrite — a replayed batch rewrites the same directory, so the union of
+    batch dirs is exactly-once under checkpoint replay.
+  - merge_upsert: key-based read-antijoin-union-rewrite, the literal MERGE
+    semantics for small targets (used by tests to prove idempotent upsert
+    keyed (conv_id, turn_idx)).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IdempotentBatchSink:
+    """foreachBatch writer: batch-id-keyed overwrite → replay-safe."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(self.out_dir, f"batch_id={batch_id}")
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.option("basePath", self.out_dir).parquet(
+            os.path.join(self.out_dir, "batch_id=*")
+        ).drop("batch_id")
+
+
+def merge_upsert(
+    spark: SparkSession, target_dir: str, batch_df: DataFrame, keys: list[str]
+) -> None:
+    """MERGE INTO emulation: upsert batch rows into target keyed on `keys`
+    (last-writer-wins per key). Atomic via staging dir + rename.
+
+    On a real cluster this is one Iceberg MERGE INTO statement; the
+    read-rewrite here is the small-scale stand-in with identical semantics.
+    """
+    batch_df = batch_df.cache()
+    if os.path.isdir(target_dir):
+        existing = spark.read.parquet(target_dir)
+        kept = existing.join(batch_df.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(batch_df)
+    else:
+        merged = batch_df
+    staging = target_dir + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    import shutil
+
+    if os.path.isdir(target_dir):
+        shutil.rmtree(target_dir)
+    os.rename(staging, target_dir)
+    batch_df.unpersist()
+
+
+class MergeSink:
+    """foreachBatch writer with MERGE-keyed upsert semantics — idempotent
+    because replaying a batch upserts identical rows onto the same keys."""
+
+    def __init__(self, target_dir: str, keys: list[str]):
+        self.target_dir = target_dir
+        self.keys = keys
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(batch_df.sparkSession, self.target_dir, batch_df, self.keys)

@@ -1,0 +1,139 @@
+"""Stateful session reassembly via applyInPandasWithState.
+
+The streaming twin of ops.windows.reassemble_conversations and the engine's
+CEP core: per conv_id the state buffers (turn_idx, role, text) plus the max
+event time; when the event-time watermark passes last_ts + gap, the session
+closes and emits one assembled-conversation row with tool-call sequence
+detection (<func_call>/<final> markers per
+/root/reference/dataflow/operators/conversations/generate/func_call_operators.py:530-551).
+
+State size for pathological conversations (the skew case) is bounded by
+max_turns: overlong sessions spill early with is_partial=1 (SURVEY.md §7.3.3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", LongType()),
+        StructField("first_ts", TimestampType()),
+        StructField("last_ts", TimestampType()),
+        StructField("convo_digest", StringType()),
+        StructField("n_func_calls", LongType()),
+        StructField("has_final", IntegerType()),
+        StructField("is_partial", IntegerType()),
+    ]
+)
+
+# state: parallel arrays (turn_idx, role, text) + last event-time micros
+STATE_SCHEMA = StructType(
+    [
+        StructField("turn_idxs", ArrayType(IntegerType())),
+        StructField("roles", ArrayType(StringType())),
+        StructField("texts", ArrayType(StringType())),
+        StructField("last_ts_us", LongType()),
+        StructField("first_ts_us", LongType()),
+    ]
+)
+
+
+def assemble_rows(turn_idxs: list, roles: list, texts: list, first_us: int, last_us: int, conv_id: str, is_partial: int) -> dict[str, Any]:
+    """Deterministic session row from buffered turns (shared by the streaming
+    state function and the batch/golden twin in tests)."""
+    order = sorted(range(len(turn_idxs)), key=lambda i: turn_idxs[i])
+    rendered = "\n".join(f"{roles[i]}: {texts[i]}" for i in order)
+    return {
+        "conv_id": conv_id,
+        "n_turns": len(turn_idxs),
+        "first_ts": pd.Timestamp(first_us, unit="us"),
+        "last_ts": pd.Timestamp(last_us, unit="us"),
+        "convo_digest": hashlib.md5(rendered.encode("utf-8")).hexdigest(),
+        "n_func_calls": sum(t.count("<func_call>") for t in texts),
+        "has_final": int(any("<final>" in t for t in texts)),
+        "is_partial": is_partial,
+    }
+
+
+def make_session_func(gap_seconds: int = 1800, max_turns: int = 10_000):
+    def session_func(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        if state.hasTimedOut:
+            (turn_idxs, roles, texts, last_us, first_us) = state.get
+            state.remove()
+            yield pd.DataFrame([assemble_rows(list(turn_idxs), list(roles), list(texts), first_us, last_us, conv_id, 0)])
+            return
+
+        turn_idxs: list[int] = []
+        roles: list[str] = []
+        texts: list[str] = []
+        last_us = 0
+        first_us = None
+        if state.exists:
+            t0, r0, x0, last_us, first_us = state.get
+            turn_idxs, roles, texts = list(t0), list(r0), list(x0)
+
+        emitted = []
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                turn_idxs.append(int(row["turn_idx"]))
+                roles.append(str(row["role"]))
+                texts.append(str(row["text"]))
+                us = int(pd.Timestamp(row["ts"]).value // 1000)
+                last_us = max(last_us, us)
+                first_us = us if first_us is None else min(first_us, us)
+                if len(turn_idxs) >= max_turns:
+                    # skew guard: spill overlong session early as partial
+                    emitted.append(
+                        assemble_rows(turn_idxs, roles, texts, first_us, last_us, conv_id, 1)
+                    )
+                    turn_idxs, roles, texts, first_us = [], [], [], None
+
+        if turn_idxs:
+            state.update((turn_idxs, roles, texts, last_us, first_us))
+            # clamp: with out-of-order arrival the gap may already be past the
+            # current watermark — close at the next watermark advance instead
+            desired_ms = last_us // 1000 + gap_seconds * 1000
+            state.setTimeoutTimestamp(max(desired_ms, state.getCurrentWatermarkMs() + 1))
+        elif not state.exists:
+            pass
+        if emitted:
+            yield pd.DataFrame(emitted)
+
+    return session_func
+
+
+def session_reassembly_stage(
+    sdf: DataFrame, watermark: str = "10 minutes", gap_seconds: int = 1800, max_turns: int = 10_000
+) -> DataFrame:
+    """Event-time session windows keyed conv_id with ordered-turn reassembly."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            make_session_func(gap_seconds, max_turns),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

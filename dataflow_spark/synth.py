@@ -1,0 +1,108 @@
+"""Deterministic synthetic transcript generator.
+
+Pure column expressions over spark.range() — fully distributed, seed-fixed,
+no driver-side loops, reproducible at any scale (the 100 TB analog is the
+same expressions over a bigger range).
+
+Properties engineered in (FIXTURES.md §1):
+  - heavy-tail conversation lengths (a few convs 100-1000 turns → skew)
+  - exact duplicate texts across conversations (dedup targets)
+  - near-duplicates (1-token edits, for minhash/simhash)
+  - role cycle user/assistant/tool; <func_call>/<final> markers on some
+    assistant turns (func_call_operators.py:530-551 semantics)
+  - controlled late events (ts jitter backwards) for watermark tests
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_VOCAB = (
+    "spark stream window state join filter dedup shuffle partition skew "
+    "watermark trigger batch arrow pandas kernel quality score token text "
+    "agent tool call reply plan search result answer think act observe"
+).split()
+
+
+def synth_transcripts(
+    spark: SparkSession,
+    n_turns: int = 100_000,
+    n_convs: int = 2_000,
+    seed: int = 42,
+    dup_fraction_mod: int = 7,
+    late_fraction_mod: int = 31,
+) -> DataFrame:
+    """Generate n_turns transcript rows. Deterministic in (n_turns, n_convs,
+    seed) — every value derives from xxhash64(id, seed) arithmetic."""
+    df = spark.range(n_turns).withColumn("h", F.xxhash64("id", F.lit(seed)))
+    habs = F.abs(F.col("h"))
+
+    # heavy-tail conv assignment: ~1% of ids map into a hot head of 5 convs
+    conv_num = F.when(habs % 100 < 1, habs % 5).otherwise(habs % n_convs)
+    df = df.withColumn("conv_num", conv_num)
+
+    w = Window.partitionBy("conv_num").orderBy("id")
+    df = df.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+
+    role = (
+        F.when(F.col("turn_idx") % 3 == 0, F.lit("user"))
+        .when(F.col("turn_idx") % 3 == 1, F.lit("assistant"))
+        .otherwise(F.lit("tool"))
+    )
+
+    # text: 12 vocab words picked by hash; every dup_fraction_mod-th row reuses
+    # a small text-id space (exact dups); ids ending in 3 get a 1-token edit of
+    # a dup text (near-dups)
+    text_seed = (
+        F.when(habs % dup_fraction_mod == 0, habs % 50)  # exact dup pool
+        .when(habs % 10 == 3, habs % 50)  # near-dup of the pool
+        .otherwise(habs)
+    )
+    # variable length 16..47 words so rule filters (>=20 words) bite but
+    # don't wipe the stream
+    n_words = (16 + F.abs(F.xxhash64(text_seed, F.lit(-1))) % 32).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda i: F.element_at(
+            F.array(*[F.lit(v) for v in _VOCAB]),
+            (F.abs(F.xxhash64(text_seed, i)) % len(_VOCAB) + 1).cast("int"),
+        ),
+    )
+    base_text = F.concat_ws(" ", words)
+    text = F.when(
+        (habs % 10 == 3) & (habs % dup_fraction_mod != 0),
+        F.concat(base_text, F.lit(" edited")),
+    ).otherwise(base_text)
+
+    # assistant markers for tool-call sequence detection
+    text = F.when(
+        (role == "assistant") & (habs % 4 == 0),
+        F.concat(F.lit("<func_call>lookup</func_call> "), text),
+    ).when(
+        (role == "assistant") & (habs % 4 == 1),
+        F.concat(text, F.lit(" <final>done</final>")),
+    ).otherwise(text)
+
+    # event time: base + id seconds; every late_fraction_mod-th row arrives
+    # late (ts shifted back 5 minutes relative to its id order)
+    ts = F.timestamp_seconds(
+        F.lit(1704067200)  # 2024-01-01 UTC
+        + F.col("id") * 2
+        - F.when(habs % late_fraction_mod == 0, F.lit(300)).otherwise(F.lit(0))
+    )
+
+    return df.select(
+        F.concat(F.lit("conv-"), F.col("conv_num").cast("string")).alias("conv_id"),
+        F.col("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        F.when(role == "tool", F.lit("lookup")).otherwise(F.lit(None).cast("string")).alias("tool"),
+        ts.alias("ts"),
+    )
+
+
+def write_stream_chunks(df: DataFrame, out_dir: str, n_chunks: int = 10) -> None:
+    """Materialize a transcript DF as n_chunks parquet files so a file-source
+    readStream with maxFilesPerTrigger=1 replays it as micro-batches."""
+    df.repartition(n_chunks).write.mode("overwrite").parquet(out_dir)

@@ -1,0 +1,117 @@
+"""Dedup family goldens: Spark ops vs pure-pandas twins implementing the
+reference's seen-set semantics (first occurrence in (ts, conv_id, turn_idx)
+order wins — hash_deduplicate_filter.py:75-86 analog)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dataflow_spark.ops import dedup
+from dataflow_spark.synth import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    df = synth_transcripts(spark, n_turns=2000, n_convs=50, seed=7)
+    return df, df.toPandas()
+
+
+def _seen_set_dedup(pdf: pd.DataFrame, keyfn) -> set[tuple]:
+    """Reference semantics: iterate in (ts, conv_id, turn_idx) order, keep
+    first occurrence per key."""
+    ordered = pdf.sort_values(["ts", "conv_id", "turn_idx"])
+    seen, keep = set(), []
+    for _, row in ordered.iterrows():
+        k = keyfn(row["text"])
+        if k not in seen:
+            seen.add(k)
+            keep.append((row["conv_id"], int(row["turn_idx"])))
+    return set(keep)
+
+
+def test_dedup_exact_md5_matches_seen_set(spark, tiny):
+    df, pdf = tiny
+    got = {
+        (r["conv_id"], r["turn_idx"])
+        for r in dedup.dedup_exact_md5(df, payload_cols=["text"]).collect()
+    }
+    want = _seen_set_dedup(pdf, lambda t: hashlib.md5(t.encode()).hexdigest())
+    assert got == want
+
+
+def test_dedup_exact_sha_matches_seen_set(spark, tiny):
+    df, pdf = tiny
+    got = {
+        (r["conv_id"], r["turn_idx"])
+        for r in dedup.dedup_exact_sha(df, payload_cols=["text"]).collect()
+    }
+    want = _seen_set_dedup(pdf, lambda t: hashlib.sha256(t.encode()).hexdigest()[:16])
+    assert got == want
+
+
+def _minhash_sig(text: str, num_perm=64, k=5) -> tuple:
+    sh = dedup._char_shingle_hashes(text, k)
+    a, b = dedup._minhash_perms(num_perm)
+    vals = (a[None, :] * sh[:, None] + b[None, :]) % dedup._MERSENNE
+    return tuple(vals.min(axis=0).astype(np.int64).tolist())
+
+
+def test_minhash_signature_deterministic_and_similarity_ordered():
+    s1 = _minhash_sig("the quick brown fox jumps over the lazy dog every day")
+    s1b = _minhash_sig("the quick brown fox jumps over the lazy dog every day")
+    s2 = _minhash_sig("the quick brown fox jumps over the lazy dog every night")
+    s3 = _minhash_sig("completely different text about streaming engines and shuffles")
+    assert s1 == s1b
+    sim12 = sum(a == b for a, b in zip(s1, s2)) / len(s1)
+    sim13 = sum(a == b for a, b in zip(s1, s3)) / len(s1)
+    assert sim12 > 0.5 > sim13
+
+
+def test_dedup_minhash_lsh_matches_banded_seen_set(spark, tiny):
+    """Spark banded-LSH first-wins == sequential seen-band-set twin."""
+    df, pdf = tiny
+    got = {
+        (r["conv_id"], r["turn_idx"])
+        for r in dedup.dedup_minhash_lsh(df).select("conv_id", "turn_idx").collect()
+    }
+    # sequential twin: a row survives iff none of its bands was seen earlier
+    num_perm, bands = 64, 16
+    rpb = num_perm // bands
+    ordered = pdf.sort_values(["ts", "conv_id", "turn_idx"])
+    seen_bands: dict[tuple, set] = {b: set() for b in range(bands)}
+    want = set()
+    for _, row in ordered.iterrows():
+        sig = _minhash_sig(row["text"], num_perm)
+        bvals = [tuple(sig[b * rpb : (b + 1) * rpb]) for b in range(bands)]
+        if all(bv not in seen_bands[b] for b, bv in enumerate(bvals)):
+            want.add((row["conv_id"], int(row["turn_idx"])))
+        for b, bv in enumerate(bvals):
+            seen_bands[b].add(bv)
+    assert got == want
+
+
+def test_simhash_near_dups_collapse(spark):
+    rows = [
+        ("c1", 0, "u", "the quick brown fox jumps over the lazy dog near the river bank", "2024-01-01 00:00:00"),
+        ("c1", 1, "u", "the quick brown fox jumps over the lazy dog near the river edge", "2024-01-01 00:01:00"),
+        ("c2", 0, "u", "streaming engines shuffle partitions across executors with watermark state", "2024-01-01 00:02:00"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text", "ts_s"]).selectExpr(
+        "conv_id", "turn_idx", "role", "text", "CAST(NULL AS STRING) tool", "CAST(ts_s AS TIMESTAMP) ts"
+    )
+    # ham(text0, text1) = 11 for these fixtures; ham(text0, text2) = 36
+    got = {(r["conv_id"], r["turn_idx"]) for r in dedup.dedup_simhash(df, hamming_thr=12).select("conv_id", "turn_idx").collect()}
+    assert got == {("c1", 0), ("c2", 0)}
+
+
+def test_ngram_chunks_collapses_exact_dups(spark, tiny):
+    df, pdf = tiny
+    got = dedup.dedup_ngram_chunks(df).count()
+    n_distinct = pdf["text"].nunique()
+    # chunk-dedup is at least as aggressive as exact dedup
+    assert got <= n_distinct
+    assert got > 0

@@ -1,0 +1,90 @@
+"""Evaluator + prompted-stage goldens."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops import prompted, quality
+
+
+def test_ngram_uniqueness(spark):
+    df = spark.createDataFrame(
+        [("rep", "a b a b a b a b"), ("uniq", "one two three four five six")], ["id", "text"]
+    )
+    out = {r["id"]: r["s"] for r in df.select("id", quality.ngram_uniqueness(F.col("text"), 3).alias("s")).collect()}
+    # 'a b a b...' has 6 trigrams, 2 distinct (score rounded to 6dp)
+    assert abs(out["rep"] - 2 / 6) < 1e-6
+    assert out["uniq"] == 1.0
+
+
+def test_word_and_token_counts(spark):
+    df = spark.createDataFrame([("a", "hello world 42 foo-bar!")], ["id", "text"])
+    row = df.select(
+        quality.word_count(F.col("text")).alias("w"),
+        quality.bpe_ish_token_count(F.col("text")).alias("t"),
+    ).collect()[0]
+    assert row["w"] == 4
+    # hello, world, 4, 2, foo, -, bar, ! → 8
+    assert row["t"] == 8
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "the cat sat on the mat and it is happy"),
+            ("es", "el gato es feliz y la casa de los perros una maravilla"),
+            ("und", "zzz qqq www"),
+        ],
+        ["id", "text"],
+    )
+    out = {r["id"]: r["l"] for r in df.select("id", quality.lang_id(F.col("text")).alias("l")).collect()}
+    assert out == {"en": "en", "es": "es", "und": "und"}
+
+
+def test_stub_serving_deterministic():
+    import pandas as pd
+
+    s = prompted.StubServing()
+    out1 = s.generate(pd.Series(["rate with a score. hello", "just echo this"]))
+    out2 = s.generate(pd.Series(["rate with a score. hello", "just echo this"]))
+    assert list(out1) == list(out2)
+    assert out1[0].startswith("Score: ")
+    assert out1[1].startswith("[gen-")
+
+
+def test_prompted_eval_udf_path_equals_column_path(spark):
+    """The pandas-UDF serving path and the JVM stub_score_col twin must agree
+    — this is what licenses the SQL oracle for prompted stages."""
+    df = spark.createDataFrame([(f"row {i} text",) for i in range(50)], ["text"])
+    sys_p = "Rate the overall quality of the following text with an integer score. "
+    udf_scores = {
+        r["text"]: r["score"]
+        for r in prompted.prompted_evaluate(df, sys_p, "text").collect()
+    }
+    col_scores = {
+        r["text"]: r["score"]
+        for r in df.select("text", prompted.stub_score_col(sys_p, F.col("text")).alias("score")).collect()
+    }
+    assert udf_scores == col_scores
+    # cross-check one value against hashlib directly
+    t = "row 0 text"
+    expect = 1 + int(hashlib.md5((sys_p + t).encode()).hexdigest()[:8], 16) % 5
+    assert udf_scores[t] == expect
+
+
+def test_parse_score_edges(spark):
+    df = spark.createDataFrame(
+        [("a", "Score: 4"), ("b", "no digits here"), ("c", "Score: 99"), ("d", "3 out of 5")],
+        ["id", "resp"],
+    )
+    out = {r["id"]: r["s"] for r in df.select("id", prompted.parse_score(F.col("resp")).alias("s")).collect()}
+    assert out == {"a": 4, "b": 0, "c": 0, "d": 3}
+
+
+def test_prompted_generate_stub(spark):
+    df = spark.createDataFrame([("write a poem",)], ["text"])
+    out = prompted.prompted_generate(df, "You are a poet. ", "text", "gen").collect()[0]
+    assert out["gen"].startswith("[gen-")
+    assert "You" in out["gen"] or "write" in out["gen"]

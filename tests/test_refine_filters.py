@@ -1,0 +1,129 @@
+"""Golden tests for refiners + rule filters against pure-Python twins of the
+reference kernels (same regex/threshold semantics, cited in the op modules)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops import filters, refine
+
+JUNK_ROWS = [
+    ("clean", "The quick brown fox jumps over the lazy dog again and again today"),
+    ("spaces", "  too   many\t\tspaces\n\nhere   honestly  padded a lot okay  "),
+    ("colon", "this row ends with a colon:"),
+    ("empty", "   "),
+    ("null", None),
+    ("lorem", "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"),
+    ("entity", "text with &nbsp; html entities &amp; more words to fill the row"),
+    ("url", "see https://example.com/page and <b>bold</b> words in this sentence"),
+    ("short", "too few words"),
+    ("repeat", "dup dup dup dup dup dup dup dup dup dup dup dup dup dup dup dup dup dup dup dup"),
+    ("caps", "THIS IS ALL CAPS SHOUTING TEXT WITH MANY CAPITAL WORDS IN A ROW OK"),
+    ("watermark", "Confidential document do not distribute to anyone under any terms ever"),
+    ("punct", "wow!!! really??? yes... ok!!! fine??? sure... wow!!! really??? yes..."),
+    ("emoji", "nice day 😀😀 for a walk 🚀 in the park with friends and family today"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(JUNK_ROWS, ["id", "text"])
+
+
+def _col(spark, df, colname="text") -> dict:
+    return {r["id"]: r[colname] for r in df.collect()}
+
+
+def test_remove_extra_spaces(spark):
+    out = _col(spark, refine.remove_extra_spaces(_df(spark)))
+    for rid, text in JUNK_ROWS:
+        expected = " ".join(text.split()) if text is not None else None
+        assert out[rid] == expected, rid
+
+
+def test_lowercase_and_numbers(spark):
+    df = spark.createDataFrame([("a", "MiXeD 123 Case4You")], ["id", "text"])
+    out = _col(spark, refine.remove_numbers(refine.lowercase(df)))
+    assert out["a"] == "mixed  case4you".replace("4", "")
+
+
+def test_remove_emoji(spark):
+    out = _col(spark, refine.remove_emoji(_df(spark)))
+    assert "😀" not in out["emoji"] and "🚀" not in out["emoji"]
+    assert out["clean"] == dict(JUNK_ROWS)["clean"]
+
+
+def test_remove_html_url(spark):
+    out = _col(spark, refine.remove_html_url(_df(spark)))
+    assert "https://" not in out["url"] and "<b>" not in out["url"]
+
+
+def test_collapse_repeated_punct(spark):
+    df = spark.createDataFrame([("a", "wow!!! ok??? fine...")], ["id", "text"])
+    out = _col(spark, refine.collapse_repeated_punct(df))
+    assert out["a"] == "wow! ok? fine."
+
+
+def test_remove_stopwords(spark):
+    df = spark.createDataFrame([("a", "the fox and the dog")], ["id", "text"])
+    out = _col(spark, refine.remove_stopwords(df))
+    assert out["a"] == "fox dog"
+
+
+@pytest.mark.parametrize(
+    "pred,expected_keep",
+    [
+        (lambda c: filters.content_not_null(c), lambda rid, t: t is not None and t.strip() != ""),
+        (lambda c: filters.not_colon_end(c), lambda rid, t: not t.endswith(":")),
+        (
+            lambda c: filters.word_count_between(c, 10, 100000),
+            lambda rid, t: 10 <= len(t.split()) < 100000,
+        ),
+        (lambda c: filters.no_lorem_ipsum(c), lambda rid, t: "lorem ipsum" not in t.lower()),
+        (
+            lambda c: filters.no_html_entity(c),
+            lambda rid, t: not re.search(r"&[a-zA-Z]+;|&#[0-9]+;", t),
+        ),
+        (
+            lambda c: filters.no_watermark(c),
+            lambda rid, t: not re.search("Copyright|Watermark|Confidential", t),
+        ),
+        # Spark's split(trim(x), '\s+') yields [""] for blank text — the twin
+        # mirrors that so blank rows keep ratio semantics identical
+        (
+            lambda c: filters.unique_words_ratio_above(c, 0.1),
+            lambda rid, t: len(set(t.split() or [""])) / len(t.split() or [""]) > 0.1,
+        ),
+        (
+            lambda c: filters.capital_words_ratio_at_most(c, 0.3),
+            lambda rid, t: sum(1 for w in (t.split() or [""]) if re.match("^[A-Z]", w)) / len(t.split() or [""]) <= 0.3,
+        ),
+    ],
+)
+def test_rule_filters_match_python_kernel(spark, pred, expected_keep):
+    df = _df(spark)
+    kept = {r["id"] for r in filters.apply_filters(df, pred(F.col("text"))).collect()}
+    for rid, t in JUNK_ROWS:
+        if t is None:
+            # null text: SQL predicates evaluate to null → dropped, except
+            # content_not_null which explicitly handles it
+            assert rid not in kept or expected_keep(rid, t)
+            continue
+        assert (rid in kept) == bool(expected_keep(rid, t)), rid
+
+
+def test_stopword_ratio_filter(spark):
+    df = _df(spark)
+    kept = {r["id"] for r in filters.apply_filters(df, filters.stopword_ratio_above(F.col("text"), 0.0)).collect()}
+    assert "clean" in kept  # has 'the'
+    assert "punct" not in kept  # no stopwords
+
+
+def test_mean_word_length(spark):
+    df = spark.createDataFrame([("a", "ab cd ef"), ("b", "extraordinarily incomprehensible")], ["id", "text"])
+    kept = {r["id"] for r in filters.apply_filters(df, filters.mean_word_length_between(F.col("text"), 3, 10)).collect()}
+    assert kept == set()
+    kept2 = {r["id"] for r in filters.apply_filters(df, filters.mean_word_length_between(F.col("text"), 2, 10)).collect()}
+    assert kept2 == {"a"}

@@ -1,0 +1,238 @@
+"""Streaming-engine tests: watermarked dedup, windowed agg, session-state
+reassembly, stream-stream join, exactly-once replay (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops import windows as batch_windows
+from dataflow_spark.streaming import pipeline as sp
+from dataflow_spark.streaming import state as st
+from dataflow_spark.streaming.sink import IdempotentBatchSink, MergeSink, merge_upsert
+from dataflow_spark.streaming.metrics import LineageMetricsListener
+from dataflow_spark.synth import synth_transcripts
+
+
+def write_ordered_chunks(chunks: list[pd.DataFrame], out_dir: str) -> None:
+    """Write parquet files with strictly increasing mtimes so the file source
+    discovers them in order."""
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.time() - len(chunks) * 10
+    for i, pdf in enumerate(chunks):
+        path = os.path.join(out_dir, f"part-{i:04d}.parquet")
+        pdf = pdf.copy()
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["tool"] = pdf["tool"].astype("string")  # all-null cols infer INT32 otherwise
+        # Spark's TimestampType = µs, UTC-adjusted; pandas defaults to ns naive
+        if pdf["ts"].dt.tz is None:
+            pdf["ts"] = pdf["ts"].dt.tz_localize("UTC")
+        pdf.to_parquet(path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(path, (t0 + i * 10, t0 + i * 10))
+
+
+def _tx(conv, idx, role, text, ts):
+    return {"conv_id": conv, "turn_idx": idx, "role": role, "text": text, "tool": None, "ts": pd.Timestamp(ts)}
+
+
+def test_stream_clean_dedup_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    df = synth_transcripts(spark, n_turns=3000, n_convs=40, seed=3)
+    pdf = df.toPandas()
+    chunks = [pdf.iloc[i::6].copy() for i in range(6)]
+    write_ordered_chunks(chunks, src)
+
+    sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=2)
+    cleaned = sp.dedup_stage(sp.clean_stage(sdf), watermark="10 days")
+    sink = IdempotentBatchSink(out)
+    q = (
+        cleaned.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sink.read(spark).toPandas()
+    batch = sp.clean_stage(df).toPandas()
+    # every surviving text exactly once; text set matches the batch-clean set
+    assert sorted(got["text"].tolist()) == sorted(batch["text"].drop_duplicates().tolist())
+
+
+def test_streaming_window_quality_rows_match_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    df = synth_transcripts(spark, n_turns=2000, n_convs=20, seed=5)
+    pdf = df.sort_values = df.toPandas().sort_values("ts")
+    chunks = [pdf.iloc[: len(pdf) // 2], pdf.iloc[len(pdf) // 2 :]]
+    write_ordered_chunks(list(chunks), src)
+
+    sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+    agg = sp.window_quality_stage(sdf, watermark="1 minute", window="5 minutes")
+    sink = IdempotentBatchSink(out)
+    q = agg.writeStream.foreachBatch(sink).option("checkpointLocation", ck).outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination()
+    got = sink.read(spark).toPandas()
+    assert len(got) > 0
+
+    batch = (
+        synth_transcripts(spark, n_turns=2000, n_convs=20, seed=5)
+        .groupBy(F.window("ts", "5 minutes").alias("win"), "conv_id")
+        .agg(F.count("*").alias("n_turns"))
+        .select(F.col("win.start").alias("win_start"), "conv_id", "n_turns")
+        .toPandas()
+    )
+    bmap = {(r.win_start, r.conv_id): r.n_turns for r in batch.itertuples()}
+    # every emitted (window, conv) row must equal the batch twin exactly
+    for r in got.itertuples():
+        assert bmap[(r.win_start, r.conv_id)] == r.n_turns
+    # no (window, conv) emitted twice (append-mode exactly-once)
+    assert not got.duplicated(subset=["win_start", "conv_id"]).any()
+
+
+def test_session_reassembly_stream(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows1 = [
+        _tx("A", 0, "user", "hello there", t0),
+        _tx("A", 1, "assistant", "<func_call>lookup</func_call> checking", t0 + pd.Timedelta("1 minute")),
+        _tx("A", 2, "tool", "result 42", t0 + pd.Timedelta("2 minutes")),
+        _tx("B", 0, "user", "ping", t0 + pd.Timedelta("3 minutes")),
+    ]
+    rows2 = [
+        _tx("A", 3, "assistant", "answer <final>done</final>", t0 + pd.Timedelta("4 minutes")),
+        _tx("B", 1, "assistant", "pong", t0 + pd.Timedelta("5 minutes")),
+    ]
+    # two sentinel files: first advances the watermark past every session's
+    # timeout, second gives the state operator a batch in which to fire them
+    sent1 = [_tx("zz-sent", 0, "user", "s1", t0 + pd.Timedelta("3 hours"))]
+    sent2 = [_tx("zz-sent", 1, "user", "s2", t0 + pd.Timedelta("3 hours") + pd.Timedelta("1 minute"))]
+    write_ordered_chunks(
+        [pd.DataFrame(rows1), pd.DataFrame(rows2), pd.DataFrame(sent1), pd.DataFrame(sent2)], src
+    )
+
+    sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+    sessions = st.session_reassembly_stage(sdf, watermark="1 minute", gap_seconds=1800)
+    sink = IdempotentBatchSink(out)
+    q = sessions.writeStream.foreachBatch(sink).option("checkpointLocation", ck).outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination()
+    got = sink.read(spark).toPandas()
+    got = got[got.conv_id != "zz-sent"].sort_values("conv_id").reset_index(drop=True)
+
+    assert list(got["conv_id"]) == ["A", "B"]
+    a = got[got.conv_id == "A"].iloc[0]
+    assert a["n_turns"] == 4
+    assert a["n_func_calls"] == 1
+    assert a["has_final"] == 1
+    assert a["is_partial"] == 0
+    # digest equals the batch twin's md5 over turn-ordered "role: text" lines
+    expect = st.assemble_rows(
+        [0, 1, 2, 3],
+        ["user", "assistant", "tool", "assistant"],
+        [r["text"] for r in rows1[:3]] + [rows2[0]["text"]],
+        int(t0.value // 1000),
+        int((t0 + pd.Timedelta("4 minutes")).value // 1000),
+        "A",
+        0,
+    )
+    assert a["convo_digest"] == expect["convo_digest"]
+    b = got[got.conv_id == "B"].iloc[0]
+    assert b["n_turns"] == 2 and b["n_func_calls"] == 0 and b["has_final"] == 0
+
+
+def test_stream_stream_join_matches_batch_candidates(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    df = synth_transcripts(spark, n_turns=1500, n_convs=15, seed=11)
+    pdf = df.toPandas().sort_values("ts")
+    write_ordered_chunks([pdf.iloc[:700], pdf.iloc[700:]], src)
+
+    sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+    joined = sp.match_triggers_stage(sdf, watermark="10 days", max_lag="5 minutes")
+    sink = IdempotentBatchSink(out)
+    q = joined.writeStream.foreachBatch(sink).option("checkpointLocation", ck).trigger(availableNow=True).start()
+    q.awaitTermination()
+    got = {
+        (r.conv_id, r.assistant_turn, r.user_turn)
+        for r in sink.read(spark).toPandas().itertuples()
+    }
+
+    a = df.filter(F.col("role") == "assistant").select("conv_id", F.col("turn_idx").alias("assistant_turn"), F.col("ts").alias("a_ts"))
+    u = df.filter(F.col("role") == "user").select(F.col("conv_id").alias("uc"), F.col("turn_idx").alias("user_turn"), F.col("ts").alias("u_ts"))
+    batch = a.join(
+        u,
+        (F.col("conv_id") == F.col("uc"))
+        & (F.col("u_ts") <= F.col("a_ts"))
+        & (F.col("u_ts") >= F.col("a_ts") - F.expr("INTERVAL 5 minutes")),
+    ).select("conv_id", "assistant_turn", "user_turn")
+    want = {(r.conv_id, r.assistant_turn, r.user_turn) for r in batch.toPandas().itertuples()}
+    assert got == want
+
+
+def test_checkpoint_resume_and_idempotent_merge(spark, tmp_path):
+    """Exactly-once: (1) restart from checkpoint processes only new files and
+    the final table equals the batch twin; (2) replaying a batch into the
+    MERGE sink (the crash-between-write-and-commit case) changes nothing."""
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ck = str(tmp_path / "ck")
+    df = synth_transcripts(spark, n_turns=1200, n_convs=12, seed=13)
+    pdf = df.toPandas()
+    chunks = [pdf.iloc[i::4].copy() for i in range(4)]
+    write_ordered_chunks(chunks[:2], src)
+
+    def run():
+        sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+        sink = MergeSink(tgt, keys=["conv_id", "turn_idx"])
+        q = sdf.writeStream.foreachBatch(sink).option("checkpointLocation", ck).trigger(availableNow=True).start()
+        q.awaitTermination()
+
+    run()
+    n_first = spark.read.parquet(tgt).count()
+    assert n_first == len(chunks[0]) + len(chunks[1])
+
+    # "crash replay": re-apply an already-committed batch → idempotent
+    merge_upsert(spark, tgt, spark.createDataFrame(chunks[0]), ["conv_id", "turn_idx"])
+    assert spark.read.parquet(tgt).count() == n_first
+
+    # new data arrives; resume from the same checkpoint
+    write_ordered_chunks(chunks, src)  # rewrites 0-1 (same content), adds 2-3
+    run()
+    final = spark.read.parquet(tgt).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(final) == len(want)
+    assert (final["text"].values == want["text"].values).all()
+
+
+def test_metrics_listener_records_lineage(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    df = synth_transcripts(spark, n_turns=500, n_convs=5, seed=17)
+    write_ordered_chunks([df.toPandas()], src)
+
+    listener = LineageMetricsListener(str(tmp_path / "metrics.jsonl"))
+    spark.streams.addListener(listener)
+    try:
+        sdf = sp.read_transcript_stream(spark, src)
+        sink = IdempotentBatchSink(out)
+        q = sdf.writeStream.foreachBatch(sink).option("checkpointLocation", ck).trigger(availableNow=True).start()
+        q.awaitTermination()
+        deadline = time.time() + 20
+        while listener.total_rows() < 500 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    assert listener.total_rows() == 500
+    assert listener.progress[0]["sources"][0]["rows"] == 500
+    assert os.path.exists(str(tmp_path / "metrics.jsonl"))
