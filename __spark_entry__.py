@@ -79,18 +79,14 @@ def q_dedup_ngram_chunks(spark, sf):
 def q_window_quality(spark, sf):
     t = _transcripts(spark, sf)
     wc = quality.word_count(F.col("text"))
-    ws = filters.words(F.lower(F.col("text")))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(ws) - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 3)),
-    )
+    uniq, total = quality.gram_counts(F.col("text"), 3)
     return (
         t.groupBy(F.window("ts", "6 hours").alias("win"), "conv_id")
         .agg(
             F.count("*").alias("n_turns"),
             (F.sum(wc).cast("double") / F.count("*")).alias("avg_words"),
-            F.sum(F.size(F.array_distinct(grams))).alias("sum_uniq_grams"),
-            F.sum(F.size(grams)).alias("sum_grams"),
+            F.sum(uniq.cast("long")).alias("sum_uniq_grams"),
+            F.sum(total.cast("long")).alias("sum_grams"),
         )
         .select(
             F.col("win.start").alias("win_start"),

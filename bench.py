@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Benchmark harness for the dataflow_spark engine.
+
+Default mode (what the per-round driver runs):
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py
+prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1,
+     "flagship_turns_per_sec": <turns/sec>, ...}
+
+Scaling mode (N -> 4N evidence for BASELINE.json's north_rule; sandbox
+stand-in for two cluster sizes is two local parallelism levels):
+    python bench.py --scaling
+runs the identical flagship job at local[8] and local[32] on the identical
+(replicated) input in separate JVMs and prints one JSON line with both
+throughputs and the scaling efficiency (T32/T8)/4.
+
+Internal: `python bench.py --flagship-only [rep]` times only the flagship
+pipeline at SPARK_GRAFT_CPUS cores and prints a small JSON line (used by
+--scaling subprocesses).
+
+The flagship pipeline is the BASELINE.json metric: windowed dedup +
+quality-filter + session-reassembly over the transcript table
+(conv_id, turn_idx, role, text, tool, ts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from functools import reduce
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline per-query subset (keys of __spark_entry__.queries()) — one per
+# operator family so the driver's BENCH json tracks every subsystem.
+HEADLINE = [
+    "transcripts_build",
+    "refine_normalize",
+    "filter_rules",
+    "dedup_exact_md5",
+    "dedup_ngram_chunks",
+    "dedup_minhash",
+    "dedup_simhash",
+    "window_quality",
+    "session_reassembly",
+    "match_triggers",
+    "docs_quality",
+    "docs_ngram_jaccard",
+    "embed_topk",
+    "pricing_summary",
+    "revenue_topk",
+    "order_priority",
+]
+
+
+def _sf_of(path: str) -> float:
+    try:
+        return float(path.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return -1.0
+
+
+def _materialize(df) -> int:
+    """Force full materialization of every column without disk I/O."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def _flagship(spark, sf_dir: str, rep: int = 1):
+    """transcripts -> refine -> rule filters -> exact first-wins dedup ->
+    tumbling-window quality agg + session reassembly (two sinks, one input)."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.tables import build_transcripts
+    from dataflow_spark.ops import dedup, filters, refine, windows
+
+    t = build_transcripts(spark, sf_dir)
+    if rep > 1:
+        t = reduce(
+            DataFrame.unionByName,
+            [
+                t.withColumn("conv_id", F.concat(F.col("conv_id"), F.lit(f"#{i}")))
+                for i in range(rep)
+            ],
+        )
+    # model the production layout: conv_id-bucketed input (north_star's
+    # Iceberg partitioning) — gives the stateless stages full parallelism
+    # instead of inheriting the tiny local scan's task count
+    t = t.repartition(spark.sparkContext.defaultParallelism, "conv_id")
+    t = refine.remove_extra_spaces(t)
+    t = filters.apply_filters(t, *filters.default_quality_predicates(F.col("text")))
+    t = dedup.dedup_exact_md5(t, payload_cols=["text", "role"])
+    t = t.persist()
+    try:
+        _materialize(windows.window_quality_agg(t, "6 hours"))
+        _materialize(windows.reassemble_conversations(t))
+    finally:
+        t.unpersist()
+
+
+def run_flagship_only(rep: int) -> None:
+    from dataflow_spark.session import get_spark
+    from dataflow_spark.tables import load_table
+
+    spark = get_spark("bench-flagship", cores=CPUS)
+    n_turns = load_table(spark, SF_DIR, "events").count() * rep
+    _flagship(spark, SF_DIR, rep)  # warm-up: JIT, codegen, parquet footers
+    t0 = time.perf_counter()
+    _flagship(spark, SF_DIR, rep)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"cores": CPUS, "sec": round(dt, 3), "turns": n_turns,
+                      "turns_per_sec": round(n_turns / dt, 1)}))
+    spark.stop()
+
+
+def run_scaling() -> None:
+    """Identical job, identical input, two parallelism levels (N=8, 4N=32)."""
+    rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "10"))
+    out = {}
+    for cores in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+        r = subprocess.run(
+            [sys.executable, __file__, "--flagship-only", str(rep)],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        out[cores] = json.loads(line)
+    eff = (out[32]["turns_per_sec"] / out[8]["turns_per_sec"]) / 4.0
+    print(json.dumps({
+        "metric": "flagship turns/sec scaling N=8 -> 4N=32 cores",
+        "sf": _sf_of(SF_DIR),
+        "rep": rep,
+        "turns": out[32]["turns"],
+        "n8": out[8], "n32": out[32],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+    }))
+
+
+def run_default() -> None:
+    import __spark_entry__ as entry_mod
+    from dataflow_spark.session import get_spark
+    from dataflow_spark.tables import load_table
+
+    spark = get_spark("bench", cores=CPUS)
+    qmap = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, SF_DIR)  # build plan (untimed)
+        t0 = time.perf_counter()
+        _materialize(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    n_turns = load_table(spark, SF_DIR, "events").count()
+    t0 = time.perf_counter()
+    _flagship(spark, SF_DIR)
+    flagship_sec = time.perf_counter() - t0
+    timings["flagship_e2e"] = round(flagship_sec, 3)
+
+    print(json.dumps({
+        "metric": "headline query wall time (sum) + flagship e2e turns/sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(SF_DIR),
+        "cores": CPUS,
+        "flagship_turns": n_turns,
+        "flagship_turns_per_sec": round(n_turns / flagship_sec, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--flagship-only":
+        CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", str(CPUS)))
+        run_flagship_only(int(sys.argv[2]) if len(sys.argv) > 2 else 1)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        run_scaling()
+    else:
+        run_default()

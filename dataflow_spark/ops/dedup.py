@@ -107,6 +107,18 @@ def _minhash_perms(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
+def _hash_strs(grams) -> np.ndarray:
+    """Deterministic vectorized uint64 hash of a sequence of strings.
+
+    pandas' hash_array is C-level siphash with a fixed default key — stable
+    across runs/platforms and ~100x faster than a per-byte Python loop.
+    """
+    arr = np.asarray(list(grams), dtype=object)
+    if arr.size == 0:
+        arr = np.asarray([""], dtype=object)
+    return pd.util.hash_array(arr, categorize=False) % _MERSENNE
+
+
 def _char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Distinct char-k-gram hashes (the reference uses char-5-grams,
     minhash_deduplicate_filter.py:66-84)."""
@@ -117,9 +129,7 @@ def _char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
         grams = {t}
     else:
         grams = {t[i : i + k] for i in range(len(t) - k + 1)}
-    return np.fromiter(
-        (hash_shingle(g) for g in grams), dtype=np.uint64, count=len(grams)
-    )
+    return _hash_strs(grams)
 
 
 def hash_shingle(g: str) -> int:
@@ -167,6 +177,10 @@ def dedup_minhash_lsh(
     sig = minhash_signature_udf(num_perm)(F.col(col)).alias("__sig")
     ordered = F.struct(*[F.col(c) for c in order_cols])
     band_ix = F.sequence(F.lit(0), F.lit(bands - 1))
+    # signature computation is CPU-bound; don't let it inherit the scan's task
+    # count (1 file = 1 task locally). At 100 TB the scan already has thousands
+    # of tasks and this round-robin exchange is noise next to the band shuffle.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     banded = df.select(ordered.alias("__w"), sig).select(
         "__w",
         F.explode(
@@ -215,7 +229,7 @@ def simhash_udf(shingle_k: int = 3):
             if not grams:
                 out[i] = 0
                 continue
-            hs = np.fromiter((hash_shingle(g) for g in grams), dtype=np.uint64, count=len(grams))
+            hs = _hash_strs(grams)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
             votes = (2 * bits - 1).sum(axis=0)
             out[i] = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
@@ -239,6 +253,8 @@ def dedup_simhash(
     n_bands = hamming_thr + 1
     width = 64 // n_bands
     ordered = F.struct(*[F.col(c) for c in order_cols])
+    # see dedup_minhash_lsh: unlock cores for the CPU-bound signature kernel
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sh = df.select(ordered.alias("__w"), simhash_udf()(F.col(col)).alias("__sh"))
     bands_arr = F.array(
         *[
@@ -281,13 +297,15 @@ def ngram_jaccard_pairs(
     on shingle (shuffle on shingle hash, never n^2) → per-pair intersection
     count → Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    from dataflow_spark.ops.quality import gram_structs
+
     ws = F.split(F.trim(F.col(text_col)), r"\s+")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ws, i + 1, n))),
-        )
+    # hash-of-gram-struct ≡ hash-of-gram-string for set-cardinality purposes
+    # (words are whitespace-split, so tuples and joined strings biject)
+    grams = F.when(F.size(ws) >= n, F.transform(gram_structs(ws, n), lambda s: F.xxhash64(s))).otherwise(
+        F.array(F.xxhash64(F.concat_ws(" ", ws)))
     )
+    shingles = F.array_distinct(grams)
     base = df.select(F.col(id_col).alias("id"), shingles.alias("sh")).select(
         "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )

@@ -103,7 +103,7 @@ def test_simhash_near_dups_collapse(spark):
     df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text", "ts_s"]).selectExpr(
         "conv_id", "turn_idx", "role", "text", "CAST(NULL AS STRING) tool", "CAST(ts_s AS TIMESTAMP) ts"
     )
-    # ham(text0, text1) = 11 for these fixtures; ham(text0, text2) = 36
+    # ham(text0, text1) = 9 for these fixtures; ham(text0, text2) = 27
     got = {(r["conv_id"], r["turn_idx"]) for r in dedup.dedup_simhash(df, hamming_thr=12).select("conv_id", "turn_idx").collect()}
     assert got == {("c1", 0), ("c2", 0)}
 
