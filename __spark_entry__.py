@@ -15,7 +15,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataflow_spark.tables import build_transcripts, load_table, with_transcripts
-from dataflow_spark.ops import dedup, embeddings, filters, prompted, quality, refine, windows
+from dataflow_spark.ops import (
+    dedup,
+    embeddings,
+    filters,
+    lexical,
+    multimodal,
+    prompted,
+    quality,
+    refine,
+    windows,
+)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -186,6 +196,115 @@ def q_dedup_simhash(spark, sf):
     return dedup.dedup_simhash(_transcripts(spark, sf)).select("conv_id", "turn_idx")
 
 
+def q_refine_strip(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return refine.strip_markup(d).select("doc_id", F.col("text").alias("stripped"))
+
+
+def q_refine_stopwords(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return refine.remove_stopwords(d).select("doc_id", F.col("text").alias("kept"))
+
+
+def q_filter_labels(spark, sf):
+    t = _transcripts(spark, sf)
+    return t.select("conv_id", "turn_idx", *[c.alias(k) for k, c in filters.label_columns(F.col("text")).items()])
+
+
+def q_filter_rejects(spark, sf):
+    """Set-ops coverage: rows removed by the rule filter = all EXCEPT ALL kept."""
+    t = _transcripts(spark, sf)
+    kept = filters.apply_filters(t, *filters.default_quality_predicates(F.col("text")))
+    return t.select("conv_id", "turn_idx").exceptAll(kept.select("conv_id", "turn_idx"))
+
+
+def q_docs_readability(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", *[c.alias(k) for k, c in quality.readability_stats(F.col("text")).items()])
+
+
+def q_docs_chunks(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return refine.chunk_by_words(d, "doc_id", chunk_words=64)
+
+
+GEN_PROMPT = "Summarize the following conversation turn: "
+
+
+def q_prompted_generate_stub(spark, sf):
+    """Real serving path: iterator pandas UDF + StubServing (not the JVM twin),
+    oracle-checked because the stub is md5-deterministic."""
+    t = _transcripts(spark, sf)
+    out = prompted.prompted_generate(t, GEN_PROMPT, "text", "gen")
+    return out.select("conv_id", "turn_idx", "gen")
+
+
+def q_embed_dedup(spark, sf):
+    e = load_table(spark, sf, "embeddings")
+    return embeddings.semantic_dedup(e, threshold=0.4).select("vec_id")
+
+
+def q_turn_token_f1(spark, sf):
+    t = _transcripts(spark, sf)
+    a = t.filter(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", F.col("text").alias("a_text")
+    )
+    p = t.select(
+        F.col("conv_id").alias("p_conv"), (F.col("turn_idx") + 1).alias("p_next"), F.col("text").alias("p_text")
+    )
+    j = a.join(p, (F.col("conv_id") == F.col("p_conv")) & (F.col("turn_idx") == F.col("p_next")))
+    return j.select(
+        "conv_id", "turn_idx", quality.token_f1(F.col("p_text"), F.col("a_text")).alias("f1")
+    )
+
+
+def q_media_features(spark, sf):
+    """Multimodal plumbing: documents → binary media table → mapInPandas
+    feature extraction (decode stubbed; see ops/multimodal.py). Only the
+    SQL-expressible feature columns are exposed here for the oracle; crc32 /
+    byte_mean are golden-tested in tests/test_multimodal_lexical.py."""
+    docs = load_table(spark, sf, "documents")
+    m = multimodal.synthesize_media(docs, "doc_id")
+    f = multimodal.extract_features(m)
+    return f.select("media_id", "media_type", "n_bytes", "sha256", "n_frames_sampled")
+
+
+def q_docs_lexical(spark, sf):
+    """MTLD/HD-D lexical diversity — sequential kernels, no SQL oracle
+    (golden-tested vs the kernel twin)."""
+    d = load_table(spark, sf, "documents")
+    return lexical.with_lexical_diversity(d).select("doc_id", "mtld", "hdd")
+
+
+def q_orders_rollup(spark, sf):
+    o = load_table(spark, sf, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    return (
+        o.withColumn("o_month", month)
+        .rollup("o_month", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_month", F.lit("ALL")).alias("o_month"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def q_sql_passthrough(spark, sf):
+    """DBOperator analog (db_operator.py:7-32): user SQL over registered views."""
+    _transcripts(spark, sf).createOrReplaceTempView("transcripts")
+    return spark.sql(
+        "SELECT role, count(DISTINCT conv_id) AS n_convs, "
+        "min(turn_idx) AS min_turn, max(turn_idx) AS max_turn "
+        "FROM transcripts GROUP BY role"
+    )
+
+
 def q_pricing_summary(spark, sf):
     li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -253,6 +372,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "refine_strip": q_refine_strip,
+        "refine_stopwords": q_refine_stopwords,
+        "filter_labels": q_filter_labels,
+        "filter_rejects": q_filter_rejects,
+        "docs_readability": q_docs_readability,
+        "docs_chunks": q_docs_chunks,
+        "prompted_generate_stub": q_prompted_generate_stub,
+        "embed_dedup": q_embed_dedup,
+        "turn_token_f1": q_turn_token_f1,
+        "media_features": q_media_features,
+        "docs_lexical": q_docs_lexical,
+        "orders_rollup": q_orders_rollup,
+        "sql_passthrough": q_sql_passthrough,
         "pricing_summary": q_pricing_summary,
         "revenue_topk": q_revenue_topk,
         "order_priority": q_order_priority,
@@ -495,6 +627,136 @@ def oracle_sql() -> dict[str, str]:
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         ) WHERE sim >= 0.4
     """
+
+    o["embed_dedup"] = (
+        f"SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM ({o['embed_neardup']}))"
+    )
+
+    _sql_punct = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]""".replace("'", "''")
+    o["refine_strip"] = f"""
+        SELECT doc_id, trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text, 'https?://\\S+|www\\.\\S+', '', 'g'),
+                  '<[^>]+>', '', 'g'),
+                '&[a-zA-Z]+;|&#[0-9]+;', '', 'g'),
+              '[0-9]', '', 'g'),
+            '{_sql_punct}', '', 'g'),
+          '\\s+', ' ', 'g')) AS stripped
+        FROM documents
+    """
+
+    o["refine_stopwords"] = (
+        "SELECT doc_id, array_to_string(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        f"w -> lower(w) NOT IN {tuple(refine.EN_STOPWORDS)}), ' ') AS kept FROM documents"
+    )
+
+    _mwl = f"(length(array_to_string({_WORDS}, '')) * 1.0 / len({_WORDS}))"
+    _lbls = {
+        "lbl_not_null": "text IS NOT NULL AND trim(text) <> ''",
+        "lbl_colon_end": "substr(text, length(text), 1) <> ':'",
+        "lbl_word_count": f"len({_WORDS}) >= 20 AND len({_WORDS}) < 100000",
+        "lbl_mean_word_len": f"{_mwl} >= 2.0 AND {_mwl} < 12.0",
+        "lbl_unique_ratio": f"(len(list_distinct({_WORDS})) * 1.0 / len({_WORDS})) > 0.35",
+        "lbl_lorem": "NOT contains(lower(text), 'lorem ipsum')",
+        "lbl_html_entity": "NOT regexp_matches(text, '&[a-zA-Z]+;|&#[0-9]+;')",
+        "lbl_watermark": "NOT regexp_matches(text, 'Copyright|Watermark|Confidential')",
+        "lbl_curly": "((length(text) - length(regexp_replace(text, '[{}]', '', 'g'))) * 1.0 / length(text)) < 0.025",
+        "lbl_sentences": "len(regexp_extract_all(text, '[^.!?\\n]+[.!?]')) BETWEEN 1 AND 10000",
+        "lbl_special_chars": "NOT regexp_matches(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f�]')",
+    }
+    _lbl_sel = ", ".join(f"CAST(({p}) AS INT) AS {k}" for k, p in _lbls.items())
+    o["filter_labels"] = with_transcripts(
+        f"SELECT conv_id, turn_idx, {_lbl_sel} FROM transcripts"
+    )
+
+    o["filter_rejects"] = with_transcripts(
+        f"""
+        SELECT conv_id, turn_idx FROM transcripts
+        EXCEPT ALL
+        SELECT conv_id, turn_idx FROM transcripts WHERE {_RULES_PRED}
+        """
+    )
+
+    o["docs_readability"] = """
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(ws) AS n_words,
+               sents AS n_sentences,
+               sylls AS n_syllables,
+               round(length(array_to_string(ws, '')) * 1.0 / len(ws), 6) AS avg_word_len,
+               round(len(ws) * 1.0 / sents, 6) AS words_per_sentence,
+               round(206.835 - 1.015 * (len(ws) * 1.0 / sents)
+                             - 84.6 * (sylls * 1.0 / len(ws)), 6) AS flesch_reading_ease
+        FROM (
+          SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\\s+') AS ws,
+                 greatest(len(regexp_extract_all(text, '[^.!?\\n]+[.!?]')), 1) AS sents,
+                 greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS sylls
+          FROM documents
+        )
+    """
+
+    o["docs_chunks"] = """
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               array_to_string(ws[CAST(i*64+1 AS INT):CAST(i*64+64 AS INT)], ' ') AS chunk_text
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+             (SELECT unnest(range(0, 1000)) AS i) ii
+        WHERE i < greatest(CAST(ceil(len(ws) / 64.0) AS BIGINT), 1)
+    """
+
+    o["prompted_generate_stub"] = with_transcripts(
+        f"""
+        SELECT conv_id, turn_idx,
+               '[gen-' || substr(md5(p), 1, 8) || '] ' || array_to_string(pws[1:10], ' ') AS gen
+        FROM (SELECT conv_id, turn_idx, p,
+                     regexp_split_to_array(trim(p), '\\s+') AS pws
+              FROM (SELECT conv_id, turn_idx, '{GEN_PROMPT}' || text AS p FROM transcripts))
+        """
+    )
+
+    o["turn_token_f1"] = with_transcripts(
+        """
+        SELECT a.conv_id AS conv_id, a.turn_idx AS turn_idx,
+               round(2.0 * len(list_intersect(
+                       list_distinct(regexp_split_to_array(trim(lower(p.text)), '\\s+')),
+                       list_distinct(regexp_split_to_array(trim(lower(a.text)), '\\s+'))))
+                     / (len(list_distinct(regexp_split_to_array(trim(lower(p.text)), '\\s+')))
+                        + len(list_distinct(regexp_split_to_array(trim(lower(a.text)), '\\s+')))), 6) AS f1
+        FROM transcripts a
+        JOIN transcripts p ON a.conv_id = p.conv_id AND p.turn_idx = a.turn_idx - 1
+        WHERE a.role = 'assistant'
+        """
+    )
+
+    o["media_features"] = """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CASE CAST(doc_id % 3 AS INT)
+                 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS sha256,
+               CAST(least(CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT), 16) AS INT)
+                 AS n_frames_sampled
+        FROM documents
+    """
+
+    o["orders_rollup"] = """
+        SELECT coalesce(o_month, 'ALL') AS o_month,
+               coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM (SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderpriority, o_totalprice
+              FROM orders)
+        GROUP BY ROLLUP(o_month, o_orderpriority)
+    """
+
+    o["sql_passthrough"] = with_transcripts(
+        "SELECT role, count(DISTINCT conv_id) AS n_convs, "
+        "min(turn_idx) AS min_turn, max(turn_idx) AS max_turn "
+        "FROM transcripts GROUP BY role"
+    )
 
     o["pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,

@@ -72,8 +72,11 @@ def _materialize(df) -> int:
 
 
 def _flagship(spark, sf_dir: str, rep: int = 1):
-    """transcripts -> refine -> rule filters -> exact first-wins dedup ->
-    tumbling-window quality agg + session reassembly (two sinks, one input)."""
+    """The reference's flagship pt pipeline shape (text_pt_filter.py:66-162:
+    refiners -> MinHash dedup -> rule filters) + the north-star windowed
+    stages: transcripts -> refine -> MinHash-LSH near-dedup (first-wins) ->
+    rule filters -> tumbling-window quality agg + session reassembly
+    (two sinks, one input)."""
     from pyspark.sql import DataFrame
     from pyspark.sql import functions as F
 
@@ -82,20 +85,20 @@ def _flagship(spark, sf_dir: str, rep: int = 1):
 
     t = build_transcripts(spark, sf_dir)
     if rep > 1:
-        t = reduce(
-            DataFrame.unionByName,
-            [
-                t.withColumn("conv_id", F.concat(F.col("conv_id"), F.lit(f"#{i}")))
-                for i in range(rep)
-            ],
-        )
+        # replicate via explode — one scan + one window shuffle regardless of
+        # rep (a 10-branch union would pin parallelism at 10 scan tasks)
+        t = t.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1)))).withColumn(
+            "conv_id", F.concat(F.col("conv_id"), F.lit("#"), F.col("__r"))
+        ).drop("__r")
     # model the production layout: conv_id-bucketed input (north_star's
     # Iceberg partitioning) — gives the stateless stages full parallelism
-    # instead of inheriting the tiny local scan's task count
-    t = t.repartition(spark.sparkContext.defaultParallelism, "conv_id")
+    # instead of inheriting the tiny local scan's task count. Bucket count
+    # follows shuffle.partitions so the job is identical across cluster sizes.
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    t = t.repartition(npart, "conv_id")
     t = refine.remove_extra_spaces(t)
+    t = dedup.dedup_minhash_lsh(t, payload_cols=["role", "text"])
     t = filters.apply_filters(t, *filters.default_quality_predicates(F.col("text")))
-    t = dedup.dedup_exact_md5(t, payload_cols=["text", "role"])
     t = t.persist()
     try:
         _materialize(windows.window_quality_agg(t, "6 hours"))
@@ -108,7 +111,10 @@ def run_flagship_only(rep: int) -> None:
     from dataflow_spark.session import get_spark
     from dataflow_spark.tables import load_table
 
-    spark = get_spark("bench-flagship", cores=CPUS)
+    # identical job at every parallelism level: same shuffle partitioning
+    # (on a real cluster spark.sql.shuffle.partitions doesn't change when you
+    # add executors — only the cores draining the task queue do)
+    spark = get_spark("bench-flagship", cores=CPUS, shuffle_partitions=96)
     n_turns = load_table(spark, SF_DIR, "events").count() * rep
     _flagship(spark, SF_DIR, rep)  # warm-up: JIT, codegen, parquet footers
     t0 = time.perf_counter()

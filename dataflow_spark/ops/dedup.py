@@ -164,6 +164,7 @@ def dedup_minhash_lsh(
     num_perm: int = 64,
     bands: int = 16,
     order_cols: tuple[str, ...] = ORDER_COLS,
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """MinHashDeduplicateFilter — minhash_deduplicate_filter.py:55-89.
 
@@ -172,15 +173,20 @@ def dedup_minhash_lsh(
     any band). rows_per_band = num_perm // bands; two rows collide in a band
     iff that slice of the signature is identical — the standard S-curve
     approximation of Jaccard >= ~0.9 at 16x4.
+
+    payload_cols ride along in the winner struct (order_cols prefix decides
+    the min) so the surviving full rows come back without a re-join.
     """
+    payload = [c for c in (payload_cols or []) if c not in order_cols]
     rows_per_band = num_perm // bands
     sig = minhash_signature_udf(num_perm)(F.col(col)).alias("__sig")
-    ordered = F.struct(*[F.col(c) for c in order_cols])
+    ordered = F.struct(*[F.col(c) for c in order_cols], *[F.col(c) for c in payload])
     band_ix = F.sequence(F.lit(0), F.lit(bands - 1))
     # signature computation is CPU-bound; don't let it inherit the scan's task
-    # count (1 file = 1 task locally). At 100 TB the scan already has thousands
-    # of tasks and this round-robin exchange is noise next to the band shuffle.
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # count (1 file = 1 task locally). Partition count = shuffle.partitions so
+    # the job shape is cluster-size-independent; at 100 TB the scan already
+    # has thousands of tasks and this exchange is noise next to the band shuffle.
+    df = df.repartition(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
     banded = df.select(ordered.alias("__w"), sig).select(
         "__w",
         F.explode(
@@ -208,7 +214,7 @@ def dedup_minhash_lsh(
         .agg(F.count("*").alias("__n"))
         .filter(F.col("__n") == bands)
     )
-    return survivors.select(*[F.col(f"__w.{c}").alias(c) for c in order_cols])
+    return survivors.select(*[F.col(f"__w.{c}").alias(c) for c in (*order_cols, *payload)])
 
 
 # ---------------------------------------------------------------------------
@@ -254,7 +260,7 @@ def dedup_simhash(
     width = 64 // n_bands
     ordered = F.struct(*[F.col(c) for c in order_cols])
     # see dedup_minhash_lsh: unlock cores for the CPU-bound signature kernel
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = df.repartition(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
     sh = df.select(ordered.alias("__w"), simhash_udf()(F.col(col)).alias("__sh"))
     bands_arr = F.array(
         *[

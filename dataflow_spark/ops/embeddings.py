@@ -60,6 +60,27 @@ def brute_force_topk(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+) -> DataFrame:
+    """SemDeduplicateFilter analog
+    (/root/reference/dataflow/operators/general_text/filter/sem_deduplicate_filter.py:141-150):
+    for every pair with cosine >= threshold, drop the later id (id order = the
+    reference's row order). Survivors = ids never appearing as the loser of a
+    threshold pair — one anti-join over the candidate-pair set, never O(n^2)
+    state on any single node."""
+    losers = (
+        embedding_neardup_pairs(df, threshold, id_col, vec_col, n_planes)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -124,6 +124,26 @@ def apply_filters(df: DataFrame, *predicates: Column) -> DataFrame:
     return out.filter(acc) if acc is not None else out
 
 
+def label_columns(col: Column) -> dict[str, Column]:
+    """The reference's label-column pattern: each rule emits an int 0/1 label
+    instead of dropping rows (rule_based_filter.py:52-56 writes the label,
+    then filters label==1). Lets downstream stages audit which rule fired."""
+    preds = {
+        "lbl_not_null": content_not_null(col),
+        "lbl_colon_end": not_colon_end(col),
+        "lbl_word_count": word_count_between(col, 20, 100000),
+        "lbl_mean_word_len": mean_word_length_between(col, 2.0, 12.0),
+        "lbl_unique_ratio": unique_words_ratio_above(col, 0.35),
+        "lbl_lorem": no_lorem_ipsum(col),
+        "lbl_html_entity": no_html_entity(col),
+        "lbl_watermark": no_watermark(col),
+        "lbl_curly": curly_bracket_ratio_below(col, 0.025),
+        "lbl_sentences": sentence_count_between(col, 1, 10000),
+        "lbl_special_chars": no_special_characters(col),
+    }
+    return {k: v.cast("int") for k, v in preds.items()}
+
+
 def default_quality_predicates(col: Column) -> list[Column]:
     """The pt-filter pipeline's cheap-rule subset (text_pt_filter.py:66-162)
     applicable to transcript/document word-soup text."""

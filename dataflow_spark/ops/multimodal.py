@@ -1,0 +1,148 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The reference's vision/speech operators (e.g.
+/root/reference/dataflow/operators/core_vision/generate/prompted_vqa_generator.py:9,
+/root/reference/dataflow/operators/core_speech/generate/speech2text_generator.py:16)
+hand media to model backends. This sandbox has no image/audio libraries, so the
+DECODE step is stubbed (NotImplementedError or a deterministic fake), while
+everything Spark-side — schema, Arrow batch shape, mapInPandas plumbing,
+partitioning — is real and tested.
+
+Design for 100 TB of media:
+  - media rows are (id, media_type, payload:binary, meta:struct) — payload
+    stays opaque to Catalyst (no codegen over blobs), metadata columns are
+    pruned/pushed down like any other column.
+  - per-file work runs in mapInPandas with an iterator over Arrow batches:
+    one decoder instance per task, batch-size bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch so executor memory is
+    bounded by batch_rows x max_payload, not partition size.
+  - CPU-heavy decode stages should be repartitioned to the shuffle-partition
+    count first (same rationale as dedup_minhash_lsh).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256", StringType()),
+        StructField("crc32", LongType()),
+        StructField("byte_mean", DoubleType()),
+        StructField("n_frames_sampled", IntegerType()),
+    ]
+)
+
+
+def synthesize_media(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Deterministic media table from a text table: payload = utf-8 bytes of
+    the text (an opaque blob as far as the pipeline is concerned), typed
+    metadata derived from the id. Stands in for `spark.read` of an Iceberg
+    table with a binary column."""
+    mid = F.col(id_col).cast("long")
+    return df.select(
+        mid.alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (mid % 3 + 1).cast("int")).alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        (mid % 1920 + 1).cast("int").alias("width"),
+        (mid % 1080 + 1).cast("int").alias("height"),
+        (mid % 60000).cast("long").alias("duration_ms"),
+    )
+
+
+def decode_media(payload: bytes, media_type: str):  # pragma: no cover - stub
+    """REAL decode would go here (PIL / torchaudio / pyav). Not available in
+    this container — any caller that needs true pixel/sample data must inject
+    a decoder; the pipeline plumbing around it is fully tested."""
+    raise NotImplementedError(
+        f"media decode for {media_type!r} requires an image/audio library not "
+        "present in this environment; inject a decoder via extract_features(decoder=...)"
+    )
+
+
+def _fake_decode(payload: bytes, media_type: str) -> dict:
+    """Deterministic stand-in decoder: treats the blob's bytes as the signal.
+    Keeps every downstream shape (per-frame sampling, float features) real."""
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "sha256": hashlib.sha256(payload).hexdigest(),
+        "crc32": zlib.crc32(payload),
+        "byte_mean": (sum(payload) / n) if n else 0.0,
+    }
+
+
+def frame_sample_indices(n_bytes: int, every: int = 1024, cap: int = 16) -> list[int]:
+    """Video frame-sampling analog: pick at most `cap` evenly spaced offsets."""
+    if n_bytes <= 0:
+        return []
+    idx = list(range(0, n_bytes, every))[:cap]
+    return idx
+
+
+def extract_features(df: DataFrame, decoder=None, batch_hint: int | None = None) -> DataFrame:
+    """mapInPandas feature extraction over the media table.
+
+    decoder(payload, media_type) -> dict; defaults to the deterministic fake
+    (real decode is stubbed, see decode_media). Iterator form keeps one
+    decoder per task reused across Arrow batches.
+    """
+    decode = decoder or _fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for mid, mtype, payload in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
+                d = decode(bytes(payload), mtype)
+                feats.append(
+                    {
+                        "media_id": int(mid),
+                        "media_type": mtype,
+                        "n_bytes": d["n_bytes"],
+                        "sha256": d["sha256"],
+                        "crc32": d["crc32"],
+                        "byte_mean": d["byte_mean"],
+                        "n_frames_sampled": len(frame_sample_indices(d["n_bytes"])),
+                    }
+                )
+            yield pd.DataFrame(feats, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: metadata transform is real; pixel work is the decode
+    stub's job. Payload passes through opaque (a real resize would rewrite it
+    inside the same mapInPandas pattern as extract_features)."""
+    return df.withColumn("width", F.lit(width).cast("int")).withColumn(
+        "height", F.lit(height).cast("int")
+    )

@@ -93,6 +93,46 @@ def lang_id(col: Column) -> Column:
     )
 
 
+def readability_stats(col: Column) -> dict[str, Column]:
+    """LangkitSampleEvaluator analog (langkit_sample_evaluator.py:41-59):
+    cheap readability metrics as pure JVM expressions. Syllables are estimated
+    as vowel-group runs (the textstat heuristic); Flesch reading ease uses the
+    standard 206.835 - 1.015*(W/S) - 84.6*(Sy/W) formula."""
+    ws = words(col)
+    n_words = F.size(ws)
+    n_chars = F.length(col)
+    n_sentences = F.greatest(
+        F.size(F.regexp_extract_all(col, F.lit(r"[^.!?\n]+[.!?]"), 0)), F.lit(1)
+    )
+    n_syllables = F.greatest(
+        F.size(F.regexp_extract_all(F.lower(col), F.lit(r"[aeiouy]+"), 0)), F.lit(1)
+    )
+    words_per_sent = n_words.cast("double") / n_sentences
+    syll_per_word = n_syllables.cast("double") / n_words
+    flesch = F.lit(206.835) - F.lit(1.015) * words_per_sent - F.lit(84.6) * syll_per_word
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "n_sentences": n_sentences.cast("long"),
+        "n_syllables": n_syllables.cast("long"),
+        "avg_word_len": F.round(F.length(F.concat_ws("", ws)).cast("double") / n_words, 6),
+        "words_per_sentence": F.round(words_per_sent, 6),
+        "flesch_reading_ease": F.round(flesch, 6),
+    }
+
+
+def token_f1(a: Column, b: Column) -> Column:
+    """AgenticRAGQAF1SampleEvaluator analog
+    (agentic_rag/eval/agenticrag_qaf1_sample_evaluator.py:13): set-based token
+    F1 between two text columns — 2|A∩B| / (|A|+|B|) over distinct lowercase
+    whitespace tokens."""
+    ta = F.array_distinct(words(F.lower(a)))
+    tb = F.array_distinct(words(F.lower(b)))
+    inter = F.size(F.array_intersect(ta, tb))
+    denom = F.size(ta) + F.size(tb)
+    return F.round(F.lit(2.0) * inter / denom, 6)
+
+
 def fingerprint64(col: Column) -> Column:
     """Document fingerprint: 64-bit hash of whitespace-normalized lowercase
     text (the deterministic analog of the reference's md5 content digest,

@@ -86,6 +86,43 @@ def remove_stopwords(df: DataFrame, col: str = "text", stopwords: tuple[str, ...
     return df.withColumn(col, F.concat_ws(" ", kept))
 
 
+def strip_markup(df: DataFrame, col: str = "text") -> DataFrame:
+    """Canonical web-text cleanup chain (text_pt_filter.py:66-80 order):
+    URLs/tags → HTML entities → digits → punctuation → whitespace collapse."""
+    out = remove_html_url(df, col)
+    out = remove_html_entities(out, col)
+    out = remove_numbers(out, col)
+    out = remove_punctuation(out, col)
+    return remove_extra_spaces(out, col)
+
+
+def chunk_by_words(
+    df: DataFrame, id_col: str, col: str = "text", chunk_words: int = 64
+) -> DataFrame:
+    """KBCChunkGenerator analog — doc → fixed-size word chunks, exploded
+    (/root/reference/dataflow/operators/knowledge_cleaning/generate/kbc_chunk_generator.py:56-67,
+    token-chunking mode, chunk_size in words here).
+
+    Returns (id_col, chunk_idx, chunk_text). Pure array exprs: one O(m) split,
+    ceil(m/cw) slices of cw words each — total O(m) per row, explode is the
+    only row-multiplying step (narrow, no shuffle).
+    """
+    ws = F.split(F.trim(F.col(col)), r"\s+")
+    n_chunks = F.ceil(F.size(ws) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(ws, i * chunk_words + 1, chunk_words)).alias("chunk_text"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("__c")).select(
+        id_col,
+        F.col("__c.chunk_idx").alias("chunk_idx"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+    )
+
+
 def normalize_clean(df: DataFrame, col: str = "text") -> DataFrame:
     """Composite canonical cleanup: spaces → lowercase (the reference pt
     pipeline's leading refiner chain, text_pt_filter.py:66-80)."""

@@ -1,0 +1,84 @@
+"""Multimodal plumbing + lexical-diversity evaluator goldens."""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops import lexical, multimodal
+from dataflow_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, SF, "documents").limit(50)
+    return multimodal.synthesize_media(docs, "doc_id"), docs.toPandas()
+
+
+def test_media_schema_and_types(media):
+    mdf, _ = media
+    assert [f.name for f in mdf.schema.fields] == [
+        "media_id", "media_type", "payload", "width", "height", "duration_ms",
+    ]
+    assert dict(mdf.dtypes)["payload"] == "binary"
+
+
+def test_extract_features_matches_local_twin(media):
+    mdf, pdocs = media
+    got = {r["media_id"]: r for r in multimodal.extract_features(mdf).collect()}
+    assert len(got) == len(pdocs)
+    for _, row in pdocs.iterrows():
+        payload = row["text"].encode("utf-8")
+        r = got[int(row["doc_id"])]
+        assert r["n_bytes"] == len(payload)
+        assert r["sha256"] == hashlib.sha256(payload).hexdigest()
+        assert r["crc32"] == zlib.crc32(payload)
+        assert abs(r["byte_mean"] - sum(payload) / len(payload)) < 1e-9
+        assert r["n_frames_sampled"] == len(multimodal.frame_sample_indices(len(payload)))
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG", "image")
+
+
+def test_frame_sampling_caps_and_spacing():
+    assert multimodal.frame_sample_indices(0) == []
+    assert multimodal.frame_sample_indices(100) == [0]
+    idx = multimodal.frame_sample_indices(1024 * 100)
+    assert len(idx) == 16 and idx[1] - idx[0] == 1024
+
+
+def test_mtld_orders_repetitive_below_diverse():
+    diverse = " ".join(f"word{i}" for i in range(200))
+    repetitive = "the cat sat on the mat " * 40
+    assert lexical.mtld(diverse) > lexical.mtld(repetitive)
+    assert lexical.hdd(diverse) > lexical.hdd(repetitive)
+    assert lexical.mtld("") == 0.0 and lexical.hdd("") == 0.0
+
+
+def test_hdd_bounds():
+    # HD-D is a mean of per-type probabilities in (0,1]; bounded by distinct/sample
+    v = lexical.hdd("a b c d e f g h i j " * 10)
+    assert 0.0 < v <= 1.0
+
+
+def test_lexdiv_udf_equals_kernel(spark, media):
+    _, pdocs = media
+    df = spark.createDataFrame(pdocs[["doc_id", "text"]])
+    got = {r["doc_id"]: r for r in lexical.with_lexical_diversity(df).collect()}
+    for _, row in pdocs.iterrows():
+        assert got[row["doc_id"]]["mtld"] == pytest.approx(lexical.mtld(row["text"]), abs=1e-6)
+        assert got[row["doc_id"]]["hdd"] == pytest.approx(lexical.hdd(row["text"]), abs=1e-6)
+
+
+def test_lexical_filter_drops_low_diversity(spark):
+    rows = [(1, " ".join(f"tok{i}" for i in range(300))), (2, "spam " * 300)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    kept = [r["id"] for r in lexical.lexical_diversity_filter(df, min_mtld=50, min_hdd=0.5).collect()]
+    assert kept == [1]
