@@ -184,6 +184,21 @@ def q_embed_neardup(spark, sf):
     return embeddings.embedding_neardup_pairs(e, threshold=0.4)
 
 
+def q_embed_kcenter(spark, sf):
+    """K-center-greedy coreset (kcentergreedy_filter.py analog) — sequential
+    selection, no SQL oracle; golden-tested vs the numpy twin."""
+    e = load_table(spark, sf, "embeddings")
+    return embeddings.kcenter_greedy(e, 16).select("vec_id", "pick_order")
+
+
+def q_embed_ivf_topk(spark, sf):
+    """IVF ANN (KMeans coarse quantizer, n_probe cells) — approximate by
+    design, no SQL oracle; recall vs brute force asserted in tests."""
+    e = load_table(spark, sf, "embeddings")
+    qs = e.filter(F.col("vec_id") < 3)
+    return embeddings.ivf_topk(e, qs, k=5)
+
+
 def q_dedup_minhash(spark, sf):
     """MinHash-LSH near-dup (pandas-UDF signatures, banded shuffle) — no SQL
     oracle (signature arithmetic isn't SQL-expressible); golden-tested in
@@ -370,6 +385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
+        "embed_kcenter": q_embed_kcenter,
+        "embed_ivf_topk": q_embed_ivf_topk,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "refine_strip": q_refine_strip,

@@ -60,6 +60,137 @@ def brute_force_topk(
     )
 
 
+def kcenter_greedy(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    start_id: int | None = None,
+    force_distributed: bool = False,
+) -> DataFrame:
+    """KCenterGreedyFilter — coreset selection
+    (/root/reference/dataflow/operators/core_text/filter/kcentergreedy_filter.py:140-216):
+    iteratively pick the point farthest (euclidean) from the chosen set.
+
+    Inherently sequential in k (each pick depends on all previous), so the
+    k centers live on the driver (k is small by construction — it's a coreset);
+    the distance updates are distributed: one narrow pass per pick updating a
+    running min-distance column. Batch-only operator, like the reference.
+
+    Returns the selected rows with a `pick_order` column.
+    """
+    import numpy as np
+
+    pdf = (
+        df.select(id_col, vec_col).toPandas()
+        if not force_distributed and df.count() <= 100_000
+        else None
+    )
+    if pdf is not None:
+        # small-side fast path: exact numpy loop (identical semantics)
+        ids = pdf[id_col].to_numpy()
+        X = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+        first = int(np.argmin(ids)) if start_id is None else int(np.where(ids == start_id)[0][0])
+        chosen = [first]
+        dmin = np.linalg.norm(X - X[first], axis=1)
+        for _ in range(1, min(k, len(ids))):
+            nxt = int(dmin.argmax())
+            chosen.append(nxt)
+            dmin = np.minimum(dmin, np.linalg.norm(X - X[nxt], axis=1))
+        spark = df.sparkSession
+        sel = spark.createDataFrame(
+            [(int(ids[i]), order) for order, i in enumerate(chosen)], [id_col, "pick_order"]
+        )
+        return df.join(sel, id_col).orderBy("pick_order")
+    # distributed path: one Spark pass per pick (k passes, each a narrow
+    # map + a 1-row argmax reduce); state = the chosen centers, broadcast
+    dist = F.lit(float("inf"))
+    work = df.select(id_col, vec_col, dist.alias("__dmin"))
+    chosen_rows = [work.orderBy(id_col).limit(1).collect()[0] if start_id is None
+                   else work.filter(F.col(id_col) == start_id).collect()[0]]
+    out = []
+    for order in range(min(k, 1_000)):
+        c = chosen_rows[-1]
+        out.append((c[id_col], order))
+        cvec = F.array(*[F.lit(float(x)) for x in c[vec_col]])
+        d = F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), cvec, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        work = work.withColumn("__dmin", F.least(F.col("__dmin"), d)).persist()
+        if order + 1 >= k:
+            break
+        chosen_rows.append(work.orderBy(F.col("__dmin").desc(), F.col(id_col)).limit(1).collect()[0])
+    spark = df.sparkSession
+    sel = spark.createDataFrame(out, [id_col, "pick_order"])
+    return df.join(sel, id_col).orderBy("pick_order")
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: KMeans coarse quantizer → corpus bucketed by
+    nearest cell → each query probes only its n_probe nearest cells.
+
+    The 100 TB scale path vs brute_force_topk: candidate generation is an
+    equi-join on cell id (shuffle on a 16-way key), so each query scans
+    n_probe/n_cells of the corpus instead of all of it. Recall < 1 by design;
+    tests measure recall against the exact baseline.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    train = corpus.select(array_to_vector(F.col("c_vec").cast("array<double>")).alias("features"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    centers = [list(map(float, c)) for c in km.clusterCenters()]
+
+    def cell_of(vec: Column, rank_upto: int) -> Column:
+        """IDs of the rank_upto nearest centers (JVM exprs over the broadcast
+        literal centers — no UDF)."""
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(vec, F.array(*[F.lit(x) for x in c]), lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centers)
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, rank_upto).getField("cell")
+
+    c_assigned = corpus.withColumn("cell", cell_of(F.col("c_vec"), 1)[0])
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_probed = q.withColumn("cell", F.explode(cell_of(F.col("q_vec"), n_probe)))
+    scored = (
+        c_assigned.join(F.broadcast(q_probed), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,

@@ -1,0 +1,256 @@
+"""Operator registry + config-driven pipeline builder.
+
+Parity with the reference's two pipeline frontends:
+  - `OPERATOR_REGISTRY.register()` lazy registry
+    (/root/reference/dataflow/utils/registry.py:34-80)
+  - `PipelineABC.compile()` — records operator calls, builds a key graph, and
+    fail-fast validates every input_key against accumulated output keys
+    (/root/reference/dataflow/pipeline/Pipeline.py:59-136, KeyError at
+    :123-134)
+
+Spark-first translation: a pipeline config is a JSON list of
+{"op": name, ...params}; `build_pipeline` resolves each op against the
+registry and returns a composed DataFrame->DataFrame function. Column
+resolution ("compile") is free — we build the lazy DataFrame graph
+immediately against the real schema, so Catalyst's analyzer raises on any
+missing column at build time, before any job runs. `validate_config` performs
+the same check without a SparkSession (pure schema simulation) for
+submit-time validation.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops import dedup, filters, lexical, prompted, quality, refine, windows
+
+
+@dataclass
+class OpSpec:
+    builder: Callable[..., Callable[[DataFrame], DataFrame]]
+    input_cols: Callable[[dict], list[str]]
+    output_cols: Callable[[dict], list[str]] = field(default=lambda p: [])
+    drops_rows: bool = False
+    # streaming twin when the batch topology isn't stream-expressible
+    # (e.g. global first-wins dedup → state-store dedup within watermark)
+    streaming_builder: Callable[..., Callable[[DataFrame], DataFrame]] | None = None
+
+
+_TEXT_IN = lambda p: [p.get("col", "text")]
+_NO_NEW = lambda p: []
+
+OPERATOR_REGISTRY: dict[str, OpSpec] = {}
+
+
+def register(name: str, spec: OpSpec) -> None:
+    if name in OPERATOR_REGISTRY:
+        raise ValueError(f"duplicate operator {name!r}")
+    OPERATOR_REGISTRY[name] = spec
+
+
+def _simple(fn, extra=()):
+    """Refiner archetype: fn(df, col) -> df with col rewritten."""
+    def build(**p):
+        col = p.get("col", "text")
+        kw = {k: p[k] for k in extra if k in p}
+        return lambda df: fn(df, col, **kw)
+    return build
+
+
+register("remove_extra_spaces", OpSpec(_simple(refine.remove_extra_spaces), _TEXT_IN, _NO_NEW))
+register("lowercase", OpSpec(_simple(refine.lowercase), _TEXT_IN, _NO_NEW))
+register("remove_numbers", OpSpec(_simple(refine.remove_numbers), _TEXT_IN, _NO_NEW))
+register("remove_punctuation", OpSpec(_simple(refine.remove_punctuation), _TEXT_IN, _NO_NEW))
+register("remove_emoji", OpSpec(_simple(refine.remove_emoji), _TEXT_IN, _NO_NEW))
+register("remove_html_url", OpSpec(_simple(refine.remove_html_url), _TEXT_IN, _NO_NEW))
+register("remove_html_entities", OpSpec(_simple(refine.remove_html_entities), _TEXT_IN, _NO_NEW))
+register("remove_image_refs", OpSpec(_simple(refine.remove_image_refs), _TEXT_IN, _NO_NEW))
+register("collapse_repeated_punct", OpSpec(_simple(refine.collapse_repeated_punct), _TEXT_IN, _NO_NEW))
+register("remove_stopwords", OpSpec(_simple(refine.remove_stopwords), _TEXT_IN, _NO_NEW))
+register("strip_markup", OpSpec(_simple(refine.strip_markup), _TEXT_IN, _NO_NEW))
+register("normalize_clean", OpSpec(_simple(refine.normalize_clean), _TEXT_IN, _NO_NEW))
+
+
+def _rule_filter(**p):
+    col = p.get("col", "text")
+    def run(df: DataFrame) -> DataFrame:
+        return filters.apply_filters(df, *filters.default_quality_predicates(F.col(col)))
+    return run
+
+
+register("rule_quality_filter", OpSpec(_rule_filter, _TEXT_IN, _NO_NEW, drops_rows=True))
+
+
+def _dedup(kind: str):
+    def build(**p):
+        col = p.get("col", "text")
+        payload = p.get("payload_cols", ["role", "text"])
+        fn = {"md5": dedup.dedup_exact_md5, "sha": dedup.dedup_exact_sha}[kind]
+        return lambda df: fn(df, col=col, payload_cols=payload)
+    return build
+
+
+def _stream_dedup_hash(hash_expr):
+    """Streaming dedup twin: state-store keyed on the hash, bounded by the
+    input watermark (streaming/pipeline.py dedup_stage semantics — the
+    reference's seen-set, sharded across executors)."""
+    def build(**p):
+        col = p.get("col", "text")
+        def run(df: DataFrame) -> DataFrame:
+            return (
+                df.withColumn("__h", hash_expr(F.col(col)))
+                .dropDuplicatesWithinWatermark(["__h"])
+                .drop("__h")
+            )
+        return run
+    return build
+
+
+def _stream_dedup_minhash(**p):
+    """Streaming minhash twin: rows whose FULL signature matches an earlier
+    in-watermark row are dropped (16/16 bands ≈ Jaccard ~1.0; the batch
+    banded any-band topology needs multi-operator state — documented recall
+    difference)."""
+    col = p.get("col", "text")
+    sig_udf = dedup.minhash_signature_udf(p.get("num_perm", 64))
+    def run(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__sig_h", F.xxhash64(F.concat_ws(",", sig_udf(F.col(col)).cast("array<string>"))))
+            .dropDuplicatesWithinWatermark(["__sig_h"])
+            .drop("__sig_h")
+        )
+    return run
+
+
+register(
+    "dedup_exact_md5",
+    OpSpec(_dedup("md5"), lambda p: ["ts", "conv_id", "turn_idx", p.get("col", "text")],
+           lambda p: [], drops_rows=True,
+           streaming_builder=_stream_dedup_hash(F.md5)),
+)
+register(
+    "dedup_exact_sha",
+    OpSpec(_dedup("sha"), lambda p: ["ts", "conv_id", "turn_idx", p.get("col", "text")],
+           lambda p: [], drops_rows=True,
+           streaming_builder=_stream_dedup_hash(lambda c: F.substring(F.sha2(c, 256), 1, 16))),
+)
+register(
+    "dedup_minhash_lsh",
+    OpSpec(
+        lambda **p: (lambda df: dedup.dedup_minhash_lsh(
+            df, col=p.get("col", "text"), payload_cols=p.get("payload_cols", ["role", "text"]))),
+        lambda p: ["ts", "conv_id", "turn_idx", p.get("col", "text")],
+        lambda p: [],
+        drops_rows=True,
+        streaming_builder=_stream_dedup_minhash,
+    ),
+)
+
+
+def _scores(**p):
+    col = p.get("col", "text")
+    return lambda df: quality.with_scores(df, col)
+
+
+register(
+    "quality_scores",
+    OpSpec(_scores, _TEXT_IN,
+           lambda p: ["n_words", "n_tokens", "ngram_uniq", "stopword_ratio", "quality", "pred_lang"]),
+)
+register(
+    "lexical_diversity",
+    OpSpec(lambda **p: (lambda df: lexical.with_lexical_diversity(df, p.get("col", "text"))),
+           _TEXT_IN, lambda p: ["mtld", "hdd"]),
+)
+register(
+    "prompted_generate",
+    OpSpec(
+        lambda **p: (lambda df: prompted.prompted_generate(
+            df, p["system_prompt"], p.get("col", "text"), p.get("output_col", "gen"))),
+        _TEXT_IN,
+        lambda p: [p.get("output_col", "gen")],
+    ),
+)
+register(
+    "prompted_evaluate",
+    OpSpec(
+        lambda **p: (lambda df: prompted.prompted_evaluate(
+            df, p["system_prompt"], p.get("col", "text"), p.get("score_col", "score"))),
+        _TEXT_IN,
+        lambda p: [p.get("score_col", "score")],
+    ),
+)
+register(
+    "window_quality_agg",
+    OpSpec(lambda **p: (lambda df: windows.window_quality_agg(df, p.get("window", "6 hours"))),
+           lambda p: ["ts", "conv_id", "text"],
+           lambda p: ["win_start", "n_turns", "avg_words", "avg_ngram_uniq"]),
+)
+register(
+    "reassemble_conversations",
+    OpSpec(lambda **p: (lambda df: windows.reassemble_conversations(df)),
+           lambda p: ["conv_id", "turn_idx", "role", "text", "ts"],
+           lambda p: ["n_turns", "first_ts", "last_ts", "convo_digest", "n_tool_turns"]),
+)
+
+
+class PipelineConfigError(KeyError):
+    """Unresolved input column — the Pipeline.compile() KeyError analog
+    (Pipeline.py:123-134)."""
+
+
+def validate_config(config: list[dict], input_cols: list[str]) -> list[str]:
+    """Static column-resolution check without a SparkSession: walk the config
+    accumulating output columns, fail on the first op whose inputs are
+    missing. Returns the final column set (aggregating ops replace it)."""
+    cols = set(input_cols)
+    for i, step in enumerate(config):
+        name = step.get("op")
+        if name not in OPERATOR_REGISTRY:
+            raise PipelineConfigError(f"step {i}: unknown operator {name!r}")
+        spec = OPERATOR_REGISTRY[name]
+        params = {k: v for k, v in step.items() if k != "op"}
+        missing = [c for c in spec.input_cols(params) if c not in cols]
+        if missing:
+            raise PipelineConfigError(
+                f"step {i} ({name}): input column(s) {missing} not produced by "
+                f"any earlier step; available: {sorted(cols)}"
+            )
+        out = spec.output_cols(params)
+        if name in ("window_quality_agg", "reassemble_conversations"):
+            cols = {"conv_id", *out}  # aggregate replaces the row schema
+        else:
+            cols |= set(out)
+    return sorted(cols)
+
+
+def build_pipeline(config: list[dict], streaming: bool = False) -> Callable[[DataFrame], DataFrame]:
+    """Compose the config into one DataFrame->DataFrame function (the lazy
+    plan IS the compiled pipeline; Catalyst analyzes/optimizes it). With
+    streaming=True, ops with a streaming twin use it."""
+    stages = []
+    for step in config:
+        spec = OPERATOR_REGISTRY[step["op"]]
+        params = {k: v for k, v in step.items() if k != "op"}
+        builder = spec.streaming_builder if (streaming and spec.streaming_builder) else spec.builder
+        stages.append(builder(**params))
+
+    def run(df: DataFrame) -> DataFrame:
+        for s in stages:
+            df = s(df)
+        return df
+
+    return run
+
+
+def load_config(path: str) -> list[dict]:
+    with open(path) as f:
+        cfg = json.load(f)
+    if not isinstance(cfg, list):
+        raise PipelineConfigError("pipeline config must be a JSON list of steps")
+    return cfg

@@ -1,0 +1,65 @@
+"""K-center-greedy coreset + IVF ANN goldens."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dataflow_spark.ops import embeddings
+from dataflow_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    e = load_table(spark, SF, "embeddings")
+    return e, e.toPandas()
+
+
+def _greedy_twin(pdf, k):
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+    first = int(np.argmin(ids))
+    chosen = [first]
+    dmin = np.linalg.norm(X - X[first], axis=1)
+    for _ in range(1, k):
+        nxt = int(dmin.argmax())
+        chosen.append(nxt)
+        dmin = np.minimum(dmin, np.linalg.norm(X - X[nxt], axis=1))
+    return [int(ids[i]) for i in chosen]
+
+
+def test_kcenter_greedy_matches_twin(vecs):
+    e, pdf = vecs
+    got = [r["vec_id"] for r in embeddings.kcenter_greedy(e, 8).select("vec_id").collect()]
+    assert got == _greedy_twin(pdf, 8)
+
+
+def test_kcenter_distributed_path_matches_fast_path(vecs):
+    e, pdf = vecs
+    small = e.limit(40)
+    fast = [r["vec_id"] for r in embeddings.kcenter_greedy(small, 5).select("vec_id").collect()]
+    dist = [
+        r["vec_id"]
+        for r in embeddings.kcenter_greedy(small, 5, force_distributed=True).select("vec_id").collect()
+    ]
+    assert fast == dist
+
+
+def test_ivf_recall_against_brute_force(vecs):
+    e, _ = vecs
+    qs = e.limit(10)
+    exact = embeddings.brute_force_topk(e, qs, k=5)
+    approx = embeddings.ivf_topk(e, qs, k=5, n_cells=8, n_probe=4)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing half the cells must recover the bulk of true neighbors
+    assert recall >= 0.6, f"recall={recall}"
+    # and everything IVF returns must carry the true cosine (scores are exact)
+    exact_sims = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sims:
+            assert r["sim"] == pytest.approx(exact_sims[key], abs=1e-9)

@@ -1,0 +1,64 @@
+"""Registry + config pipeline builder: compile-time column validation
+(Pipeline.compile() analog) and batch composition goldens."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_spark import pipeline as P
+from dataflow_spark.ops import filters, refine
+from dataflow_spark.synth import synth_transcripts
+
+INPUT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def test_validate_config_accepts_good_chain():
+    cfg = [
+        {"op": "remove_extra_spaces"},
+        {"op": "dedup_exact_md5"},
+        {"op": "rule_quality_filter"},
+        {"op": "quality_scores"},
+        {"op": "window_quality_agg"},
+    ]
+    cols = P.validate_config(cfg, INPUT_COLS)
+    assert "avg_ngram_uniq" in cols
+
+
+def test_validate_config_rejects_unknown_op():
+    with pytest.raises(P.PipelineConfigError, match="unknown operator"):
+        P.validate_config([{"op": "nope"}], INPUT_COLS)
+
+
+def test_validate_config_rejects_missing_column():
+    # window agg consumes the row schema; a text refiner after it must fail
+    cfg = [{"op": "window_quality_agg"}, {"op": "remove_extra_spaces"}]
+    with pytest.raises(P.PipelineConfigError, match="not produced"):
+        P.validate_config(cfg, INPUT_COLS)
+
+
+def test_validate_config_rejects_prompted_without_text_col():
+    cfg = [{"op": "prompted_generate", "system_prompt": "x", "col": "missing_col"}]
+    with pytest.raises(P.PipelineConfigError):
+        P.validate_config(cfg, INPUT_COLS)
+
+
+def test_build_pipeline_equals_manual_composition(spark):
+    df = synth_transcripts(spark, n_turns=500, n_convs=20, seed=3)
+    cfg = [{"op": "remove_extra_spaces"}, {"op": "rule_quality_filter"}]
+    got = P.build_pipeline(cfg)(df)
+    want = filters.apply_filters(
+        refine.remove_extra_spaces(df), *filters.default_quality_predicates(F.col("text"))
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_streaming_builder_swaps_dedup(spark):
+    cfg = [{"op": "dedup_exact_md5"}]
+    df = synth_transcripts(spark, n_turns=200, n_convs=10, seed=4)
+    # batch build works on a batch frame
+    assert P.build_pipeline(cfg)(df).count() <= 200
+    # streaming build produces a streaming-compatible plan (dropDuplicatesWithinWatermark)
+    sdf_plan = P.build_pipeline(cfg, streaming=True)
+    out = sdf_plan(df.withWatermark("ts", "10 minutes"))
+    assert "text" in out.columns

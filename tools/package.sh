@@ -1,0 +1,17 @@
+#!/bin/sh
+# Package the engine for spark-submit --py-files (north_rule ship format).
+set -e
+cd "$(dirname "$0")/.."
+rm -f dataflow_spark.zip
+python - <<'EOF'
+import os, zipfile
+with zipfile.ZipFile("dataflow_spark.zip", "w", zipfile.ZIP_DEFLATED) as z:
+    for root, _, files in os.walk("dataflow_spark"):
+        if "__pycache__" in root:
+            continue
+        for f in files:
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                z.write(p, p)
+print("wrote dataflow_spark.zip")
+EOF
