@@ -180,14 +180,20 @@ def dedup_minhash_lsh(
     payload = [c for c in (payload_cols or []) if c not in order_cols]
     rows_per_band = num_perm // bands
     sig = minhash_signature_udf(num_perm)(F.col(col)).alias("__sig")
-    ordered = F.struct(*[F.col(c) for c in order_cols], *[F.col(c) for c in payload])
+    # the banded struct carries ONLY the order key (~50B), never the payload —
+    # exploding bands would otherwise shuffle `bands` copies of the text;
+    # payload is recovered by one equi-join on the (unique) order key at the end
+    ordered = F.struct(*[F.col(c) for c in order_cols])
     band_ix = F.sequence(F.lit(0), F.lit(bands - 1))
     # signature computation is CPU-bound; don't let it inherit the scan's task
     # count (1 file = 1 task locally). Partition count = shuffle.partitions so
     # the job shape is cluster-size-independent; at 100 TB the scan already
     # has thousands of tasks and this exchange is noise next to the band shuffle.
     df = df.repartition(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
-    banded = df.select(ordered.alias("__w"), sig).select(
+    # persist the signatures: banded feeds two consumers (winner agg + semi
+    # join) and without a cache the Arrow UDF would run twice
+    sigd = df.select(ordered.alias("__w"), sig).persist()
+    banded = sigd.select(
         "__w",
         F.explode(
             F.transform(
@@ -213,8 +219,11 @@ def dedup_minhash_lsh(
         .groupBy("__w")
         .agg(F.count("*").alias("__n"))
         .filter(F.col("__n") == bands)
+        .select(*[F.col(f"__w.{c}").alias(c) for c in order_cols])
     )
-    return survivors.select(*[F.col(f"__w.{c}").alias(c) for c in (*order_cols, *payload)])
+    if not payload:
+        return survivors
+    return df.join(survivors, list(order_cols), "left_semi").select(*order_cols, *payload)
 
 
 # ---------------------------------------------------------------------------
@@ -259,9 +268,11 @@ def dedup_simhash(
     n_bands = hamming_thr + 1
     width = 64 // n_bands
     ordered = F.struct(*[F.col(c) for c in order_cols])
-    # see dedup_minhash_lsh: unlock cores for the CPU-bound signature kernel
+    # see dedup_minhash_lsh: unlock cores for the CPU-bound signature kernel;
+    # persist because sh feeds three consumers (l/r of the pair join + the
+    # survivor anti-join) and the UDF must run once
     df = df.repartition(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
-    sh = df.select(ordered.alias("__w"), simhash_udf()(F.col(col)).alias("__sh"))
+    sh = df.select(ordered.alias("__w"), simhash_udf()(F.col(col)).alias("__sh")).persist()
     bands_arr = F.array(
         *[
             F.struct(
