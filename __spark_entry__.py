@@ -273,6 +273,19 @@ def q_turn_token_f1(spark, sf):
     )
 
 
+def q_docs_perplexity(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return quality.unigram_perplexity(d, "doc_id")
+
+
+def q_salted_conv_stats(spark, sf):
+    """Explicit skew handling (north_rule): salted two-phase aggregation —
+    value-identical to the plain GROUP BY the oracle runs."""
+    from dataflow_spark.ops import skew
+
+    return skew.salted_turn_stats(_transcripts(spark, sf))
+
+
 def q_media_features(spark, sf):
     """Multimodal plumbing: documents → binary media table → mapInPandas
     feature extraction (decode stubbed; see ops/multimodal.py). Only the
@@ -398,6 +411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prompted_generate_stub": q_prompted_generate_stub,
         "embed_dedup": q_embed_dedup,
         "turn_token_f1": q_turn_token_f1,
+        "docs_perplexity": q_docs_perplexity,
+        "salted_conv_stats": q_salted_conv_stats,
         "media_features": q_media_features,
         "docs_lexical": q_docs_lexical,
         "orders_rollup": q_orders_rollup,
@@ -745,6 +760,27 @@ def oracle_sql() -> dict[str, str]:
         FROM transcripts a
         JOIN transcripts p ON a.conv_id = p.conv_id AND p.turn_idx = a.turn_idx - 1
         WHERE a.role = 'assistant'
+        """
+    )
+
+    o["docs_perplexity"] = """
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+          FROM documents
+        ), freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+        tot AS (SELECT count(*) AS t FROM toks)
+        SELECT doc_id, round(exp(-avg(ln(c * 1.0 / t))), 6) AS ppl
+        FROM toks JOIN freq USING (w), tot
+        GROUP BY doc_id
+    """
+
+    o["salted_conv_stats"] = with_transcripts(
+        """
+        SELECT conv_id, count(*) AS n_turns,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               min(ts) AS first_ts, max(ts) AS last_ts,
+               round(sum(length(text)) * 1.0 / count(*), 6) AS avg_chars
+        FROM transcripts GROUP BY conv_id
         """
     )
 

@@ -14,12 +14,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dataflow_spark.ops.refine import EN_STOPWORDS
+from dataflow_spark.ops.refine import EN_STOPWORDS, PY_WS, PY_WS_RE
 
 
 def words(col: Column) -> Column:
-    """Whitespace tokenization — word_number_filter.py:58 (`text.split()`)."""
-    return F.split(F.trim(col), r"\s+")
+    """Whitespace tokenization — word_number_filter.py:58 (`text.split()`).
+    Python-whitespace class for kernel parity (see refine.PY_WS)."""
+    trimmed = F.regexp_replace(col, f"^{PY_WS_RE}|{PY_WS_RE}$", "")
+    return F.split(trimmed, PY_WS_RE)
 
 
 def content_not_null(col: Column) -> Column:

@@ -140,6 +140,28 @@ def fingerprint64(col: Column) -> Column:
     return F.xxhash64(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
 
 
+def unigram_perplexity(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """PerplexitySampleEvaluator analog (text_pt/eval/perplexity_sample_evaluator.py:10)
+    with a corpus unigram LM instead of GPT-2 (no model weights in this
+    environment — the GPT-2 path would be an iterator pandas UDF with a
+    per-executor model, same stage shape as ops/prompted.py serving):
+
+        ppl(row) = exp(-mean_i ln p(w_i)),  p(w) = corpus_count(w) / corpus_total
+
+    Two aggregations + one join; the frequency table is the join's small side.
+    Returns (id_col, ppl).
+    """
+    toks = df.select(F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("__w"))
+    freq = toks.groupBy("__w").agg(F.count("*").alias("__c"))
+    total = freq.agg(F.sum("__c").alias("__t"))
+    return (
+        toks.join(F.broadcast(freq), "__w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(F.round(F.exp(-F.avg(F.log(F.col("__c") / F.col("__t")))), 6).alias("ppl"))
+    )
+
+
 def with_scores(df: DataFrame, col: str = "text") -> DataFrame:
     """Attach the full evaluator battery as columns (Evaluator archetype —
     score columns, no row drops)."""

@@ -20,14 +20,24 @@ _EMOJI_RE = (
     "\U0001F680-\U0001F6FF\U0001F1E0-\U0001F1FF☀-➿]"
 )
 _URL_RE = r"https?://\S+|www\.\S+"
+
+# Python str.split() whitespace set (what the reference's kernels split on —
+# remove_extra_spaces_refiner.py:53 " ".join(text.split()); NOT Java's ASCII
+# \s): \t-\r, FS/GS/RS/US, space, NEL, NBSP, and the unicode Zs/Zl/Zp set.
+PY_WS = "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0  -     　"
+PY_WS_RE = f"[{PY_WS}]+"
 _HTML_TAG_RE = r"<[^>]+>"
 _HTML_ENTITY_RE = r"&[a-zA-Z]+;|&#[0-9]+;"
 _IMG_REF_RE = r"!\[[^\]]*\]\([^)]*\)"
 
 
 def remove_extra_spaces(df: DataFrame, col: str = "text") -> DataFrame:
-    """' '.join(text.split()) — remove_extra_spaces_refiner.py:53."""
-    return df.withColumn(col, F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
+    """' '.join(text.split()) — remove_extra_spaces_refiner.py:53.
+
+    Uses the Python-whitespace class (PY_WS), not Java \\s, for bit parity
+    with the reference kernel on unicode whitespace (hypothesis-found)."""
+    collapsed = F.regexp_replace(F.col(col), PY_WS_RE, " ")
+    return df.withColumn(col, F.regexp_replace(collapsed, "^ | $", ""))
 
 
 def lowercase(df: DataFrame, col: str = "text") -> DataFrame:

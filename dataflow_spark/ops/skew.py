@@ -1,0 +1,47 @@
+"""Explicit skew handling: salted two-phase aggregation (north_rule).
+
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on in
+session.py) covers joins; for aggregations over hot keys (the 10^6-turn
+conversation in a 10^12-turn table) we salt explicitly:
+
+  phase 1: groupBy(key, salt = hash(row) % S) — partial aggregate, S-way
+           spread of the hot key across executors
+  phase 2: groupBy(key) — merge the S partials
+
+Result is value-identical to the unsalted groupBy (all merged aggregates are
+associative decompositions), so it is exact-oracle-checkable against the
+plain GROUP BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_turn_stats(df: DataFrame, salt: int = 8) -> DataFrame:
+    """Per-conversation turn statistics via salted two-phase aggregation.
+
+    Decompositions: count = Σ partial counts; sum = Σ partial sums;
+    min/max = min/max of partials; avg = merged sum / merged count.
+    """
+    salt_col = (F.xxhash64("conv_id", "turn_idx") % salt).cast("int").alias("__salt")
+    phase1 = (
+        df.groupBy("conv_id", salt_col)
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(F.length("text")).alias("__chars"),
+            F.min("ts").alias("__min_ts"),
+            F.max("ts").alias("__max_ts"),
+        )
+    )
+    return (
+        phase1.groupBy("conv_id")
+        .agg(
+            F.sum("__n").alias("n_turns"),
+            F.sum("__chars").alias("total_chars"),
+            F.min("__min_ts").alias("first_ts"),
+            F.max("__max_ts").alias("last_ts"),
+        )
+        .withColumn("avg_chars", F.round(F.col("total_chars") / F.col("n_turns"), 6))
+    )

@@ -1,0 +1,98 @@
+"""Property-based invariants (hypothesis) over arbitrary small transcript
+tables — the class of guarantees the reference never states but its seen-set
+semantics imply."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops import dedup, refine, skew
+from dataflow_spark.schema import TRANSCRIPT_SCHEMA
+
+TEXTS = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs", "Po")),
+    min_size=0,
+    max_size=60,
+)
+
+
+@st.composite
+def transcript_rows(draw):
+    n = draw(st.integers(min_value=1, max_value=25))
+    rows = []
+    for i in range(n):
+        conv = f"c{draw(st.integers(0, 4))}"
+        rows.append(
+            (
+                conv,
+                i,
+                draw(st.sampled_from(["user", "assistant", "tool"])),
+                draw(TEXTS),
+                None,
+                dt.datetime(2024, 1, 1) + dt.timedelta(seconds=draw(st.integers(0, 86400))),
+            )
+        )
+    return rows
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=transcript_rows())
+def test_exact_dedup_invariants(spark, rows):
+    df = _df(spark, rows).persist()
+    out = dedup.dedup_exact_md5(df, payload_cols=["text"]).collect()
+    texts = [r["text"] for r in out]
+    # one survivor per distinct text, survivors are a subset of input
+    assert len(texts) == len(set(texts)) == len({r[3] for r in rows})
+    in_keys = {(r[0], r[1]) for r in rows}
+    assert all((r["conv_id"], r["turn_idx"]) in in_keys for r in out)
+    # the survivor of each text is the (ts, conv_id, turn_idx)-minimal row
+    for r in out:
+        dups = [x for x in rows if x[3] == r["text"]]
+        want = min((x[5], x[0], x[1]) for x in dups)
+        assert (r["ts"], r["conv_id"], r["turn_idx"]) == want
+    df.unpersist()
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=transcript_rows())
+def test_remove_extra_spaces_idempotent_and_kernel_equal(spark, rows):
+    df = _df(spark, rows)
+    once = refine.remove_extra_spaces(df)
+    twice = refine.remove_extra_spaces(once)
+    got_once = [r["text"] for r in once.orderBy("conv_id", "turn_idx").collect()]
+    got_twice = [r["text"] for r in twice.orderBy("conv_id", "turn_idx").collect()]
+    assert got_once == got_twice
+    # kernel parity with the reference: " ".join(text.split())
+    want = [" ".join(r[3].split()) for r in sorted(rows, key=lambda r: (r[0], r[1]))]
+    assert got_once == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=transcript_rows(), salt=st.integers(min_value=1, max_value=16))
+def test_salted_agg_equals_plain_agg(spark, rows, salt):
+    df = _df(spark, rows).persist()
+    got = {r["conv_id"]: r for r in skew.salted_turn_stats(df, salt=salt).collect()}
+    want = {
+        r["conv_id"]: r
+        for r in df.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        for f in ("n_turns", "total_chars", "first_ts", "last_ts"):
+            assert got[k][f] == want[k][f], (k, f)
+    df.unpersist()
