@@ -221,6 +221,16 @@ def q_refine_stopwords(spark, sf):
     return refine.remove_stopwords(d).select("doc_id", F.col("text").alias("kept"))
 
 
+def q_refine_pii(spark, sf):
+    t = _transcripts(spark, sf)
+    return refine.anonymize_pii(t).select("conv_id", "turn_idx", F.col("text").alias("anon"))
+
+
+def q_refine_dates(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return refine.normalize_dates(d).select("doc_id", F.col("text").alias("normalized"))
+
+
 def q_filter_labels(spark, sf):
     t = _transcripts(spark, sf)
     return t.select("conv_id", "turn_idx", *[c.alias(k) for k, c in filters.label_columns(F.col("text")).items()])
@@ -404,6 +414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "refine_strip": q_refine_strip,
         "refine_stopwords": q_refine_stopwords,
+        "refine_pii": q_refine_pii,
+        "refine_dates": q_refine_dates,
         "filter_labels": q_filter_labels,
         "filter_rejects": q_filter_rejects,
         "docs_readability": q_docs_readability,
@@ -684,6 +696,33 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, array_to_string(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
         f"w -> lower(w) NOT IN {tuple(refine.EN_STOPWORDS)}), ' ') AS kept FROM documents"
     )
+
+    _months = [
+        "January", "February", "March", "April", "May", "June", "July",
+        "August", "September", "October", "November", "December",
+    ]
+    _pii = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
+        "'\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '[SSN]', 'g'), "
+        "'(?:\\+?[0-9]{1,3}[-. ]?)?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}', '[PHONE]', 'g'), "
+        "'\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IP]', 'g')"
+    )
+    o["refine_pii"] = with_transcripts(
+        f"SELECT conv_id, turn_idx, {_pii} AS anon FROM transcripts"
+    )
+
+    _dates = (
+        "regexp_replace(text, "
+        "'\\b(0?[1-9]|1[0-2])/(0?[1-9]|[12][0-9]|3[01])/([0-9]{4})\\b', '\\3-\\1-\\2', 'g')"
+    )
+    for _i, _name in enumerate(_months, 1):
+        _dates = (
+            f"regexp_replace({_dates}, '\\b{_name} ([0-9]{{1,2}}), ([0-9]{{4}})\\b', "
+            f"'\\2-{_i:02d}-\\1', 'g')"
+        )
+    _dates = f"regexp_replace({_dates}, '\\$([0-9]+(?:\\.[0-9]+)?)', '\\1 USD', 'g')"
+    o["refine_dates"] = f"SELECT doc_id, {_dates} AS normalized FROM documents"
 
     _mwl = f"(length(array_to_string({_WORDS}, '')) * 1.0 / len({_WORDS}))"
     _lbls = {

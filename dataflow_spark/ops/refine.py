@@ -133,6 +133,43 @@ def chunk_by_words(
     )
 
 
+# PII patterns (PIIAnonymizeRefiner analog, pii_anonymize_refiner.py:12-33 —
+# Presidio's recognizers replaced by the regex subset expressible everywhere)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+_PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+_PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def anonymize_pii(df: DataFrame, col: str = "text") -> DataFrame:
+    """PIIAnonymizeRefiner — regex-recognizer subset: email/SSN/phone/IP →
+    typed placeholder tags (order matters: SSN before phone, phone before IP
+    would misfire — IP runs after phone on the already-tagged text)."""
+    out = F.regexp_replace(F.col(col), _PII_EMAIL, "[EMAIL]")
+    out = F.regexp_replace(out, _PII_SSN, "[SSN]")
+    out = F.regexp_replace(out, _PII_PHONE, "[PHONE]")
+    out = F.regexp_replace(out, _PII_IP, "[IP]")
+    return df.withColumn(col, out)
+
+
+def normalize_dates(df: DataFrame, col: str = "text") -> DataFrame:
+    """TextNormalizationRefiner — text_normalization_refiner.py:55-70:
+    MM/DD/YYYY and 'Month DD, YYYY' → ISO YYYY-MM-DD; $n → 'n USD'."""
+    months = [
+        "January", "February", "March", "April", "May", "June", "July",
+        "August", "September", "October", "November", "December",
+    ]
+    out = F.regexp_replace(
+        F.col(col),
+        r"\b(0?[1-9]|1[0-2])/(0?[1-9]|[12][0-9]|3[01])/([0-9]{4})\b",
+        "$3-$1-$2",
+    )
+    for i, name in enumerate(months, 1):
+        out = F.regexp_replace(out, rf"\b{name} ([0-9]{{1,2}}), ([0-9]{{4}})\b", f"$2-{i:02d}-$1")
+    out = F.regexp_replace(out, r"\$([0-9]+(?:\.[0-9]+)?)", "$1 USD")
+    return df.withColumn(col, out)
+
+
 def normalize_clean(df: DataFrame, col: str = "text") -> DataFrame:
     """Composite canonical cleanup: spaces → lowercase (the reference pt
     pipeline's leading refiner chain, text_pt_filter.py:66-80)."""

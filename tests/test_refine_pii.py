@@ -1,0 +1,40 @@
+"""PII anonymization + date normalization kernels on strings that actually
+exercise every pattern (the driver tables contain none, so the oracle checks
+there only prove plumbing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops import refine
+
+CASES_PII = [
+    ("mail me at jane.doe+x@example.co.uk today", "mail me at [EMAIL] today"),
+    ("ssn 123-45-6789 leaked", "ssn [SSN] leaked"),
+    ("call +1-555-123-4567 or (555) 987-6543", "call [PHONE] or [PHONE]"),
+    ("host 192.168.0.1 pinged", "host [IP] pinged"),
+    ("no pii here", "no pii here"),
+]
+
+CASES_DATES = [
+    ("due 3/7/2024 ok", "due 2024-3-7 ok"),
+    ("on March 7, 2024 we met", "on 2024-03-7 we met"),
+    ("December 25, 1999 party", "1999-12-25 party"),
+    ("price $19.99 only", "price 19.99 USD only"),
+    ("plain text", "plain text"),
+]
+
+
+def _run(spark, fn, cases):
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], ["id", "text"])
+    got = {r["id"]: r["text"] for r in fn(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_anonymize_pii_patterns(spark):
+    _run(spark, refine.anonymize_pii, CASES_PII)
+
+
+def test_normalize_dates_patterns(spark):
+    _run(spark, refine.normalize_dates, CASES_DATES)
