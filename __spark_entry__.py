@@ -283,6 +283,33 @@ def q_turn_token_f1(spark, sf):
     )
 
 
+def q_events_json(spark, sf):
+    """JSON functions coverage (§2.7): parse events.props, aggregate by
+    event_type (safe_json_loads analog, storage.py:309-319)."""
+    e = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+            F.countDistinct(k).alias("distinct_k"),
+        )
+    )
+
+
+def q_window_sliding(spark, sf):
+    """Sliding windows (north_star: tumbling AND sliding): 6-hour window
+    sliding every 3 hours — each row lands in 2 windows."""
+    t = _transcripts(spark, sf)
+    return (
+        t.groupBy(F.window("ts", "6 hours", "3 hours").alias("win"), "role")
+        .agg(F.count("*").alias("n_turns"), F.countDistinct("conv_id").alias("n_convs"))
+        .select(F.col("win.start").alias("win_start"), "role", "n_turns", "n_convs")
+    )
+
+
 def q_docs_perplexity(spark, sf):
     d = load_table(spark, sf, "documents")
     return quality.unigram_perplexity(d, "doc_id")
@@ -423,6 +450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prompted_generate_stub": q_prompted_generate_stub,
         "embed_dedup": q_embed_dedup,
         "turn_token_f1": q_turn_token_f1,
+        "events_json": q_events_json,
+        "window_sliding": q_window_sliding,
         "docs_perplexity": q_docs_perplexity,
         "salted_conv_stats": q_salted_conv_stats,
         "media_features": q_media_features,
@@ -799,6 +828,26 @@ def oracle_sql() -> dict[str, str]:
         FROM transcripts a
         JOIN transcripts p ON a.conv_id = p.conv_id AND p.turn_idx = a.turn_idx - 1
         WHERE a.role = 'assistant'
+        """
+    )
+
+    o["events_json"] = """
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+               count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS distinct_k
+        FROM events GROUP BY event_type
+    """
+
+    o["window_sliding"] = with_transcripts(
+        """
+        , wins AS (
+          SELECT role, conv_id,
+                 CAST(to_timestamp(floor(epoch(ts)/10800)*10800 - i.i*10800) AS TIMESTAMP) AS win_start
+          FROM transcripts, (SELECT unnest(range(0, 2)) AS i) i
+        )
+        SELECT win_start, role, count(*) AS n_turns, count(DISTINCT conv_id) AS n_convs
+        FROM wins GROUP BY win_start, role
         """
     )
 

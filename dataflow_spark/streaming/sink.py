@@ -72,3 +72,38 @@ class MergeSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         merge_upsert(batch_df.sparkSession, self.target_dir, batch_df, self.keys)
+
+
+def write_bucketed(
+    df: DataFrame, out_dir: str, n_buckets: int = 32, mode: str = "overwrite"
+) -> None:
+    """conv_id-bucketed layout (north_star: 'conv_id-bucketed Iceberg
+    partitioning'): partition directories by conv_bucket = pmod(xxhash64(
+    conv_id), n) and event date. All turns of a conversation land in one
+    bucket -> per-conversation operators (session reassembly, dedup keyed by
+    conv) read one partition; date pruning bounds replays/backfills.
+
+    On Iceberg this is `PARTITIONED BY (bucket(N, conv_id), days(ts))` and the
+    same pruning happens in the table scan."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("conv_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
+        .withColumn("event_date", F.to_date("ts"))
+        .write.mode(mode)
+        .partitionBy("conv_bucket", "event_date")
+        .parquet(out_dir)
+    )
+
+
+def read_bucket(spark: SparkSession, out_dir: str, conv_id: str, n_buckets: int = 32) -> DataFrame:
+    """Bucket-pruned read: computes the conv's bucket and filters on the
+    partition column, so the scan touches only that bucket's directories
+    (partition pruning — verified in tests via inputFiles())."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("basePath", out_dir).parquet(out_dir)
+    bucket = df.sparkSession.range(1).select(
+        F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(n_buckets)).cast("int").alias("b")
+    ).collect()[0]["b"]
+    return df.filter((F.col("conv_bucket") == bucket) & (F.col("conv_id") == conv_id))

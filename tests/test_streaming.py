@@ -236,3 +236,78 @@ def test_metrics_listener_records_lineage(spark, tmp_path):
     assert listener.total_rows() == 500
     assert listener.progress[0]["sources"][0]["rows"] == 500
     assert os.path.exists(str(tmp_path / "metrics.jsonl"))
+
+
+def test_watermark_drops_late_rows_deterministically(spark, tmp_path):
+    """Late-data golden (SURVEY.md §5.2.3): with a 10-minute watermark, a row
+    arriving after the watermark passed its window end is dropped. Run as two
+    sequential availableNow drains over one checkpoint, so the watermark from
+    run 1 (persisted in the checkpoint) governs run 2 — also proving the
+    watermark survives restart (north_rule determinism-under-replay)."""
+    src_dir = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        sdf = sp.read_transcript_stream(spark, src_dir, max_files_per_trigger=1)
+        agg = (
+            sdf.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "30 minutes").alias("win"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("win_start"), "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(IdempotentBatchSink(out))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    c0 = pd.DataFrame(
+        [
+            _tx("c1", 0, "user", "on-time a", "2024-01-01 10:05:00"),
+            _tx("c1", 1, "user", "on-time b", "2024-01-01 11:00:00"),
+            _tx("c1", 2, "user", "on-time c", "2024-01-01 12:00:00"),
+        ]
+    )
+    write_ordered_chunks([c0], src_dir)
+    drain()  # watermark in checkpoint: 12:00 - 10min = 11:50
+
+    c1 = pd.DataFrame(
+        [
+            _tx("c2", 0, "user", "fresh", "2024-01-01 13:00:00"),
+            _tx("c1", 3, "user", "LATE straggler", "2024-01-01 10:05:30"),
+        ]
+    )
+    write_ordered_chunks([c0, c1], src_dir)  # rewrites c0 (same content), adds c1
+    drain()  # straggler window end 10:30 << 11:50 -> dropped
+
+    got = {str(r["win_start"]): r["n"] for r in IdempotentBatchSink(out).read(spark).collect()}
+    # 10:00 window finalized with ONLY the on-time row; the straggler did not
+    # resurrect it. 13:00 window not emitted (watermark hasn't passed its end).
+    assert got.get("2024-01-01 10:00:00") == 1
+    assert got.get("2024-01-01 11:00:00") == 1
+    assert all(not k.startswith("2024-01-01 13") for k in got)
+
+
+def test_bucketed_sink_prunes_partitions(spark, tmp_path):
+    """conv_id-bucketed layout: reading one conversation touches only its
+    bucket's files (partition pruning), and every conversation's turns are
+    fully contained in one bucket."""
+    from dataflow_spark.streaming.sink import read_bucket, write_bucketed
+
+    out = str(tmp_path / "bucketed")
+    df = synth_transcripts(spark, n_turns=2000, n_convs=30, seed=11)
+    write_bucketed(df, out, n_buckets=8)
+
+    got = read_bucket(spark, out, "conv-5", n_buckets=8)
+    assert got.count() == df.filter(F.col("conv_id") == "conv-5").count() > 0
+    # pruning evidence: the files actually read are a strict subset living in
+    # exactly one conv_bucket directory
+    files = [r[0] for r in got.select(F.input_file_name()).distinct().collect()]
+    all_files = spark.read.option("basePath", out).parquet(out).inputFiles()
+    assert 0 < len(files) < len(all_files)
+    buckets = {f.split("conv_bucket=")[1].split("/")[0] for f in files}
+    assert len(buckets) == 1
