@@ -414,6 +414,116 @@ def q_order_priority(spark, sf):
     return sel.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
 
 
+def q_filter_lines(spark, sf):
+    """Line-structure rule filters as label columns (rule_based_filter.py
+    ellipsis/nopunc/alpha/bullet/javascript + blocklist_filter.py)."""
+    t = _transcripts(spark, sf)
+    c = F.col("text")
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        filters.line_ellipsis_ratio_below(c).cast("int").alias("lbl_ellipsis"),
+        filters.max_nopunc_run_at_most(c).cast("int").alias("lbl_nopunc"),
+        filters.alpha_words_ratio_above(c).cast("int").alias("lbl_alpha"),
+        filters.bullet_line_ratio_at_most(c).cast("int").alias("lbl_bullet"),
+        filters.javascript_lines_ok(c).cast("int").alias("lbl_js"),
+        filters.blocklist_count_at_most(c).cast("int").alias("lbl_blocklist"),
+    )
+
+
+def q_filter_ngram_lang(spark, sf):
+    """NgramFilter + LanguageFilter composition: keep turns whose 3-gram
+    uniqueness is in band and predicted language is allowed."""
+    t = _transcripts(spark, sf)
+    c = F.col("text")
+    t = filters.apply_filters(
+        t, filters.ngram_score_between(c, 0.99, 1.0, n=3), filters.lang_in(c, ("en", "und"))
+    )
+    return t.select("conv_id", "turn_idx")
+
+
+def q_refine_emoticons(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return refine.remove_emoticons(d).select("doc_id", F.col("text").alias("no_emoticons"))
+
+
+def q_refine_contractions(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return refine.expand_contractions(d).select("doc_id", F.col("text").alias("expanded"))
+
+
+def q_refine_citations(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return refine.remove_citations(d).select("doc_id", F.col("text").alias("no_cites"))
+
+
+def q_refine_stem(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return refine.s_stem(d).select("doc_id", F.col("text").alias("stemmed"))
+
+
+def q_turn_bleu(spark, sf):
+    """BleuSampleEvaluator analog over (preceding turn, assistant turn) pairs."""
+    t = _transcripts(spark, sf)
+    a = t.filter(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", F.col("text").alias("a_text")
+    )
+    p = t.select(
+        F.col("conv_id").alias("p_conv"), (F.col("turn_idx") + 1).alias("p_next"), F.col("text").alias("p_text")
+    )
+    j = a.join(p, (F.col("conv_id") == F.col("p_conv")) & (F.col("turn_idx") == F.col("p_next")))
+    return j.select(
+        "conv_id", "turn_idx", quality.bleu_overlap(F.col("p_text"), F.col("a_text")).alias("bleu")
+    )
+
+
+def q_eval_accuracy(spark, sf):
+    """BenchDatasetEvaluator analog (bench_dataset_evaluator.py:49-56):
+    dataset-level exact-match accuracy — heuristic lang-ID prediction vs the
+    documents table's ground-truth `lang` column."""
+    d = load_table(spark, sf, "documents")
+    scored = d.select(quality.lang_id(F.col("text")).alias("pred"), F.col("lang").alias("gt"))
+    return quality.exact_match_accuracy(scored, F.col("pred"), F.col("gt"))
+
+
+def q_orders_cube(spark, sf):
+    """CUBE grouping-sets coverage (§2.7 — rollup's sibling; both free in
+    Spark/Catalyst, absent in the reference)."""
+    o = load_table(spark, sf, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    return (
+        o.withColumn("o_month", month)
+        .cube("o_month", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_month", F.lit("ALL")).alias("o_month"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def q_approx_distinct(spark, sf):
+    """approx_count_distinct (HLL) per event_type — approximate by design, no
+    SQL oracle; tests assert <5% error vs exact (§2.7 'Approx distinct')."""
+    e = load_table(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
+
+
+def q_docs_fingerprint(spark, sf):
+    """64-bit content fingerprints (rolling-hash analog of the reference's md5
+    digests) — xxhash64 has no DuckDB twin, so rows-only here; stability and
+    dedup-consistency are golden-tested."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", quality.fingerprint64(F.col("text")).alias("fp64"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_build": q_transcripts_build,
@@ -461,6 +571,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_topk": q_revenue_topk,
         "order_priority": q_order_priority,
+        "filter_lines": q_filter_lines,
+        "filter_ngram_lang": q_filter_ngram_lang,
+        "refine_emoticons": q_refine_emoticons,
+        "refine_contractions": q_refine_contractions,
+        "refine_citations": q_refine_citations,
+        "refine_stem": q_refine_stem,
+        "turn_bleu": q_turn_bleu,
+        "eval_accuracy": q_eval_accuracy,
+        "orders_cube": q_orders_cube,
+        "approx_distinct": q_approx_distinct,
+        "docs_fingerprint": q_docs_fingerprint,
     }
 
 
@@ -928,6 +1049,157 @@ def oracle_sql() -> dict[str, str]:
         WHERE EXISTS (SELECT 1 FROM lineitem
                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         GROUP BY o_orderpriority
+    """
+
+    _lines = "list_filter(string_split(text, chr(10)), l -> trim(l) <> '')"
+    o["filter_lines"] = with_transcripts(
+        f"""
+        SELECT conv_id, turn_idx,
+          CASE WHEN n_lines > 0
+               AND len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) * 1.0 / n_lines < 0.3
+               THEN 1 ELSE 0 END AS lbl_ellipsis,
+          CASE WHEN text IS NOT NULL AND trim(text) <> ''
+               AND list_max(list_transform(regexp_split_to_array(text, '[\\n–.!?,;•/|…]'),
+                     s -> len(list_filter(regexp_split_to_array(s, '\\s+'), w -> w <> '')))) <= 112
+               THEN 1 ELSE 0 END AS lbl_nopunc,
+          CASE WHEN len(ws) > 0
+               AND len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) * 1.0 / len(ws) > 0.6
+               THEN 1 ELSE 0 END AS lbl_alpha,
+          CASE WHEN n_lines > 0
+               AND len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[•‣▶◀◦■□▪▫–]'))) * 1.0 / n_lines <= 0.9
+               THEN 1 ELSE 0 END AS lbl_bullet,
+          CASE WHEN n_lines > 0
+               AND (n_lines <= 3 OR n_lines - len(list_filter(lines, l -> contains(lower(l), 'javascript'))) >= 3)
+               THEN 1 ELSE 0 END AS lbl_js,
+          CASE WHEN text IS NOT NULL AND trim(text) <> ''
+               AND len(list_filter(lws, w -> w IN ('spam','clickbait','viagra','casino','xxx','darknet'))) <= 1
+               THEN 1 ELSE 0 END AS lbl_blocklist
+        FROM (
+          SELECT conv_id, turn_idx, text, lines, len(lines) AS n_lines,
+                 regexp_split_to_array(trim(text), '\\s+') AS ws,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') AS lws
+          FROM (SELECT conv_id, turn_idx, text, {_lines} AS lines FROM transcripts)
+        )
+        """
+    )
+
+    _GRAMS3_LOCAL = (
+        "list_transform(range(1, greatest(len(lws)-3, 0)+2), "
+        "i -> array_to_string(lws[i:i+2], ' '))"
+    )
+    o["filter_ngram_lang"] = with_transcripts(
+        f"""
+        SELECT conv_id, turn_idx FROM (
+          SELECT conv_id, turn_idx,
+                 CASE WHEN len(lws) >= 3
+                      THEN len(list_distinct({_GRAMS3_LOCAL})) * 1.0 / (len(lws) - 2)
+                      ELSE 1.0 END AS score,
+                 len(list_filter(lws, w -> w IN ('the','a','of','and','to','is','in','it'))) AS en,
+                 len(list_filter(lws, w -> w IN ('el','la','de','que','y','los','es','una'))) AS es,
+                 len(list_filter(lws, w -> w IN ('le','la','de','et','les','des','est','une'))) AS fr
+          FROM (SELECT conv_id, turn_idx,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS lws
+                FROM transcripts)
+        )
+        WHERE round(score, 6) >= 0.99 AND round(score, 6) <= 1.0
+          AND ((en >= es AND en >= fr AND en > 0) OR NOT (es > 0 OR fr > 0))
+        """
+    )
+
+    import re as _re
+
+    _emo_alts = "|".join(
+        _re.escape(e) for e in sorted(refine.EMOTICONS, key=len, reverse=True)
+    ).replace("'", "''")
+    o["refine_emoticons"] = (
+        f"SELECT doc_id, regexp_replace(text, '{_emo_alts}', '', 'g') AS no_emoticons FROM documents"
+    )
+
+    _contr = "text"
+    for _pat, _rep in refine._CONTRACTIONS:
+        _sql_pat = ("(?i)" + _pat).replace("\\", "\\").replace("'", "''")
+        _contr = f"regexp_replace({_contr}, '{_sql_pat}', '{_rep}', 'g')"
+    o["refine_contractions"] = f"SELECT doc_id, {_contr} AS expanded FROM documents"
+
+    o["refine_citations"] = (
+        r"""SELECT doc_id, regexp_replace(text,
+        '\[[0-9]{1,3}(,\s*[0-9]{1,3})*\]|\[citation needed\]|\^\[[0-9]+\]',
+        '', 'g') AS no_cites FROM documents"""
+    )
+
+    _stem_w = (
+        "CASE WHEN regexp_matches(w, '(?i)[a-z]ies$') THEN regexp_replace(w, '(?i)ies$', 'y') "
+        "WHEN regexp_matches(w, '(?i)[^aeiou]es$') THEN regexp_replace(w, '(?i)es$', 'e') "
+        "WHEN regexp_matches(w, '(?i)[^us]s$') THEN regexp_replace(w, '(?i)s$', '') "
+        "ELSE w END"
+    )
+    o["refine_stem"] = (
+        f"""SELECT doc_id, array_to_string(list_transform(
+              regexp_split_to_array(trim(text), '\\s+'), w -> {_stem_w}), ' ') AS stemmed
+            FROM documents"""
+    )
+
+    _bigrams = lambda ws: (
+        f"list_transform(range(1, greatest(len({ws}), 1)), i -> {ws}[i] || chr(1) || {ws}[i+1])"
+    )
+    o["turn_bleu"] = with_transcripts(
+        f"""
+        , pairs AS (
+          SELECT a.conv_id, a.turn_idx,
+                 regexp_split_to_array(trim(lower(p.text)), '\\s+') AS wc,
+                 regexp_split_to_array(trim(lower(a.text)), '\\s+') AS wr
+          FROM transcripts a
+          JOIN transcripts p ON p.conv_id = a.conv_id AND p.turn_idx + 1 = a.turn_idx
+          WHERE a.role = 'assistant'
+        ), g AS (
+          SELECT conv_id, turn_idx, wc, wr,
+                 list_distinct(wc) AS u1c, list_distinct(wr) AS u1r,
+                 list_distinct({_bigrams('wc')}) AS u2c,
+                 list_distinct({_bigrams('wr')}) AS u2r
+          FROM pairs
+        ), p AS (
+          SELECT conv_id, turn_idx, wc, wr,
+            greatest(len(list_filter(u1c, x -> list_contains(u1r, x))) * 1.0 / greatest(len(u1c), 1), 1e-9) AS p1,
+            CASE WHEN len(wc) >= 2 AND len(wr) >= 2
+                 THEN greatest(len(list_filter(u2c, x -> list_contains(u2r, x))) * 1.0 / greatest(len(u2c), 1), 1e-9)
+                 ELSE 1e-9 END AS p2
+          FROM g
+        )
+        SELECT conv_id, turn_idx,
+               round(least(1.0, exp(1.0 - len(wr) * 1.0 / len(wc))) * sqrt(p1 * p2), 6) AS bleu
+        FROM p
+        """
+    )
+
+    o["eval_accuracy"] = """
+        SELECT count(*) AS n_samples,
+               CAST(sum(hit) AS BIGINT) AS n_correct,
+               round(avg(hit), 6) AS accuracy
+        FROM (
+          SELECT CASE WHEN
+            (CASE WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
+                  WHEN es >= fr AND es > 0 THEN 'es'
+                  WHEN fr > 0 THEN 'fr' ELSE 'und' END) = lower(trim(lang))
+            THEN 1 ELSE 0 END AS hit
+          FROM (
+            SELECT lang,
+                   len(list_filter(lws, w -> w IN ('the','a','of','and','to','is','in','it'))) AS en,
+                   len(list_filter(lws, w -> w IN ('el','la','de','que','y','los','es','una'))) AS es,
+                   len(list_filter(lws, w -> w IN ('le','la','de','et','les','des','est','une'))) AS fr
+            FROM (SELECT lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS lws
+                  FROM documents)
+          )
+        )
+    """
+
+    o["orders_cube"] = """
+        SELECT coalesce(o_month, 'ALL') AS o_month,
+               coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM (SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderpriority, o_totalprice
+              FROM orders)
+        GROUP BY CUBE (o_month, o_orderpriority)
     """
 
     return o

@@ -1,0 +1,92 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+The reference's FileStorage reads/writes json / jsonl / csv / parquet
+(/root/reference/dataflow/utils/storage.py:117-137 `_load_local_file`,
+:212-277 `write`); its DB storage pages with LIMIT/OFFSET
+(storage.py:406-407). Here every format maps to the native DataFrameReader /
+Writer (distributed, predicate-pushdown-capable for parquet), and "paged"
+reads map to partition-pruned scans — at 100 TB paging is partitioning, not
+OFFSET.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+FORMATS = ("parquet", "json", "jsonl", "csv")
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """FileStorage._load_local_file analog (storage.py:117-137). `jsonl` and
+    `json` are both line-delimited JSON under Spark (the reference writes
+    records-oriented json; jsonl is its default interchange, storage.py:86).
+
+    With an explicit schema the json/csv readers skip schema inference —
+    mandatory at scale (inference is a full extra pass over the data)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "parquet":
+        return r.parquet(path)
+    if fmt in ("json", "jsonl"):
+        return r.json(path)
+    return r.option("header", "true").csv(path)
+
+
+def write_any(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+    """FileStorage.write analog (storage.py:212-277): format-dispatched sink.
+    CSV/JSON sinks stringify nested columns first (their writers reject
+    arrays/structs — the reference's pandas writer JSON-serializes them the
+    same way)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    if fmt == "csv":
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            *[
+                F.to_json(F.col(f.name)).alias(f.name)
+                if f.dataType.typeName() in ("array", "struct", "map")
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
+        df.write.mode(mode).option("header", "true").csv(path)
+    elif fmt in ("json", "jsonl"):
+        df.write.mode(mode).json(path)
+    else:
+        df.write.mode(mode).parquet(path)
+
+
+def paged_read(
+    spark: SparkSession,
+    path: str,
+    order_col: str,
+    page_size: int,
+    page: int,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """DB-storage paged read analog (storage.py:406-407 LIMIT/OFFSET): a
+    deterministic page under a total order. OFFSET doesn't scale (it scans
+    and discards); this is the driver-side equivalent for small exports —
+    large-scale consumers should read partition directories instead
+    (`bucketed` layout via streaming/sink.write_bucketed)."""
+    from pyspark.sql import Window, functions as F
+
+    df = read_any(spark, path, fmt)
+    w = Window.orderBy(F.col(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(
+            (F.col("__rn") > page * page_size) & (F.col("__rn") <= (page + 1) * page_size)
+        )
+        .drop("__rn")
+    )

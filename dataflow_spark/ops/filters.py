@@ -116,6 +116,97 @@ def no_special_characters(col: Column) -> Column:
     return ~col.rlike(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f�]")
 
 
+def _nonempty_lines(col: Column) -> Column:
+    """split_paragraphs(remove_empty=True) analog (rule_based_filter.py:218):
+    newline-split, blank lines dropped."""
+    return F.filter(F.split(col, "\n"), lambda l: F.trim(l) != "")
+
+
+def line_ellipsis_ratio_below(col: Column, thr: float = 0.3) -> Column:
+    """LineEndWithEllipsisFilter — rule_based_filter.py:218-227: ratio of
+    non-empty lines whose rstripped text ends with '...' or '…' must be < thr
+    (empty text rejected)."""
+    lines = _nonempty_lines(col)
+    n = F.size(lines)
+    ends = F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+    return (n > 0) & ((ends / n) < thr)
+
+
+def max_nopunc_run_at_most(col: Column, thr: int = 112) -> Column:
+    """NoPuncFilter — rule_based_filter.py:613-635: longest run of words with
+    no sentence punctuation ≤ thr. Splitting on newline ∪ the sentence-punct
+    class gives the same segments as the reference's two-level split."""
+    segs = F.split(col, "[\n–.!?,;•/|…]")
+    seg_words = F.transform(
+        segs, lambda s: F.size(F.filter(F.split(s, PY_WS_RE), lambda w: w != ""))
+    )
+    return content_not_null(col) & (F.array_max(seg_words) <= thr)
+
+
+def alpha_words_ratio_above(col: Column, thr: float = 0.6) -> Column:
+    """AlphaWordsFilter — rule_based_filter.py:409-426 (use_tokenizer=False
+    path: words containing [a-zA-Z] / total words > thr)."""
+    ws = words(col)
+    n = F.size(ws)
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]")))
+    return (n > 0) & ((alpha / n) > thr)
+
+
+# bullet prefixes per rule_based_filter.py:1341-1343 key_list
+_BULLET_CLASS = "[•‣▶◀◦■□▪▫–]"
+
+
+def bullet_line_ratio_at_most(col: Column, thr: float = 0.9) -> Column:
+    """LineStartWithBulletpointFilter — rule_based_filter.py:1345-1352: ratio
+    of non-empty lines whose lstripped text starts with a bullet char ≤ thr."""
+    lines = _nonempty_lines(col)
+    n = F.size(lines)
+    bullets = F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(f"^{_BULLET_CLASS}")))
+    return (n > 0) & ((bullets / n) <= thr)
+
+
+def javascript_lines_ok(col: Column, thr: int = 3) -> Column:
+    """LineWithJavascriptFilter — rule_based_filter.py:1420-1431: keep if
+    ≤3 non-empty lines, or ≥ thr lines NOT containing 'javascript'."""
+    lines = _nonempty_lines(col)
+    n = F.size(lines)
+    js = F.size(F.filter(lines, lambda l: F.lower(l).contains("javascript")))
+    return (n > 0) & ((n <= 3) | ((n - js) >= thr))
+
+
+# small embedded default blocklist (the reference loads per-language files,
+# blocklist_filter.py:55-63; at scale the list is a broadcast variable)
+DEFAULT_BLOCKLIST = ("spam", "clickbait", "viagra", "casino", "xxx", "darknet")
+
+
+def blocklist_count_at_most(
+    col: Column, blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST, thr: int = 1
+) -> Column:
+    """BlocklistFilter — blocklist_filter.py:70-80 (use_tokenizer=False:
+    lowercase whitespace split, count of blocklisted words ≤ thr)."""
+    ws = words(F.lower(col))
+    return content_not_null(col) & (
+        F.size(F.filter(ws, lambda w: w.isin(*blocklist))) <= thr
+    )
+
+
+def ngram_score_between(col: Column, lo: float = 0.8, hi: float = 1.0, n: int = 5) -> Column:
+    """NgramFilter — ngram_filter.py:43-52: keep rows whose n-gram uniqueness
+    score (NgramSampleEvaluator kernel) lies in [lo, hi]."""
+    from dataflow_spark.ops.quality import ngram_uniqueness  # circular-at-module-level
+
+    s = ngram_uniqueness(col, n)
+    return (s >= lo) & (s <= hi)
+
+
+def lang_in(col: Column, langs: tuple[str, ...] = ("en",)) -> Column:
+    """LanguageFilter — language_filter.py:61-65: predicted language ∈ allowed
+    (heuristic lang-ID stands in for fastText; same stage shape)."""
+    from dataflow_spark.ops.quality import lang_id
+
+    return lang_id(col).isin(*langs)
+
+
 def apply_filters(df: DataFrame, *predicates: Column) -> DataFrame:
     """GeneralFilter AND-fold — general_filter.py:64-70. One Catalyst Filter
     node; deterministic predicates get pushed/reordered by the optimizer."""

@@ -133,6 +133,43 @@ def token_f1(a: Column, b: Column) -> Column:
     return F.round(F.lit(2.0) * inter / denom, 6)
 
 
+def bleu_overlap(cand: Column, ref: Column, max_n: int = 2) -> Column:
+    """BleuSampleEvaluator analog (general_text/eval/bleu_sample_evaluator.py:9):
+    geometric mean of distinct-n-gram overlap precisions (n=1..max_n) with the
+    standard brevity penalty min(1, exp(1 - r/c)). Distinct-gram (set)
+    precision rather than clipped multiset counts — SQL-expressible in both
+    engines, same ordering behavior for ranking use."""
+    wc = words(F.lower(cand))
+    wr = words(F.lower(ref))
+    prod = F.lit(1.0)
+    for n in range(1, max_n + 1):
+        if n == 1:
+            gc, gr = F.array_distinct(wc), F.array_distinct(wr)
+            guard = F.lit(True)
+        else:
+            gc = F.array_distinct(gram_structs(wc, n))
+            gr = F.array_distinct(gram_structs(wr, n))
+            guard = (F.size(wc) >= n) & (F.size(wr) >= n)
+        inter = F.size(F.array_intersect(gc, gr))
+        p = F.when(guard, F.greatest(inter / F.greatest(F.size(gc), F.lit(1)), F.lit(1e-9))).otherwise(F.lit(1e-9))
+        prod = prod * p
+    bp = F.least(F.lit(1.0), F.exp(F.lit(1.0) - F.size(wr) / F.size(wc)))
+    return F.round(bp * F.pow(prod, 1.0 / max_n), 6)
+
+
+def exact_match_accuracy(df: DataFrame, pred: Column, gt: Column) -> DataFrame:
+    """BenchDatasetEvaluator (math-verify exact mode) analog
+    (core_text/eval/bench_dataset_evaluator.py:49-56): dataset-level accuracy
+    of normalized pred vs ground truth — one global aggregate row."""
+    norm = lambda c: F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    hit = F.coalesce((norm(pred) == norm(gt)).cast("int"), F.lit(0))
+    return df.agg(
+        F.count("*").alias("n_samples"),
+        F.sum(hit).cast("long").alias("n_correct"),
+        F.round(F.avg(hit), 6).alias("accuracy"),
+    )
+
+
 def fingerprint64(col: Column) -> Column:
     """Document fingerprint: 64-bit hash of whitespace-normalized lowercase
     text (the deterministic analog of the reference's md5 content digest,

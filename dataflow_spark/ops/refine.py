@@ -170,6 +170,73 @@ def normalize_dates(df: DataFrame, col: str = "text") -> DataFrame:
     return df.withColumn(col, out)
 
 
+# common western emoticons (the reference embeds a ~3k-entry dict,
+# remove_emoticons_refiner.py:77; this is the high-frequency head — the op
+# shape (literal alternation folded into one regex) is identical at any size)
+EMOTICONS = (
+    ":-)", ":)", ":-D", ":D", ":-(", ":(", ";-)", ";)", ":-P", ":P",
+    ":-p", ":p", ":-O", ":O", ":-o", ":o", ":-|", ":|", ":-/", ":/",
+    ":-\\", ":'(", ":'-(", "=)", "=(", "=D", "=P", "<3", "</3",
+    "^_^", "^^", "-_-", "T_T", ";_;", "o_O", "O_o", "x_x", "X_X", ">:(",
+)
+
+
+def remove_emoticons(df: DataFrame, col: str = "text") -> DataFrame:
+    """RemoveEmoticonsRefiner — remove_emoticons_refiner.py:44: strip
+    dictionary emoticons. One alternation regex (longest-first so ':-)' wins
+    over ':-'), JVM-side — no broadcast needed, the dict folds into the plan."""
+    import re as _re
+
+    alts = "|".join(_re.escape(e) for e in sorted(EMOTICONS, key=len, reverse=True))
+    return df.withColumn(col, F.regexp_replace(F.col(col), alts, ""))
+
+
+# high-frequency English contraction map (RemoveContractionsRefiner runs
+# `contractions.fix`, remove_contractions_refiner.py:52 — same rewrite for the
+# unambiguous head of that lib's table)
+_CONTRACTIONS = (
+    (r"\bcan't\b", "cannot"), (r"\bwon't\b", "will not"),
+    (r"\blet's\b", "let us"), (r"\bit's\b", "it is"),
+    (r"n't\b", " not"), (r"'re\b", " are"), (r"'ve\b", " have"),
+    (r"'ll\b", " will"), (r"'m\b", " am"), (r"'d\b", " would"),
+)
+
+
+def expand_contractions(df: DataFrame, col: str = "text") -> DataFrame:
+    """RemoveContractionsRefiner — ordered rewrite chain (specific before
+    generic: can't/won't before the n't suffix rule; suffix rules have no
+    leading \\b — the boundary sits mid-word)."""
+    out = F.col(col)
+    for pat, rep in _CONTRACTIONS:
+        out = F.regexp_replace(out, "(?i)" + pat, rep)
+    return df.withColumn(col, out)
+
+
+_CITATION_RE = r"\[[0-9]{1,3}(,\s*[0-9]{1,3})*\]|\[citation needed\]|\^\[[0-9]+\]"
+
+
+def remove_citations(df: DataFrame, col: str = "text") -> DataFrame:
+    """ReferenceRemoverRefiner — ref_removal_refiner.py:40: strip inline
+    citation markers ([12], [3, 4], [citation needed])."""
+    return df.withColumn(col, F.regexp_replace(F.col(col), _CITATION_RE, ""))
+
+
+def s_stem(df: DataFrame, col: str = "text") -> DataFrame:
+    """StemmingLemmatizationRefiner stand-in — the reference runs NLTK Porter
+    (stemming_lemmatization_refiner.py:56-57); here the public Harman (1991)
+    s-stemmer (ies→y, es→e, s→'' with guards), expressible as a per-word
+    regex chain so it stays JVM-side. Word order and spacing preserved."""
+    ws = F.split(F.trim(F.col(col)), PY_WS_RE)
+    stem = lambda w: F.when(
+        w.rlike("(?i)[a-z]ies$"), F.regexp_replace(w, "(?i)ies$", "y")
+    ).when(
+        w.rlike("(?i)[^aeiou]es$"), F.regexp_replace(w, "(?i)es$", "e")
+    ).when(
+        w.rlike("(?i)[^us]s$"), F.regexp_replace(w, "(?i)s$", "")
+    ).otherwise(w)
+    return df.withColumn(col, F.concat_ws(" ", F.transform(ws, stem)))
+
+
 def normalize_clean(df: DataFrame, col: str = "text") -> DataFrame:
     """Composite canonical cleanup: spaces → lowercase (the reference pt
     pipeline's leading refiner chain, text_pt_filter.py:66-80)."""

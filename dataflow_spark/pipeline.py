@@ -74,6 +74,12 @@ register("collapse_repeated_punct", OpSpec(_simple(refine.collapse_repeated_punc
 register("remove_stopwords", OpSpec(_simple(refine.remove_stopwords), _TEXT_IN, _NO_NEW))
 register("strip_markup", OpSpec(_simple(refine.strip_markup), _TEXT_IN, _NO_NEW))
 register("normalize_clean", OpSpec(_simple(refine.normalize_clean), _TEXT_IN, _NO_NEW))
+register("remove_emoticons", OpSpec(_simple(refine.remove_emoticons), _TEXT_IN, _NO_NEW))
+register("expand_contractions", OpSpec(_simple(refine.expand_contractions), _TEXT_IN, _NO_NEW))
+register("remove_citations", OpSpec(_simple(refine.remove_citations), _TEXT_IN, _NO_NEW))
+register("s_stem", OpSpec(_simple(refine.s_stem), _TEXT_IN, _NO_NEW))
+register("anonymize_pii", OpSpec(_simple(refine.anonymize_pii), _TEXT_IN, _NO_NEW))
+register("normalize_dates", OpSpec(_simple(refine.normalize_dates), _TEXT_IN, _NO_NEW))
 
 
 def _rule_filter(**p):
@@ -84,6 +90,53 @@ def _rule_filter(**p):
 
 
 register("rule_quality_filter", OpSpec(_rule_filter, _TEXT_IN, _NO_NEW, drops_rows=True))
+
+
+def _line_filter(**p):
+    col = p.get("col", "text")
+    def run(df: DataFrame) -> DataFrame:
+        c = F.col(col)
+        return filters.apply_filters(
+            df,
+            filters.line_ellipsis_ratio_below(c, p.get("ellipsis_thr", 0.3)),
+            filters.max_nopunc_run_at_most(c, p.get("nopunc_thr", 112)),
+            filters.alpha_words_ratio_above(c, p.get("alpha_thr", 0.6)),
+            filters.bullet_line_ratio_at_most(c, p.get("bullet_thr", 0.9)),
+            filters.javascript_lines_ok(c, p.get("js_thr", 3)),
+        )
+    return run
+
+
+register("line_structure_filter", OpSpec(_line_filter, _TEXT_IN, _NO_NEW, drops_rows=True))
+register(
+    "blocklist_filter",
+    OpSpec(
+        lambda **p: (lambda df: filters.apply_filters(
+            df, filters.blocklist_count_at_most(
+                F.col(p.get("col", "text")),
+                tuple(p.get("blocklist", filters.DEFAULT_BLOCKLIST)),
+                p.get("threshold", 1)))),
+        _TEXT_IN, _NO_NEW, drops_rows=True,
+    ),
+)
+register(
+    "ngram_filter",
+    OpSpec(
+        lambda **p: (lambda df: filters.apply_filters(
+            df, filters.ngram_score_between(
+                F.col(p.get("col", "text")),
+                p.get("min_score", 0.8), p.get("max_score", 1.0), p.get("ngrams", 5)))),
+        _TEXT_IN, _NO_NEW, drops_rows=True,
+    ),
+)
+register(
+    "language_filter",
+    OpSpec(
+        lambda **p: (lambda df: filters.apply_filters(
+            df, filters.lang_in(F.col(p.get("col", "text")), tuple(p.get("allowed", ("en",)))))),
+        _TEXT_IN, _NO_NEW, drops_rows=True,
+    ),
+)
 
 
 def _dedup(kind: str):

@@ -1,0 +1,243 @@
+"""Golden tests for the line-structure filters, new refiners, BLEU/accuracy
+evaluators, approx-distinct, and the io source/sink module — each checked
+against a pure-Python twin of the reference kernel (file:line cited in the op
+modules)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_spark import io as dio
+from dataflow_spark.ops import filters, quality, refine
+
+ROWS = [
+    ("clean", "The quick brown fox jumps over the lazy dog again and again today"),
+    ("ellipsis", "first line goes on...\nsecond line also trails off...\nthird keeps going…\nplain line here"),
+    ("nopunc", " ".join(["word"] * 150)),
+    ("punctuated", "Short. Sentences. Everywhere. " * 20),
+    ("digits", "123 456 789 000 111 222 333 444 555 666 777 888 999 101 202"),
+    ("bullets", "• item one\n• item two\n• item three\n– dash item\nnormal closing line"),
+    ("js", "javascript line one\njavascript line two\njavascript line three\njavascript four\njavascript five"),
+    ("blocked", "buy viagra now spam spam casino wins await you my friend today ok"),
+    ("empty", "   "),
+    ("null", None),
+    ("cite", "As shown in [1] and [2, 3] the effect holds [citation needed] everywhere."),
+    ("contract", "I can't say they won't try; it's what we'd expect, isn't it?"),
+    ("emoticon", "great job :-) keep it up :P see you <3 tomorrow ^_^ friend"),
+    ("plural", "the foxes carried berries and stones across cities during rainy days"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, ["id", "text"])
+
+
+def _got(df, col, pred):
+    out = df.select("id", pred.alias("keep")).collect()
+    return {r["id"]: r["keep"] for r in out}
+
+
+# ---------------------------------------------------------------------------
+# python twins of the reference kernels
+# ---------------------------------------------------------------------------
+
+
+def _lines(text):
+    return [l for l in text.split("\n") if l.strip()]
+
+
+def py_ellipsis(text, thr=0.3):
+    if not text:
+        return False
+    ls = _lines(text)
+    if not ls:
+        return False
+    ends = sum(1 for l in ls if l.rstrip().endswith(("...", "…")))
+    return ends / len(ls) < thr
+
+
+def py_nopunc(text, thr=112):
+    if not text or not text.strip():
+        return False
+    mx = 0
+    for para in text.split("\n"):
+        if not para.strip():
+            continue
+        for sent in re.split("[–.!?,;•/|…]", para):
+            mx = max(mx, len(sent.split()))
+    return mx <= thr
+
+
+def py_alpha(text, thr=0.6):
+    ws = (text or "").split()
+    if not ws:
+        return False
+    return sum(1 for w in ws if re.search("[a-zA-Z]", w)) / len(ws) > thr
+
+
+def py_bullet(text, thr=0.9):
+    if not text:
+        return False
+    ls = _lines(text)
+    if not ls:
+        return False
+    bullets = sum(1 for l in ls if l.lstrip().startswith(tuple("•‣▶◀◦■□▪▫–")))
+    return bullets / len(ls) <= thr
+
+
+def py_js(text, thr=3):
+    if not text:
+        return False
+    ls = _lines(text)
+    if not ls:
+        return False
+    js = sum(1 for l in ls if "javascript" in l.lower())
+    return len(ls) <= 3 or (len(ls) - js) >= thr
+
+
+def py_blocklist(text, thr=1):
+    if not text or not text.strip():
+        return False
+    ws = text.lower().split()
+    return sum(1 for w in ws if w in filters.DEFAULT_BLOCKLIST) <= thr
+
+
+@pytest.mark.parametrize(
+    "pred,twin",
+    [
+        (lambda c: filters.line_ellipsis_ratio_below(c), py_ellipsis),
+        (lambda c: filters.max_nopunc_run_at_most(c), py_nopunc),
+        (lambda c: filters.alpha_words_ratio_above(c), py_alpha),
+        (lambda c: filters.bullet_line_ratio_at_most(c), py_bullet),
+        (lambda c: filters.javascript_lines_ok(c), py_js),
+        (lambda c: filters.blocklist_count_at_most(c), py_blocklist),
+    ],
+    ids=["ellipsis", "nopunc", "alpha", "bullet", "js", "blocklist"],
+)
+def test_line_filters_match_reference_kernel(spark, pred, twin):
+    got = _got(_df(spark), "text", F.coalesce(pred(F.col("text")), F.lit(False)))
+    for rid, text in ROWS:
+        assert got[rid] == bool(twin(text)), f"{rid}: {got[rid]} != {twin(text)}"
+
+
+# ---------------------------------------------------------------------------
+# refiners
+# ---------------------------------------------------------------------------
+
+
+def _texts(df):
+    return {r["id"]: r["text"] for r in df.collect()}
+
+
+def test_remove_citations(spark):
+    out = _texts(refine.remove_citations(_df(spark)))
+    assert out["cite"] == "As shown in  and  the effect holds  everywhere."
+
+
+def test_expand_contractions(spark):
+    out = _texts(refine.expand_contractions(_df(spark)))
+    assert out["contract"] == (
+        "I cannot say they will not try; it is what we would expect, is not it?"
+    )
+
+
+def test_remove_emoticons(spark):
+    out = _texts(refine.remove_emoticons(_df(spark)))
+    assert out["emoticon"] == "great job  keep it up  see you  tomorrow  friend"
+
+
+def test_s_stem(spark):
+    out = _texts(refine.s_stem(_df(spark)))
+    # ies→y, es→e (consonant before), s→'' (not after u/s)
+    assert out["plural"] == "the foxe carried berry and stone across city during rainy day"
+
+
+# ---------------------------------------------------------------------------
+# evaluators
+# ---------------------------------------------------------------------------
+
+
+def test_bleu_identical_is_one(spark):
+    df = spark.createDataFrame([("x", "alpha beta gamma delta", "alpha beta gamma delta")], ["id", "a", "b"])
+    [r] = df.select(quality.bleu_overlap(F.col("a"), F.col("b")).alias("s")).collect()
+    assert r["s"] == pytest.approx(1.0)
+
+
+def test_bleu_disjoint_is_tiny(spark):
+    df = spark.createDataFrame([("x", "alpha beta gamma", "delta epsilon zeta")], ["id", "a", "b"])
+    [r] = df.select(quality.bleu_overlap(F.col("a"), F.col("b")).alias("s")).collect()
+    assert r["s"] < 1e-6
+
+
+def test_bleu_brevity_penalty(spark):
+    # candidate shorter than reference → penalized vs same-content full match
+    df = spark.createDataFrame([("x", "alpha beta", "alpha beta gamma delta")], ["id", "a", "b"])
+    [r] = df.select(quality.bleu_overlap(F.col("a"), F.col("b")).alias("s")).collect()
+    assert 0 < r["s"] < math.exp(1 - 4 / 2) + 1e-9
+
+
+def test_exact_match_accuracy(spark):
+    df = spark.createDataFrame(
+        [("a", "A"), ("b ", "b"), ("x", "y"), (None, None)], ["p", "g"]
+    )
+    [r] = quality.exact_match_accuracy(df, F.col("p"), F.col("g")).collect()
+    assert r["n_samples"] == 4
+    assert r["n_correct"] == 2  # case/space-normalized matches; null pair doesn't count
+    assert r["accuracy"] == pytest.approx(0.5)
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) / max(r["exact"], 1) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# io module (§2.1 sources/sinks)
+# ---------------------------------------------------------------------------
+
+
+def test_io_roundtrip_formats(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").limit(200).cache()
+    n = src.count()
+    for fmt in ("parquet", "jsonl", "csv"):
+        path = str(tmp_path / f"rt_{fmt}")
+        dio.write_any(src, path, fmt)
+        back = dio.read_any(spark, path, fmt, schema=src.schema if fmt != "parquet" else None)
+        assert back.count() == n
+        assert set(back.columns) == set(src.columns)
+        # value fidelity on a stable key column
+        a = sorted(r["event_id"] for r in src.select("event_id").collect())
+        b = sorted(int(r["event_id"]) for r in back.select("event_id").collect())
+        assert a == b, fmt
+
+
+def test_io_paged_read(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").limit(100)
+    path = str(tmp_path / "paged")
+    dio.write_any(src, path, "parquet")
+    p0 = dio.paged_read(spark, path, "event_id", 40, 0).collect()
+    p1 = dio.paged_read(spark, path, "event_id", 40, 1).collect()
+    p2 = dio.paged_read(spark, path, "event_id", 40, 2).collect()
+    ids = [r["event_id"] for r in p0 + p1 + p2]
+    assert len(p0) == 40 and len(p1) == 40 and len(p2) == 20
+    assert ids == sorted(ids)
+    assert len(set(ids)) == 100
+
+
+def test_io_rejects_unknown_format(spark):
+    with pytest.raises(ValueError):
+        dio.read_any(spark, "/tmp/x", "xml")
