@@ -516,6 +516,28 @@ def q_approx_distinct(spark, sf):
     )
 
 
+QA_Q_PROMPT = "Write one question about document part "
+QA_A_PROMPT = "Answer the question: "
+ROWGEN_PROMPT = "Invent a domain knowledge fact. "
+
+
+def q_docs_doc2qa(spark, sf):
+    """Doc2QAGenerator analog: two chained stub-serving stages + explode."""
+    d = load_table(spark, sf, "documents")
+    return prompted.doc2qa(d, "doc_id", n_pairs=2, q_prompt=QA_Q_PROMPT, a_prompt=QA_A_PROMPT)
+
+
+def q_gen_rows(spark, sf):
+    """RandomDomainKnowledgeRowGenerator analog: rows from nothing."""
+    return prompted.synthesize_rows(spark, 100, ROWGEN_PROMPT)
+
+
+def q_embed_diversity(spark, sf):
+    """Vendi/Task2Vec-style dataset diversity scalar over embeddings."""
+    e = load_table(spark, sf, "embeddings")
+    return embeddings.dataset_diversity(e)
+
+
 def q_docs_fingerprint(spark, sf):
     """64-bit content fingerprints (rolling-hash analog of the reference's md5
     digests) — xxhash64 has no DuckDB twin, so rows-only here; stability and
@@ -582,6 +604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube": q_orders_cube,
         "approx_distinct": q_approx_distinct,
         "docs_fingerprint": q_docs_fingerprint,
+        "docs_doc2qa": q_docs_doc2qa,
+        "gen_rows": q_gen_rows,
+        "embed_diversity": q_embed_diversity,
     }
 
 
@@ -1200,6 +1225,34 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderpriority, o_totalprice
               FROM orders)
         GROUP BY CUBE (o_month, o_orderpriority)
+    """
+
+    o["docs_doc2qa"] = f"""
+        WITH b AS (
+          SELECT doc_id, i.i AS qa_idx,
+                 '{QA_Q_PROMPT}' || CAST(i.i AS VARCHAR) || ' ' || text AS qp
+          FROM documents, (SELECT unnest(range(0, 2)) AS i) i
+        ), q AS (
+          SELECT doc_id, qa_idx, '[gen-' || substr(md5(qp), 1, 8) || '] ' || array_to_string(regexp_split_to_array(trim(qp), '\\s+')[1:10], ' ') AS question FROM b
+        )
+        SELECT doc_id, qa_idx, question, '[gen-' || substr(md5(ap), 1, 8) || '] ' || array_to_string(regexp_split_to_array(trim(ap), '\\s+')[1:10], ' ') AS answer
+        FROM (SELECT doc_id, qa_idx, question, '{QA_A_PROMPT}' || question AS ap FROM q)
+    """
+
+    o["gen_rows"] = f"""
+        SELECT row_id, '[gen-' || substr(md5(p), 1, 8) || '] ' || array_to_string(regexp_split_to_array(trim(p), '\\s+')[1:10], ' ') AS gen
+        FROM (SELECT i.i AS row_id, '{ROWGEN_PROMPT}' || 'seed ' || CAST(i.i AS VARCHAR) AS p
+              FROM (SELECT unnest(range(0, 100)) AS i) i)
+    """
+
+    o["embed_diversity"] = f"""
+        SELECT count(*) AS n_pairs,
+               round(avg(sim), 6) AS avg_sim,
+               round(1.0 - avg(sim), 6) AS diversity
+        FROM (
+          SELECT round({_dot} / ({_norm_a} * {_norm_b}), 6) AS sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        )
     """
 
     return o

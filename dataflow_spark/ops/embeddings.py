@@ -191,6 +191,30 @@ def ivf_topk(
     )
 
 
+def dataset_diversity(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """VendiDatasetEvaluator / Task2VecDatasetEvaluator analog
+    (/root/reference/dataflow/operators/general_text/eval/vendi_dataset_evaluator.py:11,
+    task2vec_dataset_evaluator.py:15): whole-dataset diversity scalar from
+    pairwise embedding similarity — here 1 − mean pairwise cosine (the
+    similarity-matrix mean those evaluators start from), one global aggregate
+    row. Exact all-pairs: at 100-TB scale run it over a uniform sample
+    (df.sample) — the estimator's variance drops as 1/pairs, a few 10^4 rows
+    suffice; the exact form here is the oracle-checkable baseline."""
+    a = df.select(F.col(id_col).alias("ida"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("idb"), F.col(vec_col).alias("vb"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, F.col("ida") < F.col("idb"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg(sim), 6).alias("avg_sim"),
+            F.round(F.lit(1.0) - F.avg(sim), 6).alias("diversity"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,

@@ -120,6 +120,45 @@ def prompted_filter(
     )
 
 
+def doc2qa(
+    df: DataFrame,
+    id_col: str,
+    input_col: str = "text",
+    n_pairs: int = 2,
+    q_prompt: str = "Write one question about document part ",
+    a_prompt: str = "Answer the question: ",
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    """Doc2QAGenerator — doc → n QA pairs, exploded
+    (/root/reference/dataflow/operators/core_text/generate/doc2qa_generator.py:14).
+
+    Two chained serving stages (question from doc+index, answer from the
+    question — the ScenarioExtractor→AtomTaskGenerator chaining shape,
+    func_call_operators.py:12,116). The explode happens BEFORE serving so each
+    pair is one prompt — at scale the explode is narrow (no shuffle) and the
+    serving UDF sees n_pairs× rows batched through Arrow."""
+    backend = backend or StubServing()
+    pairs = df.select(
+        id_col,
+        input_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_pairs - 1))).alias("qa_idx"),
+    ).withColumn("qa_idx", F.col("qa_idx").cast("long"))
+    q_content = F.concat(F.col("qa_idx").cast("string"), F.lit(" "), F.col(input_col).cast("string"))
+    pairs = pairs.withColumn("question", serving_udf(backend)(build_prompt(q_prompt, q_content)))
+    pairs = pairs.withColumn("answer", serving_udf(backend)(build_prompt(a_prompt, F.col("question"))))
+    return pairs.select(id_col, "qa_idx", "question", "answer")
+
+
+def synthesize_rows(spark, n: int, system_prompt: str, backend: ServingBackend | None = None) -> DataFrame:
+    """RandomDomainKnowledgeRowGenerator analog
+    (core_text/generate/random_domain_knowledge_row_generator.py:11): rows
+    from nothing — spark.range(n) seeds a serving stage. range() is already
+    partitioned; no data movement at any n."""
+    df = spark.range(n).select(F.col("id").alias("row_id"))
+    content = F.concat(F.lit("seed "), F.col("row_id").cast("string"))
+    return df.withColumn("gen", serving_udf(backend or StubServing())(build_prompt(system_prompt, content)))
+
+
 def stub_score_col(system_prompt: str, input_col: Column) -> Column:
     """JVM-expression twin of StubServing's score: 1 + md5(prompt)[:8] % 5.
 

@@ -66,6 +66,41 @@ def window_quality_stage(
     )
 
 
+def sliding_window_stage(
+    sdf: DataFrame,
+    watermark: str = "10 minutes",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+) -> DataFrame:
+    """Sliding-window per-role counts (north_star: tumbling AND sliding).
+    Each row lands in window/slide windows; state per (window, role) expires
+    as the watermark passes each window end."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(F.col("win.start").alias("win_start"), "role", "n_turns")
+    )
+
+
+def session_window_stage(
+    sdf: DataFrame, watermark: str = "10 minutes", gap: str = "30 minutes"
+) -> DataFrame:
+    """Native gap-based session windows (F.session_window) keyed on conv_id —
+    the built-in twin of the applyInPandasWithState reassembly in state.py
+    (which adds turn-ordered digests + tool-call CEP; this stage gives the
+    windowed counts). A new session starts when a turn arrives >= gap after
+    the previous one — the same >= semantics as the batch lag/cumsum
+    formulation in ops/windows.session_windows, so their outputs are
+    row-identical on the same input."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "conv_id")
+        .agg(F.count("*").alias("n_turns"))
+        .select(F.col("win.start").alias("session_start"), "conv_id", "n_turns")
+    )
+
+
 def match_triggers_stage(
     sdf: DataFrame, watermark: str = "10 minutes", max_lag: str = "5 minutes"
 ) -> DataFrame:

@@ -311,3 +311,78 @@ def test_bucketed_sink_prunes_partitions(spark, tmp_path):
     assert 0 < len(files) < len(all_files)
     buckets = {f.split("conv_bucket=")[1].split("/")[0] for f in files}
     assert len(buckets) == 1
+
+
+def test_sliding_window_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    df = synth_transcripts(spark, n_turns=1500, n_convs=15, seed=9)
+    pdf = df.toPandas().sort_values("ts")
+    write_ordered_chunks([pdf.iloc[: len(pdf) // 2], pdf.iloc[len(pdf) // 2 :]], src)
+
+    sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+    agg = sp.sliding_window_stage(sdf, watermark="1 minute", window="10 minutes", slide="5 minutes")
+    sink = IdempotentBatchSink(out)
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sink.read(spark).toPandas()
+    assert len(got) > 0
+
+    batch = (
+        synth_transcripts(spark, n_turns=1500, n_convs=15, seed=9)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(F.col("win.start").alias("win_start"), "role", "n_turns")
+        .toPandas()
+    )
+    bmap = {(r.win_start, r.role): r.n_turns for r in batch.itertuples()}
+    for r in got.itertuples():
+        assert bmap[(r.win_start, r.role)] == r.n_turns
+    assert not got.duplicated(subset=["win_start", "role"]).any()
+
+
+def test_session_window_stream_matches_batch_sessions(spark, tmp_path):
+    """Native F.session_window streaming agg emits the same sessions as the
+    batch lag/cumsum formulation (ops/windows.session_windows)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        _tx("A", 0, "user", "a0", t0),
+        _tx("A", 1, "assistant", "a1", t0 + pd.Timedelta("5 minutes")),
+        # gap of exactly 30 min -> new session (>= semantics)
+        _tx("A", 2, "user", "a2", t0 + pd.Timedelta("35 minutes")),
+        _tx("B", 0, "user", "b0", t0 + pd.Timedelta("1 minute")),
+        _tx("B", 1, "assistant", "b1", t0 + pd.Timedelta("70 minutes")),
+    ]
+    sentinel = [_tx("zz", 0, "user", "s", t0 + pd.Timedelta("10 hours"))]
+    write_ordered_chunks([pd.DataFrame(rows), pd.DataFrame(sentinel)], src)
+
+    sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+    agg = sp.session_window_stage(sdf, watermark="1 minute", gap="30 minutes")
+    sink = IdempotentBatchSink(out)
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sink.read(spark).toPandas()
+    got = got[got.conv_id != "zz"]
+
+    sdf_batch = spark.createDataFrame(pd.DataFrame(rows))
+    batch = batch_windows.session_windows(sdf_batch, "30 minutes").toPandas()
+    key = lambda df: sorted(
+        (r.conv_id, pd.Timestamp(r.session_start), int(r.n_turns)) for r in df.itertuples()
+    )
+    assert key(got) == key(batch)
