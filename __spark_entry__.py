@@ -87,16 +87,14 @@ def q_dedup_ngram_chunks(spark, sf):
 
 
 def q_window_quality(spark, sf):
-    t = _transcripts(spark, sf)
-    wc = quality.word_count(F.col("text"))
-    uniq, total = quality.gram_counts(F.col("text"), 3)
+    t = quality.project_gram_counts(_transcripts(spark, sf), "text", 3)
     return (
         t.groupBy(F.window("ts", "6 hours").alias("win"), "conv_id")
         .agg(
             F.count("*").alias("n_turns"),
-            (F.sum(wc).cast("double") / F.count("*")).alias("avg_words"),
-            F.sum(uniq.cast("long")).alias("sum_uniq_grams"),
-            F.sum(total.cast("long")).alias("sum_grams"),
+            (F.sum("__wc").cast("double") / F.count("*")).alias("avg_words"),
+            F.sum("__uniq").alias("sum_uniq_grams"),
+            F.sum("__total").alias("sum_grams"),
         )
         .select(
             F.col("win.start").alias("win_start"),
@@ -538,6 +536,42 @@ def q_embed_diversity(spark, sf):
     return embeddings.dataset_diversity(e)
 
 
+def q_sql_hardness(spark, sf):
+    """SQLComponentClassifier analog: synthesize a deterministic SQL string
+    per event (shape keyed by event_type), then score + band its complexity."""
+    e = load_table(spark, sf, "events")
+    sql = (
+        F.when(
+            F.col("event_type") == "click",
+            F.concat(F.lit("SELECT * FROM events WHERE user_id = "), F.col("user_id")),
+        )
+        .when(
+            F.col("event_type") == "view",
+            F.lit("SELECT event_type, sum(value) FROM events GROUP BY event_type ORDER BY 2 DESC"),
+        )
+        .when(
+            F.col("event_type") == "purchase",
+            F.lit(
+                "SELECT a.user_id FROM events a JOIN events b ON a.user_id = b.user_id "
+                "WHERE a.value > 10 AND b.value < 5 LIMIT 10"
+            ),
+        )
+        .otherwise(
+            F.lit(
+                "SELECT t.user_id, n FROM (SELECT user_id, count(*) AS n FROM events "
+                "GROUP BY user_id HAVING count(*) > 2 ORDER BY n DESC) t "
+                "JOIN events e ON t.user_id = e.user_id WHERE e.value > 0 OR e.value < -1"
+            )
+        )
+    )
+    out = e.select("event_id", sql.alias("sql"))
+    return out.select(
+        "event_id",
+        quality.sql_component_score(F.col("sql")).alias("sql_score"),
+        quality.sql_difficulty(F.col("sql")).alias("difficulty"),
+    )
+
+
 def q_docs_fingerprint(spark, sf):
     """64-bit content fingerprints (rolling-hash analog of the reference's md5
     digests) — xxhash64 has no DuckDB twin, so rows-only here; stability and
@@ -607,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_doc2qa": q_docs_doc2qa,
         "gen_rows": q_gen_rows,
         "embed_diversity": q_embed_diversity,
+        "sql_hardness": q_sql_hardness,
     }
 
 
@@ -1253,6 +1288,38 @@ def oracle_sql() -> dict[str, str]:
           SELECT round({_dot} / ({_norm_a} * {_norm_b}), 6) AS sim
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         )
+    """
+
+    o["sql_hardness"] = r"""
+        WITH s AS (
+          SELECT event_id,
+            CASE WHEN event_type = 'click'
+                 THEN 'SELECT * FROM events WHERE user_id = ' || CAST(user_id AS VARCHAR)
+                 WHEN event_type = 'view'
+                 THEN 'SELECT event_type, sum(value) FROM events GROUP BY event_type ORDER BY 2 DESC'
+                 WHEN event_type = 'purchase'
+                 THEN 'SELECT a.user_id FROM events a JOIN events b ON a.user_id = b.user_id WHERE a.value > 10 AND b.value < 5 LIMIT 10'
+                 ELSE 'SELECT t.user_id, n FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id HAVING count(*) > 2 ORDER BY n DESC) t JOIN events e ON t.user_id = e.user_id WHERE e.value > 0 OR e.value < -1'
+            END AS q
+          FROM events
+        ), sc AS (
+          SELECT event_id, CAST(
+              len(regexp_extract_all(q, '(?i)\bJOIN\b'))
+            + len(regexp_extract_all(q, '(?i)\bSELECT\b')) - 1
+            + len(regexp_extract_all(q, '(?i)\bGROUP\s+BY\b'))
+            + len(regexp_extract_all(q, '(?i)\bORDER\s+BY\b'))
+            + len(regexp_extract_all(q, '(?i)\bHAVING\b'))
+            + len(regexp_extract_all(q, '(?i)\b(COUNT|SUM|AVG|MIN|MAX)\s*\('))
+            + len(regexp_extract_all(q, '(?i)\b(AND|OR)\b'))
+            + len(regexp_extract_all(q, '(?i)\bLIMIT\b')) AS INT) AS sql_score
+          FROM s
+        )
+        SELECT event_id, sql_score,
+               CASE WHEN sql_score <= 2 THEN 'easy'
+                    WHEN sql_score <= 5 THEN 'medium'
+                    WHEN sql_score <= 9 THEN 'hard'
+                    ELSE 'extra' END AS difficulty
+        FROM sc
     """
 
     return o

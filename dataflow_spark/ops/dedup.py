@@ -162,7 +162,7 @@ def dedup_minhash_lsh(
     df: DataFrame,
     col: str = "text",
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 4,
     order_cols: tuple[str, ...] = ORDER_COLS,
     payload_cols: list[str] | None = None,
 ) -> DataFrame:
@@ -171,8 +171,10 @@ def dedup_minhash_lsh(
     Banded LSH: signature → `bands` band-hashes → explode → first-wins per
     band bucket → survivor must win all its bands (i.e. no earlier row shares
     any band). rows_per_band = num_perm // bands; two rows collide in a band
-    iff that slice of the signature is identical — the standard S-curve
-    approximation of Jaccard >= ~0.9 at 16x4.
+    iff that slice of the signature is identical — S-curve threshold
+    t ~= (1/b)^(1/r) = (1/4)^(1/16) ~= 0.92, matching the reference's 0.9
+    (minhash_deduplicate_filter.py:66-84). 4 bands (not 16) also shuffles 4x
+    fewer banded rows — band count is the dominant shuffle-volume knob.
 
     payload_cols ride along in the winner struct (order_cols prefix decides
     the min) so the surviving full rows come back without a re-join.
@@ -186,10 +188,13 @@ def dedup_minhash_lsh(
     ordered = F.struct(*[F.col(c) for c in order_cols])
     band_ix = F.sequence(F.lit(0), F.lit(bands - 1))
     # signature computation is CPU-bound; don't let it inherit the scan's task
-    # count (1 file = 1 task locally). Partition count = shuffle.partitions so
-    # the job shape is cluster-size-independent; at 100 TB the scan already
-    # has thousands of tasks and this exchange is noise next to the band shuffle.
-    df = df.repartition(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    # count (1 file = 1 task locally). Only repartition when the input is
+    # under-partitioned — re-shuffling an already-wide input would move the
+    # full text payload for nothing (at 100 TB the scan already has thousands
+    # of tasks and this exchange never fires).
+    n_target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < n_target:
+        df = df.repartition(n_target)
     # persist the signatures: banded feeds two consumers (winner agg + semi
     # join) and without a cache the Arrow UDF would run twice
     sigd = df.select(ordered.alias("__w"), sig).persist()

@@ -38,6 +38,31 @@ def gram_counts(col: Column, n: int = 3) -> tuple[Column, Column]:
     return uniq, total
 
 
+def project_gram_counts(df: DataFrame, col: str = "text", n: int = 3) -> DataFrame:
+    """Attach `__wc` (word count), `__uniq`, `__total` (n-gram counts) via a
+    two-step projection: the words array is aliased ONCE (`__ws`), and the
+    gram math references the attribute.
+
+    Why not gram_counts() inline: Catalyst's CollapseProject inlines a
+    non-aliased words() at every reference — the plan re-runs the unicode
+    regex split ~8x per row and the huge fused expression knocks the stage
+    out of whole-stage codegen (measured 52s -> 14s at sf0.1 on this box).
+    Aliasing the split as a real column is a no-shuffle fix: CollapseProject
+    refuses to duplicate non-cheap aliased expressions, so the split stays a
+    single projection below the aggregate."""
+    ws_df = df.withColumn("__ws", words(F.lower(F.col(col))))
+    ws = F.col("__ws")
+    m = F.size(ws)
+    uniq = F.when(m >= n, F.size(F.array_distinct(gram_structs(ws, n)))).otherwise(F.lit(1))
+    total = F.when(m >= n, m - (n - 1)).otherwise(F.lit(1))
+    return (
+        ws_df.withColumn("__wc", m.cast("long"))
+        .withColumn("__uniq", uniq.cast("long"))
+        .withColumn("__total", total.cast("long"))
+        .drop("__ws")
+    )
+
+
 def ngram_uniqueness(col: Column, n: int = 3) -> Column:
     """NgramSampleEvaluator — unique/total word-n-grams, lower = repetitive
     (/root/reference/dataflow/operators/general_text/eval/ngram_sample_evaluator.py:38-50)."""
@@ -175,6 +200,41 @@ def fingerprint64(col: Column) -> Column:
     text (the deterministic analog of the reference's md5 content digest,
     hash_deduplicate_filter.py:14-18)."""
     return F.xxhash64(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
+
+
+def sql_component_score(col: Column) -> Column:
+    """SQLComponentClassifier analog
+    (/root/reference/dataflow/operators/text2sql/eval/sql_component_classifier.py:698,
+    scoring loop ~:640-693): count SQL complexity components. The reference
+    walks a sqlparse tree; here the same component families are counted with
+    regexes so the whole classifier is one JVM expression."""
+    n = lambda pat: F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+    return (
+        n(r"(?i)\bJOIN\b")
+        + (n(r"(?i)\bSELECT\b") - 1)  # nested selects
+        + n(r"(?i)\bGROUP\s+BY\b")
+        + n(r"(?i)\bORDER\s+BY\b")
+        + n(r"(?i)\bHAVING\b")
+        + n(r"(?i)\b(COUNT|SUM|AVG|MIN|MAX)\s*\(")
+        + n(r"(?i)\b(AND|OR)\b")
+        + n(r"(?i)\bLIMIT\b")
+    ).cast("int")
+
+
+def sql_difficulty(
+    col: Column,
+    thresholds: tuple[int, ...] = (2, 5, 9),
+    labels: tuple[str, ...] = ("easy", "medium", "hard", "extra"),
+) -> Column:
+    """Difficulty banding per the reference's default config
+    (sql_component_classifier.py:700-703: thresholds [2,5,9] →
+    easy/medium/hard/extra)."""
+    s = sql_component_score(col)
+    out = None
+    for thr, lab in zip(thresholds, labels):
+        cond = s <= thr
+        out = F.when(cond, F.lit(lab)) if out is None else out.when(cond, F.lit(lab))
+    return out.otherwise(F.lit(labels[-1]))
 
 
 def unigram_perplexity(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

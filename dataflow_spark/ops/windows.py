@@ -16,18 +16,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dataflow_spark.ops.quality import ngram_uniqueness, word_count
+from dataflow_spark.ops.quality import project_gram_counts
 
 
 def window_quality_agg(df: DataFrame, window: str = "6 hours") -> DataFrame:
     """Per-conversation tumbling-window quality scoring — the north-star
-    groupBy(window(ts), conv_id) stage. Returns one row per (window, conv)."""
+    groupBy(window(ts), conv_id) stage. Returns one row per (window, conv).
+
+    Per-row scores come from project_gram_counts (single aliased words-array
+    projection) so the regex split runs once per row and the aggregate sums
+    plain attributes — see that docstring for the measured plan pathology."""
+    pre = project_gram_counts(df, "text", 3)
     return (
-        df.groupBy(F.window("ts", window).alias("win"), "conv_id")
+        pre.groupBy(F.window("ts", window).alias("win"), "conv_id")
         .agg(
             F.count("*").alias("n_turns"),
-            F.round(F.avg(word_count(F.col("text"))), 6).alias("avg_words"),
-            F.round(F.avg(ngram_uniqueness(F.col("text"))), 6).alias("avg_ngram_uniq"),
+            F.round(F.avg("__wc"), 6).alias("avg_words"),
+            F.round(F.avg(F.round(F.col("__uniq") / F.col("__total"), 6)), 6).alias("avg_ngram_uniq"),
         )
         .select(F.col("win.start").alias("win_start"), "conv_id", "n_turns", "avg_words", "avg_ngram_uniq")
     )

@@ -216,6 +216,16 @@ register(
            lambda p: ["n_words", "n_tokens", "ngram_uniq", "stopword_ratio", "quality", "pred_lang"]),
 )
 register(
+    "sql_component_classifier",
+    OpSpec(
+        lambda **p: (lambda df: df.withColumn(
+            p.get("output_col", "sql_difficulty"),
+            quality.sql_difficulty(F.col(p.get("col", "sql"))))),
+        lambda p: [p.get("col", "sql")],
+        lambda p: [p.get("output_col", "sql_difficulty")],
+    ),
+)
+register(
     "lexical_diversity",
     OpSpec(lambda **p: (lambda df: lexical.with_lexical_diversity(df, p.get("col", "text"))),
            _TEXT_IN, lambda p: ["mtld", "hdd"]),

@@ -20,16 +20,28 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    executors: int | None = None,
+    executor_cores: int = 2,
 ) -> SparkSession:
+    """executors=None → local[cores] (one JVM, N task threads). executors=E →
+    local-cluster[E, executor_cores, 6144] — E SEPARATE executor JVMs, the
+    sandbox's closest stand-in for a multi-executor cluster (per-executor
+    heap/GC; measured: pure-CPU work scales 0.83-0.91 across executor JVMs vs
+    0.41 inside one JVM on this box)."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         # on a real cluster this would be ~2-3x total cores; locally match cores
         shuffle_partitions = max(cores, 8)
 
+    if executors is not None:
+        master = f"local-cluster[{executors},{executor_cores},6144]"
+    else:
+        master = f"local[{cores}]"
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.executorEnv.PYTHONPATH", os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataflow_spark.ops import filters, refine
-from dataflow_spark.ops.quality import ngram_uniqueness, word_count
+from dataflow_spark.ops.quality import project_gram_counts
 from dataflow_spark.schema import TRANSCRIPT_SCHEMA
 
 
@@ -53,14 +53,16 @@ def window_quality_stage(
     sdf: DataFrame, watermark: str = "10 minutes", window: str = "5 minutes"
 ) -> DataFrame:
     """Tumbling-window per-conversation quality scoring (append mode — rows
-    emit when the watermark passes the window end)."""
+    emit when the watermark passes the window end). Per-row scores projected
+    before the agg (see quality.project_gram_counts plan note)."""
+    pre = project_gram_counts(sdf, "text", 3)
     return (
-        sdf.withWatermark("ts", watermark)
+        pre.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "conv_id")
         .agg(
             F.count("*").alias("n_turns"),
-            F.avg(word_count(F.col("text"))).alias("avg_words"),
-            F.avg(ngram_uniqueness(F.col("text"))).alias("avg_ngram_uniq"),
+            F.avg("__wc").alias("avg_words"),
+            F.avg(F.round(F.col("__uniq") / F.col("__total"), 6)).alias("avg_ngram_uniq"),
         )
         .select(F.col("win.start").alias("win_start"), "conv_id", "n_turns", "avg_words", "avg_ngram_uniq")
     )

@@ -79,7 +79,7 @@ def test_dedup_minhash_lsh_matches_banded_seen_set(spark, tiny):
         for r in dedup.dedup_minhash_lsh(df).select("conv_id", "turn_idx").collect()
     }
     # sequential twin: a row survives iff none of its bands was seen earlier
-    num_perm, bands = 64, 16
+    num_perm, bands = 64, 4
     rpb = num_perm // bands
     ordered = pdf.sort_values(["ts", "conv_id", "turn_idx"])
     seen_bands: dict[tuple, set] = {b: set() for b in range(bands)}

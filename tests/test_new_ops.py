@@ -241,3 +241,31 @@ def test_io_paged_read(spark, sf_dir, tmp_path):
 def test_io_rejects_unknown_format(spark):
     with pytest.raises(ValueError):
         dio.read_any(spark, "/tmp/x", "xml")
+
+
+def test_sql_difficulty_bands(spark):
+    rows = [
+        ("s0", "SELECT * FROM t"),                                        # 0 -> easy
+        ("s1", "SELECT a, sum(b) FROM t GROUP BY a ORDER BY 2"),          # 3 -> medium
+        ("s2", "SELECT a FROM t JOIN u ON t.x = u.x WHERE a > 1 AND b < 2 OR c = 3"),  # 3 -> medium
+        (
+            "s3",
+            "SELECT x, n FROM (SELECT x, count(*) AS n FROM t GROUP BY x HAVING count(*) > 1 "
+            "ORDER BY n) s JOIN u ON s.x = u.x WHERE u.v > 0 OR u.v < -1 AND u.w = 2 LIMIT 5",
+        ),  # nested 1 + join 1 + group 1 + order 1 + having 1 + count 2 + and/or 2 + limit 1 = 10 -> extra
+    ]
+    df = spark.createDataFrame(rows, ["id", "sql"])
+    from dataflow_spark.ops import quality as q
+
+    got = {
+        r["id"]: (r["s"], r["d"])
+        for r in df.select(
+            "id",
+            q.sql_component_score(F.col("sql")).alias("s"),
+            q.sql_difficulty(F.col("sql")).alias("d"),
+        ).collect()
+    }
+    assert got["s0"] == (0, "easy")
+    assert got["s1"] == (3, "medium")
+    assert got["s2"] == (3, "medium")
+    assert got["s3"] == (10, "extra")
