@@ -536,6 +536,16 @@ def q_embed_diversity(spark, sf):
     return embeddings.dataset_diversity(e)
 
 
+def q_docs_code_stats(spark, sf):
+    """Code-domain evaluators (ops/code.py): autogen markers, encoded-data
+    ratios, line-length stats, char composition + the four 0/1 scores."""
+    from dataflow_spark.ops import code as code_ops
+
+    d = load_table(spark, sf, "documents")
+    s = code_ops.code_scores(F.col("text"))
+    return d.select("doc_id", *[c.alias(k) for k, c in s.items()])
+
+
 def q_sql_hardness(spark, sf):
     """SQLComponentClassifier analog: synthesize a deterministic SQL string
     per event (shape keyed by event_type), then score + band its complexity."""
@@ -642,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_rows": q_gen_rows,
         "embed_diversity": q_embed_diversity,
         "sql_hardness": q_sql_hardness,
+        "docs_code_stats": q_docs_code_stats,
     }
 
 
@@ -1320,6 +1331,46 @@ def oracle_sql() -> dict[str, str]:
                     WHEN sql_score <= 9 THEN 'hard'
                     ELSE 'extra' END AS difficulty
         FROM sc
+    """
+
+    _mlr = lambda pat: (
+        "round(coalesce(list_sum(list_transform(regexp_extract_all(text, '" + pat + "'), "
+        "m -> length(m))), 0) * 1.0 / greatest(length(text), 1), 6)"
+    )
+    _b64 = _mlr(r"[a-zA-Z0-9+/=\n]{64,}")
+    _hex = _mlr(r"(?:\b(?:0x|\\x)?[0-9a-fA-F]{2}(?:,|\b\s*)){8,}")
+    _uni = _mlr(r"(?:\\u[0-9a-fA-F]{4}){8,}")
+    _markers = " + ".join(
+        f"CAST(contains(first5, '{p}') AS INT)"
+        for p in ("auto-generated", "autogenerated", "automatically generated",
+                  "generated automatically", "this file is generated")
+    )
+    o["docs_code_stats"] = rf"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 lower(array_to_string(regexp_split_to_array(text, '\n')[1:5], chr(10))) AS first5,
+                 list_transform(regexp_split_to_array(text, '\n'), l -> length(l)) AS lens
+          FROM documents
+        ), m AS (
+          SELECT doc_id, text,
+                 CAST({_markers} AS INT) AS autogen_markers,
+                 {_b64} AS b64_ratio, {_hex} AS hex_ratio, {_uni} AS uni_ratio,
+                 CAST(len(lens) AS BIGINT) AS n_lines,
+                 round(list_sum(lens) * 1.0 / greatest(len(lens), 1), 6) AS avg_line_len,
+                 CAST(list_max(lens) AS BIGINT) AS max_line_len,
+                 round(length(regexp_replace(text, '[^\p{{L}}]', '', 'g')) * 1.0 / greatest(length(text), 1), 6) AS alpha_ratio,
+                 round(length(regexp_replace(text, '[^\p{{L}}\p{{Nd}}]', '', 'g')) * 1.0 / greatest(length(text), 1), 6) AS alnum_ratio
+          FROM base
+        )
+        SELECT doc_id, autogen_markers, b64_ratio, hex_ratio, uni_ratio,
+               n_lines, avg_line_len, max_line_len, alpha_ratio, alnum_ratio,
+               CASE WHEN autogen_markers = 0 THEN 1.0 ELSE 0.0 END AS autogen_score,
+               CASE WHEN b64_ratio > 0.5 OR hex_ratio > 0.5 OR uni_ratio > 0.5 THEN 0.0 ELSE 1.0 END AS encoded_score,
+               CASE WHEN n_lines > 100000 THEN 0.0
+                    WHEN avg_line_len > 100 OR max_line_len > 1000 THEN 0.0
+                    ELSE 1.0 END AS length_score,
+               CASE WHEN alpha_ratio < 0.25 THEN 0.0 ELSE 1.0 END AS composition_score
+        FROM m
     """
 
     return o

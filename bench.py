@@ -9,15 +9,16 @@ prints ONE JSON line:
      "flagship_turns_per_sec": <turns/sec>, ...}
 
 Scaling mode (N -> 4N evidence for BASELINE.json's north_rule; sandbox
-stand-in for two cluster sizes is two local parallelism levels):
+stand-in for two cluster sizes is N=2 vs 4N=8 SEPARATE executor JVMs):
     python bench.py --scaling
-runs the identical flagship job at local[8] and local[32] on the identical
-(replicated) input in separate JVMs and prints one JSON line with both
-throughputs and the scaling efficiency (T32/T8)/4.
+runs the identical flagship job at local-cluster[2,2,6144] and
+local-cluster[8,2,6144] on the identical (replicated) input in separate
+subprocesses and prints one JSON line with both throughputs and the scaling
+efficiency (T8ex/T2ex)/4.
 
 Internal: `python bench.py --flagship-only [rep]` times only the flagship
-pipeline at SPARK_GRAFT_CPUS cores and prints a small JSON line (used by
---scaling subprocesses).
+pipeline (SPARK_GRAFT_EXECUTORS executors if set, else local[SPARK_GRAFT_CPUS])
+and prints a small JSON line (used by --scaling subprocesses).
 
 The flagship pipeline is the BASELINE.json metric: windowed dedup +
 quality-filter + session-reassembly over the transcript table
@@ -126,7 +127,7 @@ def run_flagship_only(rep: int) -> None:
     n_turns = load_table(spark, SF_DIR, "events").count() * rep
     _flagship(spark, SF_DIR, rep)  # warm-up: JIT, codegen, parquet footers
     best = None
-    for _ in range(2):
+    for _ in range(2 if rep <= 10 else 1):
         # clearCache so the timed runs recompute the minhash signatures —
         # the op's internal persist() is plan-matched across runs and would
         # silently serve the warm-up's cache otherwise (measured: hides the
@@ -149,7 +150,7 @@ def run_scaling() -> None:
     understates real-cluster scaling: per-JVM allocator/GC contention caps
     pure-CPU scaling at ~0.4 on this box, while separate executor JVMs reach
     0.83-0.91 (BASELINE.md has the calibration table)."""
-    rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "10"))
+    rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "30"))
     out = {}
     for n_exec in (2, 8):
         env = dict(os.environ, SPARK_GRAFT_EXECUTORS=str(n_exec))

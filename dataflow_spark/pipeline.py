@@ -108,6 +108,15 @@ def _line_filter(**p):
 
 
 register("line_structure_filter", OpSpec(_line_filter, _TEXT_IN, _NO_NEW, drops_rows=True))
+
+
+def _code_filter(**p):
+    from dataflow_spark.ops import code as code_ops
+    return lambda df: code_ops.code_quality_filter(
+        df, p.get("col", "text"), p.get("language_col"))
+
+
+register("code_quality_filter", OpSpec(_code_filter, _TEXT_IN, _NO_NEW, drops_rows=True))
 register(
     "blocklist_filter",
     OpSpec(

@@ -269,3 +269,36 @@ def test_sql_difficulty_bands(spark):
     assert got["s1"] == (3, "medium")
     assert got["s2"] == (3, "medium")
     assert got["s3"] == (10, "extra")
+
+
+def test_code_scores_reference_kernels(spark):
+    from dataflow_spark.ops import code as code_ops
+
+    rows = [
+        ("gen", "// This file is generated. Do not edit.\ndef f():\n    pass"),
+        ("b64", "data = \"" + "QUJDREVGR0g0" * 12 + "\""),
+        ("longline", "x = 1\n" + "y" * 1500),
+        ("normal", "def add(a, b):\n    return a + b\n"),
+        ("symbols", "@#$% ^&*() __ ++ -- == :: ;; ,, .. // \\\\ || !!"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    s = code_ops.code_scores(F.col("text"))
+    got = {r["id"]: r.asDict() for r in df.select("id", *[c.alias(k) for k, c in s.items()]).collect()}
+    assert got["gen"]["autogen_markers"] == 1 and got["gen"]["autogen_score"] == 0.0
+    assert got["b64"]["b64_ratio"] > 0.5 and got["b64"]["encoded_score"] == 0.0
+    assert got["longline"]["max_line_len"] == 1500 and got["longline"]["length_score"] == 0.0
+    n = got["normal"]
+    assert (n["autogen_score"], n["encoded_score"], n["length_score"], n["composition_score"]) == (1.0, 1.0, 1.0, 1.0)
+    assert got["symbols"]["alpha_ratio"] < 0.25 and got["symbols"]["composition_score"] == 0.0
+
+
+def test_code_quality_filter_drops_bad(spark):
+    from dataflow_spark.ops import code as code_ops
+
+    rows = [
+        ("ok", "def add(a, b):\n    return a + b\n"),
+        ("bad", "// auto-generated file\nx = 1"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    kept = {r["id"] for r in code_ops.code_quality_filter(df).collect()}
+    assert kept == {"ok"}
