@@ -536,6 +536,13 @@ def q_embed_diversity(spark, sf):
     return embeddings.dataset_diversity(e)
 
 
+def q_refine_unicode(spark, sf):
+    """Unicode sanitation (surrogate replacement + NFC) — storage.py:217-235
+    twin; DuckDB's nfc_normalize is the oracle."""
+    d = load_table(spark, sf, "documents")
+    return refine.sanitize_unicode(d).select("doc_id", F.col("text").alias("nfc_text"))
+
+
 def q_docs_code_stats(spark, sf):
     """Code-domain evaluators (ops/code.py): autogen markers, encoded-data
     ratios, line-length stats, char composition + the four 0/1 scores."""
@@ -653,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_diversity": q_embed_diversity,
         "sql_hardness": q_sql_hardness,
         "docs_code_stats": q_docs_code_stats,
+        "refine_unicode": q_refine_unicode,
     }
 
 
@@ -1372,5 +1380,7 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN alpha_ratio < 0.25 THEN 0.0 ELSE 1.0 END AS composition_score
         FROM m
     """
+
+    o["refine_unicode"] = "SELECT doc_id, nfc_normalize(text) AS nfc_text FROM documents"
 
     return o

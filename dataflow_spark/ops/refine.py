@@ -11,6 +11,7 @@ overwrite-in-place contract, remove_extra_spaces_refiner.py:53).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -235,6 +236,32 @@ def s_stem(df: DataFrame, col: str = "text") -> DataFrame:
         w.rlike("(?i)[^us]s$"), F.regexp_replace(w, "(?i)s$", "")
     ).otherwise(w)
     return df.withColumn(col, F.concat_ws(" ", F.transform(ws, stem)))
+
+
+def fix_unicode(t: str | None, form: str = "NFC") -> str | None:
+    """Kernel: surrogate replacement (encode('utf-8','replace') round-trip —
+    storage.py:219-222) + unicode normalization."""
+    import unicodedata
+
+    if t is None:
+        return None
+    t = t.encode("utf-8", "replace").decode("utf-8")
+    return unicodedata.normalize(form, t)
+
+
+def sanitize_unicode(df: DataFrame, col: str = "text", form: str = "NFC") -> DataFrame:
+    """The reference's write-path unicode hygiene (storage.py:217-235
+    clean_surrogates) + unicode normalization (SURVEY.md §7.3 hard-part 1).
+    Arrow-batched pandas UDF running fix_unicode per value. (Strings that
+    cross the JVM/Arrow boundary are already surrogate-free — the codec path
+    matters when this kernel runs against raw Python-side sources.)"""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _clean(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: fix_unicode(t, form))
+
+    return df.withColumn(col, _clean(F.col(col)))
 
 
 def normalize_clean(df: DataFrame, col: str = "text") -> DataFrame:

@@ -80,6 +80,7 @@ register("remove_citations", OpSpec(_simple(refine.remove_citations), _TEXT_IN, 
 register("s_stem", OpSpec(_simple(refine.s_stem), _TEXT_IN, _NO_NEW))
 register("anonymize_pii", OpSpec(_simple(refine.anonymize_pii), _TEXT_IN, _NO_NEW))
 register("normalize_dates", OpSpec(_simple(refine.normalize_dates), _TEXT_IN, _NO_NEW))
+register("sanitize_unicode", OpSpec(_simple(refine.sanitize_unicode), _TEXT_IN, _NO_NEW))
 
 
 def _rule_filter(**p):

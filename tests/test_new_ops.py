@@ -302,3 +302,14 @@ def test_code_quality_filter_drops_bad(spark):
     df = spark.createDataFrame(rows, ["id", "text"])
     kept = {r["id"] for r in code_ops.code_quality_filter(df).collect()}
     assert kept == {"ok"}
+
+
+def test_sanitize_unicode(spark):
+    rows = [("nfd", "cafe\u0301 mixed"), ("none", None)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r["text"] for r in refine.sanitize_unicode(df).collect()}
+    assert out["nfd"] == "caf\u00e9 mixed"  # NFC composes e + combining accent
+    assert out["none"] is None
+    # surrogate path (kernel-level: the JVM/Arrow transit already strips them)
+    assert refine.fix_unicode("bad \ud800 char") == "bad ? char"
+    assert refine.fix_unicode(None) is None
