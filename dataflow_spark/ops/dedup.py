@@ -195,9 +195,13 @@ def dedup_minhash_lsh(
     n_target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if df.rdd.getNumPartitions() < n_target:
         df = df.repartition(n_target)
-    # persist the signatures: banded feeds two consumers (winner agg + semi
-    # join) and without a cache the Arrow UDF would run twice
-    sigd = df.select(ordered.alias("__w"), sig).persist()
+    # persist signatures + payload: banded feeds the winner agg, and the
+    # survivor payload join reads the SAME cache — without it, the Arrow UDF
+    # would run twice and the final join would recompute the entire upstream
+    # (scan+refine) a second time (measured: the second pass was the largest
+    # non-scaling cost in the flagship). At 10^12-turn scale swap .persist()
+    # for a DISK_ONLY level or a temp-table checkpoint; the topology is the same.
+    sigd = df.select(ordered.alias("__w"), *payload, sig).persist()
     banded = sigd.select(
         "__w",
         F.explode(
@@ -224,11 +228,15 @@ def dedup_minhash_lsh(
         .groupBy("__w")
         .agg(F.count("*").alias("__n"))
         .filter(F.col("__n") == bands)
-        .select(*[F.col(f"__w.{c}").alias(c) for c in order_cols])
+        .select("__w")
     )
     if not payload:
-        return survivors
-    return df.join(survivors, list(order_cols), "left_semi").select(*order_cols, *payload)
+        return survivors.select(*[F.col(f"__w.{c}").alias(c) for c in order_cols])
+    # survivors is tiny relative to the input → AQE turns this into a
+    # broadcast semi join; the cached sigd side streams with no shuffle
+    return sigd.join(survivors, ["__w"], "left_semi").select(
+        *[F.col(f"__w.{c}").alias(c) for c in order_cols], *payload
+    )
 
 
 # ---------------------------------------------------------------------------
