@@ -536,6 +536,19 @@ def q_embed_diversity(spark, sf):
     return embeddings.dataset_diversity(e)
 
 
+def q_set_intersect(spark, sf):
+    """Set-ops coverage (§2.7): INTERSECT of the rule-filtered and
+    stub-score-filtered turn sets (exceptAll is covered by filter_rejects)."""
+    t = _transcripts(spark, sf)
+    a = filters.apply_filters(t, *filters.default_quality_predicates(F.col("text"))).select(
+        "conv_id", "turn_idx"
+    )
+    b = t.filter(prompted.stub_score_col(EVAL_PROMPT, F.col("text")) >= 3).select(
+        "conv_id", "turn_idx"
+    )
+    return a.intersect(b)
+
+
 def q_refine_unicode(spark, sf):
     """Unicode sanitation (surrogate replacement + NFC) — storage.py:217-235
     twin; DuckDB's nfc_normalize is the oracle."""
@@ -661,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_hardness": q_sql_hardness,
         "docs_code_stats": q_docs_code_stats,
         "refine_unicode": q_refine_unicode,
+        "set_intersect": q_set_intersect,
     }
 
 
@@ -1382,5 +1396,15 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["refine_unicode"] = "SELECT doc_id, nfc_normalize(text) AS nfc_text FROM documents"
+
+    o["set_intersect"] = with_transcripts(
+        f"""
+        SELECT conv_id, turn_idx FROM transcripts WHERE {_RULES_PRED}
+        INTERSECT
+        SELECT conv_id, turn_idx FROM (
+          SELECT conv_id, turn_idx, {_stub} AS score FROM transcripts
+        ) WHERE score >= 3
+        """
+    )
 
     return o

@@ -112,8 +112,13 @@ def _flagship(spark, table_dir: str):
 
     t = spark.read.parquet(table_dir)
     t = refine.remove_extra_spaces(t)
+    # rule predicates BEFORE the expensive near-dedup (drops ~1/3 of rows
+    # ahead of the signature UDF), via the single-pass batch-UDF conjunction —
+    # the expression path re-evaluates the refine chain once per pushed
+    # conjunct (40 regexp_replace nodes in the plan, 70s for 1M rows; see
+    # filters.apply_quality_filter_udf docstring)
+    t = filters.apply_quality_filter_udf(t)
     t = dedup.dedup_minhash_lsh(t, payload_cols=["role", "text"])
-    t = filters.apply_filters(t, *filters.default_quality_predicates(F.col("text")))
     t = t.persist()
     try:
         _materialize(windows.window_quality_agg(t, "6 hours"))
@@ -154,7 +159,7 @@ def run_flagship_only(rep: int) -> None:
     _prepare_input(spark, SF_DIR, rep, table_dir)  # untimed fixture setup
     _flagship(spark, table_dir)  # warm-up: JIT, codegen, parquet footers
     best = None
-    for _ in range(2 if rep <= 10 else 1):
+    for _ in range(2):  # best-of-2, same protocol at every cluster size
         # clearCache so the timed runs recompute the minhash signatures —
         # the op's internal persist() is plan-matched across runs and would
         # silently serve the warm-up's cache otherwise (measured: hides the
@@ -171,15 +176,18 @@ def run_flagship_only(rep: int) -> None:
 
 
 def run_scaling() -> None:
-    """Identical job, identical input, two cluster sizes: N=2 vs 4N=8 SEPARATE
-    executor JVMs (local-cluster[E,2,6144]) — the sandbox stand-in for N vs 4N
-    executors the north_rule asks for. One JVM with 4x task threads (local[N])
-    understates real-cluster scaling: per-JVM allocator/GC contention caps
-    pure-CPU scaling at ~0.4 on this box, while separate executor JVMs reach
-    0.83-0.91 (BASELINE.md has the calibration table)."""
-    rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "30"))
+    """Identical job, identical input, two cluster sizes: N=1 vs 4N=4 SEPARATE
+    executor JVMs (local-cluster[E,2,6144], 2 cores each) — the sandbox
+    stand-in for N vs 4N executors the north_rule asks for. One JVM with 4x
+    task threads (local[N]) understates real-cluster scaling: per-JVM
+    allocator/GC contention caps pure-CPU scaling at ~0.4 on this box, while
+    separate executor JVMs reach 0.83-0.91. The pair (1,4) keeps even the
+    larger size (8 cores) far below the host's ~22 effective cores, so
+    hypervisor contention doesn't pollute the ratio (BASELINE.md has the
+    calibration table)."""
+    rep = int(os.environ.get("SPARK_GRAFT_SCALE_REP", "40"))
     out = {}
-    for n_exec in (2, 8):
+    for n_exec in (1, 4):
         env = dict(os.environ, SPARK_GRAFT_EXECUTORS=str(n_exec))
         r = subprocess.run(
             [sys.executable, __file__, "--flagship-only", str(rep)],
@@ -187,13 +195,13 @@ def run_scaling() -> None:
         )
         line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
         out[n_exec] = json.loads(line)
-    eff = (out[8]["turns_per_sec"] / out[2]["turns_per_sec"]) / 4.0
+    eff = (out[4]["turns_per_sec"] / out[1]["turns_per_sec"]) / 4.0
     print(json.dumps({
-        "metric": "flagship turns/sec scaling N=2 -> 4N=8 executors (2 cores each)",
+        "metric": "flagship turns/sec scaling N=1 -> 4N=4 executors (2 cores each)",
         "sf": _sf_of(SF_DIR),
         "rep": rep,
-        "turns": out[8]["turns"],
-        "n2": out[2], "n8": out[8],
+        "turns": out[4]["turns"],
+        "n1": out[1], "n4": out[4],
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
     }))

@@ -158,6 +158,42 @@ def minhash_signature_udf(num_perm: int = 64, shingle_k: int = 5):
     return sig
 
 
+def minhash_band_hash_udf(num_perm: int = 64, bands: int = 4, shingle_k: int = 5):
+    """Arrow-batched pandas UDF: text → array<long> of `bands` band hashes.
+
+    Computes the full minhash signature, then hashes each rows_per_band slice
+    to one 64-bit value (md5 head) INSIDE the UDF — the engine never ships or
+    caches the 64-long signature, only `bands` longs per row (8x smaller
+    cache, no JVM-side per-band string building). Band bucket identity
+    (band_idx, hash) is equivalent to slice-tuple equality modulo 2^-64
+    collisions."""
+    import hashlib
+
+    a, b = _minhash_perms(num_perm)
+    rpb = num_perm // bands
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _char_shingle_hashes(t, shingle_k)
+            vals = (a[None, :] * sh[:, None] + b[None, :]) % _MERSENNE
+            sig_bytes = vals.min(axis=0).astype("<u8").tobytes()
+            out.append(
+                [
+                    int.from_bytes(
+                        hashlib.md5(sig_bytes[i * rpb * 8 : (i + 1) * rpb * 8]).digest()[:8],
+                        "little",
+                    )
+                    - 2**63
+                    for i in range(bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return bh
+
+
 def dedup_minhash_lsh(
     df: DataFrame,
     col: str = "text",
@@ -180,13 +216,11 @@ def dedup_minhash_lsh(
     the min) so the surviving full rows come back without a re-join.
     """
     payload = [c for c in (payload_cols or []) if c not in order_cols]
-    rows_per_band = num_perm // bands
-    sig = minhash_signature_udf(num_perm)(F.col(col)).alias("__sig")
+    bh = minhash_band_hash_udf(num_perm, bands)(F.col(col)).alias("__bh")
     # the banded struct carries ONLY the order key (~50B), never the payload —
     # exploding bands would otherwise shuffle `bands` copies of the text;
     # payload is recovered by one equi-join on the (unique) order key at the end
     ordered = F.struct(*[F.col(c) for c in order_cols])
-    band_ix = F.sequence(F.lit(0), F.lit(bands - 1))
     # signature computation is CPU-bound; don't let it inherit the scan's task
     # count (1 file = 1 task locally). Only repartition when the input is
     # under-partitioned — re-shuffling an already-wide input would move the
@@ -201,27 +235,10 @@ def dedup_minhash_lsh(
     # (scan+refine) a second time (measured: the second pass was the largest
     # non-scaling cost in the flagship). At 10^12-turn scale swap .persist()
     # for a DISK_ONLY level or a temp-table checkpoint; the topology is the same.
-    sigd = df.select(ordered.alias("__w"), *payload, sig).persist()
+    sigd = df.select(ordered.alias("__w"), *payload, bh).persist()
     banded = sigd.select(
-        "__w",
-        F.explode(
-            F.transform(
-                band_ix,
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("__sig"), i * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bhash"),
-                ),
-            )
-        ).alias("__b"),
-    )
+        "__w", F.posexplode("__bh").alias("band", "bhash")
+    ).select("__w", F.struct("band", "bhash").alias("__b"))
     winners = banded.groupBy("__b").agg(F.min("__w").alias("__w"))
     survivors = (
         banded.join(winners, ["__b", "__w"], "left_semi")

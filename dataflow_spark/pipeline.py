@@ -91,6 +91,13 @@ def _rule_filter(**p):
 
 
 register("rule_quality_filter", OpSpec(_rule_filter, _TEXT_IN, _NO_NEW, drops_rows=True))
+register(
+    "rule_quality_filter_udf",
+    OpSpec(
+        lambda **p: (lambda df: filters.apply_quality_filter_udf(df, p.get("col", "text"))),
+        _TEXT_IN, _NO_NEW, drops_rows=True,
+    ),
+)
 
 
 def _line_filter(**p):

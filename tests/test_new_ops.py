@@ -313,3 +313,25 @@ def test_sanitize_unicode(spark):
     # surrogate path (kernel-level: the JVM/Arrow transit already strips them)
     assert refine.fix_unicode("bad \ud800 char") == "bad ? char"
     assert refine.fix_unicode(None) is None
+
+
+def test_quality_filter_udf_matches_expression_path(spark, sf_dir):
+    from dataflow_spark.tables import build_transcripts
+
+    t = build_transcripts(spark, sf_dir)
+    expr_kept = {
+        (r["conv_id"], r["turn_idx"])
+        for r in filters.apply_filters(
+            t, *filters.default_quality_predicates(F.col("text"))
+        ).select("conv_id", "turn_idx").collect()
+    }
+    udf_kept = {
+        (r["conv_id"], r["turn_idx"])
+        for r in filters.apply_quality_filter_udf(t).select("conv_id", "turn_idx").collect()
+    }
+    assert expr_kept == udf_kept
+    # and the python kernel twin agrees row-by-row
+    for row in t.select("conv_id", "turn_idx", "text").collect():
+        assert (filters.default_quality_keep(row["text"]) is True) == (
+            (row["conv_id"], row["turn_idx"]) in expr_kept
+        )
