@@ -87,7 +87,7 @@ def q_dedup_ngram_chunks(spark, sf):
 
 
 def q_window_quality(spark, sf):
-    t = quality.project_gram_counts(_transcripts(spark, sf), "text", 3)
+    t = quality.project_gram_counts_udf(_transcripts(spark, sf), "text", 3)
     return (
         t.groupBy(F.window("ts", "6 hours").alias("win"), "conv_id")
         .agg(

@@ -16,17 +16,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dataflow_spark.ops.quality import project_gram_counts
+from dataflow_spark.ops.quality import project_gram_counts_udf
 
 
 def window_quality_agg(df: DataFrame, window: str = "6 hours") -> DataFrame:
     """Per-conversation tumbling-window quality scoring — the north-star
     groupBy(window(ts), conv_id) stage. Returns one row per (window, conv).
 
-    Per-row scores come from project_gram_counts (single aliased words-array
-    projection) so the regex split runs once per row and the aggregate sums
-    plain attributes — see that docstring for the measured plan pathology."""
-    pre = project_gram_counts(df, "text", 3)
+    Per-row scores come from project_gram_counts_udf (one Arrow batch pass)
+    so the aggregate sums plain attributes — see that docstring and PLANS.md
+    for the measured expression-path pathologies."""
+    pre = project_gram_counts_udf(df, "text", 3)
     return (
         pre.groupBy(F.window("ts", window).alias("win"), "conv_id")
         .agg(

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataflow_spark.ops import filters, refine
-from dataflow_spark.ops.quality import project_gram_counts
+from dataflow_spark.ops.quality import project_gram_counts_udf
 from dataflow_spark.schema import TRANSCRIPT_SCHEMA
 
 
@@ -54,8 +54,8 @@ def window_quality_stage(
 ) -> DataFrame:
     """Tumbling-window per-conversation quality scoring (append mode — rows
     emit when the watermark passes the window end). Per-row scores projected
-    before the agg (see quality.project_gram_counts plan note)."""
-    pre = project_gram_counts(sdf, "text", 3)
+    before the agg via the batch-UDF gram counter (see quality module)."""
+    pre = project_gram_counts_udf(sdf, "text", 3)
     return (
         pre.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), "conv_id")

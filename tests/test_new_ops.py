@@ -335,3 +335,15 @@ def test_quality_filter_udf_matches_expression_path(spark, sf_dir):
         assert (filters.default_quality_keep(row["text"]) is True) == (
             (row["conv_id"], row["turn_idx"]) in expr_kept
         )
+
+
+def test_gram_counts_udf_matches_expression(spark, sf_dir):
+    from dataflow_spark.tables import build_transcripts
+    from dataflow_spark.ops import quality as q
+
+    t = build_transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    a = q.project_gram_counts(t, "text", 3).select("conv_id", "turn_idx", "__wc", "__uniq", "__total")
+    b = q.project_gram_counts_udf(t, "text", 3).select("conv_id", "turn_idx", "__wc", "__uniq", "__total")
+    rows_a = {tuple(r) for r in a.collect()}
+    rows_b = {tuple(r) for r in b.collect()}
+    assert rows_a == rows_b
