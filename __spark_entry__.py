@@ -67,8 +67,11 @@ def q_refine_normalize(spark, sf):
 
 
 def q_filter_rules(spark, sf):
-    t = _transcripts(spark, sf)
-    t = filters.apply_filters(t, *filters.default_quality_predicates(F.col("text")))
+    """Single-pass batch-UDF rule conjunction (the engineered hot path; the
+    per-predicate expression forms are oracle-checked via filter_labels /
+    filter_lines — see PLANS.md for why the pushed-down expression conjunction
+    loses by 15x)."""
+    t = filters.apply_quality_filter_udf(_transcripts(spark, sf))
     return t.select("conv_id", "turn_idx")
 
 
