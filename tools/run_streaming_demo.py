@@ -32,6 +32,25 @@ def main() -> None:
     print(f"workdir: {work}")
     df = synth_transcripts(spark, n_turns=n, n_convs=max(20, n // 50))
     write_stream_chunks(df, f"{work}/src", n_chunks=8)
+    # two far-future sentinel chunks: the first advances the event-time
+    # watermark past every session's gap timeout, the second gives the state
+    # operator a batch in which to fire them (same pattern as the tests)
+    import os
+    import pandas as pd
+
+    max_ts = pd.Timestamp(df.agg({"ts": "max"}).first()[0])
+    for i, offset in enumerate(("2 hours", "2 hours 10 minutes")):
+        sent = pd.DataFrame(
+            [{"conv_id": "zz-sentinel", "turn_idx": i, "role": "user",
+              "text": "sentinel", "tool": None,
+              "ts": (max_ts + pd.Timedelta(offset)).tz_localize("UTC")
+              if max_ts.tz is None else max_ts + pd.Timedelta(offset)}]
+        )
+        sent["turn_idx"] = sent["turn_idx"].astype("int32")
+        sent["tool"] = sent["tool"].astype("string")
+        path = f"{work}/src/part-sent{i}.parquet"
+        sent.to_parquet(path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(path, (time.time() + 60 + i, time.time() + 60 + i))
 
     t0 = time.time()
     sdf = sp.read_transcript_stream(spark, f"{work}/src", max_files_per_trigger=2)
@@ -58,10 +77,11 @@ def main() -> None:
     q2.awaitTermination()
     dt = time.time() - t0
 
-    tbl = spark.read.parquet(f"{work}/tbl")
+    tbl = spark.read.parquet(f"{work}/tbl").filter("conv_id <> 'zz-sentinel'")
     print(f"input turns: {n}; cleaned+deduped rows: {tbl.count()}; wall: {dt:.1f}s; turns/sec: {2*n/dt:.0f} (2 queries)")
     try:
         sess = spark.read.option("basePath", f"{work}/sessions").parquet(f"{work}/sessions/batch_id=*")
+        sess = sess.filter("conv_id <> 'zz-sentinel'")
         print("sessions emitted:", sess.count(), "| sample:")
         sess.drop("batch_id").show(5, truncate=60)
     except Exception as e:
