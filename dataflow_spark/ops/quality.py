@@ -75,7 +75,10 @@ def project_gram_counts_udf(df: DataFrame, col: str = "text", n: int = 3) -> Dat
     def gram(s: pd.Series) -> pd.DataFrame:
         out = []
         for txt in s:
-            ws = (txt or "").lower().split()
+            # `or [""]`: empty/whitespace-only text counts as one empty token,
+            # matching the SQL twin (regexp_split_to_array of '' -> ['']) and
+            # the expression path (split returns [""]), so oracles agree
+            ws = (txt or "").lower().split() or [""]
             m = len(ws)
             if m >= n:
                 uniq = len(set(zip(*(ws[i:] for i in range(n)))))

@@ -96,3 +96,39 @@ def test_salted_agg_equals_plain_agg(spark, rows, salt):
         for f in ("n_turns", "total_chars", "first_ts", "last_ts"):
             assert got[k][f] == want[k][f], (k, f)
     df.unpersist()
+
+
+@given(st.lists(TEXTS, min_size=1, max_size=30))
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_udf_filter_kernel_matches_expression_predicates(spark, texts):
+    """The single-pass python kernel (default_quality_keep) and the
+    per-predicate JVM expression conjunction must agree on arbitrary text —
+    including unicode whitespace and empty/degenerate rows."""
+    from dataflow_spark.ops import filters
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    expr_kept = {
+        r["id"]
+        for r in filters.apply_filters(
+            df, *filters.default_quality_predicates(F.col("text"))
+        ).collect()
+    }
+    kernel_kept = {i for i, t in enumerate(texts) if filters.default_quality_keep(t)}
+    assert expr_kept == kernel_kept
+
+
+@given(st.lists(TEXTS, min_size=1, max_size=30))
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gram_udf_matches_expression_on_arbitrary_text(spark, texts):
+    from dataflow_spark.ops import quality
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    a = {
+        r["id"]: (r["__wc"], r["__uniq"], r["__total"])
+        for r in quality.project_gram_counts(df, "text", 3).collect()
+    }
+    b = {
+        r["id"]: (r["__wc"], r["__uniq"], r["__total"])
+        for r in quality.project_gram_counts_udf(df, "text", 3).collect()
+    }
+    assert a == b
