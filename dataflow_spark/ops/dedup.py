@@ -163,10 +163,11 @@ def minhash_band_hash_udf(num_perm: int = 64, bands: int = 4, shingle_k: int = 5
 
     Computes the full minhash signature, then hashes each rows_per_band slice
     to one 64-bit value (md5 head) INSIDE the UDF — the engine never ships or
-    caches the 64-long signature, only `bands` longs per row (8x smaller
-    cache, no JVM-side per-band string building). Band bucket identity
-    (band_idx, hash) is equivalent to slice-tuple equality modulo 2^-64
-    collisions."""
+    caches the 64-long signature, only `bands` longs per row (the signature
+    itself never leaves the Python worker; the cached relation still carries
+    whatever payload columns the caller asked to ride along). Band bucket
+    identity (band_idx, hash) is equivalent to slice-tuple equality modulo
+    2^-64 collisions."""
     import hashlib
 
     a, b = _minhash_perms(num_perm)
@@ -214,6 +215,13 @@ def dedup_minhash_lsh(
 
     payload_cols ride along in the winner struct (order_cols prefix decides
     the min) so the surviving full rows come back without a re-join.
+
+    Cache lifecycle: the returned plan reads a persisted signature relation
+    (signatures + payload computed once, consumed by both the band agg and the
+    survivor join). The handle is exposed as `out.minhash_sig_cache`; callers
+    that invoke this repeatedly in a long-lived driver should call
+    `out.minhash_sig_cache.unpersist()` after the consuming action (the
+    flagship bench does), or `spark.catalog.clearCache()`.
     """
     payload = [c for c in (payload_cols or []) if c not in order_cols]
     bh = minhash_band_hash_udf(num_perm, bands)(F.col(col)).alias("__bh")
@@ -248,12 +256,15 @@ def dedup_minhash_lsh(
         .select("__w")
     )
     if not payload:
-        return survivors.select(*[F.col(f"__w.{c}").alias(c) for c in order_cols])
-    # survivors is tiny relative to the input → AQE turns this into a
-    # broadcast semi join; the cached sigd side streams with no shuffle
-    return sigd.join(survivors, ["__w"], "left_semi").select(
-        *[F.col(f"__w.{c}").alias(c) for c in order_cols], *payload
-    )
+        out = survivors.select(*[F.col(f"__w.{c}").alias(c) for c in order_cols])
+    else:
+        # survivors is tiny relative to the input → AQE turns this into a
+        # broadcast semi join; the cached sigd side streams with no shuffle
+        out = sigd.join(survivors, ["__w"], "left_semi").select(
+            *[F.col(f"__w.{c}").alias(c) for c in order_cols], *payload
+        )
+    out.minhash_sig_cache = sigd  # see docstring: unpersist after consumption
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -288,21 +299,41 @@ def dedup_simhash(
     col: str = "text",
     hamming_thr: int = 3,
     order_cols: tuple[str, ...] = ORDER_COLS,
+    bucket_cap: int = 20_000,
 ) -> DataFrame:
     """SimHashDeduplicateFilter — simhash_deduplicate_filter.py:55-85, but the
     O(n^2) all-seen scan is replaced by the pigeonhole-band trick: split the
     64-bit simhash into hamming_thr+1 bands; two hashes within the Hamming
     radius must agree exactly on >=1 band → candidate pairs come from a
     band-equality shuffle join, then exact Hamming check within bucket.
+
+    Skew hardening (both exact):
+      - identical simhashes are collapsed FIRST (groupBy __sh, min order key):
+        any non-minimal row ties its representative at Hamming 0, so only one
+        representative per distinct simhash enters the pair join. This removes
+        the dominant blowup source — boilerplate/empty texts that all hash to
+        the same value would otherwise make one O(bucket^2) band bucket.
+      - a row survives iff its simhash's representative survives AND it IS the
+        representative (later same-hash rows are losers by construction).
+    bucket_cap bounds the residual per-band bucket of *distinct* simhashes:
+    buckets larger than the cap keep only the `bucket_cap` earliest candidates
+    (pairs entirely beyond the cap may be missed — approximate past the cap,
+    exact below it; tests exercise both regimes).
     """
     n_bands = hamming_thr + 1
     width = 64 // n_bands
     ordered = F.struct(*[F.col(c) for c in order_cols])
-    # see dedup_minhash_lsh: unlock cores for the CPU-bound signature kernel;
-    # persist because sh feeds three consumers (l/r of the pair join + the
-    # survivor anti-join) and the UDF must run once
-    df = df.repartition(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    # see dedup_minhash_lsh: unlock cores for the CPU-bound signature kernel —
+    # but only when the input is under-partitioned (re-shuffling an already
+    # wide input would move the full text payload for nothing)
+    n_target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < n_target:
+        df = df.repartition(n_target)
+    # persist: sh feeds the representative agg and the final winner expansion;
+    # the UDF must run once. Handle exposed as out.simhash_sig_cache.
     sh = df.select(ordered.alias("__w"), simhash_udf()(F.col(col)).alias("__sh")).persist()
+    # exact collapse: one representative (earliest) per distinct simhash
+    rep = sh.groupBy("__sh").agg(F.min("__w").alias("__w"))
     bands_arr = F.array(
         *[
             F.struct(
@@ -314,16 +345,23 @@ def dedup_simhash(
             for b in range(n_bands)
         ]
     )
-    banded = sh.select("__w", "__sh", F.explode(bands_arr).alias("__b"))
-    # candidate pairs within a band bucket; loser = later row within Hamming radius
+    banded = rep.select("__w", "__sh", F.explode(bands_arr).alias("__b"))
+    if bucket_cap:
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(Window.partitionBy("__b").orderBy("__w"))
+        banded = banded.withColumn("__rn", rn).filter(F.col("__rn") <= bucket_cap).drop("__rn")
+    # candidate pairs within a band bucket; loser = later rep within radius
     pairs = banded.alias("l").join(
         banded.alias("r"),
         (F.col("l.__b") == F.col("r.__b")) & (F.col("l.__w") < F.col("r.__w")),
     )
     hamming = F.bit_count(F.col("l.__sh").bitwiseXOR(F.col("r.__sh")))
     losers = pairs.filter(hamming <= hamming_thr).select(F.col("r.__w").alias("__w")).distinct()
-    survivors = sh.select("__w").distinct().join(losers, "__w", "left_anti")
-    return survivors.select(*[F.col(f"__w.{c}").alias(c) for c in order_cols])
+    surviving_reps = rep.join(losers, "__w", "left_anti")
+    out = surviving_reps.select(*[F.col(f"__w.{c}").alias(c) for c in order_cols])
+    out.simhash_sig_cache = sh  # unpersist after the consuming action
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -337,12 +375,22 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.8,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity.
 
     Classic candidate-pair topology: distinct shingles → explode → self-join
     on shingle (shuffle on shingle hash, never n^2) → per-pair intersection
     count → Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    max_df is the frequent-shingle ceiling: shingles appearing in more than
+    max_df documents are dropped from the shingle UNIVERSE (both intersection
+    and set sizes — a consistent restricted set space, so Jaccard stays a real
+    Jaccard over the rare-shingle sets). Without it one ubiquitous n-gram
+    ("in the and") creates an O(df^2) bucket at web scale. The DuckDB oracle
+    implements the identical ceiling, so the comparison is exact at any scale;
+    high-Jaccard pairs move negligibly because dropped shingles are shared by
+    construction. max_df=None disables (exact classical Jaccard).
     """
     from dataflow_spark.ops.quality import gram_structs
 
@@ -353,9 +401,22 @@ def ngram_jaccard_pairs(
         F.array(F.xxhash64(F.concat_ws(" ", ws)))
     )
     shingles = F.array_distinct(grams)
-    base = df.select(F.col(id_col).alias("id"), shingles.alias("sh")).select(
-        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    exploded = df.select(F.col(id_col).alias("id"), shingles.alias("sh")).select(
+        "id", F.explode("sh").alias("shingle")
     )
+    if max_df is not None:
+        # document-frequency ceiling: one extra agg on the (id-distinct)
+        # shingle stream; the survivors re-derive per-doc set sizes so the
+        # denominator matches the restricted universe
+        rare = (
+            exploded.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(rare, "shingle", "left_semi")
+    sizes = exploded.groupBy("id").agg(F.count("*").alias("n_sh"))
+    base = exploded.join(sizes, "id")
     pairs = (
         base.alias("a")
         .join(base.alias("b"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))

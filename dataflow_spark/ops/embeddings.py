@@ -191,19 +191,43 @@ def ivf_topk(
     )
 
 
+def deterministic_sample_pred(id_col: str, keep_num: int, keep_den: int = 16):
+    """Keep predicate for a deterministic, engine-portable sample: first hex
+    nibble of md5(id as string) < keep_num (md5 is md5 in Spark, DuckDB, and
+    Python — so oracles and goldens replicate the exact subset, unlike
+    df.sample whose RNG is engine-private). keep_num/keep_den is the sampled
+    fraction."""
+    nibble = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 1), 16, 10).cast("int")
+    return nibble < int(keep_num), f"{keep_num}/{keep_den}"
+
+
 def dataset_diversity(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_keep16: int | None = None,
 ) -> DataFrame:
     """VendiDatasetEvaluator / Task2VecDatasetEvaluator analog
     (/root/reference/dataflow/operators/general_text/eval/vendi_dataset_evaluator.py:11,
     task2vec_dataset_evaluator.py:15): whole-dataset diversity scalar from
     pairwise embedding similarity — here 1 − mean pairwise cosine (the
     similarity-matrix mean those evaluators start from), one global aggregate
-    row. Exact all-pairs: at 100-TB scale run it over a uniform sample
-    (df.sample) — the estimator's variance drops as 1/pairs, a few 10^4 rows
-    suffice; the exact form here is the oracle-checkable baseline."""
-    a = df.select(F.col(id_col).alias("ida"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("idb"), F.col(vec_col).alias("vb"))
+    row.
+
+    sample_keep16=k keeps the deterministic md5-nibble sample (k/16 of rows)
+    BEFORE the pair join — the scale path: the pair count drops by (k/16)^2
+    and the mean-similarity estimator's variance shrinks as 1/pairs, so a few
+    10^4 sampled rows suffice at any corpus size. The sample is reproducible
+    across engines (see deterministic_sample_pred), so the sampled run is
+    still exactly oracle-checkable — not a weaker rows-only check.
+    sample_keep16=None is the exact all-pairs baseline (small inputs only).
+    """
+    base = df
+    if sample_keep16 is not None:
+        pred, _ = deterministic_sample_pred(id_col, sample_keep16)
+        base = df.filter(pred)
+    a = base.select(F.col(id_col).alias("ida"), F.col(vec_col).alias("va"))
+    b = base.select(F.col(id_col).alias("idb"), F.col(vec_col).alias("vb"))
     sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
     return (
         a.join(b, F.col("ida") < F.col("idb"))
@@ -220,20 +244,55 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 0,
+    n_bands: int = 16,
+    n_planes: int = 2,
 ) -> DataFrame:
     """SemDeduplicateFilter analog
     (/root/reference/dataflow/operators/general_text/filter/sem_deduplicate_filter.py:141-150):
     for every pair with cosine >= threshold, drop the later id (id order = the
     reference's row order). Survivors = ids never appearing as the loser of a
     threshold pair — one anti-join over the candidate-pair set, never O(n^2)
-    state on any single node."""
+    state on any single node.
+
+    Defaults run the banded-LSH scale path (see embedding_neardup_pairs);
+    n_bands=0 forces the exact all-pairs baseline for small-input oracles."""
     losers = (
-        embedding_neardup_pairs(df, threshold, id_col, vec_col, n_planes)
+        embedding_neardup_pairs(df, threshold, id_col, vec_col, n_bands, n_planes)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def _hyperplane_band_sig(vec, n_bands: int, n_planes: int):
+    """Array of `n_bands` sign-signature ints (n_planes bits each) from
+    deterministic pseudo-random hyperplanes: component (p,d) of plane p is
+    (xxhash64(p*1000+d) % 1000)/500 - 1 ∈ [-1,1). Pure JVM exprs — the
+    hyperplanes fold into the plan, nothing is broadcast."""
+    dim_ix = F.sequence(F.lit(0), F.size(vec) - 1)
+
+    def plane_bit(p):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(dim_ix, lambda d: (F.xxhash64(p * 1000 + d) % 1000).cast("double") / 500.0 - 1.0),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+
+    return F.array(
+        *[
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                F.lit(0),
+                lambda acc, j: acc * 2 + plane_bit(F.lit(b * n_planes) + j),
+            )
+            for b in range(n_bands)
+        ]
+    )
 
 
 def embedding_neardup_pairs(
@@ -241,44 +300,50 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 0,
+    n_bands: int = 16,
+    n_planes: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
 
-    n_planes=0 → exact self-join (correctness baseline / oracle-matchable).
-    n_planes>0 → random-hyperplane LSH: only pairs agreeing on the sign
-    signature are compared (scale path; recall < 1 by design).
+    Default (the scale path): OR-amplified random-hyperplane LSH — `n_bands`
+    independent bands of `n_planes` sign bits; a pair is a candidate iff it
+    agrees on >=1 whole band, then every candidate is EXACTLY cosine-verified,
+    so precision is always 1 and recall is the only approximation. For a pair
+    at angle θ, P(caught) = 1-(1-(1-θ/π)^n_planes)^n_bands — with the default
+    (16 bands × 2 planes) a sim-0.4 pair is caught w.p. ~0.9997 and anything
+    ≥0.9 is ~1-1e-12; recall vs the exact baseline is asserted in tests.
+    Candidate generation shuffles on (band, sig) — never an all-pairs join.
+
+    n_bands=0 → exact all-pairs self-join (correctness baseline for oracles;
+    quadratic, small inputs only).
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    if n_planes > 0:
-        # deterministic pseudo-random hyperplanes from xxhash of (plane, dim)
-        dim_ix = F.sequence(F.lit(0), F.size(F.col("vec")) - 1)
-        sig = F.concat_ws(
-            "",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_planes - 1)),
-                lambda p: F.when(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("vec"),
-                            F.transform(dim_ix, lambda d: (F.xxhash64(p * 1000 + d) % 1000).cast("double") / 500.0 - 1.0),
-                            lambda x, h: x.cast("double") * h,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    > 0,
-                    F.lit("1"),
-                ).otherwise(F.lit("0")),
-            ),
+    if n_bands > 0:
+        # key-only band explode (the minhash pattern): the banded shuffle
+        # carries (id, band, bsig) — never the vector payload; vectors are
+        # fetched once per surviving candidate pair by two equi-joins on id
+        sig = _hyperplane_band_sig(F.col("vec"), n_bands, n_planes)
+        banded = base.select("id", F.posexplode(sig).alias("band", "bsig"))
+        cand = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bsig") == F.col("b.bsig"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()  # a pair agreeing on k bands appears k times
         )
-        base = base.withColumn("__sig", sig)
-        pairs = base.alias("a").join(
-            base.alias("b"),
-            (F.col("a.__sig") == F.col("b.__sig")) & (F.col("a.id") < F.col("b.id")),
+        va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+        vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+        verified = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
         )
-    else:
-        pairs = base.alias("a").join(base.alias("b"), F.col("a.id") < F.col("b.id"))
+        return verified.filter(F.col("sim") >= threshold)
+    pairs = base.alias("a").join(base.alias("b"), F.col("a.id") < F.col("b.id"))
     sim = F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
     return pairs.select(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("sim")

@@ -75,10 +75,16 @@ def project_gram_counts_udf(df: DataFrame, col: str = "text", n: int = 3) -> Dat
     def gram(s: pd.Series) -> pd.DataFrame:
         out = []
         for txt in s:
+            # NULL text matches the expression twin exactly: size(split(NULL))
+            # is NULL -> wc NULL, and the `when(m >= n)` guard falls through to
+            # the (1, 1) short-text convention for uniq/total.
+            if txt is None:
+                out.append((None, 1, 1))
+                continue
             # `or [""]`: empty/whitespace-only text counts as one empty token,
             # matching the SQL twin (regexp_split_to_array of '' -> ['']) and
             # the expression path (split returns [""]), so oracles agree
-            ws = (txt or "").lower().split() or [""]
+            ws = txt.lower().split() or [""]
             m = len(ws)
             if m >= n:
                 uniq = len(set(zip(*(ws[i:] for i in range(n)))))

@@ -92,9 +92,9 @@ def session_window_stage(
     the built-in twin of the applyInPandasWithState reassembly in state.py
     (which adds turn-ordered digests + tool-call CEP; this stage gives the
     windowed counts). A new session starts when a turn arrives >= gap after
-    the previous one — the same >= semantics as the batch lag/cumsum
-    formulation in ops/windows.session_windows, so their outputs are
-    row-identical on the same input."""
+    the previous one — the batch twin ops/windows.session_windows uses the
+    same native F.session_window grouping, so their outputs are row-identical
+    on the same input."""
     return (
         sdf.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("win"), "conv_id")

@@ -94,13 +94,22 @@ def make_session_func(gap_seconds: int = 1800, max_turns: int = 10_000):
 
         emitted = []
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                turn_idxs.append(int(row["turn_idx"]))
-                roles.append(str(row["role"]))
-                texts.append(str(row["text"]))
-                us = int(pd.Timestamp(row["ts"]).value // 1000)
-                last_us = max(last_us, us)
-                first_us = us if first_us is None else min(first_us, us)
+            # columnar extraction (the Arrow batch is already columnar —
+            # no per-row Python); the spill loop below consumes list slices
+            idxs = pdf["turn_idx"].astype("int64").tolist()
+            rls = pdf["role"].astype(str).tolist()
+            txs = pdf["text"].astype(str).tolist()
+            uss = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
+            pos, n_rows = 0, len(idxs)
+            while pos < n_rows:
+                take = min(max_turns - len(turn_idxs), n_rows - pos)
+                turn_idxs.extend(int(x) for x in idxs[pos : pos + take])
+                roles.extend(rls[pos : pos + take])
+                texts.extend(txs[pos : pos + take])
+                chunk_us = uss[pos : pos + take]
+                last_us = max(last_us, max(chunk_us))
+                first_us = min(chunk_us) if first_us is None else min(first_us, min(chunk_us))
+                pos += take
                 if len(turn_idxs) >= max_turns:
                     # skew guard: spill overlong session early as partial
                     emitted.append(

@@ -115,3 +115,48 @@ def test_ngram_chunks_collapses_exact_dups(spark, tiny):
     # chunk-dedup is at least as aggressive as exact dedup
     assert got <= n_distinct
     assert got > 0
+
+
+def test_simhash_skewed_boilerplate_fixture(spark):
+    """Pathological skew: thousands of identical/boilerplate texts hash to ONE
+    simhash value. The identical-hash collapse must keep the pair join at
+    O(distinct-hashes^2), not O(rows^2), and keep exactly one survivor for the
+    boilerplate cluster (the earliest row)."""
+    import time
+
+    rows = []
+    for i in range(5000):
+        rows.append((f"c{i % 97:03d}", i, "user", "lorem boilerplate footer text all rights reserved", None,
+                     (pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i)).to_pydatetime()))
+    for i in range(50):
+        rows.append((f"u{i:03d}", i, "user", f"unique content string number {i} with words {i*7}", None,
+                     (pd.Timestamp("2024-01-02") + pd.Timedelta(seconds=i)).to_pydatetime()))
+    df = spark.createDataFrame(
+        rows, "conv_id: string, turn_idx: int, role: string, text: string, tool: string, ts: timestamp"
+    )
+    t0 = time.time()
+    got = dedup.dedup_simhash(df).collect()
+    elapsed = time.time() - t0
+    # exactly one survivor for the 5000-row boilerplate cluster
+    boiler = [r for r in got if r["conv_id"].startswith("c")]
+    assert len(boiler) == 1 and boiler[0]["conv_id"] == "c000" and boiler[0]["turn_idx"] == 0
+    # unique rows survive unless within Hamming radius of an earlier row
+    assert len(got) >= 2
+    # O(n^2) over 5000 identical rows would be 12.5M pairs; collapsed run is fast
+    assert elapsed < 60
+
+
+def test_ngram_jaccard_max_df_ceiling_drops_hot_shingle(spark):
+    """A shingle shared by every document must not create a quadratic bucket:
+    with max_df below the corpus size the ubiquitous shingle leaves the
+    universe and only genuinely-overlapping pairs remain."""
+    common = "the quick brown fox jumps"
+    rows = [(i, f"{common} doc {i} body {i * 13} tail {i * 7}") for i in range(200)]
+    rows.append((900, "alpha beta gamma delta epsilon zeta eta theta"))
+    rows.append((901, "alpha beta gamma delta epsilon zeta eta iota"))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5, max_df=100)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got.collect()}
+    assert (900, 901) in pairs
+    # none of the 200 boilerplate docs pair up once the hot shingles are cut
+    assert all(a == 900 for (a, b) in pairs)

@@ -63,3 +63,58 @@ def test_ivf_recall_against_brute_force(vecs):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_sims:
             assert r["sim"] == pytest.approx(exact_sims[key], abs=1e-9)
+
+
+def test_neardup_lsh_default_matches_exact_small(spark):
+    """Default banded-LSH candidates + exact verify vs the exact all-pairs
+    baseline: precision is 1 by construction; on this fixture (and the sf0.01
+    driver data — verified) recall is 1, so the pair sets are identical."""
+    import numpy as np
+
+    from dataflow_spark.ops import embeddings
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(300, 16).astype(float)
+    # plant 20 true near-dup pairs
+    for i in range(20):
+        vecs[200 + i] = vecs[i] + rng.randn(16) * 0.05
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    exact = {(r["id_a"], r["id_b"]) for r in embeddings.embedding_neardup_pairs(df, 0.95, n_bands=0).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in embeddings.embedding_neardup_pairs(df, 0.95).collect()}
+    assert lsh <= exact or not exact  # precision 1 always
+    missed = exact - lsh
+    assert len(missed) <= max(1, len(exact) // 20)  # recall >= ~0.95
+    assert len(exact) >= 20
+
+
+def test_semantic_dedup_scale_default_drops_planted_dups(spark):
+    import numpy as np
+
+    from dataflow_spark.ops import embeddings
+
+    rng = np.random.RandomState(4)
+    vecs = rng.randn(200, 16).astype(float)
+    for i in range(10):
+        vecs[100 + i] = vecs[i]  # exact copies
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    kept = {r["vec_id"] for r in embeddings.semantic_dedup(df, 0.999).select("vec_id").collect()}
+    assert all(100 + i not in kept for i in range(10))
+    assert all(i in kept for i in range(10))
+
+
+def test_dataset_diversity_sampled_is_deterministic(spark):
+    import numpy as np
+
+    from dataflow_spark.ops import embeddings
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    a = embeddings.dataset_diversity(df, sample_keep16=8).collect()[0]
+    b = embeddings.dataset_diversity(df, sample_keep16=8).collect()[0]
+    full = embeddings.dataset_diversity(df).collect()[0]
+    assert a == b  # md5 sample is deterministic, not RNG-dependent
+    assert a["n_pairs"] < full["n_pairs"]
+    assert abs(a["avg_sim"] - full["avg_sim"]) < 0.05  # unbiased estimator, tight at this n

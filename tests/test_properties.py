@@ -122,7 +122,10 @@ def test_udf_filter_kernel_matches_expression_predicates(spark, texts):
 def test_gram_udf_matches_expression_on_arbitrary_text(spark, texts):
     from dataflow_spark.ops import quality
 
-    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    texts = [None, *texts]  # NULL text must follow the same convention in both paths
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id: long, text: string"
+    )
     a = {
         r["id"]: (r["__wc"], r["__uniq"], r["__total"])
         for r in quality.project_gram_counts(df, "text", 3).collect()

@@ -70,7 +70,7 @@ def test_streaming_window_quality_rows_match_batch(spark, tmp_path):
     out = str(tmp_path / "out")
     ck = str(tmp_path / "ck")
     df = synth_transcripts(spark, n_turns=2000, n_convs=20, seed=5)
-    pdf = df.sort_values = df.toPandas().sort_values("ts")
+    pdf = df.toPandas().sort_values("ts")
     chunks = [pdf.iloc[: len(pdf) // 2], pdf.iloc[len(pdf) // 2 :]]
     write_ordered_chunks(list(chunks), src)
 
