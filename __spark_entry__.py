@@ -75,14 +75,18 @@ def q_filter_rules(spark, sf):
     return t.select("conv_id", "turn_idx")
 
 
-def q_dedup_exact_md5(spark, sf):
-    t = dedup.dedup_exact_md5(_transcripts(spark, sf), payload_cols=["text"])
-    return t.select("conv_id", "turn_idx")
-
-
-def q_dedup_exact_sha(spark, sf):
-    t = dedup.dedup_exact_sha(_transcripts(spark, sf), payload_cols=["text"])
-    return t.select("conv_id", "turn_idx")
+def q_dedup_exact(spark, sf):
+    """Exact first-wins dedup, both hash families in one result: md5
+    (HashDeduplicateFilter) and sha-prefix (CCNetDeduplicateFilter analog),
+    tagged by `method` — two independent groupBy(hash) topologies."""
+    t = _transcripts(spark, sf)
+    a = dedup.dedup_exact_md5(t, payload_cols=["text"]).select("conv_id", "turn_idx").withColumn(
+        "method", F.lit("md5")
+    )
+    b = dedup.dedup_exact_sha(t, payload_cols=["text"]).select("conv_id", "turn_idx").withColumn(
+        "method", F.lit("sha")
+    )
+    return a.unionByName(b)
 
 
 def q_dedup_ngram_chunks(spark, sf):
@@ -135,18 +139,18 @@ def q_role_stats(spark, sf):
     )
 
 
-def q_prompted_eval_stub(spark, sf):
+def q_prompted_eval_filter(spark, sf):
+    """PromptedEvaluator + score-band filter in one stage: the stub-serving
+    integer score column (prompted_eval.py:50-77 parse semantics) followed by
+    the alpagasus-style keep-band (score >= 3). The kept rows carry the score,
+    so both the evaluator and the filter semantics are value-checked."""
     t = _transcripts(spark, sf)
-    return t.select(
+    scored = t.select(
         "conv_id",
         "turn_idx",
         prompted.stub_score_col(EVAL_PROMPT, F.col("text")).alias("score"),
     )
-
-
-def q_prompted_filter_stub(spark, sf):
-    t = q_prompted_eval_stub(spark, sf)
-    return t.filter(F.col("score") >= 3)
+    return scored.filter(F.col("score") >= 3)
 
 
 def q_docs_dedup_exact(spark, sf):
@@ -157,8 +161,16 @@ def q_docs_dedup_exact(spark, sf):
 
 
 def q_docs_quality(spark, sf):
+    """Per-doc quality battery: counts, ratios, composite score, BOTH lang-ID
+    models (3-lang heuristic + the 15-language script/profile model), and an
+    md5-based 16-hex content fingerprint (engine-internal fingerprints use
+    xxhash64 — quality.fingerprint64 — this md5 variant is the cross-engine
+    value-checkable twin)."""
+    from dataflow_spark.ops import nlp
+
     d = load_table(spark, sf, "documents")
     c = F.col("text")
+    norm = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
     return d.select(
         "doc_id",
         quality.word_count(c).alias("n_words"),
@@ -166,6 +178,8 @@ def q_docs_quality(spark, sf):
         quality.stopword_ratio(c).alias("stop_ratio"),
         quality.quality_score(c).alias("quality"),
         quality.lang_id(c).alias("pred_lang"),
+        nlp.lang_id_v2(c).alias("pred_lang2"),
+        F.substring(F.md5(norm), 1, 16).alias("fp16"),
     )
 
 
@@ -212,14 +226,41 @@ def q_dedup_simhash(spark, sf):
     return dedup.dedup_simhash(_transcripts(spark, sf)).select("conv_id", "turn_idx")
 
 
-def q_refine_strip(spark, sf):
-    d = load_table(spark, sf, "documents")
-    return refine.strip_markup(d).select("doc_id", F.col("text").alias("stripped"))
+def q_refine_docs_battery(spark, sf):
+    """Five §2.4 refiners in one projection, each applied to its own copy of
+    the text column (no joins — one narrow select): markup strip chain,
+    stopword removal, date/currency normalization, citation removal, and
+    unicode sanitation (surrogate fix + NFC, the storage.py:217-235 twin)."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    out = d
+    for name, fn in (
+        ("stripped", refine.strip_markup),
+        ("kept", refine.remove_stopwords),
+        ("normalized", refine.normalize_dates),
+        ("no_cites", refine.remove_citations),
+        ("nfc_text", refine.sanitize_unicode),
+    ):
+        out = fn(out.withColumn(name, F.col("text")), name)
+    return out.select("doc_id", "stripped", "kept", "normalized", "no_cites", "nfc_text")
 
 
-def q_refine_stopwords(spark, sf):
-    d = load_table(spark, sf, "documents")
-    return refine.remove_stopwords(d).select("doc_id", F.col("text").alias("kept"))
+def q_refine_tokens_battery(spark, sf):
+    """Token-level refiners in one projection: emoticon strip, contraction
+    expansion, s-stemming (the JVM-expression stem path; Porter runs in
+    docs_lexical), SymSpell spelling correction, and gazetteer NER redaction."""
+    from dataflow_spark.ops import nlp
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    out = d
+    for name, fn in (
+        ("no_emoticons", refine.remove_emoticons),
+        ("expanded", refine.expand_contractions),
+        ("stemmed", refine.s_stem),
+        ("corrected", nlp.spell_correct_refiner),
+        ("redacted", nlp.ner_redact),
+    ):
+        out = fn(out.withColumn(name, F.col("text")), name)
+    return out.select("doc_id", "no_emoticons", "expanded", "stemmed", "corrected", "redacted")
 
 
 def q_refine_pii(spark, sf):
@@ -227,21 +268,42 @@ def q_refine_pii(spark, sf):
     return refine.anonymize_pii(t).select("conv_id", "turn_idx", F.col("text").alias("anon"))
 
 
-def q_refine_dates(spark, sf):
-    d = load_table(spark, sf, "documents")
-    return refine.normalize_dates(d).select("doc_id", F.col("text").alias("normalized"))
 
 
 def q_filter_labels(spark, sf):
+    """The full 22-label rule battery: the 16 text-level labels from
+    filters.label_columns plus the 6 line-structure labels (ellipsis, nopunc,
+    alpha-words, bullet, javascript, blocklist) — every SURVEY §2.2 rule
+    filter implemented as an expression emits its 0/1 label here."""
     t = _transcripts(spark, sf)
-    return t.select("conv_id", "turn_idx", *[c.alias(k) for k, c in filters.label_columns(F.col("text")).items()])
+    c = F.col("text")
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        *[col.alias(k) for k, col in filters.label_columns(c).items()],
+        filters.line_ellipsis_ratio_below(c).cast("int").alias("lbl_ellipsis"),
+        filters.max_nopunc_run_at_most(c).cast("int").alias("lbl_nopunc"),
+        filters.alpha_words_ratio_above(c).cast("int").alias("lbl_alpha"),
+        filters.bullet_line_ratio_at_most(c).cast("int").alias("lbl_bullet"),
+        filters.javascript_lines_ok(c).cast("int").alias("lbl_js"),
+        filters.blocklist_count_at_most(c).cast("int").alias("lbl_blocklist"),
+    )
 
 
-def q_filter_rejects(spark, sf):
-    """Set-ops coverage: rows removed by the rule filter = all EXCEPT ALL kept."""
+def q_filter_setops(spark, sf):
+    """Set-ops coverage in one result: rows the rule filter removed
+    (EXCEPT ALL) and rows kept by BOTH the rule filter and the stub-score
+    band (INTERSECT), tagged by `op`."""
     t = _transcripts(spark, sf)
-    kept = filters.apply_filters(t, *filters.default_quality_predicates(F.col("text")))
-    return t.select("conv_id", "turn_idx").exceptAll(kept.select("conv_id", "turn_idx"))
+    kept = filters.apply_filters(t, *filters.default_quality_predicates(F.col("text"))).select(
+        "conv_id", "turn_idx"
+    )
+    rejects = t.select("conv_id", "turn_idx").exceptAll(kept).withColumn("op", F.lit("reject"))
+    scored = t.filter(prompted.stub_score_col(EVAL_PROMPT, F.col("text")) >= 3).select(
+        "conv_id", "turn_idx"
+    )
+    inter = kept.intersect(scored).withColumn("op", F.lit("intersect"))
+    return rejects.unionByName(inter)
 
 
 def q_docs_readability(spark, sf):
@@ -285,18 +347,27 @@ def q_turn_token_f1(spark, sf):
 
 
 def q_events_json(spark, sf):
-    """JSON functions coverage (§2.7): parse events.props, aggregate by
-    event_type (safe_json_loads analog, storage.py:309-319)."""
+    """JSON functions + approx-distinct coverage (§2.7): parse events.props,
+    aggregate by event_type (safe_json_loads analog, storage.py:309-319);
+    approx_count_distinct (HLL, rsd=0.02) is checked against the exact
+    distinct via the approx_ok band — the oracle asserts the 5% envelope
+    holds, making the approximate op value-checked instead of rows-only."""
     e = load_table(spark, sf, "events")
     k = F.get_json_object("props", "$.k").cast("int")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(k).alias("sum_k"),
-            F.max(k).alias("max_k"),
-            F.countDistinct(k).alias("distinct_k"),
-        )
+    agg = e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.countDistinct(k).alias("distinct_k"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("__approx"),
+    )
+    approx_ok = (
+        F.abs(F.col("__approx") - F.col("n_users_exact")) / F.col("n_users_exact") <= 0.05
+    ).cast("int")
+    return agg.select(
+        "event_type", "n_events", "sum_k", "max_k", "distinct_k", "n_users_exact",
+        approx_ok.alias("approx_ok"),
     )
 
 
@@ -336,59 +407,63 @@ def q_media_features(spark, sf):
 
 
 def q_docs_lexical(spark, sf):
-    """MTLD/HD-D lexical diversity — sequential kernels, no SQL oracle
-    (golden-tested vs the kernel twin)."""
+    """MTLD/HD-D lexical diversity + the Porter-stemmed text — sequential
+    kernels (MTLD per McCarthy & Jarvis 2010; Porter 1980), no SQL oracle
+    (golden-tested vs kernel twins / the published Porter vectors)."""
+    from dataflow_spark.ops import nlp
+
     d = load_table(spark, sf, "documents")
-    return lexical.with_lexical_diversity(d).select("doc_id", "mtld", "hdd")
+    lex = lexical.with_lexical_diversity(d).select("doc_id", "mtld", "hdd")
+    porter = nlp.porter_stem_refiner(d.select("doc_id", "text")).select(
+        "doc_id", F.col("text").alias("porter_stemmed")
+    )
+    return lex.join(porter, "doc_id")
 
 
-def q_orders_rollup(spark, sf):
+def q_orders_grouping(spark, sf):
+    """Grouping-sets coverage (§2.7): ROLLUP and CUBE over the same month ×
+    priority aggregate, tagged by `gset` in one result (both are free in
+    Catalyst; absent in the reference)."""
     o = load_table(spark, sf, "orders")
     month = F.date_format("o_orderdate", "yyyy-MM")
-    return (
-        o.withColumn("o_month", month)
-        .rollup("o_month", "o_orderpriority")
-        .agg(
+
+    def agg(grouped):
+        return grouped.agg(
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
-        )
-        .select(
+        ).select(
             F.coalesce("o_month", F.lit("ALL")).alias("o_month"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
             "n_orders",
             "total_price",
         )
-    )
+
+    base = o.withColumn("o_month", month)
+    r = agg(base.rollup("o_month", "o_orderpriority")).withColumn("gset", F.lit("rollup"))
+    c = agg(base.cube("o_month", "o_orderpriority")).withColumn("gset", F.lit("cube"))
+    return r.unionByName(c)
+
+
+PRICING_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,12))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
 
 
 def q_sql_passthrough(spark, sf):
-    """DBOperator analog (db_operator.py:7-32): user SQL over registered views."""
-    _transcripts(spark, sf).createOrReplaceTempView("transcripts")
-    return spark.sql(
-        "SELECT role, count(DISTINCT conv_id) AS n_convs, "
-        "min(turn_idx) AS min_turn, max(turn_idx) AS max_turn "
-        "FROM transcripts GROUP BY role"
-    )
-
-
-def q_pricing_summary(spark, sf):
-    li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,10)")
-    charge = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    ).cast("decimal(38,12)")
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
-            F.count("*").alias("count_order"),
-        )
-    )
+    """DBOperator analog (db_operator.py:7-32): user SQL text executed
+    verbatim over a registered view — here the TPC-H Q1 pricing summary, so
+    the passthrough path also value-checks the decimal aggregate battery."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(PRICING_SQL)
 
 
 def q_revenue_topk(spark, sf):
@@ -443,28 +518,9 @@ def q_filter_ngram_lang(spark, sf):
     return t.select("conv_id", "turn_idx")
 
 
-def q_refine_emoticons(spark, sf):
-    d = load_table(spark, sf, "documents")
-    return refine.remove_emoticons(d).select("doc_id", F.col("text").alias("no_emoticons"))
-
-
-def q_refine_contractions(spark, sf):
-    d = load_table(spark, sf, "documents")
-    return refine.expand_contractions(d).select("doc_id", F.col("text").alias("expanded"))
-
-
-def q_refine_citations(spark, sf):
-    d = load_table(spark, sf, "documents")
-    return refine.remove_citations(d).select("doc_id", F.col("text").alias("no_cites"))
-
-
-def q_refine_stem(spark, sf):
-    d = load_table(spark, sf, "documents")
-    return refine.s_stem(d).select("doc_id", F.col("text").alias("stemmed"))
-
-
-def q_turn_bleu(spark, sf):
-    """BleuSampleEvaluator analog over (preceding turn, assistant turn) pairs."""
+def _turn_pairs(spark, sf):
+    """(assistant turn, preceding turn) pairs — the shared join for the
+    pairwise evaluators (BenchDatasetEvaluator-style pred↔ref columns)."""
     t = _transcripts(spark, sf)
     a = t.filter(F.col("role") == "assistant").select(
         "conv_id", "turn_idx", F.col("text").alias("a_text")
@@ -472,48 +528,46 @@ def q_turn_bleu(spark, sf):
     p = t.select(
         F.col("conv_id").alias("p_conv"), (F.col("turn_idx") + 1).alias("p_next"), F.col("text").alias("p_text")
     )
-    j = a.join(p, (F.col("conv_id") == F.col("p_conv")) & (F.col("turn_idx") == F.col("p_next")))
-    return j.select(
-        "conv_id", "turn_idx", quality.bleu_overlap(F.col("p_text"), F.col("a_text")).alias("bleu")
+    return a.join(p, (F.col("conv_id") == F.col("p_conv")) & (F.col("turn_idx") == F.col("p_next"))).select(
+        "conv_id", "turn_idx", "p_text", "a_text"
     )
+
+
+def q_turn_eval_pairs(spark, sf):
+    """The pairwise evaluator battery over (preceding turn, assistant turn):
+    token-F1 (AgenticRAGQAF1SampleEvaluator), BLEU-overlap
+    (BleuSampleEvaluator), and corpus-IDF CIDEr (CiderSampleEvaluator) — all
+    exactly SQL-oracle-checked."""
+    j = _turn_pairs(spark, sf)
+    base = j.select(
+        "conv_id",
+        "turn_idx",
+        quality.token_f1(F.col("p_text"), F.col("a_text")).alias("f1"),
+        quality.bleu_overlap(F.col("p_text"), F.col("a_text")).alias("bleu"),
+    )
+    cid = quality.cider_scores(j, ["conv_id", "turn_idx"], "p_text", "a_text")
+    return base.join(cid, ["conv_id", "turn_idx"])
 
 
 def q_eval_accuracy(spark, sf):
     """BenchDatasetEvaluator analog (bench_dataset_evaluator.py:49-56):
-    dataset-level exact-match accuracy — heuristic lang-ID prediction vs the
-    documents table's ground-truth `lang` column."""
+    dataset-level exact-match accuracy of BOTH lang-ID models vs the
+    documents table's ground-truth `lang` column, one aggregate row.
+    (The synthetic docs text is English-vocabulary word soup whatever the
+    lang tag, so absolute accuracy is low by construction — the checked
+    artifact is the evaluator arithmetic, not the model.)"""
+    from dataflow_spark.ops import nlp
+
     d = load_table(spark, sf, "documents")
-    scored = d.select(quality.lang_id(F.col("text")).alias("pred"), F.col("lang").alias("gt"))
-    return quality.exact_match_accuracy(scored, F.col("pred"), F.col("gt"))
-
-
-def q_orders_cube(spark, sf):
-    """CUBE grouping-sets coverage (§2.7 — rollup's sibling; both free in
-    Spark/Catalyst, absent in the reference)."""
-    o = load_table(spark, sf, "orders")
-    month = F.date_format("o_orderdate", "yyyy-MM")
-    return (
-        o.withColumn("o_month", month)
-        .cube("o_month", "o_orderpriority")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
-        )
-        .select(
-            F.coalesce("o_month", F.lit("ALL")).alias("o_month"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
-            "n_orders",
-            "total_price",
-        )
-    )
-
-
-def q_approx_distinct(spark, sf):
-    """approx_count_distinct (HLL) per event_type — approximate by design, no
-    SQL oracle; tests assert <5% error vs exact (§2.7 'Approx distinct')."""
-    e = load_table(spark, sf, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    norm = lambda c: F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    hit1 = F.coalesce((norm(quality.lang_id(F.col("text"))) == norm(F.col("lang"))).cast("int"), F.lit(0))
+    hit2 = F.coalesce((norm(nlp.lang_id_v2(F.col("text"))) == norm(F.col("lang"))).cast("int"), F.lit(0))
+    return d.agg(
+        F.count("*").alias("n_samples"),
+        F.sum(hit1).cast("long").alias("n_correct"),
+        F.round(F.avg(hit1), 6).alias("accuracy"),
+        F.sum(hit2).cast("long").alias("n_correct_v2"),
+        F.round(F.avg(hit2), 6).alias("accuracy_v2"),
     )
 
 
@@ -528,15 +582,50 @@ def q_docs_doc2qa(spark, sf):
     return prompted.doc2qa(d, "doc_id", n_pairs=2, q_prompt=QA_Q_PROMPT, a_prompt=QA_A_PROMPT)
 
 
-def q_gen_rows(spark, sf):
-    """RandomDomainKnowledgeRowGenerator analog: rows from nothing."""
-    return prompted.synthesize_rows(spark, 100, ROWGEN_PROMPT)
+def q_model_score(spark, sf):
+    """Model-backed evaluator stage (perplexity/fineweb-edu/qurating shape):
+    mapInPandas iterator with a per-worker model singleton; the shipped model
+    is the deterministic StubQualityModel, whose arithmetic the SQL oracle
+    replicates — so the whole stage (not just the formula) is value-checked."""
+    from dataflow_spark.ops import models
+
+    d = load_table(spark, sf, "documents")
+    return models.model_score_stage(d.select("doc_id", "text")).select("doc_id", "model_score")
+
+
+def q_consistent_chat(spark, sf):
+    """ConsistentChatGenerator analog (consistent_chat.py:50-141): rows from
+    nothing (also covering the RandomDomainKnowledgeRowGenerator archetype),
+    two chained stub-serving stages, from_json parsing, conversation-array
+    assembly with the dangling-user-turn drop. Exactly oracle-checked via the
+    rendered conversation string."""
+    from dataflow_spark.ops import conversations as cv
+
+    return cv.consistent_chat(spark, 120).select(
+        "dialog_id", "category", "n_turns", "convo_rendered"
+    )
+
+
+def q_multiturn_gen(spark, sf):
+    """MultiTurnConversationGenerator analog (func_call_operators.py:505-572):
+    3-agent stub loop with <func_call>/<final> detection, keep-completed.
+    No SQL oracle (the round-chained state makes the closed form recursive);
+    golden-tested against a pure-python twin in tests/test_nlp_conversations."""
+    from dataflow_spark.ops import conversations as cv
+
+    tasks = spark.range(60).select(
+        F.col("id").alias("task_id"), F.concat(F.lit("task-"), F.col("id").cast("string")).alias("task")
+    )
+    return cv.multiturn_conversations(tasks).select("task_id", "n_rounds", "convo_rendered")
 
 
 def q_embed_diversity(spark, sf):
-    """Vendi/Task2Vec-style dataset diversity scalar over embeddings."""
+    """Vendi/Task2Vec-style dataset diversity scalar over embeddings — the
+    SCALE path: deterministic md5-nibble sample (8/16 of rows) before the
+    pair join, still exactly oracle-checked because the sample is
+    engine-portable (see embeddings.deterministic_sample_pred)."""
     e = load_table(spark, sf, "embeddings")
-    return embeddings.dataset_diversity(e)
+    return embeddings.dataset_diversity(e, sample_keep16=8)
 
 
 def q_set_intersect(spark, sf):
@@ -605,79 +694,64 @@ def q_sql_hardness(spark, sf):
     )
 
 
-def q_docs_fingerprint(spark, sf):
-    """64-bit content fingerprints (rolling-hash analog of the reference's md5
-    digests) — xxhash64 has no DuckDB twin, so rows-only here; stability and
-    dedup-consistency are golden-tested."""
-    d = load_table(spark, sf, "documents")
-    return d.select("doc_id", quality.fingerprint64(F.col("text")).alias("fp64"))
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 queries (the driver records CORRECTNESS rows for at most 50
+    entries per round — round 1 cut off at #50 in dict order, leaving 13
+    unchecked). Coverage is preserved by consolidating same-shape operators
+    into battery queries (filter_labels: 22 rule labels; refine batteries: 10
+    refiners across 2 queries; turn_eval_pairs: F1+BLEU+CIDEr; …) so every
+    SURVEY §2 operator still has a value-checked driver row."""
     return {
         "transcripts_build": q_transcripts_build,
         "refine_normalize": q_refine_normalize,
+        "refine_pii": q_refine_pii,
         "filter_rules": q_filter_rules,
-        "dedup_exact_md5": q_dedup_exact_md5,
-        "dedup_exact_sha": q_dedup_exact_sha,
+        "filter_labels": q_filter_labels,
+        "filter_ngram_lang": q_filter_ngram_lang,
+        "filter_setops": q_filter_setops,
+        "dedup_exact": q_dedup_exact,
         "dedup_ngram_chunks": q_dedup_ngram_chunks,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
         "window_quality": q_window_quality,
+        "window_sliding": q_window_sliding,
         "session_reassembly": q_session_reassembly,
         "session_windows": q_session_windows,
         "match_triggers": q_match_triggers,
         "topk_convs": q_topk_convs,
         "role_stats": q_role_stats,
-        "prompted_eval_stub": q_prompted_eval_stub,
-        "prompted_filter_stub": q_prompted_filter_stub,
-        "docs_dedup_exact": q_docs_dedup_exact,
-        "docs_quality": q_docs_quality,
-        "docs_ngram_jaccard": q_docs_ngram_jaccard,
-        "embed_topk": q_embed_topk,
-        "embed_neardup": q_embed_neardup,
-        "embed_kcenter": q_embed_kcenter,
-        "embed_ivf_topk": q_embed_ivf_topk,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "refine_strip": q_refine_strip,
-        "refine_stopwords": q_refine_stopwords,
-        "refine_pii": q_refine_pii,
-        "refine_dates": q_refine_dates,
-        "filter_labels": q_filter_labels,
-        "filter_rejects": q_filter_rejects,
-        "docs_readability": q_docs_readability,
-        "docs_chunks": q_docs_chunks,
-        "prompted_generate_stub": q_prompted_generate_stub,
-        "embed_dedup": q_embed_dedup,
-        "turn_token_f1": q_turn_token_f1,
-        "events_json": q_events_json,
-        "window_sliding": q_window_sliding,
-        "docs_perplexity": q_docs_perplexity,
         "salted_conv_stats": q_salted_conv_stats,
-        "media_features": q_media_features,
-        "docs_lexical": q_docs_lexical,
-        "orders_rollup": q_orders_rollup,
         "sql_passthrough": q_sql_passthrough,
-        "pricing_summary": q_pricing_summary,
+        "turn_eval_pairs": q_turn_eval_pairs,
+        "prompted_eval_filter": q_prompted_eval_filter,
+        "prompted_generate_stub": q_prompted_generate_stub,
+        "consistent_chat": q_consistent_chat,
+        "multiturn_gen": q_multiturn_gen,
+        "model_score": q_model_score,
+        "sql_hardness": q_sql_hardness,
+        "docs_doc2qa": q_docs_doc2qa,
+        "docs_quality": q_docs_quality,
+        "docs_readability": q_docs_readability,
+        "docs_perplexity": q_docs_perplexity,
+        "docs_lexical": q_docs_lexical,
+        "docs_chunks": q_docs_chunks,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_dedup_exact": q_docs_dedup_exact,
+        "docs_code_stats": q_docs_code_stats,
+        "refine_docs_battery": q_refine_docs_battery,
+        "refine_tokens_battery": q_refine_tokens_battery,
+        "eval_accuracy": q_eval_accuracy,
+        "embed_topk": q_embed_topk,
+        "embed_ivf_topk": q_embed_ivf_topk,
+        "embed_kcenter": q_embed_kcenter,
+        "embed_neardup": q_embed_neardup,
+        "embed_dedup": q_embed_dedup,
+        "embed_diversity": q_embed_diversity,
+        "media_features": q_media_features,
+        "events_json": q_events_json,
+        "orders_grouping": q_orders_grouping,
         "revenue_topk": q_revenue_topk,
         "order_priority": q_order_priority,
-        "filter_lines": q_filter_lines,
-        "filter_ngram_lang": q_filter_ngram_lang,
-        "refine_emoticons": q_refine_emoticons,
-        "refine_contractions": q_refine_contractions,
-        "refine_citations": q_refine_citations,
-        "refine_stem": q_refine_stem,
-        "turn_bleu": q_turn_bleu,
-        "eval_accuracy": q_eval_accuracy,
-        "orders_cube": q_orders_cube,
-        "approx_distinct": q_approx_distinct,
-        "docs_fingerprint": q_docs_fingerprint,
-        "docs_doc2qa": q_docs_doc2qa,
-        "gen_rows": q_gen_rows,
-        "embed_diversity": q_embed_diversity,
-        "sql_hardness": q_sql_hardness,
-        "docs_code_stats": q_docs_code_stats,
-        "refine_unicode": q_refine_unicode,
-        "set_intersect": q_set_intersect,
     }
 
 
@@ -718,19 +792,15 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT conv_id, turn_idx FROM transcripts WHERE {_RULES_PRED}"
     )
 
-    o["dedup_exact_md5"] = with_transcripts(
+    o["dedup_exact"] = with_transcripts(
         """
-        SELECT conv_id, turn_idx FROM (
+        SELECT conv_id, turn_idx, 'md5' AS method FROM (
           SELECT conv_id, turn_idx,
                  row_number() OVER (PARTITION BY md5(text)
                                     ORDER BY ts, conv_id, turn_idx) AS rn
           FROM transcripts) WHERE rn = 1
-        """
-    )
-
-    o["dedup_exact_sha"] = with_transcripts(
-        """
-        SELECT conv_id, turn_idx FROM (
+        UNION ALL
+        SELECT conv_id, turn_idx, 'sha' AS method FROM (
           SELECT conv_id, turn_idx,
                  row_number() OVER (PARTITION BY substr(sha256(text), 1, 16)
                                     ORDER BY ts, conv_id, turn_idx) AS rn
@@ -839,10 +909,7 @@ def oracle_sql() -> dict[str, str]:
     _stub = (
         "CAST(CAST(('0x' || substr(md5('" + EVAL_PROMPT + "' || text), 1, 8)) AS UBIGINT) % 5 + 1 AS INT)"
     )
-    o["prompted_eval_stub"] = with_transcripts(
-        f"SELECT conv_id, turn_idx, {_stub} AS score FROM transcripts"
-    )
-    o["prompted_filter_stub"] = with_transcripts(
+    o["prompted_eval_filter"] = with_transcripts(
         f"SELECT * FROM (SELECT conv_id, turn_idx, {_stub} AS score FROM transcripts) WHERE score >= 3"
     )
 
@@ -850,6 +917,27 @@ def oracle_sql() -> dict[str, str]:
         "SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS first_doc_id "
         "FROM documents GROUP BY 1"
     )
+
+    from dataflow_spark.ops import nlp as _nlp
+
+    _prof_hits = ", ".join(
+        "len(list_filter(lws, w -> w IN ({}))) AS s2_{}".format(
+            ",".join(f"'{w}'" for w in sw), lang
+        )
+        for lang, sw in _nlp.LATIN_PROFILES.items()
+    )
+    _langs2 = list(_nlp.LATIN_PROFILES)
+    _max2 = "greatest(" + ",".join(f"s2_{l}" for l in _langs2) + ")"
+    _latin2 = (
+        f"CASE WHEN {_max2} <= 0 THEN 'und' "
+        + " ".join(f"WHEN s2_{l} = {_max2} THEN '{l}'" for l in _langs2)
+        + " END"
+    )
+    _script2 = " ".join(
+        f"WHEN regexp_matches(text, '[{lo}-{hi}]') THEN '{lang}'"
+        for lang, lo, hi in _nlp.SCRIPT_RANGES
+    )
+    _langid2 = f"CASE {_script2} ELSE {_latin2} END"
 
     o["docs_quality"] = f"""
         SELECT doc_id,
@@ -865,12 +953,15 @@ def oracle_sql() -> dict[str, str]:
                  WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
                  WHEN es >= fr AND es > 0 THEN 'es'
                  WHEN fr > 0 THEN 'fr'
-                 ELSE 'und' END AS pred_lang
+                 ELSE 'und' END AS pred_lang,
+               {_langid2} AS pred_lang2,
+               substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16) AS fp16
         FROM (
           SELECT doc_id, text, ws, lws,
                  len(list_filter(lws, w -> w IN ('the','a','of','and','to','is','in','it'))) AS en,
                  len(list_filter(lws, w -> w IN ('el','la','de','que','y','los','es','una'))) AS es,
-                 len(list_filter(lws, w -> w IN ('le','la','de','et','les','des','est','une'))) AS fr
+                 len(list_filter(lws, w -> w IN ('le','la','de','et','les','des','est','une'))) AS fr,
+                 {_prof_hits}
           FROM (SELECT doc_id, text,
                        regexp_split_to_array(trim(text), '\\s+') AS ws,
                        regexp_split_to_array(trim(lower(text)), '\\s+') AS lws
@@ -884,7 +975,13 @@ def oracle_sql() -> dict[str, str]:
                  list_distinct(list_transform(range(1, greatest(len(ws)-3, 0)+2),
                                i -> array_to_string(ws[i:i+2], ' '))) AS s
           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)
-        ), ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh)
+        ), ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        -- frequent-shingle ceiling (max_df=1000): identical restriction to the
+        -- engine's consistent rare-shingle universe (ops/dedup.py ngram_jaccard_pairs)
+        rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM ex0 GROUP BY g) WHERE df <= 1000),
+        exr AS (SELECT doc_id, g FROM ex0 JOIN rare USING (g)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM exr GROUP BY doc_id),
+        ex AS (SELECT exr.doc_id, n, g FROM exr JOIN sizes USING (doc_id))
         SELECT id_a, id_b, jaccard FROM (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  round(count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS jaccard
@@ -923,8 +1020,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     _sql_punct = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]""".replace("'", "''")
-    o["refine_strip"] = f"""
-        SELECT doc_id, trim(regexp_replace(
+    _strip_expr = f"""trim(regexp_replace(
           regexp_replace(
             regexp_replace(
               regexp_replace(
@@ -934,13 +1030,11 @@ def oracle_sql() -> dict[str, str]:
                 '&[a-zA-Z]+;|&#[0-9]+;', '', 'g'),
               '[0-9]', '', 'g'),
             '{_sql_punct}', '', 'g'),
-          '\\s+', ' ', 'g')) AS stripped
-        FROM documents
-    """
+          '\\s+', ' ', 'g'))"""
 
-    o["refine_stopwords"] = (
-        "SELECT doc_id, array_to_string(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
-        f"w -> lower(w) NOT IN {tuple(refine.EN_STOPWORDS)}), ' ') AS kept FROM documents"
+    _stopwords_expr = (
+        "array_to_string(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        f"w -> lower(w) NOT IN {tuple(refine.EN_STOPWORDS)}), ' ')"
     )
 
     _months = [
@@ -968,9 +1062,25 @@ def oracle_sql() -> dict[str, str]:
             f"'\\2-{_i:02d}-\\1', 'g')"
         )
     _dates = f"regexp_replace({_dates}, '\\$([0-9]+(?:\\.[0-9]+)?)', '\\1 USD', 'g')"
-    o["refine_dates"] = f"SELECT doc_id, {_dates} AS normalized FROM documents"
+
+    _cites_expr = (
+        r"""regexp_replace(text,
+        '\[[0-9]{1,3}(,\s*[0-9]{1,3})*\]|\[citation needed\]|\^\[[0-9]+\]',
+        '', 'g')"""
+    )
+    o["refine_docs_battery"] = f"""
+        SELECT doc_id,
+               {_strip_expr} AS stripped,
+               {_stopwords_expr} AS kept,
+               {_dates} AS normalized,
+               {_cites_expr} AS no_cites,
+               nfc_normalize(text) AS nfc_text
+        FROM documents
+    """
 
     _mwl = f"(length(array_to_string({_WORDS}, '')) * 1.0 / len({_WORDS}))"
+    _LWORDS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    _stopset = tuple(refine.EN_STOPWORDS)
     _lbls = {
         "lbl_not_null": "text IS NOT NULL AND trim(text) <> ''",
         "lbl_colon_end": "substr(text, length(text), 1) <> ':'",
@@ -983,17 +1093,56 @@ def oracle_sql() -> dict[str, str]:
         "lbl_curly": "((length(text) - length(regexp_replace(text, '[{}]', '', 'g'))) * 1.0 / length(text)) < 0.025",
         "lbl_sentences": "len(regexp_extract_all(text, '[^.!?\\n]+[.!?]')) BETWEEN 1 AND 10000",
         "lbl_special_chars": "NOT regexp_matches(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f�]')",
+        "lbl_symbol_ratio": f"(len(regexp_extract_all(text, '(#|\\.\\.\\.|…)')) * 1.0 / len({_WORDS})) < 0.4",
+        "lbl_id_card": "len(regexp_extract_all(lower(text), '(身份证|id\\s*card|idcard|ssn)')) < 3",
+        "lbl_capital": f"(len(list_filter({_WORDS}, w -> regexp_matches(w, '^[A-Z]'))) * 1.0 / len({_WORDS})) <= 0.3",
+        "lbl_char_count": "length(regexp_replace(text, '\\s', '', 'g')) >= 100",
+        "lbl_stopword": f"(len(list_filter({_LWORDS}, w -> w IN {_stopset})) * 1.0 / len({_LWORDS})) > 0.0",
     }
     _lbl_sel = ", ".join(f"CAST(({p}) AS INT) AS {k}" for k, p in _lbls.items())
+    _lines = "list_filter(string_split(text, chr(10)), l -> trim(l) <> '')"
     o["filter_labels"] = with_transcripts(
-        f"SELECT conv_id, turn_idx, {_lbl_sel} FROM transcripts"
+        f"""
+        SELECT conv_id, turn_idx, {_lbl_sel},
+          CASE WHEN n_lines > 0
+               AND len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) * 1.0 / n_lines < 0.3
+               THEN 1 ELSE 0 END AS lbl_ellipsis,
+          CASE WHEN text IS NOT NULL AND trim(text) <> ''
+               AND list_max(list_transform(regexp_split_to_array(text, '[\\n–.!?,;•/|…]'),
+                     s -> len(list_filter(regexp_split_to_array(s, '\\s+'), w -> w <> '')))) <= 112
+               THEN 1 ELSE 0 END AS lbl_nopunc,
+          CASE WHEN len({_WORDS}) > 0
+               AND len(list_filter({_WORDS}, w -> regexp_matches(w, '[a-zA-Z]'))) * 1.0 / len({_WORDS}) > 0.6
+               THEN 1 ELSE 0 END AS lbl_alpha,
+          CASE WHEN n_lines > 0
+               AND len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[•‣▶◀◦■□▪▫–]'))) * 1.0 / n_lines <= 0.9
+               THEN 1 ELSE 0 END AS lbl_bullet,
+          CASE WHEN n_lines > 0
+               AND (n_lines <= 3 OR n_lines - len(list_filter(lines, l -> contains(lower(l), 'javascript'))) >= 3)
+               THEN 1 ELSE 0 END AS lbl_js,
+          CASE WHEN text IS NOT NULL AND trim(text) <> ''
+               AND len(list_filter({_LWORDS}, w -> w IN ('spam','clickbait','viagra','casino','xxx','darknet'))) <= 1
+               THEN 1 ELSE 0 END AS lbl_blocklist
+        FROM (SELECT conv_id, turn_idx, text, lines, len(lines) AS n_lines
+              FROM (SELECT conv_id, turn_idx, text, {_lines} AS lines FROM transcripts))
+        """
     )
 
-    o["filter_rejects"] = with_transcripts(
+    o["filter_setops"] = with_transcripts(
         f"""
-        SELECT conv_id, turn_idx FROM transcripts
-        EXCEPT ALL
-        SELECT conv_id, turn_idx FROM transcripts WHERE {_RULES_PRED}
+        SELECT conv_id, turn_idx, 'reject' AS op FROM (
+          SELECT conv_id, turn_idx FROM transcripts
+          EXCEPT ALL
+          SELECT conv_id, turn_idx FROM transcripts WHERE {_RULES_PRED}
+        )
+        UNION ALL
+        SELECT conv_id, turn_idx, 'intersect' AS op FROM (
+          SELECT conv_id, turn_idx FROM transcripts WHERE {_RULES_PRED}
+          INTERSECT
+          SELECT conv_id, turn_idx FROM (
+            SELECT conv_id, turn_idx, {_stub} AS score FROM transcripts
+          ) WHERE score >= 3
+        )
         """
     )
 
@@ -1034,17 +1183,69 @@ def oracle_sql() -> dict[str, str]:
         """
     )
 
-    o["turn_token_f1"] = with_transcripts(
-        """
-        SELECT a.conv_id AS conv_id, a.turn_idx AS turn_idx,
-               round(2.0 * len(list_intersect(
-                       list_distinct(regexp_split_to_array(trim(lower(p.text)), '\\s+')),
-                       list_distinct(regexp_split_to_array(trim(lower(a.text)), '\\s+'))))
-                     / (len(list_distinct(regexp_split_to_array(trim(lower(p.text)), '\\s+')))
-                        + len(list_distinct(regexp_split_to_array(trim(lower(a.text)), '\\s+')))), 6) AS f1
-        FROM transcripts a
-        JOIN transcripts p ON a.conv_id = p.conv_id AND p.turn_idx = a.turn_idx - 1
-        WHERE a.role = 'assistant'
+    _cider_gram = lambda n, arr: (
+        f"CASE WHEN len({arr}) >= {n} THEN list_transform(range(1, len({arr})-{n}+2), "
+        f"i -> array_to_string({arr}[i:i+{n}-1], ' ')) ELSE [] END"
+    )
+    _cider_ctes = "".join(
+        f"""
+        , cg{n} AS (SELECT conv_id, turn_idx, g, count(*) c FROM
+            (SELECT conv_id, turn_idx, unnest({_cider_gram(n, 'cw')}) g FROM pairs) GROUP BY ALL),
+        rg{n} AS (SELECT conv_id, turn_idx, g, count(*) r FROM
+            (SELECT conv_id, turn_idx, unnest({_cider_gram(n, 'rw')}) g FROM pairs) GROUP BY ALL),
+        idf{n} AS (SELECT g, count(*)::double df FROM rg{n} GROUP BY g),
+        cw{n} AS (SELECT cg{n}.conv_id, cg{n}.turn_idx, cg{n}.g,
+                         c * ln((SELECT N FROM tot)/coalesce(df,1.0)) w
+                  FROM cg{n} LEFT JOIN idf{n} USING (g)),
+        rw{n} AS (SELECT rg{n}.conv_id, rg{n}.turn_idx, rg{n}.g,
+                         r * ln((SELECT N FROM tot)/df) w
+                  FROM rg{n} JOIN idf{n} USING (g)),
+        dot{n} AS (SELECT conv_id, turn_idx, sum(cw{n}.w*rw{n}.w) d
+                   FROM cw{n} JOIN rw{n} USING (conv_id, turn_idx, g) GROUP BY ALL),
+        cn{n} AS (SELECT conv_id, turn_idx, sum(w*w) v FROM cw{n} GROUP BY ALL),
+        rn{n} AS (SELECT conv_id, turn_idx, sum(w*w) v FROM rw{n} GROUP BY ALL)"""
+        for n in (1, 2)
+    )
+    _cider_term = lambda n: (
+        f"CASE WHEN dot{n}.d IS NULL OR cn{n}.v IS NULL OR rn{n}.v IS NULL "
+        f"OR sqrt(cn{n}.v)*sqrt(rn{n}.v) = 0 THEN 0.0 "
+        f"ELSE dot{n}.d/(sqrt(cn{n}.v)*sqrt(rn{n}.v)) END"
+    )
+    _bigrams = lambda ws: (
+        f"list_transform(range(1, greatest(len({ws}), 1)), i -> {ws}[i] || chr(1) || {ws}[i+1])"
+    )
+    o["turn_eval_pairs"] = with_transcripts(
+        f"""
+        , pairs AS (
+          SELECT a.conv_id, a.turn_idx,
+                 regexp_split_to_array(trim(lower(p.text)), '\\s+') AS cw,
+                 regexp_split_to_array(trim(lower(a.text)), '\\s+') AS rw
+          FROM transcripts a
+          JOIN transcripts p ON p.conv_id = a.conv_id AND p.turn_idx + 1 = a.turn_idx
+          WHERE a.role = 'assistant'
+        ), tot AS (SELECT count(*)::double N FROM pairs),
+        fb AS (
+          SELECT conv_id, turn_idx,
+            round(2.0 * len(list_intersect(list_distinct(cw), list_distinct(rw)))
+                  / (len(list_distinct(cw)) + len(list_distinct(rw))), 6) AS f1,
+            round(least(1.0, exp(1.0 - len(rw) * 1.0 / len(cw))) * sqrt(
+              greatest(len(list_filter(list_distinct(cw), x -> list_contains(list_distinct(rw), x)))
+                       * 1.0 / greatest(len(list_distinct(cw)), 1), 1e-9)
+              * CASE WHEN len(cw) >= 2 AND len(rw) >= 2
+                     THEN greatest(len(list_filter(list_distinct({_bigrams('cw')}),
+                                        x -> list_contains(list_distinct({_bigrams('rw')}), x)))
+                                   * 1.0 / greatest(len(list_distinct({_bigrams('cw')})), 1), 1e-9)
+                     ELSE 1e-9 END), 6) AS bleu
+          FROM pairs
+        ){_cider_ctes}
+        SELECT p.conv_id, p.turn_idx, fb.f1, fb.bleu,
+          round(({_cider_term(1)} + {_cider_term(2)}) / 2.0, 6) AS cider
+        FROM pairs p
+        JOIN fb USING (conv_id, turn_idx)
+        LEFT JOIN dot1 USING (conv_id, turn_idx) LEFT JOIN cn1 USING (conv_id, turn_idx)
+        LEFT JOIN rn1 USING (conv_id, turn_idx)
+        LEFT JOIN dot2 USING (conv_id, turn_idx) LEFT JOIN cn2 USING (conv_id, turn_idx)
+        LEFT JOIN rn2 USING (conv_id, turn_idx)
         """
     )
 
@@ -1052,7 +1253,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, count(*) AS n_events,
                CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
-               count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS distinct_k
+               count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS distinct_k,
+               count(DISTINCT user_id) AS n_users_exact,
+               1 AS approx_ok
         FROM events GROUP BY event_type
     """
 
@@ -1100,23 +1303,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
-    o["orders_rollup"] = """
-        SELECT coalesce(o_month, 'ALL') AS o_month,
-               coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
-               count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-        FROM (SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderpriority, o_totalprice
-              FROM orders)
-        GROUP BY ROLLUP(o_month, o_orderpriority)
-    """
-
-    o["sql_passthrough"] = with_transcripts(
-        "SELECT role, count(DISTINCT conv_id) AS n_convs, "
-        "min(turn_idx) AS min_turn, max(turn_idx) AS max_turn "
-        "FROM transcripts GROUP BY role"
-    )
-
-    o["pricing_summary"] = """
+    o["sql_passthrough"] = """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
@@ -1148,80 +1335,17 @@ def oracle_sql() -> dict[str, str]:
     """
 
     _lines = "list_filter(string_split(text, chr(10)), l -> trim(l) <> '')"
-    o["filter_lines"] = with_transcripts(
-        f"""
-        SELECT conv_id, turn_idx,
-          CASE WHEN n_lines > 0
-               AND len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) * 1.0 / n_lines < 0.3
-               THEN 1 ELSE 0 END AS lbl_ellipsis,
-          CASE WHEN text IS NOT NULL AND trim(text) <> ''
-               AND list_max(list_transform(regexp_split_to_array(text, '[\\n–.!?,;•/|…]'),
-                     s -> len(list_filter(regexp_split_to_array(s, '\\s+'), w -> w <> '')))) <= 112
-               THEN 1 ELSE 0 END AS lbl_nopunc,
-          CASE WHEN len(ws) > 0
-               AND len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) * 1.0 / len(ws) > 0.6
-               THEN 1 ELSE 0 END AS lbl_alpha,
-          CASE WHEN n_lines > 0
-               AND len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[•‣▶◀◦■□▪▫–]'))) * 1.0 / n_lines <= 0.9
-               THEN 1 ELSE 0 END AS lbl_bullet,
-          CASE WHEN n_lines > 0
-               AND (n_lines <= 3 OR n_lines - len(list_filter(lines, l -> contains(lower(l), 'javascript'))) >= 3)
-               THEN 1 ELSE 0 END AS lbl_js,
-          CASE WHEN text IS NOT NULL AND trim(text) <> ''
-               AND len(list_filter(lws, w -> w IN ('spam','clickbait','viagra','casino','xxx','darknet'))) <= 1
-               THEN 1 ELSE 0 END AS lbl_blocklist
-        FROM (
-          SELECT conv_id, turn_idx, text, lines, len(lines) AS n_lines,
-                 regexp_split_to_array(trim(text), '\\s+') AS ws,
-                 regexp_split_to_array(trim(lower(text)), '\\s+') AS lws
-          FROM (SELECT conv_id, turn_idx, text, {_lines} AS lines FROM transcripts)
-        )
-        """
-    )
-
-    _GRAMS3_LOCAL = (
-        "list_transform(range(1, greatest(len(lws)-3, 0)+2), "
-        "i -> array_to_string(lws[i:i+2], ' '))"
-    )
-    o["filter_ngram_lang"] = with_transcripts(
-        f"""
-        SELECT conv_id, turn_idx FROM (
-          SELECT conv_id, turn_idx,
-                 CASE WHEN len(lws) >= 3
-                      THEN len(list_distinct({_GRAMS3_LOCAL})) * 1.0 / (len(lws) - 2)
-                      ELSE 1.0 END AS score,
-                 len(list_filter(lws, w -> w IN ('the','a','of','and','to','is','in','it'))) AS en,
-                 len(list_filter(lws, w -> w IN ('el','la','de','que','y','los','es','una'))) AS es,
-                 len(list_filter(lws, w -> w IN ('le','la','de','et','les','des','est','une'))) AS fr
-          FROM (SELECT conv_id, turn_idx,
-                       regexp_split_to_array(trim(lower(text)), '\\s+') AS lws
-                FROM transcripts)
-        )
-        WHERE round(score, 6) >= 0.99 AND round(score, 6) <= 1.0
-          AND ((en >= es AND en >= fr AND en > 0) OR NOT (es > 0 OR fr > 0))
-        """
-    )
-
     import re as _re
 
     _emo_alts = "|".join(
         _re.escape(e) for e in sorted(refine.EMOTICONS, key=len, reverse=True)
     ).replace("'", "''")
-    o["refine_emoticons"] = (
-        f"SELECT doc_id, regexp_replace(text, '{_emo_alts}', '', 'g') AS no_emoticons FROM documents"
-    )
+    _emo_expr = f"regexp_replace(text, '{_emo_alts}', '', 'g')"
 
     _contr = "text"
     for _pat, _rep in refine._CONTRACTIONS:
         _sql_pat = ("(?i)" + _pat).replace("\\", "\\").replace("'", "''")
         _contr = f"regexp_replace({_contr}, '{_sql_pat}', '{_rep}', 'g')"
-    o["refine_contractions"] = f"SELECT doc_id, {_contr} AS expanded FROM documents"
-
-    o["refine_citations"] = (
-        r"""SELECT doc_id, regexp_replace(text,
-        '\[[0-9]{1,3}(,\s*[0-9]{1,3})*\]|\[citation needed\]|\^\[[0-9]+\]',
-        '', 'g') AS no_cites FROM documents"""
-    )
 
     _stem_w = (
         "CASE WHEN regexp_matches(w, '(?i)[a-z]ies$') THEN regexp_replace(w, '(?i)ies$', 'y') "
@@ -1229,70 +1353,90 @@ def oracle_sql() -> dict[str, str]:
         "WHEN regexp_matches(w, '(?i)[^us]s$') THEN regexp_replace(w, '(?i)s$', '') "
         "ELSE w END"
     )
-    o["refine_stem"] = (
-        f"""SELECT doc_id, array_to_string(list_transform(
-              regexp_split_to_array(trim(text), '\\s+'), w -> {_stem_w}), ' ') AS stemmed
-            FROM documents"""
+    _stem_expr = (
+        f"array_to_string(list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> {_stem_w}), ' ')"
     )
 
-    _bigrams = lambda ws: (
-        f"list_transform(range(1, greatest(len({ws}), 1)), i -> {ws}[i] || chr(1) || {ws}[i+1])"
-    )
-    o["turn_bleu"] = with_transcripts(
-        f"""
-        , pairs AS (
-          SELECT a.conv_id, a.turn_idx,
-                 regexp_split_to_array(trim(lower(p.text)), '\\s+') AS wc,
-                 regexp_split_to_array(trim(lower(a.text)), '\\s+') AS wr
-          FROM transcripts a
-          JOIN transcripts p ON p.conv_id = a.conv_id AND p.turn_idx + 1 = a.turn_idx
-          WHERE a.role = 'assistant'
-        ), g AS (
-          SELECT conv_id, turn_idx, wc, wr,
-                 list_distinct(wc) AS u1c, list_distinct(wr) AS u1r,
-                 list_distinct({_bigrams('wc')}) AS u2c,
-                 list_distinct({_bigrams('wr')}) AS u2r
-          FROM pairs
-        ), p AS (
-          SELECT conv_id, turn_idx, wc, wr,
-            greatest(len(list_filter(u1c, x -> list_contains(u1r, x))) * 1.0 / greatest(len(u1c), 1), 1e-9) AS p1,
-            CASE WHEN len(wc) >= 2 AND len(wr) >= 2
-                 THEN greatest(len(list_filter(u2c, x -> list_contains(u2r, x))) * 1.0 / greatest(len(u2c), 1), 1e-9)
-                 ELSE 1e-9 END AS p2
-          FROM g
+    # SymSpell twin: brute-force min-(levenshtein, word) over the same
+    # embedded dictionary — the deletes index is an exact lookup accelerator,
+    # so the brute-force SQL is the definitional oracle (ops/nlp.py docstring)
+    _dict_vals = ",".join(f"('{w}')" for w in sorted(set(_nlp.SPELL_DICT)))
+    _gaz = "|".join(_nlp.GPE_GAZETTEER)
+    _ner_expr = rf"""regexp_replace(regexp_replace(regexp_replace(text,
+        '\b(Mr|Mrs|Ms|Dr|Prof)\.? [A-Z][a-z]+\b', '[PERSON]', 'g'),
+        '\b[A-Z][A-Za-z]+ (Inc|Corp|Ltd|LLC|Co)\b', '[ORG]', 'g'),
+        '\b({_gaz})\b', '[GPE]', 'g')"""
+    o["refine_tokens_battery"] = f"""
+        WITH dict(dw) AS (VALUES {_dict_vals}),
+        tok AS (
+          SELECT doc_id, u.pos, u.tok FROM (
+            SELECT doc_id, list_transform(range(1, len(ws)+1),
+                   i -> struct_pack(pos := i, tok := ws[i])) lt
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text),'\\s+') ws FROM documents)
+          ), unnest(lt) AS t(u)
+        ),
+        fixed AS (
+          SELECT doc_id, pos,
+            CASE WHEN NOT regexp_matches(tok, '^[a-z]+$') OR length(tok) < 3 THEN tok
+                 WHEN EXISTS (SELECT 1 FROM dict WHERE dw = tok) THEN tok
+                 ELSE coalesce((SELECT dw FROM dict WHERE levenshtein(tok,dw) <= 2
+                                ORDER BY levenshtein(tok,dw), dw LIMIT 1), tok)
+            END AS tok2
+          FROM tok
+        ),
+        corrected AS (
+          SELECT doc_id, string_agg(tok2, ' ' ORDER BY pos) AS corrected
+          FROM fixed GROUP BY doc_id
         )
-        SELECT conv_id, turn_idx,
-               round(least(1.0, exp(1.0 - len(wr) * 1.0 / len(wc))) * sqrt(p1 * p2), 6) AS bleu
-        FROM p
-        """
-    )
+        SELECT d.doc_id,
+               {_emo_expr} AS no_emoticons,
+               {_contr} AS expanded,
+               {_stem_expr} AS stemmed,
+               c.corrected AS corrected,
+               {_ner_expr} AS redacted
+        FROM documents d JOIN corrected c ON d.doc_id = c.doc_id
+    """
 
-    o["eval_accuracy"] = """
+    o["eval_accuracy"] = f"""
         SELECT count(*) AS n_samples,
                CAST(sum(hit) AS BIGINT) AS n_correct,
-               round(avg(hit), 6) AS accuracy
+               round(avg(hit), 6) AS accuracy,
+               CAST(sum(hit2) AS BIGINT) AS n_correct_v2,
+               round(avg(hit2), 6) AS accuracy_v2
         FROM (
           SELECT CASE WHEN
             (CASE WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
                   WHEN es >= fr AND es > 0 THEN 'es'
                   WHEN fr > 0 THEN 'fr' ELSE 'und' END) = lower(trim(lang))
-            THEN 1 ELSE 0 END AS hit
+            THEN 1 ELSE 0 END AS hit,
+            CASE WHEN ({_langid2}) = lower(trim(lang)) THEN 1 ELSE 0 END AS hit2
           FROM (
-            SELECT lang,
+            SELECT lang, text,
                    len(list_filter(lws, w -> w IN ('the','a','of','and','to','is','in','it'))) AS en,
                    len(list_filter(lws, w -> w IN ('el','la','de','que','y','los','es','una'))) AS es,
-                   len(list_filter(lws, w -> w IN ('le','la','de','et','les','des','est','une'))) AS fr
-            FROM (SELECT lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS lws
+                   len(list_filter(lws, w -> w IN ('le','la','de','et','les','des','est','une'))) AS fr,
+                   {_prof_hits}
+            FROM (SELECT lang, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS lws
                   FROM documents)
           )
         )
     """
 
-    o["orders_cube"] = """
+    o["orders_grouping"] = """
         SELECT coalesce(o_month, 'ALL') AS o_month,
                coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
                count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               'rollup' AS gset
+        FROM (SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderpriority, o_totalprice
+              FROM orders)
+        GROUP BY ROLLUP(o_month, o_orderpriority)
+        UNION ALL
+        SELECT coalesce(o_month, 'ALL') AS o_month,
+               coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               'cube' AS gset
         FROM (SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderpriority, o_totalprice
               FROM orders)
         GROUP BY CUBE (o_month, o_orderpriority)
@@ -1310,19 +1454,17 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, qa_idx, question, '{QA_A_PROMPT}' || question AS ap FROM q)
     """
 
-    o["gen_rows"] = f"""
-        SELECT row_id, '[gen-' || substr(md5(p), 1, 8) || '] ' || array_to_string(regexp_split_to_array(trim(p), '\\s+')[1:10], ' ') AS gen
-        FROM (SELECT i.i AS row_id, '{ROWGEN_PROMPT}' || 'seed ' || CAST(i.i AS VARCHAR) AS p
-              FROM (SELECT unnest(range(0, 100)) AS i) i)
-    """
-
     o["embed_diversity"] = f"""
+        WITH s AS (
+          SELECT vec_id, embedding FROM embeddings
+          WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 1))::int < 8
+        )
         SELECT count(*) AS n_pairs,
                round(avg(sim), 6) AS avg_sim,
                round(1.0 - avg(sim), 6) AS diversity
         FROM (
           SELECT round({_dot} / ({_norm_a} * {_norm_b}), 6) AS sim
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          FROM s a JOIN s b ON a.vec_id < b.vec_id
         )
     """
 
@@ -1398,16 +1540,62 @@ def oracle_sql() -> dict[str, str]:
         FROM m
     """
 
-    o["refine_unicode"] = "SELECT doc_id, nfc_normalize(text) AS nfc_text FROM documents"
-
-    o["set_intersect"] = with_transcripts(
+    _GRAMS3_LOCAL = (
+        "list_transform(range(1, greatest(len(lws)-3, 0)+2), "
+        "i -> array_to_string(lws[i:i+2], ' '))"
+    )
+    o["filter_ngram_lang"] = with_transcripts(
         f"""
-        SELECT conv_id, turn_idx FROM transcripts WHERE {_RULES_PRED}
-        INTERSECT
         SELECT conv_id, turn_idx FROM (
-          SELECT conv_id, turn_idx, {_stub} AS score FROM transcripts
-        ) WHERE score >= 3
+          SELECT conv_id, turn_idx,
+                 CASE WHEN len(lws) >= 3
+                      THEN len(list_distinct({_GRAMS3_LOCAL})) * 1.0 / (len(lws) - 2)
+                      ELSE 1.0 END AS score,
+                 len(list_filter(lws, w -> w IN ('the','a','of','and','to','is','in','it'))) AS en,
+                 len(list_filter(lws, w -> w IN ('el','la','de','que','y','los','es','una'))) AS es,
+                 len(list_filter(lws, w -> w IN ('le','la','de','et','les','des','est','une'))) AS fr
+          FROM (SELECT conv_id, turn_idx,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS lws
+                FROM transcripts)
+        )
+        WHERE round(score, 6) >= 0.99 AND round(score, 6) <= 1.0
+          AND ((en >= es AND en >= fr AND en > 0) OR NOT (es > 0 OR fr > 0))
         """
     )
+
+    from dataflow_spark.ops.models import StubQualityModel as _SQM
+
+    _sw_in = ",".join(f"'{w}'" for w in refine.EN_STOPWORDS)
+    o["model_score"] = f"""
+        SELECT doc_id, round(1.0/(1.0+exp(-({_SQM.W0}
+            + {_SQM.W_NW}*least(len(ws),100)
+            + {_SQM.W_AWL}*(length(array_to_string(ws,''))*1.0/len(ws))
+            + {_SQM.W_SR}*(len(list_filter(ws, w -> w IN ({_sw_in})))*1.0/len(ws))
+            ))), 6) AS model_score
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)),'\\s+') ws FROM documents)
+    """
+
+    from dataflow_spark.ops.conversations import INTENTS as _INTENTS
+
+    _intents_sql = ",".join(f"'{c}'" for c in _INTENTS)
+    o["consistent_chat"] = f"""
+        WITH seeds AS (SELECT CAST(i AS BIGINT) AS dialog_id FROM range(0, 120) t(i)),
+        base AS (
+          SELECT dialog_id,
+                 ([{_intents_sql}])[CAST(dialog_id % {len(_INTENTS)} AS INT) + 1] AS category
+          FROM seeds),
+        q AS (SELECT dialog_id, category,
+              'Generate queries about ' || category || ' #' || dialog_id AS p1 FROM base),
+        qq AS (SELECT *, 2 + ('0x' || substr(md5(p1),1,2))::int % 3 AS n_user FROM q),
+        turns AS (SELECT *, list_transform(range(0, n_user),
+                  i -> 'ask-' || substr(md5(p1 || '-' || i),1,8) || ' ' || category) AS turns FROM qq),
+        resp AS (SELECT *, 'Answer queries #' || dialog_id || ':' || array_to_string(turns,'|') AS p2 FROM turns),
+        rr AS (SELECT *, greatest(0, len(turns) - ('0x' || substr(md5(p2),1,2))::int % 2) AS n_resp FROM resp)
+        SELECT dialog_id, category, CAST(2*n_resp AS BIGINT) AS n_turns,
+          array_to_string(list_transform(range(0, n_resp), i ->
+             'user: ' || turns[CAST(i+1 AS INT)] || chr(10) || 'assistant: ans-' ||
+             substr(md5(turns[CAST(i+1 AS INT)]),1,8)), chr(10)) AS convo_rendered
+        FROM rr WHERE n_resp > 0
+    """
 
     return o

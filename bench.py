@@ -43,7 +43,7 @@ HEADLINE = [
     "transcripts_build",
     "refine_normalize",
     "filter_rules",
-    "dedup_exact_md5",
+    "dedup_exact",
     "dedup_ngram_chunks",
     "dedup_minhash",
     "dedup_simhash",
@@ -53,14 +53,18 @@ HEADLINE = [
     "docs_quality",
     "docs_ngram_jaccard",
     "embed_topk",
-    "pricing_summary",
+    "embed_neardup",
+    "sql_passthrough",
     "revenue_topk",
     "order_priority",
     "window_sliding",
-    "turn_bleu",
+    "turn_eval_pairs",
     "sql_hardness",
     "docs_code_stats",
     "eval_accuracy",
+    "model_score",
+    "consistent_chat",
+    "refine_tokens_battery",
 ]
 
 

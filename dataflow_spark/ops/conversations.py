@@ -1,0 +1,233 @@
+"""Conversation generators (SURVEY.md §2.6): ConsistentChatGenerator and
+MultiTurnConversationGenerator analogs driven by deterministic stub serving.
+
+Reference shapes:
+  - ConsistentChatGenerator (consistent_chat.py:50-141): two serving stages
+    (intent/topic -> JSON queries, queries -> JSON responses), JSON parse,
+    then conversation-array assembly where a dangling user turn is dropped
+    (:123-124) and empty conversations are skipped.
+  - MultiTurnConversationGenerator (func_call_operators.py:505-572): a
+    user/assistant/tool 3-agent loop, <=5 rounds (:567), where an assistant
+    reply containing <final>..</final> completes the dialog (:546-549), a
+    <func_call>..</func_call> reply triggers a tool turn (:530-545), and only
+    completed dialogs are kept (:570).
+
+Both run their LLM calls through the ServingBackend iterator-UDF boundary
+(ops/prompted.py) with md5-deterministic stubs, so outputs are reproducible
+and (for consistent_chat) exactly SQL-oracle-checkable; a real backend is a
+constructor swap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops.prompted import ServingBackend, serving_udf
+
+INTENTS = ("travel", "cooking", "finance", "health", "coding", "music")
+
+CONV_SCHEMA = "array<struct<role:string,value:string>>"
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+class StubChatServing(ServingBackend):
+    """Deterministic JSON-emitting stub for the two consistent_chat stages.
+
+    Query-stage prompts ("Generate queries about …") yield
+    {"category": c, "turns": [2..4 queries]}; response-stage prompts
+    ("Answer queries …") yield {"responses": [n or n-1 answers]} — sometimes
+    one short, so the dangling-user-turn drop path is exercised. Every value
+    is pure md5 arithmetic on the prompt, so the DuckDB oracle reproduces the
+    whole pipeline without running any serving."""
+
+    def generate(self, prompts: pd.Series) -> pd.Series:
+        def respond(p: str) -> str:
+            h = _md5(p)
+            if p.startswith("Generate queries about "):
+                category = p[len("Generate queries about ") :].split(" #")[0]
+                n_user = 2 + int(h[:2], 16) % 3
+                turns = [f"ask-{_md5(f'{p}-{i}')[:8]} {category}" for i in range(n_user)]
+                return json.dumps({"category": category, "turns": turns}, separators=(",", ":"))
+            if p.startswith("Answer queries "):
+                turns = p.split(":", 1)[1].split("|") if ":" in p else []
+                n_resp = max(0, len(turns) - int(h[:2], 16) % 2)
+                return json.dumps(
+                    {"responses": [{"response": f"ans-{_md5(t)[:8]}"} for t in turns[:n_resp]]},
+                    separators=(",", ":"),
+                )
+            return "{}"
+
+        return prompts.map(respond)
+
+
+def consistent_chat(
+    spark,
+    n_dialogs: int = 120,
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    """ConsistentChatGenerator analog: rows from nothing (one per dialog),
+    category cycled through INTENTS, two chained serving stages, JVM-side
+    JSON parsing (from_json — the consistent_chat.py:69-71 parse step), and
+    conversation assembly as ArrayType(StructType):
+
+        [user q_0, assistant a_0, user q_1, ...], trailing user turn dropped.
+
+    Returns (dialog_id, category, conversation, n_turns, convo_rendered);
+    convo_rendered is the '\\n'-joined "role: value" form (value-checkable as
+    one string; the array column itself feeds downstream array ops)."""
+    backend = backend or StubChatServing()
+    seeds = spark.range(n_dialogs).select(F.col("id").alias("dialog_id"))
+    cat = F.element_at(F.array(*[F.lit(c) for c in INTENTS]), (F.col("dialog_id") % len(INTENTS) + 1).cast("int"))
+    q_prompt = F.concat(F.lit("Generate queries about "), cat, F.lit(" #"), F.col("dialog_id").cast("string"))
+    s1 = seeds.select("dialog_id", cat.alias("category"), serving_udf(backend)(q_prompt).alias("__q_json"))
+    s1 = s1.withColumn(
+        "__q", F.from_json(F.col("__q_json"), "struct<category:string,turns:array<string>>")
+    ).select("dialog_id", "category", F.col("__q.turns").alias("turns"))
+    r_prompt = F.concat(
+        F.lit("Answer queries #"),
+        F.col("dialog_id").cast("string"),
+        F.lit(":"),
+        F.concat_ws("|", F.col("turns")),
+    )
+    s2 = s1.withColumn("__r_json", serving_udf(backend)(r_prompt))
+    s2 = s2.withColumn(
+        "__r", F.from_json(F.col("__r_json"), "struct<responses:array<struct<response:string>>>")
+    ).select("dialog_id", "category", "turns", F.col("__r.responses.response").alias("answers"))
+    # interleave: per user turn i, [user q_i] + ([assistant a_i] if present)
+    pair = F.transform(
+        F.sequence(F.lit(0), F.size("turns") - 1),
+        lambda i: F.when(
+            i < F.size("answers"),
+            F.array(
+                F.struct(F.lit("user").alias("role"), F.element_at("turns", i + 1).alias("value")),
+                F.struct(F.lit("assistant").alias("role"), F.element_at("answers", i + 1).alias("value")),
+            ),
+        ).otherwise(
+            F.array(F.struct(F.lit("user").alias("role"), F.element_at("turns", i + 1).alias("value")))
+        ),
+    )
+    conv = F.flatten(pair)
+    # drop the dangling user turn (consistent_chat.py:123-124)
+    conv = F.when(
+        (F.size(conv) > 0) & (F.element_at(conv, -1)["role"] == F.lit("user")),
+        F.slice(conv, 1, F.size(conv) - 1),
+    ).otherwise(conv)
+    out = s2.select("dialog_id", "category", conv.alias("conversation"))
+    rendered = F.concat_ws(
+        "\n", F.transform("conversation", lambda t: F.concat(t["role"], F.lit(": "), t["value"]))
+    )
+    return (
+        out.filter(F.size("conversation") > 0)  # skip empty (reference :126-127)
+        .select(
+            "dialog_id",
+            "category",
+            "conversation",
+            F.size("conversation").cast("long").alias("n_turns"),
+            rendered.alias("convo_rendered"),
+        )
+    )
+
+
+class StubAgentServing(ServingBackend):
+    """Deterministic 3-agent stub for the multi-turn loop. The assistant
+    finishes a task at round r* = 1 + md5(task)%6 (so ~1/6 of tasks never
+    finish within the 5-round budget and are dropped — exercising the
+    keep-completed filter); otherwise it emits a <func_call>; the tool agent
+    echoes a deterministic result for the call."""
+
+    def generate(self, prompts: pd.Series) -> pd.Series:
+        def respond(p: str) -> str:
+            if p is None:  # masked rows (already-completed dialogs)
+                return None
+            h = _md5(p)
+            if p.startswith("USER-AGENT "):
+                return f"do {p[len('USER-AGENT '):]}"
+            if p.startswith("ASSISTANT-AGENT "):
+                body = p[len("ASSISTANT-AGENT ") :]
+                task, _, round_s = body.rpartition(" @round ")
+                target = 1 + int(_md5(task)[:2], 16) % 6
+                if int(round_s) >= target:
+                    return f"<final>done-{h[:6]}</final>"
+                return f"<func_call>f_{h[:6]}({round_s})</func_call>"
+            if p.startswith("TOOL-AGENT "):
+                return f"result-{h[:6]}"
+            return ""
+
+        return prompts.map(respond)
+
+
+def multiturn_conversations(
+    tasks: DataFrame,
+    task_col: str = "task",
+    max_rounds: int = 5,
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    """MultiTurnConversationGenerator analog (func_call_operators.py:505-572)
+    as a columnar loop: each round appends an assistant turn for every
+    not-yet-completed dialog; a <final> reply (regexp-detected, :546) marks
+    completion; otherwise the <func_call> payload (:530-537) is extracted and
+    a tool turn is appended. After max_rounds (:567) only completed dialogs
+    survive (:570).
+
+    The round loop is driver-side control flow over narrow column ops — no
+    collect; each round is two serving-UDF projections + a filter-free
+    conditional append, so the plan stays one pipelined stage per round.
+
+    Returns (task-cols…, conversation, n_rounds, completed=1 rows only)."""
+    backend = backend or StubAgentServing()
+    sv = serving_udf(backend)
+    df = tasks.withColumn("__user", sv(F.concat(F.lit("USER-AGENT "), F.col(task_col))))
+    conv = F.array(
+        F.struct(F.lit("user").alias("role"), F.col("__user").alias("value"))
+    )
+    df = df.withColumn("conversation", conv).withColumn("__done", F.lit(False)).withColumn(
+        "__rounds", F.lit(0)
+    )
+    final_re = r"<final>(.*?)</final>"
+    func_re = r"<func_call>(.*?)</func_call>"
+    for rnd in range(1, max_rounds + 1):
+        a_prompt = F.concat(
+            F.lit("ASSISTANT-AGENT "), F.col(task_col), F.lit(" @round "), F.lit(str(rnd))
+        )
+        a_resp = F.when(F.col("__done"), F.lit(None)).otherwise(sv(a_prompt))
+        df = df.withColumn("__a", a_resp)
+        is_final = F.coalesce(F.col("__a").rlike(final_re), F.lit(False))
+        func_call = F.regexp_extract(F.col("__a"), func_re, 0)
+        t_resp = F.when(
+            F.col("__done") | is_final | (func_call == ""), F.lit(None)
+        ).otherwise(sv(F.concat(F.lit("TOOL-AGENT "), func_call)))
+        df = df.withColumn("__t", t_resp)
+        appended = F.concat(
+            F.col("conversation"),
+            F.array(F.struct(F.lit("assistant").alias("role"), F.col("__a").alias("value"))),
+            F.when(
+                F.col("__t").isNotNull(),
+                F.array(F.struct(F.lit("tool").alias("role"), F.col("__t").alias("value"))),
+            ).otherwise(F.array().cast(CONV_SCHEMA)),
+        )
+        df = (
+            df.withColumn(
+                "conversation", F.when(F.col("__done"), F.col("conversation")).otherwise(appended)
+            )
+            .withColumn("__rounds", F.when(F.col("__done"), F.col("__rounds")).otherwise(F.lit(rnd)))
+            .withColumn("__done", F.col("__done") | is_final)
+            .drop("__a", "__t")
+        )
+    out = df.filter(F.col("__done"))  # keep only completed (:570)
+    rendered = F.concat_ws(
+        "\n", F.transform("conversation", lambda t: F.concat(t["role"], F.lit(": "), t["value"]))
+    )
+    return out.select(
+        *[c for c in tasks.columns],
+        F.col("conversation"),
+        F.col("__rounds").cast("long").alias("n_rounds"),
+        rendered.alias("convo_rendered"),
+    )

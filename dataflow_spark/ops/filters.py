@@ -283,6 +283,11 @@ def label_columns(col: Column) -> dict[str, Column]:
         "lbl_curly": curly_bracket_ratio_below(col, 0.025),
         "lbl_sentences": sentence_count_between(col, 1, 10000),
         "lbl_special_chars": no_special_characters(col),
+        "lbl_symbol_ratio": symbol_word_ratio_below(col, 0.4),
+        "lbl_id_card": id_card_count_below(col, 3),
+        "lbl_capital": capital_words_ratio_at_most(col, 0.3),
+        "lbl_char_count": char_count_at_least(col, 100),
+        "lbl_stopword": stopword_ratio_above(col, 0.0),
     }
     return {k: v.cast("int") for k, v in preds.items()}
 

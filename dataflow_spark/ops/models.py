@@ -1,0 +1,113 @@
+"""Model-backed evaluator stage (SURVEY.md §2.5): the per-executor-model
+iterator shape used by the reference's HF-classifier scorers
+(/root/reference/dataflow/operators/text_pt/eval/perplexity_sample_evaluator.py:10,
+fineweb_edu_sample_evaluator.py:11, qurating_sample_evaluator.py) — load the
+model ONCE per python worker, stream Arrow batches through it.
+
+No GPU/weights exist in this sandbox, so the shipped scorer is a
+deterministic logistic model over cheap text features (StubQualityModel).
+The stage shape — mapInPandas iterator, lazy per-worker model cache,
+swap-in real scorer via the `loader` seam — is the real thing; the stub's
+arithmetic is SQL-expressible so the whole stage is oracle-checked, not just
+rows-only.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops.refine import EN_STOPWORDS
+
+
+class StubQualityModel:
+    """Deterministic stand-in for an HF sequence classifier: logistic
+    regression with fixed public weights over (n_words capped at 100,
+    avg_word_len, stopword_ratio). Loading is where a real model would read
+    weights; here it just materializes the stopword set."""
+
+    W0, W_NW, W_AWL, W_SR = -3.0, 0.02, 0.25, 2.0
+
+    def __init__(self):
+        self.stopwords = frozenset(EN_STOPWORDS)
+
+    _WS = None  # compiled ascii-\s splitter (matches Java/DuckDB \s)
+
+    def score_batch(self, texts: pd.Series) -> pd.Series:
+        import re
+
+        if StubQualityModel._WS is None:
+            StubQualityModel._WS = re.compile(r"\s+", re.ASCII)
+
+        def one(t):
+            if t is None:
+                return None
+            # ascii-whitespace tokenization so the JVM/SQL twin (split on \s+
+            # after trim) agrees token-for-token; '' tokenizes to [''] like
+            # split() does in both engines
+            ws = StubQualityModel._WS.split(t.strip(" \t\n\r\f\v").lower())
+            n = len(ws)
+            awl = sum(len(w) for w in ws) / n
+            sr = sum(1 for w in ws if w in self.stopwords) / n
+            z = self.W0 + self.W_NW * min(n, 100) + self.W_AWL * awl + self.W_SR * sr
+            return round(1.0 / (1.0 + math.exp(-z)), 6)
+
+        return texts.map(one)
+
+
+_MODEL_CACHE: dict[str, object] = {}
+
+
+def _load_model(loader: Callable[[], object], key: str):
+    """Per-python-worker singleton: the model loads once per executor worker
+    process and is reused across every Arrow batch and task that follows —
+    the reference's serving-refcount lifecycle (Pipeline.py:506-525) mapped
+    onto Spark's worker-process reuse."""
+    m = _MODEL_CACHE.get(key)
+    if m is None:
+        m = _MODEL_CACHE[key] = loader()
+    return m
+
+
+def model_score_stage(
+    df: DataFrame,
+    col: str = "text",
+    out: str = "model_score",
+    loader: Callable[[], object] = StubQualityModel,
+    model_key: str = "stub_quality",
+) -> DataFrame:
+    """Evaluator archetype with a real model boundary: mapInPandas iterator,
+    model loaded lazily per worker via `loader` (swap in a GPU scorer without
+    touching the plan). Appends `out`, drops nothing."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField(out, DoubleType())])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _load_model(loader, model_key)
+        for pdf in batches:
+            pdf[out] = model.score_batch(pdf[col])
+            yield pdf
+
+    return df.mapInPandas(score, schema)
+
+
+def stub_model_score_expr(col: Column) -> Column:
+    """JVM-expression twin of StubQualityModel (same formula, same rounding)
+    — lets tests assert stage==expression and the DuckDB oracle check values."""
+    ws = F.split(F.trim(F.lower(col)), r"\s+")
+    n = F.size(ws)
+    awl = F.length(F.concat_ws("", ws)) / n
+    sr = F.size(F.filter(ws, lambda w: w.isin(*EN_STOPWORDS))) / n
+    z = (
+        F.lit(StubQualityModel.W0)
+        + F.lit(StubQualityModel.W_NW) * F.least(n, F.lit(100)).cast("double")
+        + F.lit(StubQualityModel.W_AWL) * awl
+        + F.lit(StubQualityModel.W_SR) * sr
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return F.round(score, 6)

@@ -1,0 +1,394 @@
+"""NLP kernels: Porter stemmer, SymSpell spelling correction, gazetteer NER,
+and profile-based language ID (SURVEY.md §2.4 / §2.2 tail).
+
+All four close reference-parity gaps flagged in round 1:
+  - Porter (1980) replaces the Harman s-stem stand-in for
+    StemmingLemmatizationRefiner (reference runs NLTK PorterStemmer,
+    stemming_lemmatization_refiner.py:56-57). Public-domain algorithm,
+    implemented from the paper ("An algorithm for suffix stripping",
+    Program 14(3) 1980); runs as an Arrow-batched pandas UDF.
+  - SymSpell (deletes-index spelling correction) for
+    SpellingCorrectionRefiner (spelling_correction_refiner.py:12-25). The
+    deletes index makes lookup O(len^2) per token instead of O(|dict|); the
+    result equals brute-force min-Levenshtein (<=2) because every pair within
+    Levenshtein distance k shares a k-deletes entry (lev >= damerau-osa, and
+    the deletes intersection is complete for damerau<=k). The DuckDB oracle
+    runs the brute-force twin, so the equivalence is machine-checked.
+  - Gazetteer/pattern NER stand-in for NERRefiner (ner_refiner.py:46,89-92 —
+    spaCy entities -> [LABEL] tags). Same stage shape + output contract,
+    entity coverage limited to patterns/gazetteer (documented).
+  - lang_id_v2: script detection (8 non-Latin scripts) + stopword-profile
+    argmax (7 Latin languages) — the fastText-class stand-in for
+    LanguageFilter (language_filter.py:61-65); 15 languages + 'und'. Pure JVM
+    expressions, exactly replicated by the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+# ---------------------------------------------------------------------------
+# Porter stemmer (public-domain algorithm, Porter 1980)
+# ---------------------------------------------------------------------------
+
+_VOWELS = "aeiou"
+
+
+def _cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return True if i == 0 else not _cons(w, i - 1)
+    return True
+
+
+def _m(stem: str) -> int:
+    """Porter's measure: the number of VC sequences in the stem."""
+    m = 0
+    i, n = 0, len(stem)
+    while i < n and _cons(stem, i):
+        i += 1
+    while True:
+        while i < n and not _cons(stem, i):
+            i += 1
+        if i >= n:
+            return m
+        m += 1
+        while i < n and _cons(stem, i):
+            i += 1
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _cons(stem, i) for i in range(len(stem)))
+
+
+def _doublec(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _cons(w, len(w) - 1)
+
+
+def _cvc(w: str) -> bool:
+    if len(w) < 3:
+        return False
+    if not _cons(w, len(w) - 1) or _cons(w, len(w) - 2) or not _cons(w, len(w) - 3):
+        return False
+    return w[-1] not in "wxy"
+
+
+_STEP2 = (
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+)
+_STEP3 = (
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+)
+_STEP4 = (
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+)
+
+
+def porter_stem(word: str) -> str:
+    """The 1980 Porter algorithm, steps 1a-5b, on a lowercase word."""
+    w = word
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    flag = False
+    if w.endswith("eed"):
+        if _m(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed"):
+        if _has_vowel(w[:-2]):
+            w, flag = w[:-2], True
+    elif w.endswith("ing"):
+        if _has_vowel(w[:-3]):
+            w, flag = w[:-3], True
+    if flag:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _doublec(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _m(w) == 1 and _cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            if _m(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            if _m(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 4
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _m(stem) > 1 and (suf != "ion" or (stem and stem[-1] in "st")):
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        a = _m(w[:-1])
+        if a > 1 or (a == 1 and not _cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if _m(w) > 1 and _doublec(w) and w[-1] == "l":
+        w = w[:-1]
+    return w
+
+
+def porter_stem_text(text: str | None) -> str | None:
+    """Per-text kernel: lowercase-alpha tokens are stemmed, everything else
+    passes through unchanged; whitespace collapses to single spaces (the
+    reference joins stems with ' ', stemming_lemmatization_refiner.py:56-57)."""
+    if text is None:
+        return None
+    out = []
+    for tok in text.split():
+        out.append(porter_stem(tok) if tok.isalpha() and tok.islower() else tok)
+    return " ".join(out)
+
+
+def porter_stem_refiner(df: DataFrame, col: str = "text") -> DataFrame:
+    """StemmingLemmatizationRefiner (Porter mode) — Arrow-batched; per-token
+    results are memoized per batch (word-soup corpora repeat tokens heavily)."""
+
+    @F.pandas_udf(StringType())
+    def stem_udf(s: pd.Series) -> pd.Series:
+        cache: dict[str, str] = {}
+
+        def one(t):
+            if t is None:
+                return None
+            out = []
+            for tok in t.split():
+                if tok.isalpha() and tok.islower():
+                    r = cache.get(tok)
+                    if r is None:
+                        r = cache[tok] = porter_stem(tok)
+                    out.append(r)
+                else:
+                    out.append(tok)
+            return " ".join(out)
+
+        return s.map(one)
+
+    return df.withColumn(col, stem_udf(F.col(col)))
+
+
+# ---------------------------------------------------------------------------
+# SymSpell spelling correction
+# ---------------------------------------------------------------------------
+
+# embedded public dictionary: common-English head + the engine's own domain
+# vocabulary. The reference loads a frequency dictionary resource the same way
+# (spelling_correction_refiner.py:22-25); at cluster scale this is a broadcast.
+SPELL_DICT = (
+    "the and for are but not you all any can had her was one our out day get".split()
+    + "has him his how man new now old see two way who boy did its let put say she too use".split()
+    + "about after again below could every first found great house large learn never other".split()
+    + "place plant point right small sound spell still study their there these thing think".split()
+    + "three water where which world would write years table query window merge batch join".split()
+    + "stream filter sort hash group order column part scan line value vector customer data".split()
+    + "spark small slow fast big row key agg".split()
+)
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain Levenshtein distance (DP, two rows)."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _deletes(word: str, k: int) -> set[str]:
+    outs = {word}
+    frontier = {word}
+    for _ in range(k):
+        nxt = set()
+        for w in frontier:
+            for i in range(len(w)):
+                nxt.add(w[:i] + w[i + 1 :])
+        outs |= nxt
+        frontier = nxt
+    return outs
+
+
+class SymSpellIndex:
+    """Deletes-index spelling corrector (SymSpell; public algorithm).
+
+    correct(tok) returns the dictionary word minimizing (levenshtein, word)
+    with distance <= max_dist, or tok unchanged — exactly the brute-force
+    min-Levenshtein rule the SQL oracle runs, found via the deletes index."""
+
+    def __init__(self, words=SPELL_DICT, max_dist: int = 2):
+        self.max_dist = max_dist
+        self.words = set(words)
+        self.index: dict[str, set[str]] = {}
+        for w in self.words:
+            for d in _deletes(w, max_dist):
+                self.index.setdefault(d, set()).add(w)
+
+    def correct(self, tok: str) -> str:
+        if tok in self.words:
+            return tok
+        cands: set[str] = set()
+        for d in _deletes(tok, self.max_dist):
+            cands.update(self.index.get(d, ()))
+        best = None
+        for c in cands:
+            dist = _lev(tok, c)
+            if dist <= self.max_dist and (best is None or (dist, c) < best):
+                best = (dist, c)
+        return best[1] if best else tok
+
+
+def spell_correct_refiner(df: DataFrame, col: str = "text", min_len: int = 3) -> DataFrame:
+    """SpellingCorrectionRefiner — only lowercase pure-alpha tokens of length
+    >= min_len are candidates (cased/punctuated tokens pass through, keeping
+    the SQL twin trivial); corrections memoized per batch."""
+
+    @F.pandas_udf(StringType())
+    def fix_udf(s: pd.Series) -> pd.Series:
+        idx = _get_symspell()
+        cache: dict[str, str] = {}
+
+        def one(t):
+            if t is None:
+                return None
+            out = []
+            for tok in t.split():
+                if tok.isalpha() and tok.islower() and len(tok) >= min_len:
+                    r = cache.get(tok)
+                    if r is None:
+                        r = cache[tok] = idx.correct(tok)
+                    out.append(r)
+                else:
+                    out.append(tok)
+            return " ".join(out)
+
+        return s.map(one)
+
+    return df.withColumn(col, fix_udf(F.col(col)))
+
+
+_SYMSPELL: SymSpellIndex | None = None
+
+
+def _get_symspell() -> SymSpellIndex:
+    """Per-python-worker singleton — the index is built once per executor
+    process, the broadcast-dictionary pattern without shipping the index."""
+    global _SYMSPELL
+    if _SYMSPELL is None:
+        _SYMSPELL = SymSpellIndex()
+    return _SYMSPELL
+
+
+# ---------------------------------------------------------------------------
+# Gazetteer / pattern NER (NERRefiner stand-in)
+# ---------------------------------------------------------------------------
+
+GPE_GAZETTEER = (
+    "London", "Paris", "Tokyo", "Berlin", "Madrid", "Rome", "Beijing",
+    "Moscow", "Cairo", "Delhi", "Sydney", "Toronto", "Chicago", "Boston",
+    "Seattle", "Austin", "Dublin", "Oslo", "Vienna", "Zurich",
+)
+
+_PERSON_RE = r"\b(Mr|Mrs|Ms|Dr|Prof)\.? [A-Z][a-z]+\b"
+_ORG_RE = r"\b[A-Z][A-Za-z]+ (Inc|Corp|Ltd|LLC|Co)\b"
+
+
+def ner_redact(df: DataFrame, col: str = "text") -> DataFrame:
+    """NERRefiner stand-in (ner_refiner.py:89-92 output contract: entity
+    spans replaced by [LABEL] tags). PERSON/ORG via patterns, GPE via
+    gazetteer; pure JVM regexp chain (patterns are RE2-safe so the DuckDB
+    oracle runs them verbatim)."""
+    gaz = "|".join(GPE_GAZETTEER)
+    out = F.regexp_replace(F.col(col), _PERSON_RE, "[PERSON]")
+    out = F.regexp_replace(out, _ORG_RE, "[ORG]")
+    out = F.regexp_replace(out, rf"\b({gaz})\b", "[GPE]")
+    return df.withColumn(col, out)
+
+
+# ---------------------------------------------------------------------------
+# Profile language ID (lang_id_v2)
+# ---------------------------------------------------------------------------
+
+# 12 distinctive stopwords per Latin-script language. Ties break by dict
+# order (en first); zero hits -> 'und'.
+LATIN_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "it", "that", "for", "with", "was", "this"),
+    "es": ("el", "la", "los", "las", "una", "que", "por", "con", "para", "es", "del", "como"),
+    "fr": ("le", "les", "des", "une", "est", "dans", "pour", "sur", "avec", "pas", "ce", "qui"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "auf", "den", "von"),
+    "it": ("il", "gli", "che", "di", "per", "con", "sono", "nel", "anche", "della", "più", "non"),
+    "pt": ("o", "os", "as", "um", "uma", "não", "com", "para", "por", "mais", "como", "dos"),
+    "nl": ("de", "het", "een", "van", "en", "dat", "niet", "met", "voor", "zijn", "op", "ook"),
+}
+
+# script ranges (first-match wins, checked before Latin profiles)
+SCRIPT_RANGES: tuple[tuple[str, str, str], ...] = (
+    ("ja", "぀", "ヿ"),  # hiragana+katakana
+    ("ko", "가", "힯"),  # hangul syllables
+    ("zh", "一", "鿿"),  # CJK unified
+    ("ru", "Ѐ", "ӿ"),  # cyrillic
+    ("el", "Ͱ", "Ͽ"),  # greek
+    ("he", "֐", "׿"),  # hebrew
+    ("ar", "؀", "ۿ"),  # arabic
+    ("hi", "ऀ", "ॿ"),  # devanagari
+)
+
+
+def lang_id_v2(col: Column) -> Column:
+    """fastText-class stand-in (LanguageFilter, language_filter.py:61-65):
+    8 scripts by codepoint presence (first match in SCRIPT_RANGES order),
+    else stopword-profile argmax over 7 Latin languages (ties -> profile
+    order), else 'und'. 15 languages + und, pure JVM expressions; the SQL
+    oracle replicates rule-for-rule."""
+    ws = F.split(F.trim(F.lower(col)), r"\s+")
+
+    def hit_count(sw):
+        # closure factory: F.filter treats a 2-arg lambda as (element, index)
+        return F.size(F.filter(ws, lambda w: w.isin(*sw)))
+
+    scores = {lang: hit_count(sw) for lang, sw in LATIN_PROFILES.items()}
+    max_s = F.greatest(*scores.values())
+    latin = F.when(max_s <= 0, F.lit("und"))
+    for lang in LATIN_PROFILES:
+        latin = latin.when(scores[lang] == max_s, F.lit(lang))
+    out = None
+    for lang, lo, hi in SCRIPT_RANGES:
+        cond = col.rlike(f"[{lo}-{hi}]")
+        out = F.when(cond, F.lit(lang)) if out is None else out.when(cond, F.lit(lang))
+    return out.otherwise(latin)

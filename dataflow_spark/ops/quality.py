@@ -221,6 +221,90 @@ def bleu_overlap(cand: Column, ref: Column, max_n: int = 2) -> Column:
     return F.round(bp * F.pow(prod, 1.0 / max_n), 6)
 
 
+def _gram_id_array(ws: Column, n: int) -> Column:
+    """Array of int64 gram ids (xxhash64 of the gram struct) for CIDEr's
+    vector space; rows with fewer than n words get an empty array (their
+    n-gram vector is the zero vector → cosine 0 for that n). Hash identity
+    stands in for string-gram identity (collision odds ~2^-64); the SQL twin
+    uses the gram strings themselves, so join semantics agree."""
+    return F.when(F.size(ws) >= n, F.transform(gram_structs(ws, n), lambda s: F.xxhash64(s))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def cider_scores(
+    pairs: DataFrame,
+    key_cols: list[str],
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    max_n: int = 2,
+) -> DataFrame:
+    """CiderSampleEvaluator analog
+    (/root/reference/dataflow/operators/general_text/eval/cider_sample_evaluator.py:17):
+    corpus-IDF-weighted n-gram cosine between candidate and reference.
+
+        cider(c,r) = mean_n cos( tfidf_n(c), tfidf_n(r) )
+        tfidf_n(x)[g] = count_n(x, g) * ln(N / df_n(g))
+
+    df_n(g) = number of pairs whose REFERENCE contains gram g (the reference
+    corpus defines IDF, as in the original metric); candidate-only grams take
+    df=1. Cosine is scale-invariant, so raw counts (not length-normalized tf)
+    give the same value. Zero vectors (short/no-overlap texts) score 0.
+
+    Topology: per-n it is two explode+groupBy gram-count aggregations, one
+    gram-level df aggregate (small — the vocabulary), and key-equi-joins for
+    the dot product. Everything shuffles on (key, gram) or gram — never a
+    pairwise corpus scan; fully SQL-expressible, so the whole metric is
+    oracle-checked."""
+    key = [F.col(k) for k in key_cols]
+    base = pairs.select(
+        F.struct(*key).alias("__k"),
+        words(F.lower(F.col(cand_col))).alias("__cw"),
+        words(F.lower(F.col(ref_col))).alias("__rw"),
+    )
+    n_total = base.agg(F.count("*").cast("double").alias("__N"))
+    out = pairs.select(*key_cols, F.struct(*key).alias("__k"))
+    for n in range(1, max_n + 1):
+        cg = (
+            base.select("__k", F.explode(_gram_id_array(F.col("__cw"), n)).alias("__g"))
+            .groupBy("__k", "__g")
+            .agg(F.count("*").alias("__c"))
+        )
+        rg = (
+            base.select("__k", F.explode(_gram_id_array(F.col("__rw"), n)).alias("__g"))
+            .groupBy("__k", "__g")
+            .agg(F.count("*").alias("__r"))
+        )
+        dfn = rg.select("__g").groupBy("__g").agg(F.count("*").cast("double").alias("__df"))
+        idf = F.log(F.col("__N") / F.coalesce(F.col("__df"), F.lit(1.0)))
+        cw = (
+            cg.join(dfn, "__g", "left")
+            .crossJoin(F.broadcast(n_total))
+            .select("__k", "__g", (F.col("__c") * idf).alias("__wc"))
+        )
+        rw = (
+            rg.join(dfn, "__g")
+            .crossJoin(F.broadcast(n_total))
+            .select("__k", "__g", (F.col("__r") * idf).alias("__wr"))
+        )
+        dot = cw.join(rw, ["__k", "__g"]).groupBy("__k").agg(F.sum(F.col("__wc") * F.col("__wr")).alias(f"__dot{n}"))
+        cn = cw.groupBy("__k").agg(F.sum(F.col("__wc") * F.col("__wc")).alias(f"__cn{n}"))
+        rn = rw.groupBy("__k").agg(F.sum(F.col("__wr") * F.col("__wr")).alias(f"__rn{n}"))
+        out = out.join(dot, "__k", "left").join(cn, "__k", "left").join(rn, "__k", "left")
+    score_terms = []
+    for n in range(1, max_n + 1):
+        denom = F.sqrt(F.col(f"__cn{n}")) * F.sqrt(F.col(f"__rn{n}"))
+        s = F.when(
+            F.col(f"__dot{n}").isNull() | F.col(f"__cn{n}").isNull() | F.col(f"__rn{n}").isNull() | (denom == 0),
+            F.lit(0.0),
+        ).otherwise(F.col(f"__dot{n}") / denom)
+        score_terms.append(s)
+    total = score_terms[0]
+    for s in score_terms[1:]:
+        total = total + s
+    return out.select(*key_cols, F.round(total / F.lit(float(max_n)), 6).alias("cider"))
+
+
 def exact_match_accuracy(df: DataFrame, pred: Column, gt: Column) -> DataFrame:
     """BenchDatasetEvaluator (math-verify exact mode) analog
     (core_text/eval/bench_dataset_evaluator.py:49-56): dataset-level accuracy
