@@ -224,6 +224,38 @@ def run_scaling() -> None:
     }))
 
 
+def _streaming_replay(spark, table_dir: str, n_turns: int) -> float:
+    """North-star streaming path: replay the transcript table through
+    readStream(maxFilesPerTrigger) -> clean -> watermark dedup -> tumbling
+    window quality agg -> idempotent foreachBatch sink (availableNow).
+    Returns wall seconds for the full drain."""
+    import shutil
+    import tempfile
+
+    from dataflow_spark.streaming import pipeline as sp
+    from dataflow_spark.streaming.sink import IdempotentBatchSink
+
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    # split the prepared table into 8 files -> 8 micro-batch triggers
+    spark.read.parquet(table_dir).repartition(8).write.parquet(src)
+    sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+    # watermark is defined once by dedup_stage; the window agg inherits it
+    staged = sp.window_quality_stage(sp.dedup_stage(sp.clean_stage(sdf)), watermark=None)
+    t0 = time.perf_counter()
+    q = (
+        staged.writeStream.foreachBatch(IdempotentBatchSink(out))
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dt = time.perf_counter() - t0
+    shutil.rmtree(work, ignore_errors=True)
+    return dt
+
+
 def run_default() -> None:
     import __spark_entry__ as entry_mod
     from dataflow_spark.session import get_spark
@@ -259,6 +291,11 @@ def run_default() -> None:
     _flagship(spark, table_dir, filters_first=True)
     timings["flagship_optimized"] = round(time.perf_counter() - t0, 3)
 
+    # streaming replay (the north-star execution mode): 8 micro-batches
+    # through clean -> watermark-dedup -> windowed agg -> idempotent sink
+    stream_sec = _streaming_replay(spark, table_dir, n_turns)
+    timings["streaming_replay"] = round(stream_sec, 3)
+
     print(json.dumps({
         "metric": "headline query wall time (sum) + flagship e2e turns/sec",
         "value": round(sum(timings.values()), 3),
@@ -268,6 +305,7 @@ def run_default() -> None:
         "cores": CPUS,
         "flagship_turns": n_turns,
         "flagship_turns_per_sec": round(n_turns / flagship_sec, 1),
+        "streaming_turns_per_sec": round(n_turns / stream_sec, 1),
     }))
     spark.stop()
 

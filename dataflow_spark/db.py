@@ -1,0 +1,78 @@
+"""DB-backed storage (SURVEY.md §2.1): the reference's MyScale/ClickHouse
+storage contract (/root/reference/dataflow/utils/storage.py:332-492) —
+a table with system columns (pipeline_id, task_id, raw_data_id, data) where
+`data` is one JSON document per row (:453-467), read back in LIMIT/OFFSET
+pages (:406-407).
+
+No ClickHouse/JDBC driver exists in this sandbox, so the backend is an
+embedded DuckDB file — which matches the reference's actual execution shape:
+its DB reads/writes are driver-side pandas pages too, not distributed scans.
+The Spark boundary is explicit: write ships Arrow batches driver-side into
+the DB; read pages into pandas then parallelizes. At cluster scale the same
+contract maps to the JDBC source/sink (spark.read.format('jdbc') with
+partitionColumn paging) or an Iceberg table — the paging/system-column
+semantics here are what tests pin down.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class DBStorage:
+    """Paged JSON-document table keyed (pipeline_id, task_id, raw_data_id)."""
+
+    def __init__(self, db_path: str, table: str = "dataflow_rows"):
+        import duckdb
+
+        self.con = duckdb.connect(db_path)
+        self.table = table
+        self.con.execute(
+            f"CREATE TABLE IF NOT EXISTS {table} ("
+            "pipeline_id VARCHAR, task_id VARCHAR, raw_data_id BIGINT, data VARCHAR)"
+        )
+
+    def write(self, df: DataFrame, pipeline_id: str, task_id: str) -> int:
+        """storage.py:453-467 analog: each row serialized to one JSON doc;
+        raw_data_id is a dense 0..n-1 id in (a deterministic) row order."""
+        pdf = df.toPandas()
+        docs = [
+            (pipeline_id, task_id, i, json.dumps(row, default=str, sort_keys=True))
+            for i, row in enumerate(pdf.to_dict(orient="records"))
+        ]
+        self.con.executemany(
+            f"INSERT INTO {self.table} VALUES (?, ?, ?, ?)", docs
+        )
+        return len(docs)
+
+    def read_page(
+        self,
+        spark: SparkSession,
+        pipeline_id: str,
+        task_id: str,
+        limit: int,
+        offset: int,
+        schema,
+    ) -> DataFrame:
+        """storage.py:399-407 analog: filter on the pipeline/task system
+        columns + LIMIT/OFFSET under raw_data_id order, JSON-decode the data
+        column, hand the page to Spark."""
+        rows = self.con.execute(
+            f"SELECT data FROM {self.table} "
+            "WHERE pipeline_id = ? AND task_id = ? "
+            "ORDER BY raw_data_id LIMIT ? OFFSET ?",
+            [pipeline_id, task_id, limit, offset],
+        ).fetchall()
+        docs = [json.loads(r[0]) for r in rows]
+        return spark.createDataFrame(docs, schema=schema)
+
+    def count(self, pipeline_id: str, task_id: str) -> int:
+        return self.con.execute(
+            f"SELECT count(*) FROM {self.table} WHERE pipeline_id = ? AND task_id = ?",
+            [pipeline_id, task_id],
+        ).fetchone()[0]
+
+    def close(self) -> None:
+        self.con.close()

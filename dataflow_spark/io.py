@@ -75,18 +75,84 @@ def paged_read(
     fmt: str = "parquet",
 ) -> DataFrame:
     """DB-storage paged read analog (storage.py:406-407 LIMIT/OFFSET): a
-    deterministic page under a total order. OFFSET doesn't scale (it scans
-    and discards); this is the driver-side equivalent for small exports —
-    large-scale consumers should read partition directories instead
-    (`bucketed` layout via streaming/sink.write_bucketed)."""
-    from pyspark.sql import Window, functions as F
+    deterministic page under a total order, via orderBy + offset + limit —
+    Spark plans this as TakeOrderedAndProject (a top-k per partition + one
+    small merge), never a global row_number window. Still a small-export
+    pattern: OFFSET-style paging scans-and-discards by nature; large-scale
+    consumers should read partition directories instead (`bucketed` layout
+    via streaming/sink.write_bucketed)."""
+    from pyspark.sql import functions as F
 
     df = read_any(spark, path, fmt)
-    w = Window.orderBy(F.col(order_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(
-            (F.col("__rn") > page * page_size) & (F.col("__rn") <= (page + 1) * page_size)
-        )
-        .drop("__rn")
-    )
+    return df.orderBy(F.col(order_col)).offset(page * page_size).limit(page_size)
+
+
+def write_pickle(df: DataFrame, path: str) -> None:
+    """FileStorage pickle sink analog (storage.py:212-277 pickle branch):
+    one pickled pandas DataFrame per Spark partition, written from the
+    executors (no driver collect). The reference pickles the whole frame;
+    partition files keep the same interchange contract distributed."""
+    import os
+    import pickle
+
+    os.makedirs(path, exist_ok=True)
+    cols = list(df.columns)  # plain list — the closure must not capture df
+
+    def dump(pid, it):
+        import pandas as pd
+
+        rows = list(it)
+        if rows:
+            pdf = pd.DataFrame(rows, columns=cols)
+            with open(os.path.join(path, f"part-{pid:05d}.pkl"), "wb") as f:
+                pickle.dump(pdf, f)
+        return iter(())
+
+    df.rdd.mapPartitionsWithIndex(dump).count()  # force execution
+
+
+def read_pickle(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    """FileStorage pickle source analog (storage.py:117-137): binaryFile scan
+    of the .pkl partition files + mapInPandas unpickle — each file is one
+    Arrow batch, executors never see files they don't own. Schema is explicit
+    (pickle has no footer to infer from)."""
+
+    def load(batches):
+        import pickle
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                yield pickle.loads(bytes(blob))
+
+    files = spark.read.format("binaryFile").load(path + "/*.pkl").select("content")
+    return files.mapInPandas(load, schema)
+
+
+def read_dataset(spark: SparkSession, uri: str, schema: StructType | None = None) -> DataFrame:
+    """Remote-dataset source interface (storage.py:176-202: 'hf:' /'ms:'
+    prefixes load HuggingFace / ModelScope datasets). The hub downloads need
+    network + the datasets lib (absent here), so hub URIs resolve through a
+    local mirror directory set via SPARK_GRAFT_DATASET_DIR — 'hf:org/name'
+    reads '$SPARK_GRAFT_DATASET_DIR/org/name' (parquet or jsonl). Plain paths
+    pass through with format sniffing by extension."""
+    import os
+
+    if uri.startswith(("hf:", "ms:")):
+        root = os.environ.get("SPARK_GRAFT_DATASET_DIR")
+        if not root:
+            raise NotImplementedError(
+                "hub datasets need a local mirror: set SPARK_GRAFT_DATASET_DIR "
+                "(no network/datasets lib in this environment)"
+            )
+        local = os.path.join(root, uri.split(":", 1)[1])
+    else:
+        local = uri
+    if os.path.isdir(local) and any(f.endswith(".parquet") for f in os.listdir(local)):
+        return read_any(spark, local, "parquet", schema)
+    if local.endswith(".parquet"):
+        return read_any(spark, local, "parquet", schema)
+    if local.endswith((".json", ".jsonl")) or os.path.isdir(local):
+        return read_any(spark, local, "jsonl", schema)
+    if local.endswith(".csv"):
+        return read_any(spark, local, "csv", schema)
+    raise ValueError(f"cannot sniff dataset format for {uri!r}")

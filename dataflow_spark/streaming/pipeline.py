@@ -50,14 +50,21 @@ def dedup_stage(sdf: DataFrame, watermark: str = "10 minutes") -> DataFrame:
 
 
 def window_quality_stage(
-    sdf: DataFrame, watermark: str = "10 minutes", window: str = "5 minutes"
+    sdf: DataFrame, watermark: str | None = "10 minutes", window: str = "5 minutes"
 ) -> DataFrame:
     """Tumbling-window per-conversation quality scoring (append mode — rows
     emit when the watermark passes the window end). Per-row scores projected
-    before the agg via the batch-UDF gram counter (see quality module)."""
+    before the agg via the batch-UDF gram counter (see quality module).
+
+    watermark=None inherits the upstream stage's watermark — required when
+    chaining after another stateful stage (e.g. dedup_stage): Spark 4 allows
+    multiple stateful operators per query but forbids REdefining the
+    watermark mid-stream."""
     pre = project_gram_counts_udf(sdf, "text", 3)
+    if watermark is not None:
+        pre = pre.withWatermark("ts", watermark)
     return (
-        pre.withWatermark("ts", watermark)
+        pre
         .groupBy(F.window("ts", window).alias("win"), "conv_id")
         .agg(
             F.count("*").alias("n_turns"),

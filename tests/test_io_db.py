@@ -1,0 +1,74 @@
+"""IO tail coverage: pickle round-trip, paged reads (offset/limit plan),
+hub-style dataset source, and the paged DB-storage contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_spark import io as dio
+from dataflow_spark.db import DBStorage
+from dataflow_spark.synth import synth_transcripts
+
+
+def test_pickle_roundtrip(spark, tmp_path):
+    df = synth_transcripts(spark, n_turns=500, n_convs=10, seed=11).repartition(4)
+    path = str(tmp_path / "pkl")
+    dio.write_pickle(df, path)
+    assert any(f.endswith(".pkl") for f in os.listdir(path))
+    back = dio.read_pickle(spark, path, df.schema)
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_paged_read_offset_limit(spark, tmp_path):
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    path = str(tmp_path / "p")
+    df.write.parquet(path)
+    p0 = dio.paged_read(spark, path, "id", 30, 0).collect()
+    p1 = dio.paged_read(spark, path, "id", 30, 1).collect()
+    p3 = dio.paged_read(spark, path, "id", 30, 3).collect()
+    assert [r["id"] for r in p0] == list(range(30))
+    assert [r["id"] for r in p1] == list(range(30, 60))
+    assert [r["id"] for r in p3] == list(range(90, 100))
+    # the plan must be a global-sort limit, not a single-task window
+    plan = dio.paged_read(spark, path, "id", 30, 1)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_read_dataset_hub_prefix(spark, tmp_path, monkeypatch):
+    df = spark.range(20).select(F.col("id"), F.lit("x").alias("t"))
+    local = tmp_path / "mirror" / "org" / "name"
+    df.write.parquet(str(local))
+    monkeypatch.setenv("SPARK_GRAFT_DATASET_DIR", str(tmp_path / "mirror"))
+    back = dio.read_dataset(spark, "hf:org/name")
+    assert back.count() == 20
+    monkeypatch.delenv("SPARK_GRAFT_DATASET_DIR")
+    with pytest.raises(NotImplementedError):
+        dio.read_dataset(spark, "hf:org/other")
+
+
+def test_db_storage_paged_roundtrip(spark, tmp_path):
+    df = synth_transcripts(spark, n_turns=120, n_convs=5, seed=3).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    db = DBStorage(str(tmp_path / "store.duckdb"))
+    n = db.write(df, "pipe1", "taskA")
+    assert n == 120 and db.count("pipe1", "taskA") == 120
+    # unrelated task is isolated
+    db.write(df.limit(7), "pipe1", "taskB")
+    assert db.count("pipe1", "taskB") == 7
+
+    schema = "conv_id string, turn_idx long, role string, text string"
+    pages = [
+        db.read_page(spark, "pipe1", "taskA", limit=50, offset=o, schema=schema)
+        for o in (0, 50, 100)
+    ]
+    got = [r for p in pages for r in p.select("conv_id", "turn_idx", "role", "text").collect()]
+    assert len(got) == 120
+    want = sorted(map(tuple, df.collect()))
+    assert sorted(map(tuple, got)) == want
+    db.close()
