@@ -133,7 +133,7 @@ def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -143,14 +143,21 @@ def ivf_topk(
     nearest cell → each query probes only its n_probe nearest cells.
 
     The 100 TB scale path vs brute_force_topk: candidate generation is an
-    equi-join on cell id (shuffle on a 16-way key), so each query scans
-    n_probe/n_cells of the corpus instead of all of it. Recall < 1 by design;
-    tests measure recall against the exact baseline.
+    equi-join on cell id, so each query scans ~n_probe/n_cells of the corpus
+    instead of all of it. n_cells=None follows the standard IVF sizing rule
+    n_cells ≈ sqrt(n) (clamped to [16, 65536]) so cell population stays
+    ~sqrt(n) as the corpus grows — at 10^9 vectors that is ~32k cells of ~32k
+    vectors, not 16 giant cells. Past ~10^5 cells the flat quantizer scan per
+    row gets expensive; that regime wants a 2-level (IVF-HNSW-style) coarse
+    quantizer, noted here as the documented growth path. Recall < 1 by
+    design; tests measure recall against the exact baseline.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    if n_cells is None:
+        n_cells = int(max(16, min(65536, round(corpus.count() ** 0.5))))
     train = corpus.select(array_to_vector(F.col("c_vec").cast("array<double>")).alias("features"))
     km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
     centers = [list(map(float, c)) for c in km.clusterCenters()]
@@ -244,8 +251,8 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bands: int = 16,
-    n_planes: int = 2,
+    n_bands: int | None = None,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """SemDeduplicateFilter analog
     (/root/reference/dataflow/operators/general_text/filter/sem_deduplicate_filter.py:141-150):
@@ -287,7 +294,7 @@ def _hyperplane_band_sig(vec, n_bands: int, n_planes: int):
         *[
             F.aggregate(
                 F.sequence(F.lit(0), F.lit(n_planes - 1)),
-                F.lit(0),
+                F.lit(0).cast("bigint"),  # bit-packing: long holds up to 62 planes
                 lambda acc, j: acc * 2 + plane_bit(F.lit(b * n_planes) + j),
             )
             for b in range(n_bands)
@@ -295,28 +302,55 @@ def _hyperplane_band_sig(vec, n_bands: int, n_planes: int):
     )
 
 
+def lsh_params_for(threshold: float, target_recall: float = 0.9995) -> tuple[int, int]:
+    """Threshold-adaptive hyperplane-LSH sizing: pick n_planes so a band
+    agrees for an at-threshold pair with probability ~1/2
+    (n_planes ≈ -ln2 / ln(p_agree), p_agree = 1 - arccos(thr)/π), then
+    n_bands for the target recall. Selectivity against the sim≈0 background
+    (p_agree=1/2) is (1-2^-n_planes)^... — real pruning only exists when the
+    threshold sits well above the background similarity: at thr≥0.9 an
+    at-threshold pair needs ~9 bands of 4-5 bits and a random pair collides
+    w.p. ~0.25, while at thr=0.4 the math degenerates to ~2-bit bands that
+    admit nearly every pair (verified in tests). Low-threshold workloads
+    should sample (dataset_diversity) or go exact — LSH is the high-threshold
+    near-dup path, which is the regime the reference's SemDeduplicateFilter
+    actually runs (eps≈0.05 → thr≈0.95)."""
+    import math
+
+    p_agree = max(1e-6, min(1 - 1e-6, 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi))
+    # cap planes at 32: sign signatures pack into a long, and past ~32 bits
+    # the extra selectivity is noise vs the per-plane projection cost
+    n_planes = min(32, max(1, round(-math.log(2) / math.log(p_agree))))
+    p_band = p_agree**n_planes
+    n_bands = max(1, math.ceil(math.log(1 - target_recall) / math.log(1 - p_band)))
+    return n_bands, n_planes
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bands: int = 16,
-    n_planes: int = 2,
+    n_bands: int | None = None,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
 
-    Default (the scale path): OR-amplified random-hyperplane LSH — `n_bands`
-    independent bands of `n_planes` sign bits; a pair is a candidate iff it
-    agrees on >=1 whole band, then every candidate is EXACTLY cosine-verified,
-    so precision is always 1 and recall is the only approximation. For a pair
-    at angle θ, P(caught) = 1-(1-(1-θ/π)^n_planes)^n_bands — with the default
-    (16 bands × 2 planes) a sim-0.4 pair is caught w.p. ~0.9997 and anything
-    ≥0.9 is ~1-1e-12; recall vs the exact baseline is asserted in tests.
+    Default (the scale path): OR-amplified random-hyperplane LSH with
+    threshold-adaptive sizing (lsh_params_for) — `n_bands` independent bands
+    of `n_planes` sign bits; a pair is a candidate iff it agrees on >=1 whole
+    band, then every candidate is EXACTLY cosine-verified, so precision is
+    always 1 and recall (>= 0.9995 at-threshold by construction) is the only
+    approximation; recall vs the exact baseline is asserted in tests.
     Candidate generation shuffles on (band, sig) — never an all-pairs join.
 
     n_bands=0 → exact all-pairs self-join (correctness baseline for oracles;
     quadratic, small inputs only).
     """
+    if n_bands is None or n_planes is None:
+        auto_bands, auto_planes = lsh_params_for(threshold)
+        n_bands = auto_bands if n_bands is None else n_bands
+        n_planes = auto_planes if n_planes is None else n_planes
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if n_bands > 0:
         # key-only band explode (the minhash pattern): the banded shuffle

@@ -257,13 +257,17 @@ def cider_scores(
     pairwise corpus scan; fully SQL-expressible, so the whole metric is
     oracle-checked."""
     key = [F.col(k) for k in key_cols]
+    # persisted: the tokenized pairs feed 2 gram sizes x (cand, ref) explodes
+    # plus the key spine — without the cache the upstream pair join recomputes
+    # five times. Handle exposed as out.cider_pairs_cache for long-lived
+    # drivers (see dedup_minhash_lsh lifecycle note).
     base = pairs.select(
         F.struct(*key).alias("__k"),
         words(F.lower(F.col(cand_col))).alias("__cw"),
         words(F.lower(F.col(ref_col))).alias("__rw"),
-    )
+    ).persist()
     n_total = base.agg(F.count("*").cast("double").alias("__N"))
-    out = pairs.select(*key_cols, F.struct(*key).alias("__k"))
+    out = base.select(F.col("__k"), *[F.col(f"__k.{k}").alias(k) for k in key_cols])
     for n in range(1, max_n + 1):
         cg = (
             base.select("__k", F.explode(_gram_id_array(F.col("__cw"), n)).alias("__g"))
@@ -302,7 +306,9 @@ def cider_scores(
     total = score_terms[0]
     for s in score_terms[1:]:
         total = total + s
-    return out.select(*key_cols, F.round(total / F.lit(float(max_n)), 6).alias("cider"))
+    res = out.select(*key_cols, F.round(total / F.lit(float(max_n)), 6).alias("cider"))
+    res.cider_pairs_cache = base
+    return res
 
 
 def exact_match_accuracy(df: DataFrame, pred: Column, gt: Column) -> DataFrame:

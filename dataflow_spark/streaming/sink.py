@@ -40,10 +40,14 @@ def merge_upsert(
     spark: SparkSession, target_dir: str, batch_df: DataFrame, keys: list[str]
 ) -> None:
     """MERGE INTO emulation: upsert batch rows into target keyed on `keys`
-    (last-writer-wins per key). Atomic via staging dir + rename.
+    (last-writer-wins per key).
 
-    On a real cluster this is one Iceberg MERGE INTO statement; the
-    read-rewrite here is the small-scale stand-in with identical semantics.
+    SCALE WARNING — test/demo stand-in only: this is O(|target|) PER BATCH
+    (full read → anti-join → full rewrite), and the rmtree+rename swap is not
+    atomic against concurrent readers. It exists to pin down the MERGE
+    semantics in tests; production sinks are IdempotentBatchSink (batch-keyed
+    overwrite, O(|batch|)) here, or a real Iceberg `MERGE INTO` (metadata
+    swap, row-level deletes) on a cluster.
     """
     batch_df = batch_df.cache()
     if os.path.isdir(target_dir):

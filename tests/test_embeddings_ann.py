@@ -118,3 +118,45 @@ def test_dataset_diversity_sampled_is_deterministic(spark):
     assert a == b  # md5 sample is deterministic, not RNG-dependent
     assert a["n_pairs"] < full["n_pairs"]
     assert abs(a["avg_sim"] - full["avg_sim"]) < 0.05  # unbiased estimator, tight at this n
+
+
+def test_lsh_auto_params_selective_at_high_threshold(spark):
+    """At thr=0.95 the auto-sized bands must PRUNE: candidate pairs ≪ n^2
+    while planted near-dups are still found. At thr=0.4 the same math
+    degenerates (documented) — asserted so nobody mistakes it for pruning."""
+    import numpy as np
+
+    from dataflow_spark.ops import embeddings
+    from pyspark.sql import functions as F
+
+    nb, np_ = embeddings.lsh_params_for(0.95)
+    assert np_ >= 4 and nb <= 32  # selective bands at the near-dup regime
+    nb_low, np_low = embeddings.lsh_params_for(0.4)
+    assert np_low <= 2  # degenerate: low thresholds admit nearly everything
+
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(400, 32).astype(float)
+    for i in range(15):
+        vecs[300 + i] = vecs[i] + rng.randn(32) * 0.02  # sim ~0.999
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    pairs = embeddings.embedding_neardup_pairs(df, 0.95)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert all((i, 300 + i) in got for i in range(15))
+    # selectivity: count candidates the banded join admits (pre-verify)
+    sig = embeddings._hyperplane_band_sig(F.col("embedding"), nb, np_)
+    banded = df.select(F.col("vec_id").alias("id"), F.posexplode(sig).alias("band", "bsig"))
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id"), F.col("b.id"))
+        .distinct()
+        .count()
+    )
+    n_pairs = 400 * 399 // 2
+    assert cand < n_pairs * 0.6, f"no pruning: {cand}/{n_pairs}"
