@@ -659,11 +659,21 @@ def q_docs_code_stats(spark, sf):
 
 
 def q_sql_hardness(spark, sf):
-    """SQLComponentClassifier analog: synthesize a deterministic SQL string
-    per event (shape keyed by event_type), then score + band its complexity."""
+    """SQLComponentClassifier + SQLExecutionClassifier analogs: synthesize a
+    deterministic SQL string per event (shape keyed by event_type; every 7th
+    event gets a deliberately broken statement), score + band its complexity,
+    and EXPLAIN-execute it against the embedded events schema (per-worker
+    DuckDB, sql_execution_classifier.py:15 semantics). The oracle knows which
+    rows carry broken SQL, so the execution label is value-checked."""
+    from dataflow_spark.ops.sqlexec import sql_execution_classifier
+
     e = load_table(spark, sf, "events")
     sql = (
         F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(F.lit("SELEC broken FROM events WHERE id = "), F.col("event_id")),
+        )
+        .when(
             F.col("event_type") == "click",
             F.concat(F.lit("SELECT * FROM events WHERE user_id = "), F.col("user_id")),
         )
@@ -687,10 +697,12 @@ def q_sql_hardness(spark, sf):
         )
     )
     out = e.select("event_id", sql.alias("sql"))
-    return out.select(
+    labeled = sql_execution_classifier(out, "sql", {"events": f"{sf}/events.parquet"})
+    return labeled.select(
         "event_id",
         quality.sql_component_score(F.col("sql")).alias("sql_score"),
         quality.sql_difficulty(F.col("sql")).alias("difficulty"),
+        F.col("executable"),
     )
 
 
@@ -1471,7 +1483,9 @@ def oracle_sql() -> dict[str, str]:
     o["sql_hardness"] = r"""
         WITH s AS (
           SELECT event_id,
-            CASE WHEN event_type = 'click'
+            CASE WHEN event_id % 7 = 0
+                 THEN 'SELEC broken FROM events WHERE id = ' || CAST(event_id AS VARCHAR)
+                 WHEN event_type = 'click'
                  THEN 'SELECT * FROM events WHERE user_id = ' || CAST(user_id AS VARCHAR)
                  WHEN event_type = 'view'
                  THEN 'SELECT event_type, sum(value) FROM events GROUP BY event_type ORDER BY 2 DESC'
@@ -1496,7 +1510,8 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN sql_score <= 2 THEN 'easy'
                     WHEN sql_score <= 5 THEN 'medium'
                     WHEN sql_score <= 9 THEN 'hard'
-                    ELSE 'extra' END AS difficulty
+                    ELSE 'extra' END AS difficulty,
+               CASE WHEN event_id % 7 = 0 THEN 0 ELSE 1 END AS executable
         FROM sc
     """
 

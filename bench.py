@@ -208,7 +208,7 @@ def run_scaling() -> None:
         env = dict(os.environ, SPARK_GRAFT_EXECUTORS=str(n_exec))
         r = subprocess.run(
             [sys.executable, __file__, "--flagship-only", str(rep)],
-            env=env, capture_output=True, text=True, timeout=1800,
+            env=env, capture_output=True, text=True, timeout=3600,
         )
         line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
         out[n_exec] = json.loads(line)

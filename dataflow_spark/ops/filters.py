@@ -25,6 +25,31 @@ def words(col: Column) -> Column:
     return F.split(trimmed, PY_WS_RE)
 
 
+def wordpunct_tokens(col: Column) -> Column:
+    """NLTK WordPunctTokenizer parity: the tokenizer is the public regex
+    `\\w+|[^\\w\\s]+` — alpha-numeric runs and punctuation runs are separate
+    tokens. This is the tokenizer SymbolWordRatioFilter/AlphaWordsFilter use
+    in their use_tokenizer=True mode (rule_based_filter.py:340-352,409-426);
+    pure JVM expression, no NLTK import needed."""
+    return F.regexp_extract_all(col, F.lit(r"\w+|[^\w\s]+"), 0)
+
+
+def symbol_word_ratio_below_tokenized(col: Column, thr: float = 0.4) -> Column:
+    """SymbolWordRatioFilter, use_tokenizer=True path — symbol mentions over
+    WordPunct token count (rule_based_filter.py:340-352)."""
+    n_sym = F.size(F.regexp_extract_all(col, F.lit(r"(#|\.\.\.|…)"), 0))
+    return (n_sym / F.size(wordpunct_tokens(col))) < thr
+
+
+def alpha_words_ratio_above_tokenized(col: Column, thr: float = 0.6) -> Column:
+    """AlphaWordsFilter, use_tokenizer=True path — tokens containing a letter
+    over WordPunct token count (rule_based_filter.py:409-426)."""
+    toks = wordpunct_tokens(col)
+    n = F.size(toks)
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]")))
+    return (n > 0) & ((alpha / n) > thr)
+
+
 def content_not_null(col: Column) -> Column:
     """ContentNullFilter — rule_based_filter.py:282."""
     return col.isNotNull() & (F.trim(col) != "")

@@ -270,11 +270,27 @@ def normalize_clean(df: DataFrame, col: str = "text") -> DataFrame:
     return lowercase(remove_extra_spaces(df, col), col)
 
 
-# small, public, embedded stopword list (NLTK-english head) — enough for the
-# ratio/refine kernels; the reference broadcasts the full NLTK list.
+# full English stopword list (the standard ~179-word list NLTK distributes,
+# public data; the reference loads it via nltk.corpus.stopwords,
+# remove_stopwords_refiner.py:18-21). Apostrophe'd contraction forms are
+# omitted — their bare stems (don, shouldn, ...) are in the list, and the
+# omission keeps the SQL-oracle tuple rendering quote-safe.
 EN_STOPWORDS = (
-    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
-    "were", "be", "been", "it", "its", "this", "that", "with", "as", "for",
-    "on", "at", "by", "from", "but", "not", "they", "their", "he", "she",
-    "his", "her", "we", "you", "i", "has", "have", "had", "do", "does",
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "your", "yours", "yourself", "yourselves", "he", "him", "his", "himself",
+    "she", "her", "hers", "herself", "it", "its", "itself", "they", "them",
+    "their", "theirs", "themselves", "what", "which", "who", "whom", "this",
+    "that", "these", "those", "am", "is", "are", "was", "were", "be", "been",
+    "being", "have", "has", "had", "having", "do", "does", "did", "doing",
+    "a", "an", "the", "and", "but", "if", "or", "because", "as", "until",
+    "while", "of", "at", "by", "for", "with", "about", "against", "between",
+    "into", "through", "during", "before", "after", "above", "below", "to",
+    "from", "up", "down", "in", "out", "on", "off", "over", "under", "again",
+    "further", "then", "once", "here", "there", "when", "where", "why",
+    "how", "all", "any", "both", "each", "few", "more", "most", "other",
+    "some", "such", "no", "nor", "not", "only", "own", "same", "so", "than",
+    "too", "very", "s", "t", "can", "will", "just", "don", "should", "now",
+    "d", "ll", "m", "o", "re", "ve", "y", "ain", "aren", "couldn", "didn",
+    "doesn", "hadn", "hasn", "haven", "isn", "ma", "mightn", "mustn",
+    "needn", "shan", "shouldn", "wasn", "weren", "won", "wouldn",
 )

@@ -1,0 +1,97 @@
+"""SQL execution classifier/filter (SURVEY.md §2.5 tail).
+
+Reference: SQLExecutionClassifier / SQLExecutionFilter execute each row's
+generated SQL against a live database and keep/label rows by whether the
+statement runs (/root/reference/dataflow/operators/text2sql/eval/
+sql_execution_classifier.py:15, filter/sql_execution_filter.py:13 — batch
+execution with a per-statement timeout :16-18,:103).
+
+Spark-first shape: mapInPandas with a per-worker embedded DuckDB connection —
+each executor owns one read-only database (schema registered from parquet),
+statements are deduplicated per Arrow batch (generated SQL repeats heavily)
+and run with LIMIT 0 semantics via EXPLAIN, so classification never
+materializes result sets. At cluster scale the same stage points the
+per-worker connection at the real warehouse (the reference's contract), or
+EXPLAIN-validates against the catalog only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+_WORKER_CON = {}
+
+
+def _get_con(schema_parquet: dict[str, str]):
+    """Per-python-worker DuckDB with the target schema registered as views
+    over parquet (read-only; one connection per worker process)."""
+    key = tuple(sorted(schema_parquet.items()))
+    con = _WORKER_CON.get(key)
+    if con is None:
+        import duckdb
+
+        con = duckdb.connect()
+        for table, path in schema_parquet.items():
+            con.execute(f"CREATE VIEW {table} AS SELECT * FROM '{path}'")
+        _WORKER_CON[key] = con
+    return con
+
+
+def sql_execution_classifier(
+    df: DataFrame,
+    sql_col: str = "sql",
+    schema_parquet: dict[str, str] | None = None,
+    out_col: str = "executable",
+    err_col: str = "exec_error",
+) -> DataFrame:
+    """Appends `executable` (0/1) and `exec_error` (error head or null) per
+    row by EXPLAIN-ing the row's SQL against the embedded schema. Statements
+    are memoized per batch — generated SQL corpora repeat a few shapes across
+    millions of rows, so the DB sees each distinct statement once per batch.
+    """
+    schema_parquet = schema_parquet or {}
+    fields = list(df.schema.fields) + [
+        StructField(out_col, IntegerType()),
+        StructField(err_col, StringType()),
+    ]
+    out_schema = StructType(fields)
+
+    def classify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        con = _get_con(schema_parquet)
+        cache: dict[str, tuple[int, str | None]] = {}
+
+        def one(stmt):
+            if stmt is None:
+                return 0, "null statement"
+            hit = cache.get(stmt)
+            if hit is None:
+                try:
+                    con.execute(f"EXPLAIN {stmt}")
+                    hit = (1, None)
+                except Exception as e:  # noqa: BLE001 — error text IS the label
+                    hit = (0, str(e).splitlines()[0][:120])
+                cache[stmt] = hit
+            return hit
+
+        for pdf in batches:
+            res = pdf[sql_col].map(one)
+            pdf[out_col] = res.map(lambda t: t[0])
+            pdf[err_col] = res.map(lambda t: t[1])
+            yield pdf
+
+    return df.mapInPandas(classify, out_schema)
+
+
+def sql_execution_filter(
+    df: DataFrame, sql_col: str = "sql", schema_parquet: dict[str, str] | None = None
+) -> DataFrame:
+    """SQLExecutionFilter — keep only rows whose SQL executes
+    (sql_execution_filter.py:13 semantics)."""
+    from pyspark.sql import functions as F
+
+    labeled = sql_execution_classifier(df, sql_col, schema_parquet)
+    return labeled.filter(F.col("executable") == 1).drop("executable", "exec_error")

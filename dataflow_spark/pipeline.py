@@ -279,6 +279,89 @@ register(
 )
 
 
+def _nlp_op(fname):
+    def build(**p):
+        from dataflow_spark.ops import nlp
+
+        fn = getattr(nlp, fname)
+        return lambda df: fn(df, p.get("col", "text"))
+    return build
+
+
+register("porter_stem", OpSpec(_nlp_op("porter_stem_refiner"), _TEXT_IN, _NO_NEW))
+register("spell_correct", OpSpec(_nlp_op("spell_correct_refiner"), _TEXT_IN, _NO_NEW))
+register("ner_redact", OpSpec(_nlp_op("ner_redact"), _TEXT_IN, _NO_NEW))
+register(
+    "lang_id_v2",
+    OpSpec(
+        lambda **p: (lambda df: df.withColumn(
+            p.get("output_col", "pred_lang2"),
+            __import__("dataflow_spark.ops.nlp", fromlist=["x"]).lang_id_v2(
+                F.col(p.get("col", "text"))))),
+        _TEXT_IN,
+        lambda p: [p.get("output_col", "pred_lang2")],
+    ),
+)
+register(
+    "model_score",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.models", fromlist=["x"]).model_score_stage(
+            df, p.get("col", "text"), p.get("output_col", "model_score"))),
+        _TEXT_IN,
+        lambda p: [p.get("output_col", "model_score")],
+    ),
+)
+register(
+    "dedup_simhash",
+    OpSpec(
+        lambda **p: (lambda df: dedup.dedup_simhash(
+            df, col=p.get("col", "text"), hamming_thr=p.get("hamming_thr", 3))),
+        lambda p: ["ts", "conv_id", "turn_idx", p.get("col", "text")],
+        lambda p: [],
+        drops_rows=True,
+    ),
+)
+register(
+    "semantic_dedup",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.embeddings", fromlist=["x"]).semantic_dedup(
+            df, p.get("threshold", 0.95), p.get("id_col", "vec_id"), p.get("vec_col", "embedding"))),
+        lambda p: [p.get("id_col", "vec_id"), p.get("vec_col", "embedding")],
+        lambda p: [],
+        drops_rows=True,
+    ),
+)
+register(
+    "prompted_filter",
+    OpSpec(
+        lambda **p: (lambda df: prompted.prompted_filter(
+            df, p["system_prompt"], p.get("col", "text"), p.get("min_score", 3))),
+        _TEXT_IN,
+        lambda p: ["score"],
+        drops_rows=True,
+    ),
+)
+register(
+    "doc2qa",
+    OpSpec(
+        lambda **p: (lambda df: prompted.doc2qa(
+            df, p.get("id_col", "doc_id"), p.get("col", "text"), p.get("n_pairs", 2))),
+        lambda p: [p.get("id_col", "doc_id"), p.get("col", "text")],
+        lambda p: ["qa_idx", "question", "answer"],
+    ),
+)
+register(
+    "multiturn_conversations",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.conversations", fromlist=["x"]).multiturn_conversations(
+            df, p.get("task_col", "task"), p.get("max_rounds", 5))),
+        lambda p: [p.get("task_col", "task")],
+        lambda p: ["conversation", "n_rounds", "convo_rendered"],
+        drops_rows=True,
+    ),
+)
+
+
 class PipelineConfigError(KeyError):
     """Unresolved input column — the Pipeline.compile() KeyError analog
     (Pipeline.py:123-134)."""

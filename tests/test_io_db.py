@@ -72,3 +72,24 @@ def test_db_storage_paged_roundtrip(spark, tmp_path):
     want = sorted(map(tuple, df.collect()))
     assert sorted(map(tuple, got)) == want
     db.close()
+
+
+def test_sql_execution_classifier_and_filter(spark, sf_dir):
+    from dataflow_spark.ops.sqlexec import sql_execution_classifier, sql_execution_filter
+
+    schema = {"events": f"{sf_dir}/events.parquet"}
+    rows = [
+        (1, "SELECT count(*) FROM events"),
+        (2, "SELECT user_id, sum(value) FROM events GROUP BY user_id"),
+        (3, "SELEC broken FROM events"),           # syntax error
+        (4, "SELECT no_such_col FROM events"),     # binder error
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "qid: long, sql: string")
+    got = {r["qid"]: (r["executable"], r["exec_error"]) for r in
+           sql_execution_classifier(df, "sql", schema).collect()}
+    assert got[1][0] == 1 and got[2][0] == 1
+    assert got[3][0] == 0 and got[4][0] == 0 and got[5][0] == 0
+    assert got[3][1] and got[4][1]
+    kept = {r["qid"] for r in sql_execution_filter(df, "sql", schema).collect()}
+    assert kept == {1, 2}

@@ -62,3 +62,39 @@ def test_streaming_builder_swaps_dedup(spark):
     sdf_plan = P.build_pipeline(cfg, streaming=True)
     out = sdf_plan(df.withWatermark("ts", "10 minutes"))
     assert "text" in out.columns
+
+
+def test_round2_ops_compose_through_registry(spark):
+    from dataflow_spark import pipeline as P
+
+    # spell-correction runs BEFORE stemming (stems are deliberately not
+    # dictionary words — correcting after stemming would "fix" them away)
+    cfg = [
+        {"op": "remove_extra_spaces"},
+        {"op": "spell_correct"},
+        {"op": "ner_redact"},
+        {"op": "porter_stem"},
+        {"op": "lang_id_v2"},
+        {"op": "model_score"},
+    ]
+    assert "model_score" in P.validate_config(cfg, ["doc_id", "text"])
+    run = P.build_pipeline(cfg)
+    df = spark.createDataFrame(
+        [(1, "the ponies  agreed in London"), (2, "qeury tabel scan")],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: (r["text"], r["pred_lang2"], r["model_score"]) for r in run(df).collect()}
+    assert "[GPE]" in out[1][0] and "poni" in out[1][0]
+    assert "queri" in out[2][0] and "tabl" in out[2][0]  # corrected then stemmed
+    assert all(0.0 <= v[2] <= 1.0 for v in out.values())
+
+
+def test_multiturn_registry_op(spark):
+    from dataflow_spark import pipeline as P
+
+    run = P.build_pipeline([{"op": "multiturn_conversations"}])
+    df = spark.createDataFrame([(i, f"task-{i}") for i in range(10)], "task_id: long, task: string")
+    got = run(df)
+    rows = got.collect()
+    assert 0 < len(rows) <= 10
+    assert all("<final>" in r["convo_rendered"] for r in rows)

@@ -88,3 +88,16 @@ def test_prompted_generate_stub(spark):
     out = prompted.prompted_generate(df, "You are a poet. ", "text", "gen").collect()[0]
     assert out["gen"].startswith("[gen-")
     assert "You" in out["gen"] or "write" in out["gen"]
+
+
+def test_synthesize_rows_deterministic_generator(spark):
+    """RandomDomainKnowledgeRowGenerator analog keeps golden coverage after
+    its driver query was folded into consistent_chat (50-query cap): rows
+    from nothing, stub-deterministic, one generated column per seed row."""
+    from dataflow_spark.ops import prompted
+
+    a = prompted.synthesize_rows(spark, 25, "Invent a domain knowledge fact. ")
+    b = prompted.synthesize_rows(spark, 25, "Invent a domain knowledge fact. ")
+    ra, rb = a.collect(), b.collect()
+    assert len(ra) == 25 and ra == rb
+    assert all(r["gen"].startswith("[gen-") for r in ra)

@@ -127,3 +127,45 @@ def test_mean_word_length(spark):
     assert kept == set()
     kept2 = {r["id"] for r in filters.apply_filters(df, filters.mean_word_length_between(F.col("text"), 2, 10)).collect()}
     assert kept2 == {"a"}
+
+
+def test_wordpunct_tokenizer_matches_nltk_regex(spark):
+    """WordPunctTokenizer parity: Spark expression vs the public regex the
+    NLTK tokenizer is defined by (\\w+|[^\\w\\s]+)."""
+    import re as _re
+
+    texts = [
+        "Hello, world! It's 3.5% -- ok?",
+        "no-punct here",
+        "...",
+        "a_b mixes:with;punct",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id: long, text: string")
+    got = {
+        r["id"]: list(r["toks"])
+        for r in df.select("id", filters.wordpunct_tokens(F.col("text")).alias("toks")).collect()
+    }
+    pat = _re.compile(r"\w+|[^\w\s]+")
+    for i, t in enumerate(texts):
+        assert got[i] == pat.findall(t), t
+
+
+def test_tokenized_filter_variants(spark):
+    df = spark.createDataFrame(
+        [("sym", "# " * 30 + "word"), ("clean", "twenty words of plain text here ok fine yes")],
+        ["id", "text"],
+    )
+    kept = {
+        r["id"]
+        for r in filters.apply_filters(
+            df, filters.symbol_word_ratio_below_tokenized(F.col("text"), 0.4)
+        ).collect()
+    }
+    assert "clean" in kept and "sym" not in kept
+    kept2 = {
+        r["id"]
+        for r in filters.apply_filters(
+            df, filters.alpha_words_ratio_above_tokenized(F.col("text"), 0.6)
+        ).collect()
+    }
+    assert "clean" in kept2 and "sym" not in kept2
