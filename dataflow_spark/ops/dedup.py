@@ -247,22 +247,27 @@ def dedup_minhash_lsh(
     banded = sigd.select(
         "__w", F.posexplode("__bh").alias("band", "bhash")
     ).select("__w", F.struct("band", "bhash").alias("__b"))
-    winners = banded.groupBy("__b").agg(F.min("__w").alias("__w"))
-    survivors = (
-        banded.join(winners, ["__b", "__w"], "left_semi")
-        .groupBy("__w")
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") == bands)
+    # LOSERS-side formulation: a row is a duplicate iff some band bucket
+    # contains an earlier row — i.e. it sits in a CONTESTED bucket (count>1)
+    # and is not that bucket's min. Only contested buckets leave the
+    # aggregate (singleton buckets — the overwhelming majority — are pruned
+    # map-side by the partial agg), so `multi` is ~the dup-cluster count and
+    # AQE broadcasts it: the banded stream and the payload recovery below
+    # never shuffle. The earlier survivors-side form semi-joined ~all of the
+    # input back against the cache — measured as the non-scaling cost when
+    # dedup runs FIRST in the pipeline (dup rate ~5%, survivors ~95%).
+    stats = banded.groupBy("__b").agg(F.min("__w").alias("__min"), F.count("*").alias("__n"))
+    multi = stats.filter(F.col("__n") > 1).select("__b", "__min")
+    losers = (
+        banded.join(multi, "__b")
+        .filter(F.col("__w") != F.col("__min"))
         .select("__w")
+        .distinct()
     )
-    if not payload:
-        out = survivors.select(*[F.col(f"__w.{c}").alias(c) for c in order_cols])
-    else:
-        # survivors is tiny relative to the input → AQE turns this into a
-        # broadcast semi join; the cached sigd side streams with no shuffle
-        out = sigd.join(survivors, ["__w"], "left_semi").select(
-            *[F.col(f"__w.{c}").alias(c) for c in order_cols], *payload
-        )
+    # losers is small → broadcast anti join; cached sigd streams through
+    out = sigd.join(losers, ["__w"], "left_anti").select(
+        *[F.col(f"__w.{c}").alias(c) for c in order_cols], *payload
+    )
     out.minhash_sig_cache = sigd  # see docstring: unpersist after consumption
     return out
 
