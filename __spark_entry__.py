@@ -153,10 +153,27 @@ def q_prompted_eval_filter(spark, sf):
     return scored.filter(F.col("score") >= 3)
 
 
-def q_docs_dedup_exact(spark, sf):
+def q_bm25_hardneg(spark, sf):
+    """RAREBM25HardNegGenerator analog (rare_bm25hardneg_generator.py:65-84):
+    distributed inverted-index BM25 (Lucene practical scoring, k1=0.9 b=0.4
+    :32) + top-`num_neg` hard negatives per query, gold doc excluded.
+    Queries are the doc2query stand-in — every 20th document contributes its
+    first 6 tokens as the question, itself as the gold positive
+    (rare_doc2query_generator.py feeds exactly this query/positive pairing
+    into the miner). max_df_ratio=1.0 HERE ONLY: this synthetic corpus has a
+    ~30-word vocabulary, so every term exceeds any sane df ceiling; the
+    high-df postings cut (the 100-TB scale guard) defaults ON in the op and
+    is exercised by tests/test_retrieval.py."""
+    from dataflow_spark.ops import retrieval
+
     d = load_table(spark, sf, "documents")
-    return d.groupBy(F.md5("text").alias("text_hash")).agg(
-        F.count("*").alias("n_copies"), F.min("doc_id").alias("first_doc_id")
+    q = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 6)).alias("question"),
+        F.col("doc_id").alias("gold_doc_id"),
+    )
+    return retrieval.bm25_hard_negatives(
+        d.select("doc_id", "text"), q, num_neg=3, max_df_ratio=1.0
     )
 
 
@@ -319,12 +336,57 @@ def q_docs_chunks(spark, sf):
 GEN_PROMPT = "Summarize the following conversation turn: "
 
 
-def q_prompted_generate_stub(spark, sf):
-    """Real serving path: iterator pandas UDF + StubServing (not the JVM twin),
-    oracle-checked because the stub is md5-deterministic."""
-    t = _transcripts(spark, sf)
-    out = prompted.prompted_generate(t, GEN_PROMPT, "text", "gen")
-    return out.select("conv_id", "turn_idx", "gen")
+def q_reasoning_extract(spark, sf):
+    """ReasoningAnswerExtractionQwenMathEval + ReasoningPseudoAnswerGenerator
+    (reasoning_pseudo_answer_generator.py:111-130): 3 deterministic sampled
+    solutions per question (each a different answer-format archetype — boxed /
+    'he answer is' / 'final answer is $..$. I hope' / last-number, so every
+    extraction branch of AnswerExtraction.py:156-170 runs), Arrow-batched
+    extraction, then the majority vote with first-sample tie-break. The
+    synthesized values are digit-only, so the oracle replicates the synthesis
+    arithmetic + vote exactly; the string-munging tail of the kernel (units,
+    LaTeX, word numbers, nested braces) is golden-tested in
+    tests/test_reasoning.py. (The standalone PromptedGenerator serving row was
+    consolidated into docs_doc2qa, which chains the same iterator-UDF serving
+    stage twice.)"""
+    from dataflow_spark.ops import reasoning
+
+    e = load_table(spark, sf, "events")
+    s = e.select(
+        F.col("event_id").alias("question_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("sample_idx"),
+    ).withColumn(
+        "v",
+        (F.col("question_id") % 97)
+        + F.when((F.col("sample_idx") == 2) & (F.col("question_id") % 3 == 0), 1).otherwise(0),
+    ).withColumn(
+        "response",
+        F.when(
+            (F.col("question_id") + F.col("sample_idx")) % 4 == 0,
+            F.concat(F.lit("After solving we get \\boxed{"), F.col("v"), F.lit("} as required.")),
+        )
+        .when(
+            (F.col("question_id") + F.col("sample_idx")) % 4 == 1,
+            F.concat(F.lit("Thus the answer is "), F.col("v"), F.lit(".")),
+        )
+        .when(
+            (F.col("question_id") + F.col("sample_idx")) % 4 == 2,
+            F.concat(
+                F.lit("The final answer is $"), F.col("v"), F.lit("$. I hope it is correct.")
+            ),
+        )
+        .otherwise(F.concat(F.lit("Computing carefully yields "), F.col("v"))),
+    )
+    ex = reasoning.answer_extraction(s, "response", "extraction")
+    voted = reasoning.pseudo_answer_vote(ex)
+    return voted.select(
+        "question_id",
+        F.concat_ws("|", "pseudo_answers").alias("answers_rendered"),
+        "pseudo_answer_value",
+        "n_votes",
+        F.size("pseudo_solutions").alias("n_agreeing"),
+        F.col("pseudo_correct_solution_example").alias("example"),
+    )
 
 
 def q_embed_dedup(spark, sf):
@@ -736,7 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_passthrough": q_sql_passthrough,
         "turn_eval_pairs": q_turn_eval_pairs,
         "prompted_eval_filter": q_prompted_eval_filter,
-        "prompted_generate_stub": q_prompted_generate_stub,
+        "reasoning_extract": q_reasoning_extract,
         "consistent_chat": q_consistent_chat,
         "multiturn_gen": q_multiturn_gen,
         "model_score": q_model_score,
@@ -748,7 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lexical": q_docs_lexical,
         "docs_chunks": q_docs_chunks,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
-        "docs_dedup_exact": q_docs_dedup_exact,
+        "bm25_hardneg": q_bm25_hardneg,
         "docs_code_stats": q_docs_code_stats,
         "refine_docs_battery": q_refine_docs_battery,
         "refine_tokens_battery": q_refine_tokens_battery,
@@ -925,10 +987,46 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT * FROM (SELECT conv_id, turn_idx, {_stub} AS score FROM transcripts) WHERE score >= 3"
     )
 
-    o["docs_dedup_exact"] = (
-        "SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS first_doc_id "
-        "FROM documents GROUP BY 1"
-    )
+    o["bm25_hardneg"] = """
+        WITH toks AS (
+          SELECT doc_id AS d, t
+          FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+          WHERE t <> ''
+        ), postings AS (
+          SELECT t, d, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), dl AS (
+          SELECT d, count(*) AS dl FROM toks GROUP BY 1
+        ), consts AS (
+          SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl
+        ), dft AS (
+          SELECT t, count(*) AS df, ln(1.0 + ((SELECT n FROM consts) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+          FROM postings GROUP BY 1
+        ), q AS (
+          SELECT doc_id AS qid,
+                 array_to_string(regexp_split_to_array(text, ' ')[1:6], ' ') AS question
+          FROM documents WHERE doc_id % 20 = 0
+        ), qterms AS (
+          SELECT qid, t, count(*) AS qtf
+          FROM q, unnest(regexp_split_to_array(lower(question), '[^a-z0-9]+')) AS u(t)
+          WHERE t <> '' GROUP BY 1, 2
+        ), scored AS (
+          SELECT qt.qid, p.d,
+                 sum(qt.qtf * f.idf * p.tf
+                     / (p.tf + 0.9 * (1.0 - 0.4 + 0.4 * dl.dl / (SELECT avgdl FROM consts)))) AS score
+          FROM qterms qt JOIN dft f USING (t) JOIN postings p USING (t) JOIN dl ON dl.d = p.d
+          GROUP BY 1, 2
+        ), ranked AS (
+          SELECT qid, d, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, d ASC) AS r0
+          FROM scored
+        )
+        SELECT qid AS query_id,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY r0 ASC) AS INT) AS neg_rank,
+               d AS doc_id, round(score, 4) AS score
+        FROM ranked WHERE d <> qid
+        QUALIFY neg_rank <= 3
+    """
 
     from dataflow_spark.ops import nlp as _nlp
 
@@ -1185,15 +1283,40 @@ def oracle_sql() -> dict[str, str]:
         WHERE i < greatest(CAST(ceil(len(ws) / 64.0) AS BIGINT), 1)
     """
 
-    o["prompted_generate_stub"] = with_transcripts(
-        f"""
-        SELECT conv_id, turn_idx,
-               '[gen-' || substr(md5(p), 1, 8) || '] ' || array_to_string(pws[1:10], ' ') AS gen
-        FROM (SELECT conv_id, turn_idx, p,
-                     regexp_split_to_array(trim(p), '\\s+') AS pws
-              FROM (SELECT conv_id, turn_idx, '{GEN_PROMPT}' || text AS p FROM transcripts))
-        """
-    )
+    o["reasoning_extract"] = """
+        WITH s AS (
+          SELECT event_id AS question_id, i.s AS sample_idx,
+                 (event_id % 97) + CASE WHEN i.s = 2 AND event_id % 3 = 0 THEN 1 ELSE 0 END AS v,
+                 (event_id + i.s) % 4 AS shape
+          FROM events, (SELECT unnest(range(0, 3)) AS s) i
+        ), sol AS (
+          SELECT question_id, sample_idx, CAST(v AS VARCHAR) AS extraction,
+                 CASE shape
+                   WHEN 0 THEN 'After solving we get \\boxed{' || v || '} as required.'
+                   WHEN 1 THEN 'Thus the answer is ' || v || '.'
+                   WHEN 2 THEN 'The final answer is $' || v || '$. I hope it is correct.'
+                   ELSE 'Computing carefully yields ' || v
+                 END AS response
+          FROM s
+        ), votes AS (
+          SELECT question_id, extraction, count(*) AS n_votes, min(sample_idx) AS first_i,
+                 row_number() OVER (PARTITION BY question_id
+                                    ORDER BY count(*) DESC, min(sample_idx) ASC) AS r
+          FROM sol GROUP BY 1, 2
+        ), win AS (
+          SELECT question_id, extraction AS winner, CAST(n_votes AS BIGINT) AS n_votes
+          FROM votes WHERE r = 1
+        ), agg AS (
+          SELECT question_id,
+                 string_agg(extraction, '|' ORDER BY sample_idx) AS answers_rendered,
+                 list(response ORDER BY sample_idx)
+                   FILTER (WHERE extraction = (SELECT winner FROM win w WHERE w.question_id = sol.question_id)) AS sols
+          FROM sol GROUP BY 1
+        )
+        SELECT a.question_id, a.answers_rendered, w.winner AS pseudo_answer_value,
+               w.n_votes, CAST(len(a.sols) AS INT) AS n_agreeing, a.sols[1] AS example
+        FROM agg a JOIN win w USING (question_id)
+    """
 
     _cider_gram = lambda n, arr: (
         f"CASE WHEN len({arr}) >= {n} THEN list_transform(range(1, len({arr})-{n}+2), "

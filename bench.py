@@ -117,10 +117,16 @@ def _flagship(spark, table_dir: str, filters_first: bool = False):
     dedup input ~1/3) — it changes which member of a near-dup cluster survives
     when the earliest member fails the rules, so it is benchmarked separately
     (`flagship_optimized` in the JSON), never as the headline."""
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     from dataflow_spark.ops import dedup, filters, refine, windows
 
+    # DISK_ONLY signature cache: at bench scale (4M turns in a 6GB executor)
+    # the default in-memory cache of signatures+payload starves the band
+    # aggregation's execution pool (UNABLE_TO_ACQUIRE_MEMORY) — spilling the
+    # cache to local scratch (tmpfs here, NVMe on a cluster) keeps the unified
+    # pool for execution, which is also the right call at 10^12 turns.
     t = spark.read.parquet(table_dir)
     t = refine.remove_extra_spaces(t)
     if filters_first:
@@ -128,10 +134,14 @@ def _flagship(spark, table_dir: str, filters_first: bool = False):
         # the refine chain once per pushed conjunct (40 regexp_replace nodes in
         # the plan, 70s for 1M rows; see filters.apply_quality_filter_udf)
         t = filters.apply_quality_filter_udf(t)
-        t = dedup.dedup_minhash_lsh(t, payload_cols=["role", "text"])
+        t = dedup.dedup_minhash_lsh(
+            t, payload_cols=["role", "text"], sig_storage=StorageLevel.DISK_ONLY
+        )
         sig_cache = getattr(t, "minhash_sig_cache", None)
     else:
-        t = dedup.dedup_minhash_lsh(t, payload_cols=["role", "text"])
+        t = dedup.dedup_minhash_lsh(
+            t, payload_cols=["role", "text"], sig_storage=StorageLevel.DISK_ONLY
+        )
         sig_cache = getattr(t, "minhash_sig_cache", None)
         t = filters.apply_quality_filter_udf(t)
     t = t.persist()
@@ -152,21 +162,32 @@ def run_flagship_only(rep: int) -> None:
     # (on a real cluster spark.sql.shuffle.partitions doesn't change when you
     # add executors — only the cores draining the task queue do)
     n_exec = os.environ.get("SPARK_GRAFT_EXECUTORS")
+    # Shuffle partitions sized by DATA VOLUME (~50k turns/partition), NOT by
+    # cluster size — identical at every executor count, exactly like a real
+    # cluster where partitions are sized so hash-agg/sort state fits executor
+    # memory. At rep=40 (4M turns) 32 partitions put ~125k rows + full payload
+    # in each band-agg task and a 6GB 2-core executor thrashes
+    # (UNABLE_TO_ACQUIRE_MEMORY retries, executor deaths — measured); 80
+    # partitions keep every task comfortably inside its pool.
+    npart = max(32, 2 * rep)
     # 16m maxPartitionBytes so the (small) local fixture scans at full width,
     # like the thousands-of-tasks scan a real 100 TB table produces; larger
     # Arrow batches amortize the python worker round-trips
     _conf = {
         "spark.sql.execution.arrow.maxRecordsPerBatch": "50000",
         "spark.sql.files.maxPartitionBytes": "16m",
+        # keep AQE's runtime coalescing from merging the sized partitions
+        # back into memory-hostile giants (default advisory target is 64m)
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
         # RAM-backed scratch: one box has ONE disk shared by all "executors";
         # tmpfs stands in for the per-executor NVMe a real cluster brings
         "spark.local.dir": "/dev/shm/spark-local",
     }
     if n_exec:
-        spark = get_spark("bench-flagship", shuffle_partitions=32, executors=int(n_exec),
+        spark = get_spark("bench-flagship", shuffle_partitions=npart, executors=int(n_exec),
                           extra_conf=_conf)
     else:
-        spark = get_spark("bench-flagship", cores=CPUS, shuffle_partitions=32,
+        spark = get_spark("bench-flagship", cores=CPUS, shuffle_partitions=npart,
                           extra_conf=_conf)
     import tempfile
 
@@ -210,8 +231,15 @@ def run_scaling() -> None:
             [sys.executable, __file__, "--flagship-only", str(rep)],
             env=env, capture_output=True, text=True, timeout=3600,
         )
-        line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        out[n_exec] = json.loads(line)
+        lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
+        if not lines:
+            sys.stderr.write(
+                f"--flagship-only (executors={n_exec}) produced no JSON "
+                f"(exit={r.returncode}); last stderr:\n"
+                + "\n".join(r.stderr.strip().splitlines()[-30:]) + "\n"
+            )
+            raise SystemExit(1)
+        out[n_exec] = json.loads(lines[-1])
     eff = (out[4]["turns_per_sec"] / out[1]["turns_per_sec"]) / 4.0
     print(json.dumps({
         "metric": "flagship turns/sec scaling N=1 -> 4N=4 executors (2 cores each)",

@@ -1,0 +1,342 @@
+"""AgenticRAG QA generators (SURVEY.md §2.6): AtomicTaskGenerator,
+DepthQAGenerator, WidthQAGenerator analogs, Spark-first.
+
+Reference shapes (/root/reference/dataflow/operators/agentic_rag/generate/):
+  - agenticrag_atomic_task_generator.py:298-438 run(): per doc —
+    get_identifier, get_conclusion (JSON ARRAY of {conclusion, R}, capped at
+    max_per_task, fan-out one row per candidate :330-351), init_question
+    ({"Q": ...} parse, answer := candidate.conclusion :365-381), clean_qa
+    ({"refined_answer": ...}, parse-fail -> '' :387-397), llm-answer verify
+    (RECALL {"answer_score": k}; keep score < 1 — questions the model can NOT
+    answer without the doc :403-410), golden-doc answer verify (keep
+    score >= 1 — answerable WITH the doc :412-422), more_optional_answer
+    (JSON array, parse-fail -> original answer :213-230), and a per-doc cap
+    groupby(input_key).head(max_question) :431-436.
+  - agenticrag_depth_qa_generator.py:134-239 run(): per round — backward step
+    {"identifier","relation"} (keep parse-valid), check_superset
+    {"new_query":"valid"} gate, get_new_question {"new_query": q}, then the
+    same llm-answer + recall<1 keep.
+  - agenticrag_width_qa_generator.py:132-220 run(): merge pairs of QAs into
+    one multi-hop question ({"question","index","content_identifier"}),
+    check_origin decomposability gate, llm-answer + recall<1 keep.
+  - every stage strips markdown fences via _clean_json_block
+    (removeprefix('```json')/removeprefix('```')/removesuffix('```')).
+
+Engine mapping: each LLM step is one ServingBackend iterator-UDF stage over a
+column of prompts; all JSON parsing is JVM from_json after a fence-strip
+regexp (the _clean_json_block twin); fan-outs are narrow explodes; the
+per-doc cap is a row_number window; the width pairing (the reference pairs
+rows by POSITION in one driver-side batch) is a row_number-over-sort pair key
+— deterministic under any partitioning. Deterministic under StubRAGServing,
+real under any backend.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops.prompted import ServingBackend, serving_udf
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def strip_fences(col: Column) -> Column:
+    """_clean_json_block twin: trim, drop a leading ```json / ``` fence and a
+    trailing ``` fence."""
+    # regex trim, not F.trim: Spark's trim strips only ' ' while the reference
+    # str.strip() strips all whitespace incl. the \n after a ```json fence
+    ws_trim = lambda x: F.regexp_replace(x, r"^\s+|\s+$", "")
+    c = ws_trim(col)
+    c = F.regexp_replace(c, r"^```json", "")
+    c = F.regexp_replace(c, r"^```", "")
+    c = F.regexp_replace(c, r"```$", "")
+    return ws_trim(c)
+
+
+class StubRAGServing(ServingBackend):
+    """Deterministic stub covering every agentic-RAG prompt family. All values
+    are md5 arithmetic on the prompt; failure branches fire on md5-keyed
+    slices so each parse-drop/score-gate path is exercised:
+      CONCLUDE  -> ```json-fenced array of 1-3 {conclusion, R} (1/7 invalid)
+      QUESTION  -> {"Q": ...} (1/9 missing Q)
+      CLEANQA   -> {"refined_answer": ...} (1/11 invalid -> '')
+      RECALL    -> {"answer_score": 0|1} (~2/5 score 1)
+      OPTIONS   -> array of 1-2 strings (1/13 invalid -> fallback)
+      BACKWARD  -> {"identifier","relation"} (1/7 invalid)
+      CHECKSUP / CHECKORIGIN -> {"new_query"/"state": "valid"|"invalid"}
+      MERGE     -> {"question","index","content_identifier"}
+      IDENTIFY / LLMANSWER / GOLDENDOC -> plain strings."""
+
+    def generate(self, prompts: pd.Series) -> pd.Series:
+        def respond(p: str) -> str:
+            if p is None:
+                return None
+            h = _md5(p)
+            k = int(h[:4], 16)
+            if p.startswith("IDENTIFY "):
+                return f"id-{h[:8]}"
+            if p.startswith("CONCLUDE "):
+                if k % 7 == 0:
+                    return "not json at all"
+                items = [
+                    {"conclusion": f"c-{_md5(p + str(i))[:8]}", "R": f"r-{_md5(p + str(i))[8:14]}"}
+                    for i in range(1 + k % 3)
+                ]
+                return "```json\n" + json.dumps(items, separators=(",", ":")) + "\n```"
+            if p.startswith("QUESTION "):
+                if k % 9 == 0:
+                    return json.dumps({"note": "no question"})
+                return "```json\n" + json.dumps({"Q": f"q-{h[:8]}"}) + "\n```"
+            if p.startswith("CLEANQA "):
+                if k % 11 == 0:
+                    return "hmm"
+                return json.dumps({"refined_answer": f"ref-{h[:8]}"})
+            if p.startswith("RECALL "):
+                return json.dumps({"answer_score": 1 if k % 5 < 2 else 0})
+            if p.startswith("OPTIONS "):
+                if k % 13 == 0:
+                    return "nope"
+                return "```json\n" + json.dumps(
+                    [f"opt-{_md5(p + str(i))[:6]}" for i in range(1 + k % 2)]
+                ) + "\n```"
+            if p.startswith("BACKWARD "):
+                if k % 7 == 0:
+                    return json.dumps({"identifier": f"sup-{h[:6]}"})  # missing relation
+                return "```json\n" + json.dumps(
+                    {"identifier": f"sup-{h[:6]}", "relation": f"rel-{h[6:12]}"}
+                ) + "\n```"
+            if p.startswith("CHECKSUP ") or p.startswith("CHECKORIGIN "):
+                return json.dumps({"new_query": "valid" if k % 4 != 0 else "invalid"})
+            if p.startswith("NEWQUESTION "):
+                return json.dumps({"new_query": f"deep-q-{h[:8]}"})
+            if p.startswith("MERGE "):
+                return "```json\n" + json.dumps(
+                    [{"question": f"multi-q-{h[:8]}", "index": [0, 1], "content_identifier": f"mid-{h[:6]}"}]
+                ) + "\n```"
+            if p.startswith("LLMANSWER ") or p.startswith("GOLDENDOC "):
+                return f"ans-{h[:8]}"
+            return ""
+
+        return prompts.map(respond)
+
+
+def _recall_score(sv, golden: Column, llm: Column) -> Column:
+    """RECALL stage + {"answer_score": k} parse; parse-fail -> 0
+    (atomic_task_generator.py:185-198)."""
+    resp = sv(F.concat(F.lit("RECALL "), golden, F.lit(" || "), llm))
+    parsed = F.from_json(strip_fences(resp), "struct<answer_score:double>")
+    return F.coalesce(parsed["answer_score"], F.lit(0.0))
+
+
+def atomic_tasks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    max_per_task: int = 3,
+    max_question: int = 2,
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    """AtomicTaskGenerator analog — the full 8-stage chain (see module
+    docstring). Returns one row per surviving candidate task:
+    (doc id, identifier, question, answer, refined_answer, llm_score,
+    golden_doc_score, optional_answer)."""
+    backend = backend or StubRAGServing()
+    sv = serving_udf(backend)
+    doc = F.col(content_col).cast("string")
+
+    d = docs.withColumn("identifier", sv(F.concat(F.lit("IDENTIFY "), doc)))
+    d = d.withColumn("__c_raw", sv(F.concat(F.lit("CONCLUDE "), doc)))
+    cands = F.from_json(
+        strip_fences(F.col("__c_raw")), "array<struct<conclusion:string,R:string>>"
+    )
+    # parse-fail rows drop (reference `continue`); cap at max_per_task (:320)
+    d = (
+        d.withColumn("__cands", F.slice(F.coalesce(cands, F.array().cast(
+            "array<struct<conclusion:string,R:string>>")), 1, max_per_task))
+        .filter(F.size("__cands") > 0)
+        .withColumn("__cand", F.explode("__cands"))
+        .drop("__c_raw", "__cands")
+    )
+    # init_question: prompt from (identifier, conclusion, R) (:120-121)
+    q_raw = sv(
+        F.concat(
+            F.lit("QUESTION "), F.col("identifier"), F.lit(" | "),
+            F.col("__cand.conclusion"), F.lit(" | "), F.col("__cand.R"),
+        )
+    )
+    d = d.withColumn("__q", F.from_json(strip_fences(q_raw), "struct<Q:string>"))
+    d = (
+        d.filter(F.col("__q.Q").isNotNull())
+        .withColumn("question", F.col("__q.Q"))
+        .withColumn("answer", F.col("__cand.conclusion"))
+        .drop("__q")
+    )
+    # clean_qa: parse-fail -> '' (:387-397 appends '' instead of dropping)
+    ref_raw = sv(F.concat(F.lit("CLEANQA "), F.col("question"), F.lit(" | "), F.col("answer")))
+    d = d.withColumn(
+        "refined_answer",
+        F.coalesce(
+            F.from_json(strip_fences(ref_raw), "struct<refined_answer:string>")["refined_answer"],
+            F.lit(""),
+        ),
+    )
+    # verify 1: LLM answers WITHOUT the doc; keep recall < 1 (:403-410)
+    d = d.withColumn("llm_answer", sv(F.concat(F.lit("LLMANSWER "), F.col("question"))))
+    d = d.withColumn("llm_score", _recall_score(sv, F.col("refined_answer"), F.col("llm_answer")))
+    d = d.filter(F.col("llm_score") < 1)
+    # verify 2: LLM answers WITH the doc; keep recall >= 1 (:412-422)
+    d = d.withColumn(
+        "golden_doc_answer", sv(F.concat(F.lit("GOLDENDOC "), doc, F.lit(" | "), F.col("question")))
+    )
+    d = d.withColumn(
+        "golden_doc_score", _recall_score(sv, F.col("refined_answer"), F.col("golden_doc_answer"))
+    )
+    d = d.filter(F.col("golden_doc_score") >= 1)
+    # optional answers; parse-fail -> [original refined answer] (:213-230)
+    opt_raw = sv(F.concat(F.lit("OPTIONS "), F.col("refined_answer")))
+    d = d.withColumn(
+        "optional_answer",
+        F.coalesce(
+            F.from_json(strip_fences(opt_raw), "array<string>"),
+            F.array(F.col("refined_answer")),
+        ),
+    )
+    # per-doc cap: groupby(input).head(max_question) (:431-436) — window twin
+    w = Window.partitionBy(id_col).orderBy(F.col("question"))
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_question)
+        .select(
+            id_col, "identifier", "question", "answer", "refined_answer",
+            "llm_score", "golden_doc_score", "optional_answer",
+        )
+    )
+
+
+def depth_qa(
+    df: DataFrame,
+    question_col: str = "question",
+    answer_col: str = "refined_answer",
+    n_rounds: int = 1,
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    """DepthQAGenerator analog: n_rounds of backward-extension. Each round:
+    BACKWARD {"identifier","relation"} (keep parse-valid), CHECKSUP validity
+    gate, NEWQUESTION, then llm-answer + recall<1 keep (the same
+    can't-answer-without-context gate as atomic). Adds per-round columns
+    new_identifier_i / relation_i / depth_question_i (reference run()
+    :150-239)."""
+    backend = backend or StubRAGServing()
+    sv = serving_udf(backend)
+    d = df
+    if "identifier" not in d.columns:
+        d = d.withColumn("identifier", sv(F.concat(F.lit("IDENTIFY "), F.col(question_col))))
+    prev_id = "identifier"
+    for r in range(1, n_rounds + 1):
+        nid, rel, qk = f"new_identifier_{r}", f"relation_{r}", f"depth_question_{r}"
+        back = F.from_json(
+            strip_fences(sv(F.concat(F.lit("BACKWARD "), F.col(prev_id)))),
+            "struct<identifier:string,relation:string>",
+        )
+        d = (
+            d.withColumn("__b", back)
+            .filter(F.col("__b.identifier").isNotNull() & F.col("__b.relation").isNotNull())
+            .withColumn(nid, F.col("__b.identifier"))
+            .withColumn(rel, F.col("__b.relation"))
+            .drop("__b")
+        )
+        chk = F.from_json(
+            strip_fences(sv(F.concat(F.lit("CHECKSUP "), F.col(nid), F.lit(" | "), F.col(rel)))),
+            "struct<new_query:string>",
+        )
+        d = d.filter(chk["new_query"] == "valid")
+        newq = F.from_json(
+            strip_fences(
+                sv(F.concat(F.lit("NEWQUESTION "), F.col(nid), F.lit(" | "), F.col(rel),
+                            F.lit(" | "), F.col(prev_id)))
+            ),
+            "struct<new_query:string>",
+        )
+        d = d.withColumn(qk, newq["new_query"]).filter(F.col(qk).isNotNull())
+        llm_ans = sv(F.concat(F.lit("LLMANSWER "), F.col(qk)))
+        d = d.withColumn("__score", _recall_score(sv, F.col(answer_col), llm_ans))
+        d = d.filter(F.col("__score") < 1).drop("__score")
+        prev_id = nid
+    return d
+
+
+def width_qa(
+    df: DataFrame,
+    question_col: str = "question",
+    identifier_col: str = "identifier",
+    answer_col: str = "refined_answer",
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    """WidthQAGenerator analog: pair consecutive QAs (the reference pairs by
+    position in its one driver batch; here a row_number pair key — same
+    pairing, partitioning-proof), MERGE into one multi-hop question,
+    CHECKORIGIN decomposability gate, llm-answer + recall<1 keep. Returns
+    (pair_id, question, content_identifier, original_question array,
+    original_answer array)."""
+    backend = backend or StubRAGServing()
+    sv = serving_udf(backend)
+    # The reference pairs rows by position inside its single driver batch — an
+    # arbitrary pairing. Here: bucket by hash (256-way), pair consecutively
+    # WITHIN each bucket, so the sort is per-bucket (parallel, bounded) rather
+    # than one global-order task, and pairing stays deterministic under any
+    # partitioning.
+    w = Window.partitionBy("__bkt").orderBy(F.col(question_col))
+    pairs = (
+        df.withColumn("__bkt", F.pmod(F.xxhash64(F.col(question_col)), F.lit(256)))
+        .withColumn("__i", F.row_number().over(w) - 1)
+        .withColumn("__pair", F.concat_ws("-", F.col("__bkt"), (F.col("__i") / 2).cast("long")))
+        .groupBy("__pair")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__i").alias("i"), F.col(question_col).alias("q"),
+                                        F.col(identifier_col).alias("id"), F.col(answer_col).alias("a")))
+            ).alias("__qs")
+        )
+        .filter(F.size("__qs") == 2)  # a trailing odd row has no partner
+    )
+    merge_raw = sv(
+        F.concat(
+            F.lit("MERGE "),
+            F.concat_ws(" ;; ", F.transform("__qs", lambda x: F.concat(x["q"], F.lit(" ~ "), x["id"]))),
+        )
+    )
+    merged = F.element_at(
+        F.from_json(
+            strip_fences(merge_raw),
+            "array<struct<question:string,index:array<int>,content_identifier:string>>",
+        ),
+        1,
+    )
+    p = (
+        pairs.withColumn("__m", merged)
+        .filter(F.col("__m.question").isNotNull() & F.col("__m.index").isNotNull())
+        .select(
+            F.col("__pair").alias("pair_id"),
+            F.col("__m.question").alias("question"),
+            F.col("__m.content_identifier").alias("content_identifier"),
+            F.transform("__qs", lambda x: x["q"]).alias("original_question"),
+            F.transform("__qs", lambda x: x["a"]).alias("original_answer"),
+        )
+    )
+    chk = F.from_json(
+        strip_fences(sv(F.concat(F.lit("CHECKORIGIN "), F.col("question")))),
+        "struct<new_query:string>",
+    )
+    p = p.filter(chk["new_query"] == "valid")
+    llm_ans = sv(F.concat(F.lit("LLMANSWER "), F.col("question")))
+    p = p.withColumn(
+        "__score", _recall_score(sv, F.concat_ws(" ", "original_answer"), llm_ans)
+    )
+    return p.filter(F.col("__score") < 1).drop("__score")

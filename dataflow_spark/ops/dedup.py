@@ -202,6 +202,7 @@ def dedup_minhash_lsh(
     bands: int = 4,
     order_cols: tuple[str, ...] = ORDER_COLS,
     payload_cols: list[str] | None = None,
+    sig_storage=None,
 ) -> DataFrame:
     """MinHashDeduplicateFilter — minhash_deduplicate_filter.py:55-89.
 
@@ -241,9 +242,16 @@ def dedup_minhash_lsh(
     # survivor payload join reads the SAME cache — without it, the Arrow UDF
     # would run twice and the final join would recompute the entire upstream
     # (scan+refine) a second time (measured: the second pass was the largest
-    # non-scaling cost in the flagship). At 10^12-turn scale swap .persist()
-    # for a DISK_ONLY level or a temp-table checkpoint; the topology is the same.
-    sigd = df.select(ordered.alias("__w"), *payload, bh).persist()
+    # non-scaling cost in the flagship). sig_storage picks the level: None =
+    # Spark's default (memory, spill to disk) for modest inputs; big jobs pass
+    # StorageLevel.DISK_ONLY — the cached relation (signatures + text payload)
+    # otherwise squeezes the executor's unified pool and starves the band
+    # aggregation (measured at 4M turns x 6GB executor: UNABLE_TO_ACQUIRE_
+    # MEMORY in the bucket-stats stage; DISK_ONLY on local scratch fixed it).
+    if sig_storage is not None:
+        sigd = df.select(ordered.alias("__w"), *payload, bh).persist(sig_storage)
+    else:
+        sigd = df.select(ordered.alias("__w"), *payload, bh).persist()
     banded = sigd.select(
         "__w", F.posexplode("__bh").alias("band", "bhash")
     ).select("__w", F.struct("band", "bhash").alias("__b"))

@@ -1,0 +1,280 @@
+"""Reasoning-pipeline operators: math answer extraction + pseudo-answer
+majority voting.
+
+Reference:
+  - ReasoningAnswerExtractionQwenMathEvalGenerator
+    (reasoning/generate/reasoning_answer_extraction_qwenmatheval_generator.py:14-80)
+    delegating to utils/reasoning/AnswerExtraction.py — branch order
+    `final answer is $...$. I hope` > `boxed` > `he answer is` > last-number
+    (:156-170), brace-matched boxed payload (:185-201), strip_string chain
+    (:114-138), unit-text removal (:75-99).
+  - ReasoningPseudoAnswerGenerator
+    (reasoning/generate/reasoning_pseudo_answer_generator.py:90-130):
+    k sampled solutions per question -> extract_answer each -> majority vote
+    (Counter.most_common: ties go to the FIRST-generated answer) -> keep the
+    voted value, the agreeing solutions, and the first agreeing example.
+
+Spark shape: extraction is a per-row string kernel -> Arrow-batched pandas
+UDF (one Python pass, no driver loop — the reference list-comprehends the
+whole column on the driver :71-74). Majority voting is groupBy(question) with
+a count-per-answer + first-occurrence tie-break, i.e. two map-side-combinable
+aggregations instead of the reference's per-row `dataframe.at` writes.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# AnswerExtraction.py:75-91 — unit tokens dropped from answers (plus plurals)
+_UNIT_TEXTS_BASE = [
+    "east", "degree", "mph", "kmph", "ft", "m sqaure", "m east", "sq m", "deg", "mile", "q .", "monkey", "prime",
+    "ratio", "profit of rs", "rd", "o", "gm", "p . m", "lb", "tile", "per", "dm", "lt", "gain", "ab", "way", "west",
+    "a .", "b .", "c .", "d .", "e .", "f .", "g .", "h .", "t", "a", "h", "no change", "men", "soldier", "pie", "bc",
+    "excess", "st", "inches", "noon", "percent", "by", "gal", "kmh", "c", "acre", "rise", "a . m", "th", "π r 2", "sq",
+    "mark", "l", "toy", "coin", "sq . m", "gallon", "° f", "profit", "minw", "yr", "women", "feet", "am", "pm", "hr",
+    "cu cm", "square", "v â € ™", "are", "rupee", "rounds", "cubic", "cc", "mtr", "s", "ohm", "number", "kmph", "day",
+    "hour", "minute", "min", "second", "man", "woman", "sec", "cube", "mt", "sq inch", "mp", "∏ cm ³", "hectare",
+    "more", "sec", "unit", "cu . m", "cm 2", "rs .", "rs", "kg", "g", "month", "km", "m", "cm", "mm", "apple", "liter",
+    "loss", "yard", "pure", "year", "increase", "decrease", "d", "less", "Surface", "litre", "pi sq m", "s .", "metre",
+    "meter", "inch",
+]
+UNIT_TEXTS = _UNIT_TEXTS_BASE + [t + "s" for t in _UNIT_TEXTS_BASE]
+
+_SMALL = {
+    "zero": 0, "one": 1, "two": 2, "three": 3, "four": 4, "five": 5, "six": 6,
+    "seven": 7, "eight": 8, "nine": 9, "ten": 10, "eleven": 11, "twelve": 12,
+    "thirteen": 13, "fourteen": 14, "fifteen": 15, "sixteen": 16,
+    "seventeen": 17, "eighteen": 18, "nineteen": 19, "twenty": 20,
+    "thirty": 30, "forty": 40, "fifty": 50, "sixty": 60, "seventy": 70,
+    "eighty": 80, "ninety": 90,
+}
+_SCALE = {"hundred": 100, "thousand": 1000, "million": 10**6, "billion": 10**9}
+
+
+def word_to_num(text: str) -> int:
+    """English number phrase -> int (the `word2number.w2n` contract used by
+    AnswerExtraction.py:63-68; that lib is not in this sandbox, so the public
+    units/tens/scales grammar is implemented directly). Raises ValueError on
+    anything that is not purely a number phrase — the caller treats that as
+    'leave the text unchanged', exactly like the reference's try/except."""
+    toks = [t for t in re.split(r"[\s-]+", text.strip().lower()) if t and t != "and"]
+    if not toks:
+        raise ValueError("empty")
+    total, group = 0, 0
+    for t in toks:
+        if t in _SMALL:
+            group += _SMALL[t]
+        elif t == "hundred" and group:
+            group *= 100
+        elif t in _SCALE and t != "hundred":
+            total += (group or 1) * _SCALE[t]
+            group = 0
+        else:
+            raise ValueError(f"not a number word: {t}")
+    return total + group
+
+
+def convert_word_number(text: str) -> str:
+    try:
+        return str(word_to_num(text))
+    except ValueError:
+        return text
+
+
+def _clean_units(string: str) -> str:
+    for unit in UNIT_TEXTS:
+        string = re.sub(r"(^|\W)" + re.escape(unit) + r"($|\W)", r"\1\2", string)
+    return string
+
+
+def strip_string(string: str, skip_unit: bool = False) -> str:
+    """AnswerExtraction.py:114-138 — the exact replacement chain, in order."""
+    string = str(string).strip().replace("\n", "").rstrip(".").replace("\\!", "")
+    string = re.sub(r"\\begin\{array\}\{.*?\}", r"\\begin{pmatrix}", string)
+    string = re.sub(r"\\end\{array\}", r"\\end{pmatrix}", string).replace("bmatrix", "pmatrix")
+    string = (
+        string.replace("tfrac", "frac").replace("dfrac", "frac")
+        .replace("\\neq", "\\ne").replace("\\leq", "\\le").replace("\\geq", "\\ge")
+        .replace("\\left", "").replace("\\right", "")
+        .replace("\\{", "{").replace("\\}", "}")
+    )
+    if not skip_unit:
+        string = _clean_units(string)
+    string = (
+        string.replace("^{\\circ}", "").replace("^\\circ", "")
+        .replace("\\$", "").replace("$", "").replace("\\(", "").replace("\\)", "")
+    )
+    string = convert_word_number(string)
+    string = re.sub(r"\\text\{(.*?)\}", r"\1", string)
+    for key in ["x=", "y=", "z=", "x\\in", "y\\in", "z\\in", "x\\to", "y\\to", "z\\to"]:
+        string = string.replace(key, "")
+    string = string.replace("\\emptyset", r"{}").replace("(-\\infty,\\infty)", "\\mathbb{R}")
+    string = string.replace("%", "").replace(" .", " 0.").replace("{.", "{0.")
+    return string
+
+
+def _extract_boxed(pred_str: str) -> str:
+    ans = pred_str.split("boxed")[-1]
+    if ans.startswith("{"):
+        stack, out = 1, []
+        for c in ans[1:]:
+            if c == "{":
+                stack += 1
+            elif c == "}":
+                stack -= 1
+                if stack == 0:
+                    break
+            out.append(c)
+        return "".join(out)
+    return ans.split("$")[0].strip()
+
+
+def extract_answer(pred_str: str | None, data_name: str | None = None,
+                   use_last_number: bool = True) -> str:
+    """AnswerExtraction.py:156-178 branch-for-branch."""
+    pred_str = "" if pred_str is None else str(pred_str).replace("ки", "")
+    if "final answer is $" in pred_str and "$. I hope" in pred_str:
+        pred = pred_str.split("final answer is $", 1)[1].split("$. I hope", 1)[0].strip()
+    elif "boxed" in pred_str:
+        pred = _extract_boxed(pred_str)
+    elif "he answer is" in pred_str:
+        pred = pred_str.split("he answer is")[-1].strip()
+    elif use_last_number:
+        nums = re.findall(r"-?\d*\.?\d+", pred_str.replace(",", ""))
+        pred = nums[-1] if nums else ""
+    else:
+        pred = ""
+    return strip_string(pred, skip_unit=data_name in ["carp_en", "minerva_math"])
+
+
+def answer_extraction(
+    df: DataFrame, col: str = "response", out: str = "extraction",
+    data_name: str | None = None,
+) -> DataFrame:
+    """The operator stage: one Arrow-batched pass of the faithful kernel."""
+
+    @F.pandas_udf("string")
+    def ex(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: extract_answer(t, data_name))
+
+    return df.withColumn(out, ex(F.col(col)))
+
+
+def pseudo_answer_vote(
+    samples: DataFrame,
+    question_id: str = "question_id",
+    sample_idx: str = "sample_idx",
+    answer_col: str = "extraction",
+    solution_col: str = "response",
+) -> DataFrame:
+    """ReasoningPseudoAnswerGenerator voting (:122-130) as distributed aggs.
+
+    Input: one row per (question, sample) with the sample's extracted answer.
+    Output per question: `pseudo_answers` (answers in sample order),
+    `pseudo_answer_value` (majority answer — ties to the answer whose FIRST
+    occurrence is earliest, Counter.most_common's insertion-order tie rule),
+    `pseudo_solutions` (solutions agreeing with the vote, sample order),
+    `pseudo_correct_solution_example` (first agreeing solution).
+    """
+    q, i = F.col(question_id), F.col(sample_idx)
+    per_ans = samples.groupBy(question_id, answer_col).agg(
+        F.count("*").alias("__votes"), F.min(sample_idx).alias("__first")
+    )
+    w = Window.partitionBy(question_id).orderBy(
+        F.col("__votes").desc(), F.col("__first").asc()
+    )
+    winners = (
+        per_ans.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(question_id, F.col(answer_col).alias("__win"), F.col("__votes").alias("n_votes"))
+    )
+    agg = samples.groupBy(question_id).agg(
+        F.array_sort(F.collect_list(F.struct(i.alias("i"), F.col(answer_col).alias("a")))).alias("__all"),
+        F.array_sort(
+            F.collect_list(F.struct(i.alias("i"), F.col(answer_col).alias("a"), F.col(solution_col).alias("s")))
+        ).alias("__sols"),
+    )
+    joined = agg.join(winners, question_id)
+    matching = F.filter(F.col("__sols"), lambda x: x["a"] == F.col("__win"))
+    return joined.select(
+        question_id,
+        F.transform(F.col("__all"), lambda x: x["a"]).alias("pseudo_answers"),
+        F.col("__win").alias("pseudo_answer_value"),
+        F.col("n_votes"),
+        F.transform(matching, lambda x: x["s"]).alias("pseudo_solutions"),
+        F.element_at(F.transform(matching, lambda x: x["s"]), 1).alias(
+            "pseudo_correct_solution_example"
+        ),
+    )
+
+
+DIVERSITY_MODES = ("1, 2, 3", "1, 2, 4", "1, 2, 5", "1, 4, 5", "1, 2, 3, 4, 5")
+
+
+def question_synthesis(
+    df: DataFrame,
+    question_col: str = "instruction",
+    num_prompts: int = 1,
+    backend=None,
+) -> DataFrame:
+    """ReasoningQuestionGenerator analog
+    (reasoning_question_generator.py:81-141): per input question, num_prompts
+    synthesis prompts (each with a diversity-mode transformation pick — the
+    reference's random.sample becomes an xxhash64 pick per (question, k):
+    deterministic under any partitioning); responses become NEW rows flagged
+    Synth_or_Input='synth', unioned with the originals ('input'), empty/null
+    responses dropped (:133-137). Output schema: (question_col,
+    Synth_or_Input)."""
+    from dataflow_spark.ops.prompted import StubServing, serving_udf
+
+    backend = backend or StubServing()
+    modes = F.array(*[F.lit(m) for m in DIVERSITY_MODES])
+    fan = df.select(
+        F.col(question_col).alias("__q"),
+        F.explode(F.sequence(F.lit(0), F.lit(max(num_prompts, 1) - 1))).alias("__k"),
+    )
+    mode = F.element_at(
+        modes, (F.abs(F.xxhash64("__q", "__k")) % len(DIVERSITY_MODES) + 1).cast("int")
+    )
+    prompt = F.concat(
+        F.lit("Synthesize a new question applying transformations ["), mode,
+        F.lit("] based on: "), F.col("__q"),
+    )
+    synth = fan.select(
+        serving_udf(backend)(prompt).alias(question_col),
+        F.lit("synth").alias("Synth_or_Input"),
+    )
+    orig = df.select(F.col(question_col), F.lit("input").alias("Synth_or_Input"))
+    out = orig.unionByName(synth)
+    return out.filter(F.col(question_col).isNotNull() & (F.col(question_col) != ""))
+
+
+def answer_generation(
+    df: DataFrame,
+    question_col: str = "instruction",
+    out: str = "generated_cot",
+    backend=None,
+) -> DataFrame:
+    """ReasoningAnswerGenerator (reasoning_answer_generator.py:72-89): one
+    serving stage producing a chain-of-thought answer column."""
+    from dataflow_spark.ops.prompted import prompted_generate
+
+    return prompted_generate(
+        df, "Solve step by step and give the final answer: ", question_col, out, backend
+    )
+
+
+def sft_to_pretrain(
+    df: DataFrame, question_col: str = "instruction", answer_col: str = "output",
+    out: str = "text",
+) -> DataFrame:
+    """ReasoningPretrainFormatConvertGenerator
+    (reasoning_pretrain_format_convert_generator.py:25-38): text = q + '\\n' +
+    a with null -> '' on both sides; output is the single text column."""
+    q = F.coalesce(F.col(question_col).cast("string"), F.lit(""))
+    a = F.coalesce(F.col(answer_col).cast("string"), F.lit(""))
+    return df.select(F.concat(q, F.lit("\n"), a).alias(out))

@@ -1,0 +1,152 @@
+"""BM25 retrieval + hard-negative mining — Spark-native inverted index.
+
+Reference: RAREBM25HardNegGenerator
+(rare/generate/rare_bm25hardneg_generator.py:7-84) builds an IN-MEMORY
+Lucene/gensim BM25 index over the whole corpus on the driver and loops queries
+one at a time (`search(query, top_k=1000)` :45-63, negatives :65-84,
+k1=0.9 b=0.4 :32). That caps the corpus at driver RAM.
+
+Here the index IS a DataFrame: postings (term, doc_id, tf) live partitioned
+by term, query terms join postings on term (the classic distributed
+inverted-index join), and per-(query, doc) partial scores reduce with a
+map-side-combinable sum. Nothing is ever collected; corpus and query set both
+scale horizontally.
+
+Scoring is the Lucene practical BM25 (what `LuceneBM25Model` implements):
+
+    idf(t)       = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tf_norm(t,d) = tf / (tf + k1 * (1 - b + b * dl/avgdl))
+    score(q,d)   = sum over distinct t in q of qtf(t,q) * idf(t) * tf_norm(t,d)
+
+Analyzer stand-in: lowercase, split on non-alphanumerics (the Lucene
+StandardAnalyzer's tokenization without the stemming/stopword chain — the
+pyserini analyzer is a JVM binding unavailable here; the formula and the
+mining semantics are the reference's).
+
+Scale notes (100 TB):
+  - Terms appearing in more than `max_df_ratio` of documents are dropped from
+    the index (default 0.5). Their idf is ~0 (they barely move the ranking)
+    but their postings lists are O(N) — one such term would turn the
+    term-join into a near-cross-join. This is the retrieval twin of the
+    frequent-shingle cut in ngram_jaccard_pairs.
+  - doc-frequency + avgdl are tiny aggregates (|vocab| rows / 1 row) →
+    broadcast into the postings join by AQE.
+  - Top-k per query is a per-query-partition window, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _tokens(col) -> "F.Column":
+    """lowercase alnum tokens as array<string> (empty strings removed)."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT), lambda t: t != "")
+
+
+def bm25_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    query_id: str = "query_id",
+    question: str = "question",
+    k1: float = 0.9,
+    b: float = 0.4,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """(query_id, doc_id, score) for every query x candidate doc that shares
+    at least one indexed term — the distributed form of
+    rare_bm25hardneg_generator.py:45-63's dense `bm25_index[bm25_query]`.
+    Scores are exact BM25 over the pruned vocabulary (see module docstring).
+    """
+    spark = corpus.sparkSession
+
+    toks = corpus.select(F.col(doc_id).alias("__d"), F.explode(_tokens(F.col(text))).alias("__t"))
+    # postings: one row per (term, doc) with its term frequency; partitioned
+    # by term so each query term's candidates are colocated
+    postings = toks.groupBy("__t", "__d").agg(F.count("*").alias("__tf"))
+    dl = toks.groupBy("__d").agg(F.count("*").alias("__dl"))
+
+    stats = corpus.agg(F.count("*").alias("__n")).collect()[0]
+    n_docs = stats["__n"]
+    # document frequency per term + the high-df cut (idf ~ 0, postings ~ O(N))
+    df_t = (
+        postings.groupBy("__t")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= int(max_df_ratio * n_docs))
+        .withColumn(
+            "__idf",
+            F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)),
+        )
+    )
+    avgdl = float(dl.agg(F.avg("__dl")).collect()[0][0] or 1.0)
+
+    qterms = (
+        queries.select(F.col(query_id).alias("__q"), F.explode(_tokens(F.col(question))).alias("__t"))
+        .groupBy("__q", "__t")
+        .agg(F.count("*").alias("__qtf"))
+    )
+
+    # inverted-index join: query terms -> postings on term. df_t/dl are the
+    # small sides (vocab-sized / doc-count-sized aggregates of slim columns);
+    # AQE broadcasts df_t, dl joins on the already-term-partitioned stream.
+    pairs = (
+        qterms.join(df_t, "__t")
+        .join(postings, "__t")
+        .join(dl, "__d")
+        .withColumn(
+            "__s",
+            F.col("__qtf")
+            * F.col("__idf")
+            * F.col("__tf")
+            / (F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.lit(avgdl))),
+        )
+    )
+    return (
+        pairs.groupBy("__q", "__d")
+        .agg(F.sum("__s").alias("score"))
+        .select(F.col("__q").alias(query_id), F.col("__d").alias(doc_id), "score")
+    )
+
+
+def bm25_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    gold_id: str = "gold_doc_id",
+    num_neg: int = 3,
+    hard_neg_start_index: int = 0,
+    **kw,
+) -> DataFrame:
+    """RAREBM25HardNegGenerator.select_hard_negatives
+    (rare_bm25hardneg_generator.py:65-84): rank the corpus by BM25 against
+    each query, skip `hard_neg_start_index` heads, drop the gold (positive)
+    document, keep the next `num_neg` — those are the hard negatives.
+
+    Returns (query_id, neg_rank, doc_id, score) with neg_rank 1..num_neg.
+    Ties break on doc_id ascending so the ranking is deterministic across
+    engines (the reference's sort is Python-stable on insertion order, which
+    for a distributed corpus is not an order at all).
+    """
+    query_id = kw.get("query_id", "query_id")
+    doc_id = kw.get("doc_id", "doc_id")
+    scored = bm25_scores(corpus, queries, **kw)
+    # rank within query AFTER the start-index skip; gold exclusion mirrors
+    # the reference's `doc_id != gold_id` guard (:78)
+    gold = queries.select(F.col(query_id), F.col(gold_id))
+    w = Window.partitionBy(query_id).orderBy(F.round(F.col("score"), 4).desc(), F.col(doc_id).asc())
+    ranked = (
+        scored.withColumn("__r0", F.row_number().over(w))
+        .filter(F.col("__r0") > hard_neg_start_index)
+        .join(gold, query_id)
+        .filter(F.col(doc_id) != F.col(gold_id))
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.col("__r0").asc())
+    return (
+        ranked.withColumn("neg_rank", F.row_number().over(w2))
+        .filter(F.col("neg_rank") <= num_neg)
+        .select(query_id, "neg_rank", doc_id, F.round("score", 4).alias("score"))
+    )

@@ -1,0 +1,193 @@
+"""SFT synthesis generators (SURVEY.md §2.6): SFTGeneratorSeed and
+CondorGenerator analogs, Spark-first.
+
+Reference shapes:
+  - SFTGeneratorSeed (text_sft/generate/sft_generator_from_seed.py:27-104):
+    per-doc prompt -> LLM -> extract the FIRST {...} JSON object containing
+    both 'instruction' and 'output' keys (:13-24 extract_json_object, pattern
+    r'\\{[^}]*\\}' tried match-by-match) -> keep only valid rows, attach the
+    originating raw_content (:92-96).
+  - CondorGenerator (text_sft/generate/condor_generator.py:13-141): two-stage
+    from-nothing synthesis over a topic/domain/theme knowledge tree: stage 1
+    renders num_samples//3 question prompts (random tree pick per sample,
+    :141-149), responses carry one question per difficulty as
+    '[Easy][Question Start]..[Question End]' lines (:112-127 parse); stage 2
+    answers every parsed question with the fixed 'Please answer this
+    questiong truthfully. Question: {q}' prompt (:165 — typo verbatim, it is
+    the reference's on-the-wire prompt constant). Output rows:
+    (difficulty, instruction, output).
+
+Engine mapping: serving is the iterator-UDF ServingBackend boundary
+(ops/prompted.py); JSON/line parsing is JVM-side (regexp_extract_all +
+from_json + filter), so the row path has no Python outside the serving stage
+itself. The reference's random.choice tree walk (seeded globally, hence
+row-ORDER dependent) becomes an xxhash64 pick per sample id — deterministic
+under any partitioning, same marginal distribution.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops.prompted import ServingBackend, serving_udf
+
+SFT_PROMPT = (
+    "Generate one instruction/output pair as JSON "
+    '{"instruction": ..., "output": ...} grounded in this document: '
+)
+
+ANSWER_PROMPT = "Please answer this questiong truthfully. Question: "  # :165 verbatim
+
+# Compact public-knowledge topic tree standing in for CondorPrompt.tag
+# (prompts/general_text.py:771-900): topic -> domain -> [themes]. The
+# reference ships ~15 topics x 6 domains x 3 themes of the same shape.
+TOPIC_TREE: dict[str, dict[str, list[str]]] = {
+    "science": {
+        "physics": ["mechanics", "optics", "thermodynamics"],
+        "biology": ["genetics", "ecology", "physiology"],
+    },
+    "technology": {
+        "software": ["databases", "distributed systems", "compilers"],
+        "hardware": ["processors", "memory", "networking"],
+    },
+    "culture": {
+        "history": ["ancient history", "modern history", "historiography"],
+        "arts": ["painting", "music theory", "literature"],
+    },
+}
+
+DIFFICULTIES = ("Easy", "Medium", "Hard")
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+class StubSFTServing(ServingBackend):
+    """Deterministic stub for both SFT generators.
+
+    Seed prompts yield prose wrapping one JSON object; ~1/7 of responses
+    (md5-keyed) omit the 'output' key so the invalid-JSON drop path of
+    extract_json_object is exercised. Condor question prompts yield the
+    [Easy]/[Medium]/[Hard] line format, with the Hard line missing ~1/5 of
+    the time (the reference parser keeps whatever lines are present). Answer
+    prompts yield a tagged echo."""
+
+    def generate(self, prompts: pd.Series) -> pd.Series:
+        def respond(p: str) -> str:
+            h = _md5(p)
+            if p.startswith(SFT_PROMPT):
+                if int(h[:4], 16) % 7 == 0:  # invalid: no 'output' key
+                    return 'Here you go: {"instruction": "inst-' + h[:8] + '"} done'
+                return (
+                    "Sure. "
+                    + json.dumps(
+                        {"instruction": f"inst-{h[:8]}", "output": f"out-{h[8:16]}"},
+                        separators=(",", ":"),
+                    )
+                    + " hope it helps"
+                )
+            if p.startswith("Condor question about "):
+                qs = [
+                    f"[{d}][Question Start]{d.lower()}-q-{_md5(p + d)[:8]}[Question End]"
+                    for d in DIFFICULTIES
+                ]
+                if int(h[:4], 16) % 5 == 0:
+                    qs = qs[:2]  # drop the Hard line
+                return "\n".join(qs)
+            if p.startswith(ANSWER_PROMPT):
+                return f"ans-{h[:8]}"
+            return ""
+
+        return prompts.map(respond)
+
+
+def sft_from_seed(
+    df: DataFrame,
+    content_col: str = "text",
+    custom_prompt: str = "",
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    """SFTGeneratorSeed analog. extract_json_object parity, JVM-side: pull
+    every {...} match (the reference regex r'\\{[^}]*\\}' — non-nested, same
+    here), from_json each, keep the FIRST with both keys non-null, drop rows
+    with none (:77-96). Returns (instruction, output, raw_content)."""
+    backend = backend or StubSFTServing()
+    prompt = F.concat(F.lit(SFT_PROMPT + custom_prompt), F.col(content_col).cast("string"))
+    out = df.withColumn("__resp", serving_udf(backend)(prompt))
+    objs = F.expr(r"regexp_extract_all(__resp, '\\{[^}]*\\}', 0)")
+    parsed = F.transform(objs, lambda s: F.from_json(s, "struct<instruction:string,output:string>"))
+    valid = F.filter(parsed, lambda o: o["instruction"].isNotNull() & o["output"].isNotNull())
+    # try_element_at: ANSI mode (Spark 4 default) makes element_at THROW on an
+    # empty array; rows with no valid object must yield NULL and be dropped
+    first = F.try_element_at(valid, F.lit(1))
+    return (
+        out.withColumn("__obj", first)
+        .filter(F.col("__obj").isNotNull())
+        .select(
+            F.col("__obj.instruction").alias("instruction"),
+            F.col("__obj.output").alias("output"),
+            F.col(content_col).alias("raw_content"),
+        )
+    )
+
+
+def condor_generate(
+    spark,
+    num_samples: int = 15,
+    backend: ServingBackend | None = None,
+    tree: dict[str, dict[str, list[str]]] | None = None,
+) -> DataFrame:
+    """CondorGenerator analog: num_samples//3 seeds from spark.range (rows
+    from nothing — no input table, no shuffle), xxhash64 tree pick per seed,
+    question stage, line parse per difficulty (regexp_extract of the
+    reference's '[D][Question Start]..[Question End]' wire format), explode to
+    (difficulty, instruction), answer stage. Both serving stages see all rows
+    Arrow-batched; the explode is narrow."""
+    backend = backend or StubSFTServing()
+    tree = tree or TOPIC_TREE
+    # flatten the tree driver-side (catalog-sized metadata, like text2sql DDL)
+    flat: list[tuple[str, str]] = [
+        (domain, theme) for t in sorted(tree) for domain in sorted(tree[t]) for theme in tree[t][domain]
+    ]
+    n_q = max(1, num_samples // 3)
+    seeds = spark.range(n_q).select(F.col("id").alias("sample_id"))
+    pick = (F.abs(F.xxhash64("sample_id")) % len(flat)).cast("int")
+    domain = F.element_at(F.array(*[F.lit(d) for d, _ in flat]), pick + 1)
+    theme = F.element_at(F.array(*[F.lit(th) for _, th in flat]), pick + 1)
+    q_prompt = F.concat(
+        F.lit("Condor question about "), theme, F.lit(" in "), domain,
+        F.lit(" #"), F.col("sample_id").cast("string"),
+    )
+    s1 = seeds.select(
+        "sample_id", domain.alias("domain"), theme.alias("theme"),
+        serving_udf(backend)(q_prompt).alias("__q_resp"),
+    )
+    # per-difficulty line parse (condor_generator.py:117-124 startswith +
+    # marker strip): one literal-pattern extract per difficulty, exploded as
+    # (difficulty, instruction) structs; missing difficulty -> '' -> dropped
+    per_diff = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("difficulty"),
+                F.regexp_extract(
+                    "__q_resp", rf"\[{d}\]\[Question Start\](.*?)\[Question End\]", 1
+                ).alias("instruction"),
+            )
+            for d in DIFFICULTIES
+        ]
+    )
+    s2 = (
+        s1.select("sample_id", "domain", "theme", F.explode(per_diff).alias("__d"))
+        .select("sample_id", "domain", "theme", "__d.difficulty", "__d.instruction")
+        .filter(F.col("instruction") != "")
+    )
+    a_prompt = F.concat(F.lit(ANSWER_PROMPT), F.col("instruction"))
+    return s2.withColumn("output", serving_udf(backend)(a_prompt)).select(
+        "sample_id", "difficulty", "domain", "theme", "instruction", "output"
+    )

@@ -1,0 +1,154 @@
+"""Text2SQL generation-side operators (prompt/schema plumbing + seeded
+variation fan-out), Spark-first.
+
+Reference:
+  - Text2SQLPromptGenerator (text2sql/generate/text2sql_prompt_generator.py:
+    13-110): per-row prompt = template.format(schema=DDL(db_id),
+    question) with a driver-side DatabaseManager rendering DDL (+ example
+    rows). Here the "database" is the Spark catalog itself: DDL is rendered
+    from each table's StructType (catalog METADATA — a per-db constant, so a
+    driver-side dict broadcast into a JVM concat, never a per-row lookup).
+  - SQLGenerator (sql_generator.py:74-120): for each db, generate_num
+    synthesis prompts with a seeded random complexity choice per sample.
+  - SQLVariationGenerator (sql_variation_generator.py:73-140): per input SQL,
+    a seeded variation_type = randint(0,5) driving one of 6 variation
+    instructions, then an LLM rewrite. Seeding (random.seed(42) :26) makes
+    the reference deterministic per row ORDER — a property that does not
+    survive a distributed shuffle, so here the variation type is a hash of
+    the row key (deterministic under any partitioning; same 6-way fan-out).
+
+The LLM step in every one of these is the engine's standard serving stage
+(ops/prompted.py) — deterministic under StubServing, real under a vLLM/OpenAI
+backend on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PROMPT_TEMPLATE = (
+    "Task Overview:\n"
+    "/* Given the following database schema: */\n"
+    "{schema}\n"
+    "/* Answer the following: {question} */\n"
+    "Let's think step by step"
+)
+
+# sql_variation_generator.py variation_type_prompt's 6 rewrite modes
+VARIATION_TYPES = [
+    "change aggregation functions",
+    "swap join order and join type",
+    "add or tighten filter predicates",
+    "rewrite with a subquery or CTE",
+    "change grouping granularity",
+    "reorder or change the sort keys",
+]
+
+COMPLEXITIES = ["Simple", "Moderate", "Complex", "Highly Complex"]
+
+_DDL_TYPE = {
+    "LongType()": "BIGINT",
+    "IntegerType()": "INT",
+    "DoubleType()": "DOUBLE",
+    "FloatType()": "FLOAT",
+    "StringType()": "VARCHAR",
+    "BooleanType()": "BOOLEAN",
+    "DateType()": "DATE",
+    "TimestampType()": "TIMESTAMP",
+}
+
+
+def table_ddl(spark: SparkSession, table: str, location: str | None = None) -> str:
+    """CREATE TABLE DDL from the catalog/parquet schema — the
+    generate_ddl_without_examples analog (database_manager contract)."""
+    df = spark.read.parquet(location) if location else spark.table(table)
+    cols = ",\n".join(
+        f"  {f.name} {_DDL_TYPE.get(repr(f.dataType), f.dataType.simpleString().upper())}"
+        for f in df.schema.fields
+    )
+    return f"CREATE TABLE {table} (\n{cols}\n);"
+
+
+def text2sql_prompts(
+    questions: DataFrame,
+    ddl_by_db: dict[str, str],
+    db_id: str = "db_id",
+    question: str = "question",
+    out: str = "prompt",
+    template: str = PROMPT_TEMPLATE,
+) -> DataFrame:
+    """Per-row prompt rendering. ddl_by_db is catalog metadata (one string per
+    database) — shipped as a broadcast map expression; the render itself is a
+    JVM concat inside codegen, no Python in the row path."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in ddl_by_db.items() for x in kv]
+    )
+    head, mid_tail = template.split("{schema}")
+    mid, tail = mid_tail.split("{question}")
+    return questions.withColumn(
+        out,
+        F.concat(
+            F.lit(head), mapping[F.col(db_id)], F.lit(mid), F.col(question), F.lit(tail)
+        ),
+    )
+
+
+def sql_variation_fanout(
+    df: DataFrame,
+    key_cols: list[str],
+    sql_col: str = "sql",
+    n_variations: int = 1,
+) -> DataFrame:
+    """SQLVariationGenerator fan-out: n_variations rows per input SQL, each
+    with a deterministic variation_type in [0,6) (xxhash of the row key +
+    sample index — the distributed replacement for the reference's seeded
+    randint stream) and the matching rewrite instruction."""
+    vt = F.abs(F.xxhash64(*key_cols, F.col("__i"))) % len(VARIATION_TYPES)
+    inst = F.array(*[F.lit(v) for v in VARIATION_TYPES])
+    return (
+        df.withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(n_variations - 1))))
+        .withColumn("variation_type", vt.cast("int"))
+        .withColumn("variation_instruction", F.element_at(inst, F.col("variation_type") + 1))
+        .withColumn(
+            "variation_prompt",
+            F.concat(
+                F.lit("Rewrite the SQL ("),
+                F.col("variation_instruction"),
+                F.lit("), preserving the result schema:\n"),
+                F.col(sql_col),
+            ),
+        )
+        .drop("__i")
+    )
+
+
+def sql_synthesis_prompts(
+    spark: SparkSession,
+    ddl_by_db: dict[str, str],
+    generate_num: int = 4,
+) -> DataFrame:
+    """SQLGenerator's per-db fan-out (sql_generator.py:88-120): generate_num
+    synthesis prompts per database with a deterministic complexity per sample
+    (hash-derived; the reference's random.choice under seed 42). Rows are
+    built FROM the db list — a rows-from-nothing generator like
+    consistent_chat."""
+    dbs = spark.createDataFrame([(k,) for k in sorted(ddl_by_db)], "db_id string")
+    comp = F.array(*[F.lit(c) for c in COMPLEXITIES])
+    mapping = F.create_map(*[F.lit(x) for kv in ddl_by_db.items() for x in kv])
+    return (
+        dbs.withColumn("sample_idx", F.explode(F.sequence(F.lit(0), F.lit(generate_num - 1))))
+        .withColumn(
+            "complexity",
+            F.element_at(comp, (F.abs(F.xxhash64("db_id", "sample_idx")) % 4 + 1).cast("int")),
+        )
+        .withColumn(
+            "synthesis_prompt",
+            F.concat(
+                F.lit("Using this schema, write one "),
+                F.lower("complexity"),
+                F.lit(" analytical SQL query:\n"),
+                mapping[F.col("db_id")],
+            ),
+        )
+    )

@@ -1,0 +1,83 @@
+"""Answer-extraction kernel goldens (AnswerExtraction.py branch parity) +
+the pseudo-answer majority vote against a Counter-based twin."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from dataflow_spark.ops import reasoning
+
+
+def test_branch_order_and_boxed_nesting():
+    # branch 1 beats boxed when both present (reference :163 checks it first)
+    assert (
+        reasoning.extract_answer(
+            "so boxed{9} but the final answer is $42$. I hope it is correct."
+        )
+        == "42"
+    )
+    # nested braces are brace-matched, not regex-greedy (:185-201)
+    assert reasoning.extract_answer(r"\boxed{\frac{1}{2}}") == r"\frac{1}{2}"
+    # boxed without braces: up to the next $
+    assert reasoning.extract_answer(r"we get \boxed 7$ done") == "7"
+
+
+def test_answer_is_and_last_number():
+    assert reasoning.extract_answer("The answer is 17.") == "17"
+    # 'he answer is' matches 'The answer is' AND 'the answer is' (:168)
+    assert reasoning.extract_answer("thus the answer is -3") == "-3"
+    # fallback: LAST number, commas removed (:203-209)
+    assert reasoning.extract_answer("first 2, then 4,096 total") == "4096"
+    assert reasoning.extract_answer("no digits here") == ""
+    assert reasoning.extract_answer(None) == ""
+
+
+def test_strip_string_chain():
+    # units removed (:93-99): 'miles' vanishes, leaves reference's exact
+    # residue (trailing space survives — the strip happens before unit clean)
+    assert reasoning.extract_answer("The answer is 12 miles") == "12 "
+    # latex normalizations
+    assert reasoning.strip_string(r"\dfrac{1}{2}") == r"\frac{1}{2}"
+    assert reasoning.strip_string(r"\left(3,4\right)") == "(3,4)"
+    assert reasoning.strip_string("90^{\\circ}") == "90"
+    assert reasoning.strip_string("50\\%") == "50\\"  # % dropped, backslash kept
+    # word numbers via the w2n grammar
+    assert reasoning.strip_string("twenty five") == "25"
+    assert reasoning.strip_string("one hundred and seven") == "107"
+    assert reasoning.strip_string("three thousand") == "3000"
+    # non-number phrases unchanged by the word-number pass
+    assert reasoning.convert_word_number("not a number") == "not a number"
+
+
+def test_word_to_num_grammar():
+    assert reasoning.word_to_num("seven") == 7
+    assert reasoning.word_to_num("ninety-nine") == 99
+    assert reasoning.word_to_num("two million") == 2_000_000
+    try:
+        reasoning.word_to_num("banana")
+        raise AssertionError("should raise")
+    except ValueError:
+        pass
+
+
+def test_pseudo_answer_vote_matches_counter(spark):
+    rows = [
+        # q1: 7,7,9 -> 7 wins with 2 votes
+        (1, 0, "7", "sol-a"), (1, 1, "7", "sol-b"), (1, 2, "9", "sol-c"),
+        # q2: three-way tie -> Counter.most_common picks first-seen ("x")
+        (2, 0, "x", "s0"), (2, 1, "y", "s1"), (2, 2, "z", "s2"),
+        # q3: tie 1-1 between later-first? order: b(0), a(1), b(2) -> b wins
+        (3, 0, "b", "t0"), (3, 1, "a", "t1"), (3, 2, "b", "t2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "question_id long, sample_idx int, extraction string, response string"
+    )
+    out = {r.question_id: r for r in reasoning.pseudo_answer_vote(df).collect()}
+    for qid in (1, 2, 3):
+        answers = [a for q, i, a, s in rows if q == qid]
+        want = Counter(answers).most_common(1)[0][0]
+        assert out[qid].pseudo_answer_value == want
+        assert out[qid].pseudo_answers == answers
+        sols = [s for q, i, a, s in rows if q == qid and a == want]
+        assert out[qid].pseudo_solutions == sols
+        assert out[qid].pseudo_correct_solution_example == sols[0]

@@ -1,0 +1,118 @@
+"""BM25 hard-negative mining vs a pure-Python Lucene-BM25 twin.
+
+Reference semantics: rare_bm25hardneg_generator.py:32 (k1=0.9, b=0.4),
+:45-63 (rank whole corpus per query), :65-84 (skip start index, drop gold,
+take num_neg).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from dataflow_spark.ops import retrieval
+
+CORPUS = [
+    (0, "spark shuffles data between executors during wide transformations"),
+    (1, "broadcast joins avoid the shuffle when one side is small"),
+    (2, "the catalyst optimizer pushes filters down to the parquet scan"),
+    (3, "executors spill to disk when the shuffle partition exceeds memory"),
+    (4, "a skewed join key concentrates data on one unlucky executor"),
+    (5, "small files make the scan stage schedule too many tiny tasks"),
+    (6, "the shuffle service serves blocks written by completed executors"),
+    (7, "window functions repartition data by the partitioning key first"),
+]
+
+
+def _tok(s):
+    return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+
+def _bm25_twin(corpus, query, k1=0.9, b=0.4, max_df_ratio=1.0):
+    """Per-query scores via the textbook formula (no index tricks)."""
+    docs = {d: _tok(t) for d, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    df = {}
+    for toks in docs.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    scores = {}
+    qtoks = _tok(query)
+    for d, toks in docs.items():
+        s = 0.0
+        for t in set(qtoks):
+            if t not in df or df[t] > max_df_ratio * n:
+                continue
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += qtoks.count(t) * idf * tf / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if s > 0:
+            scores[d] = s
+    return scores
+
+
+def test_bm25_scores_match_twin(spark):
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(100, "shuffle data executors"), (101, "parquet scan filters")],
+        "query_id long, question string",
+    )
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in retrieval.bm25_scores(corpus, queries, max_df_ratio=1.0).collect()
+    }
+    for qid, q in [(100, "shuffle data executors"), (101, "parquet scan filters")]:
+        want = _bm25_twin(CORPUS, q)
+        assert set(k[1] for k in got if k[0] == qid) == set(want)
+        for d, s in want.items():
+            assert abs(got[(qid, d)] - s) < 1e-9
+
+
+def test_high_df_terms_are_pruned(spark):
+    # "the"-like term present in every doc must not contribute when the
+    # df ceiling is on — scores equal the twin computed without that term
+    corpus = [(i, f"the common common filler number{i}") for i in range(10)]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    q = spark.createDataFrame([(1, "common number3")], "query_id long, question string")
+    got = {r.doc_id: r.score for r in retrieval.bm25_scores(cdf, q, max_df_ratio=0.5).collect()}
+    want = _bm25_twin(corpus, "common number3", max_df_ratio=0.5)
+    assert got.keys() == want.keys()  # only doc 3 survives (number3 term)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9
+
+
+def test_hard_negatives_skip_gold_and_rank(spark):
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    # query is doc 0's own text -> doc 0 is the BM25 top hit AND the gold:
+    # the miner must skip it and return the next num_neg docs
+    queries = spark.createDataFrame(
+        [(0, CORPUS[0][1], 0)], "query_id long, question string, gold_doc_id long"
+    )
+    out = retrieval.bm25_hard_negatives(
+        corpus, queries, num_neg=3, max_df_ratio=1.0
+    ).orderBy("neg_rank").collect()
+    assert [r.neg_rank for r in out] == [1, 2, 3]
+    assert 0 not in [r.doc_id for r in out]
+    # ranks follow twin scores (gold removed), ties broken by doc_id
+    want = _bm25_twin(CORPUS, CORPUS[0][1])
+    want.pop(0)
+    order = sorted(want, key=lambda d: (-round(want[d], 4), d))[:3]
+    assert [r.doc_id for r in out] == order
+
+
+def test_hard_neg_start_index(spark):
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(0, CORPUS[0][1], 99)], "query_id long, question string, gold_doc_id long"
+    )
+    # start index 1: the global top-1 (doc 0 here, gold not in corpus) is
+    # skipped BEFORE gold filtering — reference :74 slices sorted_scores first
+    out = retrieval.bm25_hard_negatives(
+        corpus, queries, num_neg=2, hard_neg_start_index=1, max_df_ratio=1.0
+    ).orderBy("neg_rank").collect()
+    want = _bm25_twin(CORPUS, CORPUS[0][1])
+    order = sorted(want, key=lambda d: (-round(want[d], 4), d))[1:3]
+    assert [r.doc_id for r in out] == order

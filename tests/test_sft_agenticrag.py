@@ -1,0 +1,218 @@
+"""Goldens for the SFT synthesis generators (SFTGeneratorSeed / Condor) and
+the AgenticRAG atomic/depth/width QA generators. Every stub is md5-
+deterministic, so expected values are recomputed here with pure-python twins
+of the parse/filter semantics and compared row-for-row."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops import agenticrag, reasoning, sft
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+# ---------------------------------------------------------------- sft seed
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_sft_from_seed_matches_python_twin(spark):
+    texts = [f"document body {i} about topic {i % 5}" for i in range(40)]
+    out = sft.sft_from_seed(_docs(spark, texts), "text").collect()
+
+    # python twin: same stub, same extract_json_object semantics
+    expected = []
+    for t in texts:
+        p = sft.SFT_PROMPT + t
+        h = _md5(p)
+        if int(h[:4], 16) % 7 == 0:
+            continue  # stub omitted 'output' -> dropped
+        expected.append((f"inst-{h[:8]}", f"out-{h[8:16]}", t))
+    got = sorted((r.instruction, r.output, r.raw_content) for r in out)
+    assert got == sorted(expected)
+    assert 0 < len(got) < len(texts)  # the drop branch actually fired
+
+
+def test_sft_from_seed_takes_first_valid_json_object(spark):
+    class TwoObjServing(sft.ServingBackend):
+        def generate(self, prompts):
+            return prompts.map(
+                lambda p: '{"instruction": "a"} then {"instruction": "b", "output": "c"}'
+                          ' and {"instruction": "d", "output": "e"}'
+            )
+
+    out = sft.sft_from_seed(_docs(spark, ["x"]), "text", backend=TwoObjServing()).collect()
+    # first {...} lacks output -> skipped; second is the first VALID one
+    assert [(r.instruction, r.output) for r in out] == [("b", "c")]
+
+
+# ---------------------------------------------------------------- condor
+
+
+def test_condor_generate_matches_python_twin(spark):
+    n = 60  # 20 question seeds
+    rows = sft.condor_generate(spark, num_samples=n).collect()
+    flat = [
+        (d, th)
+        for t in sorted(sft.TOPIC_TREE)
+        for d in sorted(sft.TOPIC_TREE[t])
+        for th in sft.TOPIC_TREE[t][d]
+    ]
+    # spark xxhash64 isn't replicated in python; instead verify per-row
+    # consistency + the parse semantics against the stub wire format
+    assert len({r.sample_id for r in rows}) <= n // 3
+    for r in rows:
+        assert (r.domain, r.theme) in flat
+        p = f"Condor question about {r.theme} in {r.domain} #{r.sample_id}"
+        h = _md5(p)
+        qs = {
+            d: f"{d.lower()}-q-{_md5(p + d)[:8]}"
+            for d in sft.DIFFICULTIES
+        }
+        present = list(sft.DIFFICULTIES)[: 2 if int(h[:4], 16) % 5 == 0 else 3]
+        assert r.difficulty in present
+        assert r.instruction == qs[r.difficulty]
+        assert r.output == f"ans-{_md5(sft.ANSWER_PROMPT + r.instruction)[:8]}"
+    # every seed contributes its full set of present difficulties
+    by_seed = {}
+    for r in rows:
+        by_seed.setdefault(r.sample_id, set()).add(r.difficulty)
+    for sid, diffs in by_seed.items():
+        assert diffs in ({"Easy", "Medium"}, {"Easy", "Medium", "Hard"})
+
+
+# ---------------------------------------------------------------- agentic rag
+
+
+def test_atomic_tasks_chain_semantics(spark):
+    docs = _docs(spark, [f"evidence passage {i} with facts" for i in range(30)])
+    out = agenticrag.atomic_tasks(docs, "doc_id", "text", max_per_task=3, max_question=2)
+    rows = out.collect()
+    assert len(rows) > 0
+    # per-doc cap respected
+    per_doc = {}
+    for r in rows:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+    assert max(per_doc.values()) <= 2
+    for r in rows:
+        # survivors passed both verify gates
+        assert r.llm_score < 1
+        assert r.golden_doc_score >= 1
+        assert r.question.startswith("q-")
+        assert r.answer.startswith("c-")
+        # refined answer is either parsed ('ref-…') or the parse-fail ''
+        assert r.refined_answer == "" or r.refined_answer.startswith("ref-")
+        # optional_answer: parsed list or the [refined_answer] fallback
+        assert isinstance(r.optional_answer, list) and len(r.optional_answer) >= 1
+        if not r.optional_answer[0].startswith("opt-"):
+            assert r.optional_answer == [r.refined_answer]
+
+
+def test_atomic_tasks_conclusion_cap_and_parse_drop(spark):
+    docs = _docs(spark, [f"cap test doc {i}" for i in range(50)])
+    sv = agenticrag.StubRAGServing()
+    import pandas as pd
+
+    conc = sv.generate(pd.Series([f"CONCLUDE cap test doc {i}" for i in range(50)]))
+    parsed_ok = sum(1 for c in conc if c.startswith("```json"))
+    assert parsed_ok < 50  # invalid branch fired
+    # the op survives invalid-JSON rows (drops them) without erroring
+    out = agenticrag.atomic_tasks(docs, "doc_id", "text", max_per_task=1, max_question=5)
+    n_docs_out = out.select("doc_id").distinct().count()
+    assert n_docs_out <= parsed_ok  # no candidate rows from invalid docs
+    # max_per_task=1 -> at most one candidate (pre-gate) per doc survives
+    assert out.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0] <= 1
+
+
+def test_depth_qa_round_columns_and_gates(spark):
+    qa = spark.createDataFrame(
+        [(f"q{i}", f"a{i}") for i in range(60)], "question string, refined_answer string"
+    )
+    out = agenticrag.depth_qa(qa, "question", "refined_answer", n_rounds=2)
+    rows = out.collect()
+    assert {"new_identifier_1", "relation_1", "depth_question_1",
+            "new_identifier_2", "relation_2", "depth_question_2"} <= set(out.columns)
+    assert 0 < len(rows) < 60  # gates dropped some rows
+    for r in rows:
+        assert r.depth_question_1.startswith("deep-q-")
+        assert r.depth_question_2.startswith("deep-q-")
+        assert r.new_identifier_1.startswith("sup-")
+        assert r.relation_2.startswith("rel-")
+
+
+def test_width_qa_pairs_and_arrays(spark):
+    qa = spark.createDataFrame(
+        [(f"q{i:03d}", f"id{i}", f"ans{i}") for i in range(40)],
+        "question string, identifier string, refined_answer string",
+    )
+    out = agenticrag.width_qa(qa, "question", "identifier", "refined_answer")
+    rows = out.collect()
+    assert len(rows) > 0
+    seen_pairs = set()
+    for r in rows:
+        assert r.question.startswith("multi-q-")
+        assert len(r.original_question) == 2
+        assert len(r.original_answer) == 2
+        # pairing is disjoint
+        for q in r.original_question:
+            assert q not in seen_pairs
+            seen_pairs.add(q)
+    # deterministic under repartitioning
+    again = agenticrag.width_qa(qa.repartition(7), "question", "identifier", "refined_answer")
+    key = lambda rs: sorted((r.question, tuple(r.original_question)) for r in rs)
+    assert key(rows) == key(again.collect())
+
+
+def test_strip_fences_matches_reference_clean(spark):
+    cases = ["```json\n{\"a\":1}\n```", "```\n[1]\n```", "  {\"b\":2}  ", "```json{\"c\":3}```"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r.o for r in df.select(agenticrag.strip_fences(F.col("s")).alias("o")).collect()]
+
+    def ref_clean(item):
+        return item.strip().removeprefix("```json").removeprefix("```").removesuffix("```").strip()
+
+    assert got == [ref_clean(c) for c in cases]
+
+
+# ------------------------------------------------------- reasoning generators
+
+
+def test_question_synthesis_union_and_flags(spark):
+    df = spark.createDataFrame([(f"what is {i}?",) for i in range(20)], "instruction string")
+    out = reasoning.question_synthesis(df, "instruction", num_prompts=2)
+    rows = out.collect()
+    inputs = [r for r in rows if r.Synth_or_Input == "input"]
+    synth = [r for r in rows if r.Synth_or_Input == "synth"]
+    assert len(inputs) == 20
+    assert len(synth) == 40  # 2 per input, stub never empty
+    assert all(r.instruction.startswith("[gen-") for r in synth)
+    # determinism under repartition
+    again = reasoning.question_synthesis(df.repartition(5), "instruction", num_prompts=2)
+    assert sorted(r.instruction for r in rows) == sorted(r.instruction for r in again.collect())
+
+
+def test_sft_to_pretrain_null_convention(spark):
+    df = spark.createDataFrame(
+        [("q1", "a1"), (None, "a2"), ("q3", None)], "instruction string, output string"
+    )
+    got = sorted(r.text for r in reasoning.sft_to_pretrain(df).collect())
+    assert got == sorted(["q1\na1", "\na2", "q3\n"])
+
+
+def test_answer_generation_is_serving_stage(spark):
+    df = spark.createDataFrame([("2+2?",)], "instruction string")
+    r = reasoning.answer_generation(df).collect()[0]
+    p = "Solve step by step and give the final answer: 2+2?"
+    assert r.generated_cot == f"[gen-{_md5(p)[:8]}] {' '.join(p.split()[:10])}"

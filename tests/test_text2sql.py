@@ -1,0 +1,51 @@
+"""Text2SQL generation-side goldens: DDL rendering, prompt templating,
+seeded-equivalent variation fan-out, per-db synthesis prompts."""
+
+from __future__ import annotations
+
+from dataflow_spark.ops import text2sql
+
+
+def test_table_ddl_from_parquet(spark, sf_dir):
+    ddl = text2sql.table_ddl(spark, "events", f"{sf_dir}/events.parquet")
+    assert ddl.startswith("CREATE TABLE events (")
+    assert "event_id BIGINT" in ddl
+    assert "ts TIMESTAMP" in ddl
+    assert "props VARCHAR" in ddl
+    assert ddl.rstrip().endswith(");")
+
+
+def test_prompt_render_matches_template(spark):
+    qs = spark.createDataFrame(
+        [("db1", "how many events?"), ("db2", "top users?")], "db_id string, question string"
+    )
+    ddls = {"db1": "CREATE TABLE a (x INT);", "db2": "CREATE TABLE b (y INT);"}
+    out = {r.db_id: r.prompt for r in text2sql.text2sql_prompts(qs, ddls).collect()}
+    for db, q in [("db1", "how many events?"), ("db2", "top users?")]:
+        assert out[db] == text2sql.PROMPT_TEMPLATE.format(schema=ddls[db], question=q)
+
+
+def test_variation_fanout_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "SELECT 1"), (2, "SELECT 2")], "qid long, sql string"
+    )
+    a = text2sql.sql_variation_fanout(df, ["qid"], n_variations=3).collect()
+    b = text2sql.sql_variation_fanout(df.repartition(5), ["qid"], n_variations=3).collect()
+    assert len(a) == 6
+    # deterministic under repartitioning (the reference's seeded stream is not)
+    key = lambda rows: sorted((r.qid, r.variation_type, r.variation_instruction) for r in rows)
+    assert key(a) == key(b)
+    for r in a:
+        assert 0 <= r.variation_type < len(text2sql.VARIATION_TYPES)
+        assert r.variation_instruction == text2sql.VARIATION_TYPES[r.variation_type]
+        assert r.sql in r.variation_prompt
+
+
+def test_sql_synthesis_prompts(spark):
+    ddls = {"dbA": "CREATE TABLE t (x INT);", "dbB": "CREATE TABLE u (y INT);"}
+    out = text2sql.sql_synthesis_prompts(spark, ddls, generate_num=4).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r.complexity in text2sql.COMPLEXITIES
+        assert ddls[r.db_id] in r.synthesis_prompt
+        assert r.complexity.lower() in r.synthesis_prompt
