@@ -681,6 +681,97 @@ def q_multiturn_gen(spark, sf):
     return cv.multiturn_conversations(tasks).select("task_id", "n_rounds", "convo_rendered")
 
 
+# DDL literals for the text2sql prompt generator query: the op normally
+# renders these from the catalog (text2sql.table_ddl — exercised in
+# tests/test_text2sql.py); the driver query uses fixed literals so the DuckDB
+# oracle can embed the identical schema text.
+T2S_DDL = {
+    "analytics": "CREATE TABLE analytics (\n  event_id BIGINT,\n  ts TIMESTAMP,\n  payload VARCHAR\n);",
+    "sales": "CREATE TABLE sales (\n  order_id BIGINT,\n  amount DOUBLE,\n  region VARCHAR\n);",
+}
+
+
+def q_sft_seed(spark, sf):
+    """SFTGeneratorSeed analog (sft_generator_from_seed.py:27-104): per-doc
+    prompt -> stub LLM -> first {...} JSON object with both instruction and
+    output keys (JVM regexp_extract_all + from_json), invalid responses
+    dropped. The stub omits 'output' on an md5-keyed 1/7 slice, so the oracle
+    checks the parse-and-drop path, not just the happy path."""
+    from dataflow_spark.ops import sft
+
+    d = load_table(spark, sf, "documents")
+    return sft.sft_from_seed(d.select("doc_id", "text"))
+
+
+def q_condor_gen(spark, sf):
+    """CondorGenerator analog (condor_generator.py:13-141): rows from nothing
+    (spark.range seeds), md5 topic-tree pick, question stage returning
+    [Easy]/[Medium]/[Hard] wire-format lines (Hard missing on a 1/5 slice),
+    per-difficulty parse + explode, answer stage. Two chained serving stages,
+    exactly oracle-checked."""
+    from dataflow_spark.ops import sft
+
+    return sft.condor_generate(spark, num_samples=180).select(
+        "sample_id", "difficulty", "domain", "theme", "instruction", "output"
+    )
+
+
+def q_rag_atomic(spark, sf):
+    """AtomicTaskGenerator analog (agenticrag_atomic_task_generator.py:298-438):
+    the full 8-stage chain — identify, conclusions fan-out (1-3 per doc, 1/7
+    parse-drop), question init (1/9 drop), clean-QA refine (1/11 -> ''),
+    llm-answer verify keep score<1, golden-doc verify keep score>=1, optional
+    answers (1/13 fallback), per-doc head(2) cap. Every stage is one stub
+    serving pass + JVM parse; the oracle replays the whole md5 chain."""
+    from dataflow_spark.ops import agenticrag
+
+    d = load_table(spark, sf, "documents")
+    out = agenticrag.atomic_tasks(d.select("doc_id", "text"))
+    return out.select(
+        "doc_id", "identifier", "question", "answer", "refined_answer",
+        "llm_score", "golden_doc_score",
+        F.concat_ws("|", "optional_answer").alias("opts_rendered"),
+    )
+
+
+def q_text2sql_gen(spark, sf):
+    """Text2SQLPromptGenerator + SQLVariationGenerator analogs
+    (text2sql_prompt_generator.py:13-110, sql_variation_generator.py:73-140):
+    per-question prompt rendered from a broadcast db_id->DDL map inside JVM
+    codegen, then a 2-way variation fan-out with an md5 variation-type pick
+    (the distributed twin of the reference's seeded randint)."""
+    from dataflow_spark.ops import text2sql
+
+    d = load_table(spark, sf, "documents")
+    qs = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "analytics").otherwise("sales").alias("db_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)).alias("question"),
+    )
+    p = text2sql.text2sql_prompts(qs, T2S_DDL)
+    sqls = p.withColumn(
+        "sql", F.concat(F.lit("SELECT count(*) FROM t WHERE k = "), F.col("doc_id").cast("string"))
+    )
+    v = text2sql.sql_variation_fanout(sqls, ["doc_id"], n_variations=2)
+    return v.select(
+        "doc_id", "db_id", "prompt", "variation_type", "variation_instruction", "variation_prompt"
+    )
+
+
+def q_reasoning_qsynth(spark, sf):
+    """ReasoningQuestionGenerator analog (reasoning_question_generator.py:
+    81-141): per input question one synthesis prompt with an md5
+    diversity-mode pick, stub response rows flagged 'synth' unioned with the
+    originals ('input'), empties dropped. The stub's score-vs-echo branch is
+    input-dependent ('score' anywhere in the prompt), so the oracle carries
+    both branches."""
+    from dataflow_spark.ops import reasoning
+
+    d = load_table(spark, sf, "documents")
+    qs = d.select(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5)).alias("instruction"))
+    return reasoning.question_synthesis(qs, num_prompts=1)
+
+
 def q_embed_diversity(spark, sf):
     """Vendi/Task2Vec-style dataset diversity scalar over embeddings — the
     SCALE path: deterministic md5-nibble sample (8/16 of rows) before the
@@ -804,6 +895,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_score": q_model_score,
         "sql_hardness": q_sql_hardness,
         "docs_doc2qa": q_docs_doc2qa,
+        "sft_seed": q_sft_seed,
+        "condor_gen": q_condor_gen,
+        "rag_atomic": q_rag_atomic,
+        "text2sql_gen": q_text2sql_gen,
+        "reasoning_qsynth": q_reasoning_qsynth,
         "docs_quality": q_docs_quality,
         "docs_readability": q_docs_readability,
         "docs_perplexity": q_docs_perplexity,
@@ -1026,6 +1122,154 @@ def oracle_sql() -> dict[str, str]:
                d AS doc_id, round(score, 4) AS score
         FROM ranked WHERE d <> qid
         QUALIFY neg_rank <= 3
+    """
+
+    # --- generator-family oracles: replay the deterministic md5 stub chains ---
+    from dataflow_spark.ops import reasoning as _rsn
+    from dataflow_spark.ops import sft as _sft
+    from dataflow_spark.ops import text2sql as _t2s
+
+    _sq = lambda s: s.replace("'", "''")
+    _hx = lambda expr, n: f"CAST(('0x' || substr({expr}, 1, {n})) AS UBIGINT)"
+
+    o["sft_seed"] = f"""
+        SELECT 'inst-' || substr(h, 1, 8) AS instruction,
+               'out-' || substr(h, 9, 8) AS output,
+               text AS raw_content
+        FROM (SELECT text, md5('{_sq(_sft.SFT_PROMPT)}' || text) AS h FROM documents)
+        WHERE {_hx('h', 4)} % 7 <> 0
+    """
+
+    _flat = [
+        (domain, theme)
+        for t in sorted(_sft.TOPIC_TREE)
+        for domain in sorted(_sft.TOPIC_TREE[t])
+        for theme in _sft.TOPIC_TREE[t][domain]
+    ]
+    _domains = ", ".join(f"'{_sq(d)}'" for d, _ in _flat)
+    _themes = ", ".join(f"'{_sq(th)}'" for _, th in _flat)
+    o["condor_gen"] = f"""
+        WITH seeds AS (SELECT CAST(range AS BIGINT) AS sample_id FROM range(0, 60)),
+        picked AS (
+          SELECT sample_id,
+                 CAST({_hx('md5(CAST(sample_id AS VARCHAR))', 15)} % {len(_flat)} AS INT) AS pick
+          FROM seeds),
+        dt AS (
+          SELECT sample_id,
+                 ([{_domains}])[pick + 1] AS domain,
+                 ([{_themes}])[pick + 1] AS theme
+          FROM picked),
+        q AS (
+          SELECT sample_id, domain, theme,
+                 'Condor question about ' || theme || ' in ' || domain || ' #'
+                   || CAST(sample_id AS VARCHAR) AS qp
+          FROM dt),
+        d AS (
+          SELECT q.*, dd.difficulty
+          FROM q, (VALUES ('Easy'), ('Medium'), ('Hard')) dd(difficulty)
+          WHERE NOT (difficulty = 'Hard' AND {_hx('md5(qp)', 4)} % 5 = 0))
+        SELECT sample_id, difficulty, domain, theme,
+               lower(difficulty) || '-q-' || substr(md5(qp || difficulty), 1, 8) AS instruction,
+               'ans-' || substr(md5('{_sq(_sft.ANSWER_PROMPT)}'
+                   || lower(difficulty) || '-q-' || substr(md5(qp || difficulty), 1, 8)), 1, 8) AS output
+        FROM d
+    """
+
+    o["rag_atomic"] = f"""
+        WITH d0 AS (
+          SELECT doc_id, text,
+                 'id-' || substr(md5('IDENTIFY ' || text), 1, 8) AS identifier,
+                 'CONCLUDE ' || text AS pc, md5('CONCLUDE ' || text) AS hc
+          FROM documents),
+        cands AS (
+          SELECT d0.*, i.i,
+                 'c-' || substr(md5(pc || CAST(i.i AS VARCHAR)), 1, 8) AS conclusion,
+                 'r-' || substr(md5(pc || CAST(i.i AS VARCHAR)), 9, 6) AS R
+          FROM d0, (SELECT unnest(range(0, 3)) AS i) i
+          WHERE {_hx('hc', 4)} % 7 <> 0 AND i.i < 1 + {_hx('hc', 4)} % 3),
+        q1 AS (
+          SELECT *, md5('QUESTION ' || identifier || ' | ' || conclusion || ' | ' || R) AS hq
+          FROM cands),
+        q2 AS (
+          SELECT *, 'q-' || substr(hq, 1, 8) AS question, conclusion AS answer
+          FROM q1 WHERE {_hx('hq', 4)} % 9 <> 0),
+        r1 AS (
+          SELECT *, CASE WHEN {_hx("md5('CLEANQA ' || question || ' | ' || answer)", 4)} % 11 = 0
+                         THEN '' ELSE 'ref-' || substr(md5('CLEANQA ' || question || ' | ' || answer), 1, 8)
+                    END AS refined_answer
+          FROM q2),
+        l1 AS (
+          SELECT *, CASE WHEN {_hx("md5('RECALL ' || refined_answer || ' || ' || 'ans-' || substr(md5('LLMANSWER ' || question), 1, 8))", 4)} % 5 < 2
+                         THEN 1.0 ELSE 0.0 END AS llm_score
+          FROM r1),
+        g1 AS (
+          SELECT *, CASE WHEN {_hx("md5('RECALL ' || refined_answer || ' || ' || 'ans-' || substr(md5('GOLDENDOC ' || text || ' | ' || question), 1, 8))", 4)} % 5 < 2
+                         THEN 1.0 ELSE 0.0 END AS golden_doc_score
+          FROM l1 WHERE llm_score < 1),
+        o1 AS (
+          SELECT *, md5('OPTIONS ' || refined_answer) AS ho, 'OPTIONS ' || refined_answer AS po
+          FROM g1 WHERE golden_doc_score >= 1),
+        o2 AS (
+          SELECT *, CASE WHEN {_hx('ho', 4)} % 13 = 0 THEN refined_answer
+                         WHEN {_hx('ho', 4)} % 2 = 1
+                           THEN 'opt-' || substr(md5(po || '0'), 1, 6) || '|opt-' || substr(md5(po || '1'), 1, 6)
+                         ELSE 'opt-' || substr(md5(po || '0'), 1, 6)
+                    END AS opts_rendered
+          FROM o1)
+        SELECT doc_id, identifier, question, answer, refined_answer,
+               llm_score, golden_doc_score, opts_rendered
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY question) AS rn FROM o2)
+        WHERE rn <= 2
+    """
+
+    _tpl_head, _tpl_rest = _t2s.PROMPT_TEMPLATE.split("{schema}")
+    _tpl_mid, _tpl_tail = _tpl_rest.split("{question}")
+    _vtypes = ", ".join(f"'{_sq(v)}'" for v in _t2s.VARIATION_TYPES)
+    _ddl_case = " ".join(
+        f"WHEN '{k}' THEN '{_sq(v)}'" for k, v in T2S_DDL.items()
+    )
+    o["text2sql_gen"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'analytics' ELSE 'sales' END AS db_id,
+                 array_to_string(regexp_split_to_array(text, ' ')[1:8], ' ') AS question
+          FROM documents),
+        p AS (
+          SELECT *, '{_sq(_tpl_head)}' || (CASE db_id {_ddl_case} END)
+                    || '{_sq(_tpl_mid)}' || question || '{_sq(_tpl_tail)}' AS prompt,
+                 'SELECT count(*) FROM t WHERE k = ' || CAST(doc_id AS VARCHAR) AS sql
+          FROM base),
+        f AS (
+          SELECT p.*, CAST(({_hx("md5(CAST(doc_id AS VARCHAR) || '|' || CAST(i.i AS VARCHAR))", 15)} % {len(_t2s.VARIATION_TYPES)}) AS INT) AS variation_type
+          FROM p, (SELECT unnest(range(0, 2)) AS i) i)
+        SELECT doc_id, db_id, prompt, variation_type,
+               ([{_vtypes}])[variation_type + 1] AS variation_instruction,
+               'Rewrite the SQL (' || ([{_vtypes}])[variation_type + 1]
+                 || '), preserving the result schema:' || chr(10) || sql AS variation_prompt
+        FROM f
+    """
+
+    _modes = ", ".join(f"'{m}'" for m in _rsn.DIVERSITY_MODES)
+    o["reasoning_qsynth"] = f"""
+        WITH qs AS (
+          SELECT array_to_string(regexp_split_to_array(text, ' ')[1:5], ' ') AS q
+          FROM documents),
+        synth AS (
+          SELECT 'Synthesize a new question applying transformations ['
+                 || ([{_modes}])[CAST({_hx("md5(q || '|0')", 15)} % {len(_rsn.DIVERSITY_MODES)} AS INT) + 1]
+                 || '] based on: ' || q AS p
+          FROM qs),
+        resp AS (
+          SELECT CASE WHEN contains(lower(p), 'score')
+                      THEN 'Score: ' || CAST({_hx('md5(p)', 8)} % 5 + 1 AS VARCHAR)
+                      ELSE '[gen-' || substr(md5(p), 1, 8) || '] '
+                           || array_to_string(regexp_split_to_array(trim(p), '\\s+')[1:10], ' ')
+                 END AS instruction
+          FROM synth)
+        SELECT q AS instruction, 'input' AS Synth_or_Input FROM qs WHERE q IS NOT NULL AND q <> ''
+        UNION ALL
+        SELECT instruction, 'synth' AS Synth_or_Input FROM resp
+        WHERE instruction IS NOT NULL AND instruction <> ''
     """
 
     from dataflow_spark.ops import nlp as _nlp

@@ -159,6 +159,18 @@ def synthesize_rows(spark, n: int, system_prompt: str, backend: ServingBackend |
     return df.withColumn("gen", serving_udf(backend or StubServing())(build_prompt(system_prompt, content)))
 
 
+def md5_mod(col: Column, n: int, nchars: int = 15) -> Column:
+    """Deterministic engine-portable pick: int(md5(str(x))[:nchars], 16) % n.
+
+    Replaces the reference generators' seeded random.choice / randint streams
+    (row-ORDER dependent, meaningless after a distributed shuffle) with a
+    per-row hash pick. md5 rather than xxhash64 so a DuckDB oracle can
+    replicate the value exactly (`CAST(('0x' || substr(md5(x),1,15)) AS
+    UBIGINT) % n`); generator fan-outs are catalog/sample-sized, so the md5
+    cost is irrelevant. 15 hex chars = 60 bits, safely inside BIGINT."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, nchars), 16, 10).cast("bigint") % n
+
+
 def stub_score_col(system_prompt: str, input_col: Column) -> Column:
     """JVM-expression twin of StubServing's score: 1 + md5(prompt)[:8] % 5.
 

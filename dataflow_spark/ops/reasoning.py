@@ -224,12 +224,13 @@ def question_synthesis(
     """ReasoningQuestionGenerator analog
     (reasoning_question_generator.py:81-141): per input question, num_prompts
     synthesis prompts (each with a diversity-mode transformation pick — the
-    reference's random.sample becomes an xxhash64 pick per (question, k):
-    deterministic under any partitioning); responses become NEW rows flagged
+    reference's random.sample becomes an md5 pick per (question, k), see
+    prompted.md5_mod: deterministic under any partitioning and
+    DuckDB-replicable); responses become NEW rows flagged
     Synth_or_Input='synth', unioned with the originals ('input'), empty/null
     responses dropped (:133-137). Output schema: (question_col,
     Synth_or_Input)."""
-    from dataflow_spark.ops.prompted import StubServing, serving_udf
+    from dataflow_spark.ops.prompted import StubServing, md5_mod, serving_udf
 
     backend = backend or StubServing()
     modes = F.array(*[F.lit(m) for m in DIVERSITY_MODES])
@@ -238,7 +239,8 @@ def question_synthesis(
         F.explode(F.sequence(F.lit(0), F.lit(max(num_prompts, 1) - 1))).alias("__k"),
     )
     mode = F.element_at(
-        modes, (F.abs(F.xxhash64("__q", "__k")) % len(DIVERSITY_MODES) + 1).cast("int")
+        modes,
+        (md5_mod(F.concat_ws("|", "__q", "__k"), len(DIVERSITY_MODES)) + 1).cast("int"),
     )
     prompt = F.concat(
         F.lit("Synthesize a new question applying transformations ["), mode,

@@ -21,8 +21,9 @@ Engine mapping: serving is the iterator-UDF ServingBackend boundary
 (ops/prompted.py); JSON/line parsing is JVM-side (regexp_extract_all +
 from_json + filter), so the row path has no Python outside the serving stage
 itself. The reference's random.choice tree walk (seeded globally, hence
-row-ORDER dependent) becomes an xxhash64 pick per sample id — deterministic
-under any partitioning, same marginal distribution.
+row-ORDER dependent) becomes an md5 pick per sample id (prompted.md5_mod) —
+deterministic under any partitioning, same marginal distribution, and
+replicable in the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dataflow_spark.ops.prompted import ServingBackend, serving_udf
+from dataflow_spark.ops.prompted import ServingBackend, md5_mod, serving_udf
 
 SFT_PROMPT = (
     "Generate one instruction/output pair as JSON "
@@ -144,7 +145,7 @@ def condor_generate(
     tree: dict[str, dict[str, list[str]]] | None = None,
 ) -> DataFrame:
     """CondorGenerator analog: num_samples//3 seeds from spark.range (rows
-    from nothing — no input table, no shuffle), xxhash64 tree pick per seed,
+    from nothing — no input table, no shuffle), md5 tree pick per seed,
     question stage, line parse per difficulty (regexp_extract of the
     reference's '[D][Question Start]..[Question End]' wire format), explode to
     (difficulty, instruction), answer stage. Both serving stages see all rows
@@ -157,7 +158,7 @@ def condor_generate(
     ]
     n_q = max(1, num_samples // 3)
     seeds = spark.range(n_q).select(F.col("id").alias("sample_id"))
-    pick = (F.abs(F.xxhash64("sample_id")) % len(flat)).cast("int")
+    pick = md5_mod(F.col("sample_id"), len(flat)).cast("int")
     domain = F.element_at(F.array(*[F.lit(d) for d, _ in flat]), pick + 1)
     theme = F.element_at(F.array(*[F.lit(th) for _, th in flat]), pick + 1)
     q_prompt = F.concat(

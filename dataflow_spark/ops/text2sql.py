@@ -14,8 +14,9 @@ Reference:
     a seeded variation_type = randint(0,5) driving one of 6 variation
     instructions, then an LLM rewrite. Seeding (random.seed(42) :26) makes
     the reference deterministic per row ORDER — a property that does not
-    survive a distributed shuffle, so here the variation type is a hash of
-    the row key (deterministic under any partitioning; same 6-way fan-out).
+    survive a distributed shuffle, so here the variation type is an md5 hash
+    of the row key (prompted.md5_mod: deterministic under any partitioning,
+    DuckDB-replicable; same 6-way fan-out).
 
 The LLM step in every one of these is the engine's standard serving stage
 (ops/prompted.py) — deterministic under StubServing, real under a vLLM/OpenAI
@@ -26,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from dataflow_spark.ops.prompted import md5_mod
 
 PROMPT_TEMPLATE = (
     "Task Overview:\n"
@@ -104,7 +107,7 @@ def sql_variation_fanout(
     with a deterministic variation_type in [0,6) (xxhash of the row key +
     sample index — the distributed replacement for the reference's seeded
     randint stream) and the matching rewrite instruction."""
-    vt = F.abs(F.xxhash64(*key_cols, F.col("__i"))) % len(VARIATION_TYPES)
+    vt = md5_mod(F.concat_ws("|", *key_cols, F.col("__i")), len(VARIATION_TYPES))
     inst = F.array(*[F.lit(v) for v in VARIATION_TYPES])
     return (
         df.withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(n_variations - 1))))
@@ -140,7 +143,7 @@ def sql_synthesis_prompts(
         dbs.withColumn("sample_idx", F.explode(F.sequence(F.lit(0), F.lit(generate_num - 1))))
         .withColumn(
             "complexity",
-            F.element_at(comp, (F.abs(F.xxhash64("db_id", "sample_idx")) % 4 + 1).cast("int")),
+            F.element_at(comp, (md5_mod(F.concat_ws("|", "db_id", "sample_idx"), 4) + 1).cast("int")),
         )
         .withColumn(
             "synthesis_prompt",

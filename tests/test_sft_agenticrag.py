@@ -70,7 +70,7 @@ def test_condor_generate_matches_python_twin(spark):
         for d in sorted(sft.TOPIC_TREE[t])
         for th in sft.TOPIC_TREE[t][d]
     ]
-    # spark xxhash64 isn't replicated in python; instead verify per-row
+    # the md5 tree pick is verified per-row against the flattened tree
     # consistency + the parse semantics against the stub wire format
     assert len({r.sample_id for r in rows}) <= n // 3
     for r in rows:
