@@ -772,6 +772,57 @@ def q_reasoning_qsynth(spark, sf):
     return reasoning.question_synthesis(qs, num_prompts=1)
 
 
+def q_pii_safety(spark, sf):
+    """PresidioSampleEvaluator + PresidioFilter analogs (safety.py): per-
+    recognizer PII entity counts (the same regex battery the PII refiner
+    rewrites) + total-count band filter [0,2] — pure codegen map stage."""
+    from dataflow_spark.ops import safety
+
+    t = _transcripts(spark, sf)
+    out = safety.presidio_filter(t, min_score=0, max_score=2)
+    return out.select(
+        "conv_id", "turn_idx", "pii_email", "pii_ssn", "pii_phone", "pii_ip", "presidio_score"
+    )
+
+
+# Demo lexicon for the driver query: the synthetic corpus vocabulary is DB
+# jargon, so a real toxicity lexicon would score 0 everywhere and never
+# exercise the band filter's drop path. These five markers give the corpus
+# non-zero hit counts; the op's default TOXIC_LEXICON is the real stand-in.
+TOX_DEMO_LEXICON = ("slow", "dup", "big", "hate", "stupid")
+
+
+def q_docs_toxicity(spark, sf):
+    """PerspectiveSampleEvaluator + PerspectiveFilter analogs (safety.py):
+    lexicon marker hits -> s = 1 - 1/(1+hits) in [0,1), keep band
+    [0.0, 0.5] (the reference filter's defaults)."""
+    from dataflow_spark.ops import safety
+
+    d = load_table(spark, sf, "documents")
+    out = safety.perspective_filter(d, lexicon=TOX_DEMO_LEXICON)
+    return out.select("doc_id", "toxic_hits", "perspective_score")
+
+
+def q_docs_markdown(spark, sf):
+    """FileOrURLToMarkdownConverter analog (refine.html_to_markdown): the
+    in-engine HTML->markdown text transform (headings, bold/italics, links,
+    lists, entities) as one fused regexp chain. The HTML is synthesized from
+    the documents table so every rule fires; the PDF/MinerU branch is a
+    binary-decode boundary like ops/multimodal (stubbed by design)."""
+    d = load_table(spark, sf, "documents")
+    words = F.split("text", " ")
+    w1 = F.coalesce(F.try_element_at(words, F.lit(1)), F.lit(""))
+    w2 = F.coalesce(F.try_element_at(words, F.lit(2)), F.lit(""))
+    html = F.concat(
+        F.lit("<h1>Doc</h1><p>"), F.col("text"),
+        F.lit("</p><ul><li>"), w1, F.lit("</li><li>"), w2,
+        F.lit('</li></ul><a href="https://example.com/'), F.col("doc_id").cast("string"),
+        F.lit('">ref &amp; more</a><br/>&nbsp;end'),
+    )
+    out = refine.html_to_markdown(d.withColumn("html", html), "html", "markdown")
+    return out.select("doc_id", "markdown")
+
+
 def q_embed_diversity(spark, sf):
     """Vendi/Task2Vec-style dataset diversity scalar over embeddings — the
     SCALE path: deterministic md5-nibble sample (8/16 of rows) before the
@@ -900,6 +951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_atomic": q_rag_atomic,
         "text2sql_gen": q_text2sql_gen,
         "reasoning_qsynth": q_reasoning_qsynth,
+        "pii_safety": q_pii_safety,
+        "docs_toxicity": q_docs_toxicity,
+        "docs_markdown": q_docs_markdown,
         "docs_quality": q_docs_quality,
         "docs_readability": q_docs_readability,
         "docs_perplexity": q_docs_perplexity,
@@ -1270,6 +1324,58 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT instruction, 'synth' AS Synth_or_Input FROM resp
         WHERE instruction IS NOT NULL AND instruction <> ''
+    """
+
+    # --- safety + markdown oracles: shared pattern tables, JVM<->RE2 parity ---
+    from dataflow_spark.ops import safety as _safety
+
+    # CAST(... AS INT): Spark's size() is int32, DuckDB's len() is int64 —
+    # the driver's value hash is dtype-sensitive
+    _pii_cnt = {
+        k: f"CAST(len(regexp_extract_all(coalesce(text, ''), '{p}')) AS INT)"
+        for k, p in _safety.PII_RECOGNIZERS.items()
+    }
+    o["pii_safety"] = with_transcripts(
+        f"""
+        SELECT conv_id, turn_idx, pii_email, pii_ssn, pii_phone, pii_ip, presidio_score
+        FROM (
+          SELECT conv_id, turn_idx,
+                 {_pii_cnt['email']} AS pii_email,
+                 {_pii_cnt['ssn']} AS pii_ssn,
+                 {_pii_cnt['phone']} AS pii_phone,
+                 {_pii_cnt['ip']} AS pii_ip,
+                 CAST({_pii_cnt['email']} + {_pii_cnt['ssn']} + {_pii_cnt['phone']}
+                      + {_pii_cnt['ip']} AS INT) AS presidio_score
+          FROM transcripts)
+        WHERE presidio_score >= 0 AND presidio_score <= 2
+        """
+    )
+
+    _tox_pat = r"(?i)\b(?:" + "|".join(TOX_DEMO_LEXICON) + r")\b"
+    o["docs_toxicity"] = f"""
+        SELECT doc_id, toxic_hits, perspective_score FROM (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(coalesce(text, ''), '{_tox_pat}')) AS INT) AS toxic_hits,
+                 1.0 - 1.0 / (1.0 + len(regexp_extract_all(coalesce(text, ''), '{_tox_pat}')))
+                   AS perspective_score
+          FROM documents)
+        WHERE perspective_score >= 0.0 AND perspective_score <= 0.5
+    """
+
+    _md_expr = "html"
+    for _pat, _repl in refine.HTML_MD_RULES:
+        _p = _pat.replace("'", "''")
+        _r = _repl.replace("$1", "\\1").replace("$2", "\\2").replace("'", "''")
+        _md_expr = f"regexp_replace({_md_expr}, '{_p}', '{_r}', 'g')"
+    o["docs_markdown"] = f"""
+        SELECT doc_id, {_md_expr} AS markdown FROM (
+          SELECT doc_id,
+                 '<h1>Doc</h1><p>' || text || '</p><ul><li>'
+                 || coalesce(regexp_split_to_array(text, ' ')[1], '') || '</li><li>'
+                 || coalesce(regexp_split_to_array(text, ' ')[2], '')
+                 || '</li></ul><a href="https://example.com/' || CAST(doc_id AS VARCHAR)
+                 || '">ref &amp; more</a><br/>&nbsp;end' AS html
+          FROM documents)
     """
 
     from dataflow_spark.ops import nlp as _nlp

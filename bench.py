@@ -137,12 +137,12 @@ def _flagship(spark, table_dir: str, filters_first: bool = False):
         t = dedup.dedup_minhash_lsh(
             t, payload_cols=["role", "text"], sig_storage=StorageLevel.DISK_ONLY
         )
-        sig_cache = getattr(t, "minhash_sig_cache", None)
+        caches = [getattr(t, "minhash_sig_cache", None), getattr(t, "minhash_losers_cache", None)]
     else:
         t = dedup.dedup_minhash_lsh(
             t, payload_cols=["role", "text"], sig_storage=StorageLevel.DISK_ONLY
         )
-        sig_cache = getattr(t, "minhash_sig_cache", None)
+        caches = [getattr(t, "minhash_sig_cache", None), getattr(t, "minhash_losers_cache", None)]
         t = filters.apply_quality_filter_udf(t)
     t = t.persist()
     try:
@@ -150,8 +150,9 @@ def _flagship(spark, table_dir: str, filters_first: bool = False):
         _materialize(windows.reassemble_conversations(t))
     finally:
         t.unpersist()
-        if sig_cache is not None:
-            sig_cache.unpersist()
+        for c in caches:
+            if c is not None:
+                c.unpersist()
 
 
 def run_flagship_only(rep: int) -> None:

@@ -203,6 +203,7 @@ def dedup_minhash_lsh(
     order_cols: tuple[str, ...] = ORDER_COLS,
     payload_cols: list[str] | None = None,
     sig_storage=None,
+    max_broadcast_losers: int = 1_000_000,
 ) -> DataFrame:
     """MinHashDeduplicateFilter — minhash_deduplicate_filter.py:55-89.
 
@@ -272,11 +273,31 @@ def dedup_minhash_lsh(
         .select("__w")
         .distinct()
     )
-    # losers is small → broadcast anti join; cached sigd streams through
-    out = sigd.join(losers, ["__w"], "left_anti").select(
-        *[F.col(f"__w.{c}").alias(c) for c in order_cols], *payload
-    )
+    # ADAPTIVE recovery join — the loser set is ~dup_rate * N, and dup rate is
+    # a property of the corpus, not the engine. Leaving the choice to AQE is
+    # unsafe here: AQE plans from the losers' COMPRESSED shuffle bytes, and a
+    # dup-heavy corpus (worst case: the scaling bench's x40-replicated
+    # fixture, ~97% dup) compresses millions of near-identical keys under the
+    # 10MB broadcast threshold — the deserialized UnsafeHashedRelation then
+    # blows the executor execution pool ('Could not allocate memory to grow
+    # BytesToBytesMap' at N=1, 6GB executors; measured). So materialize the
+    # loser set once (persist + one count action — the same eager-stats
+    # pattern Spark's own range partitioner uses for sort) and pick the side
+    # explicitly:
+    #   - small loser set (low-dup production corpora): broadcast anti join,
+    #     the cached signature relation streams with no shuffle;
+    #   - large loser set (dup-heavy corpora): shuffled-hash anti join — both
+    #     sides shuffle on the order key, per-task build maps stay
+    #     ~|losers|/partitions, no single map ever holds the full set.
+    losers = losers.persist(sig_storage) if sig_storage is not None else losers.persist()
+    n_losers = losers.count()
+    if n_losers <= max_broadcast_losers:
+        out = sigd.join(F.broadcast(losers), ["__w"], "left_anti")
+    else:
+        out = sigd.join(losers.hint("shuffle_hash"), ["__w"], "left_anti")
+    out = out.select(*[F.col(f"__w.{c}").alias(c) for c in order_cols], *payload)
     out.minhash_sig_cache = sigd  # see docstring: unpersist after consumption
+    out.minhash_losers_cache = losers  # unpersist with the sig cache
     return out
 
 

@@ -107,6 +107,53 @@ def strip_markup(df: DataFrame, col: str = "text") -> DataFrame:
     return remove_extra_spaces(out, col)
 
 
+# HTML -> Markdown rule table (pattern, replacement), applied IN ORDER.
+# FileOrURLToMarkdownConverter analog (knowledge_cleaning/generate/
+# file_or_url_to_markdown_converter.py): the reference shells out to MinerU
+# (PDF, GPU) or trafilatura (URL fetch) — both unavailable here, and the PDF
+# branch is a binary-decode boundary like ops/multimodal. The HTML->markdown
+# TEXT transform is the in-engine part: a fixed regexp chain inside codegen.
+# Replacements use Java's $n group syntax; the DuckDB oracle translates to \n
+# (see __spark_entry__.oracle_sql). Patterns are RE2-compatible (inline (?is)
+# flags, non-greedy, no lookaround) so both engines run the identical rules.
+HTML_MD_RULES: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>', "[$2]($1)"),
+    (r"(?i)<h1[^>]*>", "# "),
+    (r"(?i)<h2[^>]*>", "## "),
+    (r"(?i)<h3[^>]*>", "### "),
+    (r"(?i)</h[1-6]>", "\n\n"),
+    (r"(?i)</?(b|strong)>", "**"),
+    (r"(?i)</?(i|em)>", "*"),
+    (r"(?i)<li[^>]*>", "\n- "),
+    (r"(?i)</li>", ""),
+    (r"(?i)<br */?>", "\n"),
+    (r"(?i)</p>", "\n\n"),
+    (r"(?i)<p[^>]*>", ""),
+    (r"(?s)<[^>]+>", ""),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"\n\n\n+", "\n\n"),
+    (r"^\s+|\s+$", ""),
+)
+
+
+def html_to_markdown(df: DataFrame, col: str = "text", out: str | None = None) -> DataFrame:
+    """HTML -> Markdown converter stage: headings/#, bold/**, italics/*,
+    links/[text](url), lists/-, paragraph+br newlines, tag strip, entity
+    decode, blank-line squeeze. One fused regexp_replace chain — a pure map
+    stage, no Python, no shuffle."""
+    c = F.col(col)
+    for pat, repl in HTML_MD_RULES:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out or col, c)
+
+
 def chunk_by_words(
     df: DataFrame, id_col: str, col: str = "text", chunk_words: int = 64
 ) -> DataFrame:

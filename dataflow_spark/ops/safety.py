@@ -1,0 +1,117 @@
+"""Privacy / safety evaluators + band filters (SURVEY.md §2.2/§2.5):
+PresidioSampleEvaluator/PresidioFilter and
+PerspectiveSampleEvaluator/PerspectiveFilter analogs.
+
+Reference shapes:
+  - PresidioSampleEvaluator (general_text/eval/presidio_sample_evaluator.py:
+    58-66): per-row count of detected PII entities -> int 'PresidioScore';
+    PresidioFilter (filter/presidio_filter.py:11-60) keeps rows with
+    min_score <= count <= max_score (defaults 0..5). The reference detector
+    is Presidio + a BERT NER model (GPU); the engine's stand-in is the same
+    regex recognizer battery the PIIAnonymizeRefiner uses
+    (ops/refine.py:139-152) — entity COUNTING over the identical patterns, so
+    evaluator and refiner agree on what counts as PII.
+  - PerspectiveSampleEvaluator (eval/perspective_sample_evaluator.py:45-63):
+    per-row toxicity in [0,1] from the Perspective API; PerspectiveFilter
+    (filter/perspective_filter.py:11-52) keeps min_score <= s <= max_score
+    (defaults 0.0..0.5). The API is external; the stand-in is a
+    broadcast-lexicon marker count squashed to [0,1) by s = 1 - 1/(1+hits)
+    (0 hits -> 0.0, 1 hit -> 0.5, monotone in hits) — the band-filter
+    semantics, score range, and stage shape are the reference's, the score
+    itself is a documented heuristic stand-in.
+
+Both are pure JVM column expressions (regexp_extract_all + size inside
+codegen): no Python in the row path, no shuffle — they scale as a map stage.
+NULL text scores 0 entities / 0.0 toxicity (the reference reads
+`dataframe.get(input_key, '')`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops.refine import _PII_EMAIL, _PII_IP, _PII_PHONE, _PII_SSN
+
+# recognizer -> pattern; the same battery anonymize_pii rewrites, in the same
+# precedence order (SSN before PHONE so a 3-2-4 SSN is not double-counted:
+# the count here mirrors matches on the RAW text per recognizer)
+PII_RECOGNIZERS: dict[str, str] = {
+    "email": _PII_EMAIL,
+    "ssn": _PII_SSN,
+    "phone": _PII_PHONE,
+    "ip": _PII_IP,
+}
+
+# Toxicity-marker lexicon (public-word stand-in for the Perspective model).
+# Callers pass a domain lexicon; this default lists generic hostile/abusive
+# markers.
+TOXIC_LEXICON: tuple[str, ...] = (
+    "hate", "stupid", "idiot", "moron", "dumb", "loser", "trash", "garbage",
+    "ugly", "kill", "attack", "threat", "abuse", "violent", "curse", "insult",
+    "shut up", "worthless", "pathetic", "disgusting",
+)
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(pattern), F.lit(0)))
+
+
+def pii_entity_counts(df: DataFrame, col: str = "text", out: str = "presidio_score") -> DataFrame:
+    """PresidioSampleEvaluator analog: per-recognizer match counts
+    (pii_email/pii_ssn/pii_phone/pii_ip) + their sum as the entity-count
+    score (presidio_sample_evaluator.py:62-64 `len(analysis_results)`)."""
+    counts = {f"pii_{k}": _count_matches(F.col(col), p) for k, p in PII_RECOGNIZERS.items()}
+    out_df = df
+    for name, c in counts.items():
+        out_df = out_df.withColumn(name, c)
+    total = None
+    for name in counts:
+        total = F.col(name) if total is None else total + F.col(name)
+    return out_df.withColumn(out, total.cast("int"))
+
+
+def presidio_filter(
+    df: DataFrame,
+    col: str = "text",
+    min_score: int = 0,
+    max_score: int = 5,
+    out: str = "presidio_score",
+) -> DataFrame:
+    """PresidioFilter: keep rows with min_score <= entity count <= max_score
+    (presidio_filter.py:60-63 band semantics)."""
+    scored = pii_entity_counts(df, col, out)
+    return scored.filter((F.col(out) >= min_score) & (F.col(out) <= max_score))
+
+
+def toxicity_score(
+    df: DataFrame,
+    col: str = "text",
+    lexicon: tuple[str, ...] = TOXIC_LEXICON,
+    out: str = "perspective_score",
+) -> DataFrame:
+    """PerspectiveSampleEvaluator analog: word-boundary case-insensitive
+    marker hits squashed to [0,1) — s = 1 - 1/(1+hits). The lexicon folds
+    into ONE alternation regex evaluated inside codegen (the list is
+    catalog-sized metadata, like the text2sql DDL map)."""
+    import re as _re
+
+    pat = r"(?i)\b(?:" + "|".join(_re.escape(w) for w in lexicon) + r")\b"
+    hits = _count_matches(F.col(col), pat)
+    return df.withColumn("toxic_hits", hits).withColumn(
+        out, F.lit(1.0) - F.lit(1.0) / (F.lit(1.0) + F.col("toxic_hits"))
+    )
+
+
+def perspective_filter(
+    df: DataFrame,
+    col: str = "text",
+    min_score: float = 0.0,
+    max_score: float = 0.5,
+    lexicon: tuple[str, ...] = TOXIC_LEXICON,
+    out: str = "perspective_score",
+) -> DataFrame:
+    """PerspectiveFilter: keep min_score <= toxicity <= max_score
+    (perspective_filter.py:52 `(scores >= min) & (scores <= max)`)."""
+    scored = toxicity_score(df, col, lexicon, out)
+    return scored.filter((F.col(out) >= min_score) & (F.col(out) <= max_score))

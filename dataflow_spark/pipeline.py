@@ -81,6 +81,47 @@ register("s_stem", OpSpec(_simple(refine.s_stem), _TEXT_IN, _NO_NEW))
 register("anonymize_pii", OpSpec(_simple(refine.anonymize_pii), _TEXT_IN, _NO_NEW))
 register("normalize_dates", OpSpec(_simple(refine.normalize_dates), _TEXT_IN, _NO_NEW))
 register("sanitize_unicode", OpSpec(_simple(refine.sanitize_unicode), _TEXT_IN, _NO_NEW))
+register("html_to_markdown", OpSpec(_simple(refine.html_to_markdown), _TEXT_IN, _NO_NEW))
+
+
+def _register_safety() -> None:
+    from dataflow_spark.ops import safety
+
+    register(
+        "presidio_evaluator",
+        OpSpec(_simple(safety.pii_entity_counts), _TEXT_IN,
+               lambda p: ["pii_email", "pii_ssn", "pii_phone", "pii_ip", "presidio_score"]),
+    )
+    register(
+        "presidio_filter",
+        OpSpec(
+            lambda **p: (lambda df: safety.presidio_filter(
+                df, p.get("col", "text"),
+                min_score=p.get("min_score", 0), max_score=p.get("max_score", 5))),
+            _TEXT_IN,
+            lambda p: ["pii_email", "pii_ssn", "pii_phone", "pii_ip", "presidio_score"],
+            drops_rows=True,
+        ),
+    )
+    register(
+        "perspective_evaluator",
+        OpSpec(_simple(safety.toxicity_score), _TEXT_IN,
+               lambda p: ["toxic_hits", "perspective_score"]),
+    )
+    register(
+        "perspective_filter",
+        OpSpec(
+            lambda **p: (lambda df: safety.perspective_filter(
+                df, p.get("col", "text"),
+                min_score=p.get("min_score", 0.0), max_score=p.get("max_score", 0.5))),
+            _TEXT_IN,
+            lambda p: ["toxic_hits", "perspective_score"],
+            drops_rows=True,
+        ),
+    )
+
+
+_register_safety()
 
 
 def _rule_filter(**p):

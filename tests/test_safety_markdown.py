@@ -1,0 +1,93 @@
+"""Safety evaluators/filters + HTML->markdown converter vs python twins."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops import refine, safety
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from dataflow_spark.session import get_spark
+
+    return get_spark("test-safety", cores=4, shuffle_partitions=4)
+
+
+PII_ROWS = [
+    (0, "contact me at jane.doe@example.com or 555-123-4567"),
+    (1, "ssn 123-45-6789 leaked from 10.0.0.1 and 192.168.1.1"),
+    (2, "no pii here at all"),
+    (3, None),
+    (4, "a@b.io c@d.io e@f.io x@y.io q@r.io z@w.io"),  # 6 emails -> filtered out
+]
+
+
+def test_pii_counts_match_python_twin(spark):
+    df = spark.createDataFrame(PII_ROWS, "id long, text string")
+    got = {r.id: r for r in safety.pii_entity_counts(df).collect()}
+    for i, text in PII_ROWS:
+        t = text or ""
+        exp = {k: len(re.findall(p, t)) for k, p in safety.PII_RECOGNIZERS.items()}
+        row = got[i]
+        assert (row.pii_email, row.pii_ssn, row.pii_phone, row.pii_ip) == (
+            exp["email"], exp["ssn"], exp["phone"], exp["ip"]
+        ), (i, t)
+        assert row.presidio_score == sum(exp.values())
+
+
+def test_presidio_filter_band(spark):
+    df = spark.createDataFrame(PII_ROWS, "id long, text string")
+    kept = {r.id for r in safety.presidio_filter(df, min_score=0, max_score=2).collect()}
+    assert 2 in kept and 3 in kept  # zero-PII rows kept at min_score=0
+    assert 4 not in kept  # 6 emails > max_score=2
+    lo = {r.id for r in safety.presidio_filter(df, min_score=1, max_score=99).collect()}
+    assert 2 not in lo and 3 not in lo and 4 in lo
+
+
+def test_toxicity_score_and_filter(spark):
+    rows = [(0, "you are a stupid idiot"), (1, "lovely weather"), (2, "hate hate hate")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r for r in safety.toxicity_score(df).collect()}
+    assert got[0].toxic_hits == 2 and abs(got[0].perspective_score - (1 - 1 / 3)) < 1e-12
+    assert got[1].toxic_hits == 0 and got[1].perspective_score == 0.0
+    assert got[2].toxic_hits == 3
+    kept = {r.id for r in safety.perspective_filter(df).collect()}  # band [0, 0.5]
+    assert kept == {1}  # 1 hit scores exactly 0.5 -> kept; these rows have 0,2,3
+
+
+def test_html_to_markdown_rules(spark):
+    cases = [
+        ("<h1>Title</h1><p>Body &amp; more</p>", "# Title\n\nBody & more"),
+        ("<ul><li>one</li><li>two</li></ul>", "- one\n- two"),
+        ('<a href="https://x.io/a">link text</a>', "[link text](https://x.io/a)"),
+        ("<b>bold</b> and <em>it</em>", "**bold** and *it*"),
+        ("line<br/>break&nbsp;end", "line\nbreak end"),
+        ("<script>evil()</script>keep", "keep"),
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)], "id long, text string")
+    got = {r.id: r.text for r in refine.html_to_markdown(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_html_to_markdown_python_twin_parity(spark):
+    """The rule table applied by re.sub must equal the Spark chain (same
+    regex dialect subset — guards accidental Java-only syntax in the rules)."""
+    samples = [
+        "<H2>Head</H2><p>a <strong>b</strong> c</p>\n\n\n\nd",
+        '  <a href="u">t</a>  ',
+        "plain text, no html",
+        "<li>x</li><br><i>y</i>&quot;q&quot;&#39;s&#39;",
+    ]
+
+    def twin(s):
+        for pat, repl in refine.HTML_MD_RULES:
+            s = re.sub(pat, repl.replace("$1", "\\1").replace("$2", "\\2"), s)
+        return s
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "id long, text string")
+    got = {r.id: r.text for r in refine.html_to_markdown(df).collect()}
+    for i, s in enumerate(samples):
+        assert got[i] == twin(s), (i, got[i], twin(s))
