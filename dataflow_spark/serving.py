@@ -1,0 +1,152 @@
+"""OpenAI-compatible HTTP serving backend (SURVEY.md §2.8).
+
+Reference contract: /root/reference/dataflow/serving/api_llm_serving_request.py
+  - POST {api_url} with {"model", "messages", "temperature": 0} and a Bearer
+    key read from a NAMED env var (:20-38); never a hardcoded secret.
+  - per-request thread fan-out with order-preserving results (:127-150) and
+    exponential-backoff retry, 2**attempt seconds (:119-125).
+  - response folding (:40-58): if the content already carries
+    <think>...</think>...<answer>...</answer> pass it through; else if the
+    message has non-empty `reasoning_content`, fold to
+    "<think>{reasoning}</think>\n<answer>{content}</answer>"; else content.
+  - embeddings endpoint: {"model", "input"} -> data[0].embedding (:88-96).
+
+Engine design: this backend plugs into the SAME iterator-pandas-UDF stage as
+StubServing (ops/prompted.serving_udf) — one backend instance per executor
+python worker, one HTTP fan-out per Arrow batch, so batch size (not row
+count) bounds concurrent connections. stdlib urllib only: the sandbox has no
+`requests`, and at cluster scale the executor image may not either.
+
+Failed rows (after max_retries) return None, surfacing as NULL in the output
+column — the reference returns None too; downstream filters drop them
+explicitly rather than the stage throwing away the whole batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import urllib.error
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import pandas as pd
+
+from .ops.prompted import ServingBackend
+
+_THINK_ANSWER = re.compile(r"<think>.*</think>.*<answer>.*</answer>", re.S)
+
+
+def fold_response(message: dict) -> str:
+    """format_response parity (api_llm_serving_request.py:40-58)."""
+    content = message.get("content") or ""
+    if _THINK_ANSWER.search(content):
+        return content
+    reasoning = message.get("reasoning_content") or ""
+    if reasoning:
+        return f"<think>{reasoning}</think>\n<answer>{content}</answer>"
+    return content
+
+
+class OpenAICompatServing(ServingBackend):
+    """Chat-completions client for any OpenAI-compatible endpoint
+    (vLLM, llama.cpp server, a hosted API)."""
+
+    def __init__(
+        self,
+        api_url: str,
+        model_name: str,
+        key_name_of_api_key: str = "DF_API_KEY",
+        system_prompt: str = "You are a helpful assistant",
+        max_workers: int = 10,
+        max_retries: int = 5,
+        timeout_s: float = 60.0,
+        backoff_base_s: float = 1.0,
+    ):
+        self.api_url = api_url
+        self.model_name = model_name
+        # key is resolved lazily (on the executor) so the env var only needs
+        # to exist where requests are made; empty key => no Authorization
+        # header (local vLLM does not require one).
+        self.key_name_of_api_key = key_name_of_api_key
+        self.system_prompt = system_prompt
+        self.max_workers = max_workers
+        self.max_retries = max_retries
+        self.timeout_s = timeout_s
+        self.backoff_base_s = backoff_base_s
+
+    def _headers(self) -> dict:
+        headers = {"Content-Type": "application/json"}
+        key = os.environ.get(self.key_name_of_api_key)
+        if key:
+            headers["Authorization"] = f"Bearer {key}"
+        return headers
+
+    def _post(self, body: dict) -> dict:
+        req = urllib.request.Request(
+            self.api_url,
+            data=json.dumps(body).encode("utf-8"),
+            headers=self._headers(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    def _chat_once(self, prompt: str) -> str | None:
+        body = {
+            "model": self.model_name,
+            "messages": [
+                {"role": "system", "content": self.system_prompt},
+                {"role": "user", "content": prompt},
+            ],
+            "temperature": 0.0,
+        }
+        try:
+            data = self._post(body)
+            return fold_response(data["choices"][0]["message"])
+        except (urllib.error.URLError, urllib.error.HTTPError, KeyError,
+                json.JSONDecodeError, TimeoutError, OSError):
+            return None
+
+    def _chat_retry(self, idx_prompt: tuple[int, str]) -> tuple[int, str | None]:
+        idx, prompt = idx_prompt
+        for attempt in range(self.max_retries):
+            out = self._chat_once(prompt)
+            if out is not None:
+                return idx, out
+            if attempt + 1 < self.max_retries:
+                time.sleep(self.backoff_base_s * (2**attempt))
+        return idx, None
+
+    def generate(self, prompts: pd.Series) -> pd.Series:
+        items = list(enumerate(prompts.tolist()))
+        results: list[str | None] = [None] * len(items)
+        with ThreadPoolExecutor(max_workers=self.max_workers) as ex:
+            for idx, out in ex.map(self._chat_retry, items):
+                results[idx] = out
+        return pd.Series(results, index=prompts.index, dtype="object")
+
+    def embed(self, texts: list[str]) -> list[list[float] | None]:
+        """Embeddings endpoint (:88-96): one request per text, same
+        fan-out/retry discipline."""
+
+        def one(idx_text: tuple[int, str]) -> tuple[int, list[float] | None]:
+            idx, text = idx_text
+            for attempt in range(self.max_retries):
+                try:
+                    data = self._post({"model": self.model_name, "input": text})
+                    return idx, data["data"][0]["embedding"]
+                except (urllib.error.URLError, urllib.error.HTTPError, KeyError,
+                        json.JSONDecodeError, TimeoutError, OSError):
+                    if attempt + 1 < self.max_retries:
+                        time.sleep(self.backoff_base_s * (2**attempt))
+            return idx, None
+
+        items = list(enumerate(texts))
+        out: list[list[float] | None] = [None] * len(items)
+        with ThreadPoolExecutor(max_workers=self.max_workers) as ex:
+            for idx, emb in ex.map(one, items):
+                out[idx] = emb
+        return out

@@ -1,0 +1,166 @@
+"""OpenAICompatServing against a local in-process OpenAI-compatible server.
+
+Covers the §2.8 serving contract end-to-end: request shape, Bearer auth,
+order-preserving threadpool fan-out, retry-on-5xx, reasoning_content folding,
+NULL on exhausted retries, and the Spark iterator-UDF stage integration.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from dataflow_spark.serving import OpenAICompatServing, fold_response
+
+
+class _FakeOpenAIHandler(BaseHTTPRequestHandler):
+    # class-level knobs mutated per-test
+    fail_first_n = 0          # respond 500 to the first N requests
+    reasoning_for = None      # substring -> attach reasoning_content
+    seen: list[dict] = []
+    _failed = 0
+    _lock = threading.Lock()
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def do_POST(self):
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        with _FakeOpenAIHandler._lock:
+            _FakeOpenAIHandler.seen.append(
+                {"auth": self.headers.get("Authorization"), "body": body}
+            )
+            if _FakeOpenAIHandler._failed < _FakeOpenAIHandler.fail_first_n:
+                _FakeOpenAIHandler._failed += 1
+                self.send_response(500)
+                self.end_headers()
+                return
+
+        if "input" in body:  # embeddings endpoint
+            h = hashlib.md5(body["input"].encode()).digest()
+            emb = [b / 255.0 for b in h[:4]]
+            payload = {"data": [{"embedding": emb}]}
+        else:
+            user = body["messages"][-1]["content"]
+            h = hashlib.md5(user.encode()).hexdigest()[:8]
+            msg = {"role": "assistant", "content": f"resp-{h}"}
+            if (_FakeOpenAIHandler.reasoning_for
+                    and _FakeOpenAIHandler.reasoning_for in user):
+                msg["reasoning_content"] = f"thinking-{h}"
+            payload = {"choices": [{"message": msg}]}
+
+        data = json.dumps(payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+
+@pytest.fixture
+def fake_server():
+    _FakeOpenAIHandler.fail_first_n = 0
+    _FakeOpenAIHandler.reasoning_for = None
+    _FakeOpenAIHandler.seen = []
+    _FakeOpenAIHandler._failed = 0
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FakeOpenAIHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/v1/chat/completions"
+    srv.shutdown()
+
+
+def _backend(url, **kw):
+    kw.setdefault("backoff_base_s", 0.01)
+    return OpenAICompatServing(url, model_name="test-model", **kw)
+
+
+def _expected(prompt: str) -> str:
+    return "resp-" + hashlib.md5(prompt.encode()).hexdigest()[:8]
+
+
+def test_generate_order_preserved_under_fanout(fake_server):
+    import pandas as pd
+
+    prompts = pd.Series([f"prompt {i}" for i in range(25)])
+    out = _backend(fake_server, max_workers=8).generate(prompts)
+    assert list(out) == [_expected(p) for p in prompts]
+    # request shape matches the reference contract
+    body = _FakeOpenAIHandler.seen[0]["body"]
+    assert body["model"] == "test-model"
+    assert body["temperature"] == 0.0
+    assert [m["role"] for m in body["messages"]] == ["system", "user"]
+
+
+def test_bearer_key_from_named_env_var(fake_server, monkeypatch):
+    import pandas as pd
+
+    monkeypatch.setenv("MY_TEST_KEY", "sk-local-123")
+    be = _backend(fake_server, key_name_of_api_key="MY_TEST_KEY")
+    be.generate(pd.Series(["x"]))
+    assert _FakeOpenAIHandler.seen[-1]["auth"] == "Bearer sk-local-123"
+    # and no header at all when the var is unset
+    monkeypatch.delenv("MY_TEST_KEY")
+    be.generate(pd.Series(["y"]))
+    assert _FakeOpenAIHandler.seen[-1]["auth"] is None
+
+
+def test_retry_on_5xx_then_success(fake_server):
+    import pandas as pd
+
+    _FakeOpenAIHandler.fail_first_n = 2
+    out = _backend(fake_server, max_workers=1, max_retries=5).generate(
+        pd.Series(["a", "b"])
+    )
+    assert list(out) == [_expected("a"), _expected("b")]
+
+
+def test_null_after_exhausted_retries(fake_server):
+    import pandas as pd
+
+    _FakeOpenAIHandler.fail_first_n = 10**6
+    out = _backend(fake_server, max_workers=2, max_retries=2).generate(
+        pd.Series(["a"])
+    )
+    assert out[0] is None
+
+
+def test_reasoning_content_folding(fake_server):
+    import pandas as pd
+
+    _FakeOpenAIHandler.reasoning_for = "why"
+    out = _backend(fake_server).generate(pd.Series(["why is the sky blue"]))
+    h = hashlib.md5(b"why is the sky blue").hexdigest()[:8]
+    assert out[0] == f"<think>thinking-{h}</think>\n<answer>resp-{h}</answer>"
+
+
+def test_fold_passthrough_when_already_tagged():
+    msg = {"content": "<think>t</think> mid <answer>a</answer>",
+           "reasoning_content": "ignored"}
+    assert fold_response(msg) == "<think>t</think> mid <answer>a</answer>"
+
+
+def test_embeddings_endpoint(fake_server):
+    embs = _backend(fake_server).embed(["alpha", "beta"])
+    assert len(embs) == 2 and all(len(e) == 4 for e in embs)
+    want = [b / 255.0 for b in hashlib.md5(b"alpha").digest()[:4]]
+    assert embs[0] == pytest.approx(want)
+
+
+def test_spark_prompted_stage_with_http_backend(fake_server, spark):
+    """The real integration: OpenAICompatServing inside the iterator-UDF
+    prompted stage (ops/prompted.prompted_generate)."""
+    from dataflow_spark.ops.prompted import prompted_generate
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "id int, text string"
+    )
+    out = prompted_generate(
+        df, "Summarize: ", "text", "summary", backend=_backend(fake_server)
+    )
+    rows = {r.id: r.summary for r in out.collect()}
+    assert rows == {i: _expected(f"Summarize: doc {i}") for i in range(10)}
