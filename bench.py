@@ -297,10 +297,17 @@ def run_default() -> None:
         fn = qmap.get(name)
         if fn is None:
             continue
-        df = fn(spark, SF_DIR)  # build plan (untimed)
+        # each query is timed COLD and in isolation: caches from previous
+        # queries are dropped first (an op's internal persist() must not
+        # subsidize a later query), and the timer covers plan BUILD +
+        # materialization — some operators run eager planning actions
+        # (dedup_minhash_lsh's loser-count for the adaptive join choice) that
+        # a materialize-only timer would silently exclude.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
-        _materialize(df)
+        _materialize(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
 
     import tempfile
 

@@ -101,7 +101,15 @@ def consistent_chat(
     s2 = s2.withColumn(
         "__r", F.from_json(F.col("__r_json"), "struct<responses:array<struct<response:string>>>")
     ).select("dialog_id", "category", "turns", F.col("__r.responses.response").alias("answers"))
-    # interleave: per user turn i, [user q_i] + ([assistant a_i] if present)
+    # interleave AND drop the dangling user turn (consistent_chat.py:123-124)
+    # in ONE pass: per user turn i emit [user q_i, assistant a_i] when an
+    # answer exists, a lone [user q_i] only when a later turn follows (an
+    # unanswered FINAL user turn is exactly the dangling turn the reference
+    # drops, so it emits []). Single-reference formulation on purpose: the
+    # earlier build-then-CASE-slice version referenced the flatten(transform)
+    # expression 5x, and CollapseProject inlined a copy per reference — the
+    # collapsed mega-projection took ~30 s of codegen/interpretation for 120
+    # rows (measured); this form is one tree, referenced once.
     pair = F.transform(
         F.sequence(F.lit(0), F.size("turns") - 1),
         lambda i: F.when(
@@ -110,16 +118,14 @@ def consistent_chat(
                 F.struct(F.lit("user").alias("role"), F.element_at("turns", i + 1).alias("value")),
                 F.struct(F.lit("assistant").alias("role"), F.element_at("answers", i + 1).alias("value")),
             ),
-        ).otherwise(
-            F.array(F.struct(F.lit("user").alias("role"), F.element_at("turns", i + 1).alias("value")))
-        ),
+        )
+        .when(
+            i < F.size("turns") - 1,
+            F.array(F.struct(F.lit("user").alias("role"), F.element_at("turns", i + 1).alias("value"))),
+        )
+        .otherwise(F.array().cast("array<struct<role:string,value:string>>")),
     )
     conv = F.flatten(pair)
-    # drop the dangling user turn (consistent_chat.py:123-124)
-    conv = F.when(
-        (F.size(conv) > 0) & (F.element_at(conv, -1)["role"] == F.lit("user")),
-        F.slice(conv, 1, F.size(conv) - 1),
-    ).otherwise(conv)
     out = s2.select("dialog_id", "category", conv.alias("conversation"))
     rendered = F.concat_ws(
         "\n", F.transform("conversation", lambda t: F.concat(t["role"], F.lit(": "), t["value"]))
