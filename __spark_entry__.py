@@ -211,9 +211,33 @@ def q_embed_topk(spark, sf):
     return embeddings.brute_force_topk(e, qs, k=5)
 
 
+def _embeddings_with_planted(spark, sf):
+    """Embeddings table + a deterministic near-dup copy of every 10th row
+    (vec_id + 1_000_000, component 0 shifted by +0.2 → cosine ≈ 0.98 to its
+    source, while the synthetic background tops out ≈ 0.55). Puts the
+    exposed near-dup queries in the regime the reference's
+    SemDeduplicateFilter actually runs (eps≈0.05 → thr≈0.9+), where the
+    banded hyperplane LSH prunes instead of degenerating; the perturbation
+    is plain arithmetic, so the DuckDB oracle rebuilds the identical table."""
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.2)),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    return e.unionAll(planted)
+
+
 def q_embed_neardup(spark, sf):
-    e = load_table(spark, sf, "embeddings")
-    return embeddings.embedding_neardup_pairs(e, threshold=0.4)
+    """Banded hyperplane-LSH near-dup pairs (the scale path, auto-sized with
+    the background-leak criterion: 87 bands x 16 planes at thr=0.9), every
+    candidate exactly cosine-verified; oracle = exact all-pairs SQL on the
+    same planted table."""
+    return embeddings.embedding_neardup_pairs(_embeddings_with_planted(spark, sf), threshold=0.9)
 
 
 def q_embed_kcenter(spark, sf):
@@ -390,8 +414,10 @@ def q_reasoning_extract(spark, sf):
 
 
 def q_embed_dedup(spark, sf):
-    e = load_table(spark, sf, "embeddings")
-    return embeddings.semantic_dedup(e, threshold=0.4).select("vec_id")
+    """SemDeduplicateFilter analog on the planted near-dup table: LSH
+    candidates -> exact verify -> anti-join losers (the later id of every
+    >=0.9 pair, i.e. exactly the planted copies)."""
+    return embeddings.semantic_dedup(_embeddings_with_planted(spark, sf), threshold=0.9).select("vec_id")
 
 
 def q_turn_token_f1(spark, sf):
@@ -1467,16 +1493,26 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 5
     """
 
+    # planted near-dup table (the _embeddings_with_planted twin): every 10th
+    # row copied with vec_id+1e6 and component 0 shifted +0.2 (cos ~0.98)
+    _aug = """
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_prepend(CAST(embedding[1] AS DOUBLE) + 0.2, CAST(embedding[2:] AS DOUBLE[])) AS embedding
+        FROM embeddings WHERE vec_id % 10 = 0
+    """
+
     o["embed_neardup"] = f"""
         SELECT id_a, id_b, sim FROM (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                  round({_dot} / ({_norm_a} * {_norm_b}), 6) AS sim
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        ) WHERE sim >= 0.4
+          FROM ({_aug}) a JOIN ({_aug}) b ON a.vec_id < b.vec_id
+        ) WHERE sim >= 0.9
     """
 
     o["embed_dedup"] = (
-        f"SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM ({o['embed_neardup']}))"
+        f"SELECT vec_id FROM ({_aug}) WHERE vec_id NOT IN (SELECT id_b FROM ({o['embed_neardup']}))"
     )
 
     _sql_punct = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]""".replace("'", "''")

@@ -10,6 +10,8 @@ double adds, deterministic and oracle-matchable bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -271,59 +273,68 @@ def semantic_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
-def _hyperplane_band_sig(vec, n_bands: int, n_planes: int):
-    """Array of `n_bands` sign-signature ints (n_planes bits each) from
-    deterministic pseudo-random hyperplanes: component (p,d) of plane p is
-    (xxhash64(p*1000+d) % 1000)/500 - 1 ∈ [-1,1). Pure JVM exprs — the
-    hyperplanes fold into the plan, nothing is broadcast."""
-    dim_ix = F.sequence(F.lit(0), F.size(vec) - 1)
+def band_signature_udf(n_bands: int, n_planes: int, seed: int = 2024):
+    """Arrow-batched signature kernel: one numpy matmul per batch against
+    `n_bands * n_planes` deterministic Gaussian hyperplanes
+    (RandomState(seed).standard_normal — the legacy generator, frozen across
+    numpy versions, so every executor draws identical planes with nothing
+    broadcast). Returns array<bigint> of n_bands sign-signatures (n_planes
+    bits each, bit-packed). A matmul is the right shape here: the wide
+    configs leak-aware sizing produces (e.g. 87 bands x 16 planes at
+    thr=0.9) would be ~1400 interpreted higher-order-function aggregates per
+    row as JVM exprs — the one place the Arrow batch beats Catalyst."""
+    planes: dict[int, np.ndarray] = {}  # dim -> (dim, n_bands*n_planes), per-executor cache
+    weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
 
-    def plane_bit(p):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(dim_ix, lambda d: (F.xxhash64(p * 1000 + d) % 1000).cast("double") / 500.0 - 1.0),
-                lambda x, h: x.cast("double") * h,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+    @F.pandas_udf("array<bigint>")
+    def sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        dim = X.shape[1]
+        H = planes.get(dim)
+        if H is None:
+            H = planes.setdefault(dim, np.random.RandomState(seed).standard_normal((dim, n_bands * n_planes)))
+        bits = (X @ H) > 0
+        sigs = bits.reshape(len(X), n_bands, n_planes).astype(np.int64) @ weights
+        return pd.Series(list(sigs))
 
-    return F.array(
-        *[
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(n_planes - 1)),
-                F.lit(0).cast("bigint"),  # bit-packing: long holds up to 62 planes
-                lambda acc, j: acc * 2 + plane_bit(F.lit(b * n_planes) + j),
-            )
-            for b in range(n_bands)
-        ]
-    )
+    return sig
 
 
-def lsh_params_for(threshold: float, target_recall: float = 0.9995) -> tuple[int, int]:
-    """Threshold-adaptive hyperplane-LSH sizing: pick n_planes so a band
-    agrees for an at-threshold pair with probability ~1/2
-    (n_planes ≈ -ln2 / ln(p_agree), p_agree = 1 - arccos(thr)/π), then
-    n_bands for the target recall. Selectivity against the sim≈0 background
-    (p_agree=1/2) is (1-2^-n_planes)^... — real pruning only exists when the
-    threshold sits well above the background similarity: at thr≥0.9 an
-    at-threshold pair needs ~9 bands of 4-5 bits and a random pair collides
-    w.p. ~0.25, while at thr=0.4 the math degenerates to ~2-bit bands that
-    admit nearly every pair (verified in tests). Low-threshold workloads
-    should sample (dataset_diversity) or go exact — LSH is the high-threshold
-    near-dup path, which is the regime the reference's SemDeduplicateFilter
-    actually runs (eps≈0.05 → thr≈0.95)."""
+def lsh_params_for(
+    threshold: float, target_recall: float = 0.9995, background_leak: float = 2e-3
+) -> tuple[int, int]:
+    """Threshold-adaptive hyperplane-LSH sizing with a background-leak
+    criterion. For candidate n_planes (1..32): a band agrees for an
+    at-threshold pair w.p. p_agree^n_planes (p_agree = 1 - arccos(thr)/π),
+    n_bands follows from the recall target, and an orthogonal-background
+    pair (p_agree = 1/2) leaks into the candidate set w.p.
+    ~n_bands * 2^-n_planes. Pick the smallest n_planes whose leak is within
+    `background_leak` — deeper bands cost only signature bits (cheap, one
+    matmul) while leak costs candidate-join pairs (the quadratic term at
+    100 TB). At thr=0.9 this sizes to ~87 bands of 16 bits: leak 1.3e-3
+    instead of the ~25%/band a recall-only 4-bit sizing admits.
+
+    Low thresholds stay degenerate BY CONSTRUCTION (documented + asserted in
+    tests): at thr=0.4 no n_planes satisfies any useful leak bound without
+    millions of bands, so this falls back to the recall-only sizing (~2-bit
+    bands that admit nearly everything). Low-threshold workloads should
+    sample (dataset_diversity) or go exact (n_bands=0) — LSH is the
+    high-threshold near-dup path, the regime the reference's
+    SemDeduplicateFilter actually runs (eps≈0.05 → thr≈0.95)."""
     import math
 
     p_agree = max(1e-6, min(1 - 1e-6, 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi))
-    # cap planes at 32: sign signatures pack into a long, and past ~32 bits
-    # the extra selectivity is noise vs the per-plane projection cost
-    n_planes = min(32, max(1, round(-math.log(2) / math.log(p_agree))))
-    p_band = p_agree**n_planes
-    n_bands = max(1, math.ceil(math.log(1 - target_recall) / math.log(1 - p_band)))
-    return n_bands, n_planes
+    fallback = None
+    for n_planes in range(1, 33):
+        p_band = p_agree**n_planes
+        n_bands = max(1, math.ceil(math.log(1 - target_recall) / math.log(1 - p_band)))
+        if fallback is None and n_planes >= round(-math.log(2) / math.log(p_agree)):
+            fallback = (n_bands, n_planes)  # recall-only sizing (p_band ~ 1/2)
+        if n_bands <= 512 and n_bands * 2.0**-n_planes <= background_leak:
+            return n_bands, n_planes
+    return fallback if fallback is not None else (1, 32)
 
 
 def embedding_neardup_pairs(
@@ -356,7 +367,7 @@ def embedding_neardup_pairs(
         # key-only band explode (the minhash pattern): the banded shuffle
         # carries (id, band, bsig) — never the vector payload; vectors are
         # fetched once per surviving candidate pair by two equi-joins on id
-        sig = _hyperplane_band_sig(F.col("vec"), n_bands, n_planes)
+        sig = band_signature_udf(n_bands, n_planes)(F.col("vec"))
         banded = base.select("id", F.posexplode(sig).alias("band", "bsig"))
         cand = (
             banded.alias("a")
