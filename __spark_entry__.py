@@ -707,6 +707,36 @@ def q_multiturn_gen(spark, sf):
     return cv.multiturn_conversations(tasks).select("task_id", "n_rounds", "convo_rendered")
 
 
+def q_funccall_tasks(spark, sf):
+    """FuncCall task-synthesis pipeline (func_call_operators.py:12-450):
+    scenario -> expand -> atom task -> ParaSeq tasks (regex-parsed) ->
+    composition-task filter (<ans>yes|no</ans>) -> function list. Six
+    Arrow-batched serving stages fused into ONE narrow plan (zero shuffles
+    after the per-conversation first-user-turn pick); the deterministic
+    TaskStubServing md5 chain is replayed verbatim by the DuckDB oracle."""
+    from dataflow_spark.ops import funccall as fc
+
+    t = _transcripts(spark, sf)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    chat = (
+        t.filter(F.col("role") == "user")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("conv_id", F.col("text").alias("chat"))
+    )
+    return fc.funccall_pipeline(chat).select(
+        "conv_id",
+        "scenario",
+        "modified_scenario",
+        "atom_task",
+        "parallel_task",
+        "subsequent_task",
+        "composition_task",
+        "runable_label",
+        "functions",
+    )
+
+
 # DDL literals for the text2sql prompt generator query: the op normally
 # renders these from the catalog (text2sql.table_ddl — exercised in
 # tests/test_text2sql.py); the driver query uses fixed literals so the DuckDB
@@ -969,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reasoning_extract": q_reasoning_extract,
         "consistent_chat": q_consistent_chat,
         "multiturn_gen": q_multiturn_gen,
+        "funccall_tasks": q_funccall_tasks,
         "model_score": q_model_score,
         "sql_hardness": q_sql_hardness,
         "docs_doc2qa": q_docs_doc2qa,
@@ -2098,6 +2129,38 @@ def oracle_sql() -> dict[str, str]:
             ))), 6) AS model_score
         FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)),'\\s+') ws FROM documents)
     """
+
+    from dataflow_spark.ops import funccall as _fc
+
+    # one md5-chained select per serving stage (TaskStubServing twin): each
+    # stage's prompt embeds the previous stage's response verbatim
+    _h8 = "substr(md5({p}), 1, 8)"
+    _sub_blob = (
+        "'atom_task=' || atom_task || ' ; parallel_task=' || parallel_task"
+        " || ' ; subsequent_task=' || subsequent_task"
+    )
+    o["funccall_tasks"] = with_transcripts(
+        f"""
+        , chat AS (
+          SELECT conv_id, text AS chat FROM (
+            SELECT conv_id, text,
+                   row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+            FROM transcripts WHERE role = 'user') WHERE rn = 1),
+        s1 AS (SELECT conv_id,
+                      'task-' || {_h8.format(p=f"'{_fc.SCENARIO_PROMPT}' || chat")} AS scenario FROM chat),
+        s2 AS (SELECT *, 'task-' || {_h8.format(p=f"'{_fc.EXPAND_PROMPT}' || scenario")} AS modified_scenario FROM s1),
+        s3 AS (SELECT *, 'task-' || {_h8.format(p=f"'{_fc.ATOM_PROMPT}' || modified_scenario")} AS atom_task FROM s2),
+        s4 AS (SELECT *, {_h8.format(p=f"'{_fc.PARASEQ_PROMPT}' || atom_task")} AS h4 FROM s3),
+        s5 AS (SELECT conv_id, scenario, modified_scenario, atom_task,
+                      'par-' || h4 AS parallel_task, 'sub-' || h4 AS subsequent_task,
+                      'comp-' || h4 AS composition_task FROM s4),
+        s6 AS (SELECT *, CAST(CAST(('0x' || {_h8.format(p=f"'{_fc.COMP_FILTER_PROMPT}' || composition_task || ' | sub-tasks: ' || {_sub_blob}")}) AS UBIGINT) % 5 + 1 AS INT) AS k FROM s5)
+        SELECT conv_id, scenario, modified_scenario, atom_task, parallel_task,
+               subsequent_task, composition_task, 1 AS runable_label,
+               'task-' || {_h8.format(p=f"'{_fc.FUNC_PROMPT}' || composition_task || ' | sub-tasks: ' || {_sub_blob}")} AS functions
+        FROM s6 WHERE k >= 2
+    """
+    )
 
     from dataflow_spark.ops.conversations import INTENTS as _INTENTS
 

@@ -1,0 +1,214 @@
+"""FuncCall task-synthesis pipeline (SURVEY.md §2.6).
+
+Reference:
+/root/reference/dataflow/operators/conversations/generate/func_call_operators.py
+ - ScenarioExtractor        :12   (chat -> scenario, raw LLM response)
+ - ScenarioExpander         :65   (scenario -> modified_scenario)
+ - AtomTaskGenerator        :116  (scenario -> atom_task)
+ - SequentialTaskGenerator  :167  (atom -> subsequent_task + composition_task,
+                                   regex parses `### Subsequent Task: (.*?)\\n`
+                                   and `### Composition Task: (.*?)$`)
+ - ParaSeqTaskGenerator     :238  (atom -> parallel + subsequent + composition)
+ - CompositionTaskFilter    :310  (`<ans>(yes|no)</ans>` -> runable_label,
+                                   keep label > 0)
+ - FunctionGenerator        :387  (composition + sub-tasks -> functions, raw)
+
+Engine design: every stage is a NARROW map — prompt concat (JVM exprs) ->
+iterator-UDF serving call (Arrow-batched, one backend per executor) ->
+regexp_extract parse (JVM). No shuffle anywhere in the chain; at 100 TB the
+whole pipeline runs scan-parallel and the only knob is the Arrow batch size
+feeding the serving backend. The CompositionTaskFilter is the one selective
+stage and its predicate stays in the plan, so downstream FunctionGenerator
+prompts are only built for survivors.
+
+Tests/oracles run on TaskStubServing — marker-formatted deterministic
+responses (md5 arithmetic), replayable in ANSI SQL by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops.prompted import ServingBackend, StubServing, serving_udf
+
+SCENARIO_PROMPT = "Extract the scenario from the conversation: "
+EXPAND_PROMPT = "Rewrite this scenario into a new alternative scenario: "
+ATOM_PROMPT = "Generate an atomic task for this scenario: "
+SEQ_PROMPT = "Generate the subsequent task and composition task for this task: "
+PARASEQ_PROMPT = "Generate parallel, subsequent and composition tasks for this task: "
+COMP_FILTER_PROMPT = (
+    "Judge whether the composition task is executable given its sub-tasks; "
+    "answer <ans>yes</ans> or <ans>no</ans>. "
+)
+FUNC_PROMPT = "Generate the function list for this composition task: "
+
+
+class TaskStubServing(StubServing):
+    """Deterministic FuncCall-shaped responses so the whole chain is
+    reproducible without a model AND replayable by the SQL oracle:
+      - judge prompts (containing '<ans>')  -> <ans>yes</ans> iff
+        1 + md5_first8 % 5 >= 2 (an 80/20 band, exercises both branches)
+      - ParaSeq prompts ('parallel')        -> 3 '### X Task:' lines
+      - Sequential prompts ('subsequent')   -> 2 '### X Task:' lines
+      - everything else                     -> 'task-{md5_first8}'
+    """
+
+    def generate(self, prompts: pd.Series) -> pd.Series:
+        def respond(p: str) -> str:
+            h = hashlib.md5(p.encode("utf-8")).hexdigest()[:8]
+            # dispatch on the stage-prompt PREFIX — substring matching misfires
+            # once later prompts embed earlier columns ('parallel_task=...')
+            if p.startswith(COMP_FILTER_PROMPT):
+                return "<ans>yes</ans>" if 1 + int(h, 16) % 5 >= 2 else "<ans>no</ans>"
+            if p.startswith(PARASEQ_PROMPT):
+                return (
+                    f"### Parallel Task: par-{h}\n### Subsequent Task: sub-{h}\n"
+                    f"### Composition Task: comp-{h}"
+                )
+            if p.startswith(SEQ_PROMPT):
+                return f"### Subsequent Task: sub-{h}\n### Composition Task: comp-{h}"
+            return f"task-{h}"
+
+        return prompts.map(respond)
+
+
+def _serve(df: DataFrame, prompt: F.Column, out_col: str, backend: ServingBackend) -> DataFrame:
+    return df.withColumn(out_col, serving_udf(backend)(prompt))
+
+
+def scenario_extract(
+    df: DataFrame, chat_col: str = "chat", out_col: str = "scenario", backend: ServingBackend | None = None
+) -> DataFrame:
+    """ScenarioExtractor (func_call_operators.py:12-62): raw response column."""
+    backend = backend or TaskStubServing()
+    return _serve(df, F.concat(F.lit(SCENARIO_PROMPT), F.col(chat_col)), out_col, backend)
+
+
+def scenario_expand(
+    df: DataFrame,
+    scenario_col: str = "scenario",
+    out_col: str = "modified_scenario",
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    """ScenarioExpander (:65-113)."""
+    backend = backend or TaskStubServing()
+    return _serve(df, F.concat(F.lit(EXPAND_PROMPT), F.col(scenario_col)), out_col, backend)
+
+
+def atom_task_generate(
+    df: DataFrame,
+    scenario_col: str = "scenario",
+    out_col: str = "atom_task",
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    """AtomTaskGenerator (:116-164)."""
+    backend = backend or TaskStubServing()
+    return _serve(df, F.concat(F.lit(ATOM_PROMPT), F.col(scenario_col)), out_col, backend)
+
+
+def _task_line(resp: F.Column, marker: str, to_eol: bool = True) -> F.Column:
+    """The reference's regex parse (:218-229, :293-310): `### {marker} Task:
+    (.*?)\\n` (or `$` for the last line); no match -> NULL (the reference
+    appends Python None)."""
+    pat = rf"### {marker} Task: (.*?)\n" if to_eol else rf"### {marker} Task: (.*?)$"
+    return F.nullif(F.regexp_extract(resp, pat, 1), F.lit(""))
+
+
+def sequential_task_generate(
+    df: DataFrame, task_col: str = "atom_task", backend: ServingBackend | None = None
+) -> DataFrame:
+    """SequentialTaskGenerator (:167-235): one serving call, two regex-parsed
+    columns (subsequent_task, composition_task)."""
+    backend = backend or TaskStubServing()
+    out = _serve(df, F.concat(F.lit(SEQ_PROMPT), F.col(task_col)), "__resp", backend)
+    return out.select(
+        "*",
+        _task_line(F.col("__resp"), "Subsequent").alias("subsequent_task"),
+        _task_line(F.col("__resp"), "Composition", to_eol=False).alias("composition_task"),
+    ).drop("__resp")
+
+
+def paraseq_task_generate(
+    df: DataFrame, task_col: str = "atom_task", backend: ServingBackend | None = None
+) -> DataFrame:
+    """ParaSeqTaskGenerator (:238-307): one call, three parsed columns."""
+    backend = backend or TaskStubServing()
+    out = _serve(df, F.concat(F.lit(PARASEQ_PROMPT), F.col(task_col)), "__resp", backend)
+    return out.select(
+        "*",
+        _task_line(F.col("__resp"), "Parallel").alias("parallel_task"),
+        _task_line(F.col("__resp"), "Subsequent").alias("subsequent_task"),
+        _task_line(F.col("__resp"), "Composition", to_eol=False).alias("composition_task"),
+    ).drop("__resp")
+
+
+def _subtask_blob(sub_task_cols: list[str]) -> F.Column:
+    """The reference passes sub_tasks as a {col: value} dict rendered into the
+    prompt (:349-352); the engine's deterministic rendering is 'col=value'
+    joined with ' ; ' in the given column order."""
+    parts = [F.concat(F.lit(f"{c}="), F.coalesce(F.col(c), F.lit(""))) for c in sub_task_cols]
+    return F.concat_ws(" ; ", *parts)
+
+
+def composition_task_filter(
+    df: DataFrame,
+    composition_col: str = "composition_task",
+    sub_task_cols: list[str] | None = None,
+    label_col: str = "runable_label",
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    """CompositionTaskFilter (:310-384): `<ans>(yes|no)</ans>` case-insensitive
+    -> 1/0 (no match -> 0), then keep label > 0. The parse and the predicate
+    are JVM exprs, so Catalyst keeps the filter next to the serving stage and
+    nothing downstream sees dropped rows."""
+    backend = backend or TaskStubServing()
+    sub_task_cols = sub_task_cols or ["atom_task", "parallel_task", "subsequent_task"]
+    prompt = F.concat(
+        F.lit(COMP_FILTER_PROMPT),
+        F.coalesce(F.col(composition_col), F.lit("")),
+        F.lit(" | sub-tasks: "),
+        _subtask_blob(sub_task_cols),
+    )
+    out = _serve(df, prompt, "__resp", backend)
+    ans = F.lower(F.regexp_extract(F.col("__resp"), r"(?i)<ans>(yes|no)</ans>", 1))
+    lbl = F.when(ans == "yes", F.lit(1)).otherwise(F.lit(0))
+    return out.withColumn(label_col, lbl).drop("__resp").filter(F.col(label_col) > 0)
+
+
+def function_generate(
+    df: DataFrame,
+    composition_col: str = "composition_task",
+    sub_task_cols: list[str] | None = None,
+    out_col: str = "functions",
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    """FunctionGenerator (:387-450): raw response column from composition +
+    sub-tasks."""
+    backend = backend or TaskStubServing()
+    sub_task_cols = sub_task_cols or ["atom_task", "parallel_task", "subsequent_task"]
+    prompt = F.concat(
+        F.lit(FUNC_PROMPT),
+        F.coalesce(F.col(composition_col), F.lit("")),
+        F.lit(" | sub-tasks: "),
+        _subtask_blob(sub_task_cols),
+    )
+    return _serve(df, prompt, out_col, backend)
+
+
+def funccall_pipeline(
+    df: DataFrame, chat_col: str = "chat", backend: ServingBackend | None = None
+) -> DataFrame:
+    """The reference's FuncCall pipeline shape (scenario -> expand -> atom ->
+    paraseq -> composition filter -> functions), fused: six serving stages in
+    one narrow plan, zero shuffles."""
+    backend = backend or TaskStubServing()
+    out = scenario_extract(df, chat_col, backend=backend)
+    out = scenario_expand(out, backend=backend)
+    out = atom_task_generate(out, scenario_col="modified_scenario", backend=backend)
+    out = paraseq_task_generate(out, backend=backend)
+    out = composition_task_filter(out, backend=backend)
+    return function_generate(out, backend=backend)

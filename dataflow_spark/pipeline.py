@@ -401,6 +401,17 @@ register(
         drops_rows=True,
     ),
 )
+register(
+    "funccall_pipeline",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.funccall", fromlist=["x"]).funccall_pipeline(
+            df, p.get("chat_col", "chat"))),
+        lambda p: [p.get("chat_col", "chat")],
+        lambda p: ["scenario", "modified_scenario", "atom_task", "parallel_task",
+                   "subsequent_task", "composition_task", "runable_label", "functions"],
+        drops_rows=True,
+    ),
+)
 
 
 class PipelineConfigError(KeyError):

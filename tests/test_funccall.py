@@ -1,0 +1,89 @@
+"""FuncCall task-pipeline stage semantics (func_call_operators.py:12-450).
+
+The oracle covers the happy chain end-to-end (funccall_tasks query); these
+goldens pin the parse edge cases the reference's regexes imply: no-match ->
+None (:222-229), <ans>no</ans> and unparsable judge output -> dropped
+(:365-374), and the Sequential (2-col) variant."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops import funccall as fc
+
+
+def _canned(mapping):
+    """Backend defined inside a function scope so cloudpickle ships the class
+    by value — executors can't import the tests package."""
+
+    class CannedServing(fc.ServingBackend):
+        def generate(self, prompts: pd.Series) -> pd.Series:
+            return prompts.map(lambda p: next(v for k, v in mapping if p.startswith(k)))
+
+    return CannedServing()
+
+
+def test_sequential_parse_and_nomatch_null(spark):
+    df = spark.createDataFrame([("t1",), ("t2",)], "atom_task: string")
+    backend = _canned(
+        [
+            (fc.SEQ_PROMPT + "t1", "### Subsequent Task: go north\n### Composition Task: go north twice"),
+            (fc.SEQ_PROMPT + "t2", "no markers at all"),
+        ]
+    )
+    rows = {r["atom_task"]: r for r in fc.sequential_task_generate(df, backend=backend).collect()}
+    assert rows["t1"]["subsequent_task"] == "go north"
+    assert rows["t1"]["composition_task"] == "go north twice"
+    assert rows["t2"]["subsequent_task"] is None  # reference appends None (:222-229)
+    assert rows["t2"]["composition_task"] is None
+
+
+def test_composition_filter_drops_no_and_unparsable(spark):
+    df = spark.createDataFrame(
+        [("c-yes", "a", "p", "s"), ("c-no", "a", "p", "s"), ("c-junk", "a", "p", "s")],
+        "composition_task: string, atom_task: string, parallel_task: string, subsequent_task: string",
+    )
+    backend = _canned(
+        [
+            (fc.COMP_FILTER_PROMPT + "c-yes", "I think <ans>YES</ans>."),
+            (fc.COMP_FILTER_PROMPT + "c-no", "<ans>no</ans>"),
+            (fc.COMP_FILTER_PROMPT + "c-junk", "cannot tell"),
+        ]
+    )
+    out = fc.composition_task_filter(df, backend=backend).collect()
+    assert [r["composition_task"] for r in out] == ["c-yes"]  # case-insensitive yes only
+    assert out[0]["runable_label"] == 1
+
+
+def test_full_pipeline_matches_stub_twin(spark):
+    """End-to-end chain on the deterministic stub == hand-computed md5 twin."""
+    import hashlib
+
+    def h8(p):
+        return hashlib.md5(p.encode()).hexdigest()[:8]
+
+    df = spark.createDataFrame([(1, "hello world")], "conv_id: int, chat: string")
+    row = fc.funccall_pipeline(df).collect()
+    scen = "task-" + h8(fc.SCENARIO_PROMPT + "hello world")
+    mod = "task-" + h8(fc.EXPAND_PROMPT + scen)
+    atom = "task-" + h8(fc.ATOM_PROMPT + mod)
+    h4 = h8(fc.PARASEQ_PROMPT + atom)
+    blob = f"atom_task={atom} ; parallel_task=par-{h4} ; subsequent_task=sub-{h4}"
+    k = 1 + int(h8(fc.COMP_FILTER_PROMPT + f"comp-{h4}" + " | sub-tasks: " + blob), 16) % 5
+    if k < 2:
+        assert row == []
+        return
+    assert row[0]["scenario"] == scen
+    assert row[0]["atom_task"] == atom
+    assert row[0]["parallel_task"] == f"par-{h4}"
+    assert row[0]["functions"] == "task-" + h8(
+        fc.FUNC_PROMPT + f"comp-{h4}" + " | sub-tasks: " + blob
+    )
+
+
+def test_pipeline_plan_is_shuffle_free(spark):
+    """The fused 6-stage chain must stay a narrow map: no Exchange in the
+    physical plan (the 100-TB property the module docstring claims)."""
+    df = spark.createDataFrame([(1, "x")], "conv_id: int, chat: string")
+    plan = fc.funccall_pipeline(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
