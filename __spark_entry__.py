@@ -707,6 +707,23 @@ def q_multiturn_gen(spark, sf):
     return cv.multiturn_conversations(tasks).select("task_id", "n_rounds", "convo_rendered")
 
 
+def q_meta_eval(spark, sf):
+    """MetaSampleEvaluator analog (meta_sample_evaluator.py:98-209): 6-dim
+    rubric scores parsed from the response's last line; an md5-keyed 1/8
+    slice of responses is unparsable -> all-NULL scores (reference: NaN)."""
+    t = _transcripts(spark, sf).select("conv_id", "turn_idx", "text")
+    return prompted.meta_evaluate(t).select("conv_id", "turn_idx", *prompted.META_DIMENSIONS)
+
+
+def q_paired_gen(spark, sf):
+    """PairedPromptedGenerator analog (paired_prompted_generator.py:10-101):
+    prompt embeds BOTH column names + values; rows with an empty side get a
+    NULL generation instead of the reference's misaligned batch write-back."""
+    t = _transcripts(spark, sf)
+    out = prompted.paired_prompted_generate(t, "You are a helpful agent. ", "role", "text")
+    return out.select("conv_id", "turn_idx", "generated_content")
+
+
 def q_funccall_tasks(spark, sf):
     """FuncCall task-synthesis pipeline (func_call_operators.py:12-450):
     scenario -> expand -> atom task -> ParaSeq tasks (regex-parsed) ->
@@ -1000,6 +1017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consistent_chat": q_consistent_chat,
         "multiturn_gen": q_multiturn_gen,
         "funccall_tasks": q_funccall_tasks,
+        "meta_eval": q_meta_eval,
+        "paired_gen": q_paired_gen,
         "model_score": q_model_score,
         "sql_hardness": q_sql_hardness,
         "docs_doc2qa": q_docs_doc2qa,
@@ -2129,6 +2148,36 @@ def oracle_sql() -> dict[str, str]:
             ))), 6) AS model_score
         FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)),'\\s+') ws FROM documents)
     """
+
+    # MetaStubServing twin: h = md5(META_PROMPT || text); unparsable iff
+    # nibble 13 % 8 == 0, else score_i = 1 + byte_i % 5 (bytes = hex pairs)
+    from dataflow_spark.ops.prompted import META_DIMENSIONS as _MD
+    from dataflow_spark.ops.prompted import META_PROMPT as _MP
+
+    _meta_scores = ", ".join(
+        f"CASE WHEN ('0x' || substr(h, 13, 1))::int % 8 = 0 THEN NULL "
+        f"ELSE CAST(('0x' || substr(h, {i * 2 + 1}, 2))::int % 5 + 1 AS DOUBLE) END AS \"{name}\""
+        for i, name in enumerate(_MD)
+    )
+    o["meta_eval"] = with_transcripts(
+        f"""
+        SELECT conv_id, turn_idx, {_meta_scores}
+        FROM (SELECT conv_id, turn_idx, md5('{_MP}' || text) AS h FROM transcripts)
+    """
+    )
+
+    o["paired_gen"] = with_transcripts(
+        """
+        SELECT conv_id, turn_idx,
+          CASE WHEN role IS NOT NULL AND role <> '' AND text IS NOT NULL AND text <> ''
+               THEN '[gen-' || substr(md5(p), 1, 8) || '] '
+                    || array_to_string(regexp_split_to_array(trim(p), '\\s+')[1:10], ' ')
+          END AS generated_content
+        FROM (SELECT conv_id, turn_idx, role, text,
+                     'You are a helpful agent. ' || 'role' || role || chr(10) || 'text' || text AS p
+              FROM transcripts)
+    """
+    )
 
     from dataflow_spark.ops import funccall as _fc
 

@@ -58,12 +58,23 @@ class StubServing(ServingBackend):
 def serving_udf(backend: ServingBackend):
     """Iterator pandas UDF so per-executor backend state is created once and
     reused across Arrow batches (api_llm_serving_request.py:127-152's
-    threadpool fan-out happens inside backend.generate)."""
+    threadpool fan-out happens inside backend.generate).
+
+    NULL prompt -> NULL response with NO backend call (the reference skips
+    rows with missing inputs before building llm_inputs,
+    paired_prompted_generator.py:82-85). This matters beyond parity: a
+    Catalyst `when(cond, udf(...))` still evaluates the vectorized UDF for
+    the whole batch, so masking must happen at the serving boundary or every
+    skipped row costs a real model call."""
 
     @F.pandas_udf(StringType())
     def gen(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for prompts in batches:
-            yield backend.generate(prompts)
+            mask = prompts.notna()
+            out = pd.Series([None] * len(prompts), dtype=object, index=prompts.index)
+            if mask.any():
+                out[mask] = backend.generate(prompts[mask]).values
+            yield out
 
     return gen
 
@@ -84,6 +95,100 @@ def prompted_generate(
     backend = backend or StubServing()
     prompt = build_prompt(system_prompt, F.col(input_col))
     return df.withColumn(output_col, serving_udf(backend)(prompt))
+
+
+def paired_prompted_generate(
+    df: DataFrame,
+    system_prompt: str,
+    input_col_1: str,
+    input_col_2: str,
+    output_col: str = "generated_content",
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    """PairedPromptedGenerator (paired_prompted_generator.py:10-101): prompt =
+    system_prompt + key1 + value1 + '\\n' + key2 + value2 (the COLUMN NAMES are
+    part of the prompt, :84). The reference only prompts rows where both
+    inputs are truthy (:82-85) but then assigns the batched outputs to every
+    row (:97) — misaligned whenever any row was skipped; the engine keeps the
+    sane half of that contract: generate where both non-empty, NULL otherwise
+    (the serving stage stays a narrow map either way)."""
+    backend = backend or StubServing()
+    both = (
+        F.col(input_col_1).isNotNull()
+        & (F.col(input_col_1).cast("string") != "")
+        & F.col(input_col_2).isNotNull()
+        & (F.col(input_col_2).cast("string") != "")
+    )
+    prompt = F.when(
+        both,
+        F.concat(
+            F.lit(system_prompt),
+            F.lit(input_col_1),
+            F.col(input_col_1).cast("string"),
+            F.lit("\n"),
+            F.lit(input_col_2),
+            F.col(input_col_2).cast("string"),
+        ),
+    )
+    # NULL prompt -> NULL generation, zero backend calls (see serving_udf)
+    return df.withColumn(output_col, serving_udf(backend)(prompt))
+
+
+META_DIMENSIONS = (
+    "Text Structure",
+    "Diversity & Complexity",
+    "Fluency & Understandability",
+    "Safety",
+    "Educational Value",
+    "Content Accuracy & Effectiveness",
+)
+META_PROMPT = "Score the text on 6 meta dimensions; reply with a 6-score list on the last line. "
+
+
+class MetaStubServing(ServingBackend):
+    """Deterministic meta-rubric responses: 6 scores from md5 nibble-pairs,
+    rendered exactly as the reference's expected response shape (prose line +
+    a list literal as the LAST line, meta_sample_evaluator.py:181-184). An
+    md5-keyed 1/8 slice answers with no list at all to exercise the
+    unparsable branch."""
+
+    def generate(self, prompts: pd.Series) -> pd.Series:
+        import hashlib
+
+        def respond(p: str) -> str:
+            h = hashlib.md5(p.encode("utf-8")).hexdigest()
+            if int(h[12], 16) % 8 == 0:
+                return "I cannot score this text."
+            scores = [1 + int(h[i * 2 : i * 2 + 2], 16) % 5 for i in range(6)]
+            return "Here are the scores:\n" + str(scores)
+
+        return prompts.map(respond)
+
+
+def meta_evaluate(
+    df: DataFrame,
+    input_col: str = "text",
+    dimensions: tuple[str, ...] = META_DIMENSIONS,
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    """MetaSampleEvaluator (meta_sample_evaluator.py:98-209): one LLM call per
+    row, the response's LAST LINE parsed as a 6-element list -> 6 named score
+    columns. Parse is pure JVM: element_at(split(resp,'\\n'), -1) +
+    from_json('array<double>') — a numeric list literal IS valid JSON, which
+    is the subset a real rubric model is told to emit. Unparsable / wrong
+    arity -> all-NULL scores (the reference appends float('nan'); NULL is the
+    relational representation of the same missing-score state and keeps the
+    columns oracle-comparable)."""
+    backend = backend or MetaStubServing()
+    out = df.withColumn(
+        "__resp", serving_udf(backend)(F.concat(F.lit(META_PROMPT), F.col(input_col).cast("string")))
+    )
+    last = F.element_at(F.split(F.col("__resp"), "\n"), -1)
+    arr = F.from_json(last, "array<double>")
+    ok = arr.isNotNull() & (F.size(arr) == len(dimensions))
+    for i, name in enumerate(dimensions):
+        out = out.withColumn(name, F.when(ok, F.element_at(arr, i + 1)))
+    return out.drop("__resp")
 
 
 def parse_score(col: Column, lo: int = 1, hi: int = 5) -> Column:

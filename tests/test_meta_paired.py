@@ -1,0 +1,62 @@
+"""MetaSampleEvaluator + PairedPromptedGenerator goldens.
+
+The oracle queries (meta_eval, paired_gen) cover the md5-stub chain exactly;
+these pin the parse/skip semantics against hand-built responses."""
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops import prompted as pr
+
+
+def _canned(mapping):
+    class Canned(pr.ServingBackend):
+        def generate(self, prompts: pd.Series) -> pd.Series:
+            return prompts.map(lambda p: next(v for k, v in mapping if k in p))
+
+    return Canned()
+
+
+def test_meta_parse_last_line_and_invalid(spark):
+    df = spark.createDataFrame([(1, "good"), (2, "bad"), (3, "short")], "id: int, text: string")
+    backend = _canned(
+        [
+            ("good", "reasoning first\n[1, 2, 3, 4, 5, 3]"),
+            ("bad", "no list here at all"),
+            ("short", "oops\n[1, 2]"),  # wrong arity -> all NULL (ref: NaN x6)
+        ]
+    )
+    rows = {r["id"]: r for r in pr.meta_evaluate(df, backend=backend).collect()}
+    assert rows[1]["Text Structure"] == 1.0
+    assert rows[1]["Content Accuracy & Effectiveness"] == 3.0
+    assert all(rows[2][d] is None for d in pr.META_DIMENSIONS)
+    assert all(rows[3][d] is None for d in pr.META_DIMENSIONS)
+
+
+def test_meta_stub_exercises_both_branches(spark):
+    df = spark.range(200).select(F.concat(F.lit("t"), F.col("id")).alias("text"))
+    out = pr.meta_evaluate(df).collect()
+    nulls = sum(1 for r in out if r["Safety"] is None)
+    assert 0 < nulls < 200  # the 1/8 unparsable slice is real on both sides
+    scored = [r["Safety"] for r in out if r["Safety"] is not None]
+    assert all(1.0 <= s <= 5.0 for s in scored)
+
+
+def test_paired_prompt_embeds_column_names_and_skips_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "q1", "ctx1"), (2, "", "ctx2"), (3, "q3", None)],
+        "id: int, question: string, context: string",
+    )
+    seen = []
+
+    class Capture(pr.ServingBackend):
+        def generate(self, prompts: pd.Series) -> pd.Series:
+            return prompts.map(lambda p: "OUT:" + p)
+
+    out = pr.paired_prompted_generate(df, "SYS. ", "question", "context", backend=Capture())
+    rows = {r["id"]: r["generated_content"] for r in out.collect()}
+    # the reference embeds the COLUMN NAMES in the prompt (:84)
+    assert rows[1] == "OUT:SYS. questionq1\ncontextctx1"
+    assert rows[2] is None and rows[3] is None
