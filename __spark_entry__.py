@@ -896,6 +896,121 @@ def q_docs_markdown(spark, sf):
     return out.select("doc_id", "markdown")
 
 
+# ---------------------------------------------------------------------------
+# battery consolidation (driver records CORRECTNESS rows for at most 50
+# queries — round 1 proved the cut-off at #50 in dict order). Same-shape
+# operators union into one value-checked row each; the `op` tag keeps every
+# member individually auditable and the DuckDB twin applies the IDENTICAL
+# projection to each member oracle, so a battery row passes iff every member
+# would have passed on its own.
+#
+# Projection rules (both engines): strings + integers ride in `k`/`v`
+# (integer->string rendering is identical across Spark and DuckDB; doubles
+# are NOT — they go in typed double slots), every concat piece is
+# coalesce(col, '∅') so NULL stays distinguishable from '' and positions are
+# stable under the null-skipping concat_ws.
+# ---------------------------------------------------------------------------
+
+
+def _battery_pack(df, op, k, v_cols, s1=None, s2=None):
+    """Project one member query's output onto (op, k, v, s1, s2)."""
+    vp = [F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in v_cols]
+    return df.select(
+        F.lit(op).alias("op"),
+        k.alias("k"),
+        F.concat_ws("|", *vp).alias("v"),
+        (s1 if s1 is not None else F.lit(None)).cast("double").alias("s1"),
+        (s2 if s2 is not None else F.lit(None)).cast("double").alias("s2"),
+    )
+
+
+def _kcat(*cols):
+    return F.concat_ws("#", *[F.col(c).cast("string") for c in cols])
+
+
+def q_gen_battery(spark, sf):
+    """Generator battery — 7 members, each a full chained serving pipeline
+    (see the member q_ functions above for reference file:line):
+    sft_seed, condor_gen, rag_atomic, text2sql_gen, reasoning_qsynth,
+    funccall_tasks, docs_doc2qa."""
+    parts = [
+        _battery_pack(q_sft_seed(spark, sf), "sft_seed",
+                      F.coalesce(F.col("instruction"), F.lit("∅")),
+                      ["output", "raw_content"]),
+        _battery_pack(q_condor_gen(spark, sf), "condor_gen",
+                      _kcat("sample_id", "difficulty"),
+                      ["domain", "theme", "instruction", "output"]),
+        _battery_pack(q_rag_atomic(spark, sf), "rag_atomic",
+                      _kcat("doc_id", "identifier"),
+                      ["question", "answer", "refined_answer", "opts_rendered"],
+                      s1=F.col("llm_score"), s2=F.col("golden_doc_score")),
+        _battery_pack(q_text2sql_gen(spark, sf), "text2sql_gen",
+                      _kcat("doc_id", "variation_type"),
+                      ["db_id", "prompt", "variation_instruction", "variation_prompt"]),
+        _battery_pack(q_reasoning_qsynth(spark, sf), "reasoning_qsynth",
+                      F.col("Synth_or_Input"), ["instruction"]),
+        _battery_pack(q_funccall_tasks(spark, sf), "funccall_tasks",
+                      F.col("conv_id"),
+                      ["scenario", "modified_scenario", "atom_task", "parallel_task",
+                       "subsequent_task", "composition_task", "functions"],
+                      s1=F.col("runable_label")),
+        _battery_pack(q_docs_doc2qa(spark, sf), "docs_doc2qa",
+                      _kcat("doc_id", "qa_idx"), ["question", "answer"]),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_score_battery(spark, sf):
+    """Evaluator/classifier battery — 4 members: pii_safety (Presidio analog),
+    docs_toxicity (Perspective analog), sql_hardness (SQL component +
+    execution classifiers), model_score (model-backed evaluator stage)."""
+    parts = [
+        _battery_pack(q_pii_safety(spark, sf), "pii_safety",
+                      _kcat("conv_id", "turn_idx"),
+                      ["pii_email", "pii_ssn", "pii_phone", "pii_ip"],
+                      s1=F.col("presidio_score")),
+        _battery_pack(q_docs_toxicity(spark, sf), "docs_toxicity",
+                      _kcat("doc_id"), [],
+                      s1=F.col("toxic_hits"), s2=F.col("perspective_score")),
+        _battery_pack(q_sql_hardness(spark, sf), "sql_hardness",
+                      _kcat("event_id"), ["difficulty"],
+                      s1=F.col("sql_score"), s2=F.col("executable")),
+        _battery_pack(q_model_score(spark, sf), "model_score",
+                      _kcat("doc_id"), [], s1=F.col("model_score")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_prompted_battery(spark, sf):
+    """Prompted-map battery — meta_eval (6-dim rubric, typed double slots so
+    float rendering never crosses an engine boundary), paired_gen
+    (two-column prompted generator), docs_markdown (HTML->markdown refiner)."""
+    dims = [F.col(c).cast("double") for c in prompted.META_DIMENSIONS]
+    nul = F.lit(None).cast("double")
+    me = q_meta_eval(spark, sf).select(
+        F.lit("meta_eval").alias("op"), _kcat("conv_id", "turn_idx").alias("k"),
+        F.lit("").alias("v"),
+        *[d.alias(f"d{i+1}") for i, d in enumerate(dims)],
+    )
+    pg = q_paired_gen(spark, sf).select(
+        F.lit("paired_gen").alias("op"), _kcat("conv_id", "turn_idx").alias("k"),
+        F.coalesce(F.col("generated_content"), F.lit("∅")).alias("v"),
+        *[nul.alias(f"d{i+1}") for i in range(6)],
+    )
+    md = q_docs_markdown(spark, sf).select(
+        F.lit("docs_markdown").alias("op"), _kcat("doc_id").alias("k"),
+        F.coalesce(F.col("markdown"), F.lit("∅")).alias("v"),
+        *[nul.alias(f"d{i+1}") for i in range(6)],
+    )
+    return me.unionByName(pg).unionByName(md)
+
+
 def q_embed_diversity(spark, sf):
     """Vendi/Task2Vec-style dataset diversity scalar over embeddings — the
     SCALE path: deterministic md5-nibble sample (8/16 of rows) before the
@@ -988,7 +1103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries per round — round 1 cut off at #50 in dict order, leaving 13
     unchecked). Coverage is preserved by consolidating same-shape operators
     into battery queries (filter_labels: 22 rule labels; refine batteries: 10
-    refiners across 2 queries; turn_eval_pairs: F1+BLEU+CIDEr; …) so every
+    refiners across 2 queries; turn_eval_pairs: F1+BLEU+CIDEr; gen_battery: 7
+    generator pipelines; score_battery: 4 evaluator/classifier stages;
+    prompted_battery: meta rubric + paired generator + markdown) so every
     SURVEY §2 operator still has a value-checked driver row."""
     return {
         "transcripts_build": q_transcripts_build,
@@ -1016,20 +1133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reasoning_extract": q_reasoning_extract,
         "consistent_chat": q_consistent_chat,
         "multiturn_gen": q_multiturn_gen,
-        "funccall_tasks": q_funccall_tasks,
-        "meta_eval": q_meta_eval,
-        "paired_gen": q_paired_gen,
-        "model_score": q_model_score,
-        "sql_hardness": q_sql_hardness,
-        "docs_doc2qa": q_docs_doc2qa,
-        "sft_seed": q_sft_seed,
-        "condor_gen": q_condor_gen,
-        "rag_atomic": q_rag_atomic,
-        "text2sql_gen": q_text2sql_gen,
-        "reasoning_qsynth": q_reasoning_qsynth,
-        "pii_safety": q_pii_safety,
-        "docs_toxicity": q_docs_toxicity,
-        "docs_markdown": q_docs_markdown,
+        "gen_battery": q_gen_battery,
+        "score_battery": q_score_battery,
+        "prompted_battery": q_prompted_battery,
         "docs_quality": q_docs_quality,
         "docs_readability": q_docs_readability,
         "docs_perplexity": q_docs_perplexity,
@@ -2233,5 +2339,86 @@ def oracle_sql() -> dict[str, str]:
              substr(md5(turns[CAST(i+1 AS INT)]),1,8)), chr(10)) AS convo_rendered
         FROM rr WHERE n_resp > 0
     """
+
+    # -- battery twins: wrap each member oracle with the IDENTICAL projection
+    # the Spark batteries apply (see q_gen_battery et al.). Strings+integers
+    # concat into v (coalesced to '∅' so positions are stable), doubles ride
+    # in typed slots — integer->string rendering matches across engines,
+    # float->string does not.
+    def _pack_sql(op, member, k, v_cols, s1="NULL", s2="NULL"):
+        if v_cols:
+            v = " || '|' || ".join(
+                f"coalesce(cast({c} AS VARCHAR), '∅')" for c in v_cols
+            )
+        else:
+            v = "''"
+        return (
+            f"SELECT '{op}' AS op, {k} AS k, {v} AS v, "
+            f"cast({s1} AS DOUBLE) AS s1, cast({s2} AS DOUBLE) AS s2 "
+            f"FROM ({member}) __m"
+        )
+
+    def _kcat_sql(*cols):
+        inner = ", ".join(f"cast({c} AS VARCHAR)" for c in cols)
+        return f"concat_ws('#', {inner})"
+
+    o["gen_battery"] = " UNION ALL ".join([
+        _pack_sql("sft_seed", o["sft_seed"],
+                  "coalesce(instruction, '∅')", ["output", "raw_content"]),
+        _pack_sql("condor_gen", o["condor_gen"],
+                  _kcat_sql("sample_id", "difficulty"),
+                  ["domain", "theme", "instruction", "output"]),
+        _pack_sql("rag_atomic", o["rag_atomic"],
+                  _kcat_sql("doc_id", "identifier"),
+                  ["question", "answer", "refined_answer", "opts_rendered"],
+                  s1="llm_score", s2="golden_doc_score"),
+        _pack_sql("text2sql_gen", o["text2sql_gen"],
+                  _kcat_sql("doc_id", "variation_type"),
+                  ["db_id", "prompt", "variation_instruction", "variation_prompt"]),
+        _pack_sql("reasoning_qsynth", o["reasoning_qsynth"],
+                  '"Synth_or_Input"', ["instruction"]),
+        _pack_sql("funccall_tasks", o["funccall_tasks"],
+                  "conv_id",
+                  ["scenario", "modified_scenario", "atom_task", "parallel_task",
+                   "subsequent_task", "composition_task", "functions"],
+                  s1="runable_label"),
+        _pack_sql("docs_doc2qa", o["docs_doc2qa"],
+                  _kcat_sql("doc_id", "qa_idx"), ["question", "answer"]),
+    ])
+
+    o["score_battery"] = " UNION ALL ".join([
+        _pack_sql("pii_safety", o["pii_safety"],
+                  _kcat_sql("conv_id", "turn_idx"),
+                  ["pii_email", "pii_ssn", "pii_phone", "pii_ip"],
+                  s1="presidio_score"),
+        _pack_sql("docs_toxicity", o["docs_toxicity"],
+                  _kcat_sql("doc_id"), [],
+                  s1="toxic_hits", s2="perspective_score"),
+        _pack_sql("sql_hardness", o["sql_hardness"],
+                  _kcat_sql("event_id"), ["difficulty"],
+                  s1="sql_score", s2="executable"),
+        _pack_sql("model_score", o["model_score"],
+                  _kcat_sql("doc_id"), [], s1="model_score"),
+    ])
+
+    _dim_sql = ", ".join(
+        f'cast("{c}" AS DOUBLE) AS d{i+1}' for i, c in enumerate(prompted.META_DIMENSIONS)
+    )
+    _nul6 = ", ".join(f"cast(NULL AS DOUBLE) AS d{i+1}" for i in range(6))
+    o["prompted_battery"] = " UNION ALL ".join([
+        f"SELECT 'meta_eval' AS op, {_kcat_sql('conv_id', 'turn_idx')} AS k, "
+        f"'' AS v, {_dim_sql} FROM ({o['meta_eval']}) __m",
+        f"SELECT 'paired_gen' AS op, {_kcat_sql('conv_id', 'turn_idx')} AS k, "
+        f"coalesce(generated_content, '∅') AS v, {_nul6} FROM ({o['paired_gen']}) __m",
+        f"SELECT 'docs_markdown' AS op, {_kcat_sql('doc_id')} AS k, "
+        f"coalesce(markdown, '∅') AS v, {_nul6} FROM ({o['docs_markdown']}) __m",
+    ])
+
+    for _member in (
+        "sft_seed", "condor_gen", "rag_atomic", "text2sql_gen", "reasoning_qsynth",
+        "funccall_tasks", "docs_doc2qa", "pii_safety", "docs_toxicity",
+        "sql_hardness", "model_score", "meta_eval", "paired_gen", "docs_markdown",
+    ):
+        del o[_member]
 
     return o

@@ -232,6 +232,8 @@ def run_scaling() -> None:
             [sys.executable, __file__, "--flagship-only", str(rep)],
             env=env, capture_output=True, text=True, timeout=3600,
         )
+        with open(f"/tmp/scaling_leg{n_exec}.err", "w") as fh:
+            fh.write(r.stderr)
         lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
         if not lines:
             sys.stderr.write(

@@ -203,7 +203,7 @@ def dedup_minhash_lsh(
     order_cols: tuple[str, ...] = ORDER_COLS,
     payload_cols: list[str] | None = None,
     sig_storage=None,
-    max_broadcast_losers: int = 1_000_000,
+    max_broadcast_losers: int = 8_000_000,
 ) -> DataFrame:
     """MinHashDeduplicateFilter — minhash_deduplicate_filter.py:55-89.
 
@@ -284,11 +284,17 @@ def dedup_minhash_lsh(
     # loser set once (persist + one count action — the same eager-stats
     # pattern Spark's own range partitioner uses for sort) and pick the side
     # explicitly:
-    #   - small loser set (low-dup production corpora): broadcast anti join,
-    #     the cached signature relation streams with no shuffle;
-    #   - large loser set (dup-heavy corpora): shuffled-hash anti join — both
-    #     sides shuffle on the order key, per-task build maps stay
-    #     ~|losers|/partitions, no single map ever holds the full set.
+    #   - loser set fits executor memory: broadcast anti join — the cached
+    #     signature relation (FULL PAYLOAD) streams with ZERO shuffle. Keys
+    #     are ~50B/row, so the default 8M cap is a ~400MB hashed relation:
+    #     comfortable in an 8GB executor's pool, and the single biggest
+    #     scaling lever — the payload shuffle it replaces is the memory-bus-
+    #     bound phase that capped N->4N efficiency at 0.76 (measured; the
+    #     earlier 1M cap pushed the x40-replicated fixture's 3.9M losers onto
+    #     the shuffle path). Size the cap to executor memory on real clusters.
+    #   - larger loser set: shuffled-hash anti join — both sides shuffle on
+    #     the order key, per-task build maps stay ~|losers|/partitions, no
+    #     single map ever holds the full set.
     losers = losers.persist(sig_storage) if sig_storage is not None else losers.persist()
     n_losers = losers.count()
     if n_losers <= max_broadcast_losers:

@@ -24,7 +24,8 @@ def get_spark(
     executor_cores: int = 2,
 ) -> SparkSession:
     """executors=None → local[cores] (one JVM, N task threads). executors=E →
-    local-cluster[E, executor_cores, 6144] — E SEPARATE executor JVMs, the
+    local-cluster[E, executor_cores, $SPARK_GRAFT_EXEC_MEM_MB] — E SEPARATE
+    executor JVMs, the
     sandbox's closest stand-in for a multi-executor cluster (per-executor
     heap/GC; measured: pure-CPU work scales 0.83-0.91 across executor JVMs vs
     0.41 inside one JVM on this box)."""
@@ -35,7 +36,11 @@ def get_spark(
         shuffle_partitions = max(cores, 8)
 
     if executors is not None:
-        master = f"local-cluster[{executors},{executor_cores},6144]"
+        # memory per executor is IDENTICAL at every cluster size (a real
+        # cluster adds executors, not per-executor RAM), so the N->4N
+        # throughput ratio stays a fair scaling measurement
+        mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "8192"))
+        master = f"local-cluster[{executors},{executor_cores},{mem_mb}]"
     else:
         master = f"local[{cores}]"
     builder = (
