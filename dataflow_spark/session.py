@@ -38,11 +38,21 @@ def get_spark(
     if executors is not None:
         # memory per executor is IDENTICAL at every cluster size (a real
         # cluster adds executors, not per-executor RAM), so the N->4N
-        # throughput ratio stays a fair scaling measurement
-        mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "8192"))
+        # throughput ratio stays a fair scaling measurement. 12G sized to the
+        # dedup broadcast working set: the x40 fixture's 3.9M-loser hashed
+        # relation + DISK_ONLY sig cache killed an 8G executor (BytesToBytesMap
+        # allocation failures -> executor death at N=1; measured).
+        mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "12288"))
         master = f"local-cluster[{executors},{executor_cores},{mem_mb}]"
+        # CRITICAL: the local-cluster third parameter is only the WORKER's
+        # grant budget; the executor JVM heap is spark.executor.memory, which
+        # DEFAULTS TO 1g if unset (measured: raising the worker budget alone
+        # left executors at -Xmx1g and the dedup broadcast relation killed
+        # them). Set it explicitly to the same figure.
+        exec_mem_conf = {"spark.executor.memory": f"{mem_mb}m"}
     else:
         master = f"local[{cores}]"
+        exec_mem_conf = {}
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -60,6 +70,6 @@ def get_spark(
         # keep it explicit so the intent is visible.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
-    for k, v in (extra_conf or {}).items():
+    for k, v in {**exec_mem_conf, **(extra_conf or {})}.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
