@@ -177,6 +177,16 @@ def run_flagship_only(rep: int) -> None:
     _conf = {
         "spark.sql.execution.arrow.maxRecordsPerBatch": "50000",
         "spark.sql.files.maxPartitionBytes": "16m",
+        # one split PER FIXTURE FILE: the conv_id-bucketed fixture is npart
+        # small files (dictionary encoding crushes the replicated text), and
+        # the default 4MB open cost packs them into ~npart/4 splits — the
+        # under-partitioned-scan guard in dedup_minhash_lsh then repartitions
+        # the FULL payload (765MB shuffle at rep=40; measured as the head
+        # stage of every timed pass). With openCost >= maxPartitionBytes each
+        # file scans as its own task, the guard sees a well-partitioned input
+        # and the shuffle never happens — exactly like the thousands-of-row-
+        # group scan of a real 100TB table.
+        "spark.sql.files.openCostInBytes": "16777216",
         # keep AQE's runtime coalescing from merging the sized partitions
         # back into memory-hostile giants (default advisory target is 64m)
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
@@ -184,6 +194,10 @@ def run_flagship_only(rep: int) -> None:
         # tmpfs stands in for the per-executor NVMe a real cluster brings
         "spark.local.dir": "/dev/shm/spark-local",
     }
+    if os.environ.get("SPARK_GRAFT_EVENTLOG"):
+        os.makedirs("/tmp/spark-events", exist_ok=True)
+        _conf["spark.eventLog.enabled"] = "true"
+        _conf["spark.eventLog.dir"] = "/tmp/spark-events"
     if n_exec:
         spark = get_spark("bench-flagship", shuffle_partitions=npart, executors=int(n_exec),
                           extra_conf=_conf)
