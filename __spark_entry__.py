@@ -624,8 +624,10 @@ def _turn_pairs(spark, sf):
 def q_turn_eval_pairs(spark, sf):
     """The pairwise evaluator battery over (preceding turn, assistant turn):
     token-F1 (AgenticRAGQAF1SampleEvaluator), BLEU-overlap
-    (BleuSampleEvaluator), and corpus-IDF CIDEr (CiderSampleEvaluator) — all
-    exactly SQL-oracle-checked."""
+    (BleuSampleEvaluator), corpus-IDF CIDEr (CiderSampleEvaluator), and
+    greedy-matching BERTScore over deterministic hash embeddings
+    (BertSampleEvaluator analog, stub embedding table) — all exactly
+    SQL-oracle-checked."""
     j = _turn_pairs(spark, sf)
     base = j.select(
         "conv_id",
@@ -634,7 +636,8 @@ def q_turn_eval_pairs(spark, sf):
         quality.bleu_overlap(F.col("p_text"), F.col("a_text")).alias("bleu"),
     )
     cid = quality.cider_scores(j, ["conv_id", "turn_idx"], "p_text", "a_text")
-    return base.join(cid, ["conv_id", "turn_idx"])
+    bert = quality.bertscore_greedy(j, ["conv_id", "turn_idx"], "p_text", "a_text")
+    return base.join(cid, ["conv_id", "turn_idx"]).join(bert, ["conv_id", "turn_idx"])
 
 
 def q_eval_accuracy(spark, sf):
@@ -1891,6 +1894,11 @@ def oracle_sql() -> dict[str, str]:
     _bigrams = lambda ws: (
         f"list_transform(range(1, greatest(len({ws}), 1)), i -> {ws}[i] || chr(1) || {ws}[i+1])"
     )
+    # DuckDB twin of quality.token_hash_embedding (md5-derived uniform [-1,1])
+    _hemb = lambda col, i: (
+        f"(CAST(CAST(('0x' || substr(md5({col} || '§{i}'), 1, 8)) AS UBIGINT) "
+        f"% 2001 AS BIGINT) - 1000) / 1000.0"
+    )
     o["turn_eval_pairs"] = with_transcripts(
         f"""
         , pairs AS (
@@ -1914,15 +1922,49 @@ def oracle_sql() -> dict[str, str]:
                                    * 1.0 / greatest(len(list_distinct({_bigrams('cw')})), 1), 1e-9)
                      ELSE 1e-9 END), 6) AS bleu
           FROM pairs
-        ){_cider_ctes}
+        ){_cider_ctes},
+        bct AS (SELECT conv_id, turn_idx, tok, count(*) AS n FROM
+                  (SELECT conv_id, turn_idx, unnest(cw[1:24]) AS tok FROM pairs)
+                GROUP BY conv_id, turn_idx, tok),
+        brt AS (SELECT conv_id, turn_idx, tok, count(*) AS n FROM
+                  (SELECT conv_id, turn_idx, unnest(rw[1:24]) AS tok FROM pairs)
+                GROUP BY conv_id, turn_idx, tok),
+        bce AS (SELECT conv_id, turn_idx, tok, n, e0, e1, e2, e3,
+                       sqrt(e0*e0 + e1*e1 + e2*e2 + e3*e3) AS nrm
+                FROM (SELECT *, {_hemb('tok', 0)} AS e0, {_hemb('tok', 1)} AS e1,
+                             {_hemb('tok', 2)} AS e2, {_hemb('tok', 3)} AS e3 FROM bct)),
+        bre AS (SELECT conv_id, turn_idx, tok, n, e0, e1, e2, e3,
+                       sqrt(e0*e0 + e1*e1 + e2*e2 + e3*e3) AS nrm
+                FROM (SELECT *, {_hemb('tok', 0)} AS e0, {_hemb('tok', 1)} AS e1,
+                             {_hemb('tok', 2)} AS e2, {_hemb('tok', 3)} AS e3 FROM brt)),
+        bsim AS (SELECT c.conv_id, c.turn_idx, c.tok AS ct, c.n AS cn, r.tok AS rt, r.n AS rn,
+                        CASE WHEN c.nrm * r.nrm = 0 THEN 0.0
+                             ELSE (c.e0*r.e0 + c.e1*r.e1 + c.e2*r.e2 + c.e3*r.e3) / (c.nrm * r.nrm)
+                        END AS cs
+                 FROM bce c JOIN bre r USING (conv_id, turn_idx)),
+        bp AS (SELECT conv_id, turn_idx, round(sum(n * m) / sum(n), 6) AS p FROM
+                 (SELECT conv_id, turn_idx, ct, cn AS n, max(cs) AS m FROM bsim
+                  GROUP BY conv_id, turn_idx, ct, cn)
+               GROUP BY conv_id, turn_idx),
+        br AS (SELECT conv_id, turn_idx, round(sum(n * m) / sum(n), 6) AS r FROM
+                 (SELECT conv_id, turn_idx, rt, rn AS n, max(cs) AS m FROM bsim
+                  GROUP BY conv_id, turn_idx, rt, rn)
+               GROUP BY conv_id, turn_idx)
         SELECT p.conv_id, p.turn_idx, fb.f1, fb.bleu,
-          round(({_cider_term(1)} + {_cider_term(2)}) / 2.0, 6) AS cider
+          round(({_cider_term(1)} + {_cider_term(2)}) / 2.0, 6) AS cider,
+          coalesce(bp.p, 0.0) AS bert_p,
+          coalesce(br.r, 0.0) AS bert_r,
+          CASE WHEN coalesce(bp.p, 0.0) + coalesce(br.r, 0.0) = 0 THEN 0.0
+               ELSE round(2.0 * coalesce(bp.p, 0.0) * coalesce(br.r, 0.0)
+                          / (coalesce(bp.p, 0.0) + coalesce(br.r, 0.0)), 6)
+          END AS bert_f1
         FROM pairs p
         JOIN fb USING (conv_id, turn_idx)
         LEFT JOIN dot1 USING (conv_id, turn_idx) LEFT JOIN cn1 USING (conv_id, turn_idx)
         LEFT JOIN rn1 USING (conv_id, turn_idx)
         LEFT JOIN dot2 USING (conv_id, turn_idx) LEFT JOIN cn2 USING (conv_id, turn_idx)
         LEFT JOIN rn2 USING (conv_id, turn_idx)
+        LEFT JOIN bp USING (conv_id, turn_idx) LEFT JOIN br USING (conv_id, turn_idx)
         """
     )
 

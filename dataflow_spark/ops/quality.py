@@ -311,6 +311,99 @@ def cider_scores(
     return res
 
 
+def token_hash_embedding(tok: Column, i: int) -> Column:
+    """Deterministic stub token embedding component i: md5-derived uniform
+    value in [-1, 1] (engine-portable; DuckDB twin:
+    `(CAST(CAST(('0x'||substr(md5(tok||'§i'),1,8)) AS UBIGINT) % 2001 AS
+    BIGINT) - 1000)/1000.0`). The real BertSampleEvaluator loads
+    distilbert-base-uncased (bert_sample_evaluator.py:17, no weights in this
+    sandbox); the metric MATH below is the real greedy-matching BERTScore —
+    only the embedding table is a stub, same boundary as ops/models."""
+    h8 = F.substring(F.md5(F.concat(tok, F.lit(f"§{i}"))), 1, 8)
+    return (F.conv(h8, 16, 10).cast("long") % 2001 - 1000) / F.lit(1000.0)
+
+
+def bertscore_greedy(
+    pairs: DataFrame,
+    key_cols: list[str],
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    max_tokens: int = 24,
+    dim: int = 4,
+) -> DataFrame:
+    """BertSampleEvaluator analog
+    (/root/reference/dataflow/operators/general_text/eval/bert_sample_evaluator.py:8-70,
+    idf=False, rescale=False): greedy-matching BERTScore —
+
+        P = mean over candidate tokens of max_ref cos(e(c), e(r))
+        R = mean over reference tokens of max_cand cos(e(c), e(r))
+        F1 = 2PR/(P+R)
+
+    over deterministic hash embeddings (token_hash_embedding). Both sides are
+    truncated to the first `max_tokens` tokens (the reference model truncates
+    to its context window too), which bounds the per-pair token join at
+    max_tokens^2.
+
+    Topology: duplicates collapse before the join — max cos depends only on
+    the token, so grouping to (key, distinct token, multiplicity) makes the
+    within-pair join |distinct_c| x |distinct_r| and the mean re-weights by
+    multiplicity. Shuffles only on the pair key; embeddings are JVM md5
+    expressions inside codegen (no UDF, no model). Scores rounded to 6
+    decimals on both engines (same discipline as cider_scores) so group-sum
+    ordering can't flip the value hash."""
+    key = [F.col(k) for k in key_cols]
+    base = pairs.select(
+        F.struct(*key).alias("__k"),
+        F.slice(words(F.lower(F.col(cand_col))), 1, max_tokens).alias("__cw"),
+        F.slice(words(F.lower(F.col(ref_col))), 1, max_tokens).alias("__rw"),
+    ).persist()
+
+    def side(arr_col: str, tok: str):
+        g = (
+            base.select("__k", F.explode(F.col(arr_col)).alias(tok))
+            .groupBy("__k", tok)
+            .agg(F.count("*").alias(f"{tok}_n"))
+        )
+        comps = [token_hash_embedding(F.col(tok), i).alias(f"{tok}_e{i}") for i in range(dim)]
+        g = g.select("__k", tok, f"{tok}_n", *comps)
+        nrm = F.lit(0.0)
+        for i in range(dim):
+            nrm = nrm + F.col(f"{tok}_e{i}") * F.col(f"{tok}_e{i}")
+        return g.withColumn(f"{tok}_nrm", F.sqrt(nrm))
+
+    cg, rg = side("__cw", "__ct"), side("__rw", "__rt")
+    dot = F.lit(0.0)
+    for i in range(dim):
+        dot = dot + F.col(f"__ct_e{i}") * F.col(f"__rt_e{i}")
+    denom = F.col("__ct_nrm") * F.col("__rt_nrm")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(dot / denom)
+    sim = cg.join(rg, "__k").select(
+        "__k", "__ct", "__ct_n", "__rt", "__rt_n", cos.alias("__cos")
+    )
+
+    def pooled(tok: str, out: str):
+        m = sim.groupBy("__k", tok, f"{tok}_n").agg(F.max("__cos").alias("__m"))
+        return m.groupBy("__k").agg(
+            F.round(F.sum(F.col(f"{tok}_n") * F.col("__m")) / F.sum(f"{tok}_n"), 6).alias(out)
+        )
+
+    spine = base.select("__k", *[F.col(f"__k.{k}").alias(k) for k in key_cols])
+    out = (
+        spine.join(pooled("__ct", "__p"), "__k", "left")
+        .join(pooled("__rt", "__r"), "__k", "left")
+    )
+    p6 = F.coalesce(F.col("__p"), F.lit(0.0))
+    r6 = F.coalesce(F.col("__r"), F.lit(0.0))
+    f1 = F.when(p6 + r6 == 0, F.lit(0.0)).otherwise(
+        F.round(2.0 * p6 * r6 / (p6 + r6), 6)
+    )
+    res = out.select(
+        *key_cols, p6.alias("bert_p"), r6.alias("bert_r"), f1.alias("bert_f1")
+    )
+    res.bert_pairs_cache = base
+    return res
+
+
 def exact_match_accuracy(df: DataFrame, pred: Column, gt: Column) -> DataFrame:
     """BenchDatasetEvaluator (math-verify exact mode) analog
     (core_text/eval/bench_dataset_evaluator.py:49-56): dataset-level accuracy

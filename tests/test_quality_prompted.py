@@ -101,3 +101,53 @@ def test_synthesize_rows_deterministic_generator(spark):
     ra, rb = a.collect(), b.collect()
     assert len(ra) == 25 and ra == rb
     assert all(r["gen"].startswith("[gen-") for r in ra)
+
+
+def _py_bertscore(cand: str, ref: str, max_tokens: int = 24, dim: int = 4):
+    """Pure-python twin of quality.bertscore_greedy for goldens."""
+    import math
+
+    def emb(tok):
+        v = [
+            (int(hashlib.md5(f"{tok}§{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000) / 1000.0
+            for i in range(dim)
+        ]
+        return v
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na * nb == 0:
+            return 0.0
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    cw = cand.strip().lower().split()[:max_tokens]
+    rw = ref.strip().lower().split()[:max_tokens]
+    if not cw or not rw:
+        return 0.0, 0.0, 0.0
+    ce, re_ = [emb(t) for t in cw], [emb(t) for t in rw]
+    p = round(sum(max(cos(c, r) for r in re_) for c in ce) / len(ce), 6)
+    r = round(sum(max(cos(c, r) for c in ce) for r in re_) / len(re_), 6)
+    f1 = 0.0 if p + r == 0 else round(2 * p * r / (p + r), 6)
+    return p, r, f1
+
+
+def test_bertscore_greedy_matches_python_twin(spark):
+    rows = [
+        ("a", "the quick brown fox", "the quick brown fox"),          # identical -> P=R=F1=1
+        ("b", "alpha beta gamma", "delta epsilon zeta eta"),          # disjoint
+        ("c", "repeat repeat token", "repeat other"),                 # multiplicity weighting
+        ("d", "one two three four five six seven", "three one nine"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "cand", "ref"])
+    out = {
+        r["k"]: (r["bert_p"], r["bert_r"], r["bert_f1"])
+        for r in quality.bertscore_greedy(df, ["k"], "cand", "ref").collect()
+    }
+    for k, cand, ref in rows:
+        exp = _py_bertscore(cand, ref)
+        got = out[k]
+        for g, e in zip(got, exp):
+            assert abs(g - e) < 1e-6, (k, got, exp)
+    # identical texts score exactly 1.0 on all three
+    assert out["a"] == (1.0, 1.0, 1.0)
