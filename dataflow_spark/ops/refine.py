@@ -239,12 +239,24 @@ def remove_emoticons(df: DataFrame, col: str = "text") -> DataFrame:
     return df.withColumn(col, F.regexp_replace(F.col(col), alts, ""))
 
 
-# high-frequency English contraction map (RemoveContractionsRefiner runs
-# `contractions.fix`, remove_contractions_refiner.py:52 — same rewrite for the
-# unambiguous head of that lib's table)
+# English contraction map (RemoveContractionsRefiner runs `contractions.fix`,
+# remove_contractions_refiner.py:52 — same rewrite for the unambiguous subset
+# of that lib's public table). ORDER MATTERS: specific whole-word forms
+# rewrite before the generic suffix rules (can't before n't; chains compose —
+# "can't've" -> "cannot've" -> "cannot have"). The possessive-ambiguous bare
+# 's is expanded only for the closed set of words where it can't be a
+# possessive (it/that/what/who/where/when/there/here/how/let).
 _CONTRACTIONS = (
     (r"\bcan't\b", "cannot"), (r"\bwon't\b", "will not"),
+    (r"\bshan't\b", "shall not"), (r"\bain't\b", "am not"),
     (r"\blet's\b", "let us"), (r"\bit's\b", "it is"),
+    (r"\bthat's\b", "that is"), (r"\bwhat's\b", "what is"),
+    (r"\bwho's\b", "who is"), (r"\bwhere's\b", "where is"),
+    (r"\bwhen's\b", "when is"), (r"\bthere's\b", "there is"),
+    (r"\bhere's\b", "here is"), (r"\bhow's\b", "how is"),
+    (r"\by'all\b", "you all"), (r"\bma'am\b", "madam"),
+    (r"\bgonna\b", "going to"),
+    (r"\bwanna\b", "want to"), (r"\bgotta\b", "got to"),
     (r"n't\b", " not"), (r"'re\b", " are"), (r"'ve\b", " have"),
     (r"'ll\b", " will"), (r"'m\b", " am"), (r"'d\b", " would"),
 )
