@@ -377,9 +377,14 @@ def bertscore_greedy(
         dot = dot + F.col(f"__ct_e{i}") * F.col(f"__rt_e{i}")
     denom = F.col("__ct_nrm") * F.col("__rt_nrm")
     cos = F.when(denom == 0, F.lit(0.0)).otherwise(dot / denom)
+    # persisted: the P and R poolings each consume the full within-pair token
+    # join — without the cache the join (the expensive stage) executes twice.
+    # Bounded by |pairs| * max_tokens^2 rows of (key, 2 tokens, 2 ints, 1
+    # double). Handle exposed as out.bert_sim_cache (same lifecycle note as
+    # dedup_minhash_lsh / cider_scores).
     sim = cg.join(rg, "__k").select(
         "__k", "__ct", "__ct_n", "__rt", "__rt_n", cos.alias("__cos")
-    )
+    ).persist()
 
     def pooled(tok: str, out: str):
         m = sim.groupBy("__k", tok, f"{tok}_n").agg(F.max("__cos").alias("__m"))
@@ -401,6 +406,7 @@ def bertscore_greedy(
         *key_cols, p6.alias("bert_p"), r6.alias("bert_r"), f1.alias("bert_f1")
     )
     res.bert_pairs_cache = base
+    res.bert_sim_cache = sim
     return res
 
 
