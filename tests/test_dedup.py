@@ -160,3 +160,35 @@ def test_ngram_jaccard_max_df_ceiling_drops_hot_shingle(spark):
     assert (900, 901) in pairs
     # none of the 200 boilerplate docs pair up once the hot shingles are cut
     assert all(a == 900 for (a, b) in pairs)
+
+
+def test_minhash_join_strategy_invariance(spark, tmp_path):
+    """The adaptive recovery join (broadcast losers vs shuffled-hash anti —
+    the N->4N scaling path) must be a pure STRATEGY choice: identical survivor
+    sets on both sides of the max_broadcast_losers threshold, including on a
+    dup-heavy input (every text replicated) where the loser set is ~2/3 of
+    the rows."""
+    from pyspark.sql import functions as F
+
+    base = synth_transcripts(spark, n_turns=600, n_convs=20, seed=11)
+    # x3 replication (same text, distinct conv_id/keys) => ~2/3 losers
+    rep = (
+        base.withColumn("__r", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))))
+        .withColumn("conv_id", F.concat("conv_id", F.lit("#"), F.col("__r")))
+        .drop("__r")
+    )
+
+    def keys(max_bl):
+        out = dedup.dedup_minhash_lsh(rep, max_broadcast_losers=max_bl)
+        got = sorted(
+            (r["ts"], r["conv_id"], r["turn_idx"])
+            for r in out.select("ts", "conv_id", "turn_idx").collect()
+        )
+        out.minhash_sig_cache.unpersist()
+        out.minhash_losers_cache.unpersist()
+        return got
+
+    broadcast_side = keys(10_000_000)  # losers << cap -> broadcast anti join
+    shuffle_side = keys(0)             # cap 0 -> shuffled-hash anti join
+    assert broadcast_side == shuffle_side
+    assert 0 < len(broadcast_side) < rep.count()
