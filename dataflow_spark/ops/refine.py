@@ -222,10 +222,20 @@ def normalize_dates(df: DataFrame, col: str = "text") -> DataFrame:
 # remove_emoticons_refiner.py:77; this is the high-frequency head — the op
 # shape (literal alternation folded into one regex) is identical at any size)
 EMOTICONS = (
+    # western, mouth-right (+ nose variants)
     ":-)", ":)", ":-D", ":D", ":-(", ":(", ";-)", ";)", ":-P", ":P",
     ":-p", ":p", ":-O", ":O", ":-o", ":o", ":-|", ":|", ":-/", ":/",
-    ":-\\", ":'(", ":'-(", "=)", "=(", "=D", "=P", "<3", "</3",
-    "^_^", "^^", "-_-", "T_T", ";_;", "o_O", "O_o", "x_x", "X_X", ">:(",
+    ":-\\", ":'(", ":'-(", ":')", ":'-)", ":-*", ":*", ":-$", ":$",
+    ":-X", ":-x", ":-#", ">:(", ">:)", ">:D", ">:P", ">:/", ">:O",
+    "D:", "D-:", "D8", "D=",
+    # = mouths and hearts
+    "=)", "=(", "=D", "=P", "=/", "=\\", "=|", "=]", "=[", "<3", "</3",
+    # bracket mouths
+    ":]", ":[", ":-]", ":-[", "8-)", "8)", "8-D", "B-)", "B)",
+    # eastern / kaomoji heads
+    "^_^", "^^", "-_-", "T_T", ";_;", "o_O", "O_o", "x_x", "X_X",
+    "O_O", "o_o", "0_0", ">_<", ">.<", "._.", "'-'", "(^_^)", "(T_T)",
+    "(-_-)", "(o_o)", "\\o/", "*_*", "+_+", "@_@",
 )
 
 
