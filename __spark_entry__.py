@@ -471,8 +471,15 @@ def q_window_sliding(spark, sf):
 
 
 def q_docs_perplexity(spark, sf):
+    """Corpus-LM perplexities: unigram + Jelinek-Mercer interpolated bigram
+    (the closer-to-GPT-2 variant; docs with <2 tokens fall back to the
+    unigram figure)."""
     d = load_table(spark, sf, "documents")
-    return quality.unigram_perplexity(d, "doc_id")
+    uni = quality.unigram_perplexity(d, "doc_id")
+    bi = quality.interpolated_bigram_perplexity(d, "doc_id")
+    return uni.join(bi, "doc_id", "left").select(
+        "doc_id", "ppl", F.coalesce("ppl_bigram", "ppl").alias("ppl_bigram")
+    )
 
 
 def q_salted_conv_stats(spark, sf):
@@ -1991,14 +1998,35 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["docs_perplexity"] = """
-        WITH toks AS (
-          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        WITH ws AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
           FROM documents
+        ), toks AS (
+          SELECT doc_id, unnest(a) AS w FROM ws
         ), freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
-        tot AS (SELECT count(*) AS t FROM toks)
-        SELECT doc_id, round(exp(-avg(ln(c * 1.0 / t))), 6) AS ppl
-        FROM toks JOIN freq USING (w), tot
-        GROUP BY doc_id
+        tot AS (SELECT count(*) AS t FROM toks),
+        uni AS (
+          SELECT doc_id, round(exp(-avg(ln(c * 1.0 / t))), 6) AS ppl
+          FROM toks JOIN freq USING (w), tot
+          GROUP BY doc_id
+        ),
+        bi AS (
+          SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM
+            (SELECT doc_id, unnest(list_transform(range(1, greatest(len(a), 1)),
+                                   i -> struct_pack(w1 := a[i], w2 := a[i+1]))) AS p
+             FROM ws)
+        ),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+        ctx AS (SELECT w1, sum(c2) AS ctx FROM c2 GROUP BY w1),
+        ppl2 AS (
+          SELECT doc_id,
+                 round(exp(-avg(ln(0.75 * c2 * 1.0 / ctx + 0.25 * c * 1.0 / t))), 6) AS ppl_bigram
+          FROM bi JOIN c2 USING (w1, w2) JOIN ctx USING (w1)
+               JOIN freq ON freq.w = bi.w2, tot
+          GROUP BY doc_id
+        )
+        SELECT uni.doc_id, uni.ppl, coalesce(ppl2.ppl_bigram, uni.ppl) AS ppl_bigram
+        FROM uni LEFT JOIN ppl2 USING (doc_id)
     """
 
     o["salted_conv_stats"] = with_transcripts(

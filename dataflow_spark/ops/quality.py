@@ -487,6 +487,59 @@ def unigram_perplexity(df: DataFrame, id_col: str, text_col: str = "text") -> Da
     )
 
 
+def interpolated_bigram_perplexity(
+    df: DataFrame, id_col: str, text_col: str = "text", lam: float = 0.75
+) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM perplexity — one step closer to
+    the reference's GPT-2 NLL (perplexity_sample_evaluator.py:10) than the
+    unigram LM, still exactly SQL-expressible:
+
+        ppl2(row) = exp(-mean_{i>=2} ln( lam * c2(w_{i-1},w_i)/ctx(w_{i-1})
+                                        + (1-lam) * c(w_i)/T ))
+
+    c2 = corpus bigram counts, ctx(w) = bigrams starting with w (so the
+    conditional is a proper MLE), c/T = the unigram table. Interpolation means
+    unseen bigrams never hit ln(0) — the unigram term floors the probability.
+    Rows with <2 tokens have no bigram positions and return NULL (callers
+    coalesce to the unigram ppl). Topology: one token explode for the unigram
+    table, one pair explode for the bigram table, counts join back on
+    (w1, w2)/(w1) — vocabulary-keyed shuffles only, never pairwise rows; at
+    corpus scale the bigram table is big, so its join is left to AQE rather
+    than forced broadcast. Scores rounded to 6dp (cross-engine discipline)."""
+    ws = words(F.lower(F.col(text_col)))
+    toks = df.select(F.col(id_col), F.explode(ws).alias("__w"))
+    freq = toks.groupBy("__w").agg(F.count("*").alias("__c"))
+    total = freq.agg(F.sum("__c").alias("__t"))
+    n = F.size(ws)
+    # sequence(1, n-1) DESCENDS when n<2 — guard to an empty index array
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pair = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(ws, i).alias("w1"), F.element_at(ws, i + 1).alias("w2")
+        ),
+    )
+    bi = df.select(F.col(id_col), F.explode(pair).alias("__p")).select(
+        id_col, F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2")
+    )
+    c2 = bi.groupBy("__w1", "__w2").agg(F.count("*").alias("__c2"))
+    ctx = c2.groupBy("__w1").agg(F.sum("__c2").alias("__ctx"))
+    p = (
+        F.lit(lam) * F.col("__c2") / F.col("__ctx")
+        + F.lit(1.0 - lam) * F.col("__c") / F.col("__t")
+    )
+    return (
+        bi.join(c2, ["__w1", "__w2"])
+        .join(ctx, "__w1")
+        .join(F.broadcast(freq), F.col("__w2") == F.col("__w"))
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(F.round(F.exp(-F.avg(F.log(p))), 6).alias("ppl_bigram"))
+    )
+
+
 def with_scores(df: DataFrame, col: str = "text") -> DataFrame:
     """Attach the full evaluator battery as columns (Evaluator archetype —
     score columns, no row drops)."""
