@@ -255,16 +255,59 @@ def q_embed_ivf_topk(spark, sf):
     return embeddings.ivf_topk(e, qs, k=5)
 
 
+def _planted_dup_transcripts(spark, sf):
+    """Planted-duplicate regime for the LSH dedup queries (the trick that made
+    embed_neardup value-checkable in round 2): background texts are
+    md5-derived hex phrases — any two distinct rows share essentially no
+    shingles (cross-class band collisions need a full 16-minhash-slice match
+    / Hamming<=3 on 64 bits; absent on the fixture, deterministically) — and
+    every 3rd turn is replanted as an EXACT copy under a shifted order key,
+    half LATER (the copy loses) and half EARLIER (the copy WINS — exercising
+    first-wins ordering, not merely drop-the-copy). On this input the LSH
+    survivor set provably equals exact first-wins dedup, which IS
+    SQL-expressible; the signature arithmetic itself stays golden-tested on
+    real text in tests/test_dedup.py."""
+    t = _transcripts(spark, sf)
+    key = F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string"))
+    text = F.concat_ws(
+        " ",
+        F.md5(key),
+        F.md5(F.concat(key, F.lit("b"))),
+        F.md5(F.concat(key, F.lit("c"))),
+    )
+    base = t.select("conv_id", "turn_idx", "ts", text.alias("text"))
+    planted = base.filter(F.col("turn_idx") % 3 == 0).select(
+        F.concat(F.lit("dup-"), F.col("conv_id")).alias("conv_id"),
+        "turn_idx",
+        F.when(F.col("turn_idx") % 6 == 0, F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        .otherwise(F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .alias("ts"),
+        "text",
+    )
+    return base.unionByName(planted)
+
+
 def q_dedup_minhash(spark, sf):
-    """MinHash-LSH near-dup (pandas-UDF signatures, banded shuffle) — no SQL
-    oracle (signature arithmetic isn't SQL-expressible); golden-tested in
-    tests/test_dedup.py instead."""
-    return dedup.dedup_minhash_lsh(_transcripts(spark, sf)).select("conv_id", "turn_idx")
+    """MinHashDeduplicateFilter (minhash_deduplicate_filter.py:66-84) — the
+    full production topology (pandas-UDF band signatures, keys-only banded
+    shuffle, losers-side contested-buckets agg, adaptive recovery join) run
+    over the planted-duplicate regime, where its survivor set provably equals
+    exact first-wins dedup — so this row is value-checked end to end
+    (rows+schema+hash), while real-text signature behavior stays golden-tested
+    in tests/test_dedup.py."""
+    return dedup.dedup_minhash_lsh(_planted_dup_transcripts(spark, sf)).select(
+        "conv_id", "turn_idx"
+    )
 
 
 def q_dedup_simhash(spark, sf):
-    """SimHash pigeonhole-band near-dup — no SQL oracle; golden-tested."""
-    return dedup.dedup_simhash(_transcripts(spark, sf)).select("conv_id", "turn_idx")
+    """SimHashDeduplicateFilter (simhash_deduplicate_filter.py:55-85) —
+    identical-hash collapse + pigeonhole bands + exact Hamming verify, over
+    the planted-duplicate regime (survivors == exact first-wins dedup, so the
+    row is value-checked); real-text behavior golden-tested."""
+    return dedup.dedup_simhash(_planted_dup_transcripts(spark, sf)).select(
+        "conv_id", "turn_idx"
+    )
 
 
 def q_refine_docs_battery(spark, sf):
@@ -502,13 +545,18 @@ def q_media_features(spark, sf):
 
 
 def q_docs_lexical(spark, sf):
-    """MTLD/HD-D lexical diversity + the Porter-stemmed text — sequential
-    kernels (MTLD per McCarthy & Jarvis 2010; Porter 1980), no SQL oracle
-    (golden-tested vs kernel twins / the published Porter vectors)."""
+    """HD-D lexical diversity (McCarthy & Jarvis 2010) + the Porter-stemmed
+    text (Porter 1980), both value-checked: HD-D's hypergeometric
+    P(type-in-42-draw) is exact SQL (lgamma form of the binomials), and the
+    Porter column is checked against a word→stem vocabulary embedded in the
+    oracle (the kernel itself is golden-tested vs the paper's published
+    vectors; the driver row proves the distributed Arrow stage reproduces
+    it). MTLD stays golden-only (its factor scan is order-sequential — not
+    SQL-expressible) via lexical_diversity_filter tests."""
     from dataflow_spark.ops import nlp
 
     d = load_table(spark, sf, "documents")
-    lex = lexical.with_lexical_diversity(d).select("doc_id", "mtld", "hdd")
+    lex = lexical.with_lexical_diversity(d).select("doc_id", "hdd")
     porter = nlp.porter_stem_refiner(d.select("doc_id", "text")).select(
         "doc_id", F.col("text").alias("porter_stemmed")
     )
@@ -1023,11 +1071,13 @@ def q_prompted_battery(spark, sf):
 
 def q_embed_diversity(spark, sf):
     """Vendi/Task2Vec-style dataset diversity scalar over embeddings — the
-    SCALE path: deterministic md5-nibble sample (8/16 of rows) before the
-    pair join, still exactly oracle-checked because the sample is
-    engine-portable (see embeddings.deterministic_sample_pred)."""
+    SCALE path: SIZE-TARGETED deterministic sample (~250 rows kept whether
+    the corpus is 500 rows or 10^12 — 48-bit md5-prefix threshold from a
+    cheap count, see embeddings.sized_sample_threshold) before the pair
+    join; still exactly oracle-checked because the predicate is
+    engine-portable integer arithmetic."""
     e = load_table(spark, sf, "embeddings")
-    return embeddings.dataset_diversity(e, sample_keep16=8)
+    return embeddings.dataset_diversity(e, sample_target=250)
 
 
 def q_set_intersect(spark, sf):
@@ -1223,6 +1273,33 @@ def oracle_sql() -> dict[str, str]:
           FROM transcripts) WHERE rn = 1
         """
     )
+
+    # planted-duplicate regime (the _planted_dup_transcripts twin): background
+    # texts are md5-derived hex phrases, every 3rd turn replanted as an exact
+    # copy under a +/-1h order key — LSH survivors == exact first-wins dedup
+    _planted_cte = """
+        , pbase AS (
+          SELECT conv_id, turn_idx, ts,
+                 md5(conv_id || '#' || CAST(turn_idx AS VARCHAR)) || ' ' ||
+                 md5(conv_id || '#' || CAST(turn_idx AS VARCHAR) || 'b') || ' ' ||
+                 md5(conv_id || '#' || CAST(turn_idx AS VARCHAR) || 'c') AS text
+          FROM transcripts
+        ), planted AS (
+          SELECT * FROM pbase
+          UNION ALL
+          SELECT 'dup-' || conv_id, turn_idx,
+                 CASE WHEN turn_idx % 6 = 0 THEN ts - INTERVAL 1 HOUR
+                      ELSE ts + INTERVAL 1 HOUR END, text
+          FROM pbase WHERE turn_idx % 3 = 0
+        )
+        SELECT conv_id, turn_idx FROM (
+          SELECT conv_id, turn_idx,
+                 row_number() OVER (PARTITION BY text
+                                    ORDER BY ts, conv_id, turn_idx) AS rn
+          FROM planted) WHERE rn = 1
+    """
+    o["dedup_minhash"] = with_transcripts(_planted_cte)
+    o["dedup_simhash"] = with_transcripts(_planted_cte)
 
     o["dedup_ngram_chunks"] = with_transcripts(
         """
@@ -1827,6 +1904,60 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
+    # docs_lexical: HD-D via the lgamma form of the hypergeometric
+    # P(type absent) = C(n-c, s)/C(n, s); Porter via an embedded word->stem
+    # vocabulary (computed once from the golden-tested kernel — the driver row
+    # then proves the distributed Arrow stage reproduces it). The vocabulary
+    # covers the full fixture token set (31 words across every sf) plus the
+    # Porter-paper example forms; unknown tokens pass through on both sides.
+    from dataflow_spark.ops.nlp import porter_stem as _pstem
+
+    _pvocab = [
+        "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+        "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+        "order", "part", "query", "row", "scan", "slow", "small", "sort",
+        "spark", "stream", "table", "the", "value", "vector", "window",
+        # Porter 1980 example forms (rule coverage; harmless if absent)
+        "caresses", "ponies", "ties", "caress", "cats", "feed", "agreed",
+        "plastered", "bled", "motoring", "sing", "conflated", "troubled",
+        "sized", "hopping", "tanned", "falling", "hissing", "fizzed",
+        "failing", "filing", "happy", "sky", "relational", "conditional",
+        "rational", "valency", "hesitancy", "digitizer", "conformably",
+        "radically", "differently", "vilely", "analogously", "vietnamization",
+        "predication", "operator", "feudalism", "decisiveness", "hopefulness",
+        "callousness", "formality", "sensitivity", "sensibility",
+        "triplicate", "formative", "formalize", "electricity", "electrical",
+        "hopeful", "goodness", "revival", "allowance", "inference",
+        "airliner", "gyroscopic", "adjustable", "defensible", "irritant",
+        "replacement", "adjustment", "dependent", "adoption", "communism",
+        "activate", "angularity", "homologous", "effective", "bowdlerize",
+        "probate", "rate", "cease", "controller", "rolled",
+    ]
+    _pcase = "CASE w " + " ".join(
+        f"WHEN '{w}' THEN '{_pstem(w)}'" for w in _pvocab
+    ) + " ELSE w END"
+    o["docs_lexical"] = f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+          FROM documents
+        ), cnt AS (
+          SELECT doc_id, n, w, count(*) AS c FROM (
+            SELECT doc_id, len(ws) AS n, unnest(ws) AS w FROM toks) GROUP BY doc_id, n, w
+        ), h AS (
+          SELECT doc_id,
+                 round(sum((1.0 - CASE WHEN n - c >= least(42, n)
+                    THEN exp(lgamma(n - c + 1) - lgamma(n - c - least(42, n) + 1)
+                             - lgamma(n + 1) + lgamma(n - least(42, n) + 1))
+                    ELSE 0.0 END) / least(42, n)), 6) AS hdd
+          FROM cnt GROUP BY doc_id
+        ), p AS (
+          SELECT doc_id,
+                 array_to_string(list_transform(ws, w -> {_pcase}), ' ') AS porter_stemmed
+          FROM toks
+        )
+        SELECT h.doc_id, h.hdd, p.porter_stemmed FROM h JOIN p USING (doc_id)
+    """
+
     o["docs_chunks"] = """
         SELECT doc_id, CAST(i AS INT) AS chunk_idx,
                array_to_string(ws[CAST(i*64+1 AS INT):CAST(i*64+64 AS INT)], ' ') AS chunk_text
@@ -2201,10 +2332,14 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, qa_idx, question, '{QA_A_PROMPT}' || question AS ap FROM q)
     """
 
+    # size-targeted sample twin: T = floor(2^48 * target / n), keep rows whose
+    # 12-nibble md5(vec_id) prefix < T (see embeddings.sized_sample_threshold)
     o["embed_diversity"] = f"""
         WITH s AS (
           SELECT vec_id, embedding FROM embeddings
-          WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 1))::int < 8
+          WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::UBIGINT
+                < greatest(1, (281474976710656 * 250)
+                              // (SELECT count(*) FROM embeddings))
         )
         SELECT count(*) AS n_pairs,
                round(avg(sim), 6) AS avg_sim,

@@ -200,17 +200,27 @@ def multiturn_conversations(
     final_re = r"<final>(.*?)</final>"
     func_re = r"<func_call>(.*?)</func_call>"
     for rnd in range(1, max_rounds + 1):
-        a_prompt = F.concat(
-            F.lit("ASSISTANT-AGENT "), F.col(task_col), F.lit(" @round "), F.lit(str(rnd))
+        # Mask at the PROMPT, not around the UDF: `when(done, NULL).otherwise(
+        # sv(p))` still evaluates the extracted Arrow UDF on the whole batch
+        # (the pitfall serving_udf's docstring names), so a completed dialog
+        # would pay up to max_rounds - r real model calls. A NULL prompt hits
+        # serving_udf's NULL-skip and never reaches the backend.
+        a_prompt = F.when(
+            ~F.col("__done"),
+            F.concat(
+                F.lit("ASSISTANT-AGENT "), F.col(task_col), F.lit(" @round "), F.lit(str(rnd))
+            ),
         )
-        a_resp = F.when(F.col("__done"), F.lit(None)).otherwise(sv(a_prompt))
-        df = df.withColumn("__a", a_resp)
+        df = df.withColumn("__a", sv(a_prompt))
         is_final = F.coalesce(F.col("__a").rlike(final_re), F.lit(False))
         func_call = F.regexp_extract(F.col("__a"), func_re, 0)
-        t_resp = F.when(
-            F.col("__done") | is_final | (func_call == ""), F.lit(None)
-        ).otherwise(sv(F.concat(F.lit("TOOL-AGENT "), func_call)))
-        df = df.withColumn("__t", t_resp)
+        # same prompt-side masking for the tool stage: done dialogs AND
+        # final/no-func rounds produce a NULL prompt (no backend call)
+        t_prompt = F.when(
+            ~(F.col("__done") | is_final | (func_call == "")),
+            F.concat(F.lit("TOOL-AGENT "), func_call),
+        )
+        df = df.withColumn("__t", sv(t_prompt))
         appended = F.concat(
             F.col("conversation"),
             F.array(F.struct(F.lit("assistant").alias("role"), F.col("__a").alias("value"))),

@@ -167,9 +167,13 @@ def composition_task_filter(
     nothing downstream sees dropped rows."""
     backend = backend or TaskStubServing()
     sub_task_cols = sub_task_cols or ["atom_task", "parallel_task", "subsequent_task"]
+    # NULL composition propagates through concat -> NULL prompt -> serving
+    # skip -> NULL resp -> label 0 -> row dropped, matching the oracle's
+    # NULL-propagating `||` chain (a coalesce here would let a nulled-out
+    # chain survive with fabricated labels — advisor round 2).
     prompt = F.concat(
         F.lit(COMP_FILTER_PROMPT),
-        F.coalesce(F.col(composition_col), F.lit("")),
+        F.col(composition_col),
         F.lit(" | sub-tasks: "),
         _subtask_blob(sub_task_cols),
     )
@@ -190,9 +194,10 @@ def function_generate(
     sub-tasks."""
     backend = backend or TaskStubServing()
     sub_task_cols = sub_task_cols or ["atom_task", "parallel_task", "subsequent_task"]
+    # NULL composition -> NULL prompt -> NULL functions (no fabricated output)
     prompt = F.concat(
         F.lit(FUNC_PROMPT),
-        F.coalesce(F.col(composition_col), F.lit("")),
+        F.col(composition_col),
         F.lit(" | sub-tasks: "),
         _subtask_blob(sub_task_cols),
     )

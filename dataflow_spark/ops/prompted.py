@@ -76,7 +76,13 @@ def serving_udf(backend: ServingBackend):
                 out[mask] = backend.generate(prompts[mask]).values
             yield out
 
-    return gen
+    # Nondeterministic on purpose: CollapseProject happily inlines a
+    # deterministic UDF into every downstream Project that references its
+    # column — measured as 2x real model calls per round in the multiturn
+    # loop. Marking it nondeterministic (which a network-serving call
+    # genuinely is) pins the call into a single projection evaluated once
+    # per row; downstream references see the materialized attribute.
+    return gen.asNondeterministic()
 
 
 def build_prompt(system_prompt: str, input_col: Column) -> Column:

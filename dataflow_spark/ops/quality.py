@@ -533,7 +533,10 @@ def interpolated_bigram_perplexity(
     return (
         bi.join(c2, ["__w1", "__w2"])
         .join(ctx, "__w1")
-        .join(F.broadcast(freq), F.col("__w2") == F.col("__w"))
+        # no broadcast hint on freq: the full corpus vocabulary can exceed
+        # the 8GB broadcast/driver limit at 100TB — AQE picks broadcast when
+        # the measured size allows, exactly like the c2 join (advisor round 2)
+        .join(freq, F.col("__w2") == F.col("__w"))
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(F.round(F.exp(-F.avg(F.log(p))), 6).alias("ppl_bigram"))

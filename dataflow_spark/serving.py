@@ -39,6 +39,13 @@ from .ops.prompted import ServingBackend
 _THINK_ANSWER = re.compile(r"<think>.*</think>.*<answer>.*</answer>", re.S)
 
 
+class NonRetryableError(Exception):
+    """A deterministic failure retrying cannot fix: HTTP 4xx (auth, context
+    length, bad request) or a malformed 200 response. Raised internally so
+    the retry loop fails fast instead of burning the exponential-backoff
+    budget (~2**max_retries seconds per row) on a failure that will repeat."""
+
+
 def fold_response(message: dict) -> str:
     """format_response parity (api_llm_serving_request.py:40-58)."""
     content = message.get("content") or ""
@@ -76,23 +83,49 @@ class OpenAICompatServing(ServingBackend):
         self.max_retries = max_retries
         self.timeout_s = timeout_s
         self.backoff_base_s = backoff_base_s
+        self._warned_no_key = False
 
     def _headers(self) -> dict:
         headers = {"Content-Type": "application/json"}
         key = os.environ.get(self.key_name_of_api_key)
         if key:
             headers["Authorization"] = f"Bearer {key}"
+        elif not self._warned_no_key and "localhost" not in self.api_url and "127.0.0.1" not in self.api_url:
+            # the reference fails fast at construction when the key env var is
+            # missing (api_llm_serving_request.py:20-38); a local engine needs
+            # no key, so for parity-with-grace we warn once per worker rather
+            # than silently sending unauthenticated requests to a remote host
+            self._warned_no_key = True
+            import warnings
+
+            warnings.warn(
+                f"env var {self.key_name_of_api_key!r} is unset; sending "
+                f"unauthenticated requests to non-local endpoint {self.api_url}"
+            )
         return headers
 
     def _post(self, body: dict) -> dict:
+        """Raises NonRetryableError for HTTP <500 and for a 200 whose body
+        is not JSON; returns None for transient (5xx/network/timeout)."""
         req = urllib.request.Request(
             self.api_url,
             data=json.dumps(body).encode("utf-8"),
             headers=self._headers(),
             method="POST",
         )
-        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
-            return json.loads(resp.read().decode("utf-8"))
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                raw = resp.read().decode("utf-8")
+        except urllib.error.HTTPError as e:  # subclass of URLError: catch first
+            if e.code < 500:
+                raise NonRetryableError(f"HTTP {e.code} from {self.api_url}") from e
+            return None
+        except (urllib.error.URLError, TimeoutError, OSError):
+            return None
+        try:
+            return json.loads(raw)
+        except json.JSONDecodeError as e:
+            raise NonRetryableError("non-JSON 200 response") from e
 
     def _chat_once(self, prompt: str) -> str | None:
         body = {
@@ -103,17 +136,23 @@ class OpenAICompatServing(ServingBackend):
             ],
             "temperature": 0.0,
         }
-        try:
-            data = self._post(body)
-            return fold_response(data["choices"][0]["message"])
-        except (urllib.error.URLError, urllib.error.HTTPError, KeyError,
-                json.JSONDecodeError, TimeoutError, OSError):
+        data = self._post(body)
+        if data is None:
             return None
+        try:
+            return fold_response(data["choices"][0]["message"])
+        except (KeyError, IndexError, TypeError) as e:
+            # a well-formed JSON 200 missing choices/message is a server
+            # contract violation, not a blip — retrying replays it verbatim
+            raise NonRetryableError("malformed chat response shape") from e
 
     def _chat_retry(self, idx_prompt: tuple[int, str]) -> tuple[int, str | None]:
         idx, prompt = idx_prompt
         for attempt in range(self.max_retries):
-            out = self._chat_once(prompt)
+            try:
+                out = self._chat_once(prompt)
+            except NonRetryableError:
+                return idx, None  # fail fast: no backoff budget on 4xx/parse
             if out is not None:
                 return idx, out
             if attempt + 1 < self.max_retries:
@@ -137,11 +176,14 @@ class OpenAICompatServing(ServingBackend):
             for attempt in range(self.max_retries):
                 try:
                     data = self._post({"model": self.model_name, "input": text})
-                    return idx, data["data"][0]["embedding"]
-                except (urllib.error.URLError, urllib.error.HTTPError, KeyError,
-                        json.JSONDecodeError, TimeoutError, OSError):
-                    if attempt + 1 < self.max_retries:
-                        time.sleep(self.backoff_base_s * (2**attempt))
+                    if data is not None:
+                        return idx, data["data"][0]["embedding"]
+                except NonRetryableError:
+                    return idx, None
+                except (KeyError, IndexError, TypeError):
+                    return idx, None  # malformed 200 shape: deterministic
+                if attempt + 1 < self.max_retries:
+                    time.sleep(self.backoff_base_s * (2**attempt))
             return idx, None
 
         items = list(enumerate(texts))

@@ -44,6 +44,11 @@ def get_spark(
         # allocation failures -> executor death at N=1; measured).
         mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "12288"))
         master = f"local-cluster[{executors},{executor_cores},{mem_mb}]"
+        # the dedup broadcast-losers relation (max_broadcast_losers keys) is
+        # BUILT on the driver JVM before shipping — size the driver with the
+        # executors (an 8M-key UnsafeHashedRelation is ~1-2GB with object
+        # overhead; the default 8g driver held 3.9M measured, not the cap).
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", f"{mem_mb}m")
         # CRITICAL: the local-cluster third parameter is only the WORKER's
         # grant budget; the executor JVM heap is spark.executor.memory, which
         # DEFAULTS TO 1g if unset (measured: raising the worker budget alone

@@ -244,3 +244,50 @@ def test_multiturn_matches_python_twin_and_keeps_completed(spark):
             want[t] = (rounds, rendered)
     assert got == want
     assert 0 < len(want) < len(tasks)  # some dialogs exceed the round budget
+
+
+def _make_recording_backend(log_path: str):
+    """Backend that logs every prompt that actually reaches it to a shared
+    file (it runs in executor python workers — a driver-side list would never
+    see the appends; the local filesystem is the shared channel). Defined as
+    a LOCAL class so cloudpickle ships it by value — a module-level test
+    class pickles by reference and the worker can't import the test module."""
+
+    class Recording(cv.StubAgentServing):
+        def generate(self, prompts):
+            with open(log_path, "a") as f:
+                for p in prompts.tolist():
+                    f.write(p.replace("\n", " ") + "\n")
+            return super().generate(prompts)
+
+    return Recording()
+
+
+def test_multiturn_no_serving_calls_after_final(spark, tmp_path):
+    """A completed dialog must stop paying model calls: the assistant-stage
+    prompt is NULL once __done, so serving_udf's NULL-skip fires (the
+    when(done, NULL).otherwise(udf(...)) form still evaluates the extracted
+    Arrow UDF on the whole batch — advisor round 2)."""
+    tasks = [f"task-{i}" for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tasks)], "task_id: long, task: string"
+    ).coalesce(1)
+    log = str(tmp_path / "calls.log")
+    out = cv.multiturn_conversations(df, backend=_make_recording_backend(log)).collect()
+    # output unchanged vs the default stub
+    want = {t: _multiturn_twin(t) for t in tasks}
+    got = {r["task"]: r["n_rounds"] for r in out}
+    assert got == {t: w[1] for t, w in want.items() if w[0]}
+
+    calls = open(log).read().splitlines()
+    max_rounds = 5
+    for t in tasks:
+        done, rounds, _ = want[t]
+        a_calls = [c for c in calls if c.startswith(f"ASSISTANT-AGENT {t} @round")]
+        # exactly one assistant call per round actually played — none after <final>
+        assert len(a_calls) == (rounds if done else max_rounds), t
+        assert not any(
+            int(c.rsplit("@round ", 1)[1]) > rounds for c in a_calls
+        ), f"assistant called after completion for {t}"
+    # the tool agent is never invoked on a <final> round or an empty func_call
+    assert all("<func_call>" in c for c in calls if c.startswith("TOOL-AGENT "))

@@ -20,6 +20,8 @@ from dataflow_spark.serving import OpenAICompatServing, fold_response
 class _FakeOpenAIHandler(BaseHTTPRequestHandler):
     # class-level knobs mutated per-test
     fail_first_n = 0          # respond 500 to the first N requests
+    always_status = None      # respond this status to EVERY request (e.g. 401)
+    garbage_200 = False       # respond 200 with a non-JSON body
     reasoning_for = None      # substring -> attach reasoning_content
     seen: list[dict] = []
     _failed = 0
@@ -34,6 +36,17 @@ class _FakeOpenAIHandler(BaseHTTPRequestHandler):
             _FakeOpenAIHandler.seen.append(
                 {"auth": self.headers.get("Authorization"), "body": body}
             )
+            if _FakeOpenAIHandler.always_status is not None:
+                self.send_response(_FakeOpenAIHandler.always_status)
+                self.end_headers()
+                return
+            if _FakeOpenAIHandler.garbage_200:
+                data = b"<html>not json</html>"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
             if _FakeOpenAIHandler._failed < _FakeOpenAIHandler.fail_first_n:
                 _FakeOpenAIHandler._failed += 1
                 self.send_response(500)
@@ -64,6 +77,8 @@ class _FakeOpenAIHandler(BaseHTTPRequestHandler):
 @pytest.fixture
 def fake_server():
     _FakeOpenAIHandler.fail_first_n = 0
+    _FakeOpenAIHandler.always_status = None
+    _FakeOpenAIHandler.garbage_200 = False
     _FakeOpenAIHandler.reasoning_for = None
     _FakeOpenAIHandler.seen = []
     _FakeOpenAIHandler._failed = 0
@@ -127,6 +142,60 @@ def test_null_after_exhausted_retries(fake_server):
         pd.Series(["a"])
     )
     assert out[0] is None
+
+
+def test_4xx_fails_fast_without_retries(fake_server):
+    """HTTP <500 is deterministic (auth, context length): exactly ONE request
+    per prompt, no backoff budget burned (advisor round 2)."""
+    import pandas as pd
+
+    _FakeOpenAIHandler.always_status = 401
+    out = _backend(fake_server, max_workers=1, max_retries=5).generate(
+        pd.Series(["a", "b"])
+    )
+    assert list(out) == [None, None]
+    assert len(_FakeOpenAIHandler.seen) == 2  # 1 per prompt, not 5
+
+
+def test_non_json_200_fails_fast(fake_server):
+    import pandas as pd
+
+    _FakeOpenAIHandler.garbage_200 = True
+    out = _backend(fake_server, max_workers=1, max_retries=5).generate(pd.Series(["a"]))
+    assert out[0] is None
+    assert len(_FakeOpenAIHandler.seen) == 1
+
+
+def test_5xx_still_retries(fake_server):
+    import pandas as pd
+
+    _FakeOpenAIHandler.always_status = 503
+    out = _backend(fake_server, max_workers=1, max_retries=3).generate(pd.Series(["a"]))
+    assert out[0] is None
+    assert len(_FakeOpenAIHandler.seen) == 3  # transient: full retry budget
+
+
+def test_warns_once_when_key_unset_for_remote(monkeypatch):
+    import warnings
+
+    import pandas as pd
+
+    monkeypatch.delenv("DF_API_KEY", raising=False)
+    be = _backend("http://example.invalid/v1/chat/completions",
+                  max_retries=1, timeout_s=0.2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        be.generate(pd.Series(["x"]))
+        be.generate(pd.Series(["y"]))
+    msgs = [str(x.message) for x in w if "unauthenticated" in str(x.message)]
+    assert len(msgs) == 1  # warn ONCE per backend instance
+    # local endpoints never warn (vLLM/llama.cpp need no key)
+    be2 = _backend("http://127.0.0.1:9/v1/chat/completions",
+                   max_retries=1, timeout_s=0.2)
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        be2.generate(pd.Series(["x"]))
+    assert not [x for x in w2 if "unauthenticated" in str(x.message)]
 
 
 def test_reasoning_content_folding(fake_server):
