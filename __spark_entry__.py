@@ -10,6 +10,7 @@ fully value-checkable.
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -739,6 +740,24 @@ def q_model_score(spark, sf):
     return models.model_score_stage(d.select("doc_id", "text")).select("doc_id", "model_score")
 
 
+def q_mlp_score(spark, sf):
+    """The SAME model stage with REAL loaded-from-file weights: a 256-bucket
+    feature-hashed logistic regression trained by tools/train_tiny_model.py
+    and shipped as dataflow_spark/artifacts/quality_lr.npz (the FineWeb-Edu
+    classifier contract — fineweb_edu_sample_evaluator.py:11 — with the
+    loader-from-artifact path exercised for real). Value-checked: the oracle
+    embeds the identical weights as a SQL table."""
+    from dataflow_spark.ops import models
+
+    d = load_table(spark, sf, "documents")
+    return models.model_score_stage(
+        d.select("doc_id", "text"),
+        out="mlp_score",
+        loader=models.HashedLogisticModel,
+        model_key="quality_lr",
+    ).select("doc_id", "mlp_score")
+
+
 def q_consistent_chat(spark, sf):
     """ConsistentChatGenerator analog (consistent_chat.py:50-141): rows from
     nothing (also covering the RandomDomainKnowledgeRowGenerator archetype),
@@ -1022,9 +1041,11 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 4 members: pii_safety (Presidio analog),
+    """Evaluator/classifier battery — 5 members: pii_safety (Presidio analog),
     docs_toxicity (Perspective analog), sql_hardness (SQL component +
-    execution classifiers), model_score (model-backed evaluator stage)."""
+    execution classifiers), model_score (model-backed evaluator stage, stub
+    weights), mlp_score (same stage, REAL weights loaded from the shipped
+    quality_lr.npz artifact)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1038,6 +1059,8 @@ def q_score_battery(spark, sf):
                       s1=F.col("sql_score"), s2=F.col("executable")),
         _battery_pack(q_model_score(spark, sf), "model_score",
                       _kcat("doc_id"), [], s1=F.col("model_score")),
+        _battery_pack(q_mlp_score(spark, sf), "mlp_score",
+                      _kcat("doc_id"), [], s1=F.col("mlp_score")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2460,6 +2483,34 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)),'\\s+') ws FROM documents)
     """
 
+    # mlp_score twin: the quality_lr.npz weights rendered as a SQL table —
+    # score = sigmoid(b + mean over tokens of w[md5-first-byte(token)]).
+    # repr(float) is the shortest round-trip literal, so DuckDB parses the
+    # exact double the engine loads from the artifact.
+    import io as _io
+
+    import numpy as _np
+
+    _art = _np.load(
+        _io.BytesIO(
+            (Path(__file__).parent / "dataflow_spark" / "artifacts" / "quality_lr.npz").read_bytes()
+        )
+    )
+    _wvals = ", ".join(f"({i}, {float(_art['w'][i])!r})" for i in range(256))
+    _lr_b = repr(float(_art["b"]))
+    o["mlp_score"] = f"""
+        WITH wt AS (SELECT * FROM (VALUES {_wvals}) AS t(bucket, w)),
+        tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+          FROM documents
+        ), feat AS (
+          SELECT doc_id, avg(w) AS mw
+          FROM tok JOIN wt ON ('0x' || substr(md5(tok), 1, 2))::INT = bucket
+          GROUP BY doc_id
+        )
+        SELECT doc_id, round(1.0/(1.0 + exp(-({_lr_b} + mw))), 6) AS mlp_score FROM feat
+    """
+
     # MetaStubServing twin: h = md5(META_PROMPT || text); unparsable iff
     # nibble 13 % 8 == 0, else score_i = 1 + byte_i % 5 (bytes = hex pairs)
     from dataflow_spark.ops.prompted import META_DIMENSIONS as _MD
@@ -2604,6 +2655,8 @@ def oracle_sql() -> dict[str, str]:
                   s1="sql_score", s2="executable"),
         _pack_sql("model_score", o["model_score"],
                   _kcat_sql("doc_id"), [], s1="model_score"),
+        _pack_sql("mlp_score", o["mlp_score"],
+                  _kcat_sql("doc_id"), [], s1="mlp_score"),
     ])
 
     _dim_sql = ", ".join(
@@ -2622,7 +2675,8 @@ def oracle_sql() -> dict[str, str]:
     for _member in (
         "sft_seed", "condor_gen", "rag_atomic", "text2sql_gen", "reasoning_qsynth",
         "funccall_tasks", "docs_doc2qa", "pii_safety", "docs_toxicity",
-        "sql_hardness", "model_score", "meta_eval", "paired_gen", "docs_markdown",
+        "sql_hardness", "model_score", "mlp_score", "meta_eval", "paired_gen",
+        "docs_markdown",
     ):
         del o[_member]
 

@@ -59,6 +59,59 @@ class StubQualityModel:
         return texts.map(one)
 
 
+class HashedLogisticModel:
+    """REAL loaded-from-file classifier through the same stage seam
+    (fineweb_edu_sample_evaluator.py:11's contract — one quality float per
+    text): a 256-bucket feature-hashed logistic regression whose weights are
+    a genuine gradient-descent artifact (dataflow_spark/artifacts/
+    quality_lr.npz, trained + reproducible via tools/train_tiny_model.py).
+    score = sigmoid(b + mean over tokens of w[md5-first-byte(token)]).
+
+    Exercises the loader-FROM-ARTIFACT path the stub cannot (file read at
+    first use on each worker, then cached by _load_model). Every step is
+    engine-portable (md5 bucketing, mean, sigmoid), so the oracle can embed
+    the same weights as a SQL VALUES table and the stage stays value-checked."""
+
+    N_BUCKETS = 256
+
+    def __init__(self, path: str | None = None):
+        import io
+
+        import numpy as np
+
+        if path is None:
+            # importlib.resources so the artifact also loads when the package
+            # ships as dataflow_spark.zip on executor sys.path (np.load can't
+            # open a path inside a zip; a Traversable read_bytes can)
+            import importlib.resources as ir
+
+            raw = (ir.files("dataflow_spark") / "artifacts" / "quality_lr.npz").read_bytes()
+            data = np.load(io.BytesIO(raw))
+        else:
+            data = np.load(path)
+        self.w = data["w"].astype("float64")
+        self.b = float(data["b"])
+
+    def score_batch(self, texts: pd.Series) -> pd.Series:
+        import hashlib
+        import re
+
+        ws_re = re.compile(r"\s+", re.ASCII)
+
+        def one(t):
+            if t is None:
+                return None
+            toks = ws_re.split(t.strip(" \t\n\r\f\v").lower())
+            s = sum(
+                self.w[int(hashlib.md5(tok.encode()).hexdigest()[:2], 16)]
+                for tok in toks
+            )
+            z = self.b + s / len(toks)
+            return round(1.0 / (1.0 + math.exp(-z)), 6)
+
+        return texts.map(one)
+
+
 _MODEL_CACHE: dict[str, object] = {}
 
 

@@ -157,6 +157,34 @@ def test_model_stage_matches_expression_twin(spark):
     assert j == e
 
 
+def test_hashed_logistic_loads_artifact_and_scores(spark):
+    """Real loaded-from-file weights through the same stage seam: the npz
+    artifact resolves via importlib.resources (works from the source tree AND
+    from dataflow_spark.zip), and the distributed stage reproduces the
+    driver-side forward pass exactly."""
+    import hashlib
+    import math
+
+    m = models.HashedLogisticModel()
+    assert m.w.shape == (256,) and isinstance(m.b, float)
+
+    texts = ["the quick brown fox", "zzgrph qzxv wvvkq", "", "data table join"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id: long, text: string")
+    staged = models.model_score_stage(
+        df, out="mlp_score", loader=models.HashedLogisticModel, model_key="quality_lr_test"
+    )
+    got = {r["id"]: r["mlp_score"] for r in staged.collect()}
+
+    def twin(t):
+        toks = t.strip().lower().split(" ") if t else [""]
+        s = sum(m.w[int(hashlib.md5(tok.encode()).hexdigest()[:2], 16)] for tok in toks)
+        return round(1.0 / (1.0 + math.exp(-(m.b + s / len(toks)))), 6)
+
+    assert got == {i: twin(t) for i, t in enumerate(texts)}
+    # stopword-rich text must outscore junk tokens (the training objective)
+    assert got[0] > got[1]
+
+
 def test_model_loader_cached_per_worker():
     calls = []
 

@@ -10,7 +10,8 @@ with zipfile.ZipFile("dataflow_spark.zip", "w", zipfile.ZIP_DEFLATED) as z:
         if "__pycache__" in root:
             continue
         for f in files:
-            if f.endswith(".py"):
+            # .py sources + shipped model artifacts (.npz)
+            if f.endswith((".py", ".npz")):
                 p = os.path.join(root, f)
                 z.write(p, p)
 print("wrote dataflow_spark.zip")

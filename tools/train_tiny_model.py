@@ -1,0 +1,103 @@
+"""Train the shipped quality classifier artifact (run once, committed).
+
+Produces dataflow_spark/artifacts/quality_lr.npz — a 256-bucket feature-hashed
+logistic regression in the FineWeb-Edu classifier shape
+(/root/reference/dataflow/operators/core_text/eval/fineweb_edu_sample_evaluator.py:11
+is an HF sequence classifier emitting one quality float; this is the same
+stage contract with pure-numpy weights so the loader-from-artifact path is
+real in a GPU-less sandbox).
+
+Training task (synthetic, deterministic): distinguish "readable" word-soup
+(stopword-rich, mixed word lengths) from "junk" (rare long tokens, no
+stopwords). The point is not the task's difficulty — it's that the weights
+are a genuine gradient-descent artifact loaded from disk, not constants in
+code.
+
+Reproduce: python tools/train_tiny_model.py   (rewrites the npz in place)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+
+N_BUCKETS = 256
+SEED = 20240817
+
+STOPWORDS = [
+    "the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+    "on", "as", "with", "was", "at", "by", "be", "this", "are", "or",
+]
+CONTENT = [
+    "join", "hash", "row", "batch", "scan", "customer", "column", "filter",
+    "small", "merge", "slow", "order", "vector", "line", "data", "key",
+    "agg", "big", "dup", "fast", "group", "part", "query", "sort", "spark",
+    "stream", "table", "value", "window",
+]
+JUNK = [
+    "qzxv", "wvvkq", "zzgrph", "xkcdwq", "qqqlon", "vvxzal", "jjqwop",
+    "zxcvbnmas", "qwertyzzz", "plmoknijb", "zzzzyyyxx", "variegated",
+]
+
+
+def bucket(tok: str) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:2], 16)
+
+
+def featurize(tokens: list[str]) -> np.ndarray:
+    x = np.zeros(N_BUCKETS)
+    for t in tokens:
+        x[bucket(t)] += 1.0
+    return x / max(1, len(tokens))
+
+
+def make_corpus(rng: np.random.RandomState, n: int):
+    X = np.zeros((n, N_BUCKETS))
+    y = np.zeros(n)
+    for i in range(n):
+        good = rng.rand() < 0.5
+        n_tok = rng.randint(8, 60)
+        if good:
+            toks = list(rng.choice(STOPWORDS, n_tok // 2)) + list(
+                rng.choice(CONTENT, n_tok - n_tok // 2)
+            )
+        else:
+            toks = list(rng.choice(JUNK, n_tok * 3 // 4)) + list(
+                rng.choice(CONTENT, n_tok - n_tok * 3 // 4)
+            )
+        rng.shuffle(toks)
+        X[i] = featurize(toks)
+        y[i] = 1.0 if good else 0.0
+    return X, y
+
+
+def train(X: np.ndarray, y: np.ndarray, epochs: int = 400, lr: float = 2.0):
+    w = np.zeros(N_BUCKETS)
+    b = 0.0
+    for _ in range(epochs):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g) / len(y)
+        b -= lr * g.mean()
+    return w, b
+
+
+def main():
+    rng = np.random.RandomState(SEED)
+    X, y = make_corpus(rng, 4000)
+    w, b = train(X, y)
+    p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+    acc = ((p > 0.5) == (y > 0.5)).mean()
+    out = os.path.join(
+        os.path.dirname(__file__), "..", "dataflow_spark", "artifacts", "quality_lr.npz"
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    np.savez(out, w=w, b=np.float64(b))
+    print(f"train accuracy {acc:.4f}; wrote {os.path.abspath(out)}")
+
+
+if __name__ == "__main__":
+    main()
