@@ -301,6 +301,51 @@ def _streaming_replay(spark, table_dir: str, n_turns: int) -> float:
     return dt
 
 
+def _streaming_cep(spark, table_dir: str) -> float:
+    """North-star CEP streaming path: the same 8-trigger replay through the
+    two stateful complex-event stages — session reassembly
+    (applyInPandasWithState, event-time timeout) and the stream-stream
+    trigger join (watermarked interval join) — each draining to its own
+    idempotent foreachBatch sink (two sinks = two queries by Spark's model;
+    they share the cluster and run concurrently, which is also how a real
+    deployment fans one source into several CEP consumers). Returns wall
+    seconds for the full drain of both."""
+    import shutil
+    import tempfile
+
+    from dataflow_spark.streaming import pipeline as sp
+    from dataflow_spark.streaming import state as st
+    from dataflow_spark.streaming.sink import IdempotentBatchSink
+
+    work = tempfile.mkdtemp(prefix="bench_cep_")
+    src = f"{work}/src"
+    spark.read.parquet(table_dir).repartition(8).write.parquet(src)
+    t0 = time.perf_counter()
+    sessions = st.session_reassembly_stage(
+        sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+    )
+    joined = sp.match_triggers_stage(
+        sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+    )
+    qs = [
+        sessions.writeStream.foreachBatch(IdempotentBatchSink(f"{work}/out_sess"))
+        .option("checkpointLocation", f"{work}/ck_sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(),
+        joined.writeStream.foreachBatch(IdempotentBatchSink(f"{work}/out_join"))
+        .option("checkpointLocation", f"{work}/ck_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start(),
+    ]
+    for q in qs:
+        q.awaitTermination()
+    dt = time.perf_counter() - t0
+    shutil.rmtree(work, ignore_errors=True)
+    return dt
+
+
 def run_default() -> None:
     import __spark_entry__ as entry_mod
     from dataflow_spark.session import get_spark
@@ -347,6 +392,8 @@ def run_default() -> None:
     # through clean -> watermark-dedup -> windowed agg -> idempotent sink
     stream_sec = _streaming_replay(spark, table_dir, n_turns)
     timings["streaming_replay"] = round(stream_sec, 3)
+    cep_sec = _streaming_cep(spark, table_dir)
+    timings["streaming_cep"] = round(cep_sec, 3)
 
     print(json.dumps({
         "metric": "headline query wall time (sum) + flagship e2e turns/sec",
@@ -358,6 +405,7 @@ def run_default() -> None:
         "flagship_turns": n_turns,
         "flagship_turns_per_sec": round(n_turns / flagship_sec, 1),
         "streaming_turns_per_sec": round(n_turns / stream_sec, 1),
+        "streaming_cep_turns_per_sec": round(n_turns / cep_sec, 1),
     }))
     spark.stop()
 

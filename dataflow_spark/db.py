@@ -4,14 +4,19 @@ a table with system columns (pipeline_id, task_id, raw_data_id, data) where
 `data` is one JSON document per row (:453-467), read back in LIMIT/OFFSET
 pages (:406-407).
 
-No ClickHouse/JDBC driver exists in this sandbox, so the backend is an
-embedded DuckDB file — which matches the reference's actual execution shape:
-its DB reads/writes are driver-side pandas pages too, not distributed scans.
-The Spark boundary is explicit: write ships Arrow batches driver-side into
-the DB; read pages into pandas then parallelizes. At cluster scale the same
-contract maps to the JDBC source/sink (spark.read.format('jdbc') with
-partitionColumn paging) or an Iceberg table — the paging/system-column
-semantics here are what tests pin down.
+No ClickHouse driver exists in this sandbox, so the document-store backend is
+an embedded DuckDB file — which matches the reference's actual execution
+shape: its DB reads/writes are driver-side pandas pages too, not distributed
+scans. The Spark boundary is explicit: write ships Arrow batches driver-side
+into the DB; read pages into pandas then parallelizes.
+
+The DISTRIBUTED scale path is the real JDBC source/sink below
+(jdbc_write/jdbc_read_partitioned), executed for real against the Derby
+engine Spark ships (derby-*.jar is in every Spark distribution for the Hive
+metastore): spark.read.jdbc with column/lowerBound/upperBound/numPartitions
+issues one range-predicated query per partition — executor-side paging, the
+cluster replacement for LIMIT/OFFSET. Swapping the URL + driver class to
+ClickHouse JDBC (com.clickhouse.jdbc.ClickHouseDriver) changes no call site.
 """
 
 from __future__ import annotations
@@ -76,3 +81,45 @@ class DBStorage:
 
     def close(self) -> None:
         self.con.close()
+
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def jdbc_write(
+    df: DataFrame,
+    url: str,
+    table: str,
+    driver: str = DERBY_DRIVER,
+    mode: str = "overwrite",
+) -> None:
+    """Distributed JDBC sink: executors write their partitions in parallel
+    batches (the storage.py:453-467 contract without the driver-side
+    funnel)."""
+    df.write.jdbc(url, table, mode=mode, properties={"driver": driver})
+
+
+def jdbc_read_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str,
+    lower: int,
+    upper: int,
+    num_partitions: int,
+    driver: str = DERBY_DRIVER,
+) -> DataFrame:
+    """Distributed JDBC source with partitionColumn paging: Spark issues one
+    `WHERE partition_column >= lo AND < hi` query per partition — each
+    executor pages its own range concurrently, replacing the reference's
+    driver-side LIMIT/OFFSET loop (storage.py:406-407) at cluster scale.
+    Bounds are a cheap min/max (or metadata) query at the call site."""
+    return spark.read.jdbc(
+        url,
+        table,
+        column=partition_column,
+        lowerBound=lower,
+        upperBound=upper,
+        numPartitions=num_partitions,
+        properties={"driver": driver},
+    )

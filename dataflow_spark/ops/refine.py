@@ -221,7 +221,7 @@ def normalize_dates(df: DataFrame, col: str = "text") -> DataFrame:
 # common western emoticons (the reference embeds a ~3k-entry dict,
 # remove_emoticons_refiner.py:77; this is the high-frequency head — the op
 # shape (literal alternation folded into one regex) is identical at any size)
-EMOTICONS = (
+_EMOTICONS_SEED = (
     # western, mouth-right (+ nose variants)
     ":-)", ":)", ":-D", ":D", ":-(", ":(", ";-)", ";)", ":-P", ":P",
     ":-p", ":p", ":-O", ":O", ":-o", ":o", ":-|", ":|", ":-/", ":/",
@@ -237,6 +237,51 @@ EMOTICONS = (
     "O_O", "o_o", "0_0", ">_<", ">.<", "._.", "'-'", "(^_^)", "(T_T)",
     "(-_-)", "(o_o)", "\\o/", "*_*", "+_+", "@_@",
 )
+
+
+def _gen_emoticons() -> tuple[str, ...]:
+    """Generated western + kaomoji emoticon dictionary (~1.5k entries): the
+    component grammar behind public dictionaries like the reference's 5k list
+    (remove_emoticons_refiner.py:77) — western = [brows] eyes [tears] [nose]
+    mouth plus the mirrored mouth-left forms; kaomoji = symmetric
+    eye-mouth-eye faces, bare and bracketed, plus raised-arm variants.
+    Deterministic (sorted set), so the DuckDB oracle rebuilds the identical
+    alternation from this same tuple."""
+    out = set(_EMOTICONS_SEED)
+    eyes = [":", ";", "8", "B", "X", "x", "=", ":'", ";'"]
+    noses = ["", "-", "^", "o"]
+    mouths = [")", "(", "D", "P", "p", "O", "o", "|", "/", "\\", "]", "[",
+              "*", "$", "#", "@", "3", "}", "{", ">", "b", "S", "s", "c", "C"]
+    for e in eyes:
+        for n in noses:
+            for m in mouths:
+                out.add(e + n + m)
+    # angry/scheming brows on the colon/semicolon faces
+    for e in (":", ";", "="):
+        for n in noses:
+            for m in mouths:
+                out.add(">" + e + n + m)
+    # mirrored, mouth-left (e.g. "(-:", "D:")
+    for m in ("(", ")", "D", "]", "["):
+        for n in noses:
+            for e in (":", ";", "8", "="):
+                out.add(m + n + e)
+    # symmetric kaomoji faces: eye mouth eye, bare / bracketed / with arms
+    k_eyes = ["^", "T", ";", "o", "O", "x", "X", "-", "*", "+", "@", "0",
+              "=", ">", "<", "`", "'", ".", "~", "u", "U", "Q", "q"]
+    k_mouths = ["_", ".", "o", "O", "w", "W", "v", "V", "-", "3", "e", "A"]
+    for e in k_eyes:
+        for m in k_mouths:
+            face = e + m + e
+            if face == "...":  # ellipsis is text, not a face
+                continue
+            out.add(face)
+            out.add("(" + face + ")")
+            out.add("\\(" + face + ")/")
+    return tuple(sorted(out))
+
+
+EMOTICONS = _gen_emoticons()
 
 
 def remove_emoticons(df: DataFrame, col: str = "text") -> DataFrame:

@@ -74,6 +74,28 @@ def test_db_storage_paged_roundtrip(spark, tmp_path):
     db.close()
 
 
+def test_jdbc_partitioned_roundtrip(spark, tmp_path):
+    """REAL JDBC round-trip against the Derby engine Spark ships: distributed
+    write, then a partitionColumn-paged read (one range query per partition —
+    the executor-side replacement for the reference's LIMIT/OFFSET paging,
+    storage.py:406-407). Closes the round-2 'documented but never executed'
+    gap."""
+    from dataflow_spark import db
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    src = spark.range(500).selectExpr(
+        "id", "cast(id % 5 as int) AS grp", "concat('doc-', id) AS name"
+    )
+    db.jdbc_write(src, url, "t_rt")
+    back = db.jdbc_read_partitioned(
+        spark, url, "t_rt", partition_column="id", lower=0, upper=500, num_partitions=4
+    )
+    assert back.rdd.getNumPartitions() == 4  # paged: one range per partition
+    got = sorted((r.id, r.grp, r.name) for r in back.collect())
+    want = [(i, i % 5, f"doc-{i}") for i in range(500)]
+    assert got == want
+
+
 def test_sql_execution_classifier_and_filter(spark, sf_dir):
     from dataflow_spark.ops.sqlexec import sql_execution_classifier, sql_execution_filter
 

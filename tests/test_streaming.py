@@ -214,6 +214,56 @@ def test_checkpoint_resume_and_idempotent_merge(spark, tmp_path):
     assert (final["text"].values == want["text"].values).all()
 
 
+def test_cep_replay_restart_is_bit_identical(spark, tmp_path):
+    """The bench's streaming_cep path under replay: (1) restarting the
+    session-reassembly query from its checkpoint with no new input rewrites
+    nothing; (2) a from-scratch rerun (fresh checkpoint + sink) produces the
+    bit-identical session table — determinism under replay for the stateful
+    CEP stage (north_rule)."""
+    src = str(tmp_path / "src")
+    df = synth_transcripts(spark, n_turns=900, n_convs=9, seed=17)
+    pdf = df.toPandas().sort_values("ts")
+    # sentinel far in the future so every session times out and fires
+    sent = pd.DataFrame(
+        [_tx("zz-sent", i, "user", f"s{i}", pdf["ts"].max() + pd.Timedelta(hours=3 + i)) for i in range(2)]
+    )
+    write_ordered_chunks([pdf.iloc[:450], pdf.iloc[450:], sent.iloc[:1], sent.iloc[1:]], src)
+
+    def run(tag: str):
+        out, ck = str(tmp_path / f"out{tag}"), str(tmp_path / f"ck{tag}")
+        sessions = st.session_reassembly_stage(
+            sp.read_transcript_stream(spark, src, max_files_per_trigger=1),
+            watermark="1 minute",
+        )
+        sink = IdempotentBatchSink(out)
+        q = (
+            sessions.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return out, ck, sink
+
+    out1, ck1, sink1 = run("1")
+    table1 = sink1.read(spark).toPandas().sort_values(["conv_id", "first_ts"]).reset_index(drop=True)
+    assert (table1.conv_id != "zz-sent").sum() > 0
+
+    # restart from the same checkpoint, no new files -> no new batch dirs
+    n_batches_before = len([d for d in os.listdir(out1) if d.startswith("batch_id=")])
+    run("1")
+    n_batches_after = len([d for d in os.listdir(out1) if d.startswith("batch_id=")])
+    assert n_batches_after == n_batches_before
+    again = sink1.read(spark).toPandas().sort_values(["conv_id", "first_ts"]).reset_index(drop=True)
+    assert again.equals(table1)
+
+    # from-scratch rerun -> bit-identical session table
+    _, _, sink2 = run("2")
+    table2 = sink2.read(spark).toPandas().sort_values(["conv_id", "first_ts"]).reset_index(drop=True)
+    assert table2.equals(table1)
+
+
 def test_metrics_listener_records_lineage(spark, tmp_path):
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
