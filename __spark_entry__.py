@@ -2262,11 +2262,13 @@ def oracle_sql() -> dict[str, str]:
     # embedded dictionary — the deletes index is an exact lookup accelerator,
     # so the brute-force SQL is the definitional oracle (ops/nlp.py docstring)
     _dict_vals = ",".join(f"('{w}')" for w in sorted(set(_nlp.SPELL_DICT)))
-    _gaz = "|".join(_nlp.GPE_GAZETTEER)
-    _ner_expr = rf"""regexp_replace(regexp_replace(regexp_replace(text,
-        '\b(Mr|Mrs|Ms|Dr|Prof)\.? [A-Z][a-z]+\b', '[PERSON]', 'g'),
-        '\b[A-Z][A-Za-z]+ (Inc|Corp|Ltd|LLC|Co)\b', '[ORG]', 'g'),
-        '\b({_gaz})\b', '[GPE]', 'g')"""
+    # NER chain rebuilt from the SAME ordered rule table the engine applies
+    # (nlp.ner_rules — 18 entity labels, first-match order is part of the
+    # contract)
+    _ner_expr = "text"
+    for _pat, _tag in _nlp.ner_rules():
+        _sql_pat = _pat.replace("'", "''")
+        _ner_expr = f"regexp_replace({_ner_expr}, '{_sql_pat}', '{_tag}', 'g')"
     o["refine_tokens_battery"] = f"""
         WITH dict(dw) AS (VALUES {_dict_vals}),
         tok AS (

@@ -15,11 +15,13 @@ All four close reference-parity gaps flagged in round 1:
     the deletes intersection is complete for damerau<=k). The DuckDB oracle
     runs the brute-force twin, so the equivalence is machine-checked.
   - Gazetteer/pattern NER stand-in for NERRefiner (ner_refiner.py:46,89-92 —
-    spaCy entities -> [LABEL] tags). Same stage shape + output contract,
-    entity coverage limited to patterns/gazetteer (documented).
-  - lang_id_v2: script detection (8 non-Latin scripts) + stopword-profile
-    argmax (7 Latin languages) — the fastText-class stand-in for
-    LanguageFilter (language_filter.py:61-65); 15 languages + 'und'. Pure JVM
+    spaCy entities -> [LABEL] tags). Same stage shape + output contract; all
+    18 reference entity labels covered by the ordered ner_rules() chain
+    (pattern-bound recall, not model-bound — the honest delta vs a trained
+    NER, documented).
+  - lang_id_v2: script detection (23 non-Latin scripts) + stopword-profile
+    argmax (19 Latin languages) — the fastText-class stand-in for
+    LanguageFilter (language_filter.py:61-65); 42 languages + 'und'. Pure JVM
     expressions, exactly replicated by the SQL oracle.
 """
 
@@ -328,16 +330,64 @@ GPE_GAZETTEER = (
 _PERSON_RE = r"\b(Mr|Mrs|Ms|Dr|Prof)\.? [A-Z][a-z]+\b"
 _ORG_RE = r"\b[A-Z][A-Za-z]+ (Inc|Corp|Ltd|LLC|Co)\b"
 
+_MONTHS = (
+    "January|February|March|April|May|June|July|August|September|October"
+    "|November|December"
+)
+
+
+def ner_rules() -> tuple[tuple[str, str], ...]:
+    """Ordered (pattern, tag) rules covering all 18 of the reference's
+    entity labels (ner_refiner.py:18-43) via RE2-safe patterns + gazetteers
+    — the model-free stand-in for spaCy en_core_web_sm, applied first-match
+    in this order on BOTH engines (the oracle chains the identical
+    replacements). ORDER MATTERS twice over: phrase/gazetteer rules run
+    before the numeric family (else [CARDINAL] eats the digits inside
+    'Article 5'), and within numerics the specific types (DATE/TIME/MONEY/
+    PERCENT/QUANTITY/ORDINAL) run before the CARDINAL catch-all. Breadth is
+    pattern-bound, not model-bound — documented as the honest delta vs a
+    trained NER."""
+    gaz = "|".join(GPE_GAZETTEER)
+    return (
+        (_PERSON_RE, "[PERSON]"),
+        (_ORG_RE, "[ORG]"),
+        (rf"\b({gaz})\b", "[GPE]"),
+        (r"https?://[^ ]+|www\.[^ ]+", "[URL]"),
+        (r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b", "[EMAIL]"),
+        (r"\bWorld War (II|I)\b|\bthe (Olympics|World Cup|Super Bowl)\b", "[EVENT]"),
+        (r"\b[A-Z][a-z]+ (Airport|Bridge|Stadium|Station|Tower|Dam)\b", "[FAC]"),
+        (r"\bMount [A-Z][a-z]+\b|\bthe [A-Z][a-z]+ (River|Desert|Valley)\b"
+         r"|\b(Pacific|Atlantic|Arctic) Ocean\b", "[LOC]"),
+        (r"\b(iPhone|iPad|Android|PlayStation|Xbox|Walkman|Kindle)\b", "[PRODUCT]"),
+        (r"\bthe [A-Z][a-z]+ (Act|Amendment|Treaty)\b|\bArticle \d+\b", "[LAW]"),
+        (r"\bthe (Mona Lisa|Odyssey|Iliad|Hamlet)\b", "[WORK_OF_ART]"),
+        (r"\b(English|Spanish|Mandarin|Hindi|Arabic|Portuguese|Bengali|Urdu"
+         r"|Swahili|Cantonese)\b", "[LANGUAGE]"),
+        (r"\b(American|Americans|British|Canadian|Australian|European"
+         r"|Europeans|Mexican|Brazilian|Democrats|Republicans|Christians"
+         r"|Muslims|Buddhist|Buddhists)\b", "[NORP]"),
+        (rf"\b({_MONTHS}) \d{{1,2}}(, \d{{4}})?\b|\b\d{{4}}-\d{{2}}-\d{{2}}\b"
+         r"|\b\d{1,2}/\d{1,2}/\d{2,4}\b", "[DATE]"),
+        (r"\b\d{1,2}:\d{2}(:\d{2})?( ?(am|pm|AM|PM))?\b", "[TIME]"),
+        (r"[$€£] ?\d[\d,]*(\.\d+)?( (million|billion|trillion))?"
+         r"|\b\d[\d,]*(\.\d+)? (dollars|euros|pounds|cents)\b", "[MONEY]"),
+        # no trailing \b after '%': boundary needs a word char on one side
+        (r"\b\d[\d,]*(\.\d+)? ?(%|percent\b)", "[PERCENT]"),
+        (r"\b\d[\d,]*(\.\d+)? ?(km|kg|kilometers|kilograms|miles|meters|tons"
+         r"|liters|gallons|acres)\b", "[QUANTITY]"),
+        (r"\b\d+(st|nd|rd|th)\b", "[ORDINAL]"),
+        (r"\b\d[\d,]*(\.\d+)?\b", "[CARDINAL]"),
+    )
+
 
 def ner_redact(df: DataFrame, col: str = "text") -> DataFrame:
     """NERRefiner stand-in (ner_refiner.py:89-92 output contract: entity
-    spans replaced by [LABEL] tags). PERSON/ORG via patterns, GPE via
-    gazetteer; pure JVM regexp chain (patterns are RE2-safe so the DuckDB
-    oracle runs them verbatim)."""
-    gaz = "|".join(GPE_GAZETTEER)
-    out = F.regexp_replace(F.col(col), _PERSON_RE, "[PERSON]")
-    out = F.regexp_replace(out, _ORG_RE, "[ORG]")
-    out = F.regexp_replace(out, rf"\b({gaz})\b", "[GPE]")
+    spans replaced by [LABEL] tags) — all 18 reference labels via the shared
+    ner_rules() chain; pure JVM regexps (RE2-safe, so the DuckDB oracle runs
+    the identical chain)."""
+    out = F.col(col)
+    for pat, tag in ner_rules():
+        out = F.regexp_replace(out, pat, tag)
     return df.withColumn(col, out)
 
 
@@ -346,7 +396,9 @@ def ner_redact(df: DataFrame, col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # 12 distinctive stopwords per Latin-script language. Ties break by dict
-# order (en first); zero hits -> 'und'.
+# order (en first, then round-2's original seven, then the round-3 breadth
+# additions — appending preserves every earlier tie decision); zero hits ->
+# 'und'.
 LATIN_PROFILES: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "is", "in", "it", "that", "for", "with", "was", "this"),
     "es": ("el", "la", "los", "las", "una", "que", "por", "con", "para", "es", "del", "como"),
@@ -355,6 +407,18 @@ LATIN_PROFILES: dict[str, tuple[str, ...]] = {
     "it": ("il", "gli", "che", "di", "per", "con", "sono", "nel", "anche", "della", "più", "non"),
     "pt": ("o", "os", "as", "um", "uma", "não", "com", "para", "por", "mais", "como", "dos"),
     "nl": ("de", "het", "een", "van", "en", "dat", "niet", "met", "voor", "zijn", "op", "ook"),
+    "sv": ("och", "att", "det", "som", "är", "på", "inte", "jag", "har", "till", "av", "för"),
+    "da": ("og", "jeg", "det", "at", "til", "ikke", "har", "der", "så", "kan", "men", "hvad"),
+    "no": ("og", "jeg", "det", "ikke", "som", "på", "han", "har", "med", "til", "så", "være"),
+    "fi": ("ja", "on", "ei", "että", "hän", "oli", "mutta", "niin", "kun", "se", "ole", "vain"),
+    "pl": ("nie", "się", "jest", "jak", "ale", "czy", "tak", "już", "tym", "bardzo", "może", "jego"),
+    "cs": ("je", "se", "na", "to", "že", "ale", "jako", "jsem", "tak", "už", "jsou", "byl"),
+    "ro": ("și", "este", "nu", "care", "mai", "din", "sunt", "pentru", "dar", "dacă", "fost", "într"),
+    "hu": ("és", "hogy", "nem", "egy", "az", "volt", "csak", "van", "már", "meg", "még", "mint"),
+    "tr": ("bir", "ve", "bu", "için", "ben", "ama", "gibi", "çok", "daha", "değil", "var", "ile"),
+    "id": ("yang", "dan", "ini", "itu", "dengan", "tidak", "untuk", "dari", "akan", "saya", "ada", "juga"),
+    "vi": ("của", "và", "là", "có", "không", "trong", "được", "người", "những", "một", "cho", "đã"),
+    "ca": ("els", "amb", "què", "més", "però", "aquest", "com", "ha", "són", "seva", "una", "dels"),
 }
 
 # script ranges (first-match wins, checked before Latin profiles)
@@ -367,14 +431,31 @@ SCRIPT_RANGES: tuple[tuple[str, str, str], ...] = (
     ("he", "֐", "׿"),  # hebrew
     ("ar", "؀", "ۿ"),  # arabic
     ("hi", "ऀ", "ॿ"),  # devanagari
+    # round-3 breadth: one range per script with a single dominant language
+    # (the fastText-176 classes a codepoint range can stand in for)
+    ("bn", "ঀ", "৿"),  # bengali
+    ("pa", "਀", "੿"),  # gurmukhi
+    ("gu", "઀", "૿"),  # gujarati
+    ("ta", "஀", "௿"),  # tamil
+    ("te", "ఀ", "౿"),  # telugu
+    ("kn", "ಀ", "೿"),  # kannada
+    ("ml", "ഀ", "ൿ"),  # malayalam
+    ("si", "඀", "෿"),  # sinhala
+    ("th", "฀", "๿"),  # thai
+    ("lo", "຀", "໿"),  # lao
+    ("my", "က", "႟"),  # myanmar
+    ("ka", "Ⴀ", "ჿ"),  # georgian
+    ("am", "ሀ", "፿"),  # ethiopic (amharic)
+    ("km", "ក", "៿"),  # khmer
+    ("hy", "԰", "֏"),  # armenian
 )
 
 
 def lang_id_v2(col: Column) -> Column:
     """fastText-class stand-in (LanguageFilter, language_filter.py:61-65):
-    8 scripts by codepoint presence (first match in SCRIPT_RANGES order),
-    else stopword-profile argmax over 7 Latin languages (ties -> profile
-    order), else 'und'. 15 languages + und, pure JVM expressions; the SQL
+    23 scripts by codepoint presence (first match in SCRIPT_RANGES order),
+    else stopword-profile argmax over 19 Latin languages (ties -> profile
+    order), else 'und'. 42 languages + und, pure JVM expressions; the SQL
     oracle replicates rule-for-rule."""
     ws = F.split(F.trim(F.lower(col)), r"\s+")
 

@@ -192,3 +192,79 @@ class OpenAICompatServing(ServingBackend):
             for idx, emb in ex.map(one, items):
                 out[idx] = emb
         return out
+
+
+class LocalEngineServing(OpenAICompatServing):
+    """Local inference-engine boundary (SURVEY.md §2.8; reference:
+    serving/local_model_llm_serving.py:11 wraps an in-process vLLM/SGLang
+    engine). On Spark the engine lives BESIDE the executor as a server
+    process — one per node, shared by that node's python workers — because a
+    multi-GB model must not be instantiated once per worker process. This
+    class owns that lifecycle: launch the server command, poll until it
+    answers, serve through the same OpenAI-compatible HTTP client, terminate
+    on close.
+
+    `cmd` is any command that exposes /v1/chat/completions on `port`:
+      - vLLM:      ["python", "-m", "vllm.entrypoints.openai.api_server",
+                    "--model", <hf-id>, "--port", str(port)]
+      - SGLang:    ["python", "-m", "sglang.launch_server", ...]
+      - llama.cpp: ["llama-server", "-m", <gguf>, "--port", str(port)]
+    No GPU or engine binary exists in this sandbox, so tests drive the
+    lifecycle with a stub server command (tools/stub_openai_server.py);
+    swapping in a real engine changes only `cmd` — the constructor-swap
+    boundary the reference uses.
+    """
+
+    def __init__(
+        self,
+        cmd: list[str],
+        port: int,
+        model_name: str = "local",
+        host: str = "127.0.0.1",
+        startup_timeout_s: float = 120.0,
+        **kw,
+    ):
+        import subprocess
+
+        super().__init__(
+            api_url=f"http://{host}:{port}/v1/chat/completions",
+            model_name=model_name,
+            **kw,
+        )
+        self._proc = subprocess.Popen(
+            cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+        )
+        self._wait_ready(host, port, startup_timeout_s)
+
+    def _wait_ready(self, host: str, port: int, timeout_s: float) -> None:
+        """Poll the TCP port until the server accepts connections (engine
+        startup = model load; vLLM takes minutes on big checkpoints)."""
+        import socket
+
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            if self._proc.poll() is not None:
+                raise RuntimeError(
+                    f"local engine exited during startup (rc={self._proc.returncode})"
+                )
+            try:
+                with socket.create_connection((host, port), timeout=1.0):
+                    return
+            except OSError:
+                time.sleep(0.2)
+        self.close()
+        raise TimeoutError(f"local engine not ready after {timeout_s}s")
+
+    def close(self) -> None:
+        if self._proc.poll() is None:
+            self._proc.terminate()
+            try:
+                self._proc.wait(timeout=10)
+            except Exception:
+                self._proc.kill()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

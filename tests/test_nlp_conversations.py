@@ -128,6 +128,81 @@ def test_lang_id_v2_multilingual_fixture(spark):
     assert got == want
 
 
+def test_ner_redact_covers_18_entity_labels(spark):
+    """Round-3 breadth: the pattern chain tags every entity label the
+    reference's spaCy NERRefiner masks (ner_refiner.py:18-43)."""
+    cases = [
+        ("call Dr. Smith today", "[PERSON]"),
+        ("works at Acme Corp now", "[ORG]"),
+        ("see https://example.com/x page", "[URL]"),
+        ("mail me at a.b@example.org please", "[EMAIL]"),
+        ("during World War II battles", "[EVENT]"),
+        ("near Heathrow Airport gates", "[FAC]"),
+        ("climbing Mount Everest slowly", "[LOC]"),
+        ("bought an iPhone yesterday", "[PRODUCT]"),
+        ("under the Privacy Act rules", "[LAW]"),
+        ("saw the Mona Lisa there", "[WORK_OF_ART]"),
+        ("speaks Mandarin fluently", "[LANGUAGE]"),
+        ("many Americans agree", "[NORP]"),
+        ("on January 5, 2024 we met", "[DATE]"),
+        ("at 12:30 pm sharp", "[TIME]"),
+        ("costs $5,000 total", "[MONEY]"),
+        ("grew 12% this year", "[PERCENT]"),
+        ("ran 10 km uphill", "[QUANTITY]"),
+        ("finished 3rd overall", "[ORDINAL]"),
+        ("counted 42 sheep", "[CARDINAL]"),
+        ("visited Paris in spring", "[GPE]"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)], "id: long, text: string")
+    got = {r["id"]: r["text"] for r in nlp.ner_redact(df).collect()}
+    for i, (_, tag) in enumerate(cases):
+        assert tag in got[i], (cases[i][0], got[i])
+
+
+def test_lang_id_v2_breadth_42_languages(spark):
+    """Round-3 breadth: every script range and Latin profile detects a
+    canonical sample of its language (the fastText-176 stand-in now covers
+    42 languages + und)."""
+    samples = {
+        # script-range languages
+        "ja": "こんにちは世界のみなさん", "ko": "안녕하세요 세계", "zh": "你好世界朋友们",
+        "ru": "привет мир как дела", "el": "γεια σου κόσμε", "he": "שלום עולם",
+        "ar": "مرحبا بالعالم", "hi": "नमस्ते दुनिया", "bn": "আমি বাংলায় কথা বলি",
+        "pa": "ਸਤ ਸ੍ਰੀ ਅਕਾਲ ਜੀ", "gu": "નમસ્તે દુનિયા", "ta": "வணக்கம் உலகம்",
+        "te": "నమస్తే ప్రపంచం", "kn": "ನಮಸ್ಕಾರ ಜಗತ್ತು", "ml": "നമസ്കാരം ലോകം",
+        "si": "ආයුබෝවන් ලෝකය", "th": "สวัสดีชาวโลก", "lo": "ສະບາຍດີ",
+        "my": "မင်္ဂလာပါ", "ka": "გამარჯობა მსოფლიო", "am": "ሰላም ለዓለም",
+        "km": "សួស្តីពិភពលោក", "hy": "բարեւ աշխարհ",
+        # latin-profile languages
+        "en": "the cat and the dog went to the house for the day",
+        "es": "el gato y la casa una historia que es del dia",
+        "fr": "le chat est dans la maison avec les amis pour une histoire",
+        "de": "der hund und die katze auf dem tisch das ist nicht gut",
+        "it": "il gatto che corre per la strada con gli amici non sono qui",
+        "pt": "o gato não quer um banho com mais água para os outros",
+        "nl": "de kat en het huis van een man die niet met ons gaat",
+        "sv": "och det är inte jag som har varit på väg till skolan för",
+        "da": "og jeg har ikke set det der kan komme til byen så hurtigt men",
+        "no": "og jeg har ikke vært på skolen han skal være med til byen så",
+        "fi": "ja hän on ollut niin hyvä että ei ole mutta kun se oli vain",
+        "pl": "nie wiem czy to jest tak bardzo dobre ale może już jego czas",
+        "cs": "to je na stole ale už jsem tak unaven že jsou byl jako doma",
+        "ro": "și nu este care mai din sunt pentru dar dacă a fost bine",
+        "hu": "és nem hogy egy az volt csak van már meg még mint tegnap",
+        "tr": "bir ve bu için ben ama gibi çok daha değil var ile geldi",
+        "id": "yang dan ini itu dengan tidak untuk dari akan saya ada juga",
+        "vi": "của và là có không trong được người những một cho đã hôm nay",
+        "ca": "els amb què més però aquest com ha són la seva una dels dies",
+    }
+    rows = [(lang, text) for lang, text in samples.items()]
+    df = spark.createDataFrame(rows, "lang: string, text: string")
+    got = {r["lang"]: r["pred"] for r in
+           df.select("lang", nlp.lang_id_v2(F.col("text")).alias("pred")).collect()}
+    wrong = {k: v for k, v in got.items() if v != k}
+    assert not wrong, wrong
+    assert df.select(nlp.lang_id_v2(F.lit("12345 !!!")).alias("p")).first()["p"] == "und"
+
+
 def test_eval_accuracy_richer_model_on_multilingual_fixture(spark):
     """VERDICT item 10: accuracy evaluation runs green with lang_id_v2 on a
     fixture where ground truth is known — 16/16 here."""

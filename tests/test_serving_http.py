@@ -220,6 +220,43 @@ def test_embeddings_endpoint(fake_server):
     assert embs[0] == pytest.approx(want)
 
 
+def test_local_engine_lifecycle(tmp_path):
+    """LocalEngineServing owns the engine-server lifecycle: launch the
+    command, poll until ready, serve, terminate on close. The command here is
+    the stub server; a real deployment swaps in the vLLM/SGLang/llama.cpp
+    launch line (constructor-swap boundary, local_model_llm_serving.py:11)."""
+    import socket
+    import sys
+
+    import pandas as pd
+
+    from dataflow_spark.serving import LocalEngineServing
+
+    with socket.socket() as s:  # pick a free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    cmd = [sys.executable, "tools/stub_openai_server.py", "--port", str(port)]
+    with LocalEngineServing(cmd, port, startup_timeout_s=30, backoff_base_s=0.01) as be:
+        out = be.generate(pd.Series(["alpha", "beta"]))
+        assert list(out) == [
+            "local-" + hashlib.md5(b"alpha").hexdigest()[:8],
+            "local-" + hashlib.md5(b"beta").hexdigest()[:8],
+        ]
+        proc = be._proc
+        assert proc.poll() is None  # engine alive while serving
+    assert proc.poll() is not None  # terminated on close
+
+
+def test_local_engine_startup_failure_raises():
+    import sys
+
+    from dataflow_spark.serving import LocalEngineServing
+
+    with pytest.raises(RuntimeError, match="exited during startup"):
+        LocalEngineServing([sys.executable, "-c", "import sys; sys.exit(3)"],
+                           port=1, startup_timeout_s=10)
+
+
 def test_spark_prompted_stage_with_http_backend(fake_server, spark):
     """The real integration: OpenAICompatServing inside the iterator-UDF
     prompted stage (ops/prompted.prompted_generate)."""

@@ -1,0 +1,45 @@
+"""Minimal OpenAI-compatible stub server for LocalEngineServing lifecycle
+tests (the sandbox's stand-in for a vLLM/SGLang/llama.cpp server command).
+
+Responds to POST /v1/chat/completions with a deterministic echo keyed by
+md5(last user message) — the same convention as the test-suite's in-process
+fake, so responses are assertable.
+
+Usage: python tools/stub_openai_server.py --port 8123
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # silence
+        pass
+
+    def do_POST(self):
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        user = body["messages"][-1]["content"]
+        h = hashlib.md5(user.encode()).hexdigest()[:8]
+        payload = json.dumps(
+            {"choices": [{"message": {"role": "assistant", "content": f"local-{h}"}}]}
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, required=True)
+    args = ap.parse_args()
+    ThreadingHTTPServer(("127.0.0.1", args.port), Handler).serve_forever()
+
+
+if __name__ == "__main__":
+    main()
