@@ -267,10 +267,21 @@ def dedup_minhash_lsh(
     # dedup runs FIRST in the pipeline (dup rate ~5%, survivors ~95%).
     stats = banded.groupBy("__b").agg(F.min("__w").alias("__min"), F.count("*").alias("__n"))
     multi = stats.filter(F.col("__n") > 1).select("__b", "__min")
+    # losers carry an 8-byte xxhash64 of the order key, not the ~50B struct:
+    # the distinct shuffles longs, the broadcast relation is ~6x smaller
+    # (3.9M losers: ~31MB vs ~200MB), and the SERIAL driver collect +
+    # hashed-relation build + ship — the fixed per-pass cost that binds the
+    # N->4N scaling once parallel work shrinks (round-3 forensics) — shrinks
+    # with it. Collision bound: a survivor is falsely dropped only if its
+    # key-hash equals some loser's — expected false drops =
+    # n_rows*n_losers/2^64 (~1e-6 on the 4M-turn fixture; ~5e3 at a
+    # 10^12-row corpus, where near-dup LSH dedup is already probabilistic by
+    # construction — the reference's datasketch MinHash accepts the same
+    # class of error).
     losers = (
         banded.join(multi, "__b")
         .filter(F.col("__w") != F.col("__min"))
-        .select("__w")
+        .select(F.xxhash64("__w").alias("__wh"))
         .distinct()
     )
     # ADAPTIVE recovery join — the loser set is ~dup_rate * N, and dup rate is
@@ -285,22 +296,24 @@ def dedup_minhash_lsh(
     # pattern Spark's own range partitioner uses for sort) and pick the side
     # explicitly:
     #   - loser set fits executor memory: broadcast anti join — the cached
-    #     signature relation (FULL PAYLOAD) streams with ZERO shuffle. Keys
-    #     are ~50B/row, so the default 8M cap is a ~400MB hashed relation:
-    #     comfortable in an 8GB executor's pool, and the single biggest
-    #     scaling lever — the payload shuffle it replaces is the memory-bus-
-    #     bound phase that capped N->4N efficiency at 0.76 (measured; the
-    #     earlier 1M cap pushed the x40-replicated fixture's 3.9M losers onto
-    #     the shuffle path). Size the cap to executor memory on real clusters.
+    #     signature relation (FULL PAYLOAD) streams with ZERO shuffle. Loser
+    #     keys are 8B xxhash64 values (see above), so the default 8M cap is a
+    #     ~64MB hashed relation: comfortable in any executor pool, and the
+    #     single biggest scaling lever — the payload shuffle it replaces is
+    #     the memory-bus-bound phase that capped N->4N efficiency at 0.76
+    #     (measured round 2; the earlier 1M cap pushed the x40 fixture's
+    #     3.9M losers onto the shuffle path). Size the cap to executor memory
+    #     on real clusters.
     #   - larger loser set: shuffled-hash anti join — both sides shuffle on
-    #     the order key, per-task build maps stay ~|losers|/partitions, no
+    #     the key hash, per-task build maps stay ~|losers|/partitions, no
     #     single map ever holds the full set.
     losers = losers.persist(sig_storage) if sig_storage is not None else losers.persist()
     n_losers = losers.count()
+    keyed = sigd.withColumn("__wh", F.xxhash64("__w"))
     if n_losers <= max_broadcast_losers:
-        out = sigd.join(F.broadcast(losers), ["__w"], "left_anti")
+        out = keyed.join(F.broadcast(losers), ["__wh"], "left_anti")
     else:
-        out = sigd.join(losers.hint("shuffle_hash"), ["__w"], "left_anti")
+        out = keyed.join(losers.hint("shuffle_hash"), ["__wh"], "left_anti")
     out = out.select(*[F.col(f"__w.{c}").alias(c) for c in order_cols], *payload)
     out.minhash_sig_cache = sigd  # see docstring: unpersist after consumption
     out.minhash_losers_cache = losers  # unpersist with the sig cache

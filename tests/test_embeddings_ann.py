@@ -76,6 +76,37 @@ def test_ivf_recall_against_brute_force(vecs):
             assert r["sim"] == pytest.approx(exact_sims[key], abs=1e-9)
 
 
+def test_two_level_assignment_agrees_with_flat():
+    """2-level coarse quantizer (numpy kernel): probing 4 of 16 super-cells
+    must contain the true nearest cell for the vast majority of points."""
+    rng = np.random.RandomState(3)
+    C = rng.randn(256, 8)
+    X = rng.randn(500, 8)
+    S, members = embeddings._two_level_index(C, 16, seed=0)
+    assert sum(len(m) for m in members) == 256  # partition of the cells
+    flat = ((C * C).sum(1)[None, :] - 2 * X @ C.T).argmin(1)
+    Ds = (S * S).sum(1)[None, :] - 2 * X @ S.T
+    Ds[:, np.array([len(m) == 0 for m in members])] = np.inf
+    top = np.argsort(Ds, 1)[:, :4]
+    hit = sum(
+        flat[i] in np.concatenate([members[s] for s in top[i]]) for i in range(len(X))
+    )
+    assert hit / len(X) >= 0.8, hit / len(X)
+
+
+def test_ivf_two_level_recall_against_brute_force(vecs):
+    e, _ = vecs
+    qs = e.limit(10)
+    exact = embeddings.brute_force_topk(e, qs, k=5)
+    approx = embeddings.ivf_topk(
+        e, qs, k=5, n_cells=64, n_probe=8, two_level=True, n_super_probe=4
+    )
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"recall={recall}"
+
+
 def test_ivf_quantizer_is_one_arrow_stage_at_1024_cells(spark):
     """The quantizer must be a single Arrow-batched matmul stage whose plan
     size is independent of n_cells — the old expression form emitted one
@@ -146,6 +177,28 @@ def test_dataset_diversity_sampled_is_deterministic(spark):
     assert a == b  # md5 sample is deterministic, not RNG-dependent
     assert a["n_pairs"] < full["n_pairs"]
     assert abs(a["avg_sim"] - full["avg_sim"]) < 0.05  # unbiased estimator, tight at this n
+
+
+def test_vendi_score_orthogonal_repeats_property(spark):
+    """Vendi's defining property: m mutually orthogonal vectors, each
+    repeated r times, score exactly m — regardless of r."""
+    m, r = 6, 20
+    rows = []
+    for i in range(m):
+        v = [0.0] * m
+        v[i] = 1.0
+        rows += [(i * r + j, v) for j in range(r)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = embeddings.vendi_score(df, sample_target=10_000).collect()[0]
+    assert got["n_sampled"] == m * r
+    assert got["vendi_score"] == pytest.approx(m, abs=1e-6)
+    # identical vectors collapse to 1
+    one = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(50)], "vec_id: long, embedding: array<double>"
+    )
+    assert embeddings.vendi_score(one, sample_target=10_000).collect()[0][
+        "vendi_score"
+    ] == pytest.approx(1.0, abs=1e-6)
 
 
 def test_sized_sample_bounded_at_1e6_rows():
