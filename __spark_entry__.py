@@ -249,11 +249,18 @@ def q_embed_kcenter(spark, sf):
 
 
 def q_embed_ivf_topk(spark, sf):
-    """IVF ANN (KMeans coarse quantizer, n_probe cells) — approximate by
-    design, no SQL oracle; recall vs brute force asserted in tests."""
+    """IVF ANN (KMeans coarse quantizer, cell equi-join, per-cell scoring) in
+    the EXHAUSTIVE-PROBE regime: n_probe = n_cells makes candidate generation
+    provably cover the whole corpus (each corpus row lives in exactly one
+    cell; the query probes every cell once), so the full IVF topology —
+    quantizer matmul, cell assignment, equi-join, cosine scoring, top-k
+    window — is value-checked against the exact brute-force SQL oracle (the
+    planted-regime trick from the LSH dedup queries). Pruned-probe recall
+    (the approximate regime, n_probe << n_cells) stays golden-tested in
+    tests/test_embeddings_ann.py."""
     e = load_table(spark, sf, "embeddings")
     qs = e.filter(F.col("vec_id") < 3)
-    return embeddings.ivf_topk(e, qs, k=5)
+    return embeddings.ivf_topk(e, qs, k=5, n_cells=32, n_probe=32, two_level=False)
 
 
 def _planted_dup_transcripts(spark, sf):
@@ -557,7 +564,7 @@ def q_docs_lexical(spark, sf):
     from dataflow_spark.ops import nlp
 
     d = load_table(spark, sf, "documents")
-    lex = lexical.with_lexical_diversity(d).select("doc_id", "hdd")
+    lex = lexical.with_lexical_diversity(d, columns=("hdd",)).select("doc_id", "hdd")
     porter = nlp.porter_stem_refiner(d.select("doc_id", "text")).select(
         "doc_id", F.col("text").alias("porter_stemmed")
     )
@@ -1759,6 +1766,10 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 5
     """
 
+    # exhaustive-probe IVF (n_probe = n_cells) covers the full corpus, so the
+    # exact brute-force SQL is a true oracle for the IVF topology
+    o["embed_ivf_topk"] = o["embed_topk"]
+
     # planted near-dup table (the _embeddings_with_planted twin): every 10th
     # row copied with vec_id+1e6 and component 0 shifted +0.2 (cos ~0.98)
     _aug = """
@@ -1959,9 +1970,16 @@ def oracle_sql() -> dict[str, str]:
     _pcase = "CASE w " + " ".join(
         f"WHEN '{w}' THEN '{_pstem(w)}'" for w in _pvocab
     ) + " ELSE w END"
+    # tokenization mirrors the Python kernel's str.split() EXACTLY: list_filter
+    # drops the '' artifacts regexp_split leaves at whitespace edges (DuckDB
+    # trim strips only spaces, Python strip() all whitespace — filtering empties
+    # makes both conventions converge), and a token-less doc keeps its engine
+    # row with hdd = 0.0 (the kernel's n == 0 branch) via the LEFT JOIN
     o["docs_lexical"] = f"""
         WITH toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS ws,
+                 list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS raw_ws
           FROM documents
         ), cnt AS (
           SELECT doc_id, n, w, count(*) AS c FROM (
@@ -1974,11 +1992,16 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0.0 END) / least(42, n)), 6) AS hdd
           FROM cnt GROUP BY doc_id
         ), p AS (
+          -- the kernel stems only tokens that are already lowercase alpha
+          -- (ops/nlp.py:190) and passes everything else through verbatim
           SELECT doc_id,
-                 array_to_string(list_transform(ws, w -> {_pcase}), ' ') AS porter_stemmed
+                 array_to_string(list_transform(raw_ws,
+                   w -> CASE WHEN regexp_matches(w, '^[a-z]+$') THEN {_pcase} ELSE w END),
+                   ' ') AS porter_stemmed
           FROM toks
         )
-        SELECT h.doc_id, h.hdd, p.porter_stemmed FROM h JOIN p USING (doc_id)
+        SELECT p.doc_id, coalesce(h.hdd, 0.0) AS hdd, p.porter_stemmed
+        FROM p LEFT JOIN h USING (doc_id)
     """
 
     o["docs_chunks"] = """
@@ -2503,7 +2526,11 @@ def oracle_sql() -> dict[str, str]:
     o["mlp_score"] = f"""
         WITH wt AS (SELECT * FROM (VALUES {_wvals}) AS t(bucket, w)),
         tok AS (
-          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+          -- trim the kernel's exact strip set (Python str.strip whitespace:
+          -- space \\t \\n \\r \\f \\v — DuckDB's bare trim() strips spaces only)
+          SELECT doc_id, unnest(regexp_split_to_array(
+                   trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)),
+                   '\\s+')) AS tok
           FROM documents
         ), feat AS (
           SELECT doc_id, avg(w) AS mw

