@@ -156,3 +156,35 @@ def read_dataset(spark: SparkSession, uri: str, schema: StructType | None = None
     if local.endswith(".csv"):
         return read_any(spark, local, "csv", schema)
     raise ValueError(f"cannot sniff dataset format for {uri!r}")
+
+
+def save_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """TRUE Spark bucketing (bucketBy + saveAsTable): rows are hash-placed
+    into n_buckets files per partition BY THE STORAGE LAYER, and the catalog
+    records the bucket spec. A join or aggregation keyed on bucket_cols
+    between tables bucketed the same way then needs NO Exchange — the single
+    biggest shuffle eliminator for repeated big-to-big joins (e.g. turns ⋈
+    conversations on conv_id at 100 TB, re-joined by every pipeline run).
+
+    Directory-level bucketing (streaming/sink.write_bucketed) prunes SCANS;
+    this prunes SHUFFLES. On a lakehouse this maps to Iceberg's
+    `PARTITIONED BY (bucket(N, col))` with storage-partitioned joins.
+    sort_cols additionally pre-sorts within buckets (sort-merge join reads
+    presorted runs)."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read — bucket spec (and thus shuffle-free join planning) only
+    survives through the catalog, not a raw path read."""
+    return spark.table(table)

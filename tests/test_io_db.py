@@ -115,3 +115,37 @@ def test_sql_execution_classifier_and_filter(spark, sf_dir):
     assert got[3][1] and got[4][1]
     kept = {r["qid"] for r in sql_execution_filter(df, "sql", schema).collect()}
     assert kept == {1, 2}
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """save_bucketed_table must eliminate the shuffle from a co-bucketed
+    equi-join: both sides bucketed on the join key -> the physical plan has
+    ZERO Exchange nodes (vs 2 for plain parquet). This is the storage-level
+    co-location lever for repeated big-to-big joins at 100 TB."""
+    from dataflow_spark import io as dio
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        dio.save_bucketed_table(a, "bt_a", ["k"], n_buckets=8, sort_cols=["k"])
+        dio.save_bucketed_table(b, "bt_b", ["k"], n_buckets=8, sort_cols=["k"])
+        joined = dio.read_table(spark, "bt_a").join(dio.read_table(spark, "bt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+        # control: the same join over plain parquet shuffles both sides
+        a.write.mode("overwrite").parquet(str(tmp_path / "pa"))
+        b.write.mode("overwrite").parquet(str(tmp_path / "pb"))
+        pj = spark.read.parquet(str(tmp_path / "pa")).join(
+            spark.read.parquet(str(tmp_path / "pb")), "k"
+        )
+        assert "Exchange" in pj._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
