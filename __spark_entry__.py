@@ -243,7 +243,10 @@ def q_embed_neardup(spark, sf):
 
 def q_embed_kcenter(spark, sf):
     """K-center-greedy coreset (kcentergreedy_filter.py analog) — sequential
-    selection, no SQL oracle; golden-tested vs the numpy twin."""
+    in k, but k=16 is a constant, so the oracle unrolls the farthest-first
+    traversal into 16 SQL stages (min-id seed, argmax-of-min-distance picks,
+    min-id tie-break). The kernel itself is also golden-tested vs the numpy
+    twin in tests/test_embeddings_ann.py."""
     e = load_table(spark, sf, "embeddings")
     return embeddings.kcenter_greedy(e, 16).select("vec_id", "pick_order")
 
@@ -781,8 +784,10 @@ def q_consistent_chat(spark, sf):
 def q_multiturn_gen(spark, sf):
     """MultiTurnConversationGenerator analog (func_call_operators.py:505-572):
     3-agent stub loop with <func_call>/<final> detection, keep-completed.
-    No SQL oracle (the round-chained state makes the closed form recursive);
-    golden-tested against a pure-python twin in tests/test_nlp_conversations."""
+    Exactly oracle-checked: the stub's md5 chain is finite (<=5 rounds), so
+    the oracle unrolls the loop into one list_transform per task; the loop
+    machinery itself is additionally golden-tested against a pure-python twin
+    in tests/test_nlp_conversations."""
     from dataflow_spark.ops import conversations as cv
 
     tasks = spark.range(60).select(
@@ -1792,6 +1797,37 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT vec_id FROM ({_aug}) WHERE vec_id NOT IN (SELECT id_b FROM ({o['embed_neardup']}))"
     )
 
+    # k-center greedy unrolled: the selection is sequential in k, but k=16 is
+    # a compile-time constant, so the whole farthest-first traversal unrolls
+    # into 16 CTE stages — c0 = min-id seed; d_i = running min euclidean
+    # distance to the chosen set; c_i = argmax(dmin) with min-id tie-break
+    # (the same rule both engine paths use). MATERIALIZED pins each stage so
+    # the doubly-referenced d_i chain doesn't inline exponentially.
+    _kc_dist = (
+        "sqrt(list_sum(list_transform(list_zip(embedding, (SELECT embedding FROM {c})), "
+        "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))))"
+    )
+    _kc_ctes = [
+        "c0 AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1)",
+        f"d1 AS MATERIALIZED (SELECT vec_id, embedding, {_kc_dist.format(c='c0')} AS dmin FROM embeddings)",
+    ]
+    for _i in range(1, 16):
+        _kc_ctes.append(
+            f"c{_i} AS MATERIALIZED (SELECT vec_id, embedding FROM d{_i} "
+            f"ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        if _i < 15:
+            _kc_ctes.append(
+                f"d{_i + 1} AS MATERIALIZED (SELECT vec_id, embedding, "
+                f"least(dmin, {_kc_dist.format(c=f'c{_i}')}) AS dmin FROM d{_i})"
+            )
+    o["embed_kcenter"] = (
+        "WITH " + ",\n".join(_kc_ctes) + "\n"
+        + " UNION ALL ".join(
+            f"SELECT vec_id, CAST({_i} AS BIGINT) AS pick_order FROM c{_i}" for _i in range(16)
+        )
+    )
+
     _sql_punct = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]""".replace("'", "''")
     _strip_expr = f"""trim(regexp_replace(
           regexp_replace(
@@ -2623,6 +2659,42 @@ def oracle_sql() -> dict[str, str]:
              'user: ' || turns[CAST(i+1 AS INT)] || chr(10) || 'assistant: ans-' ||
              substr(md5(turns[CAST(i+1 AS INT)]),1,8)), chr(10)) AS convo_rendered
         FROM rr WHERE n_resp > 0
+    """
+
+    # multiturn_gen: the 3-agent loop is driver-side control flow, but every
+    # turn is pure md5 arithmetic on the prompt (StubAgentServing), so the
+    # whole <=5-round chain unrolls into one list_transform over
+    # range(1, rstar+1): the assistant finishes at rstar = 1 + md5(task)%6,
+    # emitting <func_call>/tool pairs before and <final> at rstar; dialogs
+    # with rstar = 6 never complete and are dropped (keep-completed,
+    # func_call_operators.py:570).
+    o["multiturn_gen"] = """
+        WITH tasks AS (
+          SELECT CAST(i AS BIGINT) AS task_id, 'task-' || i AS task
+          FROM range(0, 60) t(i)),
+        t AS (
+          SELECT task_id, task,
+                 1 + ('0x' || substr(md5(task),1,2))::int % 6 AS rstar
+          FROM tasks),
+        r AS (
+          SELECT task_id, task, rstar,
+            list_transform(range(1, rstar + 1), r -> CASE WHEN r = rstar THEN
+                'assistant: <final>done-' ||
+                substr(md5('ASSISTANT-AGENT ' || task || ' @round ' || r),1,6)
+                || '</final>'
+              ELSE
+                'assistant: <func_call>f_' ||
+                substr(md5('ASSISTANT-AGENT ' || task || ' @round ' || r),1,6)
+                || '(' || r || ')</func_call>' || chr(10) || 'tool: result-' ||
+                substr(md5('TOOL-AGENT <func_call>f_' ||
+                  substr(md5('ASSISTANT-AGENT ' || task || ' @round ' || r),1,6)
+                  || '(' || r || ')</func_call>'),1,6)
+              END) AS turns
+          FROM t WHERE rstar <= 5)
+        SELECT task_id, CAST(rstar AS BIGINT) AS n_rounds,
+               'user: do ' || task || chr(10) ||
+               array_to_string(turns, chr(10)) AS convo_rendered
+        FROM r
     """
 
     # -- battery twins: wrap each member oracle with the IDENTICAL projection

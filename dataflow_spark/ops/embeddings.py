@@ -96,7 +96,14 @@ def kcenter_greedy(
         chosen = [first]
         dmin = np.linalg.norm(X - X[first], axis=1)
         for _ in range(1, min(k, len(ids))):
-            nxt = int(dmin.argmax())
+            # argmax with min-id tie-break (same rule as the distributed
+            # path's ORDER BY dmin DESC, id): np.argmax alone would break
+            # ties by pandas row position, which toPandas does not pin —
+            # the only realistic ties are duplicate embeddings, but the
+            # pick must not depend on partition order (and the SQL oracle
+            # replays exactly this rule)
+            cand = np.flatnonzero(dmin == dmin.max())
+            nxt = int(cand[ids[cand].argmin()])
             chosen.append(nxt)
             dmin = np.minimum(dmin, np.linalg.norm(X - X[nxt], axis=1))
         spark = df.sparkSession

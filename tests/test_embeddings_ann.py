@@ -25,7 +25,8 @@ def _greedy_twin(pdf, k):
     chosen = [first]
     dmin = np.linalg.norm(X - X[first], axis=1)
     for _ in range(1, k):
-        nxt = int(dmin.argmax())
+        cand = np.flatnonzero(dmin == dmin.max())
+        nxt = int(cand[ids[cand].argmin()])
         chosen.append(nxt)
         dmin = np.minimum(dmin, np.linalg.norm(X - X[nxt], axis=1))
     return [int(ids[i]) for i in chosen]
