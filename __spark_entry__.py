@@ -183,12 +183,14 @@ def q_docs_quality(spark, sf):
     models (3-lang heuristic + the 15-language script/profile model), and an
     md5-based 16-hex content fingerprint (engine-internal fingerprints use
     xxhash64 — quality.fingerprint64 — this md5 variant is the cross-engine
-    value-checkable twin)."""
+    value-checkable twin), and the winnowing rolling-hash fingerprint
+    (Schleimer et al. 2003; integer-exact, comma-rendered)."""
     from dataflow_spark.ops import nlp
 
     d = load_table(spark, sf, "documents")
     c = F.col("text")
     norm = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    fp = quality.winnow_fingerprints(c)
     return d.select(
         "doc_id",
         quality.word_count(c).alias("n_words"),
@@ -198,6 +200,7 @@ def q_docs_quality(spark, sf):
         quality.lang_id(c).alias("pred_lang"),
         nlp.lang_id_v2(c).alias("pred_lang2"),
         F.substring(F.md5(norm), 1, 16).alias("fp16"),
+        F.array_join(F.transform(fp, lambda x: x.cast("string")), ",").alias("fp_winnow"),
     )
 
 
@@ -1703,6 +1706,26 @@ def oracle_sql() -> dict[str, str]:
     )
     _langid2 = f"CASE {_script2} ELSE {_latin2} END"
 
+    # winnowing fingerprint twin (quality.winnow_fingerprints, k=5 w=4):
+    # identical integer arithmetic — unrolled polynomial gram hash mod the
+    # same prime, w-window list_min, sorted distinct, comma-rendered.
+    # wgrams is precomputed once per row in the middle subquery layer.
+    _wk, _ww, _wb, _wm = 5, 4, 257, 1_000_000_007
+    _wh = "CAST(ord(substr(nrm, i, 1)) AS BIGINT)"
+    for _j in range(1, _wk):
+        _wh = f"(({_wh}) * {_wb} + ord(substr(nrm, i + {_j}, 1))) % {_wm}"
+    _wgrams = (
+        f"CASE WHEN length(nrm) >= {_wk} THEN "
+        f"list_transform(range(1, length(nrm) - {_wk} + 2), i -> {_wh}) "
+        f"ELSE CAST([] AS BIGINT[]) END"
+    )
+    _winnow = f"""CASE WHEN len(wgrams) >= 1 THEN
+        array_to_string(list_transform(list_sort(list_distinct(
+          list_transform(range(1, greatest(1, len(wgrams) - {_ww} + 1) + 1),
+            j -> list_min(wgrams[j:j+{_ww - 1}]))
+        )), x -> CAST(x AS VARCHAR)), ',')
+      ELSE '' END"""
+
     o["docs_quality"] = f"""
         SELECT doc_id,
                len(ws) AS n_words,
@@ -1719,14 +1742,16 @@ def oracle_sql() -> dict[str, str]:
                  WHEN fr > 0 THEN 'fr'
                  ELSE 'und' END AS pred_lang,
                {_langid2} AS pred_lang2,
-               substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16) AS fp16
+               substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16) AS fp16,
+               {_winnow} AS fp_winnow
         FROM (
-          SELECT doc_id, text, ws, lws,
+          SELECT doc_id, text, ws, lws, {_wgrams} AS wgrams,
                  len(list_filter(lws, w -> w IN ('the','a','of','and','to','is','in','it'))) AS en,
                  len(list_filter(lws, w -> w IN ('el','la','de','que','y','los','es','una'))) AS es,
                  len(list_filter(lws, w -> w IN ('le','la','de','et','les','des','est','une'))) AS fr,
                  {_prof_hits}
           FROM (SELECT doc_id, text,
+                       regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nrm,
                        regexp_split_to_array(trim(text), '\\s+') AS ws,
                        regexp_split_to_array(trim(lower(text)), '\\s+') AS lws
                 FROM documents)

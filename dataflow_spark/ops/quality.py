@@ -430,6 +430,76 @@ def fingerprint64(col: Column) -> Column:
     return F.xxhash64(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
 
 
+def winnow_fingerprints(
+    col: Column,
+    k: int = 5,
+    w: int = 4,
+    base: int = 257,
+    mod: int = 1_000_000_007,
+) -> Column:
+    """Rolling-hash document fingerprint by winnowing (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS scheme): normalize to lowercase [a-z0-9],
+    hash every character k-gram with a polynomial rolling hash mod a prime,
+    then keep the minimum hash of each w-window of consecutive gram hashes.
+    Guarantee: any shared substring of length >= w + k - 1 between two
+    documents contributes at least one shared fingerprint, so fingerprint
+    overlap is a partial-duplicate detector that exact/MinHash whole-document
+    hashing misses (the reference fingerprints whole documents only —
+    hash_deduplicate_filter.py:14-18; this is the substring-level upgrade a
+    100-TB training corpus needs for boilerplate/quotation detection).
+
+    Pure JVM expressions (transform/sequence/slice/array_min — no UDF, stays
+    in whole-stage codegen); the k-char hash fold is unrolled, so cost is
+    O(n·(k+w)) per document with k, w small. Returns sorted distinct
+    array<bigint> (empty array when the normalized text is shorter than k).
+    Integer-exact and engine-portable: the DuckDB oracle replays the
+    identical arithmetic.
+
+    Every intermediate (normalized text, char codes, gram hashes) is
+    LET-BOUND via a single-element transform lambda: referencing a plain
+    expression from inside a higher-order-function lambda re-evaluates it
+    per element (the CollapseProject-style inlining pathology PLANS.md
+    documents for regexes and serving UDFs) — the first draft re-ran the
+    whole normalization regex per character and went O(n²·k) per row.
+    A lambda VARIABLE is evaluated once, so each stage reads its input in
+    O(1) per reference.
+    """
+    empty = F.array().cast("array<bigint>")
+
+    def _let(expr, body):
+        # expression-level let: evaluate expr once, bind as a lambda variable
+        return F.element_at(F.transform(F.array(expr), body), 1)
+
+    def _fingerprints(grams):
+        mins = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(grams) - w + 1)),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        )
+        return F.when(F.size(grams) >= 1, F.array_sort(F.array_distinct(mins))).otherwise(empty)
+
+    def _grams(codes):
+        def gram_hash(i):  # i: 1-based gram start (Column)
+            h = F.lit(0).cast("long")
+            for j in range(k):
+                h = (h * F.lit(base) + F.element_at(codes, i + F.lit(j))) % F.lit(mod)
+            return h
+
+        grams = F.when(
+            F.size(codes) >= k,
+            F.transform(F.sequence(F.lit(1), F.size(codes) - k + 1), gram_hash),
+        ).otherwise(empty)
+        return _let(grams, _fingerprints)
+
+    def _codes(nrm):
+        codes = F.transform(
+            F.sequence(F.lit(1), F.length(nrm)),
+            lambda i: F.ascii(nrm.substr(i, F.lit(1))).cast("long"),
+        )
+        return _let(F.when(F.length(nrm) > 0, codes).otherwise(empty), _grams)
+
+    return _let(F.regexp_replace(F.lower(col), "[^a-z0-9]", ""), _codes)
+
+
 def sql_component_score(col: Column) -> Column:
     """SQLComponentClassifier analog
     (/root/reference/dataflow/operators/text2sql/eval/sql_component_classifier.py:698,

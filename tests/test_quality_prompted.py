@@ -151,3 +151,55 @@ def test_bertscore_greedy_matches_python_twin(spark):
             assert abs(g - e) < 1e-6, (k, got, exp)
     # identical texts score exactly 1.0 on all three
     assert out["a"] == (1.0, 1.0, 1.0)
+
+
+# ---------- winnowing rolling-hash fingerprint ----------
+
+def _py_winnow(text, k=5, w=4, base=257, mod=1_000_000_007):
+    import re
+    nrm = re.sub(r"[^a-z0-9]", "", text.lower())
+    if len(nrm) < k:
+        return []
+    grams = []
+    for i in range(len(nrm) - k + 1):
+        h = 0
+        for ch in nrm[i : i + k]:
+            h = (h * base + ord(ch)) % mod
+        grams.append(h)
+    mins = [min(grams[j : j + w]) for j in range(max(1, len(grams) - w + 1))]
+    return sorted(set(mins))
+
+
+def test_winnow_fingerprints_match_python_twin(spark):
+    texts = [
+        "The quick brown fox jumps over the lazy dog.",
+        "short",
+        "ab",                      # below k after normalization
+        "!!! ??? ...",             # normalizes to empty
+        "aaaaaaaaaaaaaaaaaaaa",    # degenerate: all grams identical
+        "Numbers 123 and Text MIX3D case",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    got = {
+        r["i"]: list(r["fp"])
+        for r in df.select("i", quality.winnow_fingerprints(F.col("text")).alias("fp")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_winnow(t), (i, t, got[i], _py_winnow(t))
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Schleimer et al. 2003: any shared substring of length >= w + k - 1
+    (here 8) yields at least one shared fingerprint — the property that makes
+    winnowing a partial-duplicate detector."""
+    shared = "identicalboilerplateparagraphcopiedverbatim"
+    a = "left context totally different " + shared + " trailing alpha"
+    b = "unrelated beginning words here " + shared + " other ending beta"
+    c = "no overlap with anything else whatsoever in this row"
+    df = spark.createDataFrame([(0, a), (1, b), (2, c)], ["i", "text"])
+    fps = {
+        r["i"]: set(r["fp"])
+        for r in df.select("i", quality.winnow_fingerprints(F.col("text")).alias("fp")).collect()
+    }
+    assert fps[0] & fps[1], "shared substring must share a fingerprint"
+    assert not (fps[0] & fps[2]) or len(fps[0] & fps[2]) < len(fps[0] & fps[1])
