@@ -251,15 +251,20 @@ def cider_scores(
     df=1. Cosine is scale-invariant, so raw counts (not length-normalized tf)
     give the same value. Zero vectors (short/no-overlap texts) score 0.
 
-    Topology: per-n it is two explode+groupBy gram-count aggregations, one
-    gram-level df aggregate (small — the vocabulary), and key-equi-joins for
-    the dot product. Everything shuffles on (key, gram) or gram — never a
-    pairwise corpus scan; fully SQL-expressible, so the whole metric is
-    oracle-checked."""
+    Topology (fused): ONE tagged explode emits (n, gram, side) for every
+    gram size and both sides, so the whole metric is a single shuffle chain —
+    count aggregation on (key, n, gram), a gram-level df aggregate (small —
+    the vocabulary), one df join, and one (key, n) aggregation computing
+    dot/‖c‖²/‖r‖² together. The first version ran the same math as ~16
+    shuffle stages (2 explodes + 5 aggregations + 6 key joins per metric);
+    fused it is 3 aggregations + 2 joins TOTAL, the same keyed-shuffle scale
+    story with a fraction of the stage barriers. Never a pairwise corpus
+    scan; fully SQL-expressible, so the whole metric is oracle-checked
+    (sums re-round to 6 decimals, proven sum-order-robust by the DuckDB
+    twin matching hash-exactly)."""
     key = [F.col(k) for k in key_cols]
-    # persisted: the tokenized pairs feed 2 gram sizes x (cand, ref) explodes
-    # plus the key spine — without the cache the upstream pair join recomputes
-    # five times. Handle exposed as out.cider_pairs_cache for long-lived
+    # persisted: the tokenized pairs feed the explode, the N aggregate, and
+    # the key spine. Handle exposed as out.cider_pairs_cache for long-lived
     # drivers (see dedup_minhash_lsh lifecycle note).
     base = pairs.select(
         F.struct(*key).alias("__k"),
@@ -267,46 +272,62 @@ def cider_scores(
         words(F.lower(F.col(ref_col))).alias("__rw"),
     ).persist()
     n_total = base.agg(F.count("*").cast("double").alias("__N"))
-    out = base.select(F.col("__k"), *[F.col(f"__k.{k}").alias(k) for k in key_cols])
+    def _tag(n, c):
+        # factory closure: pyspark reads the lambda's arity, so the n/c
+        # constants can't ride as default args
+        return lambda g: F.struct(
+            F.lit(n).alias("n"), g.alias("g"), F.lit(c).alias("c"), F.lit(1 - c).alias("r")
+        )
+
+    tagged = []
     for n in range(1, max_n + 1):
-        cg = (
-            base.select("__k", F.explode(_gram_id_array(F.col("__cw"), n)).alias("__g"))
-            .groupBy("__k", "__g")
-            .agg(F.count("*").alias("__c"))
+        for side, wcol in (("c", "__cw"), ("r", "__rw")):
+            tagged.append(
+                F.transform(_gram_id_array(F.col(wcol), n), _tag(n, 1 if side == "c" else 0))
+            )
+    counts = (
+        base.select("__k", F.explode(F.concat(*tagged)).alias("__e"))
+        .groupBy("__k", F.col("__e.n").alias("__n"), F.col("__e.g").alias("__g"))
+        .agg(F.sum("__e.c").alias("__c"), F.sum("__e.r").alias("__r"))
+    ).alias("C")
+    # df_n(g) = #pairs whose reference contains g; (key,n,g) rows are unique.
+    # dfn descends from counts AND n_total from base (three-way self-join
+    # lineage): Spark 4's analyzer rejects even schema-unique unqualified
+    # names here, so every leg gets a plan alias and references are qualified.
+    dfn = (
+        counts.filter(F.col("__r") > 0)
+        .groupBy("__n", "__g")
+        .agg(F.count("*").cast("double").alias("__df"))
+    ).alias("D")
+    idf = F.log(F.col("NT.__N") / F.coalesce(F.col("D.__df"), F.lit(1.0)))
+    w = (
+        counts.join(
+            dfn, (F.col("C.__n") == F.col("D.__n")) & (F.col("C.__g") == F.col("D.__g")), "left"
         )
-        rg = (
-            base.select("__k", F.explode(_gram_id_array(F.col("__rw"), n)).alias("__g"))
-            .groupBy("__k", "__g")
-            .agg(F.count("*").alias("__r"))
+        .crossJoin(F.broadcast(n_total.alias("NT")))
+        .select(
+            F.col("C.__k").alias("__k"),
+            F.col("C.__n").alias("__n"),
+            (F.col("C.__c") * idf).alias("__wc"),
+            (F.col("C.__r") * idf).alias("__wr"),
         )
-        dfn = rg.select("__g").groupBy("__g").agg(F.count("*").cast("double").alias("__df"))
-        idf = F.log(F.col("__N") / F.coalesce(F.col("__df"), F.lit(1.0)))
-        cw = (
-            cg.join(dfn, "__g", "left")
-            .crossJoin(F.broadcast(n_total))
-            .select("__k", "__g", (F.col("__c") * idf).alias("__wc"))
-        )
-        rw = (
-            rg.join(dfn, "__g")
-            .crossJoin(F.broadcast(n_total))
-            .select("__k", "__g", (F.col("__r") * idf).alias("__wr"))
-        )
-        dot = cw.join(rw, ["__k", "__g"]).groupBy("__k").agg(F.sum(F.col("__wc") * F.col("__wr")).alias(f"__dot{n}"))
-        cn = cw.groupBy("__k").agg(F.sum(F.col("__wc") * F.col("__wc")).alias(f"__cn{n}"))
-        rn = rw.groupBy("__k").agg(F.sum(F.col("__wr") * F.col("__wr")).alias(f"__rn{n}"))
-        out = out.join(dot, "__k", "left").join(cn, "__k", "left").join(rn, "__k", "left")
-    score_terms = []
-    for n in range(1, max_n + 1):
-        denom = F.sqrt(F.col(f"__cn{n}")) * F.sqrt(F.col(f"__rn{n}"))
-        s = F.when(
-            F.col(f"__dot{n}").isNull() | F.col(f"__cn{n}").isNull() | F.col(f"__rn{n}").isNull() | (denom == 0),
-            F.lit(0.0),
-        ).otherwise(F.col(f"__dot{n}") / denom)
-        score_terms.append(s)
-    total = score_terms[0]
-    for s in score_terms[1:]:
-        total = total + s
-    res = out.select(*key_cols, F.round(total / F.lit(float(max_n)), 6).alias("cider"))
+    )
+    per_n = w.groupBy("__k", "__n").agg(
+        F.sum(F.col("__wc") * F.col("__wr")).alias("__dot"),
+        F.sum(F.col("__wc") * F.col("__wc")).alias("__cn"),
+        F.sum(F.col("__wr") * F.col("__wr")).alias("__rn"),
+    )
+    denom = F.sqrt(F.col("__cn")) * F.sqrt(F.col("__rn"))
+    s = F.when(denom == 0, F.lit(0.0)).otherwise(F.col("__dot") / denom)
+    # a pair missing gram size n (text shorter than n words) has no per_n row
+    # for it — its cosine is 0, so summing present rows and dividing by max_n
+    # matches the old NULL->0 left-join semantics
+    tot = per_n.select("__k", s.alias("__s")).groupBy("__k").agg(F.sum("__s").alias("__t"))
+    spine = base.select(F.col("__k"), *[F.col(f"__k.{k}").alias(k) for k in key_cols])
+    res = spine.join(tot, "__k", "left").select(
+        *key_cols,
+        F.round(F.coalesce(F.col("__t"), F.lit(0.0)) / F.lit(float(max_n)), 6).alias("cider"),
+    )
     res.cider_pairs_cache = base
     return res
 
