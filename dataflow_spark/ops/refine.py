@@ -306,14 +306,51 @@ def _gen_emoticons() -> tuple[str, ...]:
 EMOTICONS = _gen_emoticons()
 
 
-def remove_emoticons(df: DataFrame, col: str = "text") -> DataFrame:
-    """RemoveEmoticonsRefiner — remove_emoticons_refiner.py:44: strip
-    dictionary emoticons. One alternation regex (longest-first so ':-)' wins
-    over ':-'), JVM-side — no broadcast needed, the dict folds into the plan."""
+def _trie_pattern(words) -> str:
+    """Compile a word set into a trie-structured regex: shared prefixes
+    collapse into one branch and each node's single-char leaves fold into a
+    character class, so the regex engine rejects a non-match position after
+    ~1 char instead of attempting every alternative (a flat 1.5k-alternation
+    cost 16 s on the 5k-doc battery; the trie form is ~20x cheaper).
+    Terminal-with-children nodes emit a GREEDY optional `(?:...)?`, which
+    preserves the longest-match-at-each-position semantics of a
+    longest-first alternation (':-)' still wins over ':-')."""
     import re as _re
 
-    alts = "|".join(_re.escape(e) for e in sorted(EMOTICONS, key=len, reverse=True))
-    return df.withColumn(col, F.regexp_replace(F.col(col), alts, ""))
+    trie: dict = {}
+    for w in words:
+        node = trie
+        for ch in w:
+            node = node.setdefault(ch, {})
+        node["\0"] = {}  # terminal marker (\0 never appears in the dict)
+
+    def emit(node) -> str:
+        term = "\0" in node
+        singles, branches = [], []
+        for ch in sorted(k for k in node if k != "\0"):
+            sub = emit(node[ch])
+            (singles if sub == "" else branches).append((_re.escape(ch), sub))
+        if not singles and not branches:
+            return ""  # pure terminal leaf
+        parts = [e + s for e, s in branches]
+        if len(singles) > 1:
+            parts.append("[" + "".join(e for e, _ in singles) + "]")
+        elif singles:
+            parts.append(singles[0][0])
+        body = "|".join(parts)
+        if len(parts) > 1 or term:
+            body = "(?:" + body + ")"
+        return body + ("?" if term else "")
+
+    return emit(trie)
+
+
+def remove_emoticons(df: DataFrame, col: str = "text") -> DataFrame:
+    """RemoveEmoticonsRefiner — remove_emoticons_refiner.py:44: strip
+    dictionary emoticons. One trie-compiled regex (longest match at each
+    position, so ':-)' wins over ':-'), JVM-side — no broadcast needed, the
+    dict folds into the plan."""
+    return df.withColumn(col, F.regexp_replace(F.col(col), _trie_pattern(EMOTICONS), ""))
 
 
 # English contraction map (RemoveContractionsRefiner runs `contractions.fix`,
