@@ -722,12 +722,15 @@ def q_eval_accuracy(spark, sf):
     norm = lambda c: F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
     hit1 = F.coalesce((norm(quality.lang_id(F.col("text"))) == norm(F.col("lang"))).cast("int"), F.lit(0))
     hit2 = F.coalesce((norm(nlp.lang_id_v2(F.col("text"))) == norm(F.col("lang"))).cast("int"), F.lit(0))
-    return d.agg(
+    # project the hit flags BEFORE the aggregate: sum() and avg() each hold a
+    # copy of their argument expression, so an inline hit2 would evaluate the
+    # heavy 42-language lang_id_v2 twice per row (measured 2x on eval_accuracy)
+    return d.select(hit1.alias("__h1"), hit2.alias("__h2")).agg(
         F.count("*").alias("n_samples"),
-        F.sum(hit1).cast("long").alias("n_correct"),
-        F.round(F.avg(hit1), 6).alias("accuracy"),
-        F.sum(hit2).cast("long").alias("n_correct_v2"),
-        F.round(F.avg(hit2), 6).alias("accuracy_v2"),
+        F.sum("__h1").cast("long").alias("n_correct"),
+        F.round(F.avg("__h1"), 6).alias("accuracy"),
+        F.sum("__h2").cast("long").alias("n_correct_v2"),
+        F.round(F.avg("__h2"), 6).alias("accuracy_v2"),
     )
 
 
