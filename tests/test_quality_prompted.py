@@ -203,3 +203,39 @@ def test_winnow_shared_substring_guarantee(spark):
     }
     assert fps[0] & fps[1], "shared substring must share a fingerprint"
     assert not (fps[0] & fps[2]) or len(fps[0] & fps[2]) < len(fps[0] & fps[1])
+
+
+def test_cider_fused_plan_shuffle_count(spark):
+    """The fused CIDEr topology is one shuffle chain: tagged-explode counts
+    agg, df agg, df join, per-(key,n) agg, key join back to the spine. The
+    pre-fuse version compiled to ~16 Exchange nodes; pin the fused budget so
+    a refactor can't quietly reintroduce per-n fan-out."""
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}", f"alpha beta delta {i}") for i in range(20)],
+        ["k", "cand", "ref"],
+    )
+    out = quality.cider_scores(df, ["k"], "cand", "ref")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    out.cider_pairs_cache.unpersist()
+    assert n_exchanges <= 10, f"{n_exchanges} exchanges:\n{plan[:2000]}"
+
+
+def test_trie_pattern_equals_flat_alternation():
+    """The trie-compiled emoticon regex must match EXACTLY what the flat
+    longest-first alternation matched (longest match at each position) —
+    python `re` has the same leftmost/greedy semantics as Java's engine."""
+    import random
+    import re
+
+    from dataflow_spark.ops.refine import EMOTICONS, _trie_pattern
+
+    old = re.compile("|".join(re.escape(e) for e in sorted(EMOTICONS, key=len, reverse=True)))
+    new = re.compile(_trie_pattern(EMOTICONS))
+    for e in EMOTICONS:  # every dict entry strips identically in context
+        assert new.sub("", f"a {e} b") == old.sub("", f"a {e} b"), e
+    rng = random.Random(7)
+    atoms = ["hello", "x", "8", ":", ")", "D", "-", "", "abc:def"] + list(EMOTICONS)
+    for _ in range(500):
+        s = rng.choice(["", " "]).join(rng.choice(atoms) for _ in range(rng.randint(1, 10)))
+        assert old.sub("", s) == new.sub("", s), repr(s)
