@@ -183,14 +183,34 @@ def q_docs_quality(spark, sf):
     models (3-lang heuristic + the 15-language script/profile model), and an
     md5-based 16-hex content fingerprint (engine-internal fingerprints use
     xxhash64 — quality.fingerprint64 — this md5 variant is the cross-engine
-    value-checkable twin), and the winnowing rolling-hash fingerprint
-    (Schleimer et al. 2003; integer-exact, comma-rendered)."""
+    value-checkable twin), the winnowing rolling-hash fingerprint
+    (Schleimer et al. 2003; integer-exact, comma-rendered), and the Gopher
+    repetition signals (Rae et al. 2021 A1.1). The fixture text is one line
+    of word soup, so the repetition signals run over a DERIVED lined text
+    (2-word chunks joined by newlines — deterministic, replayed verbatim by
+    the oracle) where duplicate lines actually occur; the operator itself is
+    general line-based."""
     from dataflow_spark.ops import nlp
+    from dataflow_spark.ops.quality import _let
 
     d = load_table(spark, sf, "documents")
     c = F.col("text")
     norm = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
     fp = quality.winnow_fingerprints(c)
+    lined = _let(
+        F.split(F.trim(c), r"\s+"),
+        lambda W: F.when(
+            F.size(W) > 0,
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sequence(F.lit(0), F.floor((F.size(W) - 1) / F.lit(2)).cast("int")),
+                    lambda j: F.concat_ws(" ", F.slice(W, j * F.lit(2) + 1, 2)),
+                ),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    rep = quality.repetition_signals(lined, n=2)
     return d.select(
         "doc_id",
         quality.word_count(c).alias("n_words"),
@@ -201,6 +221,9 @@ def q_docs_quality(spark, sf):
         nlp.lang_id_v2(c).alias("pred_lang2"),
         F.substring(F.md5(norm), 1, 16).alias("fp16"),
         F.array_join(F.transform(fp, lambda x: x.cast("string")), ",").alias("fp_winnow"),
+        rep["dup_line_frac"].alias("dup_line_frac"),
+        rep["dup_line_char_frac"].alias("dup_line_char_frac"),
+        rep["top_ngram_char_frac"].alias("top2gram_char_frac"),
     )
 
 
@@ -1746,9 +1769,27 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'und' END AS pred_lang,
                {_langid2} AS pred_lang2,
                substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16) AS fp16,
-               {_winnow} AS fp_winnow
+               {_winnow} AS fp_winnow,
+               round((len(lines) - len(list_distinct(lines))) / CAST(len(lines) AS DOUBLE), 6)
+                 AS dup_line_frac,
+               CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) > 0 THEN
+                 round(coalesce(list_sum(list_transform(list_distinct(lines),
+                         d -> (len(list_filter(lines, x -> x = d)) - 1) * length(d))), 0)
+                       / CAST(list_sum(list_transform(lines, x -> length(x))) AS DOUBLE), 6)
+               ELSE 0.0 END AS dup_line_char_frac,
+               CASE WHEN c_star > 0 AND length(lined) > 0 THEN
+                 round(c_star * length(list_min(list_filter(list_distinct(G),
+                         d -> len(list_filter(G, x -> x = d)) = c_star)))
+                       / CAST(length(lined) AS DOUBLE), 6)
+               ELSE 0.0 END AS top2gram_char_frac
         FROM (
-          SELECT doc_id, text, ws, lws, {_wgrams} AS wgrams,
+          SELECT doc_id, text, ws, lws, lined, {_wgrams} AS wgrams,
+                 string_split(lined, chr(10)) AS lines,
+                 CASE WHEN len(ws) >= 2 THEN
+                   list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                 ELSE CAST([] AS VARCHAR[]) END AS G,
+                 coalesce(list_max(list_transform(list_distinct(G),
+                   d -> len(list_filter(G, x -> x = d)))), 0) AS c_star,
                  len(list_filter(lws, w -> w IN ('the','a','of','and','to','is','in','it'))) AS en,
                  len(list_filter(lws, w -> w IN ('el','la','de','que','y','los','es','una'))) AS es,
                  len(list_filter(lws, w -> w IN ('le','la','de','et','les','des','est','une'))) AS fr,
@@ -1756,7 +1797,11 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT doc_id, text,
                        regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nrm,
                        regexp_split_to_array(trim(text), '\\s+') AS ws,
-                       regexp_split_to_array(trim(lower(text)), '\\s+') AS lws
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS lws,
+                       array_to_string(list_transform(
+                         range(0, CAST(floor((len(regexp_split_to_array(trim(text), '\\s+'))-1)/2.0) AS INT) + 1),
+                         j -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[2*j+1:2*j+2], ' ')),
+                         chr(10)) AS lined
                 FROM documents)
         )
     """

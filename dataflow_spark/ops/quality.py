@@ -444,6 +444,15 @@ def exact_match_accuracy(df: DataFrame, pred: Column, gt: Column) -> DataFrame:
     )
 
 
+def _let(expr, body):
+    """Expression-level LET: evaluate `expr` once, bind it as a lambda
+    variable in `body` (single-element transform + element_at). Referencing
+    a plain expression from inside a higher-order-function lambda re-evaluates
+    it per element (the inlining pathology PLANS.md documents); a lambda
+    variable is evaluated once and read in O(1) per reference."""
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 def fingerprint64(col: Column) -> Column:
     """Document fingerprint: 64-bit hash of whitespace-normalized lowercase
     text (the deterministic analog of the reference's md5 content digest,
@@ -487,10 +496,6 @@ def winnow_fingerprints(
     """
     empty = F.array().cast("array<bigint>")
 
-    def _let(expr, body):
-        # expression-level let: evaluate expr once, bind as a lambda variable
-        return F.element_at(F.transform(F.array(expr), body), 1)
-
     def _fingerprints(grams):
         mins = F.transform(
             F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(grams) - w + 1)),
@@ -519,6 +524,102 @@ def winnow_fingerprints(
         return _let(F.when(F.length(nrm) > 0, codes).otherwise(empty), _grams)
 
     return _let(F.regexp_replace(F.lower(col), "[^a-z0-9]", ""), _codes)
+
+
+def repetition_signals(col: Column, n: int = 2) -> Column:
+    """Gopher-style repetition quality signals (Rae et al. 2021, appendix
+    A1.1 — the public repetition rules web-scale training pipelines filter
+    on; the reference's rule battery has no repetition family, so this is a
+    beyond-reference training-data operator):
+
+      dup_line_frac       — fraction of lines that repeat an earlier line
+      dup_line_char_frac  — fraction of line characters inside those repeats
+      top_ngram_char_frac — count(top word n-gram) * len(gram) / len(text);
+                            count ties break to the lexicographically
+                            smallest gram (the SQL twin replays `ORDER BY
+                            count DESC, gram ASC`)
+
+    Pure JVM per-row expressions: sort the lines / grams array once, then a
+    single run-length aggregate — O(m log m) per row, never the quadratic
+    distinct×filter scan, no shuffle, no UDF. Every intermediate is
+    LET-BOUND (see _let) so nothing re-evaluates per element. Returns a
+    struct column with the three (rounded) fractions."""
+    zero = F.lit(0).cast("long")
+
+    def body(c):
+        def with_lines(L):
+            dup0 = F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                zero.alias("dup"),
+                zero.alias("dupch"),
+            )
+            dup_st = F.aggregate(
+                F.array_sort(L),
+                dup0,
+                lambda a, x: F.struct(
+                    x.alias("prev"),
+                    (a["dup"] + F.when(x.eqNullSafe(a["prev"]), F.lit(1)).otherwise(F.lit(0))).alias("dup"),
+                    (a["dupch"] + F.when(x.eqNullSafe(a["prev"]), F.length(x)).otherwise(zero)).alias("dupch"),
+                ),
+            )
+
+            def with_dup(D):
+                def with_ws(W):
+                    grams = F.when(
+                        F.size(W) >= n,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(W) - n + 1),
+                            lambda i: F.concat_ws(" ", F.slice(W, i, n)),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+
+                    def with_grams(G):
+                        top0 = F.struct(
+                            F.lit(None).cast("string").alias("prev"),
+                            zero.alias("run"),
+                            zero.alias("best"),
+                            F.lit(None).cast("string").alias("bestg"),
+                        )
+                        newrun = lambda a, x: F.when(x.eqNullSafe(a["prev"]), a["run"] + 1).otherwise(F.lit(1))
+                        top_st = F.aggregate(
+                            F.array_sort(G),
+                            top0,
+                            lambda a, x: F.struct(
+                                x.alias("prev"),
+                                newrun(a, x).alias("run"),
+                                F.when(newrun(a, x) > a["best"], newrun(a, x)).otherwise(a["best"]).alias("best"),
+                                F.when(newrun(a, x) > a["best"], x).otherwise(a["bestg"]).alias("bestg"),
+                            ),
+                        )
+
+                        def finish(T):
+                            nl = F.size(L)
+                            total_ch = F.aggregate(L, zero, lambda a, x: a + F.length(x))
+                            dup_line_frac = F.round(D["dup"] / nl, 6)
+                            dup_char_frac = F.when(
+                                total_ch > 0, F.round(D["dupch"] / total_ch, 6)
+                            ).otherwise(F.lit(0.0))
+                            top_frac = F.when(
+                                (T["best"] > 0) & (F.length(c) > 0),
+                                F.round(T["best"] * F.length(T["bestg"]) / F.length(c), 6),
+                            ).otherwise(F.lit(0.0))
+                            return F.struct(
+                                dup_line_frac.alias("dup_line_frac"),
+                                dup_char_frac.alias("dup_line_char_frac"),
+                                top_frac.alias("top_ngram_char_frac"),
+                            )
+
+                        return _let(top_st, finish)
+
+                    return _let(grams, with_grams)
+
+                return _let(words(c), with_ws)
+
+            return _let(dup_st, with_dup)
+
+        return _let(F.split(c, "\n"), with_lines)
+
+    return _let(col, body)
 
 
 def sql_component_score(col: Column) -> Column:

@@ -239,3 +239,51 @@ def test_trie_pattern_equals_flat_alternation():
     for _ in range(500):
         s = rng.choice(["", " "]).join(rng.choice(atoms) for _ in range(rng.randint(1, 10)))
         assert old.sub("", s) == new.sub("", s), repr(s)
+
+
+def _py_repetition(text, n=2):
+    lines = text.split("\n")
+    from collections import Counter
+    lc = Counter(lines)
+    nl = len(lines)
+    dup = sum(c - 1 for c in lc.values())
+    total_ch = sum(len(l) for l in lines)
+    dupch = sum((c - 1) * len(l) for l, c in lc.items())
+    ws = text.split()
+    grams = [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)] if len(ws) >= n else []
+    if grams:
+        gc = Counter(grams)
+        c_star = max(gc.values())
+        bestg = min(g for g, c in gc.items() if c == c_star)
+        top = round(c_star * len(bestg) / len(text), 6) if len(text) else 0.0
+    else:
+        top = 0.0
+    return (
+        round(dup / nl, 6),
+        round(dupch / total_ch, 6) if total_ch else 0.0,
+        top,
+    )
+
+
+def test_repetition_signals_match_python_twin(spark):
+    """Gopher repetition rules (Rae et al. 2021 A1.1): dup-line fraction,
+    dup-line char fraction, top-bigram char fraction — run-length scan over
+    sorted arrays must equal the Counter-based twin, including the
+    min-gram tie-break."""
+    texts = [
+        "a b\nc d\na b\ne f\na b",
+        "x y\nx y",
+        "hello world unique lines only\nsecond line",
+        "one",
+        "t t\nt t\nt t\nt t",           # all lines identical; 't t' ties with itself
+        "p q\nq p\np q\nq p",           # two grams tie at count 2 -> 'p q' wins (min)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    got = {
+        r["i"]: (r["dup_line_frac"], r["dup_line_char_frac"], r["top_ngram_char_frac"])
+        for r in df.select(
+            "i", quality.repetition_signals(F.col("text")).alias("r")
+        ).select("i", "r.*").collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_repetition(t), (i, t, got[i], _py_repetition(t))
