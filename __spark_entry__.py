@@ -232,6 +232,22 @@ def q_docs_ngram_jaccard(spark, sf):
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
 
 
+def q_decontam(spark, sf):
+    """Benchmark decontamination (GPT-3 appendix C 13-gram rule; battery
+    member, not a standalone driver query): the benchmark corpus is derived
+    from the documents table itself — every 37th doc contributes words 5..25
+    as an "eval question" — so each source doc provably shares a 13-gram
+    with the benchmark and is dropped, while word-soup background docs never
+    collide. Returns surviving doc_ids."""
+    d = load_table(spark, sf, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    bench = (
+        d.filter(F.col("doc_id") % 37 == 0)
+        .select(F.concat_ws(" ", F.slice(ws, 5, 21)).alias("text"))
+    )
+    return dedup.decontaminate(d, bench, "doc_id", "text").select("doc_id")
+
+
 def q_embed_topk(spark, sf):
     e = load_table(spark, sf, "embeddings")
     qs = e.filter(F.col("vec_id") < 3)
@@ -1082,11 +1098,12 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 5 members: pii_safety (Presidio analog),
+    """Evaluator/classifier battery — 6 members: pii_safety (Presidio analog),
     docs_toxicity (Perspective analog), sql_hardness (SQL component +
     execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
-    quality_lr.npz artifact)."""
+    quality_lr.npz artifact), decontam (13-gram benchmark decontamination
+    survivors)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1102,6 +1119,8 @@ def q_score_battery(spark, sf):
                       _kcat("doc_id"), [], s1=F.col("model_score")),
         _battery_pack(q_mlp_score(spark, sf), "mlp_score",
                       _kcat("doc_id"), [], s1=F.col("mlp_score")),
+        _battery_pack(q_decontam(spark, sf), "decontam",
+                      _kcat("doc_id"), []),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2816,6 +2835,32 @@ def oracle_sql() -> dict[str, str]:
                   _kcat_sql("doc_id", "qa_idx"), ["question", "answer"]),
     ])
 
+    # decontam: 13-gram benchmark decontamination survivors. Gram identity is
+    # the gram STRING here vs xxhash64-of-struct on the Spark side — join
+    # semantics agree (the cider/jaccard precedent). The bench derivation
+    # (every 37th doc's words 5..25) is replayed verbatim.
+    o["decontam"] = """
+        WITH bsrc AS (
+          SELECT array_to_string((regexp_split_to_array(trim(text), '\\s+'))[5:25], ' ') AS btext
+          FROM documents WHERE doc_id % 37 = 0),
+        bg AS (
+          SELECT DISTINCT unnest(
+            CASE WHEN len(bws) >= 13 THEN
+              list_transform(range(1, len(bws) - 11), i -> array_to_string(bws[i:i+12], ' '))
+            ELSE [array_to_string(bws, ' ')] END) AS g
+          FROM (SELECT regexp_split_to_array(trim(btext), '\\s+') AS bws FROM bsrc)),
+        dirty AS (
+          SELECT DISTINCT doc_id FROM (
+            SELECT doc_id, unnest(
+              CASE WHEN len(ws) >= 13 THEN
+                list_transform(range(1, len(ws) - 11), i -> array_to_string(ws[i:i+12], ' '))
+              ELSE [array_to_string(ws, ' ')] END) AS g
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)
+          ) JOIN bg USING (g))
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    """
+
     o["score_battery"] = " UNION ALL ".join([
         _pack_sql("pii_safety", o["pii_safety"],
                   _kcat_sql("conv_id", "turn_idx"),
@@ -2831,6 +2876,7 @@ def oracle_sql() -> dict[str, str]:
                   _kcat_sql("doc_id"), [], s1="model_score"),
         _pack_sql("mlp_score", o["mlp_score"],
                   _kcat_sql("doc_id"), [], s1="mlp_score"),
+        _pack_sql("decontam", o["decontam"], _kcat_sql("doc_id"), []),
     ])
 
     _dim_sql = ", ".join(

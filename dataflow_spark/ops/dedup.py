@@ -478,3 +478,47 @@ def ngram_jaccard_pairs(
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(F.col("jaccard") >= threshold)
+
+
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document that shares a
+    word n-gram with the evaluation corpus (n=13 is the published GPT-3
+    appendix-C value; the same recipe appears in FineWeb/Dolma — all public).
+    The reference has no decontamination operator; this is one of the
+    beyond-reference training-data ops.
+
+    Topology for a 100-TB training side vs a small benchmark side: the
+    benchmark's distinct gram set is tiny (eval suites are MBs), so it
+    BROADCASTS; the training side explodes its distinct grams and
+    broadcast-left-semi joins (no shuffle of training data), the
+    contaminated id set (small by construction) distincts and
+    broadcast-anti joins back. The corpus is scanned, never shuffled.
+    Documents shorter than n words contribute their full text as one gram
+    (the ngram_jaccard_pairs convention). Gram identity is xxhash64 of the
+    gram struct — collision odds 2^-64, same trade every hash-keyed dedup
+    here makes."""
+    from dataflow_spark.ops.quality import gram_structs
+
+    def grams(col):
+        ws = F.split(F.trim(col), r"\s+")
+        return F.when(
+            F.size(ws) >= n, F.transform(gram_structs(ws, n), lambda s: F.xxhash64(s))
+        ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", ws))))
+
+    bgrams = bench.select(
+        F.explode(F.array_distinct(grams(F.col(bench_text_col)))).alias("__g")
+    ).distinct()
+    dirty = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(grams(F.col(text_col)))).alias("__g"))
+        .join(F.broadcast(bgrams), "__g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(F.broadcast(dirty), id_col, "left_anti")

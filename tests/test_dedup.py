@@ -192,3 +192,22 @@ def test_minhash_join_strategy_invariance(spark, tmp_path):
     shuffle_side = keys(0)             # cap 0 -> shuffled-hash anti join
     assert broadcast_side == shuffle_side
     assert 0 < len(broadcast_side) < rep.count()
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A training doc sharing a 13-gram with the benchmark is dropped; word
+    soup that shares only shorter runs survives; bench chunks under 13 words
+    only match via their full text."""
+    base = " ".join(f"w{i}" for i in range(20))          # doc 0: contaminated
+    clean = " ".join(f"v{i}" for i in range(20))         # doc 1: disjoint vocab
+    partial = " ".join(f"w{i}" for i in range(12)) + " zzz " + " ".join(f"u{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(0, base), (1, clean), (2, partial)], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame(
+        [(" ".join(f"w{i}" for i in range(13)),), ("short bench line",)], ["text"]
+    )
+    out = sorted(r["doc_id"] for r in dedup.decontaminate(df, bench).collect())
+    # doc 0 contains bench 13-gram w0..w12 -> dropped; doc 2 has only a
+    # 12-word overlap -> survives; doc 1 untouched
+    assert out == [1, 2], out
