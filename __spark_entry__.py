@@ -191,14 +191,18 @@ def q_docs_quality(spark, sf):
     the oracle) where duplicate lines actually occur; the operator itself is
     general line-based."""
     from dataflow_spark.ops import nlp
+    from dataflow_spark.ops.filters import words as _words
     from dataflow_spark.ops.quality import _let
 
     d = load_table(spark, sf, "documents")
     c = F.col("text")
     norm = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
     fp = quality.winnow_fingerprints(c)
+    # PY_WS tokenization (words()) — the SAME class repetition_signals uses
+    # internally, and the oracle's ws uses the identical explicit char class,
+    # so gram tokenization can't diverge on non-ASCII whitespace
     lined = _let(
-        F.split(F.trim(c), r"\s+"),
+        _words(c),
         lambda W: F.when(
             F.size(W) > 0,
             F.concat_ws(
@@ -1751,6 +1755,13 @@ def oracle_sql() -> dict[str, str]:
     )
     _langid2 = f"CASE {_script2} ELSE {_latin2} END"
 
+    # PY_WS tokenization parity: ws/lws split on the SAME explicit
+    # python-whitespace char class the engine's words() uses (the literal
+    # '-' forms the \\u2000-\\u200a range identically in Java regex and
+    # RE2), so word-derived columns can't diverge on non-ASCII whitespace
+    _pyws_re = f"[{refine.PY_WS}]+"
+    _pyws_trim = f"^[{refine.PY_WS}]+|[{refine.PY_WS}]+$"
+
     # winnowing fingerprint twin (quality.winnow_fingerprints, k=5 w=4):
     # identical integer arithmetic — unrolled polynomial gram hash mod the
     # same prime, w-window list_min, sorted distinct, comma-rendered.
@@ -1815,11 +1826,11 @@ def oracle_sql() -> dict[str, str]:
                  {_prof_hits}
           FROM (SELECT doc_id, text,
                        regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nrm,
-                       regexp_split_to_array(trim(text), '\\s+') AS ws,
-                       regexp_split_to_array(trim(lower(text)), '\\s+') AS lws,
+                       regexp_split_to_array(regexp_replace(text, '{_pyws_trim}', '', 'g'), '{_pyws_re}') AS ws,
+                       regexp_split_to_array(regexp_replace(lower(text), '{_pyws_trim}', '', 'g'), '{_pyws_re}') AS lws,
                        array_to_string(list_transform(
-                         range(0, CAST(floor((len(regexp_split_to_array(trim(text), '\\s+'))-1)/2.0) AS INT) + 1),
-                         j -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[2*j+1:2*j+2], ' ')),
+                         range(0, CAST(floor((len(ws)-1)/2.0) AS INT) + 1),
+                         j -> array_to_string(ws[2*j+1:2*j+2], ' ')),
                          chr(10)) AS lined
                 FROM documents)
         )

@@ -487,6 +487,7 @@ def decontaminate(
     text_col: str = "text",
     bench_text_col: str = "text",
     n: int = 13,
+    max_broadcast_ids: int = 8_000_000,
 ) -> DataFrame:
     """Benchmark decontamination: drop every training document that shares a
     word n-gram with the evaluation corpus (n=13 is the published GPT-3
@@ -497,18 +498,24 @@ def decontaminate(
     Topology for a 100-TB training side vs a small benchmark side: the
     benchmark's distinct gram set is tiny (eval suites are MBs), so it
     BROADCASTS; the training side explodes its distinct grams and
-    broadcast-left-semi joins (no shuffle of training data), the
-    contaminated id set (small by construction) distincts and
-    broadcast-anti joins back. The corpus is scanned, never shuffled.
+    broadcast-left-semi joins (no shuffle of training data). The
+    contaminated id set is USUALLY small, but its cardinality is bounded
+    only by the corpus (a benchmark sharing boilerplate with a web-scale
+    crawl can contaminate a large fraction), so the recovery join is the
+    counted-then-chosen pattern from dedup_minhash_lsh: materialize, count,
+    broadcast under the cap, shuffled anti join above it — never an
+    unconditional broadcast of an unbounded relation.
+
     Documents shorter than n words contribute their full text as one gram
-    (the ngram_jaccard_pairs convention). Gram identity is xxhash64 of the
-    gram struct — collision odds 2^-64, same trade every hash-keyed dedup
-    here makes."""
+    (the ngram_jaccard_pairs convention); NULL text yields NO grams — the
+    row can't be contaminated (and can't equi-join anyway). Gram identity is
+    xxhash64 of the gram struct — collision odds 2^-64, same trade every
+    hash-keyed dedup here makes."""
     from dataflow_spark.ops.quality import gram_structs
 
     def grams(col):
         ws = F.split(F.trim(col), r"\s+")
-        return F.when(
+        return F.when(col.isNull(), F.array().cast("array<bigint>")).when(
             F.size(ws) >= n, F.transform(gram_structs(ws, n), lambda s: F.xxhash64(s))
         ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", ws))))
 
@@ -520,5 +527,10 @@ def decontaminate(
         .join(F.broadcast(bgrams), "__g", "left_semi")
         .select(id_col)
         .distinct()
-    )
-    return df.join(F.broadcast(dirty), id_col, "left_anti")
+    ).persist()
+    if dirty.count() <= max_broadcast_ids:
+        out = df.join(F.broadcast(dirty), id_col, "left_anti")
+    else:
+        out = df.join(dirty, id_col, "left_anti")
+    out.decontam_ids_cache = dirty  # unpersist after the consuming action
+    return out

@@ -517,10 +517,11 @@ def winnow_fingerprints(
         return _let(grams, _fingerprints)
 
     def _codes(nrm):
-        codes = F.transform(
-            F.sequence(F.lit(1), F.length(nrm)),
-            lambda i: F.ascii(nrm.substr(i, F.lit(1))).cast("long"),
-        )
+        # split-to-chars, NOT per-index substr: substr(i, 1) on a UTF8String
+        # is an O(i) byte walk, so sequence+substr code extraction is O(n²)
+        # per document — split("") materializes the char array in one O(n)
+        # pass and element_at stays O(1)
+        codes = F.transform(F.split(nrm, ""), lambda ch: F.ascii(ch).cast("long"))
         return _let(F.when(F.length(nrm) > 0, codes).otherwise(empty), _grams)
 
     return _let(F.regexp_replace(F.lower(col), "[^a-z0-9]", ""), _codes)

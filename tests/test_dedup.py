@@ -202,12 +202,14 @@ def test_decontaminate_planted_overlap(spark):
     clean = " ".join(f"v{i}" for i in range(20))         # doc 1: disjoint vocab
     partial = " ".join(f"w{i}" for i in range(12)) + " zzz " + " ".join(f"u{i}" for i in range(8))
     df = spark.createDataFrame(
-        [(0, base), (1, clean), (2, partial)], ["doc_id", "text"]
+        [(0, base), (1, clean), (2, partial), (3, None)], ["doc_id", "text"]
     )
     bench = spark.createDataFrame(
         [(" ".join(f"w{i}" for i in range(13)),), ("short bench line",)], ["text"]
     )
     out = sorted(r["doc_id"] for r in dedup.decontaminate(df, bench).collect())
     # doc 0 contains bench 13-gram w0..w12 -> dropped; doc 2 has only a
-    # 12-word overlap -> survives; doc 1 untouched
-    assert out == [1, 2], out
+    # 12-word overlap -> survives; doc 1 untouched; doc 3 (NULL text) has no
+    # grams and must survive (review finding: concat_ws over a NULL array
+    # used to alias NULL text to the empty-string gram)
+    assert out == [1, 2, 3], out
