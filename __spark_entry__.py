@@ -231,9 +231,40 @@ def q_docs_quality(spark, sf):
     )
 
 
+def _documents_with_planted_chain(spark, sf):
+    """Documents table + TWO deterministic near-copies of every 25th doc
+    (prepend-a-word / append-a-word, doc_id +1e6/+2e6): word-3-gram Jaccard
+    orig↔copy ≈ 0.97 and copy↔copy ≈ 0.95, so the pair graph provably
+    contains triangles/chains and the connected-components pass has real
+    transitive closure to prove (the embed_neardup planting pattern).
+    The derivation is plain string concat, so the DuckDB oracle rebuilds
+    the identical table."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 25 == 0)
+    c1 = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("zzz "), F.col("text")).alias("text"),
+    )
+    c2 = base.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qqq")).alias("text"),
+    )
+    return d.unionAll(c1).unionAll(c2)
+
+
 def q_docs_ngram_jaccard(spark, sf):
-    d = load_table(spark, sf, "documents")
-    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    """Near-dup pairs by word-3-gram Jaccard (frequent-shingle ceiling) PLUS
+    duplicate-cluster labels: connected components over the pair graph via
+    alternating large-star/small-star (Kiveris et al. SoCC 2014, O(log² n)
+    rounds, two shuffles/round, no driver-side graph state) — the
+    transitive-closure post-pass every LSH dedup needs at scale. Oracle:
+    identical pair SQL + a recursive-CTE min-label closure in DuckDB."""
+    d = _documents_with_planted_chain(spark, sf)
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    comps = dedup.duplicate_components(pairs)
+    return pairs.join(comps.withColumnRenamed("id", "id_a"), "id_a").select(
+        "id_a", "id_b", "jaccard", "component", "csize"
+    )
 
 
 def q_decontam(spark, sf):
@@ -1837,24 +1868,46 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["docs_ngram_jaccard"] = """
-        WITH sh AS (
+        WITH RECURSIVE docs_aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, 'zzz ' || text FROM documents WHERE doc_id % 25 = 0
+          UNION ALL
+          SELECT doc_id + 2000000, text || ' qqq' FROM documents WHERE doc_id % 25 = 0
+        ), sh AS (
           SELECT doc_id,
                  list_distinct(list_transform(range(1, greatest(len(ws)-3, 0)+2),
                                i -> array_to_string(ws[i:i+2], ' '))) AS s
-          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM docs_aug)
         ), ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
         -- frequent-shingle ceiling (max_df=1000): identical restriction to the
         -- engine's consistent rare-shingle universe (ops/dedup.py ngram_jaccard_pairs)
         rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM ex0 GROUP BY g) WHERE df <= 1000),
         exr AS (SELECT doc_id, g FROM ex0 JOIN rare USING (g)),
         sizes AS (SELECT doc_id, count(*) AS n FROM exr GROUP BY doc_id),
-        ex AS (SELECT exr.doc_id, n, g FROM exr JOIN sizes USING (doc_id))
-        SELECT id_a, id_b, jaccard FROM (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 round(count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS jaccard
-          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-        ) WHERE jaccard >= 0.8
+        ex AS (SELECT exr.doc_id, n, g FROM exr JOIN sizes USING (doc_id)),
+        pairs AS (
+          SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS jaccard
+            FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+          ) WHERE jaccard >= 0.8
+        ),
+        -- connected components of the pair graph: recursive min-label
+        -- transitive closure (the exact twin of the engine's
+        -- large-star/small-star convergence)
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
+        csz AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
+        SELECT p.id_a, p.id_b, p.jaccard, c.component, s.csize
+        FROM pairs p JOIN comp c ON p.id_a = c.id JOIN csz s USING (component)
     """
 
     _dot = (

@@ -534,3 +534,106 @@ def decontaminate(
         out = df.join(dirty, id_col, "left_anti")
     out.decontam_ids_cache = dirty  # unpersist after the consuming action
     return out
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., SoCC 2014, Alg. 2): for every
+    node u, connect each STRICTLY LARGER neighbor to the minimum of the
+    closed neighborhood min(N(u) ∪ {u}). Input/output edge lists are
+    directed big→small; internally the neighborhood is symmetrized."""
+    nb = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        nb.groupBy("u")
+        .agg(F.min("v").alias("__mv"))
+        .select("u", F.least(F.col("__mv"), F.col("u")).alias("__m"))
+    )
+    return (
+        nb.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round (ibid., Alg. 3) over a big→small edge list: per
+    node u, every smaller neighbor (and u itself) links to the minimum
+    neighbor. Output stays big→small (m = min < every other v)."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("__m"))
+    relink = (
+        edges.join(mins, "u")
+        .filter(F.col("v") != F.col("__m"))
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+    )
+    self_link = mins.select("u", F.col("__m").alias("v"))
+    return relink.union(self_link).distinct()
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph → duplicate
+    CLUSTERS (the transitive closure the pair emitters deliberately stop
+    short of). This is the industry-standard post-pass after MinHash/SimHash/
+    Jaccard candidate generation: a~b and b~c put a,c in one cluster even
+    when the (a,c) pair itself misses the threshold.
+
+    Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+    Mirrokni, Rastogi & Vassilvitskii, "Connected Components in MapReduce
+    and Beyond", SoCC 2014) — O(log² n) rounds in the worst case, each round
+    two shuffles (a groupBy-min and a re-link join), no driver-side graph
+    state ever: the only driver traffic is one 2-scalar convergence
+    checksum per round. That is the property that matters at 10⁹ nodes —
+    a label-propagation loop converges in O(diameter) rounds and a
+    union-find needs the whole graph on one machine; neither survives a
+    web-scale duplicate graph with chain topology.
+
+    Returns (id, component, csize): one row per distinct node of the pair
+    graph, component = the cluster's minimum id (deterministic canonical
+    label), csize = number of nodes in the cluster.
+
+    The reference's dedup family keeps first-wins semantics per candidate
+    bucket (minhash_deduplicate_filter.py:66-84) — cluster-level dedup
+    ("keep min id per component") composes with this operator as
+    `filter(id == component)`.
+    """
+    e = (
+        pairs.select(
+            F.greatest(F.col(a_col), F.col(b_col)).cast("long").alias("u"),
+            F.least(F.col(a_col), F.col(b_col)).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = e.select(F.col("u").alias("id")).union(e.select("v")).distinct()
+    # Each round references the previous edge list several times (the
+    # symmetrized union in large-star), so leaving lineage attached grows
+    # the logical plan EXPONENTIALLY in the round count — persist() alone
+    # does not truncate the plan, and Catalyst chokes on the tree long
+    # before the data is big. localCheckpoint per round materializes the
+    # edge list and cuts lineage (a production job on a real cluster would
+    # use reliable checkpoint() against the cluster FS for fault tolerance;
+    # superseded round RDDs are freed by the ContextCleaner once
+    # dereferenced here).
+    edges = e.localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(max_iters):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("s"),
+        ).collect()[0]
+        checksum = (row["n"], row["s"])
+        if checksum == prev_sum:
+            break
+        prev_sum = checksum
+    # converged: a star forest, every edge (leaf, root). Roots self-label.
+    comp = nodes.join(
+        edges.select(F.col("u").alias("id"), F.col("v").alias("component")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("component", "id").alias("component"))
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return comp.join(sizes, "component").select("id", "component", "csize")

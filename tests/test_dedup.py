@@ -213,3 +213,60 @@ def test_decontaminate_planted_overlap(spark):
     # grams and must survive (review finding: concat_ws over a NULL array
     # used to alias NULL text to the empty-string gram)
     assert out == [1, 2, 3], out
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find twin: node -> min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_duplicate_components_random_graph_matches_union_find(spark):
+    rng = np.random.RandomState(11)
+    edges = [(int(rng.randint(0, 400)), int(rng.randint(0, 400))) for _ in range(300)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    got = dedup.duplicate_components(pairs)
+    rows = got.collect()
+    want = _uf_components(edges)
+    assert {r["id"]: r["component"] for r in rows} == want
+    # csize agrees with the component's population
+    from collections import Counter
+
+    pop = Counter(want.values())
+    for r in rows:
+        assert r["csize"] == pop[r["component"]]
+
+
+def test_duplicate_components_chain_converges_logarithmically(spark):
+    # a 512-node path graph is the adversarial case for label propagation
+    # (O(n) rounds); the star algorithm must collapse it in O(log^2 n)
+    # rounds — max_iters=12 would fail a propagation-style implementation.
+    n = 512
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)})
+    )
+    got = dedup.duplicate_components(pairs, max_iters=12).collect()
+    assert len(got) == n
+    assert {r["component"] for r in got} == {0}
+    assert all(r["csize"] == n for r in got)
+
+
+def test_duplicate_components_empty_and_self_pairs(spark):
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [7, 9], "id_b": [7, 9]})  # self-loops only
+    )
+    assert dedup.duplicate_components(pairs).count() == 0
