@@ -399,10 +399,15 @@ def q_dedup_simhash(spark, sf):
 
 
 def q_refine_docs_battery(spark, sf):
-    """Five §2.4 refiners in one projection, each applied to its own copy of
-    the text column (no joins — one narrow select): markup strip chain,
-    stopword removal, date/currency normalization, citation removal, and
-    unicode sanitation (surrogate fix + NFC, the storage.py:217-235 twin)."""
+    """Five §2.4 refiners in one narrow projection (markup strip chain,
+    stopword removal, date/currency normalization, citation removal,
+    unicode sanitation — the storage.py:217-235 twin) PLUS the one
+    corpus-level refiner: CCNet/RefinedWeb boilerplate-line removal
+    (no_boilerplate). Documents are single-line word soup, so the line
+    structure is derived deterministically — body line, a per-doc ref line
+    (every 7th doc gets a shared 'subscribe' line instead), and a universal
+    copyright footer — and remove_frequent_lines(min_count=3) provably
+    strips exactly the shared lines on both engines."""
     d = load_table(spark, sf, "documents").select("doc_id", "text")
     out = d
     for name, fn in (
@@ -413,7 +418,23 @@ def q_refine_docs_battery(spark, sf):
         ("nfc_text", refine.sanitize_unicode),
     ):
         out = fn(out.withColumn(name, F.col("text")), name)
-    return out.select("doc_id", "stripped", "kept", "normalized", "no_cites", "nfc_text")
+    lined = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("subscribe to our newsletter")
+            ).otherwise(F.concat(F.lit("ref "), F.col("doc_id").cast("string"))),
+            F.lit("\ncopyright acme corp"),
+        ).alias("lt"),
+    )
+    nb = refine.remove_frequent_lines(
+        lined, id_col="doc_id", text_col="lt", out_col="no_boilerplate", min_count=3
+    ).select("doc_id", "no_boilerplate")
+    return out.join(nb, "doc_id").select(
+        "doc_id", "stripped", "kept", "normalized", "no_cites", "nfc_text", "no_boilerplate"
+    )
 
 
 def q_refine_tokens_battery(spark, sf):
@@ -2034,13 +2055,35 @@ def oracle_sql() -> dict[str, str]:
         '', 'g')"""
     )
     o["refine_docs_battery"] = f"""
-        SELECT doc_id,
+        WITH la AS (
+          SELECT doc_id,
+                 text || chr(10) ||
+                 CASE WHEN doc_id % 7 = 0 THEN 'subscribe to our newsletter'
+                      ELSE 'ref ' || doc_id END ||
+                 chr(10) || 'copyright acme corp' AS lt
+          FROM documents
+        ), lx AS (
+          SELECT doc_id, s.pos AS pos, s.line AS line FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ls)+1),
+                          i -> struct_pack(pos := i, line := ls[i]))) AS s
+            FROM (SELECT doc_id, string_split(lt, chr(10)) AS ls FROM la)
+          )
+        ), cnt AS (SELECT line, count(*) AS c FROM lx GROUP BY line),
+        kept_lines AS (
+          SELECT doc_id, pos, line FROM lx JOIN cnt USING (line) WHERE c < 3
+        ), nb AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS no_boilerplate
+          FROM kept_lines GROUP BY doc_id
+        )
+        SELECT d.doc_id,
                {_strip_expr} AS stripped,
                {_stopwords_expr} AS kept,
                {_dates} AS normalized,
                {_cites_expr} AS no_cites,
-               nfc_normalize(text) AS nfc_text
-        FROM documents
+               nfc_normalize(text) AS nfc_text,
+               coalesce(nb.no_boilerplate, '') AS no_boilerplate
+        FROM documents d LEFT JOIN nb ON d.doc_id = nb.doc_id
     """
 
     _mwl = f"(length(array_to_string({_WORDS}, '')) * 1.0 / len({_WORDS}))"

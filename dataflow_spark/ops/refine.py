@@ -411,6 +411,58 @@ def s_stem(df: DataFrame, col: str = "text") -> DataFrame:
     return df.withColumn(col, F.concat_ws(" ", F.transform(ws, stem)))
 
 
+def remove_frequent_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    min_count: int = 3,
+) -> DataFrame:
+    """Corpus-level boilerplate-line removal (the CCNet / RefinedWeb
+    line-dedup recipe, Wenzek et al. 2020 §3.1, Penedo et al. 2023 §3.3;
+    also C4's repeated-content heuristic): drop every line whose exact text
+    occurs at least `min_count` times ACROSS THE WHOLE CORPUS — cookie
+    banners, nav menus, copyright footers — and reassemble each document
+    from its surviving lines in original order. Documents whose every line
+    is boilerplate come back as ''.
+
+    This is inherently a corpus-level operator (no per-row rule can know a
+    line is ubiquitous), and the reference has nothing like it — its dedup
+    family is whole-document only. Topology for 100 TB: one groupBy on the
+    64-bit line hash (partial-aggregatable count), a semi join of the line
+    stream against the rare-hash set (shuffle on the same hash key, so AQE
+    can reuse the exchange), and one groupBy(id) to reassemble — no sort,
+    no driver state, no collect. Line identity is xxhash64 (2^-64 collision
+    trade, the same one every hash-keyed dedup here makes; the DuckDB
+    oracle groups on the raw line string and agrees exactly absent
+    collisions).
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("__h", F.xxhash64("__line"))
+    rare = (
+        lines.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") < min_count)
+        .select("__h")
+    )
+    kept = lines.join(rare, "__h", "left_semi")
+    agg = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias(out_col)
+    )
+    return df.join(agg, F.col(id_col) == F.col("__id"), "left").select(
+        *[F.col(c) for c in df.columns],
+        F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+    )
+
+
 def fix_unicode(t: str | None, form: str = "NFC") -> str | None:
     """Kernel: surrogate replacement (encode('utf-8','replace') round-trip —
     storage.py:219-222) + unicode normalization."""

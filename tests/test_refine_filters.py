@@ -213,3 +213,40 @@ def test_lexical_columns_param(spark):
     a = {r["id"]: r["hdd"] for r in h_only.collect()}
     b = {r["id"]: r["hdd"] for r in both.collect()}
     assert a == b
+
+
+def test_remove_frequent_lines_corpus_level(spark):
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "unique one\ncookie banner\nbody a",
+                "cookie banner\nbody b",
+                "unique two\ncookie banner",
+                "cookie banner",  # every line boilerplate -> ''
+            ],
+        }
+    )
+    df = spark.createDataFrame(docs)
+    out = {
+        r["doc_id"]: r["clean"]
+        for r in refine.remove_frequent_lines(
+            df, "doc_id", "text", "clean", min_count=3
+        ).collect()
+    }
+    assert out == {
+        1: "unique one\nbody a",
+        2: "body b",
+        3: "unique two",
+        4: "",
+    }
+    # min_count above the corpus frequency keeps everything (order preserved)
+    kept = {
+        r["doc_id"]: r["clean"]
+        for r in refine.remove_frequent_lines(
+            df, "doc_id", "text", "clean", min_count=5
+        ).collect()
+    }
+    assert kept[1] == "unique one\ncookie banner\nbody a"
