@@ -283,6 +283,17 @@ def q_decontam(spark, sf):
     return dedup.decontaminate(d, bench, "doc_id", "text").select("doc_id")
 
 
+def q_domain_mix(spark, sf):
+    """Temperature (alpha=1/2) domain-mixture sample, budget=200 over the
+    documents table's 20 sources (battery member): integer-exact quota
+    arithmetic + two-phase md5-prefix selection (ops/sampling.py), so the
+    DuckDB twin matches hash-for-hash."""
+    from dataflow_spark.ops import sampling
+
+    d = load_table(spark, sf, "documents")
+    return sampling.domain_mixture_sample(d, "source", "doc_id", budget=200)
+
+
 def q_embed_topk(spark, sf):
     e = load_table(spark, sf, "embeddings")
     qs = e.filter(F.col("vec_id") < 3)
@@ -1177,6 +1188,9 @@ def q_score_battery(spark, sf):
                       _kcat("doc_id"), [], s1=F.col("mlp_score")),
         _battery_pack(q_decontam(spark, sf), "decontam",
                       _kcat("doc_id"), []),
+        _battery_pack(q_domain_mix(spark, sf), "domain_mix",
+                      _kcat("doc_id"), ["source"],
+                      s1=F.col("rank"), s2=F.col("quota")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2968,6 +2982,32 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
     """
 
+    # temperature (alpha=1/2) domain mixture, budget=200 — integer-exact
+    # quota arithmetic and the identical two-phase 32-bit md5-prefix rule
+    # as ops/sampling.py domain_mixture_sample
+    o["domain_mix"] = """
+        WITH c AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+        w AS (SELECT source, c, CAST(floor(sqrt(c)) AS BIGINT) AS w FROM c),
+        q AS (SELECT source, c, w,
+                     least(c, CAST((200 * w) // (SELECT sum(w) FROM w) AS BIGINT)) AS quota
+              FROM w),
+        t AS (SELECT source, quota,
+                     CASE WHEN c > 8 * quota
+                          THEN least(4294967296, (4294967296 * 5 * quota) // (4 * c))
+                          ELSE 4294967296 END AS T
+              FROM q),
+        pre AS (
+          SELECT d.doc_id, d.source, t.quota,
+                 CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)::BIGINT AS pfx
+          FROM documents d JOIN t USING (source)
+          WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)::BIGINT < t.T
+        ),
+        r AS (SELECT doc_id, source, quota, pfx,
+                     row_number() OVER (PARTITION BY source ORDER BY pfx, doc_id) AS rank
+              FROM pre)
+        SELECT doc_id, source, rank, quota FROM r WHERE rank <= quota
+    """
+
     o["score_battery"] = " UNION ALL ".join([
         _pack_sql("pii_safety", o["pii_safety"],
                   _kcat_sql("conv_id", "turn_idx"),
@@ -2984,6 +3024,8 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("mlp_score", o["mlp_score"],
                   _kcat_sql("doc_id"), [], s1="mlp_score"),
         _pack_sql("decontam", o["decontam"], _kcat_sql("doc_id"), []),
+        _pack_sql("domain_mix", o["domain_mix"], _kcat_sql("doc_id"), ["source"],
+                  s1="rank", s2="quota"),
     ])
 
     _dim_sql = ", ".join(
@@ -3003,7 +3045,7 @@ def oracle_sql() -> dict[str, str]:
         "sft_seed", "condor_gen", "rag_atomic", "text2sql_gen", "reasoning_qsynth",
         "funccall_tasks", "docs_doc2qa", "pii_safety", "docs_toxicity",
         "sql_hardness", "model_score", "mlp_score", "meta_eval", "paired_gen",
-        "docs_markdown",
+        "docs_markdown", "domain_mix",
     ):
         del o[_member]
 

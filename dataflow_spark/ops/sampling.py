@@ -1,0 +1,102 @@
+"""Dataset-composition sampling operators (beyond-reference training-data
+ops): temperature-based domain mixing and stratified quota sampling.
+
+The recipe is the published temperature-sampling rule for multi-domain /
+multilingual corpus mixing (GPT-3 §2.2 data-mixing weights; XLM-R §3.1
+"sampling with temperature": domain d contributes proportionally to
+p_d^alpha, alpha<1 upsampling rare domains). This engine pins alpha = 1/2
+and expresses the WHOLE rule in integer arithmetic so the result is
+bit-deterministic and engine-portable (no float pow/sum whose
+last-ulp/summation-order could flip a quota between Spark and an oracle):
+
+    c_d     = |domain d|
+    w_d     = floor(sqrt(c_d))            # p^(1/2) temperature, exact:
+                                          # sqrt is IEEE-correctly-rounded
+                                          # and the floor can't cross an
+                                          # integer for c < 2^50
+    quota_d = min(c_d, (budget * w_d) div sum(w))
+    keep the quota_d rows with smallest md5-prefix rank inside each domain
+
+Scale design (the part that matters at 10^12 rows): ranking inside a domain
+is a sort, and a hot domain can hold most of the corpus — so quota
+selection is TWO-PHASE. When c_d > 8 * quota_d, a 32-bit md5-prefix
+threshold prefilters the domain to an expected 1.25 * quota_d rows
+(binomial concentration makes a shortfall vanishingly unlikely once quota
+is ~10^3+), and only the survivors are ranked — the per-domain sort is
+O(quota log quota) regardless of domain size. At or below 8x, the domain is
+small relative to its quota and is ranked directly (which also makes the
+small-fixture behavior exact-quota, not an oversample lottery). Both phases
+are deterministic functions of (id, domain counts), so a DuckDB twin
+implements the identical rule and matches hash-for-hash.
+
+The domain statistics table is broadcast: #domains is small BY DEFINITION
+of the operator (a mixture over domains), never proportional to rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PREFIX32_SPACE = 1 << 32  # 8 md5 nibbles
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    budget: int = 200,
+) -> DataFrame:
+    """Temperature (alpha=1/2) domain-mixture sample of ~`budget` rows.
+
+    Returns (id_col, domain_col, rank, quota): the selected rows, their
+    deterministic within-domain rank (1-based, by 32-bit md5 prefix then
+    id), and the domain's quota. sum(quota) <= budget by construction
+    (integer floor division); a domain smaller than its allocation
+    contributes everything it has.
+    """
+    c = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__c"))
+    c = c.withColumn("__wt", F.floor(F.sqrt(F.col("__c"))).cast("bigint"))
+    # global weight sum via an unpartitioned window: the domain table is
+    # tiny by definition, and this avoids a crossJoin back onto its own
+    # lineage (Spark 4 rejects the unqualified self-join refs)
+    q = (
+        c.withColumn("__wsum", F.sum("__wt").over(Window.partitionBy()))
+        .withColumn(
+            "__quota",
+            F.least(F.col("__c"), F.expr(f"(CAST({int(budget)} AS BIGINT) * __wt) div __wsum")),
+        )
+        .withColumn(
+            "__T",
+            F.when(
+                F.col("__c") > 8 * F.col("__quota"),
+                F.least(
+                    F.lit(PREFIX32_SPACE).cast("bigint"),
+                    F.expr(f"(CAST({PREFIX32_SPACE} AS BIGINT) * 5 * __quota) div (4 * __c)"),
+                ),
+            ).otherwise(F.lit(PREFIX32_SPACE).cast("bigint")),
+        )
+        .select(domain_col, "__quota", "__T")
+    )
+    pfx = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    pre = (
+        df.select(id_col, domain_col)
+        .join(F.broadcast(q), domain_col)
+        .withColumn("__pfx", pfx)
+        .filter(F.col("__pfx") < F.col("__T"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(domain_col).orderBy("__pfx", id_col)
+    )
+    return (
+        pre.withColumn("rank", rank)
+        .filter(F.col("rank") <= F.col("__quota"))
+        .select(
+            id_col,
+            domain_col,
+            F.col("rank").cast("long").alias("rank"),
+            F.col("__quota").cast("long").alias("quota"),
+        )
+    )

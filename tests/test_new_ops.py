@@ -347,3 +347,36 @@ def test_gram_counts_udf_matches_expression(spark, sf_dir):
     rows_a = {tuple(r) for r in a.collect()}
     rows_b = {tuple(r) for r in b.collect()}
     assert rows_a == rows_b
+
+
+def test_domain_mixture_sample_temperature_and_two_phase(spark):
+    import math
+
+    import pandas as pd
+
+    from dataflow_spark.ops import sampling
+
+    # 1 hot domain (900 rows), 2 cold (50 each): alpha=1/2 upsamples cold
+    rows = [("hot", i) for i in range(900)]
+    rows += [("cold_a", 10_000 + i) for i in range(50)]
+    rows += [("cold_b", 20_000 + i) for i in range(50)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["source", "doc_id"]))
+    out = sampling.domain_mixture_sample(df, "source", "doc_id", budget=100).toPandas()
+
+    quotas = out.groupby("source")["quota"].first().to_dict()
+    W = math.isqrt(900) + 2 * math.isqrt(50)  # 30 + 14
+    assert quotas == {
+        "hot": 100 * 30 // W,
+        "cold_a": 100 * 7 // W,
+        "cold_b": 100 * 7 // W,
+    }
+    # temperature property: cold domains exceed their proportional share
+    assert quotas["cold_a"] > 100 * 50 // 1000
+    # hot domain triggered the two-phase prefilter (c=900 > 8*quota) yet the
+    # quota was still filled, and the whole thing is deterministic
+    got = out.groupby("source").size().to_dict()
+    assert got["hot"] == quotas["hot"]
+    again = sampling.domain_mixture_sample(df, "source", "doc_id", budget=100).toPandas()
+    a = sorted(map(tuple, out[["doc_id", "rank"]].values.tolist()))
+    b = sorted(map(tuple, again[["doc_id", "rank"]].values.tolist()))
+    assert a == b
