@@ -294,6 +294,15 @@ def q_domain_mix(spark, sf):
     return sampling.domain_mixture_sample(d, "source", "doc_id", budget=200)
 
 
+def q_kmeans_cluster(spark, sf):
+    """Deterministic k-means (k=8, 2 Lloyd updates + final assign) over the
+    integer-quantized embedding lattice — the SemDeDup cluster-then-dedup
+    primitive (battery member). Bounded sequential state unrolls: the DuckDB
+    twin is the same 2 iterations as generated CTE stages."""
+    e = load_table(spark, sf, "embeddings")
+    return embeddings.kmeans_assign(e, "vec_id", "embedding", k=8, iters=2)
+
+
 def q_embed_topk(spark, sf):
     e = load_table(spark, sf, "embeddings")
     qs = e.filter(F.col("vec_id") < 3)
@@ -1191,6 +1200,8 @@ def q_score_battery(spark, sf):
         _battery_pack(q_domain_mix(spark, sf), "domain_mix",
                       _kcat("doc_id"), ["source"],
                       s1=F.col("rank"), s2=F.col("quota")),
+        _battery_pack(q_kmeans_cluster(spark, sf), "kmeans_cluster",
+                      _kcat("vec_id"), [], s1=F.col("cluster")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3008,6 +3019,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source, rank, quota FROM r WHERE rank <= quota
     """
 
+    # deterministic k-means (k=8, 2 Lloyd updates + final assign) on the
+    # integer lattice floor(x*2^20)+2^21 — the bounded loop unrolls into
+    # generated CTE stages (the embed_kcenter precedent); all-positive
+    # coordinates make // truncation == floor everywhere
+    _km_k, _km_iters, _km_dim = 8, 2, 64
+    _km_parts = [
+        "base AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) + 2097152) AS xq "
+        "FROM embeddings)",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, "
+        f"xq AS cvec FROM base ORDER BY vec_id LIMIT {_km_k})",
+    ]
+    _km_d2 = "list_sum(list_transform(list_zip(b.xq, c.cvec), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    for _t in range(1, _km_iters + 1):
+        _km_parts += [
+            f"d{_t} AS (SELECT b.vec_id, b.xq, c.cl, {_km_d2} AS d2 "
+            f"FROM base b CROSS JOIN c{_t-1} c)",
+            f"a{_t} AS (SELECT vec_id, xq, cl AS cluster FROM ("
+            f"SELECT vec_id, xq, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn "
+            f"FROM d{_t}) WHERE rn = 1)",
+            f"sx{_t} AS (SELECT cluster, s.i AS i, s.v AS v FROM ("
+            f"SELECT cluster, unnest(list_transform(range(1, {_km_dim + 1}), "
+            f"i -> struct_pack(i := i, v := xq[i]))) AS s FROM a{_t}))",
+            f"sm{_t} AS (SELECT cluster, i, sum(v) AS sv, count(*) AS n "
+            f"FROM sx{_t} GROUP BY cluster, i)",
+            f"cn{_t} AS (SELECT cluster AS cl, list(sv // n ORDER BY i) AS cvec "
+            f"FROM sm{_t} GROUP BY cluster)",
+            f"c{_t} AS (SELECT p.cl, coalesce(nw.cvec, p.cvec) AS cvec "
+            f"FROM c{_t-1} p LEFT JOIN cn{_t} nw ON p.cl = nw.cl)",
+        ]
+    _km_parts += [
+        f"df AS (SELECT b.vec_id, c.cl, {_km_d2} AS d2 FROM base b CROSS JOIN c{_km_iters} c)",
+        "af AS (SELECT vec_id, cl AS cluster FROM ("
+        "SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn "
+        "FROM df) WHERE rn = 1)",
+    ]
+    o["kmeans_cluster"] = (
+        "WITH " + ",\n".join(_km_parts) + "\nSELECT vec_id, cluster FROM af"
+    )
+
     o["score_battery"] = " UNION ALL ".join([
         _pack_sql("pii_safety", o["pii_safety"],
                   _kcat_sql("conv_id", "turn_idx"),
@@ -3026,6 +3077,8 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("decontam", o["decontam"], _kcat_sql("doc_id"), []),
         _pack_sql("domain_mix", o["domain_mix"], _kcat_sql("doc_id"), ["source"],
                   s1="rank", s2="quota"),
+        _pack_sql("kmeans_cluster", o["kmeans_cluster"], _kcat_sql("vec_id"), [],
+                  s1="cluster"),
     ])
 
     _dim_sql = ", ".join(
@@ -3045,7 +3098,7 @@ def oracle_sql() -> dict[str, str]:
         "sft_seed", "condor_gen", "rag_atomic", "text2sql_gen", "reasoning_qsynth",
         "funccall_tasks", "docs_doc2qa", "pii_safety", "docs_toxicity",
         "sql_hardness", "model_score", "mlp_score", "meta_eval", "paired_gen",
-        "docs_markdown", "domain_mix",
+        "docs_markdown", "domain_mix", "kmeans_cluster",
     ):
         del o[_member]
 

@@ -601,3 +601,113 @@ def embedding_neardup_pairs(
     return pairs.select(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), sim.alias("sim")
     ).filter(F.col("sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic distributed k-means (SemDeDup-style cluster-then-dedup
+# primitive; Lloyd 1982)
+# ---------------------------------------------------------------------------
+
+KMEANS_SCALE = 1 << 20
+KMEANS_OFFSET = 1 << 21  # makes every quantized coordinate positive, so
+#                          integer division truncation == floor in every
+#                          engine (DuckDB // truncates toward zero, Python
+#                          // floors — they agree only on non-negatives)
+
+
+def _kmeans_quantize(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """float vector -> exact bigint lattice: floor(x * 2^20) + 2^21.
+
+    floor (not round) because a float32 times 2^20 can land exactly on .5
+    and round-half rules differ across engines; floor of an exactly-equal
+    double is bit-portable. Translation by a constant offset changes no
+    distance."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(KMEANS_SCALE))).cast("bigint")
+            + F.lit(KMEANS_OFFSET),
+        ).alias("xq"),
+    )
+
+
+def _kmeans_assign_expr(centers: list[list[int]]):
+    """Squared-distance argmin over literal centers, pure JVM expressions:
+    k aggregates over zip_with diffs (all bigint — diffs <= 2^21, squared
+    2^42, x dim 64 = 2^48, exact in int64), ties to the smallest cluster
+    index via array_position-of-min (first occurrence)."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("xq"),
+                    F.array(*[F.lit(int(v)).cast("bigint") for v in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            for c in centers
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic distributed k-means assignment (Lloyd's algorithm with
+    `iters` center updates, then a final assignment): the clustering stage
+    of cluster-then-dedup pipelines (SemDeDup, Abbas et al. 2023 — cluster
+    embeddings, then near-dedup WITHIN clusters so the pair search never
+    crosses cluster boundaries) and of topic-balanced data mixes.
+
+    Bit-deterministic by construction, hence exactly oracle-checkable:
+    coordinates are quantized to an integer lattice (floor(x*2^20)+2^21),
+    so every distance, sum, and mean is integer arithmetic with no
+    float-summation-order sensitivity; init = the k rows with smallest id;
+    empty clusters keep their previous center; mean = integer floor
+    division (all coordinates positive — see KMEANS_OFFSET).
+
+    Scale shape (MLlib's own topology): assignment is a narrow JVM
+    expression over a broadcast-sized center list (k*dim literals); the
+    center update is one partial-aggregatable groupBy(cluster, dim) whose
+    result (k*dim rows) is collected — the ONLY driver traffic, independent
+    of corpus size. iters is a compile-time constant, so the whole loop
+    unrolls into a finite SQL expression for the DuckDB twin.
+    """
+    base = _kmeans_quantize(df, id_col, vec_col).persist()
+    try:
+        init_rows = base.orderBy(id_col).limit(k).collect()
+        centers = [list(r["xq"]) for r in init_rows]
+        dim = len(centers[0])
+        for _ in range(iters):
+            assigned = base.withColumn("cluster", _kmeans_assign_expr(centers))
+            stats = (
+                assigned.select("cluster", F.posexplode("xq").alias("i", "val"))
+                .groupBy("cluster", "i")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+            for r in stats:
+                by_cluster.setdefault(r["cluster"], {})[r["i"]] = (r["s"], r["n"])
+            centers = [
+                [by_cluster[j][i][0] // by_cluster[j][i][1] for i in range(dim)]
+                if j in by_cluster
+                else centers[j]
+                for j in range(k)
+            ]
+        out = base.withColumn("cluster", _kmeans_assign_expr(centers)).select(
+            id_col, "cluster"
+        )
+        # materialize before releasing the quantized cache (lineage discipline)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        base.unpersist()
+    return out

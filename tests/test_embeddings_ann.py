@@ -327,3 +327,57 @@ def test_ivf_exhaustive_probe_equals_brute_force(spark):
     ivf = embeddings.ivf_topk(df, qs, k=5, n_cells=8, n_probe=8, two_level=False)
     bf = embeddings.brute_force_topk(df, qs, k=5)
     assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, bf.collect()))
+
+
+def test_kmeans_assign_matches_integer_twin_and_recovers_plants(spark):
+    import numpy as np
+    import pandas as pd
+
+    from dataflow_spark.ops import embeddings as E
+
+    # 3 planted blobs in 8-dim space + the same integer-lattice twin
+    rng = np.random.RandomState(5)
+    blobs = []
+    for b, center in enumerate([-0.4, 0.0, 0.4]):
+        blobs.append(center + rng.uniform(-0.05, 0.05, size=(60, 8)))
+    # interleave so the k smallest ids (the deterministic init) spread
+    # across blobs instead of all landing in blob 0
+    X = np.vstack([b[i] for i in range(60) for b in blobs]).astype(np.float32)
+    member = np.array([j for _ in range(60) for j in range(3)])
+    ids = np.arange(len(X))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "embedding": [list(map(float, r)) for r in X]})
+    )
+    k, iters = 3, 2
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in E.kmeans_assign(df, "vec_id", "embedding", k=k, iters=iters).collect()
+    }
+
+    # pure-python twin of the exact integer rule
+    xq = (np.floor(X.astype(np.float64) * E.KMEANS_SCALE) + E.KMEANS_OFFSET).astype(
+        np.int64
+    )
+    centers = [xq[i].tolist() for i in range(k)]  # k smallest ids
+
+    def assign(c):
+        d = ((xq[:, None, :] - np.array(c, dtype=np.int64)[None, :, :]) ** 2).sum(
+            axis=2
+        )
+        return d.argmin(axis=1)  # numpy argmin ties -> first index, same rule
+
+    for _ in range(iters):
+        a = assign(centers)
+        centers = [
+            (xq[a == j].sum(axis=0) // max(1, (a == j).sum())).tolist()
+            if (a == j).any()
+            else centers[j]
+            for j in range(k)
+        ]
+    want = dict(zip(ids.tolist(), assign(centers).tolist()))
+    assert got == want
+    # the 3 plants land in 3 distinct clusters, pure within blobs
+    lab = np.array([got[i] for i in ids])
+    blocks = [set(lab[member == j].tolist()) for j in range(3)]
+    assert all(len(s) == 1 for s in blocks)
+    assert len(set.union(*blocks)) == 3
