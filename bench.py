@@ -65,6 +65,8 @@ HEADLINE = [
     "model_score",
     "consistent_chat",
     "refine_tokens_battery",
+    "domain_mix",
+    "kmeans_cluster",
 ]
 
 
@@ -355,7 +357,10 @@ def run_default() -> None:
     qmap = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = qmap.get(name)
+        # battery members (sql_hardness, model_score, domain_mix, ...) are
+        # not standalone queries() keys; fall back to their builder fn so
+        # each operator family keeps its own BENCH line
+        fn = qmap.get(name) or getattr(entry_mod, f"q_{name}", None)
         if fn is None:
             continue
         # each query is timed COLD and in isolation: caches from previous
