@@ -294,6 +294,52 @@ def q_domain_mix(spark, sf):
     return sampling.domain_mixture_sample(d, "source", "doc_id", budget=200)
 
 
+_KM_D2 = "list_sum(list_transform(list_zip(b.xq, c.cvec), p -> (p[1]-p[2])*(p[1]-p[2])))"
+
+
+def _kmeans_cte_parts(prefix: str, base_name: str, k: int, iters: int, dim: int) -> list[str]:
+    """Generated DuckDB CTEs for deterministic integer-lattice Lloyd over a
+    (vec_id, xq) CTE `base_name`: init {prefix}c0 = k smallest ids, then
+    per iteration assign/argmin/per-dim-sum/center-rebuild. Final centers
+    CTE = {prefix}c{iters} with (cl, cvec). Twin of
+    embeddings._kmeans_centers."""
+    P = prefix
+    parts = [
+        f"{P}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, "
+        f"xq AS cvec FROM {base_name} ORDER BY vec_id LIMIT {k})"
+    ]
+    for t in range(1, iters + 1):
+        parts += [
+            f"{P}d{t} AS (SELECT b.vec_id, b.xq, c.cl, {_KM_D2} AS d2 "
+            f"FROM {base_name} b CROSS JOIN {P}c{t-1} c)",
+            f"{P}a{t} AS (SELECT vec_id, xq, cl AS cluster FROM ("
+            f"SELECT vec_id, xq, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn "
+            f"FROM {P}d{t}) WHERE rn = 1)",
+            f"{P}sx{t} AS (SELECT cluster, s.i AS i, s.v AS v FROM ("
+            f"SELECT cluster, unnest(list_transform(range(1, {dim + 1}), "
+            f"i -> struct_pack(i := i, v := xq[i]))) AS s FROM {P}a{t}))",
+            f"{P}sm{t} AS (SELECT cluster, i, sum(v) AS sv, count(*) AS n "
+            f"FROM {P}sx{t} GROUP BY cluster, i)",
+            f"{P}cn{t} AS (SELECT cluster AS cl, list(sv // n ORDER BY i) AS cvec "
+            f"FROM {P}sm{t} GROUP BY cluster)",
+            f"{P}c{t} AS (SELECT p.cl, coalesce(nw.cvec, p.cvec) AS cvec "
+            f"FROM {P}c{t-1} p LEFT JOIN {P}cn{t} nw ON p.cl = nw.cl)",
+        ]
+    return parts
+
+
+def q_pq_topk(spark, sf):
+    """Product quantization (Jégou 2011) + asymmetric-distance top-5
+    (battery member): per-subspace deterministic k-means codebooks (m=4,
+    k=8, 1 iter), integer-exact codes and ADC distances, so the generated
+    per-subspace CTE oracle matches hash-for-hash."""
+    e = load_table(spark, sf, "embeddings")
+    enc, cbs = embeddings.pq_train_encode(e, m=4, k=8, iters=1)
+    qs = e.filter(F.col("vec_id") < 3).select("vec_id", "embedding").collect()
+    qv = [(r["vec_id"], list(r["embedding"])) for r in qs]
+    return embeddings.pq_topk(enc, cbs, qv, k=5)
+
+
 def q_kmeans_cluster(spark, sf):
     """Deterministic k-means (k=8, 2 Lloyd updates + final assign) over the
     integer-quantized embedding lattice — the SemDeDup cluster-then-dedup
@@ -1202,6 +1248,9 @@ def q_score_battery(spark, sf):
                       s1=F.col("rank"), s2=F.col("quota")),
         _battery_pack(q_kmeans_cluster(spark, sf), "kmeans_cluster",
                       _kcat("vec_id"), [], s1=F.col("cluster")),
+        _battery_pack(q_pq_topk(spark, sf), "pq_topk",
+                      _kcat("query_id", "neighbor_id"), [],
+                      s1=F.col("rank"), s2=F.col("dist")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3023,40 +3072,63 @@ def oracle_sql() -> dict[str, str]:
     # integer lattice floor(x*2^20)+2^21 — the bounded loop unrolls into
     # generated CTE stages (the embed_kcenter precedent); all-positive
     # coordinates make // truncation == floor everywhere
-    _km_k, _km_iters, _km_dim = 8, 2, 64
     _km_parts = [
         "base AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) + 2097152) AS xq "
         "FROM embeddings)",
-        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, "
-        f"xq AS cvec FROM base ORDER BY vec_id LIMIT {_km_k})",
-    ]
-    _km_d2 = "list_sum(list_transform(list_zip(b.xq, c.cvec), p -> (p[1]-p[2])*(p[1]-p[2])))"
-    for _t in range(1, _km_iters + 1):
-        _km_parts += [
-            f"d{_t} AS (SELECT b.vec_id, b.xq, c.cl, {_km_d2} AS d2 "
-            f"FROM base b CROSS JOIN c{_t-1} c)",
-            f"a{_t} AS (SELECT vec_id, xq, cl AS cluster FROM ("
-            f"SELECT vec_id, xq, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn "
-            f"FROM d{_t}) WHERE rn = 1)",
-            f"sx{_t} AS (SELECT cluster, s.i AS i, s.v AS v FROM ("
-            f"SELECT cluster, unnest(list_transform(range(1, {_km_dim + 1}), "
-            f"i -> struct_pack(i := i, v := xq[i]))) AS s FROM a{_t}))",
-            f"sm{_t} AS (SELECT cluster, i, sum(v) AS sv, count(*) AS n "
-            f"FROM sx{_t} GROUP BY cluster, i)",
-            f"cn{_t} AS (SELECT cluster AS cl, list(sv // n ORDER BY i) AS cvec "
-            f"FROM sm{_t} GROUP BY cluster)",
-            f"c{_t} AS (SELECT p.cl, coalesce(nw.cvec, p.cvec) AS cvec "
-            f"FROM c{_t-1} p LEFT JOIN cn{_t} nw ON p.cl = nw.cl)",
-        ]
+    ] + _kmeans_cte_parts("", "base", k=8, iters=2, dim=64)
     _km_parts += [
-        f"df AS (SELECT b.vec_id, c.cl, {_km_d2} AS d2 FROM base b CROSS JOIN c{_km_iters} c)",
+        f"df AS (SELECT b.vec_id, c.cl, {_KM_D2} AS d2 FROM base b CROSS JOIN c2 c)",
         "af AS (SELECT vec_id, cl AS cluster FROM ("
         "SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn "
         "FROM df) WHERE rn = 1)",
     ]
     o["kmeans_cluster"] = (
         "WITH " + ",\n".join(_km_parts) + "\nSELECT vec_id, cluster FROM af"
+    )
+
+    # product quantization (m=4 subspaces x 16 dims, k=8 codes, 1 Lloyd
+    # iter) + asymmetric-distance top-5 for queries vec_id < 3: per-subspace
+    # kmeans CTEs (the same generator), encode = per-subspace argmin, ADC =
+    # join codes to the per-query LUT and sum — all integer-exact
+    _pq_m, _pq_k, _pq_dsub = 4, 8, 16
+    _pq_parts = [
+        "qb AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) + 2097152) AS xqf "
+        "FROM embeddings)",
+    ]
+    _pq_contribs = []
+    for _j in range(_pq_m):
+        _lo, _hi = _j * _pq_dsub + 1, (_j + 1) * _pq_dsub
+        _pq_parts.append(
+            f"sb{_j} AS (SELECT vec_id, xqf[{_lo}:{_hi}] AS xq FROM qb)"
+        )
+        _pq_parts += _kmeans_cte_parts(f"s{_j}_", f"sb{_j}", k=_pq_k, iters=1, dim=_pq_dsub)
+        _pq_parts += [
+            f"ed{_j} AS (SELECT b.vec_id, c.cl, {_KM_D2} AS d2 "
+            f"FROM sb{_j} b CROSS JOIN s{_j}_c1 c)",
+            f"e{_j} AS (SELECT vec_id, cl AS code FROM ("
+            f"SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn "
+            f"FROM ed{_j}) WHERE rn = 1)",
+            f"lut{_j} AS (SELECT b.vec_id AS query_id, c.cl, {_KM_D2} AS d "
+            f"FROM (SELECT vec_id, xq FROM sb{_j} WHERE vec_id < 3) b "
+            f"CROSS JOIN s{_j}_c1 c)",
+            f"ct{_j} AS (SELECT l.query_id, e.vec_id AS neighbor_id, l.d "
+            f"FROM e{_j} e JOIN lut{_j} l ON e.code = l.cl "
+            f"WHERE e.vec_id <> l.query_id)",
+        ]
+        _pq_contribs.append(f"SELECT * FROM ct{_j}")
+    _pq_parts += [
+        "adc AS (SELECT query_id, neighbor_id, sum(d) AS dist FROM ("
+        + " UNION ALL ".join(_pq_contribs)
+        + ") GROUP BY query_id, neighbor_id)",
+        "pqr AS (SELECT query_id, neighbor_id, dist, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank "
+        "FROM adc)",
+    ]
+    o["pq_topk"] = (
+        "WITH " + ",\n".join(_pq_parts)
+        + "\nSELECT query_id, neighbor_id, rank, dist FROM pqr WHERE rank <= 5"
     )
 
     o["score_battery"] = " UNION ALL ".join([
@@ -3079,6 +3151,8 @@ def oracle_sql() -> dict[str, str]:
                   s1="rank", s2="quota"),
         _pack_sql("kmeans_cluster", o["kmeans_cluster"], _kcat_sql("vec_id"), [],
                   s1="cluster"),
+        _pack_sql("pq_topk", o["pq_topk"], _kcat_sql("query_id", "neighbor_id"), [],
+                  s1="rank", s2="dist"),
     ])
 
     _dim_sql = ", ".join(
@@ -3098,7 +3172,7 @@ def oracle_sql() -> dict[str, str]:
         "sft_seed", "condor_gen", "rag_atomic", "text2sql_gen", "reasoning_qsynth",
         "funccall_tasks", "docs_doc2qa", "pii_safety", "docs_toxicity",
         "sql_hardness", "model_score", "mlp_score", "meta_eval", "paired_gen",
-        "docs_markdown", "domain_mix", "kmeans_cluster",
+        "docs_markdown", "domain_mix", "kmeans_cluster", "pq_topk",
     ):
         del o[_member]
 

@@ -381,3 +381,33 @@ def test_kmeans_assign_matches_integer_twin_and_recovers_plants(spark):
     blocks = [set(lab[member == j].tolist()) for j in range(3)]
     assert all(len(s) == 1 for s in blocks)
     assert len(set.union(*blocks)) == 3
+
+
+def test_pq_adc_topk_recall_on_blobs(spark):
+    import numpy as np
+    import pandas as pd
+
+    from dataflow_spark.ops import embeddings as E
+
+    rng = np.random.RandomState(9)
+    blobs = [c + rng.uniform(-0.06, 0.06, size=(40, 16)) for c in (-0.4, 0.0, 0.4)]
+    X = np.vstack([b[i] for i in range(40) for b in blobs]).astype(np.float32)
+    ids = np.arange(len(X))
+    member = np.array([j for _ in range(40) for j in range(3)])
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "embedding": [list(map(float, r)) for r in X]})
+    )
+    enc, cbs = E.pq_train_encode(df, m=4, k=8, iters=2)
+    assert len(cbs) == 4 and len(cbs[0]) == 8 and len(cbs[0][0]) == 4
+    queries = [(int(i), list(map(float, X[i]))) for i in (0, 1, 2)]
+    got = E.pq_topk(enc, cbs, queries, k=5).collect()
+    assert len(got) == 15
+    # ADC neighbors of a blob member come from the same blob (coarse 3-blob
+    # geometry is far wider than PQ distortion)
+    for r in got:
+        assert member[r["neighbor_id"]] == member[r["query_id"]]
+    # deterministic: re-train + re-query is identical
+    enc2, cbs2 = E.pq_train_encode(df, m=4, k=8, iters=2)
+    assert cbs2 == cbs
+    got2 = E.pq_topk(enc2, cbs2, queries, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
