@@ -270,3 +270,48 @@ def test_duplicate_components_empty_and_self_pairs(spark):
         pd.DataFrame({"id_a": [7, 9], "id_b": [7, 9]})  # self-loops only
     )
     assert dedup.duplicate_components(pairs).count() == 0
+
+
+def test_cluster_level_dedup_composes_with_jaccard_pairs(spark):
+    # cluster-level "keep min id per component" (filter id == component)
+    # over the pair graph: a~b, b~c chain must drop BOTH b and c even when
+    # the (a,c) pair itself misses the threshold
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 10, 11],
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta",
+                "QQ alpha beta gamma delta epsilon zeta eta theta",   # ~doc1
+                "QQ alpha beta gamma delta epsilon zeta eta theta ZZ",  # ~doc2, farther from doc1
+                "totally different words one two three four five",
+                "unrelated content six seven eight nine ten",
+            ],
+        }
+    )
+    df = spark.createDataFrame(docs)
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.6)
+    comp = dedup.duplicate_components(pairs)
+    keep_ids = {r["id"] for r in comp.filter("id = component").collect()}
+    dropped = {r["id"] for r in comp.filter("id <> component").collect()}
+    assert 1 in keep_ids and dropped == {2, 3}
+    # docs 10/11 never entered the pair graph -> untouched by construction
+    survivors = keep_ids | {10, 11}
+    assert survivors == {1, 10, 11}
+
+
+def test_domain_mixture_plan_broadcasts_domain_stats(spark):
+    import pandas as pd
+
+    from dataflow_spark.ops import sampling
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"source": ["a"] * 50 + ["b"] * 30, "doc_id": list(range(80))}
+        )
+    )
+    out = sampling.domain_mixture_sample(df, "source", "doc_id", budget=20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the corpus side must never shuffle for the join (only the window rank
+    # shuffles, and only prefiltered survivors reach it)
+    assert "SortMergeJoin" not in plan
