@@ -294,6 +294,20 @@ def q_domain_mix(spark, sf):
     return sampling.domain_mixture_sample(d, "source", "doc_id", budget=200)
 
 
+def q_dsir_select(spark, sf):
+    """DSIR importance-resampling data selection (Xie et al., NeurIPS 2023;
+    battery member): hashed word uni+bigram multinomials for the target
+    slice (source='src0') vs the raw corpus, integer fixed-point log-ratio
+    scores, deterministic top-150 (ops/sampling.py dsir_select). Two-pass:
+    bucket stats collect exactly 256 rows; scoring is one narrow LUT fold."""
+    from dataflow_spark.ops import sampling
+
+    d = load_table(spark, sf, "documents")
+    return sampling.dsir_select(
+        d, F.col("source") == "src0", "doc_id", "text", budget=150
+    )
+
+
 _KM_D2 = "list_sum(list_transform(list_zip(b.xq, c.cvec), p -> (p[1]-p[2])*(p[1]-p[2])))"
 
 
@@ -1220,12 +1234,14 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 6 members: pii_safety (Presidio analog),
-    docs_toxicity (Perspective analog), sql_hardness (SQL component +
-    execution classifiers), model_score (model-backed evaluator stage, stub
+    """Evaluator/classifier battery — 10 members: pii_safety (Presidio
+    analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
+    + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
     quality_lr.npz artifact), decontam (13-gram benchmark decontamination
-    survivors)."""
+    survivors), domain_mix (temperature domain sampler), kmeans_cluster
+    (deterministic Lloyd), pq_topk (PQ/ADC ANN), dsir_select (DSIR
+    importance resampling)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1251,6 +1267,9 @@ def q_score_battery(spark, sf):
         _battery_pack(q_pq_topk(spark, sf), "pq_topk",
                       _kcat("query_id", "neighbor_id"), [],
                       s1=F.col("rank"), s2=F.col("dist")),
+        _battery_pack(q_dsir_select(spark, sf), "dsir_select",
+                      _kcat("doc_id"), [],
+                      s1=F.col("dsir_score"), s2=F.col("rank")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3068,6 +3087,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, source, rank, quota FROM r WHERE rank <= quota
     """
 
+    # dsir_select: DSIR importance resampling (Xie et al. 2023). Identical
+    # rule on both engines: hashed (32-bit md5-prefix mod 256) word
+    # uni+bigram buckets, +1-smoothed target/raw multinomials, per-bucket
+    # log-ratio quantized to the 2^-20 fixed grid (floor(llr*2^20) BIGINT),
+    # document score = INTEGER sum of bucket weights (no float summation an
+    # engine could order differently), deterministic top-150.
+    o["dsir_select"] = """
+        WITH toks AS (
+          SELECT doc_id, (source = 'src0') AS tgt,
+                 list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, tgt, u.g AS gram FROM toks, unnest(tk) AS u(g)
+          UNION ALL
+          SELECT doc_id, tgt, tk[i] || ' ' || tk[i+1] AS gram
+          FROM toks, unnest(generate_series(1, len(tk) - 1)) AS s(i)
+        ),
+        bkt AS (
+          SELECT doc_id, tgt,
+                 CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT % 256 AS BIGINT) AS b
+          FROM grams
+        ),
+        stats AS (
+          SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS t, COUNT(*) AS r
+          FROM bkt GROUP BY b
+        ),
+        tot AS (SELECT SUM(t) AS tt, SUM(r) AS rr FROM stats),
+        llr AS (
+          SELECT b, CAST(floor((ln((t + 1.0) / (tt + 256.0))
+                                - ln((r + 1.0) / (rr + 256.0))) * 1048576.0) AS BIGINT) AS w
+          FROM stats, tot
+        ),
+        scored AS (
+          SELECT doc_id, CAST(SUM(w) AS BIGINT) AS dsir_score
+          FROM bkt JOIN llr USING (b) GROUP BY doc_id
+        ),
+        ranked AS (
+          SELECT doc_id, dsir_score,
+                 row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rank
+          FROM scored
+        )
+        SELECT doc_id, dsir_score, rank FROM ranked WHERE rank <= 150
+    """
+
     # deterministic k-means (k=8, 2 Lloyd updates + final assign) on the
     # integer lattice floor(x*2^20)+2^21 — the bounded loop unrolls into
     # generated CTE stages (the embed_kcenter precedent); all-positive
@@ -3153,6 +3218,8 @@ def oracle_sql() -> dict[str, str]:
                   s1="cluster"),
         _pack_sql("pq_topk", o["pq_topk"], _kcat_sql("query_id", "neighbor_id"), [],
                   s1="rank", s2="dist"),
+        _pack_sql("dsir_select", o["dsir_select"], _kcat_sql("doc_id"), [],
+                  s1="dsir_score", s2="rank"),
     ])
 
     _dim_sql = ", ".join(
@@ -3173,6 +3240,7 @@ def oracle_sql() -> dict[str, str]:
         "funccall_tasks", "docs_doc2qa", "pii_safety", "docs_toxicity",
         "sql_hardness", "model_score", "mlp_score", "meta_eval", "paired_gen",
         "docs_markdown", "domain_mix", "kmeans_cluster", "pq_topk",
+        "dsir_select",
     ):
         del o[_member]
 

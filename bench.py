@@ -67,6 +67,7 @@ HEADLINE = [
     "refine_tokens_battery",
     "domain_mix",
     "kmeans_cluster",
+    "dsir_select",
 ]
 
 

@@ -100,3 +100,127 @@ def domain_mixture_sample(
             F.col("__quota").cast("long").alias("quota"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_SCALE = 1 << 20  # fixed-point grid for the log-ratio weights
+
+
+def _dsir_tokens(text_col: str):
+    """Lowercased whitespace tokens, empties dropped — the hashed-n-gram
+    feature tokenizer (DSIR §3: word uni+bigrams hashed into buckets).
+    Engine-portable: DuckDB twin is
+    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')."""
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    return F.filter(toks, lambda x: x != F.lit(""))
+
+
+def _dsir_grams(text_col: str):
+    """Unigrams ++ space-joined bigrams as one array<string> per row."""
+    tk = _dsir_tokens(text_col)
+    bi = F.transform(
+        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+        lambda x, i: F.concat(x, F.lit(" "), F.element_at(tk, i + 2)),
+    )
+    return F.concat(tk, bi)
+
+
+def _dsir_bucket(gram, n_buckets: int):
+    """Portable 32-bit md5-prefix hash bucket (md5 is md5 everywhere;
+    DuckDB twin: ('0x' || substr(md5(gram),1,8))::UBIGINT % B)."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_buckets).cast("bigint")
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 100,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): estimate bag-of-hashed-n-gram
+    multinomials for a TARGET slice (the high-quality corpus the user wants
+    more of — `target_pred`, a boolean Column) and for the RAW corpus, score
+    every document by its importance log-ratio
+
+        w(x) = sum_b c_x[b] * ( ln p_t[b] - ln p_r[b] ),   +1-smoothed,
+
+    and keep the `budget` highest-weight documents. This engine pins the
+    deterministic top-k variant of the paper's Gumbel-top-k resampling (no
+    RNG → exactly oracle-checkable; same spirit as this module's integer
+    temperature sampler).
+
+    Exactness: the per-bucket log-ratio is quantized to the 2^-20 fixed
+    grid (floor(llr * 2^20) as int64) and the document score is an INTEGER
+    sum of those weights — no float summation anywhere an engine could
+    order differently. The llr floats themselves are computed once from
+    the collected bucket counts (libm ln on exact integer-ratio inputs, so
+    Python and the DuckDB twin produce bit-identical doubles on the same
+    platform, and the quantization floor agrees except on measure-zero
+    grid boundaries).
+
+    Scale shape: phase 1 (distribution estimate) is one explode +
+    partial-aggregatable groupBy(bucket) whose result is exactly
+    `n_buckets` rows collected to the driver — bounded traffic independent
+    of corpus size (the kmeans-centers pattern). Phase 2 (scoring) is a
+    single NARROW projection: per row, fold the gram array through a
+    literal int64[n_buckets] LUT — no shuffle, no explode, pure JVM
+    codegen. Selection is global top-k (rank pushdown: only <=budget rows
+    per partition reach the final ordering).
+
+    Returns (id_col, dsir_score:int64, rank:int64) for the selected rows.
+    """
+    import math
+
+    B = int(n_buckets)
+    grams = _dsir_grams(text_col)
+    exploded = df.select(
+        target_pred.alias("__tgt"), F.explode(grams).alias("__g")
+    ).select("__tgt", _dsir_bucket(F.col("__g"), B).alias("__b"))
+    stats = {
+        int(r["__b"]): (int(r["t"]), int(r["r"]))
+        for r in exploded.groupBy("__b")
+        .agg(
+            F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("t"),
+            F.count(F.lit(1)).alias("r"),
+        )
+        .collect()
+    }
+    T = sum(t for t, _ in stats.values())
+    R = sum(r for _, r in stats.values())
+    llr = [
+        int(
+            math.floor(
+                (
+                    math.log((stats.get(b, (0, 0))[0] + 1.0) / (T + float(B)))
+                    - math.log((stats.get(b, (0, 0))[1] + 1.0) / (R + float(B)))
+                )
+                * float(DSIR_SCALE)
+            )
+        )
+        for b in range(B)
+    ]
+    lut = F.array(*[F.lit(w).cast("bigint") for w in llr])
+    score = F.aggregate(
+        grams,
+        F.lit(0).cast("bigint"),
+        lambda acc, g: acc
+        + F.element_at(lut, (_dsir_bucket(g, B) + 1).cast("int")),
+    )
+    scored = df.select(F.col(id_col), score.alias("dsir_score"))
+    rank = F.row_number().over(
+        Window.orderBy(F.col("dsir_score").desc(), F.col(id_col))
+    )
+    return (
+        scored.withColumn("rank", rank.cast("long"))
+        .filter(F.col("rank") <= budget)
+        .select(id_col, "dsir_score", "rank")
+    )

@@ -411,3 +411,34 @@ def test_pq_adc_topk_recall_on_blobs(spark):
     assert cbs2 == cbs
     got2 = E.pq_topk(enc2, cbs2, queries, k=5).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, got2))
+
+
+def test_pq_topk_plan_is_jvm_with_rank_pushdown(spark):
+    import numpy as np
+    import pandas as pd
+
+    from dataflow_spark.ops import embeddings as E
+
+    rng = np.random.RandomState(11)
+    X = rng.uniform(-0.5, 0.5, size=(96, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(96), "embedding": [list(map(float, r)) for r in X]}
+        )
+    )
+    enc, cbs = E.pq_train_encode(df, m=4, k=8, iters=1)
+    # one query: rank<=k collapses to TakeOrderedAndProject (per-partition
+    # top-k + driver merge — zero shuffle)
+    out1 = E.pq_topk(enc, cbs, [(0, list(map(float, X[0])))], k=5)
+    plan1 = out1._jdf.queryExecution().executedPlan().toString()
+    assert "element_at" in plan1  # ADC = pure JVM LUT lookups, never Python
+    assert "ArrowEvalPython" not in plan1 and "BatchEvalPython" not in plan1
+    assert "TakeOrderedAndProject" in plan1
+    # several queries: partial WindowGroupLimit below the exchange — only
+    # <=k candidate rows per (query, partition) are shuffled (Spark 3.5+)
+    out2 = E.pq_topk(
+        enc, cbs, [(i, list(map(float, X[i]))) for i in (0, 1)], k=5
+    )
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan2 and "Partial" in plan2
+    assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2

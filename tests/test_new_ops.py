@@ -380,3 +380,95 @@ def test_domain_mixture_sample_temperature_and_two_phase(spark):
     a = sorted(map(tuple, out[["doc_id", "rank"]].values.tolist()))
     b = sorted(map(tuple, again[["doc_id", "rank"]].values.tolist()))
     assert a == b
+
+
+def _dsir_twin(rows, target_srcs, budget, B=256):
+    """Brute-force DSIR reimplementation (hashlib md5, pure python ints)."""
+    import hashlib
+    import math
+
+    def grams(text):
+        tk = [w for w in text.strip().lower().split() if w]
+        return tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    t = [0] * B
+    r = [0] * B
+    for src, _id, text in rows:
+        for g in grams(text):
+            b = bucket(g)
+            r[b] += 1
+            if src in target_srcs:
+                t[b] += 1
+    T, R = sum(t), sum(r)
+    llr = [
+        math.floor(
+            (math.log((t[b] + 1.0) / (T + float(B)))
+             - math.log((r[b] + 1.0) / (R + float(B)))) * (1 << 20)
+        )
+        for b in range(B)
+    ]
+    scored = [
+        (_id, sum(llr[bucket(g)] for g in grams(text)))
+        for src, _id, text in rows
+    ]
+    scored.sort(key=lambda p: (-p[1], p[0]))
+    return [
+        (_id, s, i + 1) for i, (_id, s) in enumerate(scored[:budget])
+    ]
+
+
+def test_dsir_select_matches_python_twin_and_prefers_target_vocab(spark):
+    import pandas as pd
+
+    from dataflow_spark.ops import sampling
+
+    # target slice (src0) speaks vocabulary A; half the raw pool shares it
+    voc_a = ["alpha", "beta", "gamma", "delta", "eps"]
+    voc_b = ["one", "two", "three", "four", "five"]
+
+    def doc(voc, seed, n=12):
+        return " ".join(voc[(seed * (i + 3) + i * i) % len(voc)] for i in range(n))
+
+    rows = [("src0", i, doc(voc_a, i)) for i in range(30)]
+    rows += [("raw", 100 + i, doc(voc_a, i + 7)) for i in range(40)]
+    rows += [("raw", 200 + i, doc(voc_b, i)) for i in range(40)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "doc_id", "text"])
+    )
+    out = sampling.dsir_select(
+        df, F.col("source") == "src0", "doc_id", "text", budget=35
+    )
+    got = sorted(
+        (int(x["doc_id"]), int(x["dsir_score"]), int(x["rank"]))
+        for x in out.collect()
+    )
+    want = sorted(_dsir_twin(rows, {"src0"}, budget=35))
+    assert got == want  # exact integer equality, incl. scores
+    # selection favors vocabulary-A docs: no vocabulary-B doc may outrank
+    # the vocabulary-A raw docs
+    picked = {d for d, _, _ in got}
+    assert all(d < 200 for d in picked)
+
+
+def test_dsir_scoring_plan_is_narrow_jvm(spark, tmp_path):
+    import pandas as pd
+
+    from dataflow_spark.ops import sampling
+
+    rows = [("a", i, f"tok{i % 7} tok{i % 5} tok{i % 3}") for i in range(64)]
+    # parquet-backed (a LocalRelation input would be constant-folded away)
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "doc_id", "text"])
+    ).write.parquet(str(tmp_path / "d"))
+    df = spark.read.parquet(str(tmp_path / "d"))
+    out = sampling.dsir_select(df, F.col("source") == "a", budget=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # phase-2 scoring is a narrow fold over a literal LUT: no Python stage,
+    # and the only exchange is the final top-k rank (rank-pushdown limits
+    # what reaches it)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "aggregate(" in plan or "WindowGroupLimit" in plan
+    assert plan.count("Exchange") <= 1
