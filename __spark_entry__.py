@@ -308,6 +308,35 @@ def q_dsir_select(spark, sf):
     )
 
 
+def q_outlier_trim(spark, sf):
+    """Corpus-distribution outlier trim (battery member): nearest-rank
+    [p5, p95] percentile band over the BPE-ish token count of documents,
+    survivors only (ops/sampling.py percentile_outlier_trim). Bounds come
+    from a distinct-value count table (partial agg, ~10^4 rows at any
+    corpus size), not a global sort; nearest-rank keeps the band
+    integer-exact across engines where interpolation would ulp-diverge."""
+    from dataflow_spark.ops import quality, sampling
+
+    d = load_table(spark, sf, "documents")
+    base = d.select("doc_id", quality.bpe_ish_token_count(F.col("text")).alias("n_tok"))
+    return sampling.percentile_outlier_trim(base, "n_tok", "doc_id", lo=0.05, hi=0.95)
+
+
+def q_seq_pack(spark, sf):
+    """GPT-style concatenate-and-chunk sequence packing (battery member):
+    documents sharded by 32-bit md5 prefix mod 8, packed into 512-token
+    sequences per shard via a windowed cumulative token offset
+    (ops/sampling.py sequence_pack). Per-shard windows parallelize the
+    cumsum; integer div arithmetic keeps both engines bit-identical."""
+    from dataflow_spark.ops import quality, sampling
+
+    d = load_table(spark, sf, "documents")
+    return sampling.sequence_pack(
+        d, quality.bpe_ish_token_count(F.col("text")), "doc_id",
+        seq_len=512, n_shards=8,
+    )
+
+
 _KM_D2 = "list_sum(list_transform(list_zip(b.xq, c.cvec), p -> (p[1]-p[2])*(p[1]-p[2])))"
 
 
@@ -1234,14 +1263,15 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 10 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 12 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
     quality_lr.npz artifact), decontam (13-gram benchmark decontamination
     survivors), domain_mix (temperature domain sampler), kmeans_cluster
     (deterministic Lloyd), pq_topk (PQ/ADC ANN), dsir_select (DSIR
-    importance resampling)."""
+    importance resampling), outlier_trim (nearest-rank percentile band),
+    seq_pack (concatenate-and-chunk sequence packing)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1270,6 +1300,12 @@ def q_score_battery(spark, sf):
         _battery_pack(q_dsir_select(spark, sf), "dsir_select",
                       _kcat("doc_id"), [],
                       s1=F.col("dsir_score"), s2=F.col("rank")),
+        _battery_pack(q_outlier_trim(spark, sf), "outlier_trim",
+                      _kcat("doc_id"), ["p_lo", "p_hi"],
+                      s1=F.col("n_tok")),
+        _battery_pack(q_seq_pack(spark, sf), "seq_pack",
+                      _kcat("doc_id"), ["shard", "n_tok"],
+                      s1=F.col("seq_first"), s2=F.col("seq_last")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3133,6 +3169,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, dsir_score, rank FROM ranked WHERE rank <= 150
     """
 
+    # outlier_trim: nearest-rank [p5,p95] band over the BPE-ish token count.
+    # Identical rule on both engines: distinct-value counts, cumulative sum,
+    # bound = min value whose cumulative count reaches ceil(p*n) — no
+    # interpolated percentile (ulp-divergent across engines).
+    o["outlier_trim"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_tok
+          FROM documents
+        ),
+        counts AS (SELECT n_tok AS v, count(*) AS c FROM base GROUP BY 1),
+        cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cumc, SUM(c) OVER () AS n FROM counts),
+        b AS (SELECT min(CASE WHEN cumc >= ceil(0.05*n) THEN v END) AS p_lo,
+                     min(CASE WHEN cumc >= ceil(0.95*n) THEN v END) AS p_hi FROM cum)
+        SELECT doc_id, n_tok, p_lo, p_hi
+        FROM base, b WHERE n_tok BETWEEN p_lo AND p_hi
+    """
+
+    # seq_pack: concatenate-and-chunk packing — md5-prefix shard mod 8,
+    # within-shard cumulative token offset, 512-token sequence index span.
+    o["seq_pack"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::UBIGINT % 8 AS BIGINT) AS shard,
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_tok
+          FROM documents
+        ),
+        cum AS (
+          SELECT doc_id, shard, n_tok,
+                 coalesce(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+          FROM base
+        )
+        SELECT doc_id, shard, n_tok, c // 512 AS seq_first,
+               CASE WHEN n_tok > 0 THEN (c + n_tok - 1) // 512 ELSE c // 512 END AS seq_last
+        FROM cum
+    """
+
     # deterministic k-means (k=8, 2 Lloyd updates + final assign) on the
     # integer lattice floor(x*2^20)+2^21 — the bounded loop unrolls into
     # generated CTE stages (the embed_kcenter precedent); all-positive
@@ -3220,6 +3294,10 @@ def oracle_sql() -> dict[str, str]:
                   s1="rank", s2="dist"),
         _pack_sql("dsir_select", o["dsir_select"], _kcat_sql("doc_id"), [],
                   s1="dsir_score", s2="rank"),
+        _pack_sql("outlier_trim", o["outlier_trim"], _kcat_sql("doc_id"),
+                  ["p_lo", "p_hi"], s1="n_tok"),
+        _pack_sql("seq_pack", o["seq_pack"], _kcat_sql("doc_id"),
+                  ["shard", "n_tok"], s1="seq_first", s2="seq_last"),
     ])
 
     _dim_sql = ", ".join(
@@ -3240,7 +3318,7 @@ def oracle_sql() -> dict[str, str]:
         "funccall_tasks", "docs_doc2qa", "pii_safety", "docs_toxicity",
         "sql_hardness", "model_score", "mlp_score", "meta_eval", "paired_gen",
         "docs_markdown", "domain_mix", "kmeans_cluster", "pq_topk",
-        "dsir_select",
+        "dsir_select", "decontam", "outlier_trim", "seq_pack",
     ):
         del o[_member]
 

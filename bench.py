@@ -68,6 +68,8 @@ HEADLINE = [
     "domain_mix",
     "kmeans_cluster",
     "dsir_select",
+    "outlier_trim",
+    "seq_pack",
 ]
 
 

@@ -224,3 +224,122 @@ def dsir_select(
         .filter(F.col("rank") <= budget)
         .select(id_col, "dsir_score", "rank")
     )
+
+# ---------------------------------------------------------------------------
+# Corpus-distribution outlier trimming (nearest-rank percentile bounds)
+# ---------------------------------------------------------------------------
+
+
+def percentile_outlier_trim(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Trim rows whose integer statistic falls outside the corpus's
+    [lo, hi] percentile band — the distribution-trimming step every
+    published curation pipeline applies to length-like statistics before
+    training (e.g. dropping the shortest/longest tails; the percentile
+    analog of the reference's fixed-band length filters,
+    /root/reference/dataflow/operators/general_text/filter/word_number_filter.py:40).
+
+    Percentiles are NEAREST-RANK (value at rank ceil(p*n) in sorted order),
+    NOT interpolated: interpolation is a float expression whose evaluation
+    order differs between engines (Spark's `percentile` computes
+    lo+frac*(hi-lo); other engines use (1-frac)*lo+frac*hi), so the bound
+    could differ in the last ulp and flip boundary rows. Nearest-rank on an
+    integer column is integer-exact, hence oracle-portable.
+
+    Scale shape: the bound computation is groupBy(value).count() — partial
+    aggregation whose result has one row per DISTINCT value (length-like
+    statistics have ~10^4 distinct values regardless of corpus size), a
+    driver-safe cumulative scan over that tiny table, then a broadcast of
+    the two scalars back onto a narrow filter. No global sort, no
+    per-row shuffle beyond the count's partial agg.
+
+    Returns (id_col, value_col, p_lo, p_hi) for surviving rows.
+    """
+    counts = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    cum = counts.withColumn(
+        "__cum", F.sum("__c").over(Window.orderBy("__v"))
+    ).withColumn("__n", F.sum("__c").over(Window.partitionBy()))
+    bounds = cum.select(
+        F.min(F.when(F.col("__cum") >= F.ceil(F.lit(lo) * F.col("__n")), F.col("__v"))).alias("p_lo"),
+        F.min(F.when(F.col("__cum") >= F.ceil(F.lit(hi) * F.col("__n")), F.col("__v"))).alias("p_hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .filter(F.col(value_col).between(F.col("p_lo"), F.col("p_hi")))
+        .select(
+            id_col,
+            F.col(value_col).cast("long").alias(value_col),
+            F.col("p_lo").cast("long").alias("p_lo"),
+            F.col("p_hi").cast("long").alias("p_hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concatenate-and-chunk, per-shard token offsets)
+# ---------------------------------------------------------------------------
+
+
+def sequence_pack(
+    df: DataFrame,
+    token_count,
+    id_col: str = "doc_id",
+    seq_len: int = 2048,
+    n_shards: int = 8,
+) -> DataFrame:
+    """GPT-style concatenate-and-chunk sequence packing: documents are
+    concatenated in a deterministic order and split into fixed `seq_len`
+    token windows; each document is assigned the [first, last] sequence
+    index it lands in (GPT-3 §2.1 / T5 "packing": examples are concatenated
+    and chunked so no padding is wasted).
+
+    The global concatenation order is sharded: shard = 32-bit md5 prefix of
+    the id mod `n_shards`, documents ordered by id within a shard. Packing
+    is then an ordinary windowed cumulative sum PARTITIONED BY SHARD — each
+    shard packs independently and in parallel, which is exactly how
+    production packers shard their output files (one writer per shard; a
+    single global order would serialize the cumsum). `token_count` is a
+    Column (pass bpe_ish_token_count(...) or a real tokenizer count).
+
+    Offsets within a shard:
+        cum_before = sum(tok) over (shard order by id, rows < current)
+        seq_first  = cum_before div seq_len
+        seq_last   = (cum_before + tok - 1) div seq_len   (empty doc: first)
+
+    Integer-exact end to end — the DuckDB twin is the identical window
+    expression. Returns (id_col, shard, n_tok, seq_first, seq_last).
+    """
+    pfx = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    base = df.select(
+        F.col(id_col),
+        (pfx % F.lit(int(n_shards)).cast("bigint")).alias("shard"),
+        token_count.cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("bigint"))
+    L = int(seq_len)
+    return (
+        base.withColumn("__cum", cum)
+        .withColumn("seq_first", F.expr(f"__cum div {L}"))
+        .withColumn(
+            "seq_last",
+            F.when(
+                F.col("n_tok") > 0,
+                F.expr(f"(__cum + n_tok - 1) div {L}"),
+            ).otherwise(F.col("seq_first")),
+        )
+        .select(id_col, "shard", "n_tok", "seq_first", "seq_last")
+    )

@@ -472,3 +472,70 @@ def test_dsir_scoring_plan_is_narrow_jvm(spark, tmp_path):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "aggregate(" in plan or "WindowGroupLimit" in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_percentile_outlier_trim_nearest_rank(spark):
+    from dataflow_spark.ops import sampling
+
+    # values 1..100 each once, plus a heavy tail of 1000s
+    rows = [(i, i) for i in range(1, 101)] + [(100 + j, 1000) for j in range(10)]
+    df = spark.createDataFrame(rows, "doc_id: long, n_tok: long")
+    out = sampling.percentile_outlier_trim(df, "n_tok", "doc_id", lo=0.10, hi=0.90).toPandas()
+    # nearest-rank twin: bound = value at rank ceil(p*n) in sorted order
+    import math
+
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    p_lo = vals[math.ceil(0.10 * n) - 1]
+    p_hi = vals[math.ceil(0.90 * n) - 1]
+    assert set(out["p_lo"]) == {p_lo} and set(out["p_hi"]) == {p_hi}
+    want = sorted(d for d, v in rows if p_lo <= v <= p_hi)
+    assert sorted(out["doc_id"]) == want
+    # the 1000-token tail is gone
+    assert out["n_tok"].max() <= p_hi
+
+
+def test_sequence_pack_offsets_and_shards(spark):
+    import hashlib
+
+    from dataflow_spark.ops import sampling
+
+    rows = [(i, "w " * (i % 7)) for i in range(64)]  # includes empty docs
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = sampling.sequence_pack(
+        df, F.size(F.split(F.trim(F.col("text")), r"\s+")) - F.when(F.trim(F.col("text")) == "", 1).otherwise(0),
+        "doc_id", seq_len=5, n_shards=4,
+    ).toPandas()
+
+    def shard(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 4
+
+    toks = {i: (i % 7) for i, _ in rows}
+    assert all(int(r.shard) == shard(int(r.doc_id)) for r in out.itertuples())
+    # python twin: per-shard cumulative offsets in doc_id order
+    for s in range(4):
+        cum = 0
+        for i in sorted(d for d in toks if shard(d) == s):
+            r = out[out.doc_id == i].iloc[0]
+            assert int(r.n_tok) == toks[i]
+            assert int(r.seq_first) == cum // 5
+            last = (cum + toks[i] - 1) // 5 if toks[i] else cum // 5
+            assert int(r.seq_last) == last
+            cum += toks[i]
+
+
+def test_sequence_pack_window_is_per_shard(spark, tmp_path):
+    import pandas as pd
+
+    from dataflow_spark.ops import quality, sampling
+
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(256), "text": ["a b c"] * 256})
+    ).write.parquet(str(tmp_path / "p"))
+    df = spark.read.parquet(str(tmp_path / "p"))
+    out = sampling.sequence_pack(df, quality.bpe_ish_token_count(F.col("text")), "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the packing cumsum must be partitioned by shard (parallel), never a
+    # single global-order window
+    assert "partitionspec" not in plan.lower().replace(" ", "")
+    assert "hashpartitioning(shard" in plan.lower()
