@@ -337,6 +337,19 @@ def q_seq_pack(spark, sf):
     )
 
 
+def q_bpe_merges(spark, sf):
+    """Distributed BPE tokenizer training, round-1 merge candidates
+    (battery member): word-frequency vocabulary (the only corpus pass),
+    adjacent symbol-pair counts weighted by word freq, deterministic top-20
+    (ops/bpe.py, Sennrich et al. 2016 §3.2). The iterative merge loop is
+    golden-tested against a Sennrich-style twin (tests/test_new_ops.py);
+    round 1 is exactly SQL-expressible so THIS row is value-checked."""
+    from dataflow_spark.ops import bpe
+
+    d = load_table(spark, sf, "documents")
+    return bpe.bpe_learn(d, "text", rounds=1, k=20)
+
+
 _KM_D2 = "list_sum(list_transform(list_zip(b.xq, c.cvec), p -> (p[1]-p[2])*(p[1]-p[2])))"
 
 
@@ -1263,7 +1276,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 12 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 13 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1271,7 +1284,8 @@ def q_score_battery(spark, sf):
     survivors), domain_mix (temperature domain sampler), kmeans_cluster
     (deterministic Lloyd), pq_topk (PQ/ADC ANN), dsir_select (DSIR
     importance resampling), outlier_trim (nearest-rank percentile band),
-    seq_pack (concatenate-and-chunk sequence packing)."""
+    seq_pack (concatenate-and-chunk sequence packing), bpe_merges
+    (distributed BPE tokenizer training, round-1 candidates)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1306,6 +1320,9 @@ def q_score_battery(spark, sf):
         _battery_pack(q_seq_pack(spark, sf), "seq_pack",
                       _kcat("doc_id"), ["shard", "n_tok"],
                       s1=F.col("seq_first"), s2=F.col("seq_last")),
+        _battery_pack(q_bpe_merges(spark, sf), "bpe_merges",
+                      _kcat("round", "rank"), ["lhs", "rhs"],
+                      s1=F.col("pair_count")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3207,6 +3224,34 @@ def oracle_sql() -> dict[str, str]:
         FROM cum
     """
 
+    # bpe_merges: BPE round-1 merge candidates (Sennrich 2016 §3.2) —
+    # word-freq vocabulary, codepoint symbols ++ '</w>', adjacent-pair
+    # counts weighted by freq, top-20 by (count desc, lhs, rhs).
+    o["bpe_merges"] = """
+        WITH toks AS (
+          SELECT list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ),
+        vocab AS (
+          SELECT u.w AS word, count(*) AS freq FROM toks, unnest(tk) AS u(w) GROUP BY 1
+        ),
+        syms AS (
+          SELECT freq, list_append(regexp_extract_all(word, '.'), '</w>') AS s FROM vocab
+        ),
+        pairs AS (
+          SELECT s[i] AS lhs, s[i+1] AS rhs, freq
+          FROM syms, unnest(generate_series(1, len(s) - 1)) AS g(i)
+        ),
+        pc AS (SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS pair_count FROM pairs GROUP BY 1, 2),
+        ranked AS (
+          SELECT CAST(1 AS BIGINT) AS round, lhs, rhs, pair_count,
+                 row_number() OVER (ORDER BY pair_count DESC, lhs, rhs) AS rank
+          FROM pc
+        )
+        SELECT round, lhs, rhs, pair_count, rank FROM ranked WHERE rank <= 20
+    """
+
     # deterministic k-means (k=8, 2 Lloyd updates + final assign) on the
     # integer lattice floor(x*2^20)+2^21 — the bounded loop unrolls into
     # generated CTE stages (the embed_kcenter precedent); all-positive
@@ -3298,6 +3343,8 @@ def oracle_sql() -> dict[str, str]:
                   ["p_lo", "p_hi"], s1="n_tok"),
         _pack_sql("seq_pack", o["seq_pack"], _kcat_sql("doc_id"),
                   ["shard", "n_tok"], s1="seq_first", s2="seq_last"),
+        _pack_sql("bpe_merges", o["bpe_merges"], _kcat_sql("round", "rank"),
+                  ["lhs", "rhs"], s1="pair_count"),
     ])
 
     _dim_sql = ", ".join(
@@ -3318,7 +3365,7 @@ def oracle_sql() -> dict[str, str]:
         "funccall_tasks", "docs_doc2qa", "pii_safety", "docs_toxicity",
         "sql_hardness", "model_score", "mlp_score", "meta_eval", "paired_gen",
         "docs_markdown", "domain_mix", "kmeans_cluster", "pq_topk",
-        "dsir_select", "decontam", "outlier_trim", "seq_pack",
+        "dsir_select", "decontam", "outlier_trim", "seq_pack", "bpe_merges",
     ):
         del o[_member]
 

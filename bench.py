@@ -70,6 +70,7 @@ HEADLINE = [
     "dsir_select",
     "outlier_trim",
     "seq_pack",
+    "bpe_merges",
 ]
 
 

@@ -1,0 +1,137 @@
+"""Distributed BPE tokenizer training (byte-pair-encoding merge learning).
+
+The algorithm is Sennrich, Haddow & Birch 2016 ("Neural Machine Translation
+of Rare Words with Subword Units", §3.2): count word frequencies, split each
+word into symbols (characters initially), repeatedly count adjacent symbol
+pairs weighted by word frequency and merge the most frequent pair everywhere
+it occurs (greedy left-to-right, non-overlapping).
+
+Scale shape — tokenizer training is a textbook map-reduce and this engine
+keeps every step a bounded-output DataFrame op:
+
+* word vocabulary: ``groupBy(word).count()`` — partial-aggregatable; the
+  result has one row per DISTINCT word (Heaps' law: ~10^6–10^8 at 100 TB,
+  a dataframe, never driver state). Everything downstream runs on the
+  vocabulary table, whose size is independent of corpus row count.
+* pair counting: explode adjacent symbol pairs from each vocab word,
+  weighted by the word's corpus frequency — one shuffle on (lhs, rhs),
+  partial-agg friendly.
+* the per-round merge decision collects exactly ONE row (the argmax pair)
+  — the kmeans-centers / dsir-stats pattern of bounded driver traffic.
+* merge application is a pure JVM array fold (`F.aggregate`) over each
+  vocab word's symbol array — narrow, no shuffle, no Python.
+
+The greedy left-to-right merge is expressed as a single-pass fold: a merge
+replaces the accumulator's last element, and because the merged symbol
+``lhs+rhs`` is strictly longer than ``lhs`` it can never itself match
+``lhs`` on equality, so the fold reproduces the skip-ahead while-loop
+exactly (incl. the ``a a a a -> [aa, aa]`` run case).
+
+Determinism: ties on pair count break by (lhs, rhs) lexicographic order —
+pinned identically in the Spark argmax, the DuckDB oracle, and the Python
+twin in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+END_MARK = "</w>"  # word-final sentinel (Sennrich §3.2), its own symbol
+
+
+def _words(text_col: str):
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    return F.filter(toks, lambda x: x != F.lit(""))
+
+
+def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) vocabulary table — the only pass over the corpus."""
+    return (
+        df.select(F.explode(_words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_symbols():
+    """word -> array<string> of characters ++ [END_MARK].
+
+    Codepoint split via regexp '.' (not split(word, '')): Java's split-by-
+    empty cuts UTF-16 code units, shearing surrogate pairs, while regex '.'
+    matches whole codepoints in both Java and RE2 — keeping the symbol
+    alphabet identical across engines on emoji/CJK text.
+    """
+    chars = F.regexp_extract_all(F.col("word"), F.lit("."), 0)
+    return F.concat(chars, F.array(F.lit(END_MARK)))
+
+
+def pair_counts(vocab_syms: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over (syms, freq): one explode + one groupBy."""
+    n = F.size(F.col("syms"))
+    pairs = F.transform(
+        F.slice(F.col("syms"), 1, F.greatest(n - 1, F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("lhs"), F.element_at(F.col("syms"), i + 2).alias("rhs")
+        ),
+    )
+    return (
+        vocab_syms.select(F.col("freq"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def _apply_merge(lhs: str, rhs: str):
+    """Greedy left-to-right merge of (lhs, rhs) -> lhs+rhs as an array fold."""
+    merged = F.lit(lhs + rhs)
+    a, b = F.lit(lhs), F.lit(rhs)
+
+    def step(acc, x):
+        # try_element_at: ANSI mode throws on out-of-bound element_at, and
+        # the branch must stay evaluable while acc is still empty
+        can = (F.size(acc) > 0) & (F.try_element_at(acc, F.lit(-1)) == a) & (x == b)
+        return F.when(
+            can,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        step,
+    )
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 1,
+    k: int = 20,
+) -> DataFrame:
+    """Learn `rounds` BPE merges; return the top-`k` candidate pairs of each
+    round as (round, lhs, rhs, pair_count, rank). rank 1 of round r IS the
+    merge applied before round r+1.
+
+    The vocabulary table is localCheckpoint'ed per round: each merge
+    application appends a fold projection, and (the duplicate_components
+    lesson) lineage must be truncated in iterative plans or Catalyst pays
+    exponential plan-generation costs long before data does.
+    """
+    vocab = word_vocab(df, text_col).withColumn("syms", _initial_symbols())
+    vocab = vocab.select("freq", "syms").localCheckpoint()
+    out = None
+    w = Window.orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+    for r in range(1, int(rounds) + 1):
+        pc = pair_counts(vocab).withColumn("rank", F.row_number().over(w))
+        top = pc.filter(F.col("rank") <= int(k)).select(
+            F.lit(r).cast("long").alias("round"), "lhs", "rhs", "pair_count",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        out = top if out is None else out.unionByName(top)
+        if r < rounds:
+            best = pc.filter(F.col("rank") == 1).collect()[0]
+            vocab = vocab.withColumn(
+                "syms", _apply_merge(best["lhs"], best["rhs"])
+            ).localCheckpoint()
+    return out

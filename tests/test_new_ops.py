@@ -539,3 +539,67 @@ def test_sequence_pack_window_is_per_shard(spark, tmp_path):
     # single global-order window
     assert "partitionspec" not in plan.lower().replace(" ", "")
     assert "hashpartitioning(shard" in plan.lower()
+
+
+def _bpe_twin(texts, rounds, k):
+    """Sennrich learn_bpe reference semantics (greedy left-to-right merge)."""
+    import collections
+
+    vocab = collections.Counter()
+    for t in texts:
+        for w in (t or "").strip().lower().split():
+            if w:
+                vocab[w] += 1
+    syms = {w: tuple(list(w) + ["</w>"]) for w in vocab}
+    out = []
+    for r in range(1, rounds + 1):
+        pc = collections.Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        for i, (p, c) in enumerate(ranked[:k]):
+            out.append((r, p[0], p[1], c, i + 1))
+        if r < rounds:
+            (a, b), _ = ranked[0]
+            for w in syms:
+                s = syms[w]
+                ns = []
+                i = 0
+                while i < len(s):
+                    if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                syms[w] = tuple(ns)
+    return sorted(out)
+
+
+def test_bpe_learn_matches_sennrich_twin(spark):
+    from dataflow_spark.ops import bpe
+
+    texts = [
+        "the cat sat on the mat",
+        "the hat of the cat",
+        "a bat a mat a rat the",
+        "low lower lowest low low",
+        "aaaa aaa aa a",  # run case: greedy non-overlapping (a,a) merges
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text: string")
+    got = sorted(tuple(r) for r in bpe.bpe_learn(df, "text", rounds=5, k=8).collect())
+    assert got == _bpe_twin(texts, 5, 8)
+
+
+def test_bpe_merge_fold_run_semantics(spark):
+    # 'a a a a' under merge (a,a) must become [aa, aa], not [aa, aaa]-style
+    from dataflow_spark.ops import bpe
+
+    df = spark.createDataFrame([("aaaa zz",)], "text: string")
+    out = bpe.bpe_learn(df, "text", rounds=2, k=5).collect()
+    r2 = {(r["lhs"], r["rhs"]): r["pair_count"] for r in out if r["round"] == 2}
+    # after merging (a,a): aaaa -> [aa, aa, </w>] so pair (aa, aa) exists
+    assert r2.get(("aa", "aa")) == 1
+    assert ("a", "a") not in r2
