@@ -257,13 +257,17 @@ def q_docs_ngram_jaccard(spark, sf):
     duplicate-cluster labels: connected components over the pair graph via
     alternating large-star/small-star (Kiveris et al. SoCC 2014, O(log² n)
     rounds, two shuffles/round, no driver-side graph state) — the
-    transitive-closure post-pass every LSH dedup needs at scale. Oracle:
-    identical pair SQL + a recursive-CTE min-label closure in DuckDB."""
+    transitive-closure post-pass every LSH dedup needs at scale — PLUS a
+    leak-safe train/val/test split assigned at CLUSTER granularity
+    (dedup.cluster_split: near-dups never straddle splits; Lee et al. 2022
+    §6.2). Oracle: identical pair SQL + a recursive-CTE min-label closure."""
     d = _documents_with_planted_chain(spark, sf)
     pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
     comps = dedup.duplicate_components(pairs)
-    return pairs.join(comps.withColumnRenamed("id", "id_a"), "id_a").select(
-        "id_a", "id_b", "jaccard", "component", "csize"
+    return (
+        pairs.join(comps.withColumnRenamed("id", "id_a"), "id_a")
+        .withColumn("split", dedup.cluster_split("component"))
+        .select("id_a", "id_b", "jaccard", "component", "csize", "split")
     )
 
 
@@ -2073,7 +2077,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
         csz AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
-        SELECT p.id_a, p.id_b, p.jaccard, c.component, s.csize
+        SELECT p.id_a, p.id_b, p.jaccard, c.component, s.csize,
+               CASE WHEN ('0x' || substr(md5(CAST(c.component AS VARCHAR)),1,8))::UBIGINT % 10 < 8 THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(c.component AS VARCHAR)),1,8))::UBIGINT % 10 < 9 THEN 'val'
+                    ELSE 'test' END AS split
         FROM pairs p JOIN comp c ON p.id_a = c.id JOIN csz s USING (component)
     """
 

@@ -637,3 +637,33 @@ def duplicate_components(
     ).select("id", F.coalesce("component", "id").alias("component"))
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
     return comp.join(sizes, "component").select("id", "component", "csize")
+
+
+def cluster_split(
+    comp_col="component",
+    train: int = 8,
+    val: int = 1,
+    test: int = 1,
+):
+    """Leak-safe train/val/test assignment at DUPLICATE-CLUSTER granularity.
+
+    Splitting at row level lets near-duplicates straddle train and test —
+    the contamination failure mode benchmark decontamination exists to
+    prevent (Lee et al. 2022 §6.2: eval examples with train-set near-dups
+    inflate scores). Assigning the split to the CLUSTER label (the
+    connected component from duplicate_components) keeps every member of a
+    near-dup class on the same side by construction.
+
+    Deterministic and engine-portable: bucket = 32-bit md5 prefix of the
+    component label mod (train+val+test); the first `train` buckets are
+    'train', then 'val', then 'test'. Pure projection — no shuffle.
+    """
+    m = int(train) + int(val) + int(test)
+    b = F.conv(
+        F.substring(F.md5(F.col(comp_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % F.lit(m).cast("bigint")
+    return (
+        F.when(b < train, F.lit("train"))
+        .when(b < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
