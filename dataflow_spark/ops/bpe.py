@@ -135,3 +135,73 @@ def bpe_learn(
                 "syms", _apply_merge(best["lhs"], best["rhs"])
             ).localCheckpoint()
     return out
+
+
+def learned_merges(df: DataFrame, text_col: str = "text", rounds: int = 8) -> list:
+    """Run bpe_learn and return the ordered merge list [(lhs, rhs), ...] —
+    rank-1 of each round, the artifact a tokenizer trainer persists."""
+    top = bpe_learn(df, text_col, rounds=rounds, k=1).collect()
+    return [(r["lhs"], r["rhs"]) for r in sorted(top, key=lambda r: r["round"])]
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply an ordered BPE merge list to encode text: per word, start from
+    codepoint symbols ++ '</w>' and apply each merge greedily left-to-right
+    in training order (Sennrich §3.2 apply_bpe). Pure JVM — the merge table
+    is literal, each merge is one array fold, the whole encoder is a single
+    narrow projection (no shuffle, no Python, no per-row dictionary state).
+
+    Returns (id_col, n_words, n_bpe_tokens, fertility) where fertility =
+    BPE tokens per word rounded to 6 — THE standard tokenizer-quality
+    statistic (lower = better compression on this corpus).
+
+    Scale boundary (stated, not hidden): the expression nests one fold per
+    merge, so codegen depth grows linearly in merge count — right for
+    evaluating candidate merge tables (tens of merges, this module's use),
+    wrong for a production 32k-merge vocabulary, where the encoder becomes
+    an Arrow-batched pandas UDF holding the merge dict per worker (the
+    ops/models.py singleton pattern); the fold here is the exactness spec
+    that UDF would be tested against.
+    """
+    words_arr = _words(text_col)
+    ends = F.array(F.lit(END_MARK))
+
+    def merge_step(lhs, rhs):
+        merged, a, b = F.lit(lhs + rhs), F.lit(lhs), F.lit(rhs)
+
+        def step(acc, x):
+            can = (
+                (F.size(acc) > 0)
+                & (F.try_element_at(acc, F.lit(-1)) == a)
+                & (x == b)
+            )
+            return F.when(
+                can, F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged))
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return step
+
+    def encode_word(w):
+        syms = F.concat(F.regexp_extract_all(w, F.lit("."), 0), ends)
+        for lhs, rhs in merges:
+            syms = F.aggregate(
+                syms, F.array().cast("array<string>"), merge_step(lhs, rhs)
+            )
+        return F.size(syms)
+
+    tok_counts = F.transform(words_arr, encode_word)
+    n_words = F.size(words_arr).cast("long")
+    n_tok = F.aggregate(
+        tok_counts, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_tok.alias("n_bpe_tokens"),
+        F.when(n_words > 0, F.round(n_tok / n_words, 6)).alias("fertility"),
+    )

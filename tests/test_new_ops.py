@@ -603,3 +603,52 @@ def test_bpe_merge_fold_run_semantics(spark):
     # after merging (a,a): aaaa -> [aa, aa, </w>] so pair (aa, aa) exists
     assert r2.get(("aa", "aa")) == 1
     assert ("a", "a") not in r2
+
+
+def test_bpe_encode_matches_apply_twin(spark):
+    from dataflow_spark.ops import bpe
+
+    texts = [
+        "the cat sat on the mat",
+        "the hat of the cat",
+        "low lower lowest low low",
+        "aaaa aaa aa a",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    merges = bpe.learned_merges(df, "text", rounds=6)
+    assert len(merges) == 6
+    out = {
+        int(r["doc_id"]): (int(r["n_words"]), int(r["n_bpe_tokens"]), r["fertility"])
+        for r in bpe.bpe_encode(df, merges).collect()
+    }
+
+    def apply_word(w):
+        s = list(w) + ["</w>"]
+        for a, b in merges:
+            ns, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            s = ns
+        return s
+
+    for i, t in enumerate(texts):
+        ws = [w for w in t.strip().lower().split() if w]
+        n_tok = sum(len(apply_word(w)) for w in ws)
+        assert out[i][0] == len(ws)
+        assert out[i][1] == n_tok
+        if ws:
+            assert abs(out[i][2] - round(n_tok / len(ws), 6)) < 1e-9
+        else:
+            assert out[i][2] is None
+    # fertility must improve (or hold) as merges accumulate
+    out0 = bpe.bpe_encode(df, []).collect()
+    base = {int(r["doc_id"]): int(r["n_bpe_tokens"]) for r in out0}
+    assert all(out[i][1] <= base[i] for i in out)
