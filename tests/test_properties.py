@@ -135,3 +135,67 @@ def test_gram_udf_matches_expression_on_arbitrary_text(spark, texts):
         for r in quality.project_gram_counts_udf(df, "text", 3).collect()
     }
     assert a == b
+
+
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=40),
+    seq_len=st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_sequence_pack_covers_all_tokens_without_gaps(spark, toks, seq_len):
+    import hashlib
+
+    from dataflow_spark.ops import sampling
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id: long, n_tok: long"
+    )
+    out = sampling.sequence_pack(
+        df, F.col("n_tok"), "doc_id", seq_len=seq_len, n_shards=3
+    ).toPandas()
+    assert len(out) == len(toks)
+    assert (out.seq_first <= out.seq_last).all()
+    # per shard: recompute offsets; spans must tile the concatenation exactly
+    for s in range(3):
+        cum = 0
+        ids = sorted(
+            i for i in range(len(toks))
+            if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 3 == s
+        )
+        for i in ids:
+            r = out[out.doc_id == i].iloc[0]
+            assert int(r.seq_first) == cum // seq_len
+            want_last = (cum + toks[i] - 1) // seq_len if toks[i] else cum // seq_len
+            assert int(r.seq_last) == want_last
+            cum += toks[i]
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=200), min_size=2, max_size=60),
+    band=st.tuples(
+        st.floats(min_value=0.01, max_value=0.45),
+        st.floats(min_value=0.55, max_value=0.99),
+    ),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_outlier_trim_band_invariants(spark, vals, band):
+    import math
+
+    from dataflow_spark.ops import sampling
+
+    lo, hi = band
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id: long, n_tok: long"
+    )
+    out = sampling.percentile_outlier_trim(df, "n_tok", "doc_id", lo=lo, hi=hi).toPandas()
+    sv = sorted(vals)
+    n = len(sv)
+    p_lo = sv[math.ceil(lo * n) - 1]
+    p_hi = sv[math.ceil(hi * n) - 1]
+    # bounds are actual data values at the nearest ranks, band is respected,
+    # and the survivor set is exactly the in-band rows
+    assert p_lo <= p_hi
+    if len(out):
+        assert set(out.p_lo) == {p_lo} and set(out.p_hi) == {p_hi}
+    want = sorted(i for i, v in enumerate(vals) if p_lo <= v <= p_hi)
+    assert sorted(out.doc_id) == want
