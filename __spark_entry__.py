@@ -3205,8 +3205,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         counts AS (SELECT n_tok AS v, count(*) AS c FROM base GROUP BY 1),
         cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cumc, SUM(c) OVER () AS n FROM counts),
-        b AS (SELECT min(CASE WHEN cumc >= ceil(0.05*n) THEN v END) AS p_lo,
-                     min(CASE WHEN cumc >= ceil(0.95*n) THEN v END) AS p_hi FROM cum)
+        -- integer basis-point rank threshold: (n*bp + 9999) // 10000 ==
+        -- ceil(p*n) exactly; a float ceil(0.05*n) is engine-divergent
+        -- (Spark binary doubles vs DuckDB DECIMAL literals)
+        b AS (SELECT min(CASE WHEN cumc >= (n*500 + 9999) // 10000 THEN v END) AS p_lo,
+                     min(CASE WHEN cumc >= (n*9500 + 9999) // 10000 THEN v END) AS p_hi FROM cum)
         SELECT doc_id, n_tok, p_lo, p_hi
         FROM base, b WHERE n_tok BETWEEN p_lo AND p_hi
     """

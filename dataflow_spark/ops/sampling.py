@@ -251,6 +251,13 @@ def percentile_outlier_trim(
     could differ in the last ulp and flip boundary rows. Nearest-rank on an
     integer column is integer-exact, hence oracle-portable.
 
+    The rank threshold itself is ALSO integer arithmetic: p is quantized to
+    basis points and ceil(p*n) computed as (n*bp + 9999) div 10000. A float
+    `ceil(0.05 * n)` is NOT portable — Spark evaluates it in binary doubles
+    (0.05*500 → 25.000…004 → ceil 26) while DuckDB parses 0.05 as DECIMAL
+    and gets exactly 25; the one-rank shift only fails to change the bound
+    when neighboring ranks happen to share a value.
+
     Scale shape: the bound computation is groupBy(value).count() — partial
     aggregation whose result has one row per DISTINCT value (length-like
     statistics have ~10^4 distinct values regardless of corpus size), a
@@ -260,6 +267,7 @@ def percentile_outlier_trim(
 
     Returns (id_col, value_col, p_lo, p_hi) for surviving rows.
     """
+    lo_bp, hi_bp = round(float(lo) * 10000), round(float(hi) * 10000)
     counts = df.groupBy(F.col(value_col).alias("__v")).agg(
         F.count(F.lit(1)).alias("__c")
     )
@@ -267,8 +275,12 @@ def percentile_outlier_trim(
         "__cum", F.sum("__c").over(Window.orderBy("__v"))
     ).withColumn("__n", F.sum("__c").over(Window.partitionBy()))
     bounds = cum.select(
-        F.min(F.when(F.col("__cum") >= F.ceil(F.lit(lo) * F.col("__n")), F.col("__v"))).alias("p_lo"),
-        F.min(F.when(F.col("__cum") >= F.ceil(F.lit(hi) * F.col("__n")), F.col("__v"))).alias("p_hi"),
+        F.min(
+            F.when(F.expr(f"__cum >= (__n * {lo_bp} + 9999) div 10000"), F.col("__v"))
+        ).alias("p_lo"),
+        F.min(
+            F.when(F.expr(f"__cum >= (__n * {hi_bp} + 9999) div 10000"), F.col("__v"))
+        ).alias("p_hi"),
     )
     return (
         df.crossJoin(F.broadcast(bounds))

@@ -482,12 +482,10 @@ def test_percentile_outlier_trim_nearest_rank(spark):
     df = spark.createDataFrame(rows, "doc_id: long, n_tok: long")
     out = sampling.percentile_outlier_trim(df, "n_tok", "doc_id", lo=0.10, hi=0.90).toPandas()
     # nearest-rank twin: bound = value at rank ceil(p*n) in sorted order
-    import math
-
     vals = sorted(v for _, v in rows)
     n = len(vals)
-    p_lo = vals[math.ceil(0.10 * n) - 1]
-    p_hi = vals[math.ceil(0.90 * n) - 1]
+    p_lo = vals[(n * 1000 + 9999) // 10000 - 1]
+    p_hi = vals[(n * 9000 + 9999) // 10000 - 1]
     assert set(out["p_lo"]) == {p_lo} and set(out["p_hi"]) == {p_hi}
     want = sorted(d for d, v in rows if p_lo <= v <= p_hi)
     assert sorted(out["doc_id"]) == want

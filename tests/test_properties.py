@@ -179,8 +179,6 @@ def test_sequence_pack_covers_all_tokens_without_gaps(spark, toks, seq_len):
 )
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 def test_outlier_trim_band_invariants(spark, vals, band):
-    import math
-
     from dataflow_spark.ops import sampling
 
     lo, hi = band
@@ -190,8 +188,8 @@ def test_outlier_trim_band_invariants(spark, vals, band):
     out = sampling.percentile_outlier_trim(df, "n_tok", "doc_id", lo=lo, hi=hi).toPandas()
     sv = sorted(vals)
     n = len(sv)
-    p_lo = sv[math.ceil(lo * n) - 1]
-    p_hi = sv[math.ceil(hi * n) - 1]
+    p_lo = sv[(n * round(lo * 10000) + 9999) // 10000 - 1]
+    p_hi = sv[(n * round(hi * 10000) + 9999) // 10000 - 1]
     # bounds are actual data values at the nearest ranks, band is respected,
     # and the survivor set is exactly the in-band rows
     assert p_lo <= p_hi
