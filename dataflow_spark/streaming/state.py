@@ -123,8 +123,11 @@ def make_session_func(gap_seconds: int = 1800, max_turns: int = 10_000):
             # current watermark — close at the next watermark advance instead
             desired_ms = last_us // 1000 + gap_seconds * 1000
             state.setTimeoutTimestamp(max(desired_ms, state.getCurrentWatermarkMs() + 1))
-        elif not state.exists:
-            pass
+        elif state.exists:
+            # the spill loop drained the buffer exactly at a max_turns
+            # boundary: the pre-batch state (already emitted inside the
+            # partial) must be removed, or the pending timeout re-emits it
+            state.remove()
         if emitted:
             yield pd.DataFrame(emitted)
 
@@ -144,5 +147,148 @@ def session_reassembly_stage(
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState variant (Spark 4 arbitrary-stateful-processing API)
+# ---------------------------------------------------------------------------
+
+try:  # pyspark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+except ImportError:  # pragma: no cover - older runtimes keep the legacy path
+    StatefulProcessor = object
+    StatefulProcessorHandle = None
+
+TURN_STATE_SCHEMA = "turn_idx integer, role string, text string"
+META_STATE_SCHEMA = "first_us long, last_us long, n long, timer_ms long"
+
+
+class SessionProcessor(StatefulProcessor):
+    """Session reassembly on the transformWithStateInPandas API — the same
+    semantics as make_session_func (one assembled row per closed session,
+    max_turns spill guard, watermark-clamped close timer), re-expressed on
+    Spark 4's granular state primitives:
+
+    * the turn buffer is a ListState appended per batch — the hot path
+      never reads existing state back (applyInPandasWithState materializes
+      the FULL state tuple into every batch invocation; at 10^4-turn
+      sessions that is the dominant per-batch cost, and the RocksDB-backed
+      ListState append makes it O(new rows) instead),
+    * scalar session metadata (first/last event-time, buffered count,
+      pending timer) is a ValueState,
+    * session close is a real event-time timer (registerTimer), replacing
+      the single implicit GroupState timeout; the previous timer is
+      deleted on every extension, preserving exactly-one-close.
+
+    The full buffer is read only where it must be: timer expiry (assemble)
+    and the max_turns spill path. Requires the RocksDB state store provider
+    (transformWithState's backing store in Spark 4).
+
+    Sandbox boundary (stated): executing this operator needs `protobuf`
+    (the transformWithState Python state protocol), which this container
+    does not ship — the equivalence test (tests/test_streaming.py
+    test_session_reassembly_tws_matches_legacy) auto-skips without it and
+    is the proof obligation wherever protobuf exists. The legacy
+    applyInPandasWithState stage remains the executable default here.
+    """
+
+    def __init__(self, gap_seconds: int = 1800, max_turns: int = 10_000):
+        self.gap_ms = int(gap_seconds) * 1000
+        self.max_turns = int(max_turns)
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self.handle = handle
+        self.turns = handle.getListState("turns", TURN_STATE_SCHEMA)
+        self.meta = handle.getValueState("meta", META_STATE_SCHEMA)
+
+    def _assemble(self, conv_id: str, first_us: int, last_us: int, is_partial: int):
+        buf = list(self.turns.get())
+        return assemble_rows(
+            [int(t[0]) for t in buf],
+            [t[1] for t in buf],
+            [t[2] for t in buf],
+            first_us,
+            last_us,
+            conv_id,
+            is_partial,
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        conv_id = key[0]
+        first_us, last_us, n, timer_ms = None, 0, 0, None
+        if self.meta.exists():
+            m = self.meta.get()
+            first_us, last_us, n, timer_ms = m[0], m[1], m[2], m[3]
+        emitted = []
+        for pdf in rows:
+            idxs = pdf["turn_idx"].astype("int64").tolist()
+            rls = pdf["role"].astype(str).tolist()
+            txs = pdf["text"].astype(str).tolist()
+            uss = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000).tolist()
+            pos, n_rows = 0, len(idxs)
+            while pos < n_rows:
+                take = min(self.max_turns - n, n_rows - pos)
+                self.turns.appendList(
+                    [(int(idxs[i]), rls[i], txs[i]) for i in range(pos, pos + take)]
+                )
+                chunk_us = uss[pos : pos + take]
+                last_us = max(last_us, max(chunk_us))
+                first_us = min(chunk_us) if first_us is None else min(first_us, min(chunk_us))
+                n += take
+                pos += take
+                if n >= self.max_turns:
+                    emitted.append(self._assemble(conv_id, first_us, last_us, 1))
+                    self.turns.clear()
+                    n, first_us = 0, None
+        if n > 0:
+            desired_ms = last_us // 1000 + self.gap_ms
+            new_timer = max(desired_ms, timerValues.getCurrentWatermarkInMs() + 1)
+            if timer_ms is not None and timer_ms > 0 and timer_ms != new_timer:
+                self.handle.deleteTimer(timer_ms)
+            if timer_ms != new_timer:
+                self.handle.registerTimer(new_timer)
+            self.meta.update((first_us, last_us, n, new_timer))
+        else:
+            # spill drained the buffer exactly: drop metadata and any
+            # pending timer so the closed session cannot re-emit
+            if timer_ms is not None and timer_ms > 0:
+                self.handle.deleteTimer(timer_ms)
+            self.meta.clear()
+            self.turns.clear()
+        if emitted:
+            yield pd.DataFrame(emitted)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        conv_id = key[0]
+        if not self.meta.exists():
+            return
+        first_us, last_us, _n, _t = self.meta.get()
+        row = self._assemble(conv_id, first_us, last_us, 0)
+        self.turns.clear()
+        self.meta.clear()
+        yield pd.DataFrame([row])
+
+    def close(self) -> None:
+        pass
+
+
+def session_reassembly_tws_stage(
+    sdf: DataFrame, watermark: str = "10 minutes", gap_seconds: int = 1800, max_turns: int = 10_000
+) -> DataFrame:
+    """session_reassembly_stage on transformWithStateInPandas. Requires
+    spark.sql.streaming.stateStore.providerClass = RocksDBStateStoreProvider."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .transformWithStateInPandas(
+            SessionProcessor(gap_seconds, max_turns),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
         )
     )

@@ -436,3 +436,223 @@ def test_session_window_stream_matches_batch_sessions(spark, tmp_path):
         (r.conv_id, pd.Timestamp(r.session_start), int(r.n_turns)) for r in df.itertuples()
     )
     assert key(got) == key(batch)
+
+
+ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python state protocol requires protobuf, "
+    "absent in this sandbox (no network installs); the processor is the "
+    "documented interface and this test is its proof wherever protobuf exists",
+)
+def test_session_reassembly_tws_matches_legacy(spark, tmp_path):
+    """transformWithStateInPandas twin produces the identical session table
+    (incl. digests and spill partials) as the applyInPandasWithState stage on
+    the same replayed chunks."""
+    src = str(tmp_path / "src")
+    df = synth_transcripts(spark, n_turns=600, n_convs=6, seed=23)
+    pdf = df.toPandas().sort_values("ts")
+    sent = pd.DataFrame(
+        [_tx("zz-sent", i, "user", f"s{i}", pdf["ts"].max() + pd.Timedelta(hours=3 + i)) for i in range(2)]
+    )
+    write_ordered_chunks([pdf.iloc[:300], pdf.iloc[300:], sent.iloc[:1], sent.iloc[1:]], src)
+
+    def run(stage_fn, tag, **kw):
+        out, ck = str(tmp_path / f"out{tag}"), str(tmp_path / f"ck{tag}")
+        sessions = stage_fn(
+            sp.read_transcript_stream(spark, src, max_files_per_trigger=1),
+            watermark="1 minute", **kw,
+        )
+        sink = IdempotentBatchSink(out)
+        q = (
+            sessions.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sink.read(spark).toPandas()
+        got = got[got.conv_id != "zz-sent"]
+        return got.sort_values(["conv_id", "first_ts"]).reset_index(drop=True)
+
+    legacy = run(st.session_reassembly_stage, "legacy", max_turns=37)  # force spills
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    try:
+        tws = run(st.session_reassembly_tws_stage, "tws", max_turns=37)
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert len(legacy) > 0 and (legacy.is_partial == 1).any()  # spills exercised
+    assert tws.equals(legacy)
+
+
+def test_session_spill_drain_leaves_no_stale_state(spark, tmp_path):
+    """A session whose buffer drains EXACTLY at the max_turns boundary must
+    not re-emit its pre-batch turns when the timeout later fires (regression:
+    state.update was skipped on the empty-buffer path, leaving stale state)."""
+    src = str(tmp_path / "src")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    # batch 1: 3 turns -> state created; batch 2: 5 turns -> 3+5 == max_turns=8
+    rows1 = [_tx("A", i, "user", f"t{i}", t0 + pd.Timedelta(seconds=i)) for i in range(3)]
+    rows2 = [_tx("A", 3 + i, "user", f"t{3+i}", t0 + pd.Timedelta(seconds=3 + i)) for i in range(5)]
+    sent1 = [_tx("zz-sent", 0, "user", "s1", t0 + pd.Timedelta(hours=3))]
+    sent2 = [_tx("zz-sent", 1, "user", "s2", t0 + pd.Timedelta(hours=3, minutes=1))]
+    write_ordered_chunks(
+        [pd.DataFrame(rows1), pd.DataFrame(rows2), pd.DataFrame(sent1), pd.DataFrame(sent2)], src
+    )
+    sessions = st.session_reassembly_stage(
+        sp.read_transcript_stream(spark, src, max_files_per_trigger=1),
+        watermark="1 minute", max_turns=8,
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    sink = IdempotentBatchSink(out)
+    q = (
+        sessions.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sink.read(spark).toPandas()
+    a = got[got.conv_id == "A"]
+    # exactly ONE emission: the 8-turn partial; no stale 3-turn re-emission
+    assert len(a) == 1
+    assert int(a.iloc[0]["n_turns"]) == 8 and int(a.iloc[0]["is_partial"]) == 1
+
+
+class _FakeListState:
+    def __init__(self):
+        self.rows = []
+
+    def appendList(self, rows):
+        self.rows.extend(rows)
+
+    def get(self):
+        return iter(list(self.rows))
+
+    def clear(self):
+        self.rows = []
+
+    def exists(self):
+        return bool(self.rows)
+
+
+class _FakeValueState:
+    def __init__(self):
+        self.v = None
+
+    def exists(self):
+        return self.v is not None
+
+    def get(self):
+        return self.v
+
+    def update(self, v):
+        self.v = v
+
+    def clear(self):
+        self.v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.timers = set()
+
+    def getListState(self, name, schema):
+        return _FakeListState()
+
+    def getValueState(self, name, schema):
+        return _FakeValueState()
+
+    def registerTimer(self, ms):
+        self.timers.add(ms)
+
+    def deleteTimer(self, ms):
+        self.timers.discard(ms)
+
+
+class _FakeTimerValues:
+    def __init__(self, wm_ms):
+        self.wm = wm_ms
+
+    def getCurrentWatermarkInMs(self):
+        return self.wm
+
+
+def test_tws_processor_logic_with_mock_state():
+    """Drive SessionProcessor directly against in-memory state fakes — the
+    in-sandbox verification of the transformWithState twin (the end-to-end
+    equivalence test skips without protobuf)."""
+    t0 = pd.Timestamp("2024-01-01 00:00:00", tz="UTC")
+
+    def batch(rows):
+        return pd.DataFrame(
+            [{"turn_idx": i, "role": r, "text": x, "ts": t0 + pd.Timedelta(seconds=s)}
+             for i, r, x, s in rows]
+        )
+
+    proc = st.SessionProcessor(gap_seconds=60, max_turns=4)
+    h = _FakeHandle()
+    proc.init(h)
+
+    # batch 1: 2 turns, no emission, timer registered (clamped past watermark)
+    out = list(proc.handleInputRows(("A",), iter([batch([(0, "user", "q", 0), (1, "assistant", "<func_call>f</func_call>", 5)])]), _FakeTimerValues(-1)))
+    assert out == [] or all(len(o) == 0 for o in out)
+    assert len(h.timers) == 1
+    t1 = next(iter(h.timers))
+    assert t1 == (t0 + pd.Timedelta(seconds=5)).value // 10**6 + 60_000
+
+    # batch 2: 3 more turns -> crosses max_turns=4 -> one partial of 4,
+    # 1 turn remains buffered, old timer replaced
+    out = list(proc.handleInputRows(("A",), iter([batch([(2, "tool", "r", 9), (3, "assistant", "<final>a</final>", 12), (4, "user", "bye", 20)])]), _FakeTimerValues(0)))
+    rows = pd.concat(out)
+    assert len(rows) == 1
+    p = rows.iloc[0]
+    assert int(p["n_turns"]) == 4 and int(p["is_partial"]) == 1
+    assert int(p["n_func_calls"]) == 1 and int(p["has_final"]) == 1
+    # digest matches the shared assemble twin over the first 4 turns
+    want = st.assemble_rows(
+        [0, 1, 2, 3], ["user", "assistant", "tool", "assistant"],
+        ["q", "<func_call>f</func_call>", "r", "<final>a</final>"],
+        t0.value // 1000, (t0 + pd.Timedelta(seconds=12)).value // 1000, "A", 1,
+    )
+    assert p["convo_digest"] == want["convo_digest"]
+    assert len(h.timers) == 1 and next(iter(h.timers)) != t1
+
+    # timer fires: the remaining 1-turn session closes, state cleared
+    out = list(proc.handleExpiredTimer(("A",), _FakeTimerValues(10**15), None))
+    rows = pd.concat(out)
+    assert len(rows) == 1 and int(rows.iloc[0]["n_turns"]) == 1
+    assert int(rows.iloc[0]["is_partial"]) == 0
+    assert not proc.meta.exists() and not proc.turns.exists()
+
+    # spent timer: nothing re-emits
+    assert list(proc.handleExpiredTimer(("A",), _FakeTimerValues(10**15), None)) == []
+
+    # exact-drain case: 4 turns in one batch -> partial emitted, meta cleared,
+    # timer deleted (the stale-state regression, TWS side)
+    proc2 = st.SessionProcessor(gap_seconds=60, max_turns=4)
+    h2 = _FakeHandle()
+    proc2.init(h2)
+    list(proc2.handleInputRows(("B",), iter([batch([(0, "user", "a", 0)])]), _FakeTimerValues(-1)))
+    assert len(h2.timers) == 1
+    out = list(proc2.handleInputRows(("B",), iter([batch([(1, "user", "b", 1), (2, "user", "c", 2), (3, "user", "d", 3)])]), _FakeTimerValues(0)))
+    rows = pd.concat(out)
+    assert len(rows) == 1 and int(rows.iloc[0]["n_turns"]) == 4 and int(rows.iloc[0]["is_partial"]) == 1
+    assert h2.timers == set() and not proc2.meta.exists()
