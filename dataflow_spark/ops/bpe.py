@@ -82,10 +82,10 @@ def pair_counts(vocab_syms: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(lhs: str, rhs: str):
-    """Greedy left-to-right merge of (lhs, rhs) -> lhs+rhs as an array fold."""
-    merged = F.lit(lhs + rhs)
-    a, b = F.lit(lhs), F.lit(rhs)
+def _merge_step(lhs: str, rhs: str):
+    """The greedy left-to-right merge fold step for pair (lhs, rhs) — shared
+    by the trainer's per-round merge application and the encoder."""
+    merged, a, b = F.lit(lhs + rhs), F.lit(lhs), F.lit(rhs)
 
     def step(acc, x):
         # try_element_at: ANSI mode throws on out-of-bound element_at, and
@@ -96,10 +96,15 @@ def _apply_merge(lhs: str, rhs: str):
             F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
         ).otherwise(F.concat(acc, F.array(x)))
 
+    return step
+
+
+def _apply_merge(lhs: str, rhs: str):
+    """Greedy left-to-right merge of (lhs, rhs) -> lhs+rhs as an array fold."""
     return F.aggregate(
         F.col("syms"),
         F.array().cast("array<string>"),
-        step,
+        _merge_step(lhs, rhs),
     )
 
 
@@ -119,7 +124,11 @@ def bpe_learn(
     exponential plan-generation costs long before data does.
     """
     vocab = word_vocab(df, text_col).withColumn("syms", _initial_symbols())
-    vocab = vocab.select("freq", "syms").localCheckpoint()
+    vocab = vocab.select("freq", "syms")
+    if rounds > 1:
+        # truncate lineage only when the iterative path will rewrite syms;
+        # the rounds=1 hot path (driver query / bench) stays a pure plan
+        vocab = vocab.localCheckpoint()
     out = None
     w = Window.orderBy(F.col("pair_count").desc(), "lhs", "rhs")
     for r in range(1, int(rounds) + 1):
@@ -130,9 +139,13 @@ def bpe_learn(
         )
         out = top if out is None else out.unionByName(top)
         if r < rounds:
-            best = pc.filter(F.col("rank") == 1).collect()[0]
+            best = pc.filter(F.col("rank") == 1).collect()
+            if not best:
+                # degenerate corpus exhausted its mergeable pairs early
+                # (e.g. all 1-char words): stop with the rounds learned
+                break
             vocab = vocab.withColumn(
-                "syms", _apply_merge(best["lhs"], best["rhs"])
+                "syms", _apply_merge(best[0]["lhs"], best[0]["rhs"])
             ).localCheckpoint()
     return out
 
@@ -171,26 +184,11 @@ def bpe_encode(
     words_arr = _words(text_col)
     ends = F.array(F.lit(END_MARK))
 
-    def merge_step(lhs, rhs):
-        merged, a, b = F.lit(lhs + rhs), F.lit(lhs), F.lit(rhs)
-
-        def step(acc, x):
-            can = (
-                (F.size(acc) > 0)
-                & (F.try_element_at(acc, F.lit(-1)) == a)
-                & (x == b)
-            )
-            return F.when(
-                can, F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged))
-            ).otherwise(F.concat(acc, F.array(x)))
-
-        return step
-
     def encode_word(w):
         syms = F.concat(F.regexp_extract_all(w, F.lit("."), 0), ends)
         for lhs, rhs in merges:
             syms = F.aggregate(
-                syms, F.array().cast("array<string>"), merge_step(lhs, rhs)
+                syms, F.array().cast("array<string>"), _merge_step(lhs, rhs)
             )
         return F.size(syms)
 

@@ -535,7 +535,7 @@ def test_sequence_pack_window_is_per_shard(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the packing cumsum must be partitioned by shard (parallel), never a
     # single global-order window
-    assert "partitionspec" not in plan.lower().replace(" ", "")
+    assert "singlepartition" not in plan.lower()
     assert "hashpartitioning(shard" in plan.lower()
 
 
@@ -650,3 +650,13 @@ def test_bpe_encode_matches_apply_twin(spark):
     out0 = bpe.bpe_encode(df, []).collect()
     base = {int(r["doc_id"]): int(r["n_bpe_tokens"]) for r in out0}
     assert all(out[i][1] <= base[i] for i in out)
+
+
+def test_bpe_learn_stops_when_pairs_exhausted(spark):
+    from dataflow_spark.ops import bpe
+
+    # all 1-char words: only (char, </w>) pairs exist; 3 merges exhaust them
+    df = spark.createDataFrame([("a b c",), ("a b",)], "text: string")
+    out = bpe.bpe_learn(df, "text", rounds=8, k=5).toPandas()
+    assert out["round"].max() <= 4  # stops early, no IndexError
+    assert len(bpe.learned_merges(df, "text", rounds=8)) <= 4
