@@ -341,6 +341,24 @@ def q_seq_pack(spark, sf):
     )
 
 
+def q_dup_spans(spark, sf):
+    """ExactSubstr duplicated-span detection (Lee et al. 2022; battery
+    member): every 17th document gains a shared 44-char footer, so the
+    operator must find the footer span in each of them plus any organic
+    20-char repeats (ops/dedup.py duplicate_substring_spans — stride-1
+    window hashes, global count>1, islands merge; the distributed
+    formulation of the paper's suffix-array tool)."""
+    d = load_table(spark, sf, "documents")
+    d = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(F.col("text"), F.lit(" COMMON FOOTER SENTENCE FOR SPAN DEDUP")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.duplicate_substring_spans(d, "doc_id", "text", min_len=20)
+
+
 def q_bpe_merges(spark, sf):
     """Distributed BPE tokenizer training, round-1 merge candidates
     (battery member): word-frequency vocabulary (the only corpus pass),
@@ -1280,7 +1298,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 13 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 14 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1289,7 +1307,8 @@ def q_score_battery(spark, sf):
     (deterministic Lloyd), pq_topk (PQ/ADC ANN), dsir_select (DSIR
     importance resampling), outlier_trim (nearest-rank percentile band),
     seq_pack (concatenate-and-chunk sequence packing), bpe_merges
-    (distributed BPE tokenizer training, round-1 candidates)."""
+    (distributed BPE tokenizer training, round-1 candidates), dup_spans
+    (ExactSubstr duplicated-substring spans)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1327,6 +1346,9 @@ def q_score_battery(spark, sf):
         _battery_pack(q_bpe_merges(spark, sf), "bpe_merges",
                       _kcat("round", "rank"), ["lhs", "rhs"],
                       s1=F.col("pair_count")),
+        _battery_pack(q_dup_spans(spark, sf), "dup_spans",
+                      _kcat("doc_id", "span_start"), [],
+                      s1=F.col("span_end"), s2=F.col("span_len")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3262,6 +3284,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT round, lhs, rhs, pair_count, rank FROM ranked WHERE rank <= 20
     """
 
+    # dup_spans: ExactSubstr duplicated spans (Lee et al. 2022) — identical
+    # rule: stride-1 20-char window md5 hashes, global count>1, islands
+    # merge (flag = gap>1, group = running flag sum), maximal char spans.
+    o["dup_spans"] = """
+        WITH docs_f AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 17 = 0
+                      THEN text || ' COMMON FOOTER SENTENCE FOR SPAN DEDUP'
+                      ELSE text END AS text
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, i AS p, md5(substr(text, i, 20)) AS h
+          FROM docs_f, unnest(CASE WHEN len(text) - 19 >= 1
+                                   THEN range(1, len(text) - 19 + 1)
+                                   ELSE [] END) AS u(i)
+        ),
+        dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) > 1),
+        hits AS (SELECT doc_id, p FROM pos JOIN dup USING (h)),
+        flagged AS (
+          SELECT doc_id, p,
+                 CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
+                      THEN 0 ELSE 1 END AS f
+          FROM hits
+        ),
+        grp AS (
+          SELECT doc_id, p,
+                 SUM(f) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+          FROM flagged
+        )
+        SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+               CAST(MAX(p) + 19 AS BIGINT) AS span_end,
+               CAST(MAX(p) + 19 - MIN(p) + 1 AS BIGINT) AS span_len
+        FROM grp GROUP BY doc_id, g
+    """
+
     # deterministic k-means (k=8, 2 Lloyd updates + final assign) on the
     # integer lattice floor(x*2^20)+2^21 — the bounded loop unrolls into
     # generated CTE stages (the embed_kcenter precedent); all-positive
@@ -3355,6 +3414,8 @@ def oracle_sql() -> dict[str, str]:
                   ["shard", "n_tok"], s1="seq_first", s2="seq_last"),
         _pack_sql("bpe_merges", o["bpe_merges"], _kcat_sql("round", "rank"),
                   ["lhs", "rhs"], s1="pair_count"),
+        _pack_sql("dup_spans", o["dup_spans"], _kcat_sql("doc_id", "span_start"),
+                  [], s1="span_end", s2="span_len"),
     ])
 
     _dim_sql = ", ".join(
@@ -3376,6 +3437,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_hardness", "model_score", "mlp_score", "meta_eval", "paired_gen",
         "docs_markdown", "domain_mix", "kmeans_cluster", "pq_topk",
         "dsir_select", "decontam", "outlier_trim", "seq_pack", "bpe_merges",
+        "dup_spans",
     ):
         del o[_member]
 

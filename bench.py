@@ -71,6 +71,7 @@ HEADLINE = [
     "outlier_trim",
     "seq_pack",
     "bpe_merges",
+    "dup_spans",
 ]
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
@@ -666,4 +666,81 @@ def cluster_split(
         F.when(b < train, F.lit("train"))
         .when(b < train + val, F.lit("val"))
         .otherwise(F.lit("test"))
+    )
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 20,
+) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr): find every
+    maximal character span of length >= `min_len` whose content occurs more
+    than once in the corpus (across documents OR repeated within one) -- the
+    span-level complement of the document-level dedup family (a boilerplate
+    header shared by thousands of pages never makes whole docs duplicates,
+    but ExactSubstr finds and can excise it).
+
+    Published tool vs this engine: the paper builds a monolithic suffix
+    array (single-machine, RAM-bound at ~TB scale). The distributed
+    formulation is seed-and-extend on the k-gram lattice: hash every
+    `min_len`-char window (stride 1), keep hashes with global count > 1
+    (partial-aggregatable groupBy -- the only corpus-wide shuffle), then
+    merge surviving adjacent positions per document into maximal spans with
+    the islands trick (boundary = gap > 1, group = running sum of
+    boundaries -- two narrow window functions partitioned by doc). A span
+    of L >= min_len duplicated chars is covered by L - min_len + 1
+    surviving windows at consecutive positions, so islands reconstruct it
+    exactly.
+
+    Scale notes, stated: stride 1 multiplies the corpus by ~min_len in the
+    exploded hash table -- at 100 TB one runs the identical topology at
+    stride s (guaranteed detection of spans >= min_len + s - 1, the
+    standard sampling concession; winnow_fingerprints in ops/quality.py is
+    the further-sampled variant), and hashes as 64-bit ints, not hex
+    strings. Windows are md5-hex here because the DuckDB twin must hash
+    identically; collisions only ADD positions (conservative for removal).
+
+    Returns (id_col, span_start, span_end, span_len): 1-based inclusive
+    character offsets of each maximal duplicated span.
+    """
+    L = int(min_len)
+    # sequence(1, 0) yields a DESCENDING [1, 0], not empty -- short texts
+    # must produce an empty window array explicitly
+    n_win = F.length(F.col(text_col)) - F.lit(L - 1)
+    win_idx = F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pos = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                win_idx,
+                lambda i: F.struct(
+                    i.alias("p"),
+                    F.md5(F.substring(F.col(text_col), i, F.lit(L))).alias("h"),
+                ),
+            )
+        ).alias("ph"),
+    ).select(id_col, F.col("ph.p").alias("p"), F.col("ph.h").alias("h"))
+    dup = pos.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+    hits = pos.join(dup.select("h"), "h", "left_semi").select(id_col, "p")
+    w = Window.partitionBy(id_col).orderBy("p")
+    grouped = hits.withColumn(
+        "__new", F.when(F.col("p") - F.lag("p", 1).over(w) == 1, 0).otherwise(1)
+    ).withColumn("__grp", F.sum("__new").over(w))
+    return (
+        grouped.groupBy(id_col, "__grp")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(L - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("span_len"),
+        )
     )

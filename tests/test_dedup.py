@@ -345,3 +345,35 @@ def test_cluster_split_is_leak_safe(spark):
     }
     row_s = {("train" if b < 8 else ("val" if b < 9 else "test")) for b in row_b.values()}
     assert len(row_s) > 1  # fixture chosen so the row-level rule WOULD leak
+
+
+def test_duplicate_substring_spans_exactsubstr(spark):
+    from dataflow_spark.ops import dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "INTRO BOILERPLATE HEADER XYZ the quick brown fox jumps over the lazy dog and more"),
+        (3, "INTRO BOILERPLATE HEADER XYZ completely different tail content here okay"),
+        (4, "short"),
+        (5, "zz " * 30),  # within-doc repetition folds into one maximal span
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = sorted(
+        tuple(int(x) for x in r)
+        for r in dedup.duplicate_substring_spans(df, min_len=20).collect()
+    )
+    # doc1/doc2 share the 44-char fox sentence; doc2/doc3 share the 29-char
+    # header (doc2 carries BOTH, as two islands split at the non-shared
+    # junction); doc5 self-repeats into one 90-char span; 4/6 too short
+    assert got == [
+        (1, 1, 44, 44),
+        (2, 1, 29, 29),
+        (2, 30, 73, 44),
+        (3, 1, 29, 29),
+        (5, 1, 90, 90),
+    ]
+    # span contents really are duplicated text
+    texts = dict(rows)
+    assert texts[1][0:44] == texts[2][29:73]
+    assert texts[2][0:29] == texts[3][0:29]
