@@ -744,3 +744,53 @@ def duplicate_substring_spans(
             (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("span_len"),
         )
     )
+
+
+def excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite each document with its duplicated spans removed — the
+    removal half of ExactSubstr (Lee et al. 2022 drop the duplicated bytes,
+    keeping one occurrence elsewhere in the corpus). `spans` is the output
+    of duplicate_substring_spans (1-based inclusive char offsets).
+
+    Pure JVM: spans are collected per doc (sort_array over collect_list —
+    bounded by spans-per-doc, not corpus), then one array fold walks the
+    text with a cursor, concatenating the inter-span gaps; a `finish`
+    lambda appends the tail. Overlapping spans (two islands whose +L-1
+    extensions cross) are handled by the cursor max — the greatest() pair
+    below — without a separate interval-merge pass.
+
+    Returns (id_col, text_clean, n_excised_chars).
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias("__sp")
+    )
+    j = df.join(sp, id_col, "left")
+    txt = F.col(text_col)
+
+    def merge(acc, s):
+        gap_len = F.greatest(s["span_start"] - acc["cur"], F.lit(0).cast("long"))
+        kept = txt.substr(acc["cur"].cast("int"), gap_len.cast("int"))
+        return F.struct(
+            F.concat(acc["txt"], kept).alias("txt"),
+            F.greatest(acc["cur"], s["span_end"] + 1).alias("cur"),
+        )
+
+    init = F.struct(F.lit("").alias("txt"), F.lit(1).cast("long").alias("cur"))
+
+    def fin(acc):
+        tail = txt.substr(acc["cur"].cast("int"), F.length(txt).cast("int"))
+        return F.concat(acc["txt"], tail)
+
+    cleaned = F.when(F.col("__sp").isNull(), txt).otherwise(
+        F.aggregate(F.col("__sp"), init, merge, fin)
+    )
+    return j.select(
+        F.col(id_col),
+        cleaned.alias("text_clean"),
+        (F.length(txt) - F.length(cleaned)).cast("long").alias("n_excised_chars"),
+    )

@@ -377,3 +377,59 @@ def test_duplicate_substring_spans_exactsubstr(spark):
     texts = dict(rows)
     assert texts[1][0:44] == texts[2][29:73]
     assert texts[2][0:29] == texts[3][0:29]
+
+
+def test_excise_spans_removes_duplicated_text(spark):
+    from dataflow_spark.ops import dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "INTRO BOILERPLATE HEADER XYZ the quick brown fox jumps over the lazy dog and more"),
+        (3, "INTRO BOILERPLATE HEADER XYZ completely different tail content here okay"),
+        (4, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    spans = dedup.duplicate_substring_spans(df, min_len=20)
+    out = {
+        int(r["doc_id"]): (r["text_clean"], int(r["n_excised_chars"]))
+        for r in dedup.excise_spans(df, spans).collect()
+    }
+
+    def twin(text, sps):
+        kept, cur = [], 1
+        for s, e in sorted(sps):
+            s2 = max(s, cur)
+            if s > cur:
+                kept.append(text[cur - 1 : s - 1])
+            cur = max(cur, e + 1)
+        kept.append(text[cur - 1 :])
+        return "".join(kept)
+
+    span_map = {}
+    for r in spans.collect():
+        span_map.setdefault(int(r["doc_id"]), []).append(
+            (int(r["span_start"]), int(r["span_end"]))
+        )
+    for i, t in rows:
+        want = twin(t, span_map.get(i, []))
+        assert out[i][0] == want
+        assert out[i][1] == len(t) - len(want)
+    assert out[4][0] == "short" and out[4][1] == 0  # span-free doc untouched
+    # doc 2 lost both its header and the fox sentence
+    assert "BOILERPLATE" not in out[2][0] and "quick brown" not in out[2][0]
+
+
+def test_excise_spans_overlapping_islands(spark):
+    from dataflow_spark.ops import dedup
+    from pyspark.sql import functions as F
+
+    # hand-built overlapping spans: [3,10] and [8,14] on a 20-char text
+    df = spark.createDataFrame([(1, "abcdefghijklmnopqrst")], "doc_id: long, text: string")
+    spans = spark.createDataFrame(
+        [(1, 3, 10, 8), (1, 8, 14, 7)],
+        "doc_id: long, span_start: long, span_end: long, span_len: long",
+    )
+    out = dedup.excise_spans(df, spans).collect()[0]
+    # chars 3..14 removed -> 'ab' + 'opqrst'
+    assert out["text_clean"] == "ab" + "opqrst"
+    assert int(out["n_excised_chars"]) == 12
