@@ -433,3 +433,21 @@ def test_excise_spans_overlapping_islands(spark):
     # chars 3..14 removed -> 'ab' + 'opqrst'
     assert out["text_clean"] == "ab" + "opqrst"
     assert int(out["n_excised_chars"]) == 12
+
+
+def test_duplicate_substring_spans_plan_shape(spark, tmp_path):
+    import pandas as pd
+
+    from dataflow_spark.ops import dedup
+
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(128), "text": ["shared twenty char span here ok"] * 128})
+    ).write.parquet(str(tmp_path / "p"))
+    df = spark.read.parquet(str(tmp_path / "p"))
+    out = dedup.duplicate_substring_spans(df, min_len=20)
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    # islands windows must be partitioned per doc; nothing funnels into one
+    # partition; no Python stage anywhere
+    assert "hashpartitioning(doc_id" in plan
+    assert "singlepartition" not in plan
+    assert "arrowevalpython" not in plan and "batchevalpython" not in plan
