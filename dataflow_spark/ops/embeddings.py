@@ -56,9 +56,13 @@ def brute_force_topk(
 
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
+        # filter the RAW row_number, cast after: a cast between the window
+        # expression and the predicate defeats InferWindowGroupLimit
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("__rk").cast("long").alias("rank"), "sim"
+        )
     )
 
 
@@ -299,9 +303,13 @@ def ivf_topk(
 
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
+        # filter the RAW row_number, cast after: a cast between the window
+        # expression and the predicate defeats InferWindowGroupLimit
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("__rk").cast("long").alias("rank"), "sim"
+        )
     )
 
 
@@ -827,7 +835,10 @@ def pq_topk(
         scored = scored.unionByName(p)
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "dist")
+        # raw row_number filtered, cast after (see brute-force top-k note)
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("__rk").cast("long").alias("rank"), "dist"
+        )
     )

@@ -706,16 +706,14 @@ def interpolated_bigram_perplexity(
     toks = df.select(F.col(id_col), F.explode(ws).alias("__w"))
     freq = toks.groupBy("__w").agg(F.count("*").alias("__c"))
     total = freq.agg(F.sum("__c").alias("__t"))
-    n = F.size(ws)
-    # sequence(1, n-1) DESCENDS when n<2 — guard to an empty index array
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    pair = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.element_at(ws, i).alias("w1"), F.element_at(ws, i + 1).alias("w2")
-        ),
+    # adjacent pairs via zip_with over shifted slices — element_at(ws, i)
+    # inside a transform lambda re-evaluates the tokenizer per element
+    # (the HOF inlining pathology; see _dsir_grams)
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
+    pair = F.zip_with(
+        F.slice(ws, 1, n1),
+        F.slice(ws, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     bi = df.select(F.col(id_col), F.explode(pair).alias("__p")).select(
         id_col, F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2")

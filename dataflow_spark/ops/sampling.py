@@ -119,11 +119,18 @@ def _dsir_tokens(text_col: str):
 
 
 def _dsir_grams(text_col: str):
-    """Unigrams ++ space-joined bigrams as one array<string> per row."""
+    """Unigrams ++ space-joined bigrams as one array<string> per row.
+
+    Bigrams pair adjacent slices via zip_with — NOT element_at(tk, i+2)
+    inside a transform lambda, which re-evaluates the whole tokenizer
+    expression per element (the HOF inlining pathology PLANS.md documents;
+    measured 7.8s -> 1.1s for the sf0.1 bucket-stats pass)."""
     tk = _dsir_tokens(text_col)
-    bi = F.transform(
-        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
-        lambda x, i: F.concat(x, F.lit(" "), F.element_at(tk, i + 2)),
+    n1 = F.greatest(F.size(tk) - 1, F.lit(0))
+    bi = F.zip_with(
+        F.slice(tk, 1, n1),
+        F.slice(tk, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     return F.concat(tk, bi)
 
@@ -170,11 +177,15 @@ def dsir_select(
     Scale shape: phase 1 (distribution estimate) is one explode +
     partial-aggregatable groupBy(bucket) whose result is exactly
     `n_buckets` rows collected to the driver — bounded traffic independent
-    of corpus size (the kmeans-centers pattern). Phase 2 (scoring) is a
-    single NARROW projection: per row, fold the gram array through a
-    literal int64[n_buckets] LUT — no shuffle, no explode, pure JVM
-    codegen. Selection is global top-k (rank pushdown: only <=budget rows
-    per partition reach the final ordering).
+    of corpus size (the kmeans-centers pattern). Phase 2 (scoring) is
+    explode -> element_at on ONE int64[n_buckets] array literal ->
+    groupBy(id) with map-side partial aggregation (shuffle traffic is one
+    int per doc per partition, not per gram). A per-row F.aggregate fold
+    was measured ~3x slower: higher-order functions evaluate interpreted,
+    outside whole-stage codegen. Docs with zero grams (empty text) are
+    excluded by the explode on BOTH engines — the oracle scores from its
+    exploded gram CTE too. Selection is global top-k (rank pushdown: only
+    <=budget rows per partition reach the final ordering).
 
     Returns (id_col, dsir_score:int64, rank:int64) for the selected rows.
     """
@@ -208,21 +219,28 @@ def dsir_select(
         )
         for b in range(B)
     ]
-    lut = F.array(*[F.lit(w).cast("bigint") for w in llr])
-    score = F.aggregate(
-        grams,
-        F.lit(0).cast("bigint"),
-        lambda acc, g: acc
-        + F.element_at(lut, (_dsir_bucket(g, B) + 1).cast("int")),
+    # ONE ArrayType literal — an F.array(*256 F.lit children) would be a
+    # CreateArray re-evaluated per lookup
+    lut = F.lit(llr).cast("array<bigint>")
+    scored = (
+        df.select(F.col(id_col), F.explode(grams).alias("__g"))
+        .select(
+            id_col,
+            F.element_at(lut, (_dsir_bucket(F.col("__g"), B) + 1).cast("int")).alias("__w"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__w").alias("dsir_score"))
     )
-    scored = df.select(F.col(id_col), score.alias("dsir_score"))
     rank = F.row_number().over(
         Window.orderBy(F.col("dsir_score").desc(), F.col(id_col))
     )
+    # filter on the RAW row_number and cast afterwards: a cast between the
+    # window expression and the predicate defeats InferWindowGroupLimit, so
+    # every row (not <=budget per partition) would reach the global sort
     return (
-        scored.withColumn("rank", rank.cast("long"))
-        .filter(F.col("rank") <= budget)
-        .select(id_col, "dsir_score", "rank")
+        scored.withColumn("__rk", rank)
+        .filter(F.col("__rk") <= budget)
+        .select(id_col, "dsir_score", F.col("__rk").cast("long").alias("rank"))
     )
 
 # ---------------------------------------------------------------------------

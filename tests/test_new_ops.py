@@ -466,12 +466,16 @@ def test_dsir_scoring_plan_is_narrow_jvm(spark, tmp_path):
     df = spark.read.parquet(str(tmp_path / "d"))
     out = sampling.dsir_select(df, F.col("source") == "a", budget=10)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # phase-2 scoring is a narrow fold over a literal LUT: no Python stage,
-    # and the only exchange is the final top-k rank (rank-pushdown limits
-    # what reaches it)
+    # phase-2 scoring is explode -> literal-LUT lookup -> hash agg with
+    # map-side combine: no Python stage, exactly two exchanges (the
+    # doc-keyed partial-agg shuffle + the final top-k rank, with
+    # rank-pushdown limiting what reaches the latter)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    assert "aggregate(" in plan or "WindowGroupLimit" in plan
-    assert plan.count("Exchange") <= 1
+    assert "partial_sum" in plan  # map-side combine before the id shuffle
+    # rank pushdown: an empty-over() row_number filter becomes a global
+    # TakeOrderedAndProject (or WindowGroupLimit) — never a full sort
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+    assert plan.count("Exchange") <= 2
 
 
 def test_percentile_outlier_trim_nearest_rank(spark):
