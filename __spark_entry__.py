@@ -262,7 +262,11 @@ def q_docs_ngram_jaccard(spark, sf):
     (dedup.cluster_split: near-dups never straddle splits; Lee et al. 2022
     §6.2). Oracle: identical pair SQL + a recursive-CTE min-label closure."""
     d = _documents_with_planted_chain(spark, sf)
-    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+    # the pair table fans out to two consumers (the CC iteration and the
+    # final labeled-pair join) — materialize the shingle self-join once
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.8
+    ).localCheckpoint(eager=True)
     comps = dedup.duplicate_components(pairs)
     return (
         pairs.join(comps.withColumnRenamed("id", "id_a"), "id_a")
