@@ -363,6 +363,57 @@ def q_dup_spans(spark, sf):
     return dedup.duplicate_substring_spans(d, "doc_id", "text", min_len=20)
 
 
+def q_bloom_new(spark, sf):
+    """Bloom-filter incremental dedup (battery member): dedup the documents
+    table against a reference corpus (every 5th doc's text) via a 32-bit-word
+    Bloom bitmap TABLE — the build-once membership structure for deduping a
+    new crawl snapshot against an existing multi-billion-doc corpus without
+    re-shuffling the corpus (Bloom 1970; Kirsch-Mitzenmacher double hashing;
+    the Dolma/CCNet incremental-dedup recipe). No false negatives ever (all
+    corpus members drop); false positives are deterministic functions of
+    (m, k) and the DuckDB twin reproduces the identical survivor set,
+    FPs included (ops/dedup.py bloom_bitmap / bloom_new_rows)."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    corpus = d.filter(F.col("doc_id") % 5 == 0).select("text")
+    return (
+        dedup.bloom_new_rows(d, corpus, "text", m_words=256, k_hashes=5)
+        .select("doc_id")
+    )
+
+
+def q_budget_select(spark, sf):
+    """Token-budget greedy selection (battery member): score = distinct
+    BPE-ish token count (type diversity), rank docs by (score desc, id) and
+    keep the maximal prefix within a 100k-token budget (ops/sampling.py
+    token_budget_select — two-phase: per-score bucket offsets from a tiny
+    distinct-score table, then per-bucket windows; never one global sorted
+    window). Oracle: the single SUM() OVER (ORDER BY) rule."""
+    from dataflow_spark.ops import sampling
+
+    d = load_table(spark, sf, "documents")
+    tok_pat = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    toks = F.regexp_extract_all(F.coalesce(F.col("text"), F.lit("")), F.lit(tok_pat), 0)
+    base = d.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).cast("long").alias("q_score"),
+        F.size(toks).cast("long").alias("n_tok"),
+    )
+    return sampling.token_budget_select(
+        base, "q_score", "n_tok", "doc_id", budget=100_000
+    )
+
+
+def q_data_card(spark, sf):
+    """Per-domain corpus data card (battery member): doc counts, token
+    totals, exact-dup counts, nearest-rank p50/p95 token lengths per source
+    — the dataset-release composition table (Pile/Dolma/RedPajama style),
+    integer-exact in both engines (ops/quality.py corpus_data_card)."""
+    d = load_table(spark, sf, "documents")
+    return quality.corpus_data_card(d, "source", "text")
+
+
 def q_bpe_merges(spark, sf):
     """Distributed BPE tokenizer training, round-1 merge candidates
     (battery member): word-frequency vocabulary (the only corpus pass),
@@ -1302,7 +1353,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 14 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 17 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1312,7 +1363,9 @@ def q_score_battery(spark, sf):
     importance resampling), outlier_trim (nearest-rank percentile band),
     seq_pack (concatenate-and-chunk sequence packing), bpe_merges
     (distributed BPE tokenizer training, round-1 candidates), dup_spans
-    (ExactSubstr duplicated-substring spans)."""
+    (ExactSubstr duplicated-substring spans), bloom_new (Bloom-bitmap
+    incremental dedup vs a reference corpus), budget_sel (token-budget
+    greedy selection), data_card (per-domain corpus statistics)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1353,6 +1406,14 @@ def q_score_battery(spark, sf):
         _battery_pack(q_dup_spans(spark, sf), "dup_spans",
                       _kcat("doc_id", "span_start"), [],
                       s1=F.col("span_end"), s2=F.col("span_len")),
+        _battery_pack(q_bloom_new(spark, sf), "bloom_new",
+                      _kcat("doc_id"), []),
+        _battery_pack(q_budget_select(spark, sf), "budget_sel",
+                      _kcat("doc_id"), ["q_score", "n_tok"],
+                      s1=F.col("cum_tok")),
+        _battery_pack(q_data_card(spark, sf), "data_card",
+                      _kcat("domain"), ["n_docs", "n_tokens", "dup_docs"],
+                      s1=F.col("p50_tok"), s2=F.col("p95_tok")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3325,6 +3386,103 @@ def oracle_sql() -> dict[str, str]:
         FROM grp GROUP BY doc_id, g
     """
 
+    # bloom_new: Bloom-bitmap incremental dedup (ops/dedup.py bloom_bitmap /
+    # bloom_new_rows). Identical arithmetic on both engines: h1/h2 = first /
+    # second 8 md5 hex chars as int64, positions (h1 + i*h2) % 8192 for
+    # i < 5 (m_words=256 32-bit words), bitmap = bit_or per word, a key is
+    # NEW iff some probe hits an unset bit. False positives are the same on
+    # both engines — the comparison is exact, FPs included.
+    o["bloom_new"] = """
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        cp AS (
+          SELECT (('0x'||substr(md5(text),1,8))::UBIGINT::BIGINT
+                  + i * ('0x'||substr(md5(text),9,8))::UBIGINT::BIGINT) % 8192 AS pos
+          FROM (SELECT text FROM d WHERE doc_id % 5 = 0),
+               unnest(generate_series(0, 4)) AS s(i)
+        ),
+        bitmap AS (
+          SELECT pos // 32 AS word_idx,
+                 bit_or(1::BIGINT << (pos % 32)::INT) AS word
+          FROM cp GROUP BY 1
+        ),
+        np AS (
+          SELECT text AS k,
+                 (('0x'||substr(md5(text),1,8))::UBIGINT::BIGINT
+                  + i * ('0x'||substr(md5(text),9,8))::UBIGINT::BIGINT) % 8192 AS pos
+          FROM (SELECT DISTINCT text FROM d),
+               unnest(generate_series(0, 4)) AS s(i)
+        ),
+        chk AS (
+          SELECT np.k,
+                 CASE WHEN (coalesce(b.word, 0) & (1::BIGINT << (np.pos % 32)::INT)) <> 0
+                      THEN 1 ELSE 0 END AS hit
+          FROM np LEFT JOIN bitmap b ON np.pos // 32 = b.word_idx
+        ),
+        newk AS (SELECT k FROM chk GROUP BY k HAVING MIN(hit) = 0)
+        SELECT doc_id FROM d JOIN newk ON d.text = newk.k
+    """
+
+    # budget_sel: token-budget greedy selection (ops/sampling.py
+    # token_budget_select). The oracle states the GLOBAL rule in one window;
+    # the engine computes the identical integer totals two-phase (per-score
+    # bucket offsets + per-bucket windows).
+    o["budget_sel"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 CAST(len(list_distinct(regexp_extract_all(coalesce(text,''),
+                      '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS q_score,
+                 CAST(len(regexp_extract_all(coalesce(text,''),
+                      '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok
+          FROM documents
+        ),
+        run AS (
+          SELECT doc_id, q_score, n_tok,
+                 SUM(n_tok) OVER (ORDER BY q_score DESC, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tok
+          FROM base
+        )
+        SELECT doc_id, q_score, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+        FROM run WHERE cum_tok <= 100000
+    """
+
+    # data_card: per-domain corpus statistics (ops/quality.py
+    # corpus_data_card) — counts, token totals, exact-dup counts and
+    # nearest-rank p50/p95 with the integer basis-point rank threshold.
+    o["data_card"] = """
+        WITH base AS (
+          SELECT source AS domain,
+                 CAST(len(regexp_extract_all(coalesce(text,''),
+                      '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS t,
+                 md5(coalesce(text,'')) AS fp
+          FROM documents
+        ),
+        scal AS (
+          SELECT domain, count(*) AS n_docs, SUM(t) AS n_tokens,
+                 count(*) - count(DISTINCT fp) AS dup_docs
+          FROM base GROUP BY domain
+        ),
+        counts AS (SELECT domain, t AS v, count(*) AS c FROM base GROUP BY 1, 2),
+        cum AS (
+          SELECT domain, v,
+                 SUM(c) OVER (PARTITION BY domain ORDER BY v) AS cumc,
+                 SUM(c) OVER (PARTITION BY domain) AS n
+          FROM counts
+        ),
+        pcts AS (
+          SELECT domain,
+                 min(CASE WHEN cumc >= (n*5000 + 9999) // 10000 THEN v END) AS p50_tok,
+                 min(CASE WHEN cumc >= (n*9500 + 9999) // 10000 THEN v END) AS p95_tok
+          FROM cum GROUP BY domain
+        )
+        SELECT s.domain, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(dup_docs AS BIGINT) AS dup_docs,
+               CAST(p50_tok AS BIGINT) AS p50_tok,
+               CAST(p95_tok AS BIGINT) AS p95_tok
+        FROM scal s JOIN pcts USING (domain)
+    """
+
     # deterministic k-means (k=8, 2 Lloyd updates + final assign) on the
     # integer lattice floor(x*2^20)+2^21 — the bounded loop unrolls into
     # generated CTE stages (the embed_kcenter precedent); all-positive
@@ -3418,6 +3576,12 @@ def oracle_sql() -> dict[str, str]:
                   ["shard", "n_tok"], s1="seq_first", s2="seq_last"),
         _pack_sql("bpe_merges", o["bpe_merges"], _kcat_sql("round", "rank"),
                   ["lhs", "rhs"], s1="pair_count"),
+        _pack_sql("bloom_new", o["bloom_new"], _kcat_sql("doc_id"), []),
+        _pack_sql("budget_sel", o["budget_sel"], _kcat_sql("doc_id"),
+                  ["q_score", "n_tok"], s1="cum_tok"),
+        _pack_sql("data_card", o["data_card"], _kcat_sql("domain"),
+                  ["n_docs", "n_tokens", "dup_docs"],
+                  s1="p50_tok", s2="p95_tok"),
         _pack_sql("dup_spans", o["dup_spans"], _kcat_sql("doc_id", "span_start"),
                   [], s1="span_end", s2="span_len"),
     ])
@@ -3441,7 +3605,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_hardness", "model_score", "mlp_score", "meta_eval", "paired_gen",
         "docs_markdown", "domain_mix", "kmeans_cluster", "pq_topk",
         "dsir_select", "decontam", "outlier_trim", "seq_pack", "bpe_merges",
-        "dup_spans",
+        "dup_spans", "bloom_new", "budget_sel", "data_card",
     ):
         del o[_member]
 

@@ -72,6 +72,9 @@ HEADLINE = [
     "seq_pack",
     "bpe_merges",
     "dup_spans",
+    "bloom_new",
+    "budget_select",
+    "data_card",
 ]
 
 

@@ -809,3 +809,105 @@ def excise_spans(
         cleaned.alias("text_clean"),
         (F.length(txt) - F.length(cleaned)).cast("long").alias("n_excised_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup (new shard vs an existing reference corpus)
+# ---------------------------------------------------------------------------
+
+
+def bloom_bitmap(
+    corpus: DataFrame,
+    key_col: str,
+    m_words: int = 1 << 15,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Build a Bloom-filter bitmap as a DATAFRAME of (word_idx, word) 32-bit
+    words from a corpus key column — the membership structure for
+    incremental deduplication: when a new crawl snapshot must be deduped
+    against an existing multi-billion-document corpus, an anti-join against
+    the full corpus shuffles the corpus every time, while a Bloom bitmap is
+    built once, is ~10 bits/key, and probes are a join against a bounded
+    table (the Dolma/CCNet-style incremental-dedup recipe; Bloom 1970,
+    double hashing per Kirsch & Mitzenmacher 2006: pos_i = h1 + i*h2 mod m).
+
+    Engine-portable arithmetic (the DuckDB twin reproduces it bit-for-bit):
+    h1/h2 = first/second 8 hex chars of md5(key) as int64, bit positions
+    (h1 + i*h2) % (32*m_words) for i < k_hashes, 32-bit words (offsets
+    0..31, so set bits stay positive in an int64 — no sign games in either
+    engine), bitmap = groupBy(word_idx).bit_or(bit). The build is one
+    explode (k rows per key) + one partial-aggregatable groupBy; the result
+    is at most m_words rows regardless of corpus size.
+    """
+    m_bits = 32 * int(m_words)
+    key = F.col(key_col).cast("string")
+    h1 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("bigint")
+    i = F.explode(F.sequence(F.lit(0), F.lit(int(k_hashes) - 1))).alias("__i")
+    probes = corpus.select(h1.alias("__h1"), h2.alias("__h2"), i).select(
+        ((F.col("__h1") + F.col("__i") * F.col("__h2")) % m_bits).alias("__pos")
+    )
+    return (
+        probes.select(
+            (F.col("__pos") / 32).cast("bigint").alias("word_idx"),
+            F.pow(F.lit(2.0), (F.col("__pos") % 32).cast("int")).cast("bigint").alias("__bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__bit").alias("word"))
+    )
+
+
+def bloom_new_rows(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    key_col: str,
+    m_words: int = 1 << 15,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Rows of `new_df` whose key is DEFINITELY NOT in `corpus` (all Bloom
+    probes miss). Bloom semantics: no false negatives — every true corpus
+    member is dropped; a ~(1-e^(-kn/m))^k false-positive fraction of
+    genuinely-new rows is dropped too (the caller sizes m_words/k_hashes to
+    the corpus; at 10 bits/key, k=5 the FP rate is <1%). Deterministic
+    given (m_words, k_hashes) — the DuckDB twin reproduces the exact same
+    survivor set, false positives included.
+
+    Topology: the bitmap (<= m_words rows, caller-bounded) broadcasts; the
+    probe side explodes k rows per DISTINCT key, left-joins the bitmap, and
+    a key survives iff some probe hits an absent/zero bit. One narrow
+    semi-join back onto new_df preserves the input rows/columns.
+    """
+    m_bits = 32 * int(m_words)
+    bitmap = bloom_bitmap(corpus, key_col, m_words, k_hashes)
+    keys = new_df.select(F.col(key_col).alias("__k")).distinct()
+    kk = F.col("__k").cast("string")
+    kh1 = F.conv(F.substring(F.md5(kk), 1, 8), 16, 10).cast("bigint")
+    kh2 = F.conv(F.substring(F.md5(kk), 9, 8), 16, 10).cast("bigint")
+    probes = keys.select(
+        F.col("__k"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(k_hashes) - 1))).alias("__i"),
+        kh1.alias("__h1"),
+        kh2.alias("__h2"),
+    ).select(
+        "__k",
+        ((F.col("__h1") + F.col("__i") * F.col("__h2")) % m_bits).alias("__pos"),
+    )
+    checked = (
+        probes.select(
+            "__k",
+            (F.col("__pos") / 32).cast("bigint").alias("word_idx"),
+            F.pow(F.lit(2.0), (F.col("__pos") % 32).cast("int")).cast("bigint").alias("__bit"),
+        )
+        .join(F.broadcast(bitmap), "word_idx", "left")
+        .select(
+            "__k",
+            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("__bit")) != 0).alias("__hit"),
+        )
+    )
+    new_keys = (
+        checked.groupBy("__k")
+        .agg(F.min(F.col("__hit").cast("int")).alias("__all_hit"))
+        .filter(F.col("__all_hit") == 0)
+        .select(F.col("__k").alias(key_col))
+    )
+    return new_df.join(new_keys, key_col, "left_semi")

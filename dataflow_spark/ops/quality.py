@@ -10,7 +10,7 @@ stay inside whole-stage codegen.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dataflow_spark.ops.filters import words
@@ -750,4 +750,63 @@ def with_scores(df: DataFrame, col: str = "text") -> DataFrame:
             "quality": quality_score(c),
             "pred_lang": lang_id(c),
         }
+    )
+
+
+def corpus_data_card(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain corpus statistics card — the summary table every published
+    dataset release ships (composition tables in the Pile / Dolma / RedPajama
+    / FineWeb papers): document count, total token count, exact-duplicate
+    document count, and nearest-rank p50/p95 token-length percentiles, one
+    row per domain.
+
+    All integer arithmetic: the percentile ranks use the same basis-point
+    `(n*bp + 9999) div 10000` rule as percentile_outlier_trim (a float
+    ceil(p*n) diverges between engines), dup counting is count - distinct
+    md5(text), and token counts are the BPE-ish regexp count. Every column
+    is therefore bit-portable to the DuckDB twin.
+
+    Scale shape: one groupBy(domain) partial agg for the scalar columns
+    (count_distinct carries a per-domain hash set — at extreme scale swap
+    for approx_count_distinct and band the oracle, as events_json does),
+    plus a (domain, token-count) distinct-value table for the percentile
+    scan — ~10^4 rows per domain regardless of corpus size, windowed per
+    domain, never a global sort.
+
+    Returns (domain, n_docs, n_tokens, dup_docs, p50_tok, p95_tok).
+    """
+    tok = bpe_ish_token_count(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(
+        F.col(domain_col).alias("domain"),
+        tok.alias("__t"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__fp"),
+    )
+    scal = base.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__t").alias("n_tokens"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("__fp"))).alias("dup_docs"),
+    )
+    counts = base.groupBy("domain", "__t").agg(F.count(F.lit(1)).alias("__c"))
+    cum = counts.withColumn(
+        "__cum", F.sum("__c").over(Window.partitionBy("domain").orderBy("__t"))
+    ).withColumn("__n", F.sum("__c").over(Window.partitionBy("domain")))
+    pcts = cum.groupBy("domain").agg(
+        F.min(
+            F.when(F.expr("__cum >= (__n * 5000 + 9999) div 10000"), F.col("__t"))
+        ).alias("p50_tok"),
+        F.min(
+            F.when(F.expr("__cum >= (__n * 9500 + 9999) div 10000"), F.col("__t"))
+        ).alias("p95_tok"),
+    )
+    return scal.join(pcts, "domain").select(
+        "domain",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("dup_docs").cast("long").alias("dup_docs"),
+        F.col("p50_tok").cast("long").alias("p50_tok"),
+        F.col("p95_tok").cast("long").alias("p95_tok"),
     )

@@ -373,3 +373,67 @@ def sequence_pack(
         )
         .select(id_col, "shard", "n_tok", "seq_first", "seq_last")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget greedy selection (quality-ordered prefix under a token budget)
+# ---------------------------------------------------------------------------
+
+
+def token_budget_select(
+    df: DataFrame,
+    score_col: str,
+    tok_col: str,
+    id_col: str = "doc_id",
+    budget: int = 1_000_000,
+) -> DataFrame:
+    """Greedy data selection under a token budget: order documents by
+    (score DESC, id ASC) and keep the maximal prefix whose cumulative token
+    count stays within `budget` — the standard way curation pipelines pick
+    "the best N tokens" rather than the best N documents (quality-ranked
+    token budgeting; with score = an importance weight this is the
+    deterministic selection half of DSIR-style recipes, and with
+    score = a classifier grade it is the FineWeb-Edu-style top-slice cut,
+    both applied all over the public curation literature).
+
+    Selection rule (integer-exact, hence oracle-portable): a row is kept
+    iff SUM(tok) OVER (ORDER BY score DESC, id ASC, rows unbounded
+    preceding .. current) <= budget. With positive token counts this
+    equals "stop at the first overflowing document".
+
+    Scale shape: NOT one global ordered window (a single-partition sort at
+    corpus scale). Phase 1 aggregates (score -> bucket token sum) — one row
+    per DISTINCT score (scores are quantized integer statistics, ~10^4
+    distinct at any corpus size — same argument as
+    percentile_outlier_trim) — and a cumulative scan over that tiny table
+    yields each bucket's starting offset `base`. Phase 2 joins the bucket
+    offsets back (broadcast) and runs the within-bucket running sum as a
+    window PARTITIONED BY score, ordered by id — parallel across buckets;
+    the one caveat is a single score value holding a huge share of rows
+    (quantize finer, or split such a bucket by deterministic id ranges).
+    base + within-bucket running == the global running total exactly.
+
+    Returns (id_col, score_col, tok_col, cum_tok) for selected rows.
+    """
+    s, t = F.col(score_col).cast("long"), F.col(tok_col).cast("long")
+    per = df.select(s.alias("__s"), t.alias("__t")).groupBy("__s").agg(
+        F.sum("__t").alias("__st")
+    )
+    offs = per.withColumn(
+        "__cum", F.sum("__st").over(Window.orderBy(F.col("__s").desc()))
+    ).select("__s", (F.col("__cum") - F.col("__st")).alias("__base"))
+    w = Window.partitionBy("__s").orderBy(F.col(id_col).asc())
+    j = df.select(F.col(id_col), s.alias("__s"), t.alias("__t")).join(
+        F.broadcast(offs), "__s"
+    )
+    run = F.sum("__t").over(w)
+    return (
+        j.withColumn("__cumrow", (F.col("__base") + run).cast("long"))
+        .filter(F.col("__cumrow") <= budget)
+        .select(
+            id_col,
+            F.col("__s").alias(score_col),
+            F.col("__t").alias(tok_col),
+            F.col("__cumrow").alias("cum_tok"),
+        )
+    )

@@ -664,3 +664,123 @@ def test_bpe_learn_stops_when_pairs_exhausted(spark):
     out = bpe.bpe_learn(df, "text", rounds=8, k=5).toPandas()
     assert out["round"].max() <= 4  # stops early, no IndexError
     assert len(bpe.learned_merges(df, "text", rounds=8)) <= 4
+
+
+# ---------------------------------------------------------------------------
+# Bloom incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_deterministic(spark):
+    from dataflow_spark.ops import dedup
+
+    corpus = spark.createDataFrame([(f"key{i}",) for i in range(0, 300, 3)], "k: string")
+    new = spark.createDataFrame([(f"key{i}",) for i in range(300)], "k: string")
+    # tiny filter (m_words=4 -> 128 bits for 100 keys) to FORCE false positives
+    out = {r["k"] for r in dedup.bloom_new_rows(new, corpus, "k", m_words=4, k_hashes=5).collect()}
+    members = {f"key{i}" for i in range(0, 300, 3)}
+    assert not (out & members)  # Bloom guarantee: no false negatives
+    true_new = {f"key{i}" for i in range(300)} - members
+    assert out < true_new  # saturated filter must produce SOME false positives
+    # determinism: identical run -> identical survivor set (FPs included)
+    out2 = {r["k"] for r in dedup.bloom_new_rows(new, corpus, "k", m_words=4, k_hashes=5).collect()}
+    assert out == out2
+
+
+def test_bloom_large_m_recovers_exact_anti_join(spark):
+    from dataflow_spark.ops import dedup
+
+    corpus = spark.createDataFrame([(f"key{i}",) for i in range(0, 200, 2)], "k: string")
+    new = spark.createDataFrame([(f"key{i}",) for i in range(200)], "k: string")
+    # generously sized filter: FP probability ~ (1-e^(-kn/m))^k ~ 1e-9
+    out = {r["k"] for r in dedup.bloom_new_rows(new, corpus, "k", m_words=1 << 12, k_hashes=5).collect()}
+    exact = {r["k"] for r in new.join(corpus, "k", "left_anti").collect()}
+    assert out == exact
+
+
+def test_bloom_bitmap_bounded(spark):
+    from dataflow_spark.ops import dedup
+
+    corpus = spark.createDataFrame([(f"key{i}",) for i in range(500)], "k: string")
+    bm = dedup.bloom_bitmap(corpus, "k", m_words=64, k_hashes=5).toPandas()
+    assert len(bm) <= 64
+    assert bm["word_idx"].between(0, 63).all()
+    # 32-bit words stored in int64: always non-negative, never above 2^32-1
+    assert (bm["word"] >= 0).all() and (bm["word"] < (1 << 32)).all()
+
+
+# ---------------------------------------------------------------------------
+# Token-budget greedy selection
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_select_matches_global_window(spark):
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from dataflow_spark.ops import sampling
+
+    # deterministic pseudo-random scores with heavy ties + varied token counts
+    rows = [
+        (i,
+         int(hashlib.md5(f"s{i}".encode()).hexdigest()[:4], 16) % 7,  # score 0..6
+         1 + int(hashlib.md5(f"t{i}".encode()).hexdigest()[:4], 16) % 50)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, s: long, t: long")
+    budget = 3000
+    got = sampling.token_budget_select(df, "s", "t", "doc_id", budget=budget).toPandas()
+    w = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exp = (
+        df.withColumn("cum", F.sum("t").over(w))
+        .filter(F.col("cum") <= budget)
+        .toPandas()
+    )
+    assert sorted(got["doc_id"]) == sorted(exp["doc_id"])
+    got_cum = dict(zip(got["doc_id"], got["cum_tok"]))
+    exp_cum = dict(zip(exp["doc_id"], exp["cum"]))
+    assert got_cum == exp_cum  # two-phase totals == the global running sum
+
+
+def test_token_budget_select_edges(spark):
+    from dataflow_spark.ops import sampling
+
+    df = spark.createDataFrame(
+        [(1, 5, 100), (2, 5, 100), (3, 4, 100)], "doc_id: long, s: long, t: long"
+    )
+    # budget below the first doc -> nothing selected
+    assert sampling.token_budget_select(df, "s", "t", "doc_id", budget=99).count() == 0
+    # budget splits a tie bucket: id order breaks the tie
+    got = sampling.token_budget_select(df, "s", "t", "doc_id", budget=100).toPandas()
+    assert list(got["doc_id"]) == [1]
+    got = sampling.token_budget_select(df, "s", "t", "doc_id", budget=250).toPandas()
+    assert sorted(got["doc_id"]) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# Corpus data card
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_data_card(spark):
+    from dataflow_spark.ops import quality
+
+    rows = (
+        [("a", "one two three")] * 3          # 3 exact dups, 3 toks each
+        + [("a", "x " * k) for k in (1, 2, 5)]  # 1,2,5 toks
+        + [("b", "hello world")] * 2           # 2 exact dups
+    )
+    df = spark.createDataFrame(
+        [(i, d, t) for i, (d, t) in enumerate(rows)], "doc_id: long, source: string, text: string"
+    )
+    out = {r["domain"]: r for r in quality.corpus_data_card(df, "source", "text").collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_docs"], a["dup_docs"]) == (6, 2)   # 3 copies -> 2 extra dups
+    assert a["n_tokens"] == 3 * 3 + 1 + 2 + 5
+    # sorted token counts for a: [1,2,3,3,3,5]; nearest-rank p50 = rank 3 -> 3
+    assert a["p50_tok"] == 3 and a["p95_tok"] == 5
+    assert (b["n_docs"], b["dup_docs"], b["n_tokens"]) == (2, 1, 4)
+    assert b["p50_tok"] == 2 and b["p95_tok"] == 2
