@@ -310,8 +310,27 @@ def dedup_minhash_lsh(
     losers = losers.persist(sig_storage) if sig_storage is not None else losers.persist()
     n_losers = losers.count()
     keyed = sigd.withColumn("__wh", F.xxhash64("__w"))
-    if n_losers <= max_broadcast_losers:
+    # counting the cache is one columnar-scan action; with it we know BOTH
+    # partition sizes and can broadcast the smaller side:
+    n_rows = sigd.count()
+    n_surv = n_rows - n_losers
+    if n_losers <= max_broadcast_losers and n_losers <= 8 * max(n_surv, 1):
+        # normal corpora (dup rate <<1): loser keys are the small side
         out = keyed.join(F.broadcast(losers), ["__wh"], "left_anti")
+    elif n_surv <= max_broadcast_losers:
+        # dup-heavy corpora (snapshot re-crawls, replicated fixtures): the
+        # SURVIVOR set is the small side, and the serial driver cost of the
+        # broadcast (collect + hashed-relation build + ship — the fixed
+        # per-pass cost that binds N->4N scaling) shrinks with it. Two
+        # stages, both exact: a keys-only anti-join (8B hashes both sides —
+        # a few MB/partition of shuffle even at 10^8 rows) derives the
+        # survivor keys, and the payload cache streams through a broadcast
+        # semi-join against them with ZERO payload shuffle.
+        skeys = (
+            keyed.select("__wh")
+            .join(losers.hint("shuffle_hash"), ["__wh"], "left_anti")
+        )
+        out = keyed.join(F.broadcast(skeys), ["__wh"], "left_semi")
     else:
         out = keyed.join(losers.hint("shuffle_hash"), ["__wh"], "left_anti")
     out = out.select(*[F.col(f"__w.{c}").alias(c) for c in order_cols], *payload)

@@ -194,6 +194,36 @@ def test_minhash_join_strategy_invariance(spark, tmp_path):
     assert 0 < len(broadcast_side) < rep.count()
 
 
+def test_minhash_survivor_broadcast_path_invariant(spark):
+    """Dup-heavy regime (x20 replication -> losers ~19/20 of rows, far above
+    8x the survivor count): the recovery join flips to the keys-only
+    anti-join + broadcast-survivor semi-join, which must return the exact
+    same survivor set as the shuffled-hash anti join."""
+    from pyspark.sql import functions as F
+
+    base = synth_transcripts(spark, n_turns=300, n_convs=10, seed=13)
+    rep = (
+        base.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(19))))
+        .withColumn("conv_id", F.concat("conv_id", F.lit("#"), F.col("__r")))
+        .drop("__r")
+    )
+
+    def keys(max_bl):
+        out = dedup.dedup_minhash_lsh(rep, max_broadcast_losers=max_bl)
+        got = sorted(
+            (r["ts"], r["conv_id"], r["turn_idx"])
+            for r in out.select("ts", "conv_id", "turn_idx").collect()
+        )
+        out.minhash_sig_cache.unpersist()
+        out.minhash_losers_cache.unpersist()
+        return got
+
+    survivor_bcast = keys(10_000_000)  # losers > 8*survivors -> survivor path
+    shuffle_side = keys(0)             # cap 0 -> shuffled-hash anti join
+    assert survivor_bcast == shuffle_side
+    assert 0 < len(survivor_bcast) < rep.count()
+
+
 def test_decontaminate_planted_overlap(spark):
     """A training doc sharing a 13-gram with the benchmark is dropped; word
     soup that shares only shorter runs survives; bench chunks under 13 words
