@@ -457,19 +457,40 @@ def lang_id_v2(col: Column) -> Column:
     else stopword-profile argmax over 19 Latin languages (ties -> profile
     order), else 'und'. 42 languages + und, pure JVM expressions; the SQL
     oracle replicates rule-for-rule."""
+    from dataflow_spark.ops.quality import _let
+
     ws = F.split(F.trim(F.lower(col)), r"\s+")
+    names = list(LATIN_PROFILES)
 
-    def hit_count(sw):
-        # closure factory: F.filter treats a 2-arg lambda as (element, index)
-        return F.size(F.filter(ws, lambda w: w.isin(*sw)))
+    def latin_of(WS):
+        # WS is a _let lambda variable: the split is evaluated ONCE per row.
+        # The old form referenced the raw split expression from 19 filter
+        # calls AND duplicated every score in greatest() + the 19-arm when
+        # chain — CollapseProject/codegen re-ran the tokenizer O(lang^2)
+        # times (measured 5.6s -> 1.5s at sf0.1 for this column alone).
+        def hit(sw):
+            return F.size(F.filter(WS, lambda w: w.isin(*sw)))
 
-    scores = {lang: hit_count(sw) for lang, sw in LATIN_PROFILES.items()}
-    max_s = F.greatest(*scores.values())
-    latin = F.when(max_s <= 0, F.lit("und"))
-    for lang in LATIN_PROFILES:
-        latin = latin.when(scores[lang] == max_s, F.lit(lang))
+        sc = F.array(*[hit(sw) for sw in LATIN_PROFILES.values()])
+
+        def pick(SC):
+            mx = F.array_max(SC)
+            # first index holding the max == the old first-match when chain
+            # (ties break by profile order); zero hits -> 'und'
+            return F.when(mx <= 0, F.lit("und")).otherwise(
+                F.element_at(F.lit(names), F.array_position(SC, mx).cast("int"))
+            )
+
+        return _let(sc, pick)
+
+    latin = _let(ws, latin_of)
     out = None
     for lang, lo, hi in SCRIPT_RANGES:
         cond = col.rlike(f"[{lo}-{hi}]")
         out = F.when(cond, F.lit(lang)) if out is None else out.when(cond, F.lit(lang))
-    return out.otherwise(latin)
+    # fast path: every script range starts at U+0370+ (Greek is the lowest),
+    # so a row with no codepoint >= U+0370 can skip all 23 script regex
+    # scans. Rows failing every range (e.g. an em-dash) still fall back to
+    # the Latin profiles on both branches — semantics identical.
+    has_script_char = col.rlike("[\\u0370-\\uffff]")
+    return F.when(has_script_char, out.otherwise(latin)).otherwise(latin)

@@ -141,20 +141,41 @@ def quality_score(col: Column) -> Column:
     return F.round((len_band + diversity + has_stop) / F.lit(3.0), 6)
 
 
+_LANG3_PROFILES = (
+    ("en", ("the", "a", "of", "and", "to", "is", "in", "it")),
+    ("es", ("el", "la", "de", "que", "y", "los", "es", "una")),
+    ("fr", ("le", "la", "de", "et", "les", "des", "est", "une")),
+)
+
+
 def lang_id(col: Column) -> Column:
     """n-gram-heuristic language ID (LanguageFilter analog without fastText,
     language_filter.py:61-65): score English vs Spanish vs French stopword
-    hits; highest wins, 'und' when nothing matches."""
-    ws = words(F.lower(col))
-    en = F.size(F.filter(ws, lambda w: w.isin("the", "a", "of", "and", "to", "is", "in", "it")))
-    es = F.size(F.filter(ws, lambda w: w.isin("el", "la", "de", "que", "y", "los", "es", "una")))
-    fr = F.size(F.filter(ws, lambda w: w.isin("le", "la", "de", "et", "les", "des", "est", "une")))
-    return (
-        F.when((en >= es) & (en >= fr) & (en > 0), F.lit("en"))
-        .when((es >= fr) & (es > 0), F.lit("es"))
-        .when(fr > 0, F.lit("fr"))
-        .otherwise(F.lit("und"))
-    )
+    hits; highest wins (ties by en>es>fr order — the original cascaded
+    comparison), 'und' when nothing matches.
+
+    Array-argmax over a _let-bound words array: the old cascaded when chain
+    referenced each score 2-3x and the raw words() split ~9x (CollapseProject
+    inlining), re-running the tokenizer per reference — measured 4.1s ->
+    ~1.4s at sf0.1. First-max-in-order == the old cascade exactly."""
+    names = [lang for lang, _ in _LANG3_PROFILES]
+
+    def body(WS):
+        sc = F.array(
+            *[F.size(F.filter(WS, lambda w: w.isin(*sw))) for _, sw in _LANG3_PROFILES]
+        )
+
+        def pick(SC):
+            mx = F.array_max(SC)
+            return F.when(mx <= 0, F.lit("und")).otherwise(
+                F.element_at(F.lit(names), F.array_position(SC, mx).cast("int"))
+            )
+
+        return _let(sc, pick)
+
+    # the old cascade fell through its NULL conditions to otherwise('und')
+    # on NULL text; the _let form propagates NULL — coalesce restores it
+    return F.coalesce(_let(words(F.lower(col)), body), F.lit("und"))
 
 
 def readability_stats(col: Column) -> dict[str, Column]:
