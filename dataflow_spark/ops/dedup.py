@@ -759,6 +759,10 @@ def duplicate_substring_spans(
             )
         ).alias("ph"),
     ).select(id_col, F.col("ph.p").alias("p"), F.col("ph.h").alias("h"))
+    # two consumers (the global dup-count agg and the semi-join probe) —
+    # materialize the window-hash stream once instead of re-hashing the
+    # whole corpus for the second pass (the jaccard fan-out pattern)
+    pos = pos.localCheckpoint(eager=True)
     dup = pos.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
     hits = pos.join(dup.select("h"), "h", "left_semi").select(id_col, "p")
     w = Window.partitionBy(id_col).orderBy("p")
