@@ -405,6 +405,20 @@ def q_budget_select(spark, sf):
     )
 
 
+def q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023; battery member): the COMPOSED
+    cluster-then-dedup pipeline — deterministic integer-lattice k-means
+    (k=8, 2 Lloyd rounds) over the planted embeddings table, then
+    near-duplicate pruning WITHIN each cluster (cosine >= 0.9, keep the
+    min id) — so the pair search never crosses cluster boundaries
+    (ops/embeddings.py semdedup). The oracle replays the unrolled kmeans
+    CTEs + the within-cluster pair rule; the planted regime's cosine
+    margins (~0.98 dup vs <=0.55 background) make the 6dp-rounded
+    threshold engine-stable."""
+    e = _embeddings_with_planted(spark, sf)
+    return embeddings.semdedup(e, "vec_id", "embedding", k=8, iters=2, threshold=0.9)
+
+
 def q_data_card(spark, sf):
     """Per-domain corpus data card (battery member): doc counts, token
     totals, exact-dup counts, nearest-rank p50/p95 token lengths per source
@@ -1353,7 +1367,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 17 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 18 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1365,7 +1379,8 @@ def q_score_battery(spark, sf):
     (distributed BPE tokenizer training, round-1 candidates), dup_spans
     (ExactSubstr duplicated-substring spans), bloom_new (Bloom-bitmap
     incremental dedup vs a reference corpus), budget_sel (token-budget
-    greedy selection), data_card (per-domain corpus statistics)."""
+    greedy selection), data_card (per-domain corpus statistics), semdedup
+    (the composed SemDeDup cluster-then-dedup pipeline)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1414,6 +1429,8 @@ def q_score_battery(spark, sf):
         _battery_pack(q_data_card(spark, sf), "data_card",
                       _kcat("domain"), ["n_docs", "n_tokens", "dup_docs"],
                       s1=F.col("p50_tok"), s2=F.col("p95_tok")),
+        _battery_pack(q_semdedup(spark, sf), "semdedup",
+                      _kcat("vec_id"), [], s1=F.col("cluster")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3483,6 +3500,32 @@ def oracle_sql() -> dict[str, str]:
         FROM scal s JOIN pcts USING (domain)
     """
 
+    # semdedup: the composed SemDeDup pipeline (ops/embeddings.py semdedup)
+    # over the planted embeddings — unrolled integer-lattice kmeans (same
+    # generator as kmeans_cluster, prefix sd), final assignment, then the
+    # within-cluster min-id near-dup prune at 6dp-rounded cosine >= 0.9
+    # (the planted margins make the rounding engine-stable, the
+    # embed_neardup precedent).
+    _sd_parts = [
+        f"sdaug AS ({_aug})",
+        "sdbase AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) + 2097152) AS xq "
+        "FROM sdaug)",
+    ] + _kmeans_cte_parts("sd", "sdbase", k=8, iters=2, dim=64) + [
+        f"sdd AS (SELECT b.vec_id, c.cl, {_KM_D2} AS d2 FROM sdbase b CROSS JOIN sdc2 c)",
+        "sda AS (SELECT vec_id, cl AS cluster FROM ("
+        "SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn "
+        "FROM sdd) WHERE rn = 1)",
+        "sdv AS (SELECT g.vec_id, g.embedding, s.cluster FROM sdaug g JOIN sda s USING (vec_id))",
+        f"sdlose AS (SELECT DISTINCT b.vec_id FROM sdv a JOIN sdv b "
+        f"ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+        f"WHERE round({_dot} / ({_norm_a} * {_norm_b}), 6) >= 0.9)",
+    ]
+    o["semdedup"] = (
+        "WITH " + ",\n".join(_sd_parts)
+        + "\nSELECT vec_id, cluster FROM sdv WHERE vec_id NOT IN (SELECT vec_id FROM sdlose)"
+    )
+
     # deterministic k-means (k=8, 2 Lloyd updates + final assign) on the
     # integer lattice floor(x*2^20)+2^21 — the bounded loop unrolls into
     # generated CTE stages (the embed_kcenter precedent); all-positive
@@ -3582,6 +3625,8 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("data_card", o["data_card"], _kcat_sql("domain"),
                   ["n_docs", "n_tokens", "dup_docs"],
                   s1="p50_tok", s2="p95_tok"),
+        _pack_sql("semdedup", o["semdedup"], _kcat_sql("vec_id"), [],
+                  s1="cluster"),
         _pack_sql("dup_spans", o["dup_spans"], _kcat_sql("doc_id", "span_start"),
                   [], s1="span_end", s2="span_len"),
     ])
@@ -3605,7 +3650,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_hardness", "model_score", "mlp_score", "meta_eval", "paired_gen",
         "docs_markdown", "domain_mix", "kmeans_cluster", "pq_topk",
         "dsir_select", "decontam", "outlier_trim", "seq_pack", "bpe_merges",
-        "dup_spans", "bloom_new", "budget_sel", "data_card",
+        "dup_spans", "bloom_new", "budget_sel", "data_card", "semdedup",
     ):
         del o[_member]
 

@@ -75,6 +75,7 @@ HEADLINE = [
     "bloom_new",
     "budget_select",
     "data_card",
+    "semdedup",
 ]
 
 

@@ -842,3 +842,57 @@ def pq_topk(
             "query_id", "neighbor_id", F.col("__rk").cast("long").alias("rank"), "dist"
         )
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication") — the full cluster-then-dedup
+    pipeline composed from this module's primitives: k-means cluster the
+    embeddings (deterministic integer-lattice Lloyd, `kmeans_assign`), then
+    find near-duplicate pairs ONLY within each cluster (the paper's point:
+    the pairwise search never crosses cluster boundaries, so its cost is
+    sum over clusters of |c|^2 instead of n^2) and keep one representative
+    per duplicate group — the deterministic min-id rule (first-wins, the
+    same convention as the rest of the dedup family; the paper keeps the
+    member farthest from the centroid, an arbitrary-but-fixed choice).
+
+    A row is dropped iff some SMALLER-id row in its cluster has cosine >=
+    threshold to it. Cosine is computed on the raw double embeddings and
+    rounded to 6dp (the cross-engine discipline every cosine here uses);
+    callers pick thresholds with a margin to the data (the reference's
+    SemDeduplicateFilter runs at eps≈0.05 → thr 0.95) so the 6dp rounding
+    can never flip a pair.
+
+    Scale shape: clustering traffic is k*dim rows per Lloyd round (the
+    centers), the pair join shuffles on cluster id, and survivors need no
+    further shuffle. At 10^9+ rows one raises k to ~sqrt(n) (the paper uses
+    k=50k for LAION) so per-cluster quadratic work stays bounded.
+
+    Returns (id_col, cluster) for surviving rows.
+    """
+    clusters = kmeans_assign(df, id_col, vec_col, k=k, iters=iters)
+    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).join(
+        clusters.select(F.col(id_col).alias("__id"), "cluster"), "__id"
+    )
+    a, b = v.alias("a"), v.alias("b")
+    sim = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6)
+    losers = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .filter(sim >= threshold)
+        .select(F.col("b.__id").alias("__id"))
+        .distinct()
+    )
+    return v.join(losers, "__id", "left_anti").select(
+        F.col("__id").alias(id_col), "cluster"
+    )

@@ -784,3 +784,25 @@ def test_corpus_data_card(spark):
     assert a["p50_tok"] == 3 and a["p95_tok"] == 5
     assert (b["n_docs"], b["dup_docs"], b["n_tokens"]) == (2, 1, 4)
     assert b["p50_tok"] == 2 and b["p95_tok"] == 2
+
+
+def test_semdedup_prunes_within_cluster_only(spark):
+    from dataflow_spark.ops import embeddings
+
+    # two well-separated cluster regions in 4-d; ids 0/1 near-identical
+    # (same region), id 2 identical direction but in the OTHER region
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # cos ~1 to id 0, same cluster -> pruned
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.01, 0.999, 0.0]),   # cos ~1 to id 2 -> pruned
+        (4, [0.7, 0.7, 0.0, 0.0]),      # same cluster as 0 but cos ~0.7 -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = {r["vec_id"]: r["cluster"] for r in
+           embeddings.semdedup(df, k=2, iters=2, threshold=0.9).collect()}
+    assert set(out) == {0, 2, 4}
+    # composition sanity: survivors carry their kmeans cluster label
+    ref = {r["vec_id"]: r["cluster"] for r in
+           embeddings.kmeans_assign(df, k=2, iters=2).collect()}
+    assert all(out[i] == ref[i] for i in out)
