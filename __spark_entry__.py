@@ -393,8 +393,7 @@ def q_budget_select(spark, sf):
     from dataflow_spark.ops import sampling
 
     d = load_table(spark, sf, "documents")
-    tok_pat = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
-    toks = F.regexp_extract_all(F.coalesce(F.col("text"), F.lit("")), F.lit(tok_pat), 0)
+    toks = quality.bpe_ish_tokens(F.coalesce(F.col("text"), F.lit("")))
     base = d.select(
         "doc_id",
         F.size(F.array_distinct(toks)).cast("long").alias("q_score"),

@@ -862,21 +862,32 @@ def bloom_bitmap(
     explode (k rows per key) + one partial-aggregatable groupBy; the result
     is at most m_words rows regardless of corpus size.
     """
+    probes = _bloom_probes(corpus.select(F.col(key_col).alias("__k")), m_words, k_hashes)
+    return probes.groupBy("word_idx").agg(F.bit_or("__bit").alias("word"))
+
+
+def _bloom_probes(keys: DataFrame, m_words: int, k_hashes: int) -> DataFrame:
+    """(__k) -> (__k, word_idx, __bit): the ONE definition of the double-hash
+    probe layout, shared by build and probe sides — a drifted copy would
+    silently break the no-false-negative guarantee while matched-parameter
+    tests keep passing."""
     m_bits = 32 * int(m_words)
-    key = F.col(key_col).cast("string")
-    h1 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
-    h2 = F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("bigint")
-    i = F.explode(F.sequence(F.lit(0), F.lit(int(k_hashes) - 1))).alias("__i")
-    probes = corpus.select(h1.alias("__h1"), h2.alias("__h2"), i).select(
-        ((F.col("__h1") + F.col("__i") * F.col("__h2")) % m_bits).alias("__pos")
-    )
+    kk = F.col("__k").cast("string")
+    pos = (
+        F.conv(F.substring(F.md5(kk), 1, 8), 16, 10).cast("bigint")
+        + F.col("__i") * F.conv(F.substring(F.md5(kk), 9, 8), 16, 10).cast("bigint")
+    ) % m_bits
     return (
-        probes.select(
+        keys.select(
+            "__k",
+            F.explode(F.sequence(F.lit(0), F.lit(int(k_hashes) - 1))).alias("__i"),
+        )
+        .select("__k", pos.alias("__pos"))
+        .select(
+            "__k",
             (F.col("__pos") / 32).cast("bigint").alias("word_idx"),
             F.pow(F.lit(2.0), (F.col("__pos") % 32).cast("int")).cast("bigint").alias("__bit"),
         )
-        .groupBy("word_idx")
-        .agg(F.bit_or("__bit").alias("word"))
     )
 
 
@@ -900,31 +911,20 @@ def bloom_new_rows(
     a key survives iff some probe hits an absent/zero bit. One narrow
     semi-join back onto new_df preserves the input rows/columns.
     """
-    m_bits = 32 * int(m_words)
     bitmap = bloom_bitmap(corpus, key_col, m_words, k_hashes)
     keys = new_df.select(F.col(key_col).alias("__k")).distinct()
-    kk = F.col("__k").cast("string")
-    kh1 = F.conv(F.substring(F.md5(kk), 1, 8), 16, 10).cast("bigint")
-    kh2 = F.conv(F.substring(F.md5(kk), 9, 8), 16, 10).cast("bigint")
-    probes = keys.select(
-        F.col("__k"),
-        F.explode(F.sequence(F.lit(0), F.lit(int(k_hashes) - 1))).alias("__i"),
-        kh1.alias("__h1"),
-        kh2.alias("__h2"),
-    ).select(
-        "__k",
-        ((F.col("__h1") + F.col("__i") * F.col("__h2")) % m_bits).alias("__pos"),
-    )
     checked = (
-        probes.select(
-            "__k",
-            (F.col("__pos") / 32).cast("bigint").alias("word_idx"),
-            F.pow(F.lit(2.0), (F.col("__pos") % 32).cast("int")).cast("bigint").alias("__bit"),
-        )
+        _bloom_probes(keys, m_words, k_hashes)
         .join(F.broadcast(bitmap), "word_idx", "left")
         .select(
             "__k",
-            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("__bit")) != 0).alias("__hit"),
+            # NULL-safe: a NULL key has NULL probes (md5(NULL) is NULL), and
+            # a NULL cannot be a corpus member — coalesce the hit to false so
+            # NULL-key rows are kept as definitely-new, not silently dropped
+            F.coalesce(
+                F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("__bit")) != 0,
+                F.lit(False),
+            ).alias("__hit"),
         )
     )
     new_keys = (
@@ -933,4 +933,6 @@ def bloom_new_rows(
         .filter(F.col("__all_hit") == 0)
         .select(F.col("__k").alias(key_col))
     )
-    return new_df.join(new_keys, key_col, "left_semi")
+    # NULL keys survive the probe but an equi semi-join would drop them —
+    # null-safe join on the single key column
+    return new_df.join(new_keys, new_df[key_col].eqNullSafe(new_keys[key_col]), "left_semi")

@@ -878,8 +878,13 @@ def semdedup(
     Returns (id_col, cluster) for surviving rows.
     """
     clusters = kmeans_assign(df, id_col, vec_col, k=k, iters=iters)
-    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).join(
-        clusters.select(F.col(id_col).alias("__id"), "cluster"), "__id"
+    # three consumers (both self-join sides + the final anti-join) — with a
+    # broadcast cluster join there is no exchange for ReuseExchange to
+    # cache, so materialize once (the jaccard fan-out discipline)
+    v = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .join(clusters.select(F.col(id_col).alias("__id"), "cluster"), "__id")
+        .localCheckpoint(eager=True)
     )
     a, b = v.alias("a"), v.alias("b")
     sim = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6)

@@ -113,10 +113,21 @@ def word_count(col: Column) -> Column:
     return F.size(words(col)).cast("long")
 
 
+# BPE-ish tokenizer class: alpha runs, single digits, punctuation marks.
+# The ONE definition — oracles repeat it as a SQL literal, but every
+# Spark-side consumer must reference this constant.
+BPE_ISH_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """array<string> of BPE-ish tokens (see BPE_ISH_PAT)."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PAT), 0)
+
+
 def bpe_ish_token_count(col: Column) -> Column:
     """Token counting with a BPE-ish regex: alpha runs, single digits,
     punctuation marks each count as one token."""
-    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)).cast("long")
+    return F.size(bpe_ish_tokens(col)).cast("long")
 
 
 def stopword_ratio(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:

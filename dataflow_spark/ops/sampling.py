@@ -413,8 +413,14 @@ def token_budget_select(
     (quantize finer, or split such a bucket by deterministic id ranges).
     base + within-bucket running == the global running total exactly.
 
+    Rows with a NULL score are EXCLUDED from selection (stated contract: a
+    doc without a quality score cannot be ranked; a global DESC window
+    would instead order NULLs last, so the two formulations differ there —
+    filter or impute scores upstream if NULL-scored docs should compete).
+
     Returns (id_col, score_col, tok_col, cum_tok) for selected rows.
     """
+    df = df.filter(F.col(score_col).isNotNull())
     s, t = F.col(score_col).cast("long"), F.col(tok_col).cast("long")
     per = df.select(s.alias("__s"), t.alias("__t")).groupBy("__s").agg(
         F.sum("__t").alias("__st")

@@ -806,3 +806,17 @@ def test_semdedup_prunes_within_cluster_only(spark):
     ref = {r["vec_id"]: r["cluster"] for r in
            embeddings.kmeans_assign(df, k=2, iters=2).collect()}
     assert all(out[i] == ref[i] for i in out)
+
+
+def test_bloom_null_keys_survive(spark):
+    from dataflow_spark.ops import dedup
+
+    corpus = spark.createDataFrame([("a",), ("b",)], "k: string")
+    new = spark.createDataFrame([("a",), ("c",), (None,)], "k: string")
+    out = sorted(
+        (r["k"] or "∅") for r in
+        dedup.bloom_new_rows(new, corpus, "k", m_words=1 << 10, k_hashes=5).collect()
+    )
+    # 'a' is a corpus member -> dropped; 'c' new; NULL cannot be a member
+    # and must be KEPT, not silently dropped
+    assert out == ["c", "∅"]
