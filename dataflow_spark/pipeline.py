@@ -413,6 +413,121 @@ register(
     ),
 )
 
+# --- round-3 corpus-curation family (SURVEY §2.9) -------------------------
+# Ops that consume a SECOND table (a reference corpus / benchmark) take a
+# `corpus_path` parquet path parameter — config pipelines are single-stream,
+# so the side input is read at build time from storage, exactly how a
+# production job would reference the existing-corpus snapshot.
+register(
+    "bloom_new_rows",
+    OpSpec(
+        lambda **p: (lambda df: dedup.bloom_new_rows(
+            df,
+            df.sparkSession.read.parquet(p["corpus_path"]),
+            p.get("key_col", "text"),
+            m_words=p.get("m_words", 1 << 15),
+            k_hashes=p.get("k_hashes", 5),
+        )),
+        lambda p: [p.get("key_col", "text")],
+        _NO_NEW,
+        drops_rows=True,
+    ),
+)
+register(
+    "decontaminate",
+    OpSpec(
+        lambda **p: (lambda df: dedup.decontaminate(
+            df,
+            df.sparkSession.read.parquet(p["corpus_path"]),
+            p.get("id_col", "doc_id"),
+            p.get("col", "text"),
+            n=p.get("n", 13),
+        )),
+        lambda p: [p.get("id_col", "doc_id"), p.get("col", "text")],
+        _NO_NEW,
+        drops_rows=True,
+    ),
+)
+register(
+    "domain_mixture_sample",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.sampling", fromlist=["x"]).domain_mixture_sample(
+            df, p.get("domain_col", "source"), p.get("id_col", "doc_id"),
+            budget=p.get("budget", 200))),
+        lambda p: [p.get("domain_col", "source"), p.get("id_col", "doc_id")],
+        lambda p: ["rank", "quota"],
+        drops_rows=True,
+    ),
+)
+register(
+    "dsir_select",
+    OpSpec(
+        # target_pred is a SQL boolean expression over the input columns
+        # (e.g. "source = 'wiki'") — the config-file form of the Column arg
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.sampling", fromlist=["x"]).dsir_select(
+            df, F.expr(p["target_pred"]), p.get("id_col", "doc_id"),
+            p.get("col", "text"), budget=p.get("budget", 100))),
+        lambda p: [p.get("id_col", "doc_id"), p.get("col", "text")],
+        lambda p: ["dsir_score", "rank"],
+        drops_rows=True,
+    ),
+)
+register(
+    "token_budget_select",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.sampling", fromlist=["x"]).token_budget_select(
+            df, p["score_col"], p["tok_col"], p.get("id_col", "doc_id"),
+            budget=p.get("budget", 1_000_000))),
+        lambda p: [p["score_col"], p["tok_col"], p.get("id_col", "doc_id")],
+        lambda p: ["cum_tok"],
+        drops_rows=True,
+    ),
+)
+register(
+    "percentile_outlier_trim",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.sampling", fromlist=["x"]).percentile_outlier_trim(
+            df, p["value_col"], p.get("id_col", "doc_id"),
+            lo=p.get("lo", 0.05), hi=p.get("hi", 0.95))),
+        lambda p: [p["value_col"], p.get("id_col", "doc_id")],
+        lambda p: ["p_lo", "p_hi"],
+        drops_rows=True,
+    ),
+)
+register(
+    "corpus_data_card",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.quality", fromlist=["x"]).corpus_data_card(
+            df, p.get("domain_col", "source"), p.get("col", "text"))),
+        lambda p: [p.get("domain_col", "source"), p.get("col", "text")],
+        lambda p: ["domain", "n_docs", "n_tokens", "dup_docs", "p50_tok", "p95_tok"],
+        drops_rows=True,
+    ),
+)
+register(
+    "kmeans_assign",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.embeddings", fromlist=["x"]).kmeans_assign(
+            df, p.get("id_col", "vec_id"), p.get("vec_col", "embedding"),
+            k=p.get("k", 8), iters=p.get("iters", 2))),
+        lambda p: [p.get("id_col", "vec_id"), p.get("vec_col", "embedding")],
+        lambda p: ["cluster"],
+        drops_rows=True,
+    ),
+)
+register(
+    "semdedup",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.embeddings", fromlist=["x"]).semdedup(
+            df, p.get("id_col", "vec_id"), p.get("vec_col", "embedding"),
+            k=p.get("k", 8), iters=p.get("iters", 2),
+            threshold=p.get("threshold", 0.9))),
+        lambda p: [p.get("id_col", "vec_id"), p.get("vec_col", "embedding")],
+        lambda p: ["cluster"],
+        drops_rows=True,
+    ),
+)
+
 
 class PipelineConfigError(KeyError):
     """Unresolved input column — the Pipeline.compile() KeyError analog

@@ -98,3 +98,47 @@ def test_multiturn_registry_op(spark):
     rows = got.collect()
     assert 0 < len(rows) <= 10
     assert all("<final>" in r["convo_rendered"] for r in rows)
+
+
+def test_round3_curation_ops_compose_through_registry(spark, tmp_path):
+    """The §2.9 curation family runs end-to-end from a JSON config: data
+    card + budget select on documents-shaped input, bloom dedup against a
+    parquet corpus side-input, semdedup on embeddings-shaped input."""
+    import pandas as pd
+
+    from dataflow_spark import pipeline as P
+
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 3), ("alpha beta gamma " * (1 + i % 4)).strip()) for i in range(30)],
+        "doc_id: long, source: string, text: string",
+    )
+    # data card aggregates to one row per source
+    card = P.build_pipeline([{"op": "corpus_data_card"}])(docs)
+    assert card.count() == 3 and "p95_tok" in card.columns
+    # budget select over precomputed integer columns
+    scored = docs.selectExpr("doc_id", "length(text) AS s", "length(text) AS t")
+    out = P.build_pipeline(
+        [{"op": "token_budget_select", "score_col": "s", "tok_col": "t", "budget": 200}]
+    )(scored)
+    assert 0 < out.count() < 30
+    # bloom against a corpus parquet side-input: corpus texts must drop
+    corpus_path = str(tmp_path / "corpus")
+    docs.filter("doc_id % 2 = 0").select("text").write.parquet(corpus_path)
+    kept = P.build_pipeline(
+        [{"op": "bloom_new_rows", "corpus_path": corpus_path, "m_words": 4096}]
+    )(docs)
+    assert kept.count() < 30
+    # semdedup on embeddings-shaped input
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 2), 1.0 - (i % 2), 0.001 * i]) for i in range(12)],
+        "vec_id: long, embedding: array<double>",
+    )
+    sd = P.build_pipeline([{"op": "semdedup", "k": 2, "iters": 1}])(vecs)
+    assert 0 < sd.count() <= 12 and "cluster" in sd.columns
+    # static validation still catches a missing column
+    import pytest as _pt
+    with _pt.raises(P.PipelineConfigError):
+        P.validate_config(
+            [{"op": "token_budget_select", "score_col": "nope", "tok_col": "t"}],
+            ["doc_id", "t"],
+        )
