@@ -418,6 +418,18 @@ def q_semdedup(spark, sf):
     return embeddings.semdedup(e, "vec_id", "embedding", k=8, iters=2, threshold=0.9)
 
 
+def q_sb_lm(spark, sf):
+    """Trigram stupid-backoff LM document scores (Brants et al. 2007;
+    battery member) — the CCNet-style corpus-LM quality signal: per-token
+    log-scores from corpus-trained trigram/bigram/unigram count tables
+    with alpha=0.4 backoff, quantized to the 2^-20 integer grid and
+    INTEGER-summed per doc (ops/quality.py stupid_backoff_logprob; the
+    DSIR exactness discipline — count ratios are exact doubles on both
+    engines, no float summation order)."""
+    d = load_table(spark, sf, "documents")
+    return quality.stupid_backoff_logprob(d, "doc_id", "text")
+
+
 def q_data_card(spark, sf):
     """Per-domain corpus data card (battery member): doc counts, token
     totals, exact-dup counts, nearest-rank p50/p95 token lengths per source
@@ -1366,7 +1378,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 18 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 19 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1379,7 +1391,8 @@ def q_score_battery(spark, sf):
     (ExactSubstr duplicated-substring spans), bloom_new (Bloom-bitmap
     incremental dedup vs a reference corpus), budget_sel (token-budget
     greedy selection), data_card (per-domain corpus statistics), semdedup
-    (the composed SemDeDup cluster-then-dedup pipeline)."""
+    (the composed SemDeDup cluster-then-dedup pipeline), sb_lm (trigram
+    stupid-backoff LM scores, the CCNet-style corpus-LM quality signal)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1430,6 +1443,9 @@ def q_score_battery(spark, sf):
                       s1=F.col("p50_tok"), s2=F.col("p95_tok")),
         _battery_pack(q_semdedup(spark, sf), "semdedup",
                       _kcat("vec_id"), [], s1=F.col("cluster")),
+        _battery_pack(q_sb_lm(spark, sf), "sb_lm",
+                      _kcat("doc_id"), [],
+                      s1=F.col("n_scored"), s2=F.col("sb_logprob_q")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3499,6 +3515,53 @@ def oracle_sql() -> dict[str, str]:
         FROM scal s JOIN pcts USING (domain)
     """
 
+    # sb_lm: trigram stupid-backoff LM scores (ops/quality.py
+    # stupid_backoff_logprob). Float parity rules: every probability is an
+    # exact-integer count ratio evaluated in DOUBLE (DuckDB parses bare 0.4
+    # as DECIMAL — always CAST), in the identical operation order as the
+    # Spark expression; ln is libm on both; per-token scores floor to the
+    # 2^-20 grid and sum as integers.
+    o["sb_lm"] = """
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id,
+                 t[i] || ' ' || t[i+1] AS w12,
+                 t[i+1] || ' ' || t[i+2] AS w23,
+                 t[i+1] AS w2, t[i+2] AS w3,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS w123
+          FROM tk, unnest(generate_series(1, len(t) - 2)) AS s(i)
+        ),
+        uni AS (SELECT u.g AS g, count(*) AS c1 FROM tk, unnest(t) AS u(g) GROUP BY 1),
+        big AS (SELECT t[i] || ' ' || t[i+1] AS g, count(*) AS c2
+                FROM tk, unnest(generate_series(1, len(t) - 1)) AS s(i) GROUP BY 1),
+        trig AS (SELECT w123 AS g, count(*) AS c3 FROM pos GROUP BY 1),
+        tot AS (SELECT sum(c1) AS n FROM uni),
+        sc AS (
+          SELECT p.doc_id,
+                 CASE WHEN coalesce(t3.c3, 0) > 0
+                        THEN ln(CAST(t3.c3 AS DOUBLE) / b12.c2)
+                      WHEN coalesce(b23.c2, 0) > 0
+                        THEN ln((CAST(0.4 AS DOUBLE) * b23.c2) / u2.c1)
+                      ELSE ln(((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) * u3.c1) / tot.n)
+                 END AS s
+          FROM pos p
+          LEFT JOIN trig t3 ON p.w123 = t3.g
+          LEFT JOIN big b23 ON p.w23 = b23.g
+          LEFT JOIN big b12 ON p.w12 = b12.g
+          LEFT JOIN uni u2 ON p.w2 = u2.g
+          LEFT JOIN uni u3 ON p.w3 = u3.g
+          CROSS JOIN tot
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+               CAST(sum(CAST(floor(s * 1048576) AS BIGINT)) AS BIGINT) AS sb_logprob_q
+        FROM sc GROUP BY doc_id
+    """
+
     # semdedup: the composed SemDeDup pipeline (ops/embeddings.py semdedup)
     # over the planted embeddings — unrolled integer-lattice kmeans (same
     # generator as kmeans_cluster, prefix sd), final assignment, then the
@@ -3626,6 +3689,8 @@ def oracle_sql() -> dict[str, str]:
                   s1="p50_tok", s2="p95_tok"),
         _pack_sql("semdedup", o["semdedup"], _kcat_sql("vec_id"), [],
                   s1="cluster"),
+        _pack_sql("sb_lm", o["sb_lm"], _kcat_sql("doc_id"), [],
+                  s1="n_scored", s2="sb_logprob_q"),
         _pack_sql("dup_spans", o["dup_spans"], _kcat_sql("doc_id", "span_start"),
                   [], s1="span_end", s2="span_len"),
     ])
@@ -3649,7 +3714,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_hardness", "model_score", "mlp_score", "meta_eval", "paired_gen",
         "docs_markdown", "domain_mix", "kmeans_cluster", "pq_topk",
         "dsir_select", "decontam", "outlier_trim", "seq_pack", "bpe_merges",
-        "dup_spans", "bloom_new", "budget_sel", "data_card", "semdedup",
+        "dup_spans", "bloom_new", "budget_sel", "data_card", "semdedup", "sb_lm",
     ):
         del o[_member]
 

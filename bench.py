@@ -76,6 +76,7 @@ HEADLINE = [
     "budget_select",
     "data_card",
     "semdedup",
+    "sb_lm",
 ]
 
 

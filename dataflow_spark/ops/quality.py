@@ -842,3 +842,134 @@ def corpus_data_card(
         F.col("p50_tok").cast("long").alias("p50_tok"),
         F.col("p95_tok").cast("long").alias("p95_tok"),
     )
+
+
+SB_SCALE = 1 << 20  # fixed-point grid for stupid-backoff per-token log-scores
+SB_ALPHA_NUM, SB_ALPHA_DEN = 2, 5  # alpha = 0.4 as an exact rational
+
+
+def stupid_backoff_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained trigram language-model score with STUPID BACKOFF
+    (Brants et al. 2007, "Large Language Models in Machine Translation" §4
+    — the backoff designed for distributed count tables: no discounting
+    state, just count ratios and a fixed alpha=0.4), the same LM-quality
+    signal CCNet (Wenzek et al. 2020) applies with KenLM:
+
+        S(w3|w1 w2) = c(w1w2w3)/c(w1w2)            if c(w1w2w3) > 0
+                    = 0.4 * c(w2w3)/c(w2)          elif c(w2w3) > 0
+                    = 0.4 * 0.4 * c(w3)/N          otherwise
+
+    Per document: sum over positions i>=3 of the per-token log-score,
+    quantized to the 2^-20 fixed grid (floor(ln(S)*2^20) as int64) and
+    summed as INTEGERS — the DSIR exactness discipline: every ratio is an
+    exact integer ratio (identical doubles in both engines), ln is libm on
+    both, and no float summation order can differ. Docs with fewer than 3
+    tokens score NULL (no trigram positions).
+
+    Scale shape: three count tables from three explodes, each a
+    partial-aggregatable groupBy whose size is the n-gram VOCABULARY, not
+    the corpus; the position stream left-joins them on their gram keys
+    (vocabulary-keyed shuffles — the interpolated-bigram topology one
+    order higher); final per-doc sum is a map-side-combinable groupBy(id).
+
+    Returns (id_col, n_scored, sb_logprob_q) — trigram-position count and
+    the integer fixed-point sum of per-token log-scores (more negative =
+    less corpus-like).
+    """
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    tk = F.filter(toks, lambda x: x != F.lit(""))
+    n1 = F.greatest(F.size(tk) - 1, F.lit(0))
+    n2 = F.greatest(F.size(tk) - 2, F.lit(0))
+    s1, s2, s3 = F.slice(tk, 1, n2), F.slice(tk, 2, n2), F.slice(tk, 3, n2)
+    tri = F.zip_with(
+        F.zip_with(s1, s2, lambda a, b: F.concat(a, F.lit(" "), b)),
+        s3,
+        lambda ab, c: F.struct(ab.alias("w12"), c.alias("w3")),
+    )
+    # position stream: one row per trigram position (w1w2, w2w3, w2, w3)
+    pos = (
+        df.select(F.col(id_col), F.explode(tri).alias("__t"))
+        .select(
+            id_col,
+            F.col("__t.w12").alias("__w12"),
+            F.concat(
+                F.element_at(F.split(F.col("__t.w12"), " ", 2), 2),
+                F.lit(" "),
+                F.col("__t.w3"),
+            ).alias("__w23"),
+            F.element_at(F.split(F.col("__t.w12"), " ", 2), 2).alias("__w2"),
+            F.col("__t.w3").alias("__w3"),
+            F.concat(F.col("__t.w12"), F.lit(" "), F.col("__t.w3")).alias("__w123"),
+        )
+    )
+    uni = df.select(F.explode(tk).alias("__g")).groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__c1")
+    )
+    big = df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(tk, 1, n1), F.slice(tk, 2, n1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("__g")
+    ).groupBy("__g").agg(F.count(F.lit(1)).alias("__c2"))
+    trig = df.select(
+        F.explode(F.transform(tri, lambda t: F.concat(t["w12"], F.lit(" "), t["w3"])))
+        .alias("__g")
+    ).groupBy("__g").agg(F.count(F.lit(1)).alias("__c3"))
+    # corpus token total from the unigram table (one broadcast scalar) — an
+    # eager count() here would pay a whole extra corpus pass at build time
+    tot = uni.agg(F.sum("__c1").alias("__N"))
+
+    a = float(SB_ALPHA_NUM) / float(SB_ALPHA_DEN)
+    j = (
+        pos.join(trig.withColumnRenamed("__g", "__w123"), "__w123", "left")
+        .join(big.alias("b23").withColumnRenamed("__g", "__w23"), "__w23", "left")
+        .join(
+            big.alias("b12")
+            .withColumnRenamed("__g", "__w12")
+            .withColumnRenamed("__c2", "__c12"),
+            "__w12",
+            "left",
+        )
+        .join(
+            uni.withColumnRenamed("__g", "__w2").withColumnRenamed("__c1", "__cu2"),
+            "__w2",
+            "left",
+        )
+        .join(
+            uni.withColumnRenamed("__g", "__w3").withColumnRenamed("__c1", "__cu3"),
+            "__w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    score = (
+        F.when(
+            F.coalesce(F.col("__c3"), F.lit(0)) > 0,
+            F.log(F.col("__c3") / F.col("__c12")),
+        )
+        .when(
+            F.coalesce(F.col("__c2"), F.lit(0)) > 0,
+            F.log(F.lit(a) * F.col("__c2") / F.col("__cu2")),
+        )
+        .otherwise(F.log(F.lit(a * a) * F.col("__cu3") / F.col("__N")))
+    )
+    q = F.floor(score * F.lit(float(SB_SCALE))).cast("bigint")
+    return (
+        j.select(F.col(id_col), q.alias("__q"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum("__q").alias("sb_logprob_q"),
+        )
+        .select(
+            id_col,
+            F.col("n_scored").cast("long").alias("n_scored"),
+            F.col("sb_logprob_q").cast("long").alias("sb_logprob_q"),
+        )
+    )

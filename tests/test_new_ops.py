@@ -820,3 +820,46 @@ def test_bloom_null_keys_survive(spark):
     # 'a' is a corpus member -> dropped; 'c' new; NULL cannot be a member
     # and must be KEPT, not silently dropped
     assert out == ["c", "∅"]
+
+
+def test_stupid_backoff_matches_python_twin(spark):
+    import math
+
+    from dataflow_spark.ops import quality as Q
+
+    corpus = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the hat"),
+        (2, "a dog ran over the hill today"),
+        (3, "xy"),          # <3 tokens -> no row
+        (4, None),          # NULL -> no row
+    ]
+    df = spark.createDataFrame(corpus, "doc_id: long, text: string")
+    got = {r["doc_id"]: (r["n_scored"], r["sb_logprob_q"]) for r in
+           Q.stupid_backoff_logprob(df).collect()}
+    # python twin: exact Brants-2007 stupid backoff, same quantization
+    toks = {i: (t or "").lower().split() for i, t in corpus}
+    uni, big, tri = {}, {}, {}
+    for t in toks.values():
+        for w in t: uni[w] = uni.get(w, 0) + 1
+        for j in range(len(t) - 1): big[(t[j], t[j+1])] = big.get((t[j], t[j+1]), 0) + 1
+        for j in range(len(t) - 2): tri[(t[j], t[j+1], t[j+2])] = tri.get((t[j], t[j+1], t[j+2]), 0) + 1
+    N = sum(uni.values())
+    exp = {}
+    for i, t in toks.items():
+        qs = []
+        for j in range(len(t) - 2):
+            w1, w2, w3 = t[j], t[j+1], t[j+2]
+            if tri.get((w1, w2, w3), 0) > 0:
+                s = math.log(tri[(w1, w2, w3)] / big[(w1, w2)])
+            elif big.get((w2, w3), 0) > 0:
+                s = math.log(0.4 * big[(w2, w3)] / uni[w2])
+            else:
+                s = math.log(0.4 * 0.4 * uni[w3] / float(N))
+            qs.append(math.floor(s * (1 << 20)))
+        if qs:
+            exp[i] = (len(qs), sum(qs))
+    assert got == exp
+    # backoff exercised: doc 0 has a trigram whose context is shared with
+    # doc 1 ("on the mat" vs "on the hat", c12=2) -> a negative log-score
+    assert got[0][1] < 0
