@@ -439,6 +439,18 @@ def q_data_card(spark, sf):
     return quality.corpus_data_card(d, "source", "text")
 
 
+def q_cep_pattern(spark, sf):
+    """MATCH_RECOGNIZE-style role-sequence CEP over transcripts (battery
+    member): each conversation folds to its turn-ordered role-initial
+    string, then tool_chain (at+a), stalled_user (uu+) and tool_loop (ttt+)
+    are counted with non-overlapping regex matching — the declarative batch
+    twin of the north-star tool-call sequence detection
+    (ops/windows.py detect_role_patterns; streaming twin keys the same
+    per-conversation state in streaming/state.py)."""
+    t = build_transcripts(spark, sf)
+    return windows.detect_role_patterns(t)
+
+
 def q_bpe_merges(spark, sf):
     """Distributed BPE tokenizer training, round-1 merge candidates
     (battery member): word-frequency vocabulary (the only corpus pass),
@@ -1378,7 +1390,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 19 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 20 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1392,7 +1404,8 @@ def q_score_battery(spark, sf):
     incremental dedup vs a reference corpus), budget_sel (token-budget
     greedy selection), data_card (per-domain corpus statistics), semdedup
     (the composed SemDeDup cluster-then-dedup pipeline), sb_lm (trigram
-    stupid-backoff LM scores, the CCNet-style corpus-LM quality signal)."""
+    stupid-backoff LM scores, the CCNet-style corpus-LM quality signal),
+    cep_pattern (MATCH_RECOGNIZE-style role-sequence CEP counts)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1446,6 +1459,10 @@ def q_score_battery(spark, sf):
         _battery_pack(q_sb_lm(spark, sf), "sb_lm",
                       _kcat("doc_id"), [],
                       s1=F.col("n_scored"), s2=F.col("sb_logprob_q")),
+        _battery_pack(q_cep_pattern(spark, sf), "cep_pattern",
+                      _kcat("conv_id"),
+                      ["role_seq", "c_tool_chain", "c_stalled_user", "c_tool_loop"],
+                      s1=F.col("n_turns")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3562,6 +3579,25 @@ def oracle_sql() -> dict[str, str]:
         FROM sc GROUP BY doc_id
     """
 
+    # cep_pattern: MATCH_RECOGNIZE-style role-sequence CEP (ops/windows.py
+    # detect_role_patterns). Patterns stay in the character-class+quantifier
+    # subset where Java regex and RE2 agree on leftmost non-overlapping
+    # matching.
+    o["cep_pattern"] = with_transcripts(
+        """
+        , seqs AS (
+          SELECT conv_id, count(*) AS n_turns,
+                 string_agg(substr(role, 1, 1), '' ORDER BY turn_idx) AS role_seq
+          FROM transcripts GROUP BY conv_id
+        )
+        SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns, role_seq,
+               CAST(len(regexp_extract_all(role_seq, 'at+a')) AS INT) AS c_tool_chain,
+               CAST(len(regexp_extract_all(role_seq, 'uu+')) AS INT) AS c_stalled_user,
+               CAST(len(regexp_extract_all(role_seq, 'ttt+')) AS INT) AS c_tool_loop
+        FROM seqs
+        """
+    )
+
     # semdedup: the composed SemDeDup pipeline (ops/embeddings.py semdedup)
     # over the planted embeddings — unrolled integer-lattice kmeans (same
     # generator as kmeans_cluster, prefix sd), final assignment, then the
@@ -3693,6 +3729,9 @@ def oracle_sql() -> dict[str, str]:
                   s1="n_scored", s2="sb_logprob_q"),
         _pack_sql("dup_spans", o["dup_spans"], _kcat_sql("doc_id", "span_start"),
                   [], s1="span_end", s2="span_len"),
+        _pack_sql("cep_pattern", o["cep_pattern"], _kcat_sql("conv_id"),
+                  ["role_seq", "c_tool_chain", "c_stalled_user", "c_tool_loop"],
+                  s1="n_turns"),
     ])
 
     _dim_sql = ", ".join(
@@ -3715,6 +3754,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_markdown", "domain_mix", "kmeans_cluster", "pq_topk",
         "dsir_select", "decontam", "outlier_trim", "seq_pack", "bpe_merges",
         "dup_spans", "bloom_new", "budget_sel", "data_card", "semdedup", "sb_lm",
+        "cep_pattern",
     ):
         del o[_member]
 

@@ -117,3 +117,50 @@ def role_stats(df: DataFrame) -> DataFrame:
             F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
         )
     )
+
+
+# MATCH_RECOGNIZE-style role-sequence patterns over agent transcripts.
+# Keys are output-column suffixes; values are regexes over the per-turn role
+# initials (u=user, a=assistant, t=tool) of the turn-ordered conversation.
+# Kept to character classes + quantifiers so Java regex (Spark) and RE2
+# (DuckDB) agree on leftmost non-overlapping matching.
+CEP_ROLE_PATTERNS = {
+    "tool_chain": "at+a",   # assistant delegates to >=1 tool calls, then answers
+    "stalled_user": "uu+",  # consecutive user turns with no assistant reply
+    "tool_loop": "ttt+",    # runaway tool loop: >=3 consecutive tool calls
+}
+
+
+def detect_role_patterns(df: DataFrame, patterns: dict | None = None) -> DataFrame:
+    """Sequence/CEP pattern detection over turn-ordered transcripts — the
+    declarative MATCH_RECOGNIZE analog of the north-star "tool-call sequence
+    detection" (BASELINE.json north_star; the streaming twin keys the same
+    per-conversation state in streaming/state.py session_reassembly_stage).
+
+    Each conversation is folded to its role-initial string (one char per
+    turn, turn order restored with array_sort — no global sort), then every
+    pattern is counted with non-overlapping regex matching, entirely
+    JVM-side. SQL engines express the identical thing with
+    string_agg(ORDER BY) + regexp matching, so the operator is exactly
+    oracle-checkable.
+
+    Scale shape: one hash aggregate keyed on conv_id; per-key state is the
+    conversation's role string (bounded by max conversation length, bytes ==
+    turns), map-side combinable via collect_list partials. No join, no
+    window, no Python. Regex evaluation is per-conversation, not per-turn.
+
+    Returns (conv_id, n_turns, role_seq, c_<name> per pattern).
+    """
+    pats = patterns or CEP_ROLE_PATTERNS
+    turn = F.struct(F.col("turn_idx"), F.substring(F.col("role"), 1, 1).alias("r"))
+    seq = F.array_join(
+        F.transform(F.array_sort(F.collect_list(turn)), lambda t: t["r"]), ""
+    )
+    agg = df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"), seq.alias("role_seq")
+    )
+    for name, pat in pats.items():
+        agg = agg.withColumn(
+            f"c_{name}", F.regexp_count(F.col("role_seq"), F.lit(pat)).cast("int")
+        )
+    return agg

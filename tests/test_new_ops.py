@@ -863,3 +863,34 @@ def test_stupid_backoff_matches_python_twin(spark):
     # backoff exercised: doc 0 has a trigram whose context is shared with
     # doc 1 ("on the mat" vs "on the hat", c12=2) -> a negative log-score
     assert got[0][1] < 0
+
+
+def test_detect_role_patterns(spark):
+    # hand-built conversation with known matches; rows given OUT of turn
+    # order to exercise the array_sort ordering restore
+    from dataflow_spark.ops import windows as W
+
+    turns = [
+        # conv A: u a t t a u u  -> role_seq "uattauu"
+        ("A", 3, "tool"), ("A", 0, "user"), ("A", 1, "assistant"),
+        ("A", 2, "tool"), ("A", 4, "assistant"), ("A", 5, "user"),
+        ("A", 6, "user"),
+        # conv B: t t t t a     -> role_seq "tttta"
+        ("B", 1, "tool"), ("B", 0, "tool"), ("B", 2, "tool"),
+        ("B", 3, "tool"), ("B", 4, "assistant"),
+        # conv C: a t a t a    -> two overlapping "ata" candidates; the
+        # non-overlapping scan must count exactly 1
+        ("C", 0, "assistant"), ("C", 1, "tool"), ("C", 2, "assistant"),
+        ("C", 3, "tool"), ("C", 4, "assistant"),
+    ]
+    df = spark.createDataFrame(turns, ["conv_id", "turn_idx", "role"])
+    got = {r["conv_id"]: r.asDict() for r in W.detect_role_patterns(df).collect()}
+    assert got["A"]["role_seq"] == "uattauu"
+    assert got["A"]["c_tool_chain"] == 1   # "atta"
+    assert got["A"]["c_stalled_user"] == 1  # trailing "uu"
+    assert got["A"]["c_tool_loop"] == 0
+    assert got["B"]["role_seq"] == "tttta"
+    assert got["B"]["c_tool_loop"] == 1    # one greedy "tttt" run
+    assert got["B"]["c_tool_chain"] == 0
+    assert got["C"]["c_tool_chain"] == 1   # non-overlapping: "ata" then "ta" left
+    assert all(got[c]["n_turns"] == len(got[c]["role_seq"]) for c in got)
