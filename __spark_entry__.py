@@ -439,6 +439,17 @@ def q_data_card(spark, sf):
     return quality.corpus_data_card(d, "source", "text")
 
 
+def q_para_dedup(spark, sf):
+    """Paragraph-granularity exact dedup (battery member): keep only the
+    globally-first occurrence of every paragraph — here document =
+    conversation, paragraph = turn text, and the transcript derivation
+    plants heavy cross-conversation duplicate texts. Dolma §4.1 / CCNet
+    §3.1 sub-document dedup; same groupBy(hash).min(struct) topology as
+    dedup_exact (ops/dedup.py paragraph_dedup)."""
+    t = build_transcripts(spark, sf)
+    return dedup.paragraph_dedup(t, "conv_id", "turn_idx", "text")
+
+
 def q_cep_pattern(spark, sf):
     """MATCH_RECOGNIZE-style role-sequence CEP over transcripts (battery
     member): each conversation folds to its turn-ordered role-initial
@@ -1390,7 +1401,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 20 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 21 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1405,7 +1416,8 @@ def q_score_battery(spark, sf):
     greedy selection), data_card (per-domain corpus statistics), semdedup
     (the composed SemDeDup cluster-then-dedup pipeline), sb_lm (trigram
     stupid-backoff LM scores, the CCNet-style corpus-LM quality signal),
-    cep_pattern (MATCH_RECOGNIZE-style role-sequence CEP counts)."""
+    cep_pattern (MATCH_RECOGNIZE-style role-sequence CEP counts),
+    para_dedup (Dolma/CCNet paragraph-granularity first-wins dedup)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1463,6 +1475,9 @@ def q_score_battery(spark, sf):
                       _kcat("conv_id"),
                       ["role_seq", "c_tool_chain", "c_stalled_user", "c_tool_loop"],
                       s1=F.col("n_turns")),
+        _battery_pack(q_para_dedup(spark, sf), "para_dedup",
+                      _kcat("conv_id"), ["kept_digest"],
+                      s1=F.col("n_paras"), s2=F.col("n_kept")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3598,6 +3613,27 @@ def oracle_sql() -> dict[str, str]:
         """
     )
 
+    # para_dedup: paragraph-granularity first-wins dedup (ops/dedup.py
+    # paragraph_dedup). The oracle groups on the raw paragraph string where
+    # the engine groups on xxhash64 — exact agreement absent 2^-64
+    # collisions (the standing hash-keyed-dedup trade).
+    o["para_dedup"] = with_transcripts(
+        """
+        , marked AS (
+          SELECT conv_id, turn_idx, text,
+                 row_number() OVER (PARTITION BY text
+                                    ORDER BY conv_id, turn_idx) = 1 AS kept
+          FROM transcripts
+        )
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_paras,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               md5(coalesce(string_agg(CASE WHEN kept THEN text END, chr(10)
+                                       ORDER BY turn_idx), '')) AS kept_digest
+        FROM marked GROUP BY conv_id
+        """
+    )
+
     # semdedup: the composed SemDeDup pipeline (ops/embeddings.py semdedup)
     # over the planted embeddings — unrolled integer-lattice kmeans (same
     # generator as kmeans_cluster, prefix sd), final assignment, then the
@@ -3732,6 +3768,8 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("cep_pattern", o["cep_pattern"], _kcat_sql("conv_id"),
                   ["role_seq", "c_tool_chain", "c_stalled_user", "c_tool_loop"],
                   s1="n_turns"),
+        _pack_sql("para_dedup", o["para_dedup"], _kcat_sql("conv_id"),
+                  ["kept_digest"], s1="n_paras", s2="n_kept"),
     ])
 
     _dim_sql = ", ".join(
@@ -3754,7 +3792,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_markdown", "domain_mix", "kmeans_cluster", "pq_topk",
         "dsir_select", "decontam", "outlier_trim", "seq_pack", "bpe_merges",
         "dup_spans", "bloom_new", "budget_sel", "data_card", "semdedup", "sb_lm",
-        "cep_pattern",
+        "cep_pattern", "para_dedup",
     ):
         del o[_member]
 

@@ -936,3 +936,68 @@ def bloom_new_rows(
     # NULL keys survive the probe but an equi semi-join would drop them —
     # null-safe join on the single key column
     return new_df.join(new_keys, new_df[key_col].eqNullSafe(new_keys[key_col]), "left_semi")
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    doc_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Paragraph-granularity exact dedup — the Dolma / CCNet recipe of
+    deduplicating BELOW document level (Soldaini et al. 2024 §4.1 dedupes
+    paragraphs against a global seen-set; Wenzek et al. 2020 §3.1 hashes
+    per-paragraph): every paragraph keeps only its globally-FIRST
+    occurrence, where "first" is the lexicographic (doc, idx) position, and
+    each document is summarized by how much of it survived. Here document =
+    conversation and paragraph = turn text — the transcript fixture has
+    heavy cross-conversation exact-duplicate turn texts by construction
+    (tables.py derivation).
+
+    Topology (same 100-TB shape as dedup_exact_md5): one partial-aggregable
+    groupBy on the 64-bit paragraph hash taking min(struct(doc, idx)) — no
+    window, no sort — then a join of the paragraph stream back on the same
+    hash key (AQE reuses the exchange) and one groupBy(doc) to summarize.
+    Collision trade is xxhash64's 2^-64, identical to every hash-keyed
+    dedup here; the DuckDB oracle groups on the raw paragraph string and
+    agrees exactly absent collisions.
+
+    Returns (doc_col, n_paras, n_kept, kept_digest) where kept_digest is
+    md5 of the surviving paragraphs joined with newline in idx order ('' if
+    nothing survives — a fully-boilerplate document).
+    """
+    keyed = df.select(
+        F.col(doc_col).alias("__doc"),
+        F.col(idx_col).alias("__idx"),
+        F.col(text_col).alias("__txt"),
+        F.xxhash64(text_col).alias("__h"),
+    )
+    winners = keyed.groupBy("__h").agg(
+        F.min(F.struct("__doc", "__idx")).alias("__w")
+    )
+    marked = keyed.join(winners, "__h").withColumn(
+        "__kept",
+        (F.col("__w.__doc") == F.col("__doc")) & (F.col("__w.__idx") == F.col("__idx")),
+    )
+    kept_turn = F.when(F.col("__kept"), F.struct("__idx", "__txt"))
+    return (
+        marked.groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("__kept").cast("int")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_turn)), lambda s: s["__txt"]
+                    ),
+                    "\n",
+                )
+            ).alias("kept_digest"),
+        )
+        .select(
+            F.col("__doc").alias(doc_col),
+            F.col("n_paras").cast("long").alias("n_paras"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            "kept_digest",
+        )
+    )

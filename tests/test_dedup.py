@@ -481,3 +481,23 @@ def test_duplicate_substring_spans_plan_shape(spark, tmp_path):
     assert "hashpartitioning(doc_id" in plan
     assert "singlepartition" not in plan
     assert "arrowevalpython" not in plan and "batchevalpython" not in plan
+
+
+def test_paragraph_dedup_first_wins(spark):
+    from dataflow_spark.ops.dedup import paragraph_dedup
+
+    rows = [
+        # "dup" appears in A#0 (global first), A#2, B#1; "only" unique;
+        # conv C is entirely duplicates of earlier paragraphs
+        ("A", 0, "dup"), ("A", 1, "only"), ("A", 2, "dup"),
+        ("B", 0, "fresh"), ("B", 1, "dup"),
+        ("C", 0, "dup"), ("C", 1, "fresh"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    got = {r["conv_id"]: r.asDict() for r in paragraph_dedup(df).collect()}
+    assert (got["A"]["n_paras"], got["A"]["n_kept"]) == (3, 2)  # dup#0 + only
+    assert (got["B"]["n_paras"], got["B"]["n_kept"]) == (2, 1)  # fresh only
+    assert (got["C"]["n_paras"], got["C"]["n_kept"]) == (2, 0)  # all seen before
+    import hashlib
+    assert got["A"]["kept_digest"] == hashlib.md5(b"dup\nonly").hexdigest()
+    assert got["C"]["kept_digest"] == hashlib.md5(b"").hexdigest()
