@@ -439,6 +439,15 @@ def q_data_card(spark, sf):
     return quality.corpus_data_card(d, "source", "text")
 
 
+def q_unigram_entropy(spark, sf):
+    """Word-unigram entropy quality signal (battery member) — RedPajama-V2
+    rps_doc_unigram_entropy, the standard gibberish/templated-text
+    detector, as an integer fixed-point numerator on the 2^-20 grid
+    (ops/quality.py unigram_entropy_q; the sb_lm exactness discipline)."""
+    d = load_table(spark, sf, "documents")
+    return quality.unigram_entropy_q(d, "doc_id", "text")
+
+
 def q_para_dedup(spark, sf):
     """Paragraph-granularity exact dedup (battery member): keep only the
     globally-first occurrence of every paragraph — here document =
@@ -1401,7 +1410,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 21 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 22 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1417,7 +1426,8 @@ def q_score_battery(spark, sf):
     (the composed SemDeDup cluster-then-dedup pipeline), sb_lm (trigram
     stupid-backoff LM scores, the CCNet-style corpus-LM quality signal),
     cep_pattern (MATCH_RECOGNIZE-style role-sequence CEP counts),
-    para_dedup (Dolma/CCNet paragraph-granularity first-wins dedup)."""
+    para_dedup (Dolma/CCNet paragraph-granularity first-wins dedup),
+    unigram_entropy (RPv2 rps_doc_unigram_entropy, fixed-point)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1478,6 +1488,9 @@ def q_score_battery(spark, sf):
         _battery_pack(q_para_dedup(spark, sf), "para_dedup",
                       _kcat("conv_id"), ["kept_digest"],
                       s1=F.col("n_paras"), s2=F.col("n_kept")),
+        _battery_pack(q_unigram_entropy(spark, sf), "unigram_entropy",
+                      _kcat("doc_id"), ["n_words", "n_types"],
+                      s1=F.col("entropy_q")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3634,6 +3647,37 @@ def oracle_sql() -> dict[str, str]:
         """
     )
 
+    # unigram_entropy: RPv2 rps_doc_unigram_entropy as an integer
+    # fixed-point numerator (ops/quality.py unigram_entropy_q). Same float
+    # parity rules as sb_lm: exact-integer ratios in DOUBLE, libm ln, floor
+    # to the 2^-20 grid, integer sums.
+    o["unigram_entropy"] = """
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, u.g AS w, count(*) AS c
+          FROM tk, unnest(t) AS u(g) GROUP BY 1, 2
+        ),
+        nn AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1),
+        q AS (
+          SELECT c.doc_id,
+                 sum(c.c * CAST(floor(ln(CAST(nn.n AS DOUBLE) / c.c) * 1048576) AS BIGINT)) AS eq,
+                 count(*) AS n_types
+          FROM c JOIN nn USING (doc_id) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(nn.n, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(q.n_types, 0) AS BIGINT) AS n_types,
+               CAST(q.eq AS BIGINT) AS entropy_q
+        FROM documents d
+        LEFT JOIN nn USING (doc_id)
+        LEFT JOIN q USING (doc_id)
+    """
+
     # semdedup: the composed SemDeDup pipeline (ops/embeddings.py semdedup)
     # over the planted embeddings — unrolled integer-lattice kmeans (same
     # generator as kmeans_cluster, prefix sd), final assignment, then the
@@ -3770,6 +3814,8 @@ def oracle_sql() -> dict[str, str]:
                   s1="n_turns"),
         _pack_sql("para_dedup", o["para_dedup"], _kcat_sql("conv_id"),
                   ["kept_digest"], s1="n_paras", s2="n_kept"),
+        _pack_sql("unigram_entropy", o["unigram_entropy"], _kcat_sql("doc_id"),
+                  ["n_words", "n_types"], s1="entropy_q"),
     ])
 
     _dim_sql = ", ".join(
@@ -3792,7 +3838,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_markdown", "domain_mix", "kmeans_cluster", "pq_topk",
         "dsir_select", "decontam", "outlier_trim", "seq_pack", "bpe_merges",
         "dup_spans", "bloom_new", "budget_sel", "data_card", "semdedup", "sb_lm",
-        "cep_pattern", "para_dedup",
+        "cep_pattern", "para_dedup", "unigram_entropy",
     ):
         del o[_member]
 

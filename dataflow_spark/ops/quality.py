@@ -973,3 +973,56 @@ def stupid_backoff_logprob(
             F.col("sb_logprob_q").cast("long").alias("sb_logprob_q"),
         )
     )
+
+
+def unigram_entropy_q(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document word-unigram entropy — RedPajama-V2's
+    ``rps_doc_unigram_entropy`` quality signal (Together 2023; the standard
+    gibberish/templated-text detector: low entropy = few distinct words
+    dominate): H = sum over word types of -(c/n)·ln(c/n).
+
+    Exactness discipline (the sb_lm / DSIR rule): emit the INTEGER
+    fixed-point numerator ``entropy_q = Σ c_i · floor(ln(n/c_i)·2^20)``
+    plus ``n_words`` instead of a float H — every ratio n/c_i is an
+    exact-integer ratio evaluated in double (identical on both engines), ln
+    is libm on both, and integer summation has no order sensitivity.
+    H ≈ entropy_q / (n_words · 2^20).
+
+    Scale shape: one groupBy(id, word) with map-side combine (the
+    vocabulary-keyed shuffle), one groupBy(id) roll-up, one broadcast-able
+    left join back to the id stream for empty docs. No window, no sort, no
+    Python.
+
+    Returns (id_col, n_words, n_types, entropy_q) — entropy_q NULL for
+    token-less docs.
+    """
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    tk = F.filter(toks, lambda x: x != F.lit(""))
+    words = df.select(F.col(id_col).alias("__id"), F.explode(tk).alias("__w"))
+    counts = words.groupBy("__id", "__w").agg(F.count(F.lit(1)).alias("__c"))
+    totals = counts.groupBy("__id").agg(F.sum("__c").alias("__n"))
+    scored = (
+        counts.join(totals, "__id")
+        .groupBy("__id")
+        .agg(
+            F.sum(
+                F.col("__c")
+                * F.floor(
+                    F.log(F.col("__n").cast("double") / F.col("__c")) * F.lit(1048576)
+                ).cast("long")
+            ).alias("entropy_q"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.max("__n").alias("n_words"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("__id"))
+    return ids.join(scored, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(F.col("n_types"), F.lit(0)).cast("long").alias("n_types"),
+        F.col("entropy_q").cast("long").alias("entropy_q"),
+    )

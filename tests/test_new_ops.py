@@ -894,3 +894,34 @@ def test_detect_role_patterns(spark):
     assert got["B"]["c_tool_chain"] == 0
     assert got["C"]["c_tool_chain"] == 1   # non-overlapping: "ata" then "ta" left
     assert all(got[c]["n_turns"] == len(got[c]["role_seq"]) for c in got)
+
+
+def test_unigram_entropy_q_matches_python_twin(spark):
+    import math
+
+    rows = [
+        (1, "a a a a"),            # one type -> entropy exactly 0
+        (2, "a b c d"),            # uniform -> ln(4) per token
+        (3, "a a b"),
+        (4, ""),                   # token-less -> NULL entropy, zeros
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in quality.unigram_entropy_q(df).collect()}
+
+    def twin(text):
+        ws = [w for w in (text or "").strip().lower().split() if w]
+        if not ws:
+            return (0, 0, None)
+        from collections import Counter
+        c = Counter(ws)
+        n = len(ws)
+        eq = sum(v * math.floor(math.log(n / v) * 1048576) for v in c.values())
+        return (n, len(c), eq)
+
+    for doc_id, text in rows:
+        n, t, eq = twin(text)
+        assert (got[doc_id]["n_words"], got[doc_id]["n_types"], got[doc_id]["entropy_q"]) == (n, t, eq), doc_id
+    assert got[1]["entropy_q"] == 0
+    # uniform 4 tokens: 4 * floor(ln(4)*2^20)
+    assert got[2]["entropy_q"] == 4 * math.floor(math.log(4) * 1048576)
