@@ -439,6 +439,17 @@ def q_data_card(spark, sf):
     return quality.corpus_data_card(d, "source", "text")
 
 
+def q_softdedup(spark, sf):
+    """SoftDeDup data-commonness scores (battery member): per-document
+    corpus n-gram log-frequency sums on the 2^-20 integer grid plus the
+    is_common down-weighting flag — the reweighting ALTERNATIVE to hard
+    dedup (He et al., ACL 2024; ops/sampling.py softdedup_commonness)."""
+    from dataflow_spark.ops import sampling
+
+    d = load_table(spark, sf, "documents")
+    return sampling.softdedup_commonness(d, "doc_id", "text", n=8)
+
+
 def q_unigram_entropy(spark, sf):
     """Word-unigram entropy quality signal (battery member) — RedPajama-V2
     rps_doc_unigram_entropy, the standard gibberish/templated-text
@@ -1410,7 +1421,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 22 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 23 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1427,7 +1438,8 @@ def q_score_battery(spark, sf):
     stupid-backoff LM scores, the CCNet-style corpus-LM quality signal),
     cep_pattern (MATCH_RECOGNIZE-style role-sequence CEP counts),
     para_dedup (Dolma/CCNet paragraph-granularity first-wins dedup),
-    unigram_entropy (RPv2 rps_doc_unigram_entropy, fixed-point)."""
+    unigram_entropy (RPv2 rps_doc_unigram_entropy, fixed-point),
+    softdedup (SoftDeDup data-commonness reweighting scores)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1491,6 +1503,9 @@ def q_score_battery(spark, sf):
         _battery_pack(q_unigram_entropy(spark, sf), "unigram_entropy",
                       _kcat("doc_id"), ["n_words", "n_types"],
                       s1=F.col("entropy_q")),
+        _battery_pack(q_softdedup(spark, sf), "softdedup",
+                      _kcat("doc_id"), ["is_common"],
+                      s1=F.col("n_shingles"), s2=F.col("commonness_q")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3678,6 +3693,33 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN q USING (doc_id)
     """
 
+    # softdedup: SoftDeDup data-commonness (ops/sampling.py
+    # softdedup_commonness, n=8). The oracle counts gram frequency on the
+    # raw gram string where the engine uses xxhash64 (2^-64 collision
+    # trade); is_common is an integer comparison on the 2^-20 grid.
+    o["softdedup"] = """
+        WITH g AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(ws) >= 8 THEN
+              list_transform(range(1, len(ws) - 6), i -> array_to_string(ws[i:i+7], ' '))
+            ELSE [array_to_string(ws, ' ')] END) AS g
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+                FROM documents WHERE text IS NOT NULL)
+        ),
+        dfq AS (SELECT g, count(*) AS df FROM g GROUP BY 1),
+        per AS (
+          SELECT doc_id, count(*) AS n_shingles,
+                 sum(CAST(floor(ln(CAST(df AS DOUBLE)) * 1048576) AS BIGINT)) AS cq
+          FROM g JOIN dfq USING (g) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(p.cq AS BIGINT) AS commonness_q,
+               coalesce(p.cq > CAST(floor(ln(CAST(3 AS DOUBLE)) * 1048576) AS BIGINT)
+                               * p.n_shingles, false) AS is_common
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
     # semdedup: the composed SemDeDup pipeline (ops/embeddings.py semdedup)
     # over the planted embeddings — unrolled integer-lattice kmeans (same
     # generator as kmeans_cluster, prefix sd), final assignment, then the
@@ -3816,6 +3858,8 @@ def oracle_sql() -> dict[str, str]:
                   ["kept_digest"], s1="n_paras", s2="n_kept"),
         _pack_sql("unigram_entropy", o["unigram_entropy"], _kcat_sql("doc_id"),
                   ["n_words", "n_types"], s1="entropy_q"),
+        _pack_sql("softdedup", o["softdedup"], _kcat_sql("doc_id"),
+                  ["is_common"], s1="n_shingles", s2="commonness_q"),
     ])
 
     _dim_sql = ", ".join(
@@ -3838,7 +3882,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_markdown", "domain_mix", "kmeans_cluster", "pq_topk",
         "dsir_select", "decontam", "outlier_trim", "seq_pack", "bpe_merges",
         "dup_spans", "bloom_new", "budget_sel", "data_card", "semdedup", "sb_lm",
-        "cep_pattern", "para_dedup", "unigram_entropy",
+        "cep_pattern", "para_dedup", "unigram_entropy", "softdedup",
     ):
         del o[_member]
 

@@ -443,3 +443,67 @@ def token_budget_select(
             F.col("__cumrow").alias("cum_tok"),
         )
     )
+
+
+def softdedup_commonness(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    common_mean_df: int = 3,
+) -> DataFrame:
+    """SoftDeDup data-commonness scoring (He et al. 2024, "SoftDedup: an
+    Efficient Data Reweighting Method for Speeding Up Language Model
+    Pre-training", ACL 2024): instead of REMOVING near-duplicates, measure
+    each sample's "data commonness" — how frequent its n-grams are across
+    the corpus — and let training DOWN-WEIGHT common samples. Published
+    alternative to hard dedup; composes with the dedup family rather than
+    replacing it.
+
+    Integer-exact formulation (the sb_lm/DSIR discipline): commonness_q =
+    sum over the document's n-gram POSITIONS of floor(ln(df_g)·2^20) where
+    df_g is the corpus occurrence count of that gram (>=1 by construction,
+    so every term >= 0 and a fully-unique document scores exactly 0). The
+    mean log-frequency is the exact rational commonness_q / n_shingles, and
+    is_common flags documents whose mean exceeds ln(common_mean_df) — an
+    integer comparison on the same grid, no division.
+
+    Documents shorter than n words contribute their full text as one gram;
+    NULL text yields no grams (n_shingles=0, commonness_q NULL, is_common
+    false) — the decontaminate() conventions.
+
+    Scale shape: one groupBy on the 64-bit gram hash (partial-aggregable
+    count — the table is gram-vocabulary-sized), one join of the position
+    stream back on the same hash key (AQE exchange reuse), one groupBy(id).
+    No window, no sort, no Python.
+    """
+    from dataflow_spark.ops.quality import gram_structs
+
+    col = F.col(text_col)
+    ws = F.split(F.trim(col), r"\s+")
+    grams = (
+        F.when(col.isNull(), F.array().cast("array<bigint>"))
+        .when(F.size(ws) >= n, F.transform(gram_structs(ws, n), lambda s: F.xxhash64(s)))
+        .otherwise(F.array(F.xxhash64(F.concat_ws(" ", ws))))
+    )
+    pos = df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("__g"))
+    dfreq = pos.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    lnq = F.floor(F.log(F.col("__df").cast("double")) * F.lit(1048576)).cast("long")
+    per_doc = (
+        pos.join(dfreq, "__g")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(lnq).alias("commonness_q"),
+        )
+    )
+    thr = F.floor(F.log(F.lit(float(common_mean_df))) * F.lit(1048576)).cast("long")
+    ids = df.select(F.col(id_col).alias("__id"))
+    return ids.join(per_doc, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+        F.col("commonness_q").cast("long").alias("commonness_q"),
+        F.coalesce(
+            F.col("commonness_q") > thr * F.col("n_shingles"), F.lit(False)
+        ).alias("is_common"),
+    )

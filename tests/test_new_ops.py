@@ -925,3 +925,42 @@ def test_unigram_entropy_q_matches_python_twin(spark):
     assert got[1]["entropy_q"] == 0
     # uniform 4 tokens: 4 * floor(ln(4)*2^20)
     assert got[2]["entropy_q"] == 4 * math.floor(math.log(4) * 1048576)
+
+
+def test_softdedup_commonness_twin(spark):
+    import math
+    from collections import Counter
+    from dataflow_spark.ops import sampling
+
+    rows = [
+        (1, "a b c d e f g h i j"),       # shares grams with doc 2
+        (2, "a b c d e f g h i j"),       # exact dup of doc 1
+        (3, "q r s t u v w x y z"),       # unique -> commonness 0
+        (4, "tiny doc"),                  # short -> one full-text gram
+        (5, "tiny doc"),                  # duplicate short doc
+        (6, None),                        # NULL -> no grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict()
+           for r in sampling.softdedup_commonness(df, n=8).collect()}
+
+    # python twin
+    def grams(t):
+        ws = t.strip().split()
+        if len(ws) >= 8:
+            return [" ".join(ws[i:i + 8]) for i in range(len(ws) - 7)]
+        return [" ".join(ws)]
+    allg = Counter()
+    per = {}
+    for i, t in rows:
+        per[i] = grams(t) if t is not None else []
+        allg.update(per[i])
+    thr = math.floor(math.log(3.0) * 1048576)
+    for i, _ in rows:
+        cq = sum(math.floor(math.log(allg[g]) * 1048576) for g in per[i]) if per[i] else None
+        assert got[i]["n_shingles"] == len(per[i])
+        assert got[i]["commonness_q"] == cq
+        assert got[i]["is_common"] == (cq is not None and cq > thr * len(per[i]))
+    assert got[3]["commonness_q"] == 0 and not got[3]["is_common"]
+    assert got[1]["is_common"] is False  # df=2 < mean threshold 3
+    assert got[6]["n_shingles"] == 0 and got[6]["commonness_q"] is None
