@@ -439,6 +439,30 @@ def q_data_card(spark, sf):
     return quality.corpus_data_card(d, "source", "text")
 
 
+def q_url_dedup(spark, sf):
+    """URL canonicalization + URL-level dedup (battery member) — CC
+    curation step 1: strip fragment/scheme/www/trailing-slash/tracking
+    params, sort surviving query params, dedup on the canonical form
+    keeping min id (ops/refine.py canonical_url, ops/dedup.py url_dedup).
+    The raw URL column is synthesized deterministically from
+    (doc_id, source) with the IDENTICAL expression in the oracle — messy
+    case, tracking params, unsorted params, optional fragment/trailing
+    slash — so the canonicalizer has real work to undo."""
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    i = F.col("doc_id")
+    raw = F.concat(
+        F.lit("HTTPS://"),
+        F.when(i % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".Example.COM/Docs/"),
+        (i % 7).cast("string"),
+        F.when(i % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&b=1&a="), (i % 2).cast("string"),
+        F.when(i % 3 == 0, F.lit("&utm_campaign=x")).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.concat(F.lit("#s"), i.cast("string"))).otherwise(F.lit("")),
+    )
+    return dedup.url_dedup(d.withColumn("url", raw), "doc_id", "url")
+
+
 def q_softdedup(spark, sf):
     """SoftDeDup data-commonness scores (battery member): per-document
     corpus n-gram log-frequency sums on the 2^-20 integer grid plus the
@@ -1421,7 +1445,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 23 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 24 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1439,7 +1463,8 @@ def q_score_battery(spark, sf):
     cep_pattern (MATCH_RECOGNIZE-style role-sequence CEP counts),
     para_dedup (Dolma/CCNet paragraph-granularity first-wins dedup),
     unigram_entropy (RPv2 rps_doc_unigram_entropy, fixed-point),
-    softdedup (SoftDeDup data-commonness reweighting scores)."""
+    softdedup (SoftDeDup data-commonness reweighting scores),
+    url_dedup (CC-style URL canonicalization + URL-level dedup)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1506,6 +1531,9 @@ def q_score_battery(spark, sf):
         _battery_pack(q_softdedup(spark, sf), "softdedup",
                       _kcat("doc_id"), ["is_common"],
                       s1=F.col("n_shingles"), s2=F.col("commonness_q")),
+        _battery_pack(q_url_dedup(spark, sf), "url_dedup",
+                      _kcat("doc_id"), ["canon_url"],
+                      s1=F.col("keeper_id"), s2=F.col("n_dups")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3720,6 +3748,60 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN per p USING (doc_id)
     """
 
+    # url_dedup: canonicalize-then-dedup (ops/refine.py canonical_url,
+    # ops/dedup.py url_dedup). The raw URL synthesis is the byte-identical
+    # expression as the Spark side; every canonicalization regex is
+    # anchored/single-occurrence so RE2 replace-first == Java replace-all.
+    o["url_dedup"] = """
+        WITH raw AS (
+          SELECT doc_id,
+                 'HTTPS://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END ||
+                 source || '.Example.COM/Docs/' || CAST(doc_id % 7 AS VARCHAR) ||
+                 CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+                 '?utm_source=feed&b=1&a=' || CAST(doc_id % 2 AS VARCHAR) ||
+                 CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=x' ELSE '' END ||
+                 CASE WHEN doc_id % 5 = 0 THEN '#s' || CAST(doc_id AS VARCHAR) ELSE '' END
+                 AS url
+          FROM documents
+        ),
+        r0 AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(url, '#.*', ''),
+                                '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS u
+          FROM raw
+        ),
+        r1 AS (
+          SELECT doc_id,
+                 regexp_replace(lower(regexp_extract(u, '^[^/?]+', 0)), '^www\\.', '') AS host,
+                 regexp_replace(u, '^[^/?]+', '') AS rest
+          FROM r0
+        ),
+        r2 AS (
+          SELECT doc_id, host,
+                 regexp_replace(regexp_extract(rest, '^[^?]*', 0), '/+$', '') AS path,
+                 regexp_extract(rest, '\\?(.*)', 1) AS q
+          FROM r1
+        ),
+        c AS (
+          SELECT doc_id,
+                 host || path ||
+                 CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canon_url
+          FROM (
+            SELECT doc_id, host, path,
+                   array_to_string(list_sort(list_filter(string_split(q, '&'),
+                     x -> x <> '' AND NOT starts_with(x, 'utm_')
+                          AND NOT starts_with(x, 'fbclid=')
+                          AND NOT starts_with(x, 'gclid='))), '&') AS qs
+            FROM r2
+          )
+        ),
+        w AS (SELECT canon_url, min(doc_id) AS keeper, count(*) AS n FROM c GROUP BY 1)
+        SELECT c.doc_id, c.canon_url,
+               CAST(w.keeper AS BIGINT) AS keeper_id,
+               CAST(w.n AS BIGINT) AS n_dups
+        FROM c JOIN w USING (canon_url)
+    """
+
     # semdedup: the composed SemDeDup pipeline (ops/embeddings.py semdedup)
     # over the planted embeddings — unrolled integer-lattice kmeans (same
     # generator as kmeans_cluster, prefix sd), final assignment, then the
@@ -3860,6 +3942,8 @@ def oracle_sql() -> dict[str, str]:
                   ["n_words", "n_types"], s1="entropy_q"),
         _pack_sql("softdedup", o["softdedup"], _kcat_sql("doc_id"),
                   ["is_common"], s1="n_shingles", s2="commonness_q"),
+        _pack_sql("url_dedup", o["url_dedup"], _kcat_sql("doc_id"),
+                  ["canon_url"], s1="keeper_id", s2="n_dups"),
     ])
 
     _dim_sql = ", ".join(
@@ -3883,6 +3967,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select", "decontam", "outlier_trim", "seq_pack", "bpe_merges",
         "dup_spans", "bloom_new", "budget_sel", "data_card", "semdedup", "sb_lm",
         "cep_pattern", "para_dedup", "unigram_entropy", "softdedup",
+        "url_dedup",
     ):
         del o[_member]
 

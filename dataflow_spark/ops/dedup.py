@@ -1001,3 +1001,31 @@ def paragraph_dedup(
             "kept_digest",
         )
     )
+
+
+def url_dedup(df: DataFrame, id_col: str = "doc_id", url_col: str = "url") -> DataFrame:
+    """URL-level dedup over canonicalized URLs — the cheapest and FIRST
+    dedup stage of every CommonCrawl curation pipeline (CCNet/RefinedWeb
+    dedupe fetches of the same page before any content hashing): two crawl
+    records whose URLs canonicalize identically are the same page; keep the
+    smallest id.
+
+    Same 100-TB topology as dedup_exact_md5: groupBy(canonical_url) with a
+    partial-aggregable min/count — the key space is the distinct-URL set.
+    Returns one row PER INPUT ROW (doc_id, canon_url, keeper_id, n_dups) so
+    the caller can either filter to keepers or audit the duplicate classes.
+    """
+    from dataflow_spark.ops.refine import canonical_url
+
+    c = df.select(
+        F.col(id_col), canonical_url(F.col(url_col)).alias("canon_url")
+    )
+    w = c.groupBy("canon_url").agg(
+        F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+    return c.join(w, "canon_url").select(
+        id_col,
+        "canon_url",
+        F.col("keeper_id").cast("long").alias("keeper_id"),
+        F.col("n_dups").cast("long").alias("n_dups"),
+    )

@@ -519,3 +519,37 @@ EN_STOPWORDS = (
     "doesn", "hadn", "hasn", "haven", "isn", "ma", "mightn", "mustn",
     "needn", "shan", "shouldn", "wasn", "weren", "won", "wouldn",
 )
+
+
+def canonical_url(col: Column) -> Column:
+    """URL canonicalization — the CommonCrawl-curation normalization applied
+    before URL-level dedup (every CC pipeline's step 1; cf. the SURT
+    canonical form CC/web-archives use): strip the fragment, drop the
+    scheme, lowercase the host and remove a leading ``www.``, strip
+    trailing slashes from the path, drop tracking query parameters
+    (``utm_*``/``fbclid``/``gclid``) and SORT the survivors so parameter
+    order can't split a URL into two identities.
+
+    Pure JVM string/regex expressions (no UDF); every pattern is anchored
+    or single-occurrence so Java-regex (replace-all) and RE2 (replace-first)
+    semantics agree, keeping the op exactly oracle-checkable.
+    """
+    u = F.regexp_replace(col, "#.*", "")
+    u = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.regexp_replace(F.lower(F.regexp_extract(u, "^[^/?]+", 0)), "^www\\.", "")
+    rest = F.regexp_replace(u, "^[^/?]+", "")
+    path = F.regexp_replace(F.regexp_extract(rest, "^[^?]*", 0), "/+$", "")
+    q = F.regexp_extract(rest, "\\?(.*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda x: (x != F.lit(""))
+            & ~x.startswith("utm_")
+            & ~x.startswith("fbclid=")
+            & ~x.startswith("gclid="),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        host, path, F.when(qs == F.lit(""), F.lit("")).otherwise(F.concat(F.lit("?"), qs))
+    )

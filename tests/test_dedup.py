@@ -501,3 +501,28 @@ def test_paragraph_dedup_first_wins(spark):
     import hashlib
     assert got["A"]["kept_digest"] == hashlib.md5(b"dup\nonly").hexdigest()
     assert got["C"]["kept_digest"] == hashlib.md5(b"").hexdigest()
+
+
+def test_canonical_url_and_url_dedup(spark):
+    from dataflow_spark.ops.dedup import url_dedup
+
+    rows = [
+        # all four canonicalize to news.example.com/a/b?id=2&x=1
+        (1, "HTTPS://WWW.News.Example.COM/a/b/?utm_source=t&x=1&id=2#frag"),
+        (2, "http://news.example.com/a/b?id=2&x=1"),
+        (3, "news.example.com/a/b/?x=1&id=2&fbclid=abc"),
+        (4, "https://news.example.com/a/b?gclid=9&id=2&x=1&utm_campaign=c"),
+        # distinct: different param value
+        (5, "https://news.example.com/a/b?id=3&x=1"),
+        # bare host, no path/query; www stripped, trailing slash dropped
+        (6, "https://www.other.example.com/"),
+        (7, "other.example.com"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    got = {r["doc_id"]: r.asDict() for r in url_dedup(df).collect()}
+    assert got[1]["canon_url"] == "news.example.com/a/b?id=2&x=1"
+    assert {got[i]["keeper_id"] for i in (1, 2, 3, 4)} == {1}
+    assert got[2]["n_dups"] == 4
+    assert got[5]["keeper_id"] == 5 and got[5]["n_dups"] == 1
+    assert got[6]["canon_url"] == "other.example.com" == got[7]["canon_url"]
+    assert got[7]["keeper_id"] == 6
