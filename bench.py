@@ -77,6 +77,11 @@ HEADLINE = [
     "data_card",
     "semdedup",
     "sb_lm",
+    "cep_pattern",
+    "para_dedup",
+    "unigram_entropy",
+    "softdedup",
+    "url_dedup",
 ]
 
 
