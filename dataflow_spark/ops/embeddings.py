@@ -880,14 +880,22 @@ def semdedup(
     clusters = kmeans_assign(df, id_col, vec_col, k=k, iters=iters)
     # three consumers (both self-join sides + the final anti-join) — with a
     # broadcast cluster join there is no exchange for ReuseExchange to
-    # cache, so materialize once (the jaccard fan-out discipline)
+    # cache, so materialize once (the jaccard fan-out discipline). The norm
+    # is hoisted to a per-ROW column here: it is a pure function of the
+    # array, so reusing it in the pair predicate is bit-identical to the
+    # per-pair recompute while removing 2 of the 3 interpreted HOF
+    # aggregates from the |c|^2 join (measured 16.2 -> single-digit s at
+    # sf0.1).
     v = (
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
         .join(clusters.select(F.col(id_col).alias("__id"), "cluster"), "__id")
+        .withColumn("__n", _norm(F.col("__v")))
         .localCheckpoint(eager=True)
     )
     a, b = v.alias("a"), v.alias("b")
-    sim = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6)
+    sim = F.round(
+        _dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n")), 6
+    )
     losers = (
         a.join(
             b,
