@@ -439,6 +439,33 @@ def q_data_card(spark, sf):
     return quality.corpus_data_card(d, "source", "text")
 
 
+def q_source_overlap(spark, sf):
+    """Cross-domain duplicate-overlap matrix (battery member): distinct
+    shared texts + integer-basis-point Jaccard per unordered domain pair —
+    the data-card companion (Pile/Dolma overlap analyses; Lee et al. 2022
+    leakage tables). Domains are 5 deterministic conversation groups
+    (numeric conv suffix mod 5) over the transcript table, whose derivation
+    plants heavy cross-conversation duplicate texts
+    (ops/quality.py source_overlap_matrix)."""
+    t = build_transcripts(spark, sf).withColumn(
+        "grp",
+        F.concat(F.lit("g"), (F.substring("conv_id", 6, 16).cast("int") % 5).cast("string")),
+    )
+    return quality.source_overlap_matrix(t, "grp", "text")
+
+
+def q_chat_render(spark, sf):
+    """Chat-template SFT serialization (battery member): per conversation,
+    the ChatML-style rendered transcript (as an md5 digest), turn count,
+    and the packing token budget (whitespace tokens + 3 control tokens per
+    turn) — the training-export step feeding sequence_pack/token_budget
+    (ops/sft.py chat_render)."""
+    from dataflow_spark.ops import sft
+
+    t = build_transcripts(spark, sf)
+    return sft.chat_render(t)
+
+
 def q_url_dedup(spark, sf):
     """URL canonicalization + URL-level dedup (battery member) — CC
     curation step 1: strip fragment/scheme/www/trailing-slash/tracking
@@ -1445,7 +1472,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 24 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 26 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1464,7 +1491,10 @@ def q_score_battery(spark, sf):
     para_dedup (Dolma/CCNet paragraph-granularity first-wins dedup),
     unigram_entropy (RPv2 rps_doc_unigram_entropy, fixed-point),
     softdedup (SoftDeDup data-commonness reweighting scores),
-    url_dedup (CC-style URL canonicalization + URL-level dedup)."""
+    url_dedup (CC-style URL canonicalization + URL-level dedup),
+    source_overlap (cross-domain duplicate-overlap matrix, integer-bp
+    Jaccard), chat_render (ChatML-style SFT serialization + token
+    budget)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1534,6 +1564,12 @@ def q_score_battery(spark, sf):
         _battery_pack(q_url_dedup(spark, sf), "url_dedup",
                       _kcat("doc_id"), ["canon_url"],
                       s1=F.col("keeper_id"), s2=F.col("n_dups")),
+        _battery_pack(q_source_overlap(spark, sf), "source_overlap",
+                      _kcat("src_a", "src_b"), [],
+                      s1=F.col("n_common"), s2=F.col("jac_bp")),
+        _battery_pack(q_chat_render(spark, sf), "chat_render",
+                      _kcat("conv_id"), ["render_digest"],
+                      s1=F.col("n_turns"), s2=F.col("n_tokens")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3802,6 +3838,45 @@ def oracle_sql() -> dict[str, str]:
         FROM c JOIN w USING (canon_url)
     """
 
+    # source_overlap: cross-domain duplicate-overlap matrix (ops/quality.py
+    # source_overlap_matrix) over 5 deterministic conversation groups. The
+    # oracle joins raw texts where the engine joins xxhash64 (2^-64 trade);
+    # Jaccard in integer basis points (div, never float).
+    o["source_overlap"] = with_transcripts(
+        """
+        , d AS (
+          SELECT DISTINCT 'g' || CAST(CAST(substr(conv_id, 6) AS INT) % 5 AS VARCHAR) AS s,
+                          text
+          FROM transcripts
+        ),
+        sz AS (SELECT s, count(*) AS n FROM d GROUP BY 1),
+        i AS (
+          SELECT a.s AS src_a, b.s AS src_b, count(*) AS n_common
+          FROM d a JOIN d b ON a.text = b.text AND a.s < b.s
+          GROUP BY 1, 2
+        )
+        SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+               CAST((10000 * n_common) // (sa.n + sb.n - n_common) AS BIGINT) AS jac_bp
+        FROM i JOIN sz sa ON sa.s = i.src_a JOIN sz sb ON sb.s = i.src_b
+        """
+    )
+
+    # chat_render: ChatML-style SFT serialization (ops/sft.py chat_render) —
+    # rendered transcript digest + whitespace-token budget with 3 control
+    # tokens per turn.
+    o["chat_render"] = with_transcripts(
+        """
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                    + 3 * count(*) AS BIGINT) AS n_tokens,
+               md5(string_agg('<|im_start|>' || role || chr(10) || text || '<|im_end|>',
+                              chr(10) ORDER BY turn_idx)) AS render_digest
+        FROM transcripts GROUP BY conv_id
+        """
+    )
+
     # semdedup: the composed SemDeDup pipeline (ops/embeddings.py semdedup)
     # over the planted embeddings — unrolled integer-lattice kmeans (same
     # generator as kmeans_cluster, prefix sd), final assignment, then the
@@ -3944,6 +4019,10 @@ def oracle_sql() -> dict[str, str]:
                   ["is_common"], s1="n_shingles", s2="commonness_q"),
         _pack_sql("url_dedup", o["url_dedup"], _kcat_sql("doc_id"),
                   ["canon_url"], s1="keeper_id", s2="n_dups"),
+        _pack_sql("source_overlap", o["source_overlap"], _kcat_sql("src_a", "src_b"),
+                  [], s1="n_common", s2="jac_bp"),
+        _pack_sql("chat_render", o["chat_render"], _kcat_sql("conv_id"),
+                  ["render_digest"], s1="n_turns", s2="n_tokens"),
     ])
 
     _dim_sql = ", ".join(
@@ -3967,7 +4046,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select", "decontam", "outlier_trim", "seq_pack", "bpe_merges",
         "dup_spans", "bloom_new", "budget_sel", "data_card", "semdedup", "sb_lm",
         "cep_pattern", "para_dedup", "unigram_entropy", "softdedup",
-        "url_dedup",
+        "url_dedup", "source_overlap", "chat_render",
     ):
         del o[_member]
 

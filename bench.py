@@ -82,6 +82,8 @@ HEADLINE = [
     "unigram_entropy",
     "softdedup",
     "url_dedup",
+    "source_overlap",
+    "chat_render",
 ]
 
 

@@ -1026,3 +1026,53 @@ def unigram_entropy_q(
         F.coalesce(F.col("n_types"), F.lit(0)).cast("long").alias("n_types"),
         F.col("entropy_q").cast("long").alias("entropy_q"),
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-domain duplicate-overlap matrix — the data-card companion every
+    multi-source corpus release tabulates (e.g. the Pile/Dolma overlap
+    analyses; Lee et al. 2022 measure cross-split leakage the same way):
+    for every unordered pair of domains, how many DISTINCT texts occur in
+    both, and the Jaccard overlap of their distinct-text sets in integer
+    basis points (10000·|∩| div |∪| — no float division to diverge).
+
+    Only intersecting pairs are emitted (the zero rows of a 10^3-domain
+    matrix would be mostly noise at 100 TB anyway).
+
+    Scale shape: distinct(domain, text-hash) is one partial-aggregable
+    aggregate; the pair join keys on the text hash, so its fan-out is
+    bounded by per-text domain multiplicity (<= n_domains per text), never
+    |corpus|^2; per-domain distinct counts ride the same deduped frame.
+    The DuckDB twin groups on raw text — exact agreement absent 2^-64
+    xxhash64 collisions (the standing trade).
+
+    Returns (src_a, src_b, n_common, jac_bp) with src_a < src_b.
+    """
+    d = df.select(
+        F.col(domain_col).alias("__s"), F.xxhash64(text_col).alias("__h")
+    ).distinct()
+    sizes = d.groupBy("__s").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = d.alias("a"), d.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__s") < F.col("b.__s")))
+        .groupBy(F.col("a.__s").alias("src_a"), F.col("b.__s").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("__s").alias("src_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__s").alias("src_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.expr("(10000 * n_common) div (__na + __nb - n_common)")
+            .cast("long")
+            .alias("jac_bp"),
+        )
+    )

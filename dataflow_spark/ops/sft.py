@@ -192,3 +192,52 @@ def condor_generate(
     return s2.withColumn("output", serving_udf(backend)(a_prompt)).select(
         "sample_id", "difficulty", "domain", "theme", "instruction", "output"
     )
+
+
+def chat_render(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    per_turn_overhead: int = 3,
+) -> DataFrame:
+    """Chat-template serialization — the training-export step that turns a
+    reassembled transcript into one model-ready SFT string per conversation
+    (the role the HF ``apply_chat_template`` / ChatML convention plays;
+    the reference emits the same list-of-dicts conversation encoding,
+    consistent_chat.py:116-132, which trainers then render):
+
+        <|im_start|>{role}\\n{text}<|im_end|>   joined with '\\n'
+
+    plus the packing-relevant token budget: n_tokens = per-turn whitespace
+    token counts + `per_turn_overhead` control tokens per turn (the ChatML
+    im_start/role/im_end overhead). Feeds sequence_pack / token_budget
+    downstream; the rendered string itself is carried as an md5 digest so
+    the row stays narrow and oracle-hash-stable.
+
+    Scale shape: one hash aggregate on conv_id (collect_list partials,
+    order restored per-group with array_sort — no global sort, the
+    reassemble_conversations discipline).
+
+    Returns (conv_col, n_turns, n_tokens, render_digest).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    ntok = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(toks))
+    turn = F.struct(
+        F.col(idx_col).alias("__i"),
+        F.concat(
+            F.lit("<|im_start|>"), F.col(role_col), F.lit("\n"),
+            F.col(text_col), F.lit("<|im_end|>"),
+        ).alias("__r"),
+    )
+    rendered = F.array_join(
+        F.transform(F.array_sort(F.collect_list(turn)), lambda t: t["__r"]), "\n"
+    )
+    return df.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        (F.sum(ntok) + F.lit(per_turn_overhead) * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(rendered).alias("render_digest"),
+    )

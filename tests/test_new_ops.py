@@ -964,3 +964,36 @@ def test_softdedup_commonness_twin(spark):
     assert got[3]["commonness_q"] == 0 and not got[3]["is_common"]
     assert got[1]["is_common"] is False  # df=2 < mean threshold 3
     assert got[6]["n_shingles"] == 0 and got[6]["commonness_q"] is None
+
+
+def test_source_overlap_matrix(spark):
+    rows = [
+        ("s1", "alpha"), ("s1", "beta"), ("s1", "beta"),   # s1: {alpha, beta}
+        ("s2", "beta"), ("s2", "gamma"),                   # s2: {beta, gamma}
+        ("s3", "delta"),                                   # s3: no overlap
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    got = {(r["src_a"], r["src_b"]): r.asDict()
+           for r in quality.source_overlap_matrix(df).collect()}
+    assert set(got) == {("s1", "s2")}  # only intersecting pairs emitted
+    r = got[("s1", "s2")]
+    assert r["n_common"] == 1
+    assert r["jac_bp"] == 10000 * 1 // 3  # |∩|=1, |∪|=3 -> 3333
+
+
+def test_chat_render_digest_and_tokens(spark):
+    import hashlib
+    from dataflow_spark.ops.sft import chat_render
+
+    rows = [
+        ("A", 1, "assistant", "two words"),
+        ("A", 0, "user", "hello"),       # out of order on purpose
+        ("B", 0, "user", "   "),         # whitespace-only -> 0 text tokens
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    got = {r["conv_id"]: r.asDict() for r in chat_render(df).collect()}
+    a_render = ("<|im_start|>user\nhello<|im_end|>\n"
+                "<|im_start|>assistant\ntwo words<|im_end|>")
+    assert got["A"]["render_digest"] == hashlib.md5(a_render.encode()).hexdigest()
+    assert got["A"]["n_tokens"] == 3 + 2 * 3   # 1+2 text tokens + 3/turn overhead
+    assert got["B"]["n_tokens"] == 0 + 1 * 3
