@@ -476,8 +476,14 @@ def q_url_dedup(spark, sf):
     case, tracking params, unsorted params, optional fragment/trailing
     slash — so the canonicalizer has real work to undo."""
     d = load_table(spark, sf, "documents").select("doc_id", "source")
+    return dedup.url_dedup(d.withColumn("url", _synth_url()), "doc_id", "url")
+
+
+def _synth_url():
+    """Deterministic messy-URL synthesis from (doc_id, source) — the
+    byte-identical expression lives in the oracle's `raw` CTE."""
     i = F.col("doc_id")
-    raw = F.concat(
+    return F.concat(
         F.lit("HTTPS://"),
         F.when(i % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
         F.col("source"), F.lit(".Example.COM/Docs/"),
@@ -487,7 +493,38 @@ def q_url_dedup(spark, sf):
         F.when(i % 3 == 0, F.lit("&utm_campaign=x")).otherwise(F.lit("")),
         F.when(i % 5 == 0, F.concat(F.lit("#s"), i.cast("string"))).otherwise(F.lit("")),
     )
-    return dedup.url_dedup(d.withColumn("url", raw), "doc_id", "url")
+
+
+def q_keep_best(spark, sf):
+    """Quality-aware keeper selection (battery member): over the url_dedup
+    canonical-URL clusters, keep the LONGEST member (n_chars, ties to the
+    smallest id) — the RefinedWeb-style representative rule vs first-wins
+    (ops/dedup.py keep_best)."""
+    d = load_table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    from dataflow_spark.ops.refine import canonical_url
+
+    c = d.withColumn("url", _synth_url()).withColumn(
+        "canon_url", canonical_url(F.col("url"))
+    )
+    out = dedup.keep_best(c, "canon_url", "doc_id", "n_chars")
+    return out.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "keeper_id", "kept"
+    )
+
+
+def q_snapshot_diff(spark, sf):
+    """Corpus snapshot diff (battery member): full-outer id join of two
+    deterministically-derived releases (v1 drops id%13=0; v2 drops id%11=3
+    and rewrites text on id%7=0), each row labeled
+    added/removed/changed/unchanged (ops/quality.py snapshot_diff)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    old = docs.filter(i % 13 != 0)
+    new = docs.filter(i % 11 != 3).withColumn(
+        "text",
+        F.when(i % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text")),
+    )
+    return quality.snapshot_diff(old, new)
 
 
 def q_softdedup(spark, sf):
@@ -1472,7 +1509,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 26 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 28 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1494,7 +1531,9 @@ def q_score_battery(spark, sf):
     url_dedup (CC-style URL canonicalization + URL-level dedup),
     source_overlap (cross-domain duplicate-overlap matrix, integer-bp
     Jaccard), chat_render (ChatML-style SFT serialization + token
-    budget)."""
+    budget), keep_best (quality-aware keeper selection — longest-wins
+    per dup cluster), snapshot_diff (corpus release diff:
+    added/removed/changed/unchanged)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1570,6 +1609,11 @@ def q_score_battery(spark, sf):
         _battery_pack(q_chat_render(spark, sf), "chat_render",
                       _kcat("conv_id"), ["render_digest"],
                       s1=F.col("n_turns"), s2=F.col("n_tokens")),
+        _battery_pack(q_keep_best(spark, sf), "keep_best",
+                      _kcat("doc_id"), ["kept"],
+                      s1=F.col("n_chars"), s2=F.col("keeper_id")),
+        _battery_pack(q_snapshot_diff(spark, sf), "snapshot_diff",
+                      _kcat("doc_id"), ["status"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3784,11 +3828,12 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN per p USING (doc_id)
     """
 
-    # url_dedup: canonicalize-then-dedup (ops/refine.py canonical_url,
-    # ops/dedup.py url_dedup). The raw URL synthesis is the byte-identical
-    # expression as the Spark side; every canonicalization regex is
-    # anchored/single-occurrence so RE2 replace-first == Java replace-all.
-    o["url_dedup"] = """
+    # url canonicalization CTE chain, shared by url_dedup and keep_best
+    # (ops/refine.py canonical_url). The raw URL synthesis is the
+    # byte-identical expression as the Spark side; every canonicalization
+    # regex is anchored/single-occurrence so RE2 replace-first == Java
+    # replace-all. Ends with CTE `c` = (doc_id, canon_url).
+    _url_ctes = """
         WITH raw AS (
           SELECT doc_id,
                  'HTTPS://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END ||
@@ -3830,12 +3875,58 @@ def oracle_sql() -> dict[str, str]:
                           AND NOT starts_with(x, 'gclid='))), '&') AS qs
             FROM r2
           )
-        ),
-        w AS (SELECT canon_url, min(doc_id) AS keeper, count(*) AS n FROM c GROUP BY 1)
+        )
+    """
+    o["url_dedup"] = _url_ctes + """
+        , w AS (SELECT canon_url, min(doc_id) AS keeper, count(*) AS n FROM c GROUP BY 1)
         SELECT c.doc_id, c.canon_url,
                CAST(w.keeper AS BIGINT) AS keeper_id,
                CAST(w.n AS BIGINT) AS n_dups
         FROM c JOIN w USING (canon_url)
+    """
+
+    # keep_best: quality-aware keeper selection over the same URL clusters
+    # (ops/dedup.py keep_best) — keep the LONGEST member (n_chars), ties to
+    # the smallest id: the RefinedWeb-style representative rule, vs
+    # url_dedup's first-wins.
+    o["keep_best"] = _url_ctes + """
+        , c2 AS (
+          SELECT c.doc_id, c.canon_url, d.n_chars
+          FROM c JOIN documents d ON d.doc_id = c.doc_id
+        ),
+        w AS (
+          SELECT canon_url, doc_id AS keeper FROM (
+            SELECT canon_url, doc_id,
+                   row_number() OVER (PARTITION BY canon_url
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM c2
+          ) WHERE rn = 1
+        )
+        SELECT c2.doc_id,
+               CAST(c2.n_chars AS BIGINT) AS n_chars,
+               CAST(w.keeper AS BIGINT) AS keeper_id,
+               c2.doc_id = w.keeper AS kept
+        FROM c2 JOIN w USING (canon_url)
+    """
+
+    # snapshot_diff: corpus release diff (ops/quality.py snapshot_diff) over
+    # two deterministically-derived snapshots: v1 drops id%13=0, v2 drops
+    # id%11=3 and rewrites text on id%7=0 — exercising all four statuses.
+    o["snapshot_diff"] = """
+        WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+        n AS (SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+              FROM documents WHERE doc_id % 11 <> 3),
+        j AS (
+          SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.text AS ot, n.text AS nt
+          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN ot IS NULL THEN 'added'
+                    WHEN nt IS NULL THEN 'removed'
+                    WHEN ot = nt THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM j
     """
 
     # source_overlap: cross-domain duplicate-overlap matrix (ops/quality.py
@@ -4023,6 +4114,10 @@ def oracle_sql() -> dict[str, str]:
                   [], s1="n_common", s2="jac_bp"),
         _pack_sql("chat_render", o["chat_render"], _kcat_sql("conv_id"),
                   ["render_digest"], s1="n_turns", s2="n_tokens"),
+        _pack_sql("keep_best", o["keep_best"], _kcat_sql("doc_id"),
+                  ["kept"], s1="n_chars", s2="keeper_id"),
+        _pack_sql("snapshot_diff", o["snapshot_diff"], _kcat_sql("doc_id"),
+                  ["status"]),
     ])
 
     _dim_sql = ", ".join(
@@ -4046,7 +4141,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select", "decontam", "outlier_trim", "seq_pack", "bpe_merges",
         "dup_spans", "bloom_new", "budget_sel", "data_card", "semdedup", "sb_lm",
         "cep_pattern", "para_dedup", "unigram_entropy", "softdedup",
-        "url_dedup", "source_overlap", "chat_render",
+        "url_dedup", "source_overlap", "chat_render", "keep_best",
+        "snapshot_diff",
     ):
         del o[_member]
 

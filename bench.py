@@ -84,6 +84,8 @@ HEADLINE = [
     "url_dedup",
     "source_overlap",
     "chat_render",
+    "keep_best",
+    "snapshot_diff",
 ]
 
 

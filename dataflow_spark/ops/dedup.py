@@ -1029,3 +1029,35 @@ def url_dedup(df: DataFrame, id_col: str = "doc_id", url_col: str = "url") -> Da
         F.col("keeper_id").cast("long").alias("keeper_id"),
         F.col("n_dups").cast("long").alias("n_dups"),
     )
+
+
+def keep_best(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware keeper selection — the OTHER canonical dedup keep-rule:
+    instead of first-wins, keep the highest-quality member of every
+    duplicate cluster (RefinedWeb/FineWeb keep one representative per
+    near-dup cluster; keeping the longest/highest-scored member is the
+    published practice, cf. Penedo et al. 2023 §3.3). Ties break to the
+    SMALLEST id, so the rule is total and deterministic.
+
+    argmax via max(struct(score, -id)) — partial-aggregable, one hash
+    aggregate on the cluster key + a join back on the same key (AQE
+    exchange reuse), no window/sort — the dedup_exact topology with the
+    keep-rule swapped.
+
+    Returns the input rows + (keeper_id, kept) so callers filter or audit.
+    """
+    c = df.withColumn(
+        "__pick", F.struct(F.col(score_col).alias("__s"), (-F.col(id_col)).alias("__negid"))
+    )
+    w = c.groupBy(cluster_col).agg(F.max("__pick").alias("__best"))
+    return (
+        c.join(w, cluster_col)
+        .withColumn("keeper_id", (-F.col("__best.__negid")).cast("long"))
+        .withColumn("kept", F.col(id_col) == F.col("keeper_id"))
+        .drop("__pick", "__best")
+    )

@@ -1076,3 +1076,35 @@ def source_overlap_matrix(
             .alias("jac_bp"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff — the release-over-release audit every iterated
+    dataset ships (what changed between corpus v1 and v2): full outer join
+    on the document id, content compared by hash, each row labeled
+    added / removed / changed / unchanged.
+
+    Scale shape: ONE shuffle on id for the full outer join; content
+    equality on xxhash64 so the payload never joins twice (the oracle
+    compares raw text — 2^-64 trade). At 100 TB both sides are bucketed by
+    id in the warehouse and the join is shuffle-free (io.py bucketBy
+    tables).
+
+    Returns (id_col, status) per row of the union of both snapshots.
+    """
+    o = old.select(F.col(id_col).alias("__id"), F.xxhash64(text_col).alias("__ho"))
+    n = new.select(F.col(id_col).alias("__id"), F.xxhash64(text_col).alias("__hn"))
+    j = o.join(n, "__id", "full_outer")
+    return j.select(
+        F.col("__id").alias(id_col),
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") == F.col("__hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

@@ -997,3 +997,27 @@ def test_chat_render_digest_and_tokens(spark):
     assert got["A"]["render_digest"] == hashlib.md5(a_render.encode()).hexdigest()
     assert got["A"]["n_tokens"] == 3 + 2 * 3   # 1+2 text tokens + 3/turn overhead
     assert got["B"]["n_tokens"] == 0 + 1 * 3
+
+
+def test_keep_best_longest_wins(spark):
+    from dataflow_spark.ops.dedup import keep_best
+
+    rows = [
+        (1, "c1", 10), (2, "c1", 30), (3, "c1", 30),  # tie at 30 -> id 2
+        (4, "c2", 5),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "cluster", "score"])
+    got = {r["doc_id"]: r.asDict()
+           for r in keep_best(df, "cluster", "doc_id", "score").collect()}
+    assert got[1]["keeper_id"] == 2 and not got[1]["kept"]
+    assert got[2]["kept"] and got[3]["keeper_id"] == 2
+    assert got[4]["kept"] and got[4]["keeper_id"] == 4
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["status"] for r in quality.snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
