@@ -418,6 +418,31 @@ def q_semdedup(spark, sf):
     return embeddings.semdedup(e, "vec_id", "embedding", k=8, iters=2, threshold=0.9)
 
 
+def q_semantic_decontam(spark, sf):
+    """Embedding-level benchmark decontamination (battery member): flag
+    training vectors with rounded-6dp cosine >= 0.9 to ANY eval item —
+    the semantic counterpart of the 13-gram decontam member. The eval set
+    is derived deterministically: near-copies (+0.2 on dim 1, cos≈0.98) of
+    every 29th training row — which must flag — plus far decoys (+7.0 on
+    dim 1) of every 31st row ≡ 5, which must flag nothing
+    (ops/embeddings.py semantic_decontaminate)."""
+    tr = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    def _shift(src, delta, off):
+        return src.select(
+            (F.col("vec_id") + off).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("embedding", 1) + F.lit(delta)),
+                F.slice("embedding", 2, F.size("embedding") - 1),
+            ).alias("embedding"),
+        )
+    ev = _shift(tr.filter(F.col("vec_id") % 29 == 0), 0.2, 2000000).unionAll(
+        _shift(tr.filter(F.col("vec_id") % 31 == 5), 7.0, 3000000)
+    )
+    return embeddings.semantic_decontaminate(tr, ev, threshold=0.9)
+
+
 def q_sb_lm(spark, sf):
     """Trigram stupid-backoff LM document scores (Brants et al. 2007;
     battery member) — the CCNet-style corpus-LM quality signal: per-token
@@ -1509,7 +1534,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 28 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 29 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1533,7 +1558,8 @@ def q_score_battery(spark, sf):
     Jaccard), chat_render (ChatML-style SFT serialization + token
     budget), keep_best (quality-aware keeper selection — longest-wins
     per dup cluster), snapshot_diff (corpus release diff:
-    added/removed/changed/unchanged)."""
+    added/removed/changed/unchanged), semantic_decontam (embedding-level
+    benchmark decontamination)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1614,6 +1640,9 @@ def q_score_battery(spark, sf):
                       s1=F.col("n_chars"), s2=F.col("keeper_id")),
         _battery_pack(q_snapshot_diff(spark, sf), "snapshot_diff",
                       _kcat("doc_id"), ["status"]),
+        _battery_pack(q_semantic_decontam(spark, sf), "semantic_decontam",
+                      _kcat("vec_id"), ["contaminated"],
+                      s1=F.col("n_hits")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3929,6 +3958,37 @@ def oracle_sql() -> dict[str, str]:
         FROM j
     """
 
+    # semantic_decontam: embedding-level decontamination (ops/embeddings.py
+    # semantic_decontaminate). Same cosine formulation as embed_neardup
+    # (identical op order both engines -> identical doubles); eval side =
+    # planted near-copies (+0.2) of %29 rows + far decoys (+7.0) of %31≡5.
+    o["semantic_decontam"] = f"""
+        WITH tr AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+        ),
+        ev AS (
+          SELECT vec_id + 2000000 AS eid,
+                 list_prepend(CAST(embedding[1] AS DOUBLE) + 0.2,
+                              CAST(embedding[2:] AS DOUBLE[])) AS embedding
+          FROM embeddings WHERE vec_id % 29 = 0
+          UNION ALL
+          SELECT vec_id + 3000000 AS eid,
+                 list_prepend(CAST(embedding[1] AS DOUBLE) + 7.0,
+                              CAST(embedding[2:] AS DOUBLE[])) AS embedding
+          FROM embeddings WHERE vec_id % 31 = 5
+        ),
+        hits AS (
+          SELECT a.vec_id, count(*) AS n_hits
+          FROM tr a JOIN ev b
+            ON round({_dot} / ({_norm_a} * {_norm_b}), 6) >= 0.9
+          GROUP BY 1
+        )
+        SELECT t.vec_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM tr t LEFT JOIN hits h USING (vec_id)
+    """
+
     # source_overlap: cross-domain duplicate-overlap matrix (ops/quality.py
     # source_overlap_matrix) over 5 deterministic conversation groups. The
     # oracle joins raw texts where the engine joins xxhash64 (2^-64 trade);
@@ -4118,6 +4178,8 @@ def oracle_sql() -> dict[str, str]:
                   ["kept"], s1="n_chars", s2="keeper_id"),
         _pack_sql("snapshot_diff", o["snapshot_diff"], _kcat_sql("doc_id"),
                   ["status"]),
+        _pack_sql("semantic_decontam", o["semantic_decontam"], _kcat_sql("vec_id"),
+                  ["contaminated"], s1="n_hits"),
     ])
 
     _dim_sql = ", ".join(
@@ -4142,7 +4204,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans", "bloom_new", "budget_sel", "data_card", "semdedup", "sb_lm",
         "cep_pattern", "para_dedup", "unigram_entropy", "softdedup",
         "url_dedup", "source_overlap", "chat_render", "keep_best",
-        "snapshot_diff",
+        "snapshot_diff", "semantic_decontam",
     ):
         del o[_member]
 

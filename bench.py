@@ -86,6 +86,7 @@ HEADLINE = [
     "chat_render",
     "keep_best",
     "snapshot_diff",
+    "semantic_decontam",
 ]
 
 

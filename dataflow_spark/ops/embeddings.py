@@ -909,3 +909,50 @@ def semdedup(
     return v.join(losers, "__id", "left_anti").select(
         F.col("__id").alias(id_col), "cluster"
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic counterpart
+    of the 13-gram decontaminate(): flag every training row whose embedding
+    is near-identical (rounded-6dp cosine >= threshold) to ANY evaluation
+    item. N-gram overlap misses paraphrased/reformatted eval leakage;
+    embedding similarity is the published remedy (the contamination studies
+    around GPT-3/LLaMA report both exact-match and semantic variants).
+
+    Topology (the decontaminate() shape at the embedding level): the eval
+    side is tiny (benchmarks are MBs) and BROADCASTS; the training side
+    streams through one narrow pass — per-row norms hoisted (pure function
+    of the array, bit-identical to per-pair recompute), per-pair work is a
+    single fold dot product, and the only shuffle is the per-id hit count
+    (partial-aggregable). At 10^9+ eval items one would LSH-bucket both
+    sides first (embedding_neardup_pairs' banding); not needed for any real
+    eval suite.
+
+    Returns (id_col, n_hits, contaminated) — one row per training row.
+    """
+    t = train.select(
+        F.col(id_col), F.col(vec_col).alias("__tv")
+    ).withColumn("__tn", _norm(F.col("__tv")))
+    e = evalset.select(F.col(vec_col).alias("__ev")).withColumn(
+        "__en", _norm(F.col("__ev"))
+    )
+    sim = F.round(
+        _dot(F.col("__tv"), F.col("__ev")) / (F.col("__tn") * F.col("__en")), 6
+    )
+    hits = (
+        t.crossJoin(F.broadcast(e))
+        .filter(sim >= F.lit(threshold))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return train.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )

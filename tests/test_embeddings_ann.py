@@ -442,3 +442,23 @@ def test_pq_topk_plan_is_jvm_with_rank_pushdown(spark):
     plan2 = out2._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan2 and "Partial" in plan2
     assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
+
+
+def test_semantic_decontaminate(spark):
+    from dataflow_spark.ops import embeddings as E
+    from pyspark.sql import functions as F
+
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.6, 0.8, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    # eval: near-copy of vec 1 (cos 1.0) and an orthogonal decoy
+    evalset = spark.createDataFrame(
+        [(100, [2.0, 0.0, 0.0]), (101, [0.0, 0.0, 5.0])],
+        ["vec_id", "embedding"],
+    )
+    got = {r["vec_id"]: r.asDict()
+           for r in E.semantic_decontaminate(train, evalset, threshold=0.9).collect()}
+    assert got[1]["contaminated"] and got[1]["n_hits"] == 1
+    assert not got[2]["contaminated"] and got[2]["n_hits"] == 0
+    assert not got[3]["contaminated"]  # cos(train3, eval100) = 0.6 < 0.9
