@@ -418,6 +418,26 @@ def q_semdedup(spark, sf):
     return embeddings.semdedup(e, "vec_id", "embedding", k=8, iters=2, threshold=0.9)
 
 
+def q_conv_gate(spark, sf):
+    """Conversation-level quality gate (battery member): shape gates for
+    agent-transcript SFT curation — turn-count band, opens-with-user,
+    ends-with-assistant, no stalled-user runs, no dangling tool tail —
+    each a label column AND-folded into keep (ops/windows.py
+    conversation_gate; the filter_labels convention at conversation
+    granularity)."""
+    t = build_transcripts(spark, sf)
+    return windows.conversation_gate(t)
+
+
+def q_burst_detect(spark, sf):
+    """Windowed rate-anomaly detection (battery member): a (type, tumbling
+    1h window) cell bursts when its count exceeds 2x the type's per-window
+    average — cross-multiplied integer comparison, no float average
+    (ops/windows.py burst_detect)."""
+    e = load_table(spark, sf, "events")
+    return windows.burst_detect(e)
+
+
 def q_semantic_decontam(spark, sf):
     """Embedding-level benchmark decontamination (battery member): flag
     training vectors with rounded-6dp cosine >= 0.9 to ANY eval item —
@@ -1534,7 +1554,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 29 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 31 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1559,7 +1579,8 @@ def q_score_battery(spark, sf):
     budget), keep_best (quality-aware keeper selection — longest-wins
     per dup cluster), snapshot_diff (corpus release diff:
     added/removed/changed/unchanged), semantic_decontam (embedding-level
-    benchmark decontamination)."""
+    benchmark decontamination), conv_gate (conversation-shape quality
+    gates), burst_detect (windowed rate-anomaly CEP alert)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1643,6 +1664,13 @@ def q_score_battery(spark, sf):
         _battery_pack(q_semantic_decontam(spark, sf), "semantic_decontam",
                       _kcat("vec_id"), ["contaminated"],
                       s1=F.col("n_hits")),
+        _battery_pack(q_conv_gate(spark, sf), "conv_gate",
+                      _kcat("conv_id"),
+                      ["g_len", "g_starts_u", "g_ends_a", "g_alt", "g_tool_ok", "keep"],
+                      s1=F.col("n_turns")),
+        _battery_pack(q_burst_detect(spark, sf), "burst_detect",
+                      _kcat("event_type", "win_start"), ["burst"],
+                      s1=F.col("n_events")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3989,6 +4017,50 @@ def oracle_sql() -> dict[str, str]:
         FROM tr t LEFT JOIN hits h USING (vec_id)
     """
 
+    # conv_gate: conversation-shape quality gates (ops/windows.py
+    # conversation_gate) over the same role string as cep_pattern.
+    o["conv_gate"] = with_transcripts(
+        """
+        , seqs AS (
+          SELECT conv_id, count(*) AS n_turns,
+                 string_agg(substr(role, 1, 1), '' ORDER BY turn_idx) AS role_seq
+          FROM transcripts GROUP BY conv_id
+        ),
+        g AS (
+          SELECT conv_id, n_turns,
+                 n_turns >= 4 AND n_turns <= 512 AS g_len,
+                 substr(role_seq, 1, 1) = 'u' AS g_starts_u,
+                 substr(role_seq, length(role_seq), 1) = 'a' AS g_ends_a,
+                 len(regexp_extract_all(role_seq, 'u{3,}')) = 0 AS g_alt,
+                 NOT regexp_matches(role_seq, 't+$') AS g_tool_ok
+          FROM seqs
+        )
+        SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns,
+               g_len, g_starts_u, g_ends_a, g_alt, g_tool_ok,
+               g_len AND g_starts_u AND g_ends_a AND g_alt AND g_tool_ok AS keep
+        FROM g
+        """
+    )
+
+    # burst_detect: windowed rate anomaly (ops/windows.py burst_detect) —
+    # Spark's epoch-aligned 1h tumbling window == date_trunc('hour');
+    # cross-multiplied integer comparison, no float average.
+    o["burst_detect"] = """
+        WITH cells AS (
+          SELECT event_type, date_trunc('hour', ts) AS win_start,
+                 count(*) AS n_events
+          FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT event_type, sum(n_events) AS tot, count(*) AS nw
+          FROM cells GROUP BY 1
+        )
+        SELECT c.event_type, c.win_start,
+               CAST(n_events AS BIGINT) AS n_events,
+               n_events * nw * 1 > 2 * tot AS burst
+        FROM cells c JOIN tot USING (event_type)
+    """
+
     # source_overlap: cross-domain duplicate-overlap matrix (ops/quality.py
     # source_overlap_matrix) over 5 deterministic conversation groups. The
     # oracle joins raw texts where the engine joins xxhash64 (2^-64 trade);
@@ -4180,6 +4252,12 @@ def oracle_sql() -> dict[str, str]:
                   ["status"]),
         _pack_sql("semantic_decontam", o["semantic_decontam"], _kcat_sql("vec_id"),
                   ["contaminated"], s1="n_hits"),
+        _pack_sql("conv_gate", o["conv_gate"], _kcat_sql("conv_id"),
+                  ["g_len", "g_starts_u", "g_ends_a", "g_alt", "g_tool_ok", "keep"],
+                  s1="n_turns"),
+        _pack_sql("burst_detect", o["burst_detect"],
+                  _kcat_sql("event_type", "win_start"), ["burst"],
+                  s1="n_events"),
     ])
 
     _dim_sql = ", ".join(
@@ -4204,7 +4282,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans", "bloom_new", "budget_sel", "data_card", "semdedup", "sb_lm",
         "cep_pattern", "para_dedup", "unigram_entropy", "softdedup",
         "url_dedup", "source_overlap", "chat_render", "keep_best",
-        "snapshot_diff", "semantic_decontam",
+        "snapshot_diff", "semantic_decontam", "conv_gate", "burst_detect",
     ):
         del o[_member]
 

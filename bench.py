@@ -87,6 +87,8 @@ HEADLINE = [
     "keep_best",
     "snapshot_diff",
     "semantic_decontam",
+    "conv_gate",
+    "burst_detect",
 ]
 
 

@@ -164,3 +164,100 @@ def detect_role_patterns(df: DataFrame, patterns: dict | None = None) -> DataFra
             f"c_{name}", F.regexp_count(F.col("role_seq"), F.lit(pat)).cast("int")
         )
     return agg
+
+
+def conversation_gate(
+    df: DataFrame,
+    min_turns: int = 4,
+    max_turns: int = 512,
+    max_stalled: int = 2,
+) -> DataFrame:
+    """Conversation-level quality gate for agent transcripts — the
+    transcript analog of the per-document rule filters (§2.2): a
+    conversation is trainable SFT material only if its SHAPE is sane.
+    Checks (each exposed as a label column, AND-folded into `keep`, the
+    filter_labels/GeneralFilter convention):
+
+      g_len      — turn count inside [min_turns, max_turns]
+      g_starts_u — opens with a user turn
+      g_ends_a   — closes with an assistant turn
+      g_alt      — no more than max_stalled consecutive same-role user
+                   turns anywhere (re-uses the stalled_user CEP count)
+      g_tool_ok  — every tool turn is eventually followed by an assistant
+                   turn (no dangling tool tail)
+
+    One hash aggregate on conv_id (the detect_role_patterns state — the
+    role string — plus min/max struct picks); every gate is then a string/
+    integer expression over that row. No window, no join, no Python.
+
+    Returns (conv_id, n_turns, g_* labels, keep).
+    """
+    pats = {"stalled_user": "u{%d,}" % (max_stalled + 1)}
+    agg = detect_role_patterns(df, pats)
+    first_role = F.substring(F.col("role_seq"), 1, 1)
+    last_role = F.substring(F.col("role_seq"), -1, 1)
+    g_len = (F.col("n_turns") >= min_turns) & (F.col("n_turns") <= max_turns)
+    g_starts_u = first_role == F.lit("u")
+    g_ends_a = last_role == F.lit("a")
+    g_alt = F.col("c_stalled_user") == 0
+    # dangling tool tail: the role string ends in one or more 't'
+    g_tool_ok = ~F.col("role_seq").rlike("t+$")
+    out = agg.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        g_len.alias("g_len"),
+        g_starts_u.alias("g_starts_u"),
+        g_ends_a.alias("g_ends_a"),
+        g_alt.alias("g_alt"),
+        g_tool_ok.alias("g_tool_ok"),
+    )
+    keep = (
+        F.col("g_len") & F.col("g_starts_u") & F.col("g_ends_a")
+        & F.col("g_alt") & F.col("g_tool_ok")
+    )
+    return out.withColumn("keep", keep)
+
+
+def burst_detect(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    factor_num: int = 2,
+    factor_den: int = 1,
+) -> DataFrame:
+    """Windowed rate-anomaly (burst) detection — the classic streaming-CEP
+    alert: a (type, tumbling-window) cell bursts when its event count
+    exceeds factor (default 2x) times that type's per-window average.
+
+    Integer-exact: the comparison is cross-multiplied
+    ``n_events · n_windows · factor_den > factor_num · total_events`` — no
+    float average to diverge between engines. The per-type average is over
+    the windows WHERE THE TYPE APPEARS (count of its occupied windows), a
+    deterministic denominator both engines compute identically.
+
+    Scale shape: one groupBy(window, type) with map-side combine (the
+    north-star tumbling-agg stage), one tiny per-type roll-up broadcast
+    back. Streaming twin: the same agg under withWatermark (the
+    window_quality_stage topology).
+
+    Returns (type_col, win_start, n_events, burst).
+    """
+    cells = df.groupBy(F.window(ts_col, window).alias("__w"), type_col).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    tot = cells.groupBy(type_col).agg(
+        F.sum("n_events").alias("__tot"), F.count(F.lit(1)).alias("__nw")
+    )
+    return (
+        cells.join(F.broadcast(tot), type_col)
+        .select(
+            type_col,
+            F.col("__w.start").alias("win_start"),
+            F.col("n_events").cast("long").alias("n_events"),
+            (
+                F.col("n_events") * F.col("__nw") * F.lit(factor_den)
+                > F.lit(factor_num) * F.col("__tot")
+            ).alias("burst"),
+        )
+    )

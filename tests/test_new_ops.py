@@ -1021,3 +1021,47 @@ def test_snapshot_diff_statuses(spark):
         [(2, "b"), (3, "c2"), (4, "d")], ["doc_id", "text"])
     got = {r["doc_id"]: r["status"] for r in quality.snapshot_diff(old, new).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_conversation_gate(spark):
+    from dataflow_spark.ops import windows as W
+
+    def conv(cid, roles):
+        return [(cid, i, r) for i, r in enumerate(roles)]
+
+    rows = (
+        conv("ok", ["user", "assistant", "user", "assistant"])        # all gates pass
+        + conv("short", ["user", "assistant"])                        # g_len fails
+        + conv("stall", ["user", "user", "user", "assistant"])        # g_alt fails (uuu)
+        + conv("tail", ["user", "assistant", "user", "tool"])         # dangling tool
+        + conv("amid", ["assistant", "user", "tool", "assistant"])    # g_starts_u fails
+    )
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role"])
+    got = {r["conv_id"]: r.asDict() for r in W.conversation_gate(df).collect()}
+    assert got["ok"]["keep"]
+    assert not got["short"]["g_len"] and not got["short"]["keep"]
+    assert not got["stall"]["g_alt"]
+    assert not got["tail"]["g_tool_ok"]
+    assert not got["amid"]["g_starts_u"]
+    # tool mid-conversation is fine
+    assert got["amid"]["g_tool_ok"]
+
+
+def test_burst_detect_integer_rule(spark):
+    import datetime as dt
+    from dataflow_spark.ops import windows as W
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # type A: windows with counts 1,1,4 -> avg 2, burst iff n*3 > 2*6 ie n>4 -> none... pick 1,1,7: 7*3=21 > 2*9=18 -> burst
+    for h, n in [(0, 1), (1, 1), (2, 7)]:
+        rows += [("A", base + dt.timedelta(hours=h, minutes=m)) for m in range(n)]
+    # type B: uniform 2,2 -> never bursts
+    for h, n in [(0, 2), (1, 2)]:
+        rows += [("B", base + dt.timedelta(hours=h, minutes=m)) for m in range(n)]
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = {(r["event_type"], r["win_start"].hour): r["burst"]
+           for r in W.burst_detect(df).collect()}
+    assert got[("A", 2)] is True
+    assert got[("A", 0)] is False and got[("A", 1)] is False
+    assert all(not got[("B", h)] for h in (0, 1))
