@@ -89,6 +89,9 @@ HEADLINE = [
     "semantic_decontam",
     "conv_gate",
     "burst_detect",
+    "latency_stats",
+    "tool_json",
+    "secret_scan",
 ]
 
 

@@ -217,3 +217,39 @@ def funccall_pipeline(
     out = paraseq_task_generate(out, backend=backend)
     out = composition_task_filter(out, backend=backend)
     return function_generate(out, backend=backend)
+
+
+def validate_tool_args(
+    df: DataFrame,
+    col: str = "props",
+    field: str = "k",
+    dtype: str = "bigint",
+) -> DataFrame:
+    """Tool-call argument conformance check — the schema gate an agent-
+    transcript pipeline runs over every tool turn's JSON payload before the
+    call is considered trainable (the reference validates generated function
+    calls the same way: composition_task_filter's `<ans>yes/no</ans>` gate at
+    funccall/filter_composition_task.py and JSON-shaped generate stages
+    across text2sql/agenticrag parse model output with strict schemas).
+
+    Three labels, all JVM-side (VARIANT `try_parse_json` inside codegen — no
+    Python). NOTE `from_json` is deliberately NOT used: its PERMISSIVE mode
+    salvages partial results from truncated JSON (SPARK-25243), so a garbled
+    payload would pass; `try_parse_json` is strict RFC-8259 — NULL on any
+    malformed document, matching `json_valid` in ANSI engines.
+
+      valid_json — payload parses as a strict JSON document (truncated /
+                   garbled / NULL payloads fail)
+      has_arg    — the required arg `field` is present and non-null
+      arg_val    — the extracted value, typed `dtype` (NULL when absent)
+
+    Scale shape: pure map stage — no shuffle, no UDF; at 10^12 turns this is
+    whole-stage-codegen over the scan.
+    """
+    v = F.try_parse_json(F.col(col))
+    val = F.try_variant_get(v, f"$.{field}", dtype)
+    return (
+        df.withColumn("valid_json", v.isNotNull())
+        .withColumn("has_arg", val.isNotNull())
+        .withColumn("arg_val", val)
+    )

@@ -115,3 +115,51 @@ def perspective_filter(
     (perspective_filter.py:52 `(scores >= min) & (scores <= max)`)."""
     scored = toxicity_score(df, col, lexicon, out)
     return scored.filter((F.col(out) >= min_score) & (F.col(out) <= max_score))
+
+
+# credential/secret recognizers (public provider token formats); RE2-safe so
+# Spark (Java regex) and any RE2 engine count the same matches. Order matters
+# for redaction: more-specific token shapes first so the generic Bearer rule
+# never eats a provider prefix.
+SECRET_RECOGNIZERS: dict[str, str] = {
+    "aws_key": "AKIA[0-9A-Z]{16}",
+    "github_token": "ghp_[A-Za-z0-9]{36}",
+    "slack_token": "xox[baprs]-[A-Za-z0-9-]{10,48}",
+    "private_key": "-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----",
+    "bearer_token": "Bearer [A-Za-z0-9._\\-]{20,}",
+}
+
+
+def scan_secrets(
+    df: DataFrame, col: str = "text", recognizers: dict[str, str] | None = None
+) -> DataFrame:
+    """Credential/secret scanning + redaction — the security sibling of the
+    PII battery (pii_entity_counts / anonymize_pii): training corpora scraped
+    from code hosts and chat logs leak live API keys, and every published
+    curation pipeline strips them before release. Recognizer battery covers
+    the public provider token formats (AWS access-key id, GitHub PAT, Slack
+    token, PEM private-key header, generic Bearer).
+
+    Adds, per recognizer NAME: `c_NAME` (match count on the RAW text, the
+    PII-battery convention), plus `n_secrets` (total), `has_secret`, and
+    `redacted` — the text with each match rewritten to `[SECRET:NAME]` in
+    recognizer order.
+
+    Pure JVM column expressions (regexp_count / regexp_replace inside
+    codegen): no Python, no shuffle — a map stage at any scale. NULL text
+    yields 0 counts / NULL redacted.
+    """
+    recs = SECRET_RECOGNIZERS if recognizers is None else recognizers
+    c = F.col(col)
+    red = c
+    n = F.lit(0)
+    for name, pat in recs.items():
+        cnt = F.coalesce(F.regexp_count(c, F.lit(pat)), F.lit(0)).cast("int")
+        df = df.withColumn(f"c_{name}", cnt)
+        n = n + F.col(f"c_{name}")
+        red = F.regexp_replace(red, pat, f"[SECRET:{name}]")
+    return (
+        df.withColumn("n_secrets", n.cast("int"))
+        .withColumn("has_secret", F.col("n_secrets") > 0)
+        .withColumn("redacted", red)
+    )

@@ -261,3 +261,47 @@ def burst_detect(
             ).alias("burst"),
         )
     )
+
+
+def response_latency(df: DataFrame, agg: bool = True) -> DataFrame:
+    """Assistant response-latency profiling over agent transcripts — for
+    every assistant turn whose immediate predecessor (by turn_idx within the
+    conversation) is a user turn, the latency is the microsecond gap between
+    the two timestamps; per-conversation roll-up gives the latency profile a
+    serving-quality dashboard reads (n responses, total/min/max).
+
+    Integer-exact by construction: the gap is timestamp_diff(MICROSECOND)
+    (bigint — timestamps are stored at microsecond resolution, so there is
+    no truncation at all), matching epoch_us subtraction in ANSI engines.
+    unix_millis/unix_micros are deliberately avoided: they reject
+    TIMESTAMP_NTZ, the type parquet event-time columns load as.
+
+    Scale shape: one lag window on (conv_id ORDER BY turn_idx) — the same
+    shuffle key as session reassembly, so under a co-partitioned pipeline the
+    exchange is reused — then a hash aggregate on conv_id with map-side
+    combine. No join, no Python.
+
+    Returns per-conversation (conv_id, n_responses, sum_latency_us,
+    min_latency_us, max_latency_us) when agg=True, else the per-pair rows
+    (conv_id, turn_idx, latency_us).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        df.withColumn("__prev_role", F.lag("role").over(w))
+        .withColumn("__prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "__lat", F.timestamp_diff("MICROSECOND", F.col("__prev_ts"), F.col("ts"))
+        )
+        .filter((F.col("role") == "assistant") & (F.col("__prev_role") == "user"))
+        .select("conv_id", "turn_idx", F.col("__lat").alias("latency_us"))
+    )
+    if not agg:
+        return pairs
+    return pairs.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_responses"),
+        F.sum("latency_us").alias("sum_latency_us"),
+        F.min("latency_us").alias("min_latency_us"),
+        F.max("latency_us").alias("max_latency_us"),
+    )
