@@ -497,6 +497,29 @@ def q_secret_scan(spark, sf):
     )
 
 
+def q_strat_sample(spark, sf):
+    """Exact per-stratum quota sampling (battery member): at most `quota`
+    rows per source domain, chosen as the quota smallest md5(doc_id) —
+    bounded absolute sample size at ANY corpus scale; the raw-rank filter
+    keeps Catalyst's WindowGroupLimit so executors hold only O(quota) rows
+    per stratum (ops/sampling.py stratified_quota_sample)."""
+    from dataflow_spark.ops import sampling
+
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    return sampling.stratified_quota_sample(d, "source", "doc_id", quota=20)
+
+
+def q_turn_repeat(spark, sf):
+    """Assistant self-repetition across turns (battery member): distinct-
+    token Jaccard (integer basis points, `div`) between each assistant turn
+    and the previous assistant turn in the conversation — the looping-agent
+    detector (ops/conversations.py assistant_self_repeat)."""
+    from dataflow_spark.ops import conversations
+
+    t = build_transcripts(spark, sf)
+    return conversations.assistant_self_repeat(t)
+
+
 def q_semantic_decontam(spark, sf):
     """Embedding-level benchmark decontamination (battery member): flag
     training vectors with rounded-6dp cosine >= 0.9 to ANY eval item —
@@ -1613,7 +1636,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 34 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 36 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1642,7 +1665,9 @@ def q_score_battery(spark, sf):
     gates), burst_detect (windowed rate-anomaly CEP alert), latency_stats
     (assistant response-latency profiling, integer epoch-us), tool_json
     (strict tool-call JSON arg conformance), secret_scan (credential
-    recognizer battery + redaction)."""
+    recognizer battery + redaction), strat_sample (exact per-stratum quota
+    sample, WindowGroupLimit-bounded), turn_repeat (consecutive assistant-
+    turn Jaccard — the looping-agent detector)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1745,6 +1770,12 @@ def q_score_battery(spark, sf):
                       ["c_aws_key", "c_github_token", "c_slack_token",
                        "c_private_key", "c_bearer_token", "has_secret", "redacted"],
                       s1=F.col("n_secrets")),
+        _battery_pack(q_strat_sample(spark, sf), "strat_sample",
+                      _kcat("doc_id"), ["source"],
+                      s1=F.col("sample_rank")),
+        _battery_pack(q_turn_repeat(spark, sf), "turn_repeat",
+                      _kcat("conv_id", "turn_idx"),
+                      ["n_common", "n_union", "jaccard_bp", "is_repeat"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -4222,6 +4253,50 @@ def oracle_sql() -> dict[str, str]:
         FROM cnt
     """
 
+    # strat_sample: exact per-stratum quota sample (ops/sampling.py
+    # stratified_quota_sample) — quota smallest md5(doc_id) per source.
+    o["strat_sample"] = """
+        SELECT doc_id, source, CAST(rk AS INT) AS sample_rank
+        FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents) __r
+        WHERE rk <= 20
+    """
+
+    # turn_repeat: consecutive assistant-turn distinct-token Jaccard
+    # (ops/conversations.py assistant_self_repeat) — integer basis points.
+    o["turn_repeat"] = with_transcripts(
+        """
+        , a AS (
+          SELECT conv_id, turn_idx,
+                 list_distinct(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS t
+          FROM transcripts WHERE role = 'assistant'
+        ),
+        lagd AS (
+          SELECT conv_id, turn_idx, t,
+                 lag(t) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS p
+          FROM a
+        ),
+        m AS (
+          SELECT conv_id, turn_idx,
+                 len(list_intersect(t, p)) AS i,
+                 len(t) + len(p) - len(list_intersect(t, p)) AS u
+          FROM lagd WHERE p IS NOT NULL
+        )
+        SELECT conv_id, turn_idx,
+               CAST(i AS INT) AS n_common, CAST(u AS INT) AS n_union,
+               CAST(CASE WHEN u > 0 THEN (i * 10000) // u END AS INT)
+                 AS jaccard_bp,
+               CASE WHEN u > 0 THEN ((i * 10000) // u) >= 8000 END AS is_repeat
+        FROM m
+        """
+    )
+
     # source_overlap: cross-domain duplicate-overlap matrix (ops/quality.py
     # source_overlap_matrix) over 5 deterministic conversation groups. The
     # oracle joins raw texts where the engine joins xxhash64 (2^-64 trade);
@@ -4428,6 +4503,11 @@ def oracle_sql() -> dict[str, str]:
                   ["c_aws_key", "c_github_token", "c_slack_token",
                    "c_private_key", "c_bearer_token", "has_secret", "redacted"],
                   s1="n_secrets"),
+        _pack_sql("strat_sample", o["strat_sample"], _kcat_sql("doc_id"),
+                  ["source"], s1="sample_rank"),
+        _pack_sql("turn_repeat", o["turn_repeat"],
+                  _kcat_sql("conv_id", "turn_idx"),
+                  ["n_common", "n_union", "jaccard_bp", "is_repeat"]),
     ])
 
     _dim_sql = ", ".join(
@@ -4453,7 +4533,8 @@ def oracle_sql() -> dict[str, str]:
         "cep_pattern", "para_dedup", "unigram_entropy", "softdedup",
         "url_dedup", "source_overlap", "chat_render", "keep_best",
         "snapshot_diff", "semantic_decontam", "conv_gate", "burst_detect",
-        "latency_stats", "tool_json", "secret_scan",
+        "latency_stats", "tool_json", "secret_scan", "strat_sample",
+        "turn_repeat",
     ):
         del o[_member]
 

@@ -92,6 +92,8 @@ HEADLINE = [
     "latency_stats",
     "tool_json",
     "secret_scan",
+    "strat_sample",
+    "turn_repeat",
 ]
 
 

@@ -247,3 +247,56 @@ def multiturn_conversations(
         F.col("__rounds").cast("long").alias("n_rounds"),
         rendered.alias("convo_rendered"),
     )
+
+
+def assistant_self_repeat(df: DataFrame, threshold_bp: int = 8000) -> DataFrame:
+    """Assistant self-repetition across turns — flags assistant turns whose
+    distinct-token Jaccard overlap with the PREVIOUS assistant turn in the
+    same conversation reaches threshold_bp basis points. Looping/stuck
+    agents produce near-identical consecutive responses; transcript
+    curation drops or truncates those conversations (the cross-turn sibling
+    of the within-document Gopher repetition signals).
+
+    Integer-exact: jaccard_bp = (|a∩b| * 10000) div |a∪b| with
+    |a∪b| = |a| + |b| - |a∩b| — integer division, no float ratio to
+    diverge between engines; NULL when both token sets are empty or there
+    is no previous assistant turn.
+
+    Scale shape: filter to assistant turns (map), one lag window on
+    (conv_id ORDER BY turn_idx) — the session-reassembly key again — with
+    all set arithmetic as JVM array expressions on distinct token arrays.
+    No join, no Python, no explode.
+
+    Returns (conv_id, turn_idx, n_common, n_union, jaccard_bp, is_repeat).
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.array_distinct(
+        F.array_remove(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), "")
+    )
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    d = (
+        df.filter(F.col("role") == "assistant")
+        .withColumn("__t", toks)
+        .withColumn("__p", F.lag("__t").over(w))
+    )
+    inter = F.size(F.array_intersect(F.col("__t"), F.col("__p")))
+    union = F.size(F.col("__t")) + F.size(F.col("__p")) - inter
+    d = (
+        d.withColumn("__i", inter)
+        .withColumn("__u", union)
+        .filter(F.col("__p").isNotNull())
+    )
+    # integer floor division (`div`) — no float ratio on either engine
+    d = d.withColumn(
+        "jaccard_bp",
+        F.when(F.col("__u") > 0, F.expr("(__i * 10000) div __u")),
+    )
+    return d.select(
+        "conv_id",
+        "turn_idx",
+        F.col("__i").cast("int").alias("n_common"),
+        F.col("__u").cast("int").alias("n_union"),
+        F.col("jaccard_bp").cast("int").alias("jaccard_bp"),
+        (F.col("jaccard_bp") >= threshold_bp).alias("is_repeat"),
+    )

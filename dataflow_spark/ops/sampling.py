@@ -507,3 +507,36 @@ def softdedup_commonness(
             F.col("commonness_q") > thr * F.col("n_shingles"), F.lit(False)
         ).alias("is_common"),
     )
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    quota: int = 100,
+) -> DataFrame:
+    """Exact per-stratum quota sample — every stratum contributes AT MOST
+    `quota` rows, chosen deterministically as the quota smallest
+    md5(id) values (a seedless uniform draw both engines reproduce
+    bit-for-bit). This is the bounded-absolute-size companion to
+    domain_mixture_sample: a mixture sample keeps proportions, a quota
+    sample caps cost — eval-set carving and per-domain audits want the cap.
+
+    Scale shape: ONE shuffle on strata_col; the predicate on the raw
+    row_number (filtered BEFORE any cast/arithmetic) lets Catalyst infer
+    WindowGroupLimit, so each map task keeps only its local top-`quota`
+    heap per stratum before the exchange — executor memory is O(strata x
+    quota) regardless of corpus size, never a full per-stratum sort. At
+    10^12 rows with a 10-domain corpus that is a ~1000-row shuffle.
+
+    Returns the sampled rows plus `sample_rank` (1-based within stratum).
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(key, id_col)
+    rk = F.row_number().over(w)
+    return (
+        df.withColumn("__rk", rk)
+        .filter(F.col("__rk") <= quota)
+        .withColumn("sample_rank", F.col("__rk").cast("int"))
+        .drop("__rk")
+    )

@@ -1135,3 +1135,43 @@ def test_scan_secrets(spark):
     assert got[5]["n_secrets"] == 0 and not got[5]["has_secret"]
     assert got[5]["redacted"] == "perfectly clean prose"
     assert got[6]["n_secrets"] == 0 and got[6]["redacted"] is None
+
+
+def test_stratified_quota_sample(spark):
+    from dataflow_spark.ops import sampling as SA
+
+    rows = [(i, "big" if i < 97 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = SA.stratified_quota_sample(df, "source", "doc_id", quota=5).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["big"]) == 5          # capped at quota
+    assert len(by_src["small"]) == 3        # under quota: all kept
+    assert sorted(r["sample_rank"] for r in by_src["big"]) == [1, 2, 3, 4, 5]
+    # deterministic: re-running picks the identical rows
+    out2 = SA.stratified_quota_sample(df, "source", "doc_id", quota=5).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(r["doc_id"] for r in out2)
+    # plan keeps a group-limit before the exchange (bounded executor memory)
+    plan = SA.stratified_quota_sample(df, "source", "doc_id", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_assistant_self_repeat(spark):
+    from dataflow_spark.ops import conversations as C
+
+    rows = [
+        ("c1", 0, "user", "hi there"),
+        ("c1", 1, "assistant", "the quick brown fox"),
+        ("c1", 2, "user", "again please"),
+        ("c1", 3, "assistant", "the quick brown fox"),     # exact repeat -> 10000
+        ("c1", 4, "user", "something else"),
+        ("c1", 5, "assistant", "entirely different words"),  # no overlap -> 0
+        ("c2", 0, "assistant", "solo turn"),               # no predecessor: dropped
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    got = {(r["conv_id"], r["turn_idx"]): r.asDict()
+           for r in C.assistant_self_repeat(df).collect()}
+    assert got[("c1", 3)]["jaccard_bp"] == 10000 and got[("c1", 3)]["is_repeat"]
+    assert got[("c1", 5)]["jaccard_bp"] == 0 and not got[("c1", 5)]["is_repeat"]
+    assert ("c2", 0) not in got and ("c1", 1) not in got
