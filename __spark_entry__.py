@@ -557,6 +557,17 @@ def q_sb_lm(spark, sf):
     return quality.stupid_backoff_logprob(d, "doc_id", "text")
 
 
+def q_ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail corpus-LM bucketing (battery member; Wenzek
+    et al. 2020 §3.2): per-group equal-mass terciles of the integer
+    per-token stupid-backoff NLL, thresholds from a (group, bin) histogram
+    — never a corpus-sized window (ops/quality.py ccnet_ppl_buckets).
+    Group key here is the document source domain; at production scale it
+    is the lang_id_v2 column, matching CCNet's per-language split."""
+    d = load_table(spark, sf, "documents")
+    return quality.ccnet_ppl_buckets(d, "source", "doc_id", "text")
+
+
 def q_data_card(spark, sf):
     """Per-domain corpus data card (battery member): doc counts, token
     totals, exact-dup counts, nearest-rank p50/p95 token lengths per source
@@ -1636,7 +1647,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 36 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 37 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1667,7 +1678,8 @@ def q_score_battery(spark, sf):
     (strict tool-call JSON arg conformance), secret_scan (credential
     recognizer battery + redaction), strat_sample (exact per-stratum quota
     sample, WindowGroupLimit-bounded), turn_repeat (consecutive assistant-
-    turn Jaccard — the looping-agent detector)."""
+    turn Jaccard — the looping-agent detector), ccnet_buckets (CCNet
+    head/middle/tail per-group corpus-LM terciles, histogram thresholds)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1776,6 +1788,9 @@ def q_score_battery(spark, sf):
         _battery_pack(q_turn_repeat(spark, sf), "turn_repeat",
                       _kcat("conv_id", "turn_idx"),
                       ["n_common", "n_union", "jaccard_bp", "is_repeat"]),
+        _battery_pack(q_ccnet_buckets(spark, sf), "ccnet_buckets",
+                      _kcat("doc_id"), ["source", "bucket"],
+                      s1=F.col("avg_nll_q"), s2=F.col("n_scored")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3892,6 +3907,41 @@ def oracle_sql() -> dict[str, str]:
         FROM sc GROUP BY doc_id
     """
 
+    # ccnet_buckets: CCNet head/middle/tail per-group LM terciles
+    # (ops/quality.py ccnet_ppl_buckets). Reuses the sb_lm oracle as a
+    # nested CTE; avg_nll_q is positive so DuckDB // and Spark div agree;
+    # tercile ranks are integer basis arithmetic ((n+2)//3) over the
+    # (group, bin) histogram with the identical 2^12 bin width.
+    o["ccnet_buckets"] = f"""
+        WITH scores AS ({o['sb_lm']}),
+        grp AS (
+          SELECT s.doc_id, d.source, s.n_scored,
+                 (-s.sb_logprob_q) // s.n_scored AS avg_nll_q
+          FROM scores s JOIN documents d USING (doc_id)
+        ),
+        b AS (SELECT *, avg_nll_q // {quality.CCNET_BIN} AS bin FROM grp),
+        hist AS (SELECT source, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        cum AS (
+          SELECT source, bin,
+                 sum(c) OVER (PARTITION BY source ORDER BY bin) AS cm,
+                 sum(c) OVER (PARTITION BY source) AS n
+          FROM hist
+        ),
+        th AS (
+          SELECT source,
+                 min(CASE WHEN cm >= (n + 2) // 3 THEN bin END) AS t_head,
+                 min(CASE WHEN cm >= (2 * n + 2) // 3 THEN bin END) AS t_mid
+          FROM cum GROUP BY source
+        )
+        SELECT b.doc_id, b.source,
+               CAST(b.n_scored AS BIGINT) AS n_scored,
+               CAST(b.avg_nll_q AS BIGINT) AS avg_nll_q,
+               CASE WHEN b.bin <= t.t_head THEN 'head'
+                    WHEN b.bin <= t.t_mid THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM b JOIN th t USING (source)
+    """
+
     # cep_pattern: MATCH_RECOGNIZE-style role-sequence CEP (ops/windows.py
     # detect_role_patterns). Patterns stay in the character-class+quantifier
     # subset where Java regex and RE2 agree on leftmost non-overlapping
@@ -4508,6 +4558,8 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("turn_repeat", o["turn_repeat"],
                   _kcat_sql("conv_id", "turn_idx"),
                   ["n_common", "n_union", "jaccard_bp", "is_repeat"]),
+        _pack_sql("ccnet_buckets", o["ccnet_buckets"], _kcat_sql("doc_id"),
+                  ["source", "bucket"], s1="avg_nll_q", s2="n_scored"),
     ])
 
     _dim_sql = ", ".join(
@@ -4534,7 +4586,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup", "source_overlap", "chat_render", "keep_best",
         "snapshot_diff", "semantic_decontam", "conv_gate", "burst_detect",
         "latency_stats", "tool_json", "secret_scan", "strat_sample",
-        "turn_repeat",
+        "turn_repeat", "ccnet_buckets",
     ):
         del o[_member]
 

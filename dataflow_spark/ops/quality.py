@@ -1078,6 +1078,86 @@ def source_overlap_matrix(
     )
 
 
+CCNET_BIN = 1 << 12  # histogram bin width on the 2^-20 per-token NLL grid
+
+
+def ccnet_ppl_buckets(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet head/middle/tail corpus-LM bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data" §3.2): score every document with a corpus-trained LM, then split
+    each group into three equal-mass buckets by per-token perplexity —
+    *head* (most corpus-like), *middle*, *tail*. CCNet groups per language
+    and trains KenLM; here the LM is the distributed trigram stupid-backoff
+    model (``stupid_backoff_logprob``, the same signal) and the group key
+    is a column — ``lang_id_v2`` output at production scale, any domain
+    column at test scale. The reference applies the same corpus-LM signal
+    via its PerplexitySampleEvaluator + score-band filters
+    (text_pt/eval/perplexity_sample_evaluator.py:10).
+
+    The bucketing statistic is the integer per-token mean NLL
+    ``avg_nll_q = (-sb_logprob_q) div n_scored`` (positive; truncating and
+    flooring agree on positives, so Spark ``div`` and DuckDB ``//`` are
+    exact twins). Tercile thresholds are computed from a HISTOGRAM of
+    ``avg_nll_q div CCNET_BIN`` — the standard histogram-percentile
+    practice: the count table is one row per (group, bin) with a few
+    thousand bins regardless of corpus size, so the cumulative window per
+    group never sees corpus-sized input (the ``percentile_outlier_trim``
+    scale shape; a window over raw avg_nll_q would be a per-group global
+    sort since the 2^-20-grid mean is almost unique per doc). Bucket
+    boundaries are therefore bin-granular — exactly reproducible, applied
+    identically by the oracle. Rank thresholds are integer basis
+    arithmetic: ceil(n/3) = (n+2) div 3, ceil(2n/3) = (2n+2) div 3 (float
+    ceil is engine-divergent — the outlier_trim lesson).
+
+    Docs with fewer than 3 tokens have no trigram positions, hence no LM
+    score and no row (CCNet likewise buckets only scored paragraphs).
+
+    Scale shape: the LM tables are vocabulary-keyed (see
+    stupid_backoff_logprob); on top of them this adds one groupBy(group,
+    bin) partial agg, a per-group cumulative scan over the tiny histogram,
+    and a broadcast of the (group, t_head, t_mid) threshold table back
+    onto a narrow projection. No global sort, no corpus-sized window.
+
+    Returns (id_col, group_col, n_scored, avg_nll_q, bucket).
+    """
+    scores = stupid_backoff_logprob(df, id_col, text_col)
+    scored = scores.join(df.select(id_col, group_col), id_col, "inner").withColumn(
+        "avg_nll_q", F.expr("(-sb_logprob_q) div n_scored")
+    ).withColumn("__bin", F.expr(f"avg_nll_q div {CCNET_BIN}"))
+    hist = scored.groupBy(group_col, "__bin").agg(F.count(F.lit(1)).alias("__c"))
+    wcum = Window.partitionBy(group_col).orderBy("__bin")
+    wall = Window.partitionBy(group_col)
+    cum = hist.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
+        "__n", F.sum("__c").over(wall)
+    )
+    th = cum.groupBy(group_col).agg(
+        F.min(
+            F.when(F.expr("__cum >= (__n + 2) div 3"), F.col("__bin"))
+        ).alias("__t_head"),
+        F.min(
+            F.when(F.expr("__cum >= (2 * __n + 2) div 3"), F.col("__bin"))
+        ).alias("__t_mid"),
+    )
+    return (
+        scored.join(F.broadcast(th), group_col)
+        .select(
+            id_col,
+            group_col,
+            F.col("n_scored").cast("long").alias("n_scored"),
+            F.col("avg_nll_q").cast("long").alias("avg_nll_q"),
+            F.when(F.col("__bin") <= F.col("__t_head"), F.lit("head"))
+            .when(F.col("__bin") <= F.col("__t_mid"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -865,6 +865,49 @@ def test_stupid_backoff_matches_python_twin(spark):
     assert got[0][1] < 0
 
 
+def test_ccnet_ppl_buckets_matches_python_twin(spark):
+    from dataflow_spark.ops import quality as Q
+
+    # two groups; repeated phrasing makes g-A docs corpus-like (low NLL)
+    # and the odd ones out corpus-unlike (high NLL)
+    rows = [
+        (0, "A", "the cat sat on the mat"),
+        (1, "A", "the cat sat on the hat"),
+        (2, "A", "the cat sat on the rug"),
+        (3, "A", "zq wv xj kp lm qq rr"),
+        (4, "A", "the cat sat on the mat"),
+        (5, "A", "aa bb cc dd ee ff gg"),
+        (6, "B", "a dog ran over the hill"),
+        (7, "B", "a dog ran over the hill"),
+        (8, "B", "uu vv ww xx yy zz"),
+        (9, "A", "xy"),  # <3 tokens -> unscored, no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    got = {r["doc_id"]: (r["source"], r["bucket"], r["avg_nll_q"])
+           for r in Q.ccnet_ppl_buckets(df, "source").collect()}
+    assert 9 not in got and len(got) == 9
+
+    # python twin of the histogram-tercile rule over the (already
+    # value-checked) avg_nll_q statistic
+    avg = {r["doc_id"]: -r["sb_logprob_q"] // r["n_scored"]
+           for r in Q.stupid_backoff_logprob(df).collect()}
+    assert all(got[i][2] == avg[i] for i in avg)
+    groups = {i: s for i, s, _ in rows if i in avg}
+    for g in {"A", "B"}:
+        bins = sorted(avg[i] // Q.CCNET_BIN for i in avg if groups[i] == g)
+        n = len(bins)
+        t_head = bins[(n + 2) // 3 - 1]
+        t_mid = bins[(2 * n + 2) // 3 - 1]
+        for i in avg:
+            if groups[i] != g:
+                continue
+            b = avg[i] // Q.CCNET_BIN
+            exp = "head" if b <= t_head else ("middle" if b <= t_mid else "tail")
+            assert got[i] == (g, exp, avg[i])
+    # both extremes exercised
+    assert {v[1] for v in got.values()} == {"head", "middle", "tail"}
+
+
 def test_detect_role_patterns(spark):
     # hand-built conversation with known matches; rows given OUT of turn
     # order to exercise the array_sort ordering restore
