@@ -568,6 +568,97 @@ def q_ccnet_buckets(spark, sf):
     return quality.ccnet_ppl_buckets(d, "source", "doc_id", "text")
 
 
+def q_script_mix(spark, sf):
+    """Unicode-script composition + homoglyph-mixing flags (battery
+    member): per-doc char counts over literal BMP codepoint-range classes,
+    dominant script, Latin+Cyrillic confusable flag (ops/quality.py
+    script_profile). The ASCII fixture is decorated deterministically
+    (Cyrillic / CJK / Greek suffixes keyed on doc_id mod) so every script
+    class and both flags are exercised; the oracle applies the identical
+    decoration."""
+    d = load_table(spark, sf, "documents")
+    deco = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" привет мир"))
+        .when(F.col("doc_id") % 7 == 0, F.lit(" 中文 文本"))
+        .when(F.col("doc_id") % 11 == 0, F.lit(" καλημέρα κόσμε"))
+        .otherwise(F.lit("")),
+    )
+    return quality.script_profile(d.withColumn("text", deco), "doc_id", "text")
+
+
+def q_vocab_growth(spark, sf):
+    """Per-source vocabulary panel (battery member): token/type/hapax
+    counts, TTR and hapax share in integer basis points — the Heaps'-law
+    "how much tail is left" data-card companion (ops/quality.py
+    vocab_growth)."""
+    d = load_table(spark, sf, "documents")
+    return quality.vocab_growth(d, "source", "text")
+
+
+def q_trunc_loss(spark, sf):
+    """Context-length truncation audit (battery member): per (source,
+    limit) docs over the limit and token mass a hard truncation discards —
+    the measurement that picks max_seq_len before sequence_pack
+    (ops/quality.py truncation_loss)."""
+    d = load_table(spark, sf, "documents")
+    return quality.truncation_loss(d, "source", "text", (128, 512, 2048))
+
+
+def q_edit_verify(spark, sf):
+    """Prefix-blocked Levenshtein near-dup pairs (battery member): the
+    record-linkage blocking+verify topology with JVM-side levenshtein on
+    ASCII-normalized text (ops/dedup.py editdist_verify_pairs). Planted
+    regime: every 17th doc gets a last-char-dropped twin (lev=1), so
+    verified pairs provably include the planted ones; both engines'
+    levenshtein agree bit-for-bit on the printable-ASCII projection."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    twins = d.filter((F.col("doc_id") % 17 == 0) & (F.length("text") > 20)).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.substring(F.col("text"), 1, F.length("text") - 1).alias("text"),
+    )
+    return dedup.editdist_verify_pairs(
+        d.unionByName(twins), "doc_id", "text", threshold_bp=8000
+    )
+
+
+def q_cdc_upsert(spark, sf):
+    """CDC merge snapshot (battery member): latest-version-wins upsert +
+    delete application onto the documents base — the batch twin of the
+    exactly-once Iceberg MERGE sink, tie rules delete>upsert and
+    change>base at equal version (ops/quality.py cdc_upsert). Changes are
+    derived deterministically: every 7th doc re-texted at version 2, every
+    11th deleted at version 2, every 13th re-texted at the SAME version 1
+    (exercising the change-beats-base tie)."""
+    d = load_table(spark, sf, "documents")
+    base = d.withColumn("version", F.lit(1).cast("long"))
+    up2 = base.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 40)).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+        F.lit(2).cast("long").alias("version"),
+        F.lit("upsert").alias("op"),
+    )
+    del2 = base.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        F.lit(2).cast("long").alias("version"),
+        F.lit("delete").alias("op"),
+    )
+    up1 = base.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id",
+        F.concat(F.lit("v1 "), F.col("source")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+        F.lit(1).cast("long").alias("version"),
+        F.lit("upsert").alias("op"),
+    )
+    changes = up2.unionByName(del2).unionByName(up1)
+    return quality.cdc_upsert(base, changes, "doc_id", "version", "op")
+
+
 def q_data_card(spark, sf):
     """Per-domain corpus data card (battery member): doc counts, token
     totals, exact-dup counts, nearest-rank p50/p95 token lengths per source
@@ -1647,7 +1738,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 37 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 42 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1679,7 +1770,13 @@ def q_score_battery(spark, sf):
     recognizer battery + redaction), strat_sample (exact per-stratum quota
     sample, WindowGroupLimit-bounded), turn_repeat (consecutive assistant-
     turn Jaccard — the looping-agent detector), ccnet_buckets (CCNet
-    head/middle/tail per-group corpus-LM terciles, histogram thresholds)."""
+    head/middle/tail per-group corpus-LM terciles, histogram thresholds),
+    script_mix (Unicode-script composition + homoglyph confusable flags),
+    vocab_growth (per-source type/token/hapax vocabulary panel),
+    trunc_loss (context-length truncation audit), edit_verify
+    (prefix-blocked Levenshtein near-dup pairs), cdc_upsert
+    (latest-version-wins CDC merge — the Iceberg MERGE sink's batch
+    twin)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1791,6 +1888,24 @@ def q_score_battery(spark, sf):
         _battery_pack(q_ccnet_buckets(spark, sf), "ccnet_buckets",
                       _kcat("doc_id"), ["source", "bucket"],
                       s1=F.col("avg_nll_q"), s2=F.col("n_scored")),
+        _battery_pack(q_script_mix(spark, sf), "script_mix",
+                      _kcat("doc_id"),
+                      ["n_chars", "c_latin", "c_cyrillic", "c_greek",
+                       "c_arabic", "c_cjk", "c_hangul", "c_kana",
+                       "n_scripts", "dominant", "is_mixed", "is_confusable"]),
+        _battery_pack(q_vocab_growth(spark, sf), "vocab_growth",
+                      _kcat("source"),
+                      ["n_docs", "n_tokens", "n_types", "n_hapax",
+                       "ttr_bp", "hapax_bp"]),
+        _battery_pack(q_trunc_loss(spark, sf), "trunc_loss",
+                      _kcat("source", "limit"),
+                      ["n_docs", "docs_over", "tokens_total", "tokens_lost",
+                       "lost_bp"]),
+        _battery_pack(q_edit_verify(spark, sf), "edit_verify",
+                      _kcat("id_a", "id_b"), ["lev", "maxlen", "sim_bp"]),
+        _battery_pack(q_cdc_upsert(spark, sf), "cdc_upsert",
+                      _kcat("doc_id"),
+                      ["text", "lang", "source", "n_chars", "version"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3942,6 +4057,170 @@ def oracle_sql() -> dict[str, str]:
         FROM b JOIN th t USING (source)
     """
 
+    # script_mix: Unicode-script composition over the decorated fixture
+    # (ops/quality.py script_profile). Literal BMP codepoint ranges mean
+    # the same set in Java regex and RE2; dominant = first class in
+    # priority order hitting the max.
+    _script_counts = ",\n                 ".join(
+        f"length(regexp_replace(text, '[^{rng}]', '', 'g')) AS c_{name}"
+        for name, rng in quality.SCRIPT_CLASSES
+    )
+    _script_cols = ", ".join(f"c_{name}" for name, _ in quality.SCRIPT_CLASSES)
+    _script_dom = " ".join(
+        f"WHEN c_{name} > 0 AND c_{name} = greatest({_script_cols}) THEN '{name}'"
+        for name, _ in quality.SCRIPT_CLASSES
+    )
+    _script_n = " + ".join(
+        f"(CASE WHEN c_{name} > 0 THEN 1 ELSE 0 END)"
+        for name, _ in quality.SCRIPT_CLASSES
+    )
+    o["script_mix"] = f"""
+        WITH deco AS (
+          SELECT doc_id,
+                 coalesce(text, '') ||
+                 CASE WHEN doc_id % 5 = 0 THEN ' привет мир'
+                      WHEN doc_id % 7 = 0 THEN ' 中文 文本'
+                      WHEN doc_id % 11 = 0 THEN ' καλημέρα κόσμε'
+                      ELSE '' END AS text
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                 {_script_counts}
+          FROM deco
+        )
+        SELECT doc_id, n_chars, {_script_cols},
+               CAST({_script_n} AS BIGINT) AS n_scripts,
+               CASE {_script_dom} ELSE 'none' END AS dominant,
+               ({_script_n}) >= 2 AS is_mixed,
+               (c_latin > 0 AND c_cyrillic > 0) AS is_confusable
+        FROM c
+    """
+
+    # vocab_growth: per-source vocabulary panel (ops/quality.py
+    # vocab_growth); integer basis points, same tokenization as sb_lm.
+    o["vocab_growth"] = """
+        WITH tk AS (
+          SELECT source,
+                 list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        vocab AS (
+          SELECT source, u.w AS w, count(*) AS c
+          FROM tk, unnest(t) AS u(w) GROUP BY 1, 2
+        ),
+        stats AS (
+          SELECT source, sum(c) AS n_tokens, count(*) AS n_types,
+                 sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+          FROM vocab GROUP BY 1
+        ),
+        docs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+        SELECT d.source,
+               CAST(d.n_docs AS BIGINT) AS n_docs,
+               CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(s.n_types, 0) AS BIGINT) AS n_types,
+               CAST(coalesce(s.n_hapax, 0) AS BIGINT) AS n_hapax,
+               CAST(CASE WHEN coalesce(s.n_tokens, 0) > 0
+                         THEN (10000 * s.n_types) // s.n_tokens END AS BIGINT) AS ttr_bp,
+               CAST(CASE WHEN coalesce(s.n_types, 0) > 0
+                         THEN (10000 * s.n_hapax) // s.n_types END AS BIGINT) AS hapax_bp
+        FROM docs d LEFT JOIN stats s USING (source)
+    """
+
+    # trunc_loss: truncation audit per (source, limit) (ops/quality.py
+    # truncation_loss).
+    o["trunc_loss"] = """
+        WITH tk AS (
+          SELECT source,
+                 len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+                                 x -> x <> '')) AS n
+          FROM documents
+        ),
+        lim AS (SELECT unnest([128, 512, 2048]) AS lm)
+        SELECT source, CAST(lm AS BIGINT) AS "limit",
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n > lm THEN 1 ELSE 0 END) AS BIGINT) AS docs_over,
+               CAST(sum(n) AS BIGINT) AS tokens_total,
+               CAST(sum(greatest(n - lm, 0)) AS BIGINT) AS tokens_lost,
+               CAST(CASE WHEN sum(n) > 0
+                         THEN (10000 * sum(greatest(n - lm, 0))) // sum(n) END
+                    AS BIGINT) AS lost_bp
+        FROM tk, lim GROUP BY 1, 2
+    """
+
+    # edit_verify: prefix-blocked Levenshtein pairs (ops/dedup.py
+    # editdist_verify_pairs). DuckDB levenshtein is byte-based, Spark's
+    # char-based — identical on the printable-ASCII projection both sides
+    # normalize to. Same planted twins, block key, bucket cap, verify cap.
+    o["edit_verify"] = """
+        WITH src AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 substring(text, 1, length(text) - 1)
+          FROM documents WHERE doc_id % 17 = 0 AND length(text) > 20
+        ),
+        norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                      '[^\\x20-\\x7e]', '', 'g'), '\\s+', ' ', 'g')) AS nt
+          FROM src
+        ),
+        keyed AS (
+          SELECT doc_id, substring(nt, 1, 256) AS t, substring(nt, 1, 12) AS k
+          FROM norm WHERE length(substring(nt, 1, 12)) > 0
+        ),
+        sized AS (
+          SELECT *, count(*) OVER (PARTITION BY k) AS bn FROM keyed
+        ),
+        ok AS (SELECT * FROM sized WHERE bn <= 64),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev,
+                 CAST(greatest(length(a.t), length(b.t)) AS BIGINT) AS maxlen
+          FROM ok a JOIN ok b ON a.k = b.k AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, lev, maxlen,
+               CAST((10000 * (maxlen - lev)) // maxlen AS BIGINT) AS sim_bp
+        FROM pairs
+        WHERE (10000 * (maxlen - lev)) // maxlen >= 8000
+    """
+
+    # cdc_upsert: latest-version-wins merge with deletes (ops/quality.py
+    # cdc_upsert); same derived change stream and tie rules.
+    o["cdc_upsert"] = """
+        WITH base AS (
+          SELECT doc_id, text, lang, source, n_chars,
+                 CAST(1 AS BIGINT) AS version, 'upsert' AS op, 0 AS src
+          FROM documents
+        ),
+        chg AS (
+          SELECT doc_id, upper(substring(text, 1, 40)) AS text, lang, source,
+                 n_chars, CAST(2 AS BIGINT) AS version, 'upsert' AS op, 1 AS src
+          FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id, text, lang, source, n_chars,
+                 CAST(2 AS BIGINT), 'delete', 1
+          FROM documents WHERE doc_id % 11 = 0
+          UNION ALL
+          SELECT doc_id, 'v1 ' || source, lang, source, n_chars,
+                 CAST(1 AS BIGINT), 'upsert', 1
+          FROM documents WHERE doc_id % 13 = 0
+        ),
+        allrows AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY version DESC, src DESC,
+                            CASE WHEN op = 'delete' THEN 0 ELSE 1 END ASC
+                 ) AS rn
+          FROM allrows
+        )
+        SELECT doc_id, text, lang, source, n_chars, version
+        FROM ranked WHERE rn = 1 AND op <> 'delete'
+    """
+
     # cep_pattern: MATCH_RECOGNIZE-style role-sequence CEP (ops/windows.py
     # detect_role_patterns). Patterns stay in the character-class+quantifier
     # subset where Java regex and RE2 agree on leftmost non-overlapping
@@ -4560,6 +4839,21 @@ def oracle_sql() -> dict[str, str]:
                   ["n_common", "n_union", "jaccard_bp", "is_repeat"]),
         _pack_sql("ccnet_buckets", o["ccnet_buckets"], _kcat_sql("doc_id"),
                   ["source", "bucket"], s1="avg_nll_q", s2="n_scored"),
+        _pack_sql("script_mix", o["script_mix"], _kcat_sql("doc_id"),
+                  ["n_chars", "c_latin", "c_cyrillic", "c_greek", "c_arabic",
+                   "c_cjk", "c_hangul", "c_kana", "n_scripts", "dominant",
+                   "is_mixed", "is_confusable"]),
+        _pack_sql("vocab_growth", o["vocab_growth"], _kcat_sql("source"),
+                  ["n_docs", "n_tokens", "n_types", "n_hapax", "ttr_bp",
+                   "hapax_bp"]),
+        _pack_sql("trunc_loss", o["trunc_loss"],
+                  _kcat_sql("source", '"limit"'),
+                  ["n_docs", "docs_over", "tokens_total", "tokens_lost",
+                   "lost_bp"]),
+        _pack_sql("edit_verify", o["edit_verify"], _kcat_sql("id_a", "id_b"),
+                  ["lev", "maxlen", "sim_bp"]),
+        _pack_sql("cdc_upsert", o["cdc_upsert"], _kcat_sql("doc_id"),
+                  ["text", "lang", "source", "n_chars", "version"]),
     ])
 
     _dim_sql = ", ".join(
@@ -4586,7 +4880,8 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup", "source_overlap", "chat_render", "keep_best",
         "snapshot_diff", "semantic_decontam", "conv_gate", "burst_detect",
         "latency_stats", "tool_json", "secret_scan", "strat_sample",
-        "turn_repeat", "ccnet_buckets",
+        "turn_repeat", "ccnet_buckets", "script_mix", "vocab_growth",
+        "trunc_loss", "edit_verify", "cdc_upsert",
     ):
         del o[_member]
 

@@ -1061,3 +1061,80 @@ def keep_best(
         .withColumn("kept", F.col(id_col) == F.col("keeper_id"))
         .drop("__pick", "__best")
     )
+
+
+def editdist_verify_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_bp: int = 8000,
+    block_len: int = 12,
+    bucket_cap: int = 64,
+    max_chars: int = 256,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs via prefix blocking — the classic
+    record-linkage topology (sorted-neighborhood / standard blocking,
+    Hernández & Stolfo 1995): candidate pairs share a normalized-text
+    prefix key, then each candidate is verified with a bounded Levenshtein
+    similarity. The character-level complement of the token-level
+    ngram_jaccard_pairs — it catches single-character edits that shift
+    every shingle. The reference reaches the same class of near-duplicate
+    through its minhash/simhash family (core/dedup); this operator is the
+    verify-exactly variant for short text (titles, instructions, tool
+    signatures).
+
+    Normalization for BOTH key and verify: lowercase, non-printable-ASCII
+    stripped, whitespace collapsed. The ASCII projection is deliberate:
+    Levenshtein must agree bit-for-bit between engines, and DuckDB's
+    levenshtein is byte-based while Spark's is character-based — on
+    printable ASCII the two coincide (multibyte text reaches this operator
+    through its transliterated/refined form upstream).
+
+    similarity_bp = 10000·(maxlen − lev) div maxlen over the first
+    ``max_chars`` chars (Levenshtein is O(len²) per pair — the cap bounds
+    verify cost, standard practice). Buckets larger than ``bucket_cap``
+    are dropped whole (boilerplate prefixes — the simhash bucket-cap rule;
+    approximate past the cap, and the oracle applies the identical rule).
+
+    Scale shape: one shuffle on the block key; per-bucket pair fan-out is
+    ≤ cap² with cap a constant; Levenshtein runs JVM-side (no Python). No
+    global sort, no corpus-sized window.
+
+    Returns (id_a, id_b, lev, maxlen, sim_bp) for verified pairs.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                "[^\\x20-\\x7e]",
+                "",
+            ),
+            "\\s+",
+            " ",
+        )
+    )
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        F.substring(norm, 1, max_chars).alias("__t"),
+        F.substring(norm, 1, block_len).alias("__k"),
+    ).where(F.length("__k") > 0)
+    sized = keyed.withColumn(
+        "__bn", F.count(F.lit(1)).over(Window.partitionBy("__k"))
+    ).where(F.col("__bn") <= bucket_cap)
+    a = sized.select(
+        F.col("__k"), F.col("__id").alias("id_a"), F.col("__t").alias("__ta")
+    )
+    b = sized.select(
+        F.col("__k"), F.col("__id").alias("id_b"), F.col("__t").alias("__tb")
+    )
+    pairs = a.join(b, "__k").where(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("__ta", "__tb").cast("long").alias("lev"),
+        F.greatest(F.length("__ta"), F.length("__tb")).cast("long").alias("maxlen"),
+    ).withColumn(
+        "sim_bp",
+        F.expr("(10000 * (maxlen - lev)) div maxlen").cast("long"),
+    )
+    return scored.where(F.col("sim_bp") >= threshold_bp)

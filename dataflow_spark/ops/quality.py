@@ -1188,3 +1188,232 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+# Unicode script classes for script_profile — explicit BMP codepoint ranges
+# (NOT \p{IsCyrillic}-style named classes: Java regex and RE2 disagree on
+# the spelling and occasionally the membership of named scripts, while a
+# literal range means the same set of codepoints in both engines).
+# Priority order is the tie-break for the dominant script.
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("latin", "A-Za-z"),
+    ("cyrillic", "\\x{0400}-\\x{04FF}"),
+    ("greek", "\\x{0370}-\\x{03FF}"),
+    ("arabic", "\\x{0600}-\\x{06FF}"),
+    ("cjk", "\\x{4E00}-\\x{9FFF}"),
+    ("hangul", "\\x{AC00}-\\x{D7A3}"),
+    ("kana", "\\x{3040}-\\x{30FF}"),
+)
+
+
+def script_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Unicode-script composition — the script-mixing /
+    homoglyph-spoofing signal web-scale curation runs right after language
+    ID (mixed Latin+Cyrillic inside one document is the classic spam and
+    confusable-phishing fingerprint; CCNet and fastText both condition on
+    the dominant script). The reference's language filter family
+    (text_pt/filter/language_filter.py) keys on a predicted language; this
+    operator supplies the orthographic evidence column.
+
+    Counts characters per script class by ``length(regexp_replace(text,
+    '[^<class>]', ''))`` over literal BMP codepoint ranges (identical
+    semantics in Java regex and RE2 — see SCRIPT_CLASSES). Dominant script
+    = first class in priority order whose count equals the max (count>0),
+    else 'none'. ``n_scripts`` counts letter-script classes present;
+    ``is_confusable`` flags Latin+Cyrillic co-occurrence specifically.
+
+    Scale shape: pure narrow projection — seven JVM regexp_replace calls
+    per row inside whole-stage codegen, no shuffle, no Python. At 100 TB
+    this is a map-only pass that fuses with whatever scan precedes it.
+
+    Returns (id_col, n_chars, c_<class>... , n_scripts, dominant,
+    is_mixed, is_confusable).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.length(F.regexp_replace(t, f"[^{rng}]", "")).cast("long")
+        for name, rng in SCRIPT_CLASSES
+    }
+    out = df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        *[counts[name].alias(f"c_{name}") for name, _ in SCRIPT_CLASSES],
+    )
+    cols = [f"c_{name}" for name, _ in SCRIPT_CLASSES]
+    mx = F.greatest(*[F.col(c) for c in cols])
+    dominant = F.lit("none")
+    for name, _ in reversed(SCRIPT_CLASSES):
+        dominant = F.when(
+            (F.col(f"c_{name}") > 0) & (F.col(f"c_{name}") == mx), F.lit(name)
+        ).otherwise(dominant)
+    n_scripts = sum(
+        F.when(F.col(c) > 0, F.lit(1)).otherwise(F.lit(0)) for c in cols
+    )
+    return out.select(
+        "*",
+        n_scripts.cast("long").alias("n_scripts"),
+        dominant.alias("dominant"),
+        (n_scripts >= 2).alias("is_mixed"),
+        ((F.col("c_latin") > 0) & (F.col("c_cyrillic") > 0)).alias("is_confusable"),
+    )
+
+
+def vocab_growth(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group vocabulary statistics — the Heaps'-law / hapax panel of a
+    corpus data card (Baayen 2001 lexical-statistics practice): token count,
+    type count, type-token ratio, and the hapax-legomena share (fraction of
+    types seen exactly once — the standard "how much tail is left"
+    indicator; a near-zero hapax share means the crawl slice is exhausted).
+    Complements corpus_data_card (document-level stats) with
+    vocabulary-level ones.
+
+    Ratios are integer basis points (ttr_bp = 10000·n_types div n_tokens),
+    never engine-divergent floats.
+
+    Scale shape: one groupBy(group, token) partial agg — the
+    vocabulary-keyed shuffle whose reduce side is bounded by |vocab| per
+    group, not corpus size — then a groupBy(group) roll-up of that compact
+    table, plus a broadcast-able doc-count join. No window, no sort.
+
+    Returns one row per group: (group_col, n_docs, n_tokens, n_types,
+    n_hapax, ttr_bp, hapax_bp).
+    """
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    tk = F.filter(toks, lambda x: x != F.lit(""))
+    words = df.select(F.col(group_col).alias("__g"), F.explode(tk).alias("__w"))
+    vocab = words.groupBy("__g", "__w").agg(F.count(F.lit(1)).alias("__c"))
+    stats = vocab.groupBy("__g").agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    docs = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return docs.join(stats, "__g", "left").select(
+        F.col("__g").alias(group_col),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_types"), F.lit(0)).cast("long").alias("n_types"),
+        F.coalesce(F.col("n_hapax"), F.lit(0)).cast("long").alias("n_hapax"),
+        F.expr("CASE WHEN n_tokens > 0 THEN (10000 * n_types) div n_tokens END")
+        .cast("long")
+        .alias("ttr_bp"),
+        F.expr("CASE WHEN n_types > 0 THEN (10000 * n_hapax) div n_types END")
+        .cast("long")
+        .alias("hapax_bp"),
+    )
+
+
+def truncation_loss(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    limits: tuple[int, ...] = (128, 512, 2048),
+) -> DataFrame:
+    """Context-length truncation audit — for each candidate training
+    sequence length L, how many documents overflow and what fraction of
+    the corpus' tokens a hard truncation at L would discard. This is the
+    measurement that picks max_seq_len before sequence_pack runs (its
+    complement: sequence_pack decides how to fill the budget; this op
+    decides what the budget costs).
+
+    Token counts use the same whitespace tokenization as vocab_growth /
+    token_budget_select so the panels agree. lost_bp is integer basis
+    points of the group's token mass.
+
+    Scale shape: per-doc token count is a narrow projection; the
+    limits fan-out is a literal |limits|-element explode (row growth
+    ×|limits|, all tiny longs); one groupBy(group, limit) partial agg.
+    No window, no Python.
+
+    Returns one row per (group, limit): (group_col, limit, n_docs,
+    docs_over, tokens_total, tokens_lost, lost_bp).
+    """
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    n_tok = F.size(F.filter(toks, lambda x: x != F.lit("")))
+    base = df.select(
+        F.col(group_col).alias("__g"), n_tok.cast("long").alias("__n")
+    ).select(
+        "__g", "__n", F.explode(F.array(*[F.lit(l) for l in limits])).alias("limit")
+    )
+    return (
+        base.groupBy("__g", "limit")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("__n") > F.col("limit"), 1).otherwise(0)).alias(
+                "docs_over"
+            ),
+            F.sum("__n").alias("tokens_total"),
+            F.sum(F.greatest(F.col("__n") - F.col("limit"), F.lit(0))).alias(
+                "tokens_lost"
+            ),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("limit").cast("long").alias("limit"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("docs_over").cast("long").alias("docs_over"),
+            F.col("tokens_total").cast("long").alias("tokens_total"),
+            F.col("tokens_lost").cast("long").alias("tokens_lost"),
+            F.expr(
+                "CASE WHEN tokens_total > 0"
+                " THEN (10000 * tokens_lost) div tokens_total END"
+            )
+            .cast("long")
+            .alias("lost_bp"),
+        )
+    )
+
+
+def cdc_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str = "doc_id",
+    version_col: str = "version",
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC merge — the batch twin of the engine's exactly-once Iceberg
+    MERGE sink (streaming/sink.py; Iceberg MERGE INTO semantics): apply a
+    change stream of upserts and deletes onto a base snapshot, highest
+    version wins per key, the surviving 'delete' removes the key. Ties are
+    deterministic: at equal version a change row beats a base row, and a
+    delete beats an upsert (the conservative rule — a replayed
+    delete+upsert pair at the same version converges to absence, so the
+    merge is idempotent under replay, which is the exactly-once property
+    the streaming sink enforces via (conv_id, turn_idx) keys).
+
+    ``changes`` must carry the base schema plus ``op_col`` in
+    ('upsert', 'delete'); ``base`` rows are implicit upserts.
+
+    Scale shape: ONE shuffle on the key for a row_number window whose
+    partitions are per-key change counts (tiny); with the warehouse
+    bucketed by key (io.py bucketBy) even that shuffle disappears. This is
+    exactly how Iceberg's copy-on-write MERGE plans in Spark.
+
+    Returns the merged snapshot with the base schema (no op column).
+    """
+    data_cols = [c for c in base.columns]
+    b = base.select(*data_cols, F.lit("upsert").alias("__op"), F.lit(0).alias("__src"))
+    c = changes.select(
+        *data_cols, F.col(op_col).alias("__op"), F.lit(1).alias("__src")
+    )
+    allrows = b.unionByName(c)
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(version_col).desc(),
+        F.col("__src").desc(),
+        F.when(F.col("__op") == "delete", 0).otherwise(1).asc(),
+    )
+    return (
+        allrows.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("__op") != "delete"))
+        .select(*data_cols)
+    )

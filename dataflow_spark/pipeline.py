@@ -527,6 +527,76 @@ register(
         drops_rows=True,
     ),
 )
+register(
+    "script_profile",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.quality", fromlist=["x"]).script_profile(
+            df, p.get("id_col", "doc_id"), p.get("col", "text"))),
+        lambda p: [p.get("id_col", "doc_id"), p.get("col", "text")],
+        lambda p: ["n_chars", "n_scripts", "dominant", "is_mixed", "is_confusable"],
+        drops_rows=True,
+    ),
+)
+register(
+    "vocab_growth",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.quality", fromlist=["x"]).vocab_growth(
+            df, p.get("domain_col", "source"), p.get("col", "text"))),
+        lambda p: [p.get("domain_col", "source"), p.get("col", "text")],
+        lambda p: ["n_docs", "n_tokens", "n_types", "n_hapax", "ttr_bp", "hapax_bp"],
+        drops_rows=True,
+    ),
+)
+register(
+    "truncation_loss",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.quality", fromlist=["x"]).truncation_loss(
+            df, p.get("domain_col", "source"), p.get("col", "text"),
+            tuple(p.get("limits", (128, 512, 2048))))),
+        lambda p: [p.get("domain_col", "source"), p.get("col", "text")],
+        lambda p: ["limit", "n_docs", "docs_over", "tokens_total", "tokens_lost", "lost_bp"],
+        drops_rows=True,
+    ),
+)
+register(
+    "ccnet_ppl_buckets",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.quality", fromlist=["x"]).ccnet_ppl_buckets(
+            df, p.get("group_col", "source"), p.get("id_col", "doc_id"),
+            p.get("col", "text"))),
+        lambda p: [p.get("group_col", "source"), p.get("id_col", "doc_id"),
+                   p.get("col", "text")],
+        lambda p: ["n_scored", "avg_nll_q", "bucket"],
+        drops_rows=True,
+    ),
+)
+register(
+    "editdist_verify_pairs",
+    OpSpec(
+        lambda **p: (lambda df: dedup.editdist_verify_pairs(
+            df, p.get("id_col", "doc_id"), p.get("col", "text"),
+            threshold_bp=p.get("threshold_bp", 8000),
+            block_len=p.get("block_len", 12),
+            bucket_cap=p.get("bucket_cap", 64),
+            max_chars=p.get("max_chars", 256))),
+        lambda p: [p.get("id_col", "doc_id"), p.get("col", "text")],
+        lambda p: ["id_a", "id_b", "lev", "maxlen", "sim_bp"],
+        drops_rows=True,
+    ),
+)
+register(
+    "cdc_upsert",
+    OpSpec(
+        # the change stream is a side input (parquet path), like bloom/decontam
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.quality", fromlist=["x"]).cdc_upsert(
+            df, df.sparkSession.read.parquet(p["changes_path"]),
+            p.get("key_col", "doc_id"), p.get("version_col", "version"),
+            p.get("op_col", "op"))),
+        lambda p: [p.get("key_col", "doc_id"), p.get("version_col", "version")],
+        _NO_NEW,
+        drops_rows=True,
+    ),
+)
 
 
 class PipelineConfigError(KeyError):

@@ -1218,3 +1218,103 @@ def test_assistant_self_repeat(spark):
     assert got[("c1", 3)]["jaccard_bp"] == 10000 and got[("c1", 3)]["is_repeat"]
     assert got[("c1", 5)]["jaccard_bp"] == 0 and not got[("c1", 5)]["is_repeat"]
     assert ("c2", 0) not in got and ("c1", 1) not in got
+
+
+def test_script_profile(spark):
+    from dataflow_spark.ops import quality as Q
+
+    rows = [
+        (0, "hello world"),
+        (1, "привет мир"),
+        (2, "hello мир"),          # latin + cyrillic -> confusable
+        (3, "中文文本 abc"),
+        (4, ""),
+        (5, None),
+        (6, "12345 !!!"),          # no letter script at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r.asDict() for r in Q.script_profile(df).collect()}
+    assert got[0]["dominant"] == "latin" and not got[0]["is_mixed"]
+    assert got[1]["dominant"] == "cyrillic" and got[1]["c_cyrillic"] == 9
+    assert got[2]["is_confusable"] and got[2]["is_mixed"]
+    assert got[2]["dominant"] == "latin"  # 5 latin vs 3 cyrillic
+    assert got[3]["c_cjk"] == 4 and got[3]["n_scripts"] == 2
+    assert got[4]["dominant"] == "none" and got[4]["n_chars"] == 0
+    assert got[5]["dominant"] == "none"
+    assert got[6]["n_scripts"] == 0 and not got[6]["is_mixed"]
+    # tie: equal latin and cyrillic counts -> priority order wins (latin)
+    tie = spark.createDataFrame([(0, "ab яю")], "doc_id: long, text: string")
+    assert Q.script_profile(tie).collect()[0]["dominant"] == "latin"
+
+
+def test_vocab_growth_and_truncation_loss(spark):
+    from dataflow_spark.ops import quality as Q
+
+    rows = [
+        (0, "A", "a b a c"),      # tokens 4, types 3, hapax 2 (b, c)
+        (1, "A", "a a"),          # corpus A: a=5 b=1 c=1 -> hapax b,c
+        (2, "B", None),           # tokenless doc still counted in n_docs
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    vg = {r["source"]: r.asDict() for r in Q.vocab_growth(df).collect()}
+    assert vg["A"] == {"source": "A", "n_docs": 2, "n_tokens": 6, "n_types": 3,
+                       "n_hapax": 2, "ttr_bp": 5000, "hapax_bp": 6666}
+    assert vg["B"]["n_docs"] == 1 and vg["B"]["n_tokens"] == 0
+    assert vg["B"]["ttr_bp"] is None and vg["B"]["hapax_bp"] is None
+
+    tl = {(r["source"], r["limit"]): r.asDict()
+          for r in Q.truncation_loss(df, limits=(3,)).collect()}
+    a = tl[("A", 3)]
+    assert (a["n_docs"], a["docs_over"], a["tokens_total"], a["tokens_lost"],
+            a["lost_bp"]) == (2, 1, 6, 1, 1666)
+    b = tl[("B", 3)]
+    assert b["tokens_total"] == 0 and b["lost_bp"] is None
+
+
+def test_cdc_upsert(spark):
+    from dataflow_spark.ops import quality as Q
+
+    base = spark.createDataFrame(
+        [(1, "one", 1), (2, "two", 1), (3, "three", 1), (4, "four", 1)],
+        "k: long, text: string, version: long")
+    changes = spark.createDataFrame(
+        [
+            (1, "one-v2", 2, "upsert"),       # plain upsert wins
+            (2, None, 2, "delete"),           # delete removes the key
+            (3, "three-tie", 1, "upsert"),    # same version: change > base
+            (4, "four-up", 2, "upsert"),      # same version as a delete:
+            (4, None, 2, "delete"),           #   delete > upsert (idempotent)
+            (5, "five-new", 1, "upsert"),     # brand-new key inserted
+        ],
+        "k: long, text: string, version: long, op: string")
+    got = {r["k"]: r["text"] for r in
+           Q.cdc_upsert(base, changes, "k", "version", "op").collect()}
+    assert got == {1: "one-v2", 3: "three-tie", 5: "five-new"}
+
+
+def test_editdist_verify_pairs(spark):
+    from dataflow_spark.ops import dedup as D
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dot"),   # lev 1 to 0
+        (2, "the quick brown cat sleeps under a warm blanket entirely"),
+        (3, "completely different text that blocks elsewhere"),
+        (4, "THE QUICK  BROWN fox jumps over the lazy dog"),  # normalizes to 0
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {(r["id_a"], r["id_b"]): (r["lev"], r["sim_bp"])
+           for r in D.editdist_verify_pairs(df, threshold_bp=8000).collect()}
+    assert out[(0, 4)] == (0, 10000)          # exact after normalization
+    assert out[(0, 1)][0] == 1 and out[(0, 1)][1] >= 9700
+    assert (1, 4) in out
+    # doc 2 shares the 12-char block 'the quick br' but is far -> verified out
+    assert not any(2 in p for p in out)
+    assert not any(3 in p or 5 in p or 6 in p for p in out)
+    # bucket cap drops boilerplate blocks whole
+    boiler = spark.createDataFrame(
+        [(i, "boilerplate prefix shared row %d" % i) for i in range(10)],
+        "doc_id: long, text: string")
+    assert D.editdist_verify_pairs(boiler, bucket_cap=4).count() == 0
