@@ -1,0 +1,108 @@
+"""In-process local decode engine (SURVEY.md §2.8 — the vLLM/SGLang slot).
+
+Reference contract: /root/reference/dataflow/serving/local_model_llm_serving.py
+  - constructor loads model weights ONCE on the worker from a local path
+    (:30-70 `from_pretrained`-style load, device placement, max token caps);
+  - `generate_from_input(user_inputs, system_prompt)` decodes a BATCH of
+    prompts in-process and returns order-preserving strings (:80-140);
+  - the serving object is long-lived — one engine per worker process reused
+    across batches (the vLLM engine lifecycle).
+
+This module is that lifecycle with weights a GPU-less sandbox can actually
+execute: a word-level neural bigram LM (embedding -> tanh -> vocab logits)
+trained by tools/train_tiny_lm.py and shipped as a package artifact. The
+decode loop is REAL continuous batching in miniature: every step does one
+gather + two matmuls for ALL still-active rows (numpy vectorized across the
+batch — rows that hit EOS leave the active set, exactly how vLLM's scheduler
+retires finished sequences), greedy argmax, deterministic.
+
+Swapping in a real engine is the documented constructor boundary: replace
+LocalDecodeServing with a class whose __init__ builds a vLLM
+`LLM(model=...)` and whose generate() calls `llm.generate()` — the
+serving_udf stage (ops/prompted.py:58) and every operator built on it are
+unchanged. That is the same boundary the reference exposes between
+APILLMServing_request and LocalModelLLMServing.
+
+NULL prompts return NULL (the serving_udf NULL-skip contract), so completed
+or masked rows never pay decode steps.
+"""
+
+from __future__ import annotations
+
+import importlib.resources as ir
+import io
+
+import numpy as np
+import pandas as pd
+
+from .ops.prompted import ServingBackend
+
+UNK = "<unk>"
+EOS = "</s>"
+
+
+def _load_artifact(path: str | None):
+    if path is not None:
+        raw = open(path, "rb").read()
+    else:
+        raw = (ir.files("dataflow_spark") / "artifacts" / "tiny_lm.npz").read_bytes()
+    z = np.load(io.BytesIO(raw))
+    vocab = [str(w) for w in z["vocab"]]
+    return (
+        z["E"].astype(np.float64),
+        z["A"].astype(np.float64),
+        z["W"].astype(np.float64),
+        z["b"].astype(np.float64),
+        vocab,
+    )
+
+
+class LocalDecodeServing(ServingBackend):
+    """Batched greedy decoder over the shipped tiny LM artifact.
+
+    Parameters mirror the reference constructor's knobs
+    (local_model_llm_serving.py:30-70): an optional weights path (defaults
+    to the packaged artifact — the executor-image model dir analog),
+    max_new_tokens (its max_tokens cap), and the EOS token.
+    """
+
+    def __init__(self, model_path: str | None = None, max_new_tokens: int = 8):
+        self.E, self.A, self.W, self.b, self.vocab = _load_artifact(model_path)
+        self.idx = {w: i for i, w in enumerate(self.vocab)}
+        self.unk = self.idx[UNK]
+        self.eos = self.idx[EOS]
+        self.max_new_tokens = max_new_tokens
+
+    def _last_token_id(self, prompt: str) -> int:
+        toks = prompt.lower().split()
+        return self.idx.get(toks[-1], self.unk) if toks else self.unk
+
+    def generate(self, prompts: pd.Series) -> pd.Series:
+        n = len(prompts)
+        out: list[list[str] | None] = [None] * n
+        # active set: non-null prompts; prompt conditioning is the last
+        # token (bigram context), the tiny analog of the KV-prefill step
+        prev = np.zeros(n, dtype=np.int64)
+        active = np.zeros(n, dtype=bool)
+        for i, p in enumerate(prompts):
+            if p is not None and not (isinstance(p, float) and pd.isna(p)):
+                prev[i] = self._last_token_id(str(p))
+                active[i] = True
+                out[i] = []
+        for _ in range(self.max_new_tokens):
+            live = np.flatnonzero(active)
+            if live.size == 0:
+                break
+            h = np.tanh(self.E[prev[live]] @ self.A)
+            nxt = (h @ self.W + self.b).argmax(axis=1)
+            for j, row in enumerate(live):
+                t = int(nxt[j])
+                if t == self.eos:
+                    active[row] = False
+                else:
+                    out[row].append(self.vocab[t])
+            prev[live] = nxt
+        return pd.Series(
+            [" ".join(t) if t is not None else None for t in out],
+            index=prompts.index,
+        )

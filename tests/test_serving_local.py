@@ -1,0 +1,92 @@
+"""Golden tests for the in-process local decode engine (§2.8 vLLM/SGLang
+stand-in) — decode checked against an independent per-row python twin over
+the same shipped artifact, plus the serving_udf Spark integration."""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_spark.serving_local import EOS, LocalDecodeServing, _load_artifact
+
+
+def twin_decode(prompt, max_new_tokens=8):
+    """Independent scalar reimplementation: one row at a time, plain loops."""
+    E, A, W, b, vocab = _load_artifact(None)
+    idx = {w: i for i, w in enumerate(vocab)}
+    toks = prompt.lower().split()
+    cur = idx.get(toks[-1], idx["<unk>"]) if toks else idx["<unk>"]
+    words = []
+    for _ in range(max_new_tokens):
+        h = np.tanh(E[cur] @ A)
+        nxt = int((h @ W + b).argmax())
+        if vocab[nxt] == EOS:
+            break
+        words.append(vocab[nxt])
+        cur = nxt
+    return " ".join(words)
+
+
+def test_batched_decode_matches_scalar_twin():
+    eng = LocalDecodeServing()
+    prompts = pd.Series(
+        ["the fast join", "scan", "", None, "unseen wordzz", "a small table is"]
+    )
+    got = eng.generate(prompts)
+    assert got[3] is None
+    for i in (0, 1, 2, 4, 5):
+        assert got[i] == twin_decode(prompts[i]), i
+    # deterministic across calls (a long-lived engine, like the reference's)
+    again = eng.generate(prompts)
+    assert list(got.fillna("∅")) == list(again.fillna("∅"))
+
+
+def test_eos_terminates_and_caps_hold():
+    eng = LocalDecodeServing(max_new_tokens=50)
+    outs = eng.generate(pd.Series(["the big scan", "query", "of"]))
+    for o in outs:
+        # every decode ends: either EOS fired or the 50-token cap did
+        assert len(o.split()) <= 50
+    # the trained model does learn to stop: at least one prompt hits EOS
+    assert any(len(o.split()) < 50 for o in outs)
+
+
+def test_artifact_is_trained_not_degenerate():
+    # a genuinely trained bigram LM maps different contexts to different
+    # continuations — a constant/untrained head would not
+    eng = LocalDecodeServing(max_new_tokens=1)
+    outs = eng.generate(pd.Series(["the", "is", "fast", "join", "a"]))
+    assert len(set(outs)) >= 2
+
+
+def test_serving_udf_integration(spark):
+    from dataflow_spark.ops.prompted import serving_udf
+
+    df = spark.createDataFrame(
+        [(0, "the fast join"), (1, None), (2, "a small table is")],
+        "id: long, prompt: string",
+    )
+    sv = serving_udf(LocalDecodeServing())
+    rows = {r["id"]: r["gen"] for r in
+            df.select("id", sv(F.col("prompt")).alias("gen")).collect()}
+    assert rows[1] is None
+    assert rows[0] == twin_decode("the fast join")
+    assert rows[2] == twin_decode("a small table is")
+
+
+def test_model_path_constructor_boundary(tmp_path):
+    # the documented swap boundary: weights can come from an explicit local
+    # path (the executor image's model dir), not only the package artifact
+    import dataflow_spark
+
+    src = (io.BytesIO(
+        (__import__("importlib.resources", fromlist=["x"]).files("dataflow_spark")
+         / "artifacts" / "tiny_lm.npz").read_bytes()))
+    p = tmp_path / "m.npz"
+    p.write_bytes(src.getvalue())
+    eng = LocalDecodeServing(model_path=str(p))
+    assert eng.generate(pd.Series(["scan"]))[0] == twin_decode("scan")

@@ -1,0 +1,115 @@
+"""Train the shipped tiny neural bigram LM artifact (run once, committed).
+
+Produces dataflow_spark/artifacts/tiny_lm.npz — a word-level neural bigram
+language model (embedding -> tanh hidden -> vocab logits) trained by plain
+numpy SGD on a deterministic synthetic corpus. It backs
+dataflow_spark/serving_local.py's LocalDecodeServing, the in-process
+batched-decode stand-in for the reference's local vLLM/SGLang engine
+(/root/reference/dataflow/serving/local_model_llm_serving.py:11 loads real
+HF weights on the worker and decodes in-process; this is the same lifecycle
+and batching contract with weights a GPU-less sandbox can actually run).
+
+The point is not model quality — it's that the engine loads a genuine
+trained artifact from disk, runs a real autoregressive decode loop with a
+per-step batch matmul (continuous-batching shape), and terminates on a
+learned EOS.
+
+Reproduce: python tools/train_tiny_lm.py   (rewrites the npz in place)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+SEED = 20260819
+DIM = 16
+HID = 24
+
+WORDS = [
+    "the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+    "join", "hash", "row", "batch", "scan", "filter", "merge", "sort",
+    "group", "table", "query", "spark", "stream", "window", "key", "value",
+    "plan", "stage", "shuffle", "broadcast", "agg", "column", "data",
+    "fast", "slow", "small", "big", "first", "next", "result",
+]
+UNK = "<unk>"
+EOS = "</s>"
+VOCAB = WORDS + [UNK, EOS]
+
+
+def make_corpus(rng: np.random.Generator, n: int = 400) -> list[list[str]]:
+    """Deterministic template sentences over the vocab, each EOS-terminated,
+    so the model learns real bigram structure (determiners precede nouns,
+    sentences end)."""
+    det = ["the", "a"]
+    noun = ["join", "hash", "row", "batch", "scan", "table", "query",
+            "window", "key", "plan", "stage", "column"]
+    verb = ["is", "and", "to", "for", "in", "of"]
+    adj = ["fast", "slow", "small", "big", "first", "next"]
+    out = []
+    for _ in range(n):
+        s = [rng.choice(det), rng.choice(adj), rng.choice(noun),
+             rng.choice(verb), rng.choice(det), rng.choice(noun), EOS]
+        out.append([str(w) for w in s])
+    return out
+
+
+def main() -> None:
+    rng = np.random.default_rng(SEED)
+    idx = {w: i for i, w in enumerate(VOCAB)}
+    v, d, h = len(VOCAB), DIM, HID
+    E = rng.normal(0, 0.1, (v, d)).astype(np.float64)
+    A = rng.normal(0, 0.1, (d, h)).astype(np.float64)
+    W = rng.normal(0, 0.1, (h, v)).astype(np.float64)
+    b = np.zeros(v, dtype=np.float64)
+
+    pairs = []
+    for sent in make_corpus(rng):
+        ids = [idx.get(w, idx[UNK]) for w in sent]
+        pairs += list(zip(ids[:-1], ids[1:]))
+    pairs = np.array(pairs)
+    lr = 0.5
+    for epoch in range(60):
+        rng.shuffle(pairs)
+        for start in range(0, len(pairs), 64):
+            chunk = pairs[start : start + 64]
+            x, y = chunk[:, 0], chunk[:, 1]
+            hdd = np.tanh(E[x] @ A)                     # (B, H)
+            logits = hdd @ W + b                        # (B, V)
+            p = np.exp(logits - logits.max(1, keepdims=True))
+            p /= p.sum(1, keepdims=True)
+            p[np.arange(len(y)), y] -= 1.0              # dL/dlogits
+            p /= len(y)
+            gW = hdd.T @ p
+            gb = p.sum(0)
+            gh = (p @ W.T) * (1 - hdd * hdd)
+            gA = E[x].T @ gh
+            gE = gh @ A.T
+            W -= lr * gW
+            b -= lr * gb
+            A -= lr * gA
+            np.subtract.at(E, x, lr * gE)
+    # report training fit (sanity, not a gate)
+    x, y = pairs[:, 0], pairs[:, 1]
+    logits = np.tanh(E[x] @ A) @ W + b
+    acc = float((logits.argmax(1) == y).mean())
+    print(f"train next-token argmax accuracy: {acc:.3f} over {len(pairs)} pairs")
+
+    out = os.path.join(
+        os.path.dirname(__file__), "..", "dataflow_spark", "artifacts", "tiny_lm.npz"
+    )
+    np.savez(
+        out,
+        E=E.astype(np.float32),
+        A=A.astype(np.float32),
+        W=W.astype(np.float32),
+        b=b.astype(np.float32),
+        vocab=np.array(VOCAB),
+    )
+    print(f"wrote {os.path.abspath(out)}")
+
+
+if __name__ == "__main__":
+    main()
