@@ -117,7 +117,10 @@ def session_window_stage(
 
 
 def match_triggers_stage(
-    sdf: DataFrame, watermark: str = "10 minutes", max_lag: str = "5 minutes"
+    sdf: DataFrame,
+    watermark: str = "10 minutes",
+    max_lag: str = "5 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: assistant turns ↔ triggering user turns.
 
@@ -125,7 +128,15 @@ def match_triggers_stage(
     [assistant.ts - max_lag, assistant.ts], which lets Spark expire join state
     (SURVEY.md §4.2). Emits every candidate (assistant, user) pair — the
     argmax-per-assistant reduction happens at the sink (foreachBatch), where
-    late candidates can no longer arrive."""
+    late candidates can no longer arrive.
+
+    how='left_outer' is the UNPROMPTED-ASSISTANT anomaly feed: an assistant
+    turn with no user turn inside the lag window emits with NULL user columns
+    — and only once the watermark passes its join-state eviction bound, the
+    outer-join null-emission semantics unique to streaming (a batch left
+    join can emit the null row immediately; the stream must prove no match
+    can still arrive). State cost is identical to the inner join; the null
+    rows ride out with eviction, so there is no extra buffer."""
     a = (
         sdf.filter(F.col("role") == "assistant")
         .select("conv_id", F.col("turn_idx").alias("assistant_turn"), F.col("ts").alias("a_ts"))
@@ -145,6 +156,7 @@ def match_triggers_stage(
         (F.col("conv_id") == F.col("u_conv"))
         & (F.col("u_ts") <= F.col("a_ts"))
         & (F.col("u_ts") >= F.col("a_ts") - F.expr(f"INTERVAL {max_lag}")),
+        how,
     ).select("conv_id", "assistant_turn", "user_turn", "a_ts", "u_ts")
 
 

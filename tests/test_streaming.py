@@ -656,3 +656,60 @@ def test_tws_processor_logic_with_mock_state():
     rows = pd.concat(out)
     assert len(rows) == 1 and int(rows.iloc[0]["n_turns"]) == 4 and int(rows.iloc[0]["is_partial"]) == 1
     assert h2.timers == set() and not proc2.meta.exists()
+
+
+def test_left_outer_stream_join_emits_unprompted_assistants(spark, tmp_path):
+    """Outer stream-stream join null-emission: an assistant turn with no user
+    turn inside the lag window emits with NULL user columns — but only after
+    the watermark proves no match can still arrive (run 2's fresh rows push
+    the watermark past run 1's assistants). The matched pair emits normally."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+        joined = sp.match_triggers_stage(
+            sdf, watermark="10 minutes", max_lag="5 minutes", how="left_outer"
+        )
+        q = (
+            joined.writeStream.foreachBatch(IdempotentBatchSink(out))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    c0 = pd.DataFrame(
+        [
+            _tx("A", 0, "user", "prompt", "2024-01-01 09:58:00"),
+            _tx("A", 1, "assistant", "reply", "2024-01-01 10:00:00"),
+            # conv B: nearest user is 20 min earlier -> outside the 5-min lag
+            _tx("B", 0, "user", "stale prompt", "2024-01-01 09:40:00"),
+            _tx("B", 1, "assistant", "unprompted", "2024-01-01 10:00:00"),
+        ]
+    )
+    write_ordered_chunks([c0], src)
+    drain()
+
+    # advance BOTH sides' watermarks past the eviction bound (the join's
+    # effective watermark is the min across inputs)
+    c1 = pd.DataFrame(
+        [
+            _tx("Z", 0, "user", "fresh user", "2024-01-01 12:00:00"),
+            _tx("Z", 1, "assistant", "fresh assistant", "2024-01-01 12:00:30"),
+        ]
+    )
+    write_ordered_chunks([c0, c1], src)
+    drain()
+
+    rows = IdempotentBatchSink(out).read(spark).toPandas()
+    ab = rows[rows.conv_id.isin(["A", "B"])]
+    got = {
+        (r.conv_id, r.assistant_turn, None if pd.isna(r.user_turn) else int(r.user_turn))
+        for r in ab.itertuples()
+    }
+    assert got == {("A", 1, 0), ("B", 1, None)}
+    # the NULL row is genuinely the outer-join null, not a 0-filled value
+    b = ab[ab.conv_id == "B"].iloc[0]
+    assert pd.isna(b["user_turn"]) and pd.isna(b["u_ts"])
