@@ -659,6 +659,29 @@ def q_cdc_upsert(spark, sf):
     return quality.cdc_upsert(base, changes, "doc_id", "version", "op")
 
 
+def q_pref_pairs(spark, sf):
+    """DPO preference-pair mining (battery member): for every user prompt
+    answered 2+ times across the corpus, pair the best- and worst-scored
+    assistant responses as (chosen, rejected) with an integer margin —
+    the UltraFeedback-style chosen/rejected assembly (ops/conversations.py
+    preference_pairs). Score here is the response's distinct-token count
+    (pluggable: any integer signal — model_score, sb_lm band)."""
+    from dataflow_spark.ops import conversations
+
+    j = _turn_pairs(spark, sf)
+    score = F.size(
+        F.array_distinct(
+            F.filter(
+                F.split(F.trim(F.lower(F.coalesce(F.col("a_text"), F.lit("")))), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        )
+    )
+    return conversations.preference_pairs(
+        j.select("conv_id", "turn_idx", "p_text", "a_text", score.alias("score"))
+    )
+
+
 def q_data_card(spark, sf):
     """Per-domain corpus data card (battery member): doc counts, token
     totals, exact-dup counts, nearest-rank p50/p95 token lengths per source
@@ -1738,7 +1761,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 42 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 43 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1776,7 +1799,7 @@ def q_score_battery(spark, sf):
     trunc_loss (context-length truncation audit), edit_verify
     (prefix-blocked Levenshtein near-dup pairs), cdc_upsert
     (latest-version-wins CDC merge — the Iceberg MERGE sink's batch
-    twin)."""
+    twin), pref_pairs (DPO chosen/rejected preference-pair mining)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1906,6 +1929,11 @@ def q_score_battery(spark, sf):
         _battery_pack(q_cdc_upsert(spark, sf), "cdc_upsert",
                       _kcat("doc_id"),
                       ["text", "lang", "source", "n_chars", "version"]),
+        _battery_pack(q_pref_pairs(spark, sf), "pref_pairs",
+                      F.col("prompt_hash"),
+                      ["prompt", "chosen_id", "rejected_id", "chosen_text",
+                       "rejected_text", "chosen_score", "rejected_score",
+                       "margin", "n_candidates"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -4221,6 +4249,51 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rn = 1 AND op <> 'delete'
     """
 
+    # pref_pairs: DPO chosen/rejected mining (ops/conversations.py
+    # preference_pairs). Same md5 prompt grouping, same two row_number
+    # windows with (score, rid) tie-breaks, margin >= 1.
+    o["pref_pairs"] = with_transcripts(
+        """
+        , prs AS (
+          SELECT a.conv_id, a.turn_idx, p.text AS p_text, a.text AS a_text
+          FROM transcripts a
+          JOIN transcripts p ON p.conv_id = a.conv_id AND p.turn_idx + 1 = a.turn_idx
+          WHERE a.role = 'assistant'
+        ),
+        base AS (
+          SELECT md5(coalesce(p_text, '∅')) AS h, p_text AS prompt,
+                 conv_id || '#' || CAST(turn_idx AS VARCHAR) AS rid,
+                 a_text AS r,
+                 CAST(len(list_distinct(list_filter(
+                      regexp_split_to_array(trim(lower(coalesce(a_text, ''))), '\\s+'),
+                      x -> x <> ''))) AS BIGINT) AS s
+          FROM prs
+        ),
+        ranked AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY h ORDER BY s DESC, rid ASC) AS rb,
+                 row_number() OVER (PARTITION BY h ORDER BY s ASC, rid ASC) AS rw,
+                 count(*) OVER (PARTITION BY h) AS n
+          FROM base
+        ),
+        best AS (
+          SELECT h, prompt, rid AS chosen_id, r AS chosen_text,
+                 s AS chosen_score, n AS n_candidates
+          FROM ranked WHERE rb = 1 AND n >= 2
+        ),
+        worst AS (
+          SELECT h, rid AS rejected_id, r AS rejected_text, s AS rejected_score
+          FROM ranked WHERE rw = 1 AND n >= 2
+        )
+        SELECT b.h AS prompt_hash, b.prompt, b.chosen_id, w.rejected_id,
+               b.chosen_text, w.rejected_text, b.chosen_score, w.rejected_score,
+               CAST(b.chosen_score - w.rejected_score AS BIGINT) AS margin,
+               CAST(b.n_candidates AS BIGINT) AS n_candidates
+        FROM best b JOIN worst w USING (h)
+        WHERE b.chosen_score - w.rejected_score >= 1
+        """
+    )
+
     # cep_pattern: MATCH_RECOGNIZE-style role-sequence CEP (ops/windows.py
     # detect_role_patterns). Patterns stay in the character-class+quantifier
     # subset where Java regex and RE2 agree on leftmost non-overlapping
@@ -4854,6 +4927,10 @@ def oracle_sql() -> dict[str, str]:
                   ["lev", "maxlen", "sim_bp"]),
         _pack_sql("cdc_upsert", o["cdc_upsert"], _kcat_sql("doc_id"),
                   ["text", "lang", "source", "n_chars", "version"]),
+        _pack_sql("pref_pairs", o["pref_pairs"], "prompt_hash",
+                  ["prompt", "chosen_id", "rejected_id", "chosen_text",
+                   "rejected_text", "chosen_score", "rejected_score",
+                   "margin", "n_candidates"]),
     ])
 
     _dim_sql = ", ".join(
@@ -4881,7 +4958,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff", "semantic_decontam", "conv_gate", "burst_detect",
         "latency_stats", "tool_json", "secret_scan", "strat_sample",
         "turn_repeat", "ccnet_buckets", "script_mix", "vocab_growth",
-        "trunc_loss", "edit_verify", "cdc_upsert",
+        "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
     ):
         del o[_member]
 

@@ -94,6 +94,13 @@ HEADLINE = [
     "secret_scan",
     "strat_sample",
     "turn_repeat",
+    "ccnet_buckets",
+    "script_mix",
+    "vocab_growth",
+    "trunc_loss",
+    "edit_verify",
+    "cdc_upsert",
+    "pref_pairs",
 ]
 
 

@@ -24,7 +24,7 @@ import hashlib
 import json
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dataflow_spark.ops.prompted import ServingBackend, serving_udf
@@ -299,4 +299,86 @@ def assistant_self_repeat(df: DataFrame, threshold_bp: int = 8000) -> DataFrame:
         F.col("__u").cast("int").alias("n_union"),
         F.col("jaccard_bp").cast("int").alias("jaccard_bp"),
         (F.col("jaccard_bp") >= threshold_bp).alias("is_repeat"),
+    )
+
+
+def preference_pairs(
+    df: DataFrame,
+    prompt_col: str = "p_text",
+    response_col: str = "a_text",
+    score_col: str = "score",
+    id_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+    min_margin: int = 1,
+) -> DataFrame:
+    """DPO/RLHF preference-pair mining (Rafailov et al. 2023 data shape;
+    the standard chosen/rejected assembly used by UltraFeedback-style
+    pipelines): for every prompt that received 2+ responses across the
+    corpus, pair the best- and worst-scored responses as
+    (chosen, rejected) with an integer score margin. Input rows are
+    (prompt, response, score, response-id); the score column is pluggable
+    — any integer quality signal (token count, model_score, sb_lm band).
+
+    Grouping is by md5(prompt) so identical prompts collide regardless of
+    where they occur; chosen = first by (score DESC, id ASC), rejected =
+    first by (score ASC, id ASC) — all-tied groups yield margin 0 and are
+    dropped by ``min_margin`` (a pair with no preference signal is noise in
+    a DPO batch). Both windows and tie-breaks are mirrored exactly by the
+    SQL oracle.
+
+    Scale shape: one shuffle on the prompt hash; the two row_number windows
+    share that partitioning (one Window exchange, two sorts over small
+    per-prompt groups — prompt fan-in is bounded by corpus duplication, and
+    a pathological mega-prompt group still only sorts its own partition).
+    The self-join back to payload is by (hash, rn=1) keys.
+
+    Returns (prompt_hash, prompt, chosen_id, rejected_id, chosen_text,
+    rejected_text, chosen_score, rejected_score, margin, n_candidates).
+    """
+    ida, idb = id_cols
+    rid = F.concat_ws("#", F.col(ida).cast("string"), F.col(idb).cast("string"))
+    base = df.select(
+        F.md5(F.coalesce(F.col(prompt_col), F.lit("∅"))).alias("__h"),
+        F.col(prompt_col).alias("__p"),
+        rid.alias("__rid"),
+        F.col(response_col).alias("__r"),
+        F.col(score_col).cast("long").alias("__s"),
+    )
+    w_best = Window.partitionBy("__h").orderBy(F.col("__s").desc(), F.col("__rid").asc())
+    w_worst = Window.partitionBy("__h").orderBy(F.col("__s").asc(), F.col("__rid").asc())
+    ranked = base.select(
+        "*",
+        F.row_number().over(w_best).alias("__rb"),
+        F.row_number().over(w_worst).alias("__rw"),
+        F.count(F.lit(1)).over(Window.partitionBy("__h")).alias("__n"),
+    ).where(F.col("__n") >= 2)
+    best = ranked.where(F.col("__rb") == 1).select(
+        "__h",
+        F.col("__p").alias("prompt"),
+        F.col("__rid").alias("chosen_id"),
+        F.col("__r").alias("chosen_text"),
+        F.col("__s").alias("chosen_score"),
+        F.col("__n").alias("n_candidates"),
+    )
+    worst = ranked.where(F.col("__rw") == 1).select(
+        "__h",
+        F.col("__rid").alias("rejected_id"),
+        F.col("__r").alias("rejected_text"),
+        F.col("__s").alias("rejected_score"),
+    )
+    return (
+        best.join(worst, "__h")
+        .withColumn("margin", F.col("chosen_score") - F.col("rejected_score"))
+        .where(F.col("margin") >= min_margin)
+        .select(
+            F.col("__h").alias("prompt_hash"),
+            "prompt",
+            "chosen_id",
+            "rejected_id",
+            "chosen_text",
+            "rejected_text",
+            "chosen_score",
+            "rejected_score",
+            F.col("margin").cast("long").alias("margin"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+        )
     )

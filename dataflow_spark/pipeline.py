@@ -585,6 +585,22 @@ register(
     ),
 )
 register(
+    "preference_pairs",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.conversations", fromlist=["x"]).preference_pairs(
+            df, p.get("prompt_col", "p_text"), p.get("response_col", "a_text"),
+            p.get("score_col", "score"),
+            tuple(p.get("id_cols", ("conv_id", "turn_idx"))),
+            min_margin=p.get("min_margin", 1))),
+        lambda p: [p.get("prompt_col", "p_text"), p.get("response_col", "a_text"),
+                   p.get("score_col", "score")],
+        lambda p: ["prompt_hash", "prompt", "chosen_id", "rejected_id",
+                   "chosen_text", "rejected_text", "chosen_score",
+                   "rejected_score", "margin", "n_candidates"],
+        drops_rows=True,
+    ),
+)
+register(
     "cdc_upsert",
     OpSpec(
         # the change stream is a side input (parquet path), like bloom/decontam

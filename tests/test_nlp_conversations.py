@@ -394,3 +394,34 @@ def test_multiturn_no_serving_calls_after_final(spark, tmp_path):
         ), f"assistant called after completion for {t}"
     # the tool agent is never invoked on a <final> round or an empty func_call
     assert all("<func_call>" in c for c in calls if c.startswith("TOOL-AGENT "))
+
+
+def test_preference_pairs(spark):
+    from dataflow_spark.ops import conversations as C
+
+    rows = [
+        # prompt P1: three responses, scores 5 / 2 / 5 (tie on top broken
+        # by response id; worst is b)
+        ("P1", "a1", 0, "long detailed answer with five", 5),
+        ("P1", "b1", 0, "short", 2),
+        ("P1", "c1", 0, "other detailed answer here five", 5),
+        # prompt P2: single response -> no pair
+        ("P2", "a1", 1, "solo", 3),
+        # prompt P3: two equal scores -> margin 0 -> dropped
+        ("P3", "a1", 2, "same same", 2),
+        ("P3", "b1", 2, "also also", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "p_text: string, conv_id: string, turn_idx: long, a_text: string, score: long"
+    )
+    out = C.preference_pairs(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["chosen_id"] == "a1#0" and r["rejected_id"] == "b1#0"
+    assert r["chosen_score"] == 5 and r["rejected_score"] == 2
+    assert r["margin"] == 3 and r["n_candidates"] == 3
+    # min_margin=0 admits the tied P3 group with chosen==min-id twice? no:
+    # chosen and rejected both resolve to the id-ASC head on full ties
+    out0 = {r["prompt"]: r for r in C.preference_pairs(df, min_margin=0).collect()}
+    assert out0["P3"]["chosen_id"] == out0["P3"]["rejected_id"] == "a1#2"
+    assert out0["P3"]["margin"] == 0
