@@ -682,6 +682,25 @@ def q_pref_pairs(spark, sf):
     )
 
 
+def q_sft_examples(spark, sf):
+    """SFT next-turn example assembly (battery member): one (context,
+    target) training row per assistant turn, context = last ≤3 prior turns
+    rendered "role: text" — the transcript→training-example transform
+    (ops/windows.py sft_examples); frame-bounded window, identical
+    windowed string_agg in the oracle."""
+    t = build_transcripts(spark, sf)
+    return windows.sft_examples(t, k=3)
+
+
+def q_tool_flow(spark, sf):
+    """Tool-transition flow table (battery member): corpus-wide tool→tool
+    edge counts + distinct conversations per edge, consecutive over tool
+    turns only (ops/windows.py tool_flow) — the aggregate companion of the
+    cep_pattern member."""
+    t = build_transcripts(spark, sf)
+    return windows.tool_flow(t)
+
+
 def q_data_card(spark, sf):
     """Per-domain corpus data card (battery member): doc counts, token
     totals, exact-dup counts, nearest-rank p50/p95 token lengths per source
@@ -1761,7 +1780,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 43 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 45 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1799,7 +1818,9 @@ def q_score_battery(spark, sf):
     trunc_loss (context-length truncation audit), edit_verify
     (prefix-blocked Levenshtein near-dup pairs), cdc_upsert
     (latest-version-wins CDC merge — the Iceberg MERGE sink's batch
-    twin), pref_pairs (DPO chosen/rejected preference-pair mining)."""
+    twin), pref_pairs (DPO chosen/rejected preference-pair mining),
+    sft_examples (windowed context/target training-row assembly),
+    tool_flow (corpus-wide tool-transition edge counts)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1934,6 +1955,12 @@ def q_score_battery(spark, sf):
                       ["prompt", "chosen_id", "rejected_id", "chosen_text",
                        "rejected_text", "chosen_score", "rejected_score",
                        "margin", "n_candidates"]),
+        _battery_pack(q_sft_examples(spark, sf), "sft_examples",
+                      _kcat("conv_id", "turn_idx"),
+                      ["context", "target", "n_ctx"]),
+        _battery_pack(q_tool_flow(spark, sf), "tool_flow",
+                      _kcat("prev_tool", "tool"),
+                      ["n_transitions", "n_convs"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -4294,6 +4321,43 @@ def oracle_sql() -> dict[str, str]:
         """
     )
 
+    # sft_examples: windowed context/target assembly (ops/windows.py
+    # sft_examples). string_agg over the identical ROWS frame; chr(10)
+    # join matches Spark's array_join "\n".
+    o["sft_examples"] = with_transcripts(
+        """
+        , rendered AS (
+          SELECT conv_id, turn_idx, role, text AS target,
+                 string_agg(role || ': ' || coalesce(text, ''), chr(10)) OVER w AS context,
+                 CAST(count(*) OVER w AS BIGINT) AS n_ctx
+          FROM transcripts
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT conv_id, turn_idx, context, target, n_ctx
+        FROM rendered WHERE role = 'assistant' AND n_ctx >= 1
+        """
+    )
+
+    # tool_flow: tool->tool transition counts (ops/windows.py tool_flow).
+    o["tool_flow"] = with_transcripts(
+        """
+        , tools AS (
+          SELECT conv_id, turn_idx, tool FROM transcripts WHERE tool IS NOT NULL
+        ),
+        prs AS (
+          SELECT conv_id,
+                 lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool,
+                 tool
+          FROM tools
+        )
+        SELECT prev_tool, tool,
+               CAST(count(*) AS BIGINT) AS n_transitions,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+        FROM prs WHERE prev_tool IS NOT NULL GROUP BY 1, 2
+        """
+    )
+
     # cep_pattern: MATCH_RECOGNIZE-style role-sequence CEP (ops/windows.py
     # detect_role_patterns). Patterns stay in the character-class+quantifier
     # subset where Java regex and RE2 agree on leftmost non-overlapping
@@ -4931,6 +4995,12 @@ def oracle_sql() -> dict[str, str]:
                   ["prompt", "chosen_id", "rejected_id", "chosen_text",
                    "rejected_text", "chosen_score", "rejected_score",
                    "margin", "n_candidates"]),
+        _pack_sql("sft_examples", o["sft_examples"],
+                  _kcat_sql("conv_id", "turn_idx"),
+                  ["context", "target", "n_ctx"]),
+        _pack_sql("tool_flow", o["tool_flow"],
+                  _kcat_sql("prev_tool", "tool"),
+                  ["n_transitions", "n_convs"]),
     ])
 
     _dim_sql = ", ".join(
@@ -4959,6 +5029,7 @@ def oracle_sql() -> dict[str, str]:
         "latency_stats", "tool_json", "secret_scan", "strat_sample",
         "turn_repeat", "ccnet_buckets", "script_mix", "vocab_growth",
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
+        "sft_examples", "tool_flow",
     ):
         del o[_member]
 

@@ -101,6 +101,8 @@ HEADLINE = [
     "edit_verify",
     "cdc_upsert",
     "pref_pairs",
+    "sft_examples",
+    "tool_flow",
 ]
 
 

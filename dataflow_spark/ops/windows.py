@@ -305,3 +305,84 @@ def response_latency(df: DataFrame, agg: bool = True) -> DataFrame:
         F.min("latency_us").alias("min_latency_us"),
         F.max("latency_us").alias("max_latency_us"),
     )
+
+
+def sft_examples(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """SFT next-turn example assembly — the transcript→training-example
+    transform every chat-SFT pipeline runs (HF TRL / chat-template
+    practice): for each assistant turn with at least one preceding turn,
+    emit (context, target) where context is the last ≤k prior turns
+    rendered as "role: text" lines. The windowed sibling of ops/sft.py
+    chat_render (which serializes whole conversations); this produces one
+    training row per assistant turn with a bounded context.
+
+    The frame is ROWS BETWEEN k PRECEDING AND 1 PRECEDING over turn order —
+    deterministic because turn_idx is unique per conversation, and
+    identically evaluated by the SQL oracle's windowed string_agg.
+
+    Scale shape: ONE shuffle on conv_id for the window; the frame bound k
+    caps per-row state, so executor memory per partition is O(k·turn) not
+    O(conversation). No Python, no collect.
+
+    Returns (conv_col, idx_col, context, target, n_ctx).
+    """
+    from pyspark.sql import Window as W
+
+    line = F.concat(
+        F.col(role_col), F.lit(": "), F.coalesce(F.col(text_col), F.lit(""))
+    )
+    w = W.partitionBy(conv_col).orderBy(idx_col).rowsBetween(-k, -1)
+    return (
+        df.select(
+            conv_col,
+            idx_col,
+            role_col,
+            F.col(text_col).alias("target"),
+            F.array_join(F.collect_list(line).over(w), "\n").alias("context"),
+            F.count(F.lit(1)).over(w).cast("long").alias("n_ctx"),
+        )
+        .where((F.col(role_col) == "assistant") & (F.col("n_ctx") >= 1))
+        .select(conv_col, idx_col, "context", "target", "n_ctx")
+    )
+
+
+def tool_flow(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Tool-transition flow table — the Markov "which tool follows which"
+    analytics behind agent-trajectory dashboards and the CEP pattern
+    library (detect_role_patterns finds shapes inside one conversation;
+    this aggregates tool→tool edges across the corpus). Consecutive is
+    defined over TOOL turns only (intervening user/assistant turns don't
+    break an edge), matching how tool chains are read in practice.
+
+    Scale shape: filter to tool turns (usually a small fraction), ONE
+    shuffle on conv_id for the lag window, then a groupBy on the
+    (prev_tool, tool) pair — partial-agg friendly, output bounded by
+    |tools|². n_convs is an exact distinct count keyed by the same pair.
+
+    Returns (prev_tool, tool, n_transitions, n_convs).
+    """
+    from pyspark.sql import Window as W
+
+    t = df.where(F.col(tool_col).isNotNull()).select(
+        F.col(conv_col).alias("__c"), F.col(idx_col).alias("__i"), F.col(tool_col).alias("__t")
+    )
+    w = W.partitionBy("__c").orderBy("__i")
+    pairs = t.select(
+        "__c", F.lag("__t").over(w).alias("prev_tool"), F.col("__t").alias("tool")
+    ).where(F.col("prev_tool").isNotNull())
+    return pairs.groupBy("prev_tool", "tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.countDistinct("__c").cast("long").alias("n_convs"),
+    )

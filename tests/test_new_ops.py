@@ -1318,3 +1318,34 @@ def test_editdist_verify_pairs(spark):
         [(i, "boilerplate prefix shared row %d" % i) for i in range(10)],
         "doc_id: long, text: string")
     assert D.editdist_verify_pairs(boiler, bucket_cap=4).count() == 0
+
+
+def test_sft_examples_and_tool_flow(spark):
+    from dataflow_spark.ops import windows as W
+
+    rows = [
+        ("A", 0, "user", "hi", None),
+        ("A", 1, "assistant", "hello", None),
+        ("A", 2, "tool", "r1", "search"),
+        ("A", 3, "tool", "r2", "fetch"),
+        ("A", 4, "assistant", "done", None),
+        ("A", 5, "tool", "r3", "search"),
+        ("B", 0, "assistant", "cold open", None),   # no context -> dropped
+        ("B", 1, "tool", "x", "fetch"),
+        ("B", 2, "tool", None, "search"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id: string, turn_idx: int, role: string, text: string, tool: string"
+    )
+    ex = {(r["conv_id"], r["turn_idx"]): r for r in W.sft_examples(df, k=3).collect()}
+    assert set(ex) == {("A", 1), ("A", 4)}
+    assert ex[("A", 1)]["context"] == "user: hi" and ex[("A", 1)]["n_ctx"] == 1
+    # k=3 frame: turns 1..3 (turn 0 falls outside)
+    assert ex[("A", 4)]["context"] == "assistant: hello\ntool: r1\ntool: r2"
+    assert ex[("A", 4)]["target"] == "done" and ex[("A", 4)]["n_ctx"] == 3
+
+    fl = {(r["prev_tool"], r["tool"]): (r["n_transitions"], r["n_convs"])
+          for r in W.tool_flow(df).collect()}
+    # A: search->fetch, fetch->search (intervening assistant ignored);
+    # B: fetch->search  => fetch->search total 2 transitions over 2 convs
+    assert fl == {("search", "fetch"): (1, 1), ("fetch", "search"): (2, 2)}
