@@ -197,3 +197,92 @@ def test_outlier_trim_band_invariants(spark, vals, band):
         assert set(out.p_lo) == {p_lo} and set(out.p_hi) == {p_hi}
     want = sorted(i for i, v in enumerate(vals) if p_lo <= v <= p_hi)
     assert sorted(out.doc_id) == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_base=st.integers(1, 12),
+    ops=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(1, 4),
+                  st.sampled_from(["upsert", "delete"])),
+        min_size=0, max_size=12,
+    ),
+)
+def test_cdc_upsert_idempotent_and_latest_wins(spark, n_base, ops):
+    """Applying the same change stream twice equals applying it once (the
+    exactly-once replay property), and every surviving row carries its key's
+    winning version."""
+    from dataflow_spark.ops import quality as Q
+
+    base = spark.createDataFrame(
+        [(k, f"base{k}", 0) for k in range(n_base)], "k: long, text: string, version: long"
+    )
+    if ops:
+        changes = spark.createDataFrame(
+            [(k, f"chg{k}v{v}{op[0]}", v, op) for k, v, op in ops],
+            "k: long, text: string, version: long, op: string",
+        )
+    else:
+        changes = spark.createDataFrame([], "k: long, text: string, version: long, op: string")
+    once = Q.cdc_upsert(base, changes, "k", "version", "op")
+    twice = Q.cdc_upsert(once, changes, "k", "version", "op")
+    g1 = sorted(map(tuple, once.collect()))
+    g2 = sorted(map(tuple, twice.collect()))
+    assert g1 == g2
+    # python twin of latest-wins with delete>upsert, change>base ties
+    state = {}
+    for k in range(n_base):
+        state[k] = (0, 0, 1, f"base{k}")  # (version, src, op_rank up=1/del=0 inverted later)
+    best = {}
+    rows = [(k, 0, 0, "upsert", f"base{k}") for k in range(n_base)] + [
+        (k, v, 1, op, f"chg{k}v{v}{op[0]}") for k, v, op in ops
+    ]
+    for k, v, src, op, txt in rows:
+        key = (v, src, 1 if op == "delete" else 0)
+        if k not in best or key > best[k][0]:
+            best[k] = (key, op, txt, v)
+    want = sorted(
+        (k, t, v) for k, (_, op, t, v) in best.items() if op != "delete"
+    )
+    assert g1 == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=transcript_rows())
+def test_preference_pairs_invariants(spark, rows):
+    """chosen beats rejected by >= min_margin, ids differ, and every pair's
+    prompt really repeats (n_candidates >= 2)."""
+    from dataflow_spark.ops import conversations as C
+
+    df = _df(spark, rows).select(
+        F.col("text").alias("p_text"),
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.concat(F.lit("r-"), F.col("text")).alias("a_text"),
+        (F.length(F.coalesce(F.col("text"), F.lit(""))) % 7).cast("long").alias("score"),
+    )
+    for r in C.preference_pairs(df).collect():
+        assert r["margin"] >= 1
+        assert r["chosen_score"] - r["rejected_score"] == r["margin"]
+        assert r["chosen_id"] != r["rejected_id"]
+        assert r["n_candidates"] >= 2
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(TEXTS, min_size=1, max_size=15))
+def test_script_profile_count_invariants(spark, texts):
+    """Per-class counts never exceed n_chars, the dominant class (when not
+    'none') holds the maximum count, and flags agree with the counts."""
+    from dataflow_spark.ops import quality as Q
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id: long, text: string")
+    cls = [f"c_{n}" for n, _ in Q.SCRIPT_CLASSES]
+    for r in Q.script_profile(df).collect():
+        counts = [r[c] for c in cls]
+        assert all(0 <= c <= r["n_chars"] for c in counts)
+        assert r["n_scripts"] == sum(1 for c in counts if c > 0)
+        assert r["is_mixed"] == (r["n_scripts"] >= 2)
+        if r["dominant"] == "none":
+            assert all(c == 0 for c in counts)
+        else:
+            assert r[f"c_{r['dominant']}"] == max(counts) > 0
