@@ -701,6 +701,29 @@ def q_tool_flow(spark, sf):
     return windows.tool_flow(t)
 
 
+def q_url_filter(spark, sf):
+    """URL-level quality filter (battery member; RefinedWeb §3.1.2): exact
+    host blocklist + weighted banned-word score + digit-heavy-host flag,
+    labels emitted alongside the AND-folded keep (ops/filters.py
+    url_quality_filter). URLs are synthesized deterministically with
+    planted blocked domains, severe/mild word combinations, and numeric
+    hosts so every signal fires; the oracle builds the identical URLs."""
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(i % 19 == 0, F.lit("spam.example"))
+        .when(i % 23 == 0, F.concat(((i * 7919 + 10000000) % 100000000).cast("string"), F.lit(".co")))
+        .otherwise(F.concat(F.lit("www."), F.col("source"), F.lit(".example.com"))),
+        F.lit("/p/"), i.cast("string"),
+        F.when(i % 13 == 0, F.lit("/casino"))
+        .when(i % 17 == 0, F.lit("/free-win-click"))
+        .when(i % 29 == 0, F.lit("/adult-poker"))
+        .otherwise(F.lit("")),
+    )
+    return filters.url_quality_filter(d.withColumn("url", url), "doc_id", "url")
+
+
 def q_data_card(spark, sf):
     """Per-domain corpus data card (battery member): doc counts, token
     totals, exact-dup counts, nearest-rank p50/p95 token lengths per source
@@ -1780,7 +1803,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 45 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 46 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1820,7 +1843,8 @@ def q_score_battery(spark, sf):
     (latest-version-wins CDC merge — the Iceberg MERGE sink's batch
     twin), pref_pairs (DPO chosen/rejected preference-pair mining),
     sft_examples (windowed context/target training-row assembly),
-    tool_flow (corpus-wide tool-transition edge counts)."""
+    tool_flow (corpus-wide tool-transition edge counts), url_filter
+    (RefinedWeb-style URL blocklist + weighted-word + digit-host filter)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1961,6 +1985,10 @@ def q_score_battery(spark, sf):
         _battery_pack(q_tool_flow(spark, sf), "tool_flow",
                       _kcat("prev_tool", "tool"),
                       ["n_transitions", "n_convs"]),
+        _battery_pack(q_url_filter(spark, sf), "url_filter",
+                      _kcat("doc_id"),
+                      ["host", "blocked_domain", "score_bp", "digit_bp",
+                       "digit_heavy", "keep"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -4358,6 +4386,47 @@ def oracle_sql() -> dict[str, str]:
         """
     )
 
+    # url_filter: RefinedWeb-style URL quality filter (ops/filters.py
+    # url_quality_filter). Identical synthesized URLs, host extraction,
+    # blocklist, word weights, digit-host arithmetic.
+    o["url_filter"] = """
+        WITH raw AS (
+          SELECT doc_id,
+                 'https://' ||
+                 CASE WHEN doc_id % 19 = 0 THEN 'spam.example'
+                      WHEN doc_id % 23 = 0
+                        THEN CAST((doc_id * 7919 + 10000000) % 100000000 AS VARCHAR) || '.co'
+                      ELSE 'www.' || source || '.example.com' END ||
+                 '/p/' || CAST(doc_id AS VARCHAR) ||
+                 CASE WHEN doc_id % 13 = 0 THEN '/casino'
+                      WHEN doc_id % 17 = 0 THEN '/free-win-click'
+                      WHEN doc_id % 29 = 0 THEN '/adult-poker'
+                      ELSE '' END AS url
+          FROM documents
+        ),
+        lo AS (SELECT doc_id, lower(coalesce(url, '')) AS u FROM raw),
+        h AS (
+          SELECT doc_id, u,
+                 regexp_replace(regexp_extract(u, '^(?:[a-z][a-z0-9+.-]*://)?([^/?#]+)', 1),
+                                '^www\\.', '') AS host
+          FROM lo
+        ),
+        sc AS (
+          SELECT doc_id, host,
+                 host IN ('spam.example', 'malware.example', 'phishing.example') AS blocked_domain,
+                 CAST((CASE WHEN contains(u, 'porn') THEN 100 ELSE 0 END) + (CASE WHEN contains(u, 'xxx') THEN 100 ELSE 0 END) + (CASE WHEN contains(u, 'casino') THEN 100 ELSE 0 END) + (CASE WHEN contains(u, 'adult') THEN 50 ELSE 0 END) + (CASE WHEN contains(u, 'poker') THEN 50 ELSE 0 END) + (CASE WHEN contains(u, 'pills') THEN 50 ELSE 0 END) + (CASE WHEN contains(u, 'free') THEN 25 ELSE 0 END) + (CASE WHEN contains(u, 'win') THEN 25 ELSE 0 END) + (CASE WHEN contains(u, 'click') THEN 25 ELSE 0 END) AS BIGINT) AS score_bp,
+                 length(regexp_replace(host, '[^0-9]', '', 'g')) AS dg,
+                 length(host) AS hl
+          FROM h
+        )
+        SELECT doc_id, host, blocked_domain, score_bp,
+               CAST(CASE WHEN hl > 0 THEN (10000 * dg) // hl ELSE 0 END AS BIGINT) AS digit_bp,
+               (CASE WHEN hl > 0 THEN (10000 * dg) // hl ELSE 0 END) >= 5000 AS digit_heavy,
+               (NOT blocked_domain AND score_bp < 100
+                AND (CASE WHEN hl > 0 THEN (10000 * dg) // hl ELSE 0 END) < 5000) AS keep
+        FROM sc
+    """
+
     # cep_pattern: MATCH_RECOGNIZE-style role-sequence CEP (ops/windows.py
     # detect_role_patterns). Patterns stay in the character-class+quantifier
     # subset where Java regex and RE2 agree on leftmost non-overlapping
@@ -5001,6 +5070,9 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("tool_flow", o["tool_flow"],
                   _kcat_sql("prev_tool", "tool"),
                   ["n_transitions", "n_convs"]),
+        _pack_sql("url_filter", o["url_filter"], _kcat_sql("doc_id"),
+                  ["host", "blocked_domain", "score_bp", "digit_bp",
+                   "digit_heavy", "keep"]),
     ])
 
     _dim_sql = ", ".join(
@@ -5029,7 +5101,7 @@ def oracle_sql() -> dict[str, str]:
         "latency_stats", "tool_json", "secret_scan", "strat_sample",
         "turn_repeat", "ccnet_buckets", "script_mix", "vocab_growth",
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
-        "sft_examples", "tool_flow",
+        "sft_examples", "tool_flow", "url_filter",
     ):
         del o[_member]
 

@@ -103,6 +103,7 @@ HEADLINE = [
     "pref_pairs",
     "sft_examples",
     "tool_flow",
+    "url_filter",
 ]
 
 

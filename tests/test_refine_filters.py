@@ -250,3 +250,31 @@ def test_remove_frequent_lines_corpus_level(spark):
         ).collect()
     }
     assert kept[1] == "unique one\ncookie banner\nbody a"
+
+
+def test_url_quality_filter(spark):
+    from dataflow_spark.ops import filters as FL
+
+    rows = [
+        (0, "https://www.Example.com/article"),                    # clean
+        (1, "http://spam.example/promo"),                          # blocked host
+        (2, "https://good.site/casino-night"),                     # severe word
+        (3, "https://good.site/free-stuff"),                       # mild alone: keep
+        (4, "https://good.site/free-win-click-now"),               # 75 bp: keep
+        (5, "https://good.site/free-win-click-pills"),             # 125: reject
+        (6, "https://12345678.co/x"),                              # digit-heavy host
+        (7, None),                                                 # NULL url
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, url: string")
+    got = {r["doc_id"]: r.asDict() for r in
+           FL.url_quality_filter(df).collect()}
+    assert got[0]["keep"] and got[0]["host"] == "example.com"
+    assert got[1]["blocked_domain"] and not got[1]["keep"]
+    assert got[2]["score_bp"] == 100 and not got[2]["keep"]
+    assert got[3]["score_bp"] == 25 and got[3]["keep"]
+    assert got[4]["score_bp"] == 75 and got[4]["keep"]
+    assert got[5]["score_bp"] == 125 and not got[5]["keep"]
+    assert got[6]["digit_heavy"] and not got[6]["keep"]
+    # NULL url coalesces to '': no signal fires, keep stays a defined TRUE
+    # (never a NULL that a downstream WHERE would silently drop)
+    assert got[7]["host"] == "" and got[7]["keep"] is True
