@@ -329,7 +329,9 @@ def preference_pairs(
     share that partitioning (one Window exchange, two sorts over small
     per-prompt groups — prompt fan-in is bounded by corpus duplication, and
     a pathological mega-prompt group still only sorts its own partition).
-    The self-join back to payload is by (hash, rn=1) keys.
+    The chosen/rejected sides then come from ONE conditional aggregation
+    over the rank-1 rows — never a self-join, so the upstream (typically a
+    transcript pair join) is evaluated once, not once per side.
 
     Returns (prompt_hash, prompt, chosen_id, rejected_id, chosen_text,
     rejected_text, chosen_score, rejected_score, margin, n_candidates).
@@ -351,34 +353,36 @@ def preference_pairs(
         F.row_number().over(w_worst).alias("__rw"),
         F.count(F.lit(1)).over(Window.partitionBy("__h")).alias("__n"),
     ).where(F.col("__n") >= 2)
-    best = ranked.where(F.col("__rb") == 1).select(
-        "__h",
-        F.col("__p").alias("prompt"),
-        F.col("__rid").alias("chosen_id"),
-        F.col("__r").alias("chosen_text"),
-        F.col("__s").alias("chosen_score"),
-        F.col("__n").alias("n_candidates"),
-    )
-    worst = ranked.where(F.col("__rw") == 1).select(
-        "__h",
-        F.col("__rid").alias("rejected_id"),
-        F.col("__r").alias("rejected_text"),
-        F.col("__s").alias("rejected_score"),
+    agg = (
+        ranked.where((F.col("__rb") == 1) | (F.col("__rw") == 1))
+        .groupBy("__h")
+        .agg(
+            # exactly one row per group satisfies each rank predicate
+            # (row_number is unique), so max-over-when is a plain pick
+            F.max(
+                F.when(
+                    F.col("__rb") == 1,
+                    F.struct("__p", "__rid", "__r", "__s", "__n"),
+                )
+            ).alias("__ch"),
+            F.max(
+                F.when(F.col("__rw") == 1, F.struct("__rid", "__r", "__s"))
+            ).alias("__rj"),
+        )
     )
     return (
-        best.join(worst, "__h")
-        .withColumn("margin", F.col("chosen_score") - F.col("rejected_score"))
+        agg.withColumn("margin", F.col("__ch.__s") - F.col("__rj.__s"))
         .where(F.col("margin") >= min_margin)
         .select(
             F.col("__h").alias("prompt_hash"),
-            "prompt",
-            "chosen_id",
-            "rejected_id",
-            "chosen_text",
-            "rejected_text",
-            "chosen_score",
-            "rejected_score",
+            F.col("__ch.__p").alias("prompt"),
+            F.col("__ch.__rid").alias("chosen_id"),
+            F.col("__rj.__rid").alias("rejected_id"),
+            F.col("__ch.__r").alias("chosen_text"),
+            F.col("__rj.__r").alias("rejected_text"),
+            F.col("__ch.__s").alias("chosen_score"),
+            F.col("__rj.__s").alias("rejected_score"),
             F.col("margin").cast("long").alias("margin"),
-            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("__ch.__n").cast("long").alias("n_candidates"),
         )
     )
