@@ -724,6 +724,19 @@ def q_url_filter(spark, sf):
     return filters.url_quality_filter(d.withColumn("url", url), "doc_id", "url")
 
 
+def q_weighted_sample(spark, sf):
+    """Efraimidis–Spirakis weighted sampling without replacement (battery
+    member): top-k by u^(1/w) keys with u from the 48-bit md5 prefix of
+    the id — the distributed one-pass weighted draw behind data-mixture
+    sampling; ranking statistic integer-quantized so both engines order
+    identically (ops/sampling.py weighted_sample). Weight = n_chars, so
+    long documents are proportionally favored."""
+    from dataflow_spark.ops import sampling
+
+    d = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    return sampling.weighted_sample(d, "n_chars", "doc_id", k=50)
+
+
 def q_data_card(spark, sf):
     """Per-domain corpus data card (battery member): doc counts, token
     totals, exact-dup counts, nearest-rank p50/p95 token lengths per source
@@ -1803,7 +1816,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 46 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 47 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1844,7 +1857,9 @@ def q_score_battery(spark, sf):
     twin), pref_pairs (DPO chosen/rejected preference-pair mining),
     sft_examples (windowed context/target training-row assembly),
     tool_flow (corpus-wide tool-transition edge counts), url_filter
-    (RefinedWeb-style URL blocklist + weighted-word + digit-host filter)."""
+    (RefinedWeb-style URL blocklist + weighted-word + digit-host filter),
+    weighted_sample (Efraimidis–Spirakis weighted draw without
+    replacement)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -1989,6 +2004,9 @@ def q_score_battery(spark, sf):
                       _kcat("doc_id"),
                       ["host", "blocked_domain", "score_bp", "digit_bp",
                        "digit_heavy", "keep"]),
+        _battery_pack(q_weighted_sample(spark, sf), "weighted_sample",
+                      _kcat("doc_id"),
+                      ["weight", "key_q", "rank"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -4427,6 +4445,25 @@ def oracle_sql() -> dict[str, str]:
         FROM sc
     """
 
+    # weighted_sample: Efraimidis-Spirakis top-k (ops/sampling.py
+    # weighted_sample). Same 48-bit md5-prefix uniform, same libm ln, same
+    # 2^-20 quantized key, same (key DESC, id ASC) order.
+    o["weighted_sample"] = """
+        WITH base AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                 CAST(floor(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT + 1)
+                             / 281474976710656.0)
+                            / CAST(n_chars AS DOUBLE) * 1048576) AS BIGINT) AS key_q
+          FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        ),
+        r AS (
+          SELECT *, row_number() OVER (ORDER BY key_q DESC, doc_id ASC) AS rn
+          FROM base
+        )
+        SELECT doc_id, weight, key_q, CAST(rn AS BIGINT) AS rank
+        FROM r WHERE rn <= 50
+    """
+
     # cep_pattern: MATCH_RECOGNIZE-style role-sequence CEP (ops/windows.py
     # detect_role_patterns). Patterns stay in the character-class+quantifier
     # subset where Java regex and RE2 agree on leftmost non-overlapping
@@ -5073,6 +5110,8 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("url_filter", o["url_filter"], _kcat_sql("doc_id"),
                   ["host", "blocked_domain", "score_bp", "digit_bp",
                    "digit_heavy", "keep"]),
+        _pack_sql("weighted_sample", o["weighted_sample"], _kcat_sql("doc_id"),
+                  ["weight", "key_q", "rank"]),
     ])
 
     _dim_sql = ", ".join(
@@ -5101,7 +5140,7 @@ def oracle_sql() -> dict[str, str]:
         "latency_stats", "tool_json", "secret_scan", "strat_sample",
         "turn_repeat", "ccnet_buckets", "script_mix", "vocab_growth",
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
-        "sft_examples", "tool_flow", "url_filter",
+        "sft_examples", "tool_flow", "url_filter", "weighted_sample",
     ):
         del o[_member]
 

@@ -104,6 +104,7 @@ HEADLINE = [
     "sft_examples",
     "tool_flow",
     "url_filter",
+    "weighted_sample",
 ]
 
 

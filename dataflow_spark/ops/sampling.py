@@ -540,3 +540,59 @@ def stratified_quota_sample(
         .withColumn("sample_rank", F.col("__rk").cast("int"))
         .drop("__rk")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 100,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis & Spirakis 2006
+    (the one-pass distributed-stream algorithm every weighted data-mixture
+    draw uses): each row gets key u^(1/w) for a uniform u, and the k
+    largest keys ARE a weighted sample without replacement. Ranking by
+    ln(u)/w is the monotone equivalent (both engines' ln is the same libm
+    call — the sb_lm exactness precedent), and the ranking statistic is
+    quantized to the 2^-20 integer grid with id tie-break so the order is
+    fully integer-deterministic cross-engine.
+
+    u is derived from the row identity, not a SEED STREAM: the 48-bit md5
+    prefix of the id, u = (pfx+1)/2^48 ∈ (0, 1] — exact-double arithmetic
+    (numerator ≤ 2^48 < 2^53, divisor a power of two), reproducible across
+    engines and replays (the deterministic-sampling discipline of
+    stratified_quota_sample). Rows with NULL or non-positive weight are
+    excluded, as in the paper.
+
+    Scale shape: global top-k goes through orderBy+limit, which compiles
+    to TakeOrderedAndProject — a bounded heap per partition and one k-row
+    merge, never a global sort. (A rank-filtered UNPARTITIONED window does
+    NOT get the WindowGroupLimit rewrite — probed: Catalyst only infers it
+    for non-empty partition specs — so the window formulation that is
+    right for stratified_quota_sample would single-partition-sort here.)
+    The rank is then a row_number over the k-row result — one partition of
+    k rows, O(k) at any corpus size.
+
+    Returns (id_col, weight, key_q, rank), rank 1..k by descending key.
+    """
+    w = F.col(weight_col).cast("double")
+    pfx = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    u = (pfx + F.lit(1)).cast("double") / F.lit(float(1 << 48))
+    key_q = F.floor(F.log(u) / w * F.lit(1048576)).cast("long")
+    base = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("weight"),
+        key_q.alias("key_q"),
+    )
+    top = base.orderBy(F.col("key_q").desc(), F.col(id_col).asc()).limit(k)
+    win = Window.orderBy(F.col("key_q").desc(), F.col(id_col).asc())
+    return top.select(
+        id_col,
+        "weight",
+        "key_q",
+        F.row_number().over(win).cast("long").alias("rank"),
+    )

@@ -1349,3 +1349,36 @@ def test_sft_examples_and_tool_flow(spark):
     # A: search->fetch, fetch->search (intervening assistant ignored);
     # B: fetch->search  => fetch->search total 2 transitions over 2 convs
     assert fl == {("search", "fetch"): (1, 1), ("fetch", "search"): (2, 2)}
+
+
+def test_weighted_sample_matches_twin_and_prefers_heavy(spark):
+    import hashlib
+    import math
+
+    from dataflow_spark.ops import sampling as S
+
+    rows = [(i, (i % 10) + 1) for i in range(200)] + [(900, None), (901, 0), (902, -3)]
+    df = spark.createDataFrame(rows, "doc_id: long, w: long")
+    out = S.weighted_sample(df, "w", "doc_id", k=20)
+    got = [(r["doc_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+
+    # python twin: same md5-prefix uniform, same quantized ln(u)/w key
+    def key_q(i, w):
+        pfx = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        return math.floor(math.log((pfx + 1) / float(1 << 48)) / w * (1 << 20))
+
+    cand = sorted(
+        ((key_q(i, w), -i) for i, w in rows if w and w > 0), reverse=True
+    )[:20]
+    want = [(-ni, r + 1) for r, (_, ni) in enumerate(cand)]
+    assert got == want
+    # invalid weights never sampled
+    assert not {900, 901, 902} & {i for i, _ in got}
+    # weighted behavior: the top of the sample skews heavy — mean weight of
+    # the selected 20 exceeds the population mean (5.5) on this fixture
+    wmap = dict(rows[:200])
+    assert sum(wmap[i] for i, _ in got) / 20 > 5.5
+    # scale guard: the global top-k must be a per-partition heap + k-row
+    # merge (TakeOrderedAndProject), never a global sort of the corpus
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
