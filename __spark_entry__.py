@@ -737,6 +737,35 @@ def q_weighted_sample(spark, sf):
     return sampling.weighted_sample(d, "n_chars", "doc_id", k=50)
 
 
+def q_minhash_new(spark, sf):
+    """Incremental MinHash-LSH dedup vs a frozen corpus (battery member;
+    the FineWeb per-dump recipe — ops/dedup.py minhash_new_rows), run over
+    the planted regime: corpus texts are md5-hex phrases, the new batch is
+    exact copies of every 3rd corpus row (must drop: all bands collide)
+    plus fresh phrases from a disjoint key namespace (must survive: a
+    cross-band hit needs a 16-slice signature match, absent on this
+    fixture deterministically — the dedup_minhash argument). On this input
+    the survivor set provably equals anti-join-on-text, which IS
+    SQL-expressible; real-text band behavior stays golden-tested."""
+    d = load_table(spark, sf, "documents").select("doc_id")
+    def phrase(base):
+        return F.concat_ws(
+            " ", F.md5(base), F.md5(F.concat(base, F.lit("b"))),
+            F.md5(F.concat(base, F.lit("c"))),
+        )
+    s = F.col("doc_id").cast("string")
+    corpus = d.select("doc_id", phrase(s).alias("text"))
+    copies = corpus.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    fresh = d.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        phrase(F.concat(s, F.lit("n"))).alias("text"),
+    )
+    new = copies.unionByName(fresh)
+    return dedup.minhash_new_rows(new, corpus, bands=4)
+
+
 def q_data_card(spark, sf):
     """Per-domain corpus data card (battery member): doc counts, token
     totals, exact-dup counts, nearest-rank p50/p95 token lengths per source
@@ -1816,7 +1845,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 47 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 48 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1859,7 +1888,8 @@ def q_score_battery(spark, sf):
     tool_flow (corpus-wide tool-transition edge counts), url_filter
     (RefinedWeb-style URL blocklist + weighted-word + digit-host filter),
     weighted_sample (Efraimidis–Spirakis weighted draw without
-    replacement)."""
+    replacement), minhash_new (incremental MinHash-LSH dedup vs a frozen
+    corpus — the FineWeb per-dump recipe, planted regime)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -2007,6 +2037,8 @@ def q_score_battery(spark, sf):
         _battery_pack(q_weighted_sample(spark, sf), "weighted_sample",
                       _kcat("doc_id"),
                       ["weight", "key_q", "rank"]),
+        _battery_pack(q_minhash_new(spark, sf), "minhash_new",
+                      _kcat("doc_id"), ["text"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -4464,6 +4496,29 @@ def oracle_sql() -> dict[str, str]:
         FROM r WHERE rn <= 50
     """
 
+    # minhash_new: incremental LSH dedup vs frozen corpus (ops/dedup.py
+    # minhash_new_rows) on the planted regime — survivors == text anti-join.
+    o["minhash_new"] = """
+        WITH corpus AS (
+          SELECT doc_id,
+                 md5(CAST(doc_id AS VARCHAR)) || ' ' ||
+                 md5(CAST(doc_id AS VARCHAR) || 'b') || ' ' ||
+                 md5(CAST(doc_id AS VARCHAR) || 'c') AS text
+          FROM documents
+        ),
+        newrows AS (
+          SELECT doc_id + 1000000 AS doc_id, text FROM corpus WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 2000000,
+                 md5(CAST(doc_id AS VARCHAR) || 'n') || ' ' ||
+                 md5(CAST(doc_id AS VARCHAR) || 'nb') || ' ' ||
+                 md5(CAST(doc_id AS VARCHAR) || 'nc')
+          FROM documents
+        )
+        SELECT n.doc_id, n.text FROM newrows n
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
+    """
+
     # cep_pattern: MATCH_RECOGNIZE-style role-sequence CEP (ops/windows.py
     # detect_role_patterns). Patterns stay in the character-class+quantifier
     # subset where Java regex and RE2 agree on leftmost non-overlapping
@@ -5112,6 +5167,8 @@ def oracle_sql() -> dict[str, str]:
                    "digit_heavy", "keep"]),
         _pack_sql("weighted_sample", o["weighted_sample"], _kcat_sql("doc_id"),
                   ["weight", "key_q", "rank"]),
+        _pack_sql("minhash_new", o["minhash_new"], _kcat_sql("doc_id"),
+                  ["text"]),
     ])
 
     _dim_sql = ", ".join(
@@ -5141,6 +5198,7 @@ def oracle_sql() -> dict[str, str]:
         "turn_repeat", "ccnet_buckets", "script_mix", "vocab_growth",
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",
+        "minhash_new",
     ):
         del o[_member]
 

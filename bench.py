@@ -105,6 +105,7 @@ HEADLINE = [
     "tool_flow",
     "url_filter",
     "weighted_sample",
+    "minhash_new",
 ]
 
 

@@ -1138,3 +1138,57 @@ def editdist_verify_pairs(
         F.expr("(10000 * (maxlen - lev)) div maxlen").cast("long"),
     )
     return scored.where(F.col("sim_bp") >= threshold_bp)
+
+
+def minhash_new_rows(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Incremental MinHash-LSH dedup against a FROZEN corpus — the
+    per-dump fuzzy-dedup recipe (FineWeb processes each CommonCrawl dump
+    against the union of all prior dumps; Dolma's dedupe-against-previous
+    releases likewise): a new row is dropped if ANY of its band hashes
+    collides with the corpus band index. No verify step, matching the
+    production recipe — a cross-band false positive requires a full
+    (num_perm/bands)-slice signature match between unrelated texts
+    (≈2^-64 per band via the md5 band hash), which is the same trade
+    dedup_minhash_lsh's banding makes. The near-dup sibling of
+    bloom_new_rows (exact-hash incremental dedup).
+
+    The corpus index is DISTINCT (band_idx, band_hash) keys — a DataFrame,
+    built here inline and in production persisted once per release and
+    reused by every subsequent increment (build cost amortizes exactly
+    like the Bloom bitmap table).
+
+    Scale shape: band hashes are `bands` longs per row computed in one
+    Arrow stage (the signature never leaves the Python worker); the
+    collision check is a keys-only explode→left-anti join on the band
+    hash; the new-side payload rides a final semi-join on id. NULL text
+    hashes like empty text (shingle set ∅ → constant signature), so all
+    NULL/empty rows collapse onto one bucket — same behavior as
+    dedup_minhash_lsh.
+
+    Returns the surviving rows of `new` (schema unchanged).
+    """
+    bh = minhash_band_hash_udf(num_perm, bands, shingle_k)
+    def banded(df):
+        return (
+            df.select(F.col(id_col).alias("__id"), bh(F.col(text_col)).alias("__bh"))
+            .select("__id", F.posexplode("__bh").alias("__band", "__h"))
+        )
+
+    idx = banded(corpus).select("__band", "__h").distinct()
+    hits = (
+        banded(new)
+        .join(idx, ["__band", "__h"], "left_semi")
+        .select("__id")
+        .distinct()
+    )
+    return new.join(
+        hits.withColumnRenamed("__id", id_col), id_col, "left_anti"
+    )

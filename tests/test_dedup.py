@@ -526,3 +526,34 @@ def test_canonical_url_and_url_dedup(spark):
     assert got[5]["keeper_id"] == 5 and got[5]["n_dups"] == 1
     assert got[6]["canon_url"] == "other.example.com" == got[7]["canon_url"]
     assert got[7]["keeper_id"] == 6
+
+
+def test_minhash_new_rows_incremental(spark):
+    """Real-text behavior of the incremental LSH recipe: exact and
+    near-duplicate (one-word-changed) new rows drop against the corpus
+    index; unrelated text survives; the corpus itself is untouched."""
+    from dataflow_spark.ops import dedup as D
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog on a sunny day in june"),
+            (1, "spark structured streaming processes unbounded data with watermarks and state"),
+        ],
+        "doc_id: long, text: string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog on a sunny day in june"),   # exact
+            (11, "the quick brown fox jumps over the lazy dog on a sunny day in july"),   # near-dup
+            (12, "completely unrelated sentence about database query optimization plans today"),
+            (13, None),
+        ],
+        "doc_id: long, text: string",
+    )
+    kept = {r["doc_id"] for r in D.minhash_new_rows(new, corpus, bands=8).collect()}
+    assert 10 not in kept          # exact copy: every band collides
+    assert 11 not in kept          # near-dup: high Jaccard -> some band collides
+    assert 12 in kept
+    # NULL text: constant signature — survives only if corpus has no
+    # NULL/empty row (it doesn't here)
+    assert 13 in kept
