@@ -615,6 +615,68 @@ register(
 )
 
 
+register(
+    "weighted_sample",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.sampling", fromlist=["x"]).weighted_sample(
+            df, p["weight_col"], p.get("id_col", "doc_id"), k=p.get("k", 100))),
+        lambda p: [p["weight_col"], p.get("id_col", "doc_id")],
+        lambda p: ["weight", "key_q", "rank"],
+        drops_rows=True,
+    ),
+)
+register(
+    "minhash_new_rows",
+    OpSpec(
+        # frozen-corpus side input, like bloom_new_rows/decontaminate
+        lambda **p: (lambda df: dedup.minhash_new_rows(
+            df, df.sparkSession.read.parquet(p["corpus_path"]),
+            p.get("id_col", "doc_id"), p.get("col", "text"),
+            num_perm=p.get("num_perm", 64), bands=p.get("bands", 8),
+            shingle_k=p.get("shingle_k", 5))),
+        lambda p: [p.get("id_col", "doc_id"), p.get("col", "text")],
+        _NO_NEW,
+        drops_rows=True,
+    ),
+)
+register(
+    "sft_examples",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.windows", fromlist=["x"]).sft_examples(
+            df, p.get("conv_col", "conv_id"), p.get("idx_col", "turn_idx"),
+            p.get("role_col", "role"), p.get("col", "text"), k=p.get("k", 3))),
+        lambda p: [p.get("conv_col", "conv_id"), p.get("idx_col", "turn_idx"),
+                   p.get("role_col", "role"), p.get("col", "text")],
+        lambda p: ["context", "target", "n_ctx"],
+        drops_rows=True,
+    ),
+)
+register(
+    "tool_flow",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.windows", fromlist=["x"]).tool_flow(
+            df, p.get("conv_col", "conv_id"), p.get("idx_col", "turn_idx"),
+            p.get("tool_col", "tool"))),
+        lambda p: [p.get("conv_col", "conv_id"), p.get("idx_col", "turn_idx"),
+                   p.get("tool_col", "tool")],
+        lambda p: ["prev_tool", "tool", "n_transitions", "n_convs"],
+        drops_rows=True,
+    ),
+)
+register(
+    "url_quality_filter",
+    OpSpec(
+        lambda **p: (lambda df: filters.url_quality_filter(
+            df, p.get("id_col", "doc_id"), p.get("url_col", "url"),
+            threshold_bp=p.get("threshold_bp", 100))),
+        lambda p: [p.get("id_col", "doc_id"), p.get("url_col", "url")],
+        lambda p: ["host", "blocked_domain", "score_bp", "digit_bp",
+                   "digit_heavy", "keep"],
+        drops_rows=True,
+    ),
+)
+
+
 class PipelineConfigError(KeyError):
     """Unresolved input column — the Pipeline.compile() KeyError analog
     (Pipeline.py:123-134)."""
