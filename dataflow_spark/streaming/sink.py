@@ -111,3 +111,73 @@ def read_bucket(spark: SparkSession, out_dir: str, conv_id: str, n_buckets: int 
         F.pmod(F.xxhash64(F.lit(conv_id)), F.lit(n_buckets)).cast("int").alias("b")
     ).collect()[0]["b"]
     return df.filter((F.col("conv_bucket") == bucket) & (F.col("conv_id") == conv_id))
+
+
+class DedupAppendSink:
+    """foreachBatch writer implementing STREAMING INCREMENTAL DEDUP: each
+    micro-batch is deduped (a) within itself on the key expression and
+    (b) against everything already in the target, and only the survivors
+    append. The streaming twin of ops/dedup.bloom_new_rows /
+    minhash_new_rows — and the unbounded-horizon complement of
+    dropDuplicatesWithinWatermark (whose state the watermark evicts; the
+    sink's accumulated table IS the seen-set, so a duplicate arriving a
+    month later still drops).
+
+    Exactly-once WITHOUT batch-id bookkeeping: the operation is naturally
+    idempotent — replaying a batch after a crash-between-write-and-commit
+    finds its own rows already in the target and appends nothing
+    (pinned by tests/test_streaming.py replay test).
+
+    key_cols defaults to a content hash of `text` (exact streaming dedup);
+    pass e.g. ["conv_id", "turn_idx"] for identity dedup.
+
+    SCALE NOTE: the anti-join reads the target's KEY COLUMN only (column
+    pruning reaches the parquet footer), so per-batch cost is
+    O(|batch| + |target keys scanned|); on Iceberg the same pattern is
+    `MERGE INTO ... WHEN NOT MATCHED THEN INSERT`, where the join prunes
+    by partition/bloom metadata instead of a key scan. The append itself
+    is O(|batch|) — the target is never rewritten (unlike merge_upsert).
+    """
+
+    def __init__(
+        self,
+        target_dir: str,
+        key_cols: list[str] | None = None,
+        order_cols: list[str] | None = None,
+    ):
+        self.target_dir = target_dir
+        self.key_cols = key_cols
+        # within-batch first-wins needs a total order; callers name the
+        # arrival-order columns (e.g. ["ts", "turn_idx"]) — default falls
+        # back to every non-key column in schema order, which is
+        # deterministic but arbitrary
+        self.order_cols = order_cols
+
+    def _keyed(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        if self.key_cols:
+            return df
+        return df.withColumn("__key", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        keys = self.key_cols or ["__key"]
+        b = self._keyed(batch_df)
+        order = self.order_cols or [c for c in b.columns if c not in keys]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        b = b.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+        if os.path.isdir(self.target_dir) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(self.target_dir) for f in fs
+        ):
+            seen = b.sparkSession.read.parquet(self.target_dir).select(*keys).distinct()
+            b = b.join(seen, keys, "left_anti")
+        # __key stays in the target: it IS the seen-set consulted by later
+        # batches (read() hides it)
+        b.write.mode("append").parquet(self.target_dir)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        df = spark.read.parquet(self.target_dir)
+        return df.drop("__key") if not self.key_cols else df

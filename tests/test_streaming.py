@@ -713,3 +713,45 @@ def test_left_outer_stream_join_emits_unprompted_assistants(spark, tmp_path):
     # the NULL row is genuinely the outer-join null, not a 0-filled value
     b = ab[ab.conv_id == "B"].iloc[0]
     assert pd.isna(b["user_turn"]) and pd.isna(b["u_ts"])
+
+
+def test_dedup_append_sink_incremental_and_replay_idempotent(spark, tmp_path):
+    """Streaming incremental dedup with an UNBOUNDED horizon: the sink's
+    accumulated table is the seen-set, so a duplicate arriving in a later
+    micro-batch (beyond any watermark) still drops; final table equals batch
+    first-wins dedup; replaying a batch into the sink appends nothing."""
+    from dataflow_spark.streaming.sink import DedupAppendSink
+
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    ck = str(tmp_path / "ck")
+    rows = []
+    for i in range(300):
+        rows.append(_tx(f"c{i % 7}", i, "user", f"text-{i % 60}",
+                        pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i)))
+    pdf = pd.DataFrame(rows)
+    # duplicates split ACROSS chunks: text-k recurs every 60 rows
+    chunks = [pdf.iloc[:120], pdf.iloc[120:210], pdf.iloc[210:]]
+    write_ordered_chunks(chunks, src)
+
+    sink = DedupAppendSink(tgt, order_cols=["ts", "turn_idx"])
+    sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sink.read(spark).toPandas()
+    assert len(got) == 60
+    assert sorted(got["text"]) == sorted(f"text-{k}" for k in range(60))
+    # first-wins: the survivor of text-k is the earliest arrival (turn k)
+    assert sorted(got["turn_idx"]) == list(range(60))
+
+    # crash-replay: push the LAST batch through the sink again by hand —
+    # idempotent, nothing appends
+    last = spark.createDataFrame(chunks[2])
+    sink(last, batch_id=2)
+    again = sink.read(spark).toPandas()
+    assert len(again) == 60
