@@ -4346,7 +4346,14 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, row_number() OVER (
                    PARTITION BY doc_id
                    ORDER BY version DESC, src DESC,
-                            CASE WHEN op = 'delete' THEN 0 ELSE 1 END ASC
+                            CASE WHEN op = 'delete' THEN 0 ELSE 1 END ASC,
+                            md5(concat_ws(chr(31),
+                                coalesce(CAST(doc_id AS VARCHAR), '∅'),
+                                coalesce(text, '∅'),
+                                coalesce(lang, '∅'),
+                                coalesce(source, '∅'),
+                                coalesce(CAST(n_chars AS VARCHAR), '∅'),
+                                coalesce(CAST(version AS VARCHAR), '∅'))) ASC
                  ) AS rn
           FROM allrows
         )
@@ -4366,7 +4373,9 @@ def oracle_sql() -> dict[str, str]:
           WHERE a.role = 'assistant'
         ),
         base AS (
-          SELECT md5(coalesce(p_text, '∅')) AS h, p_text AS prompt,
+          SELECT md5((CASE WHEN p_text IS NULL THEN '0' ELSE '1' END)
+                     || coalesce(p_text, '')) AS h,
+                 p_text AS prompt,
                  conv_id || '#' || CAST(turn_idx AS VARCHAR) AS rid,
                  a_text AS r,
                  CAST(len(list_distinct(list_filter(

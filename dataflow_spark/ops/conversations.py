@@ -318,8 +318,11 @@ def preference_pairs(
     (prompt, response, score, response-id); the score column is pluggable
     — any integer quality signal (token count, model_score, sb_lm band).
 
-    Grouping is by md5(prompt) so identical prompts collide regardless of
-    where they occur; chosen = first by (score DESC, id ASC), rejected =
+    Grouping is by a NULL-SAFE md5 of the prompt (a presence flag is
+    prepended before hashing, so a NULL prompt and any literal text —
+    including the '∅' sentinel — can never share a group) so identical
+    prompts collide regardless of where they occur; chosen = first by
+    (score DESC, id ASC), rejected =
     first by (score ASC, id ASC) — all-tied groups yield margin 0 and are
     dropped by ``min_margin`` (a pair with no preference signal is noise in
     a DPO batch). Both windows and tie-breaks are mirrored exactly by the
@@ -339,7 +342,12 @@ def preference_pairs(
     ida, idb = id_cols
     rid = F.concat_ws("#", F.col(ida).cast("string"), F.col(idb).cast("string"))
     base = df.select(
-        F.md5(F.coalesce(F.col(prompt_col), F.lit("∅"))).alias("__h"),
+        F.md5(
+            F.concat(
+                F.when(F.col(prompt_col).isNull(), F.lit("0")).otherwise(F.lit("1")),
+                F.coalesce(F.col(prompt_col), F.lit("")),
+            )
+        ).alias("__h"),
         F.col(prompt_col).alias("__p"),
         rid.alias("__rid"),
         F.col(response_col).alias("__r"),

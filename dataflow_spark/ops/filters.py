@@ -382,10 +382,9 @@ def url_quality_filter(
         F.regexp_extract(u, "^(?:[a-z][a-z0-9+.-]*://)?([^/?#]+)", 1), "^www\\.", ""
     )
     blocked = host.isin(*block_domains) if block_domains else F.lit(False)
-    score = None
+    score = F.lit(0)  # empty word list => blocklist/host-only filtering
     for word, wt in word_weights:
-        hit = F.when(u.contains(word), F.lit(wt)).otherwise(F.lit(0))
-        score = hit if score is None else score + hit
+        score = score + F.when(u.contains(word), F.lit(wt)).otherwise(F.lit(0))
     digits = F.length(F.regexp_replace(host, "[^0-9]", ""))
     out = df.select(
         F.col(id_col),

@@ -1389,7 +1389,10 @@ def cdc_upsert(
     delete beats an upsert (the conservative rule — a replayed
     delete+upsert pair at the same version converges to absence, so the
     merge is idempotent under replay, which is the exactly-once property
-    the streaming sink enforces via (conv_id, turn_idx) keys).
+    the streaming sink enforces via (conv_id, turn_idx) keys). A null-safe
+    payload hash closes the last tie (two same-version upserts with
+    different payloads), making the order TOTAL — the winner never depends
+    on shuffle order.
 
     ``changes`` must carry the base schema plus ``op_col`` in
     ('upsert', 'delete'); ``base`` rows are implicit upserts.
@@ -1407,10 +1410,20 @@ def cdc_upsert(
         *data_cols, F.col(op_col).alias("__op"), F.lit(1).alias("__src")
     )
     allrows = b.unionByName(c)
+    # final tie-break: a null-safe payload hash makes the order TOTAL — two
+    # change rows for one key at the same version with different payloads
+    # otherwise resolve by shuffle order (nondeterministic across runs)
+    payload_hash = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in data_cols],
+        )
+    )
     w = Window.partitionBy(key_col).orderBy(
         F.col(version_col).desc(),
         F.col("__src").desc(),
         F.when(F.col("__op") == "delete", 0).otherwise(1).asc(),
+        payload_hash.asc(),
     )
     return (
         allrows.withColumn("__rn", F.row_number().over(w))

@@ -39,6 +39,10 @@ class OpSpec:
     # streaming twin when the batch topology isn't stream-expressible
     # (e.g. global first-wins dedup → state-store dedup within watermark)
     streaming_builder: Callable[..., Callable[[DataFrame], DataFrame]] | None = None
+    # schema-REPLACING ops (aggregations/projections that do not carry the
+    # input row schema through) declare their exact output schema here;
+    # validate_config then replaces the column set instead of unioning
+    schema_cols: Callable[[dict], list[str]] | None = None
 
 
 _TEXT_IN = lambda p: [p.get("col", "text")]
@@ -310,13 +314,17 @@ register(
     "window_quality_agg",
     OpSpec(lambda **p: (lambda df: windows.window_quality_agg(df, p.get("window", "6 hours"))),
            lambda p: ["ts", "conv_id", "text"],
-           lambda p: ["win_start", "n_turns", "avg_words", "avg_ngram_uniq"]),
+           lambda p: ["win_start", "n_turns", "avg_words", "avg_ngram_uniq"],
+           schema_cols=lambda p: ["win_start", "conv_id", "n_turns",
+                                  "avg_words", "avg_ngram_uniq"]),
 )
 register(
     "reassemble_conversations",
     OpSpec(lambda **p: (lambda df: windows.reassemble_conversations(df)),
            lambda p: ["conv_id", "turn_idx", "role", "text", "ts"],
-           lambda p: ["n_turns", "first_ts", "last_ts", "convo_digest", "n_tool_turns"]),
+           lambda p: ["n_turns", "first_ts", "last_ts", "convo_digest", "n_tool_turns"],
+           schema_cols=lambda p: ["conv_id", "n_turns", "first_ts", "last_ts",
+                                  "convo_digest", "n_tool_turns"]),
 )
 
 
@@ -497,11 +505,13 @@ register(
 register(
     "corpus_data_card",
     OpSpec(
-        lambda **p: (lambda df: __import__("dataflow_spark.ops.quality", fromlist=["x"]).corpus_data_card(
+        lambda **p: (lambda df: quality.corpus_data_card(
             df, p.get("domain_col", "source"), p.get("col", "text"))),
         lambda p: [p.get("domain_col", "source"), p.get("col", "text")],
         lambda p: ["domain", "n_docs", "n_tokens", "dup_docs", "p50_tok", "p95_tok"],
         drops_rows=True,
+        schema_cols=lambda p: ["domain", "n_docs", "n_tokens", "dup_docs",
+                               "p50_tok", "p95_tok"],
     ),
 )
 register(
@@ -530,44 +540,57 @@ register(
 register(
     "script_profile",
     OpSpec(
-        lambda **p: (lambda df: __import__("dataflow_spark.ops.quality", fromlist=["x"]).script_profile(
+        lambda **p: (lambda df: quality.script_profile(
             df, p.get("id_col", "doc_id"), p.get("col", "text"))),
         lambda p: [p.get("id_col", "doc_id"), p.get("col", "text")],
         lambda p: ["n_chars", "n_scripts", "dominant", "is_mixed", "is_confusable"],
         drops_rows=True,
+        schema_cols=lambda p: [p.get("id_col", "doc_id"), "n_chars",
+                               "c_latin", "c_cyrillic", "c_greek", "c_arabic",
+                               "c_cjk", "c_hangul", "c_kana", "n_scripts",
+                               "dominant", "is_mixed", "is_confusable"],
     ),
 )
 register(
     "vocab_growth",
     OpSpec(
-        lambda **p: (lambda df: __import__("dataflow_spark.ops.quality", fromlist=["x"]).vocab_growth(
+        lambda **p: (lambda df: quality.vocab_growth(
             df, p.get("domain_col", "source"), p.get("col", "text"))),
         lambda p: [p.get("domain_col", "source"), p.get("col", "text")],
         lambda p: ["n_docs", "n_tokens", "n_types", "n_hapax", "ttr_bp", "hapax_bp"],
         drops_rows=True,
+        schema_cols=lambda p: [p.get("domain_col", "source"), "n_docs",
+                               "n_tokens", "n_types", "n_hapax", "ttr_bp",
+                               "hapax_bp"],
     ),
 )
 register(
     "truncation_loss",
     OpSpec(
-        lambda **p: (lambda df: __import__("dataflow_spark.ops.quality", fromlist=["x"]).truncation_loss(
+        lambda **p: (lambda df: quality.truncation_loss(
             df, p.get("domain_col", "source"), p.get("col", "text"),
             tuple(p.get("limits", (128, 512, 2048))))),
         lambda p: [p.get("domain_col", "source"), p.get("col", "text")],
         lambda p: ["limit", "n_docs", "docs_over", "tokens_total", "tokens_lost", "lost_bp"],
         drops_rows=True,
+        schema_cols=lambda p: [p.get("domain_col", "source"), "limit",
+                               "n_docs", "docs_over", "tokens_total",
+                               "tokens_lost", "lost_bp"],
     ),
 )
 register(
     "ccnet_ppl_buckets",
     OpSpec(
-        lambda **p: (lambda df: __import__("dataflow_spark.ops.quality", fromlist=["x"]).ccnet_ppl_buckets(
+        lambda **p: (lambda df: quality.ccnet_ppl_buckets(
             df, p.get("group_col", "source"), p.get("id_col", "doc_id"),
             p.get("col", "text"))),
         lambda p: [p.get("group_col", "source"), p.get("id_col", "doc_id"),
                    p.get("col", "text")],
         lambda p: ["n_scored", "avg_nll_q", "bucket"],
         drops_rows=True,
+        schema_cols=lambda p: [p.get("id_col", "doc_id"),
+                               p.get("group_col", "source"), "n_scored",
+                               "avg_nll_q", "bucket"],
     ),
 )
 register(
@@ -582,6 +605,7 @@ register(
         lambda p: [p.get("id_col", "doc_id"), p.get("col", "text")],
         lambda p: ["id_a", "id_b", "lev", "maxlen", "sim_bp"],
         drops_rows=True,
+        schema_cols=lambda p: ["id_a", "id_b", "lev", "maxlen", "sim_bp"],
     ),
 )
 register(
@@ -598,13 +622,17 @@ register(
                    "chosen_text", "rejected_text", "chosen_score",
                    "rejected_score", "margin", "n_candidates"],
         drops_rows=True,
+        schema_cols=lambda p: ["prompt_hash", "prompt", "chosen_id",
+                               "rejected_id", "chosen_text", "rejected_text",
+                               "chosen_score", "rejected_score", "margin",
+                               "n_candidates"],
     ),
 )
 register(
     "cdc_upsert",
     OpSpec(
         # the change stream is a side input (parquet path), like bloom/decontam
-        lambda **p: (lambda df: __import__("dataflow_spark.ops.quality", fromlist=["x"]).cdc_upsert(
+        lambda **p: (lambda df: quality.cdc_upsert(
             df, df.sparkSession.read.parquet(p["changes_path"]),
             p.get("key_col", "doc_id"), p.get("version_col", "version"),
             p.get("op_col", "op"))),
@@ -623,6 +651,8 @@ register(
         lambda p: [p["weight_col"], p.get("id_col", "doc_id")],
         lambda p: ["weight", "key_q", "rank"],
         drops_rows=True,
+        schema_cols=lambda p: [p.get("id_col", "doc_id"), "weight", "key_q",
+                               "rank"],
     ),
 )
 register(
@@ -642,25 +672,30 @@ register(
 register(
     "sft_examples",
     OpSpec(
-        lambda **p: (lambda df: __import__("dataflow_spark.ops.windows", fromlist=["x"]).sft_examples(
+        lambda **p: (lambda df: windows.sft_examples(
             df, p.get("conv_col", "conv_id"), p.get("idx_col", "turn_idx"),
             p.get("role_col", "role"), p.get("col", "text"), k=p.get("k", 3))),
         lambda p: [p.get("conv_col", "conv_id"), p.get("idx_col", "turn_idx"),
                    p.get("role_col", "role"), p.get("col", "text")],
         lambda p: ["context", "target", "n_ctx"],
         drops_rows=True,
+        schema_cols=lambda p: [p.get("conv_col", "conv_id"),
+                               p.get("idx_col", "turn_idx"), "context",
+                               "target", "n_ctx"],
     ),
 )
 register(
     "tool_flow",
     OpSpec(
-        lambda **p: (lambda df: __import__("dataflow_spark.ops.windows", fromlist=["x"]).tool_flow(
+        lambda **p: (lambda df: windows.tool_flow(
             df, p.get("conv_col", "conv_id"), p.get("idx_col", "turn_idx"),
             p.get("tool_col", "tool"))),
         lambda p: [p.get("conv_col", "conv_id"), p.get("idx_col", "turn_idx"),
                    p.get("tool_col", "tool")],
         lambda p: ["prev_tool", "tool", "n_transitions", "n_convs"],
         drops_rows=True,
+        schema_cols=lambda p: ["prev_tool", "tool", "n_transitions",
+                               "n_convs"],
     ),
 )
 register(
@@ -673,6 +708,9 @@ register(
         lambda p: ["host", "blocked_domain", "score_bp", "digit_bp",
                    "digit_heavy", "keep"],
         drops_rows=True,
+        schema_cols=lambda p: [p.get("id_col", "doc_id"), "host",
+                               "blocked_domain", "score_bp", "digit_bp",
+                               "digit_heavy", "keep"],
     ),
 )
 
@@ -699,11 +737,10 @@ def validate_config(config: list[dict], input_cols: list[str]) -> list[str]:
                 f"step {i} ({name}): input column(s) {missing} not produced by "
                 f"any earlier step; available: {sorted(cols)}"
             )
-        out = spec.output_cols(params)
-        if name in ("window_quality_agg", "reassemble_conversations"):
-            cols = {"conv_id", *out}  # aggregate replaces the row schema
+        if spec.schema_cols is not None:
+            cols = set(spec.schema_cols(params))  # op replaces the row schema
         else:
-            cols |= set(out)
+            cols |= set(spec.output_cols(params))
     return sorted(cols)
 
 

@@ -43,7 +43,8 @@ EOS = "</s>"
 
 def _load_artifact(path: str | None):
     if path is not None:
-        raw = open(path, "rb").read()
+        with open(path, "rb") as f:
+            raw = f.read()
     else:
         raw = (ir.files("dataflow_spark") / "artifacts" / "tiny_lm.npz").read_bytes()
     z = np.load(io.BytesIO(raw))

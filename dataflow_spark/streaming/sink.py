@@ -166,7 +166,13 @@ class DedupAppendSink:
 
         keys = self.key_cols or ["__key"]
         b = self._keyed(batch_df)
-        order = self.order_cols or [c for c in b.columns if c not in keys]
+        # fall back to the keys themselves when they cover the whole schema
+        # (rows within a partition are then identical — any pick is the row)
+        order = (
+            self.order_cols
+            or [c for c in b.columns if c not in keys]
+            or list(keys)
+        )
         w = Window.partitionBy(*keys).orderBy(*order)
         b = b.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
         if os.path.isdir(self.target_dir) and any(

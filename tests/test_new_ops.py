@@ -1382,3 +1382,27 @@ def test_weighted_sample_matches_twin_and_prefers_heavy(spark):
     # merge (TakeOrderedAndProject), never a global sort of the corpus
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cdc_upsert_total_order_on_payload_ties(spark):
+    """Two upserts for one key at the SAME version with different payloads
+    must resolve deterministically (null-safe payload-hash tie-break), not
+    by shuffle order."""
+    import hashlib
+
+    from dataflow_spark.ops import quality as Q
+
+    base = spark.createDataFrame([(1, "base", 0)], "k: long, text: string, version: long")
+    changes = spark.createDataFrame(
+        [(1, "alpha", 2, "upsert"), (1, "beta", 2, "upsert"), (1, None, 2, "upsert")],
+        "k: long, text: string, version: long, op: string",
+    )
+    def h(text):
+        payload = "\x1f".join(["1", text if text is not None else "∅", "2"])
+        return hashlib.md5(payload.encode()).hexdigest()
+    want = min(["alpha", "beta", None], key=lambda t: h(t))
+    for _ in range(3):
+        got = Q.cdc_upsert(
+            base.repartition(8), changes.repartition(8), "k", "version", "op"
+        ).collect()
+        assert len(got) == 1 and got[0]["text"] == want
