@@ -142,3 +142,22 @@ def test_round3_curation_ops_compose_through_registry(spark, tmp_path):
             [{"op": "token_budget_select", "score_col": "nope", "tok_col": "t"}],
             ["doc_id", "t"],
         )
+
+
+def test_validate_config_schema_replacing_ops():
+    from dataflow_spark.pipeline import PipelineConfigError, validate_config
+
+    cols = ["doc_id", "source", "text"]
+    # vocab_growth REPLACES the row schema: text is gone afterwards
+    out = validate_config([{"op": "vocab_growth"}], cols)
+    assert "text" not in out and "ttr_bp" in out and "source" in out
+    with pytest.raises(PipelineConfigError):
+        validate_config(
+            [{"op": "vocab_growth"}, {"op": "rule_quality_filter"}], cols
+        )
+    # script_profile exposes the per-script count columns downstream
+    out = validate_config([{"op": "script_profile"}], cols)
+    assert "c_cyrillic" in out and "is_confusable" in out
+    # non-replacing ops still union
+    out = validate_config([{"op": "remove_extra_spaces"}], cols)
+    assert set(cols) <= set(out)
