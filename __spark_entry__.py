@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from pathlib import Path
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -764,6 +765,57 @@ def q_minhash_new(spark, sf):
     )
     new = copies.unionByName(fresh)
     return dedup.minhash_new_rows(new, corpus, bands=4)
+
+
+def q_media_decode(spark, sf):
+    """REAL media decode (battery member): payloads are genuine 24-bit BMP
+    and PCM16 WAV bytes encoded from doc_id-derived pixels/samples inside a
+    pandas UDF, then decoded by the actual format parsers
+    (ops/multimodal.py decode_bmp / decode_wav — numpy header+pixel
+    parsing, stdlib wave) into integer-exact signal statistics; every 17th
+    payload is planted garbage and must surface as an 'error' row, not a
+    task crash. The oracle never sees the bytes — it recomputes the
+    expected statistics from the synthesis arithmetic, so the byte-level
+    encode→decode roundtrip is what's being value-checked."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from dataflow_spark.ops import multimodal
+
+    @F.pandas_udf(BinaryType())
+    def synth_payload(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 17 == 0:
+                out.append(b"\x00garbage-not-a-codec")
+            elif i % 2 == 0:
+                x = np.arange(8)[None, :]
+                y = np.arange(6)[:, None]
+                r = (x * 7 + y * 13 + i) % 256
+                g = (x * 3 + y * 0 + i) % 256
+                b = (x * 0 + y * 5 + i) % 256
+                out.append(
+                    multimodal.encode_bmp(
+                        np.stack([r, g, b], axis=2).astype(np.uint8)
+                    )
+                )
+            else:
+                n = 64 + i % 64
+                t = np.arange(n)
+                s = ((t * 37 + i) % 2048) - 1024
+                out.append(multimodal.encode_wav(s.astype(np.int16)))
+        return pd.Series(out)
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("media_type"),
+        synth_payload(F.col("doc_id")).alias("payload"),
+    )
+    return multimodal.media_decode_features(media)
 
 
 def q_data_card(spark, sf):
@@ -1845,7 +1897,7 @@ def q_gen_battery(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 48 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 49 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -1889,7 +1941,8 @@ def q_score_battery(spark, sf):
     (RefinedWeb-style URL blocklist + weighted-word + digit-host filter),
     weighted_sample (Efraimidis–Spirakis weighted draw without
     replacement), minhash_new (incremental MinHash-LSH dedup vs a frozen
-    corpus — the FineWeb per-dump recipe, planted regime)."""
+    corpus — the FineWeb per-dump recipe, planted regime), media_decode
+    (REAL BMP/WAV byte-level decode, arithmetic oracle)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -2039,6 +2092,10 @@ def q_score_battery(spark, sf):
                       ["weight", "key_q", "rank"]),
         _battery_pack(q_minhash_new(spark, sf), "minhash_new",
                       _kcat("doc_id"), ["text"]),
+        _battery_pack(q_media_decode(spark, sf), "media_decode",
+                      _kcat("media_id"),
+                      ["kind", "width", "height", "n_px", "sum_r", "sum_g",
+                       "sum_b", "n_samples", "peak", "energy", "duration_ms"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -4528,6 +4585,50 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
     """
 
+    # media_decode: the oracle recomputes expected decode statistics from
+    # the synthesis arithmetic (ops/multimodal.py decode_bmp/decode_wav do
+    # the real byte parsing on the Spark side).
+    o["media_decode"] = """
+        WITH img AS (
+          SELECT d.doc_id,
+                 sum((tx.x * 7 + ty.y * 13 + d.doc_id) % 256) AS sum_r,
+                 sum((tx.x * 3 + d.doc_id) % 256) AS sum_g,
+                 sum((ty.y * 5 + d.doc_id) % 256) AS sum_b
+          FROM documents d, range(0, 8) tx(x), range(0, 6) ty(y)
+          WHERE d.doc_id % 17 <> 0 AND d.doc_id % 2 = 0
+          GROUP BY 1
+        ),
+        aud AS (
+          SELECT d.doc_id,
+                 count(*) AS n_samples,
+                 max(abs((t.i * 37 + d.doc_id) % 2048 - 1024)) AS peak,
+                 sum(((t.i * 37 + d.doc_id) % 2048 - 1024)
+                     * ((t.i * 37 + d.doc_id) % 2048 - 1024)) AS energy
+          FROM documents d, range(0, 128) t(i)
+          WHERE d.doc_id % 17 <> 0 AND d.doc_id % 2 = 1
+            AND t.i < 64 + d.doc_id % 64
+          GROUP BY 1
+        )
+        SELECT doc_id AS media_id, 'image' AS kind,
+               CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+               CAST(48 AS BIGINT) AS n_px,
+               CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+               CAST(sum_b AS BIGINT) AS sum_b,
+               CAST(NULL AS BIGINT) AS n_samples, CAST(NULL AS BIGINT) AS peak,
+               CAST(NULL AS BIGINT) AS energy, CAST(NULL AS BIGINT) AS duration_ms
+        FROM img
+        UNION ALL
+        SELECT doc_id, 'audio', NULL, NULL, NULL, NULL, NULL, NULL,
+               CAST(n_samples AS BIGINT), CAST(peak AS BIGINT),
+               CAST(energy AS BIGINT),
+               CAST((1000 * n_samples) // 8000 AS BIGINT)
+        FROM aud
+        UNION ALL
+        SELECT doc_id, 'error', NULL, NULL, NULL, NULL, NULL, NULL,
+               NULL, NULL, NULL, NULL
+        FROM documents WHERE doc_id % 17 = 0
+    """
+
     # cep_pattern: MATCH_RECOGNIZE-style role-sequence CEP (ops/windows.py
     # detect_role_patterns). Patterns stay in the character-class+quantifier
     # subset where Java regex and RE2 agree on leftmost non-overlapping
@@ -5178,6 +5279,9 @@ def oracle_sql() -> dict[str, str]:
                   ["weight", "key_q", "rank"]),
         _pack_sql("minhash_new", o["minhash_new"], _kcat_sql("doc_id"),
                   ["text"]),
+        _pack_sql("media_decode", o["media_decode"], _kcat_sql("media_id"),
+                  ["kind", "width", "height", "n_px", "sum_r", "sum_g",
+                   "sum_b", "n_samples", "peak", "energy", "duration_ms"]),
     ])
 
     _dim_sql = ", ".join(
@@ -5207,7 +5311,7 @@ def oracle_sql() -> dict[str, str]:
         "turn_repeat", "ccnet_buckets", "script_mix", "vocab_growth",
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",
-        "minhash_new",
+        "minhash_new", "media_decode",
     ):
         del o[_member]
 

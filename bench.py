@@ -106,6 +106,7 @@ HEADLINE = [
     "url_filter",
     "weighted_sample",
     "minhash_new",
+    "media_decode",
 ]
 
 

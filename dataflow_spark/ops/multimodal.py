@@ -146,3 +146,165 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.withColumn("width", F.lit(width).cast("int")).withColumn(
         "height", F.lit(height).cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs for self-describing formats that need no external library:
+# 24-bit uncompressed BMP (pure numpy header+pixel parsing) and PCM16 WAV
+# (stdlib `wave`). These make the decode path GENUINE — real bytes in, real
+# pixels/samples out — while library-backed codecs (JPEG/PNG/MP3/MP4) stay
+# behind the injectable `decoder=` seam of extract_features. Reference
+# boundary: core_vision/core_speech operators hand media to model backends;
+# here the decode itself is the demonstrated stage.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a 24-bit BI_RGB BMP (bottom-up
+    rows, 4-byte row padding, BGR byte order — the Windows 3.x format every
+    decoder on earth reads)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    row_raw = w * 3
+    pad = (4 - row_raw % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += a[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    img_size = len(body)
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    return bytes(header) + info + bytes(body)
+
+
+def decode_bmp(payload: bytes):
+    """Decode a 24-bit BI_RGB BMP to (width, height, (H, W, 3) uint8 RGB).
+    Raises ValueError on anything that isn't the exact format encode_bmp
+    writes (magic, bpp, compression) — honest failure, not a guess."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    (hdr, w, h, _planes, bpp, comp) = struct.unpack_from("<IiiHHI", payload, 14)
+    if hdr < 40 or bpp != 24 or comp != 0 or h <= 0:
+        raise ValueError("only 24-bit uncompressed bottom-up BMP supported")
+    row_raw = w * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    buf = np.frombuffer(payload, dtype=np.uint8, offset=offset, count=stride * h)
+    rows = buf.reshape(h, stride)[:, :row_raw].reshape(h, w, 3)
+    return w, h, rows[::-1, :, ::-1].copy()  # bottom-up -> top-down, BGR -> RGB
+
+
+def encode_wav(samples, rate: int = 8000) -> bytes:
+    """Encode int16 mono samples as a PCM16 WAV via the stdlib wave module."""
+    import io
+    import wave
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(s.tobytes())
+    return bio.getvalue()
+
+
+def decode_wav(payload: bytes):
+    """Decode a PCM16 mono WAV to (sample_rate, int16 numpy array)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+            raise ValueError("only PCM16 mono WAV supported")
+        rate = wf.getframerate()
+        data = wf.readframes(wf.getnframes())
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_px", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("peak", LongType()),
+        StructField("energy", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def media_decode_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    type_col: str = "media_type",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL media feature extraction: decodes each row's payload with the
+    actual format decoder (BMP pixels / WAV samples) and emits integer-exact
+    signal statistics — channel sums and pixel counts for images, sample
+    count / peak / energy (Σ s², the integer square of RMS·√n) / duration
+    for audio. Everything integer so the features are engine-exact.
+
+    Same scale shape as extract_features: iterator mapInPandas, one task's
+    decoder state reused across Arrow batches, executor memory bounded by
+    Arrow batch rows × payload size, payload opaque to Catalyst until this
+    stage. Undecodable rows surface as NULL-feature rows (kind 'error'),
+    never a task crash — a 100-TB media scan always contains corrupt blobs.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, mtype, payload in zip(
+                pdf[id_col], pdf[type_col], pdf[payload_col]
+            ):
+                row = {f.name: None for f in DECODE_SCHEMA.fields}
+                row["media_id"] = int(mid)
+                try:
+                    raw = bytes(payload) if payload is not None else b""
+                    if mtype == "image":
+                        w, h, arr = decode_bmp(raw)
+                        a = arr.astype(np.int64)
+                        row.update(
+                            kind="image", width=w, height=h, n_px=w * h,
+                            sum_r=int(a[:, :, 0].sum()),
+                            sum_g=int(a[:, :, 1].sum()),
+                            sum_b=int(a[:, :, 2].sum()),
+                        )
+                    elif mtype == "audio":
+                        rate, s = decode_wav(raw)
+                        a = s.astype(np.int64)
+                        row.update(
+                            kind="audio", n_samples=len(s),
+                            peak=int(np.abs(a).max()) if len(s) else 0,
+                            energy=int((a * a).sum()),
+                            duration_ms=(1000 * len(s)) // rate if rate else None,
+                        )
+                    else:
+                        row.update(kind="error")
+                except Exception:  # corrupt blob -> error row, never a crash
+                    row.update(kind="error")
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in DECODE_SCHEMA.fields])
+
+    return df.mapInPandas(run, DECODE_SCHEMA)

@@ -82,3 +82,39 @@ def test_lexical_filter_drops_low_diversity(spark):
     df = spark.createDataFrame(rows, ["id", "text"])
     kept = [r["id"] for r in lexical.lexical_diversity_filter(df, min_mtld=50, min_hdd=0.5).collect()]
     assert kept == [1]
+
+
+def test_bmp_wav_roundtrip_and_decode_features(spark):
+    import numpy as np
+
+    from dataflow_spark.ops import multimodal as M
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (6, 8), (5, 3), (7, 13)]:  # odd widths hit row padding
+        a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        w2, h2, back = M.decode_bmp(M.encode_bmp(a))
+        assert (w2, h2) == (w, h) and (back == a).all()
+    s = rng.integers(-2048, 2048, 321).astype(np.int16)
+    rate, back = M.decode_wav(M.encode_wav(s, 16000))
+    assert rate == 16000 and (back == s).all()
+
+    img = M.encode_bmp(np.full((2, 2, 3), [10, 20, 30], dtype=np.uint8))
+    wav = M.encode_wav(np.array([100, -200, 300], dtype=np.int16), 1000)
+    rows = [
+        (0, "image", bytearray(img)),
+        (1, "audio", bytearray(wav)),
+        (2, "image", bytearray(b"corrupt")),      # not BMP -> error row
+        (3, "audio", bytearray(img)),             # wrong codec -> error row
+        (4, "video", bytearray(img)),             # unsupported kind -> error
+    ]
+    df = spark.createDataFrame(rows, "media_id: long, media_type: string, payload: binary")
+    got = {r["media_id"]: r.asDict() for r in M.media_decode_features(df).collect()}
+    assert got[0]["kind"] == "image" and got[0]["n_px"] == 4
+    assert (got[0]["sum_r"], got[0]["sum_g"], got[0]["sum_b"]) == (40, 80, 120)
+    assert got[1]["kind"] == "audio" and got[1]["n_samples"] == 3
+    assert got[1]["peak"] == 300
+    assert got[1]["energy"] == 100**2 + 200**2 + 300**2
+    assert got[1]["duration_ms"] == 3  # 3 samples at 1 kHz
+    assert got[2]["kind"] == "error" and got[2]["width"] is None
+    assert got[3]["kind"] == "error"
+    assert got[4]["kind"] == "error"
