@@ -818,6 +818,47 @@ def q_media_decode(spark, sf):
     return multimodal.media_decode_features(media)
 
 
+def q_pdf_extract(spark, sf):
+    """REAL PDF text extraction (battery member — the
+    FileOrURLToMarkdownConverter PDF branch, knowledge_cleaning/generate/
+    file_or_url_to_markdown_converter.py:150, MinerU replaced by an actual
+    in-engine parser): each document's text is typeset into a genuine PDF 1.4
+    (FlateDecode-compressed content streams, 6 words/line, 4 lines/page)
+    inside a pandas UDF, then ops/multimodal.py pdf_extract_text inflates the
+    streams with zlib and interprets the Tj/Td text operators to get the text
+    back. Every 17th payload is planted garbage and must surface as an
+    'error' row. The oracle never parses bytes — it rebuilds the expected
+    line/page arrangement from the raw text, so the PDF encode→Flate→parse
+    roundtrip itself is what the value check pins."""
+    from pyspark.sql.types import BinaryType
+
+    from dataflow_spark.ops import multimodal
+
+    @F.pandas_udf(BinaryType())
+    def synth_pdf(ids: pd.Series, words: pd.Series) -> pd.Series:
+        out = []
+        for i, ws in zip(ids, words):
+            i = int(i)
+            if i % 17 == 0:
+                out.append(b"\x00garbage-not-a-pdf")
+                continue
+            ws = list(ws)
+            lines = [" ".join(ws[k : k + 6]) for k in range(0, len(ws), 6)] or [""]
+            pages = [lines[j : j + 4] for j in range(0, len(lines), 4)]
+            out.append(multimodal.encode_pdf(pages))
+        return pd.Series(out)
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    words = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    media = d.select(
+        F.col("doc_id"), synth_pdf(F.col("doc_id"), words).alias("payload")
+    )
+    return multimodal.pdf_text_features(media)
+
+
 def q_data_card(spark, sf):
     """Per-domain corpus data card (battery member): doc counts, token
     totals, exact-dup counts, nearest-rank p50/p95 token lengths per source
@@ -2096,6 +2137,9 @@ def q_score_battery(spark, sf):
                       _kcat("media_id"),
                       ["kind", "width", "height", "n_px", "sum_r", "sum_g",
                        "sum_b", "n_samples", "peak", "energy", "duration_ms"]),
+        _battery_pack(q_pdf_extract(spark, sf), "pdf_extract",
+                      _kcat("doc_id"),
+                      ["kind", "n_pages", "n_lines", "pdf_text"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -4629,6 +4673,50 @@ def oracle_sql() -> dict[str, str]:
         FROM documents WHERE doc_id % 17 = 0
     """
 
+    # pdf_extract: the oracle rebuilds the expected PDF text (6 words/line,
+    # 4 lines/page, lines joined by \n, pages by blank lines) from the raw
+    # document text — the Spark side must recover the identical string from
+    # actual PDF bytes (ops/multimodal.py encode_pdf / pdf_extract_text).
+    o["pdf_extract"] = r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents WHERE doc_id % 17 <> 0
+        ),
+        nl AS (
+          SELECT doc_id, ws,
+                 greatest(CAST(ceil(len(ws) / 6.0) AS INT), 1) AS n_lines
+          FROM w
+        ),
+        lidx AS (
+          SELECT doc_id, n_lines, ws,
+                 CAST(unnest(range(0, n_lines)) AS INT) AS li
+          FROM nl
+        ),
+        lines AS (
+          SELECT doc_id, n_lines, li,
+                 array_to_string(ws[6 * li + 1 : 6 * li + 6], ' ') AS line
+          FROM lidx
+        ),
+        pg AS (
+          SELECT doc_id, li // 4 AS pgno, any_value(n_lines) AS n_lines,
+                 string_agg(line, chr(10) ORDER BY li) AS ptext
+          FROM lines GROUP BY doc_id, li // 4
+        ),
+        docs AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pages,
+                 CAST(any_value(n_lines) AS BIGINT) AS n_lines,
+                 string_agg(ptext, chr(10) || chr(10) ORDER BY pgno) AS pdf_text
+          FROM pg GROUP BY doc_id
+        )
+        SELECT doc_id, 'pdf' AS kind, n_pages, n_lines, pdf_text FROM docs
+        UNION ALL
+        SELECT doc_id, 'error', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS VARCHAR)
+        FROM documents WHERE doc_id % 17 = 0
+    """
+
     # cep_pattern: MATCH_RECOGNIZE-style role-sequence CEP (ops/windows.py
     # detect_role_patterns). Patterns stay in the character-class+quantifier
     # subset where Java regex and RE2 agree on leftmost non-overlapping
@@ -5282,6 +5370,8 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("media_decode", o["media_decode"], _kcat_sql("media_id"),
                   ["kind", "width", "height", "n_px", "sum_r", "sum_g",
                    "sum_b", "n_samples", "peak", "energy", "duration_ms"]),
+        _pack_sql("pdf_extract", o["pdf_extract"], _kcat_sql("doc_id"),
+                  ["kind", "n_pages", "n_lines", "pdf_text"]),
     ])
 
     _dim_sql = ", ".join(
@@ -5311,7 +5401,7 @@ def oracle_sql() -> dict[str, str]:
         "turn_repeat", "ccnet_buckets", "script_mix", "vocab_growth",
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",
-        "minhash_new", "media_decode",
+        "minhash_new", "media_decode", "pdf_extract",
     ):
         del o[_member]
 

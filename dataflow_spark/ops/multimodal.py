@@ -252,6 +252,261 @@ DECODE_SCHEMA = StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# REAL PDF text extraction (the FileOrURLToMarkdownConverter PDF branch —
+# knowledge_cleaning/generate/file_or_url_to_markdown_converter.py:150 shells
+# out to MinerU; the GPU/vision-model layout analysis stays out of scope, but
+# the document format itself needs nothing beyond stdlib zlib): a minimal
+# PDF 1.4 writer (FlateDecode content streams, xref table) and a real reader
+# that inflates every stream object and interprets the text-showing operators
+# (Tj / ' / TJ arrays, Td/TD/T* line moves, literal-string escapes + octal).
+# Same honesty contract as BMP/WAV above: real bytes in, real text out.
+# ---------------------------------------------------------------------------
+
+
+def _pdf_escape(s: str) -> bytes:
+    """Literal-string escaping for PDF (ISO 32000-1 §7.3.4.2): backslash,
+    parens; payload is the raw UTF-8 bytes (legal literal-string bytes)."""
+    return (
+        s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)").encode("utf-8")
+    )
+
+
+def encode_pdf(pages: list[list[str]]) -> bytes:
+    """Encode pages-of-lines as a real PDF 1.4: Catalog/Pages/Page objects,
+    Helvetica Type1 font, one FlateDecode-compressed content stream per page
+    (`BT /F1 12 Tf 72 720 Td (line) Tj 0 -14 Td ... ET`), byte-exact xref
+    table and trailer. Any conforming reader opens the result."""
+    objs: list[bytes] = []  # 1-indexed object bodies, in object-number order
+    n_pages = len(pages)
+    font_num = 3 + 2 * n_pages
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )  # 2
+    for i, lines in enumerate(pages):
+        content = bytearray(b"BT\n/F1 12 Tf\n72 720 Td\n")
+        for j, line in enumerate(lines):
+            if j > 0:
+                content += b"0 -14 Td\n"
+            content += b"(" + _pdf_escape(line) + b") Tj\n"
+        content += b"ET"
+        flate = zlib.compress(bytes(content))
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {4 + 2 * i} 0 R "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>".encode()
+        )  # 3 + 2i
+        objs.append(
+            f"<< /Length {len(flate)} /Filter /FlateDecode >>\nstream\n".encode()
+            + flate
+            + b"\nendstream"
+        )  # 4 + 2i
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    """Undo literal-string escapes: \\\\ \\( \\) \\n \\r \\t \\b \\f, 1-3
+    digit octal, and backslash-newline continuation; decode UTF-8."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    simple = {
+        ord("n"): 10, ord("r"): 13, ord("t"): 9, ord("b"): 8, ord("f"): 12,
+        ord("("): 40, ord(")"): 41, ord("\\"): 92,
+    }
+    while i < n:
+        b = raw[i]
+        if b != 0x5C:  # not a backslash
+            out.append(b)
+            i += 1
+            continue
+        i += 1
+        if i >= n:
+            break
+        c = raw[i]
+        if c in simple:
+            out.append(simple[c])
+            i += 1
+        elif 0x30 <= c <= 0x37:  # octal, up to 3 digits
+            j = i
+            while j < n and j < i + 3 and 0x30 <= raw[j] <= 0x37:
+                j += 1
+            out.append(int(raw[i:j], 8) & 0xFF)
+            i = j
+        elif c == 0x0A:  # line continuation
+            i += 1
+        elif c == 0x0D:
+            i += 2 if i + 1 < n and raw[i + 1] == 0x0A else 1
+        else:  # lone backslash before any other char: drop the backslash
+            out.append(c)
+            i += 1
+    return out.decode("utf-8", errors="replace")
+
+
+def _pdf_literal_strings(seg: bytes):
+    """Yield (end_index, raw_bytes) for each balanced literal string in seg,
+    starting scan at each '(' — handles nested parens and escapes."""
+    i, n = 0, len(seg)
+    while i < n:
+        if seg[i] != 0x28:  # '('
+            i += 1
+            continue
+        depth, j, start = 1, i + 1, i + 1
+        buf = bytearray()
+        while j < n and depth:
+            b = seg[j]
+            if b == 0x5C and j + 1 < n:  # escape: copy verbatim, skip next
+                buf += seg[j : j + 2]
+                j += 2
+                continue
+            if b == 0x28:
+                depth += 1
+            elif b == 0x29:
+                depth -= 1
+                if depth == 0:
+                    break
+            buf.append(b)
+            j += 1
+        yield j + 1, bytes(buf)
+        i = j + 1
+
+
+def pdf_extract_text(payload: bytes) -> tuple[int, str]:
+    """REAL PDF text extraction: inflate every stream object (FlateDecode via
+    stdlib zlib; filterless streams pass through raw), then interpret the
+    text operators inside each BT..ET block — (s) Tj / (s) ' append to the
+    current line, [..(s)..] TJ concatenates its string elements, Td/TD/T*
+    after the first positioning start a new line. Returns (n_pages, text):
+    lines joined with \\n, content streams (pages) joined with blank lines.
+    Raises ValueError on payloads that are not PDF."""
+    if not payload.startswith(b"%PDF-"):
+        raise ValueError("not a PDF payload")
+    pages: list[str] = []
+    pos = 0
+    while True:
+        s = payload.find(b"stream", pos)
+        if s < 0:
+            break
+        dict_start = payload.rfind(b"<<", 0, s)
+        head = payload[dict_start:s] if dict_start >= 0 else b""
+        body_start = s + len(b"stream")
+        if payload[body_start : body_start + 2] == b"\r\n":
+            body_start += 2
+        elif payload[body_start : body_start + 1] == b"\n":
+            body_start += 1
+        e = payload.find(b"endstream", body_start)
+        if e < 0:
+            break
+        raw = payload[body_start:e]
+        if raw.endswith(b"\n"):
+            raw = raw[:-1]
+        pos = e + len(b"endstream")
+        if b"/FlateDecode" in head:
+            try:
+                data = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError("corrupt FlateDecode stream") from exc
+        else:
+            data = raw
+        page_lines: list[str] = []
+        bt = 0
+        while True:
+            b0 = data.find(b"BT", bt)
+            if b0 < 0:
+                break
+            b1 = data.find(b"ET", b0)
+            if b1 < 0:
+                b1 = len(data)
+            seg = data[b0:b1]
+            line_parts: list[str] = []
+            positioned = False
+            i = 0
+            while i < len(seg):
+                ch = seg[i]
+                if ch == 0x28:  # literal string: find op after it
+                    end, rawstr = next(_pdf_literal_strings(seg[i:]))
+                    text = _pdf_unescape(rawstr)
+                    line_parts.append(text)
+                    i += end
+                    continue
+                if (
+                    seg.startswith(b"Td", i)
+                    or seg.startswith(b"TD", i)
+                    or seg.startswith(b"T*", i)
+                ):
+                    if positioned or line_parts:
+                        page_lines.append("".join(line_parts))
+                        line_parts = []
+                    positioned = True
+                    i += 2
+                    continue
+                i += 1
+            if line_parts or positioned:
+                page_lines.append("".join(line_parts))
+            bt = b1 + 2
+        if page_lines:
+            pages.append("\n".join(page_lines))
+    return len(pages), "\n\n".join(pages)
+
+
+PDF_TEXT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_pages", LongType()),
+        StructField("n_lines", LongType()),
+        StructField("pdf_text", StringType()),
+    ]
+)
+
+
+def pdf_text_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL PDF text extraction as a pipeline stage: the mapInPandas twin of
+    media_decode_features. Decodes each row's payload with pdf_extract_text
+    (actual zlib inflate + text-operator interpretation) and emits the
+    extracted text plus page/line counts; undecodable payloads surface as
+    'error' rows with NULL features, never task crashes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            out = []
+            for did, payload in zip(pdf_[id_col], pdf_[payload_col]):
+                row = {f.name: None for f in PDF_TEXT_SCHEMA.fields}
+                row["doc_id"] = int(did)
+                try:
+                    raw = bytes(payload) if payload is not None else b""
+                    n_pages, text = pdf_extract_text(raw)
+                    row.update(
+                        kind="pdf",
+                        n_pages=n_pages,
+                        n_lines=text.count("\n") + 1 - (n_pages - 1) if n_pages else 0,
+                        pdf_text=text,
+                    )
+                except Exception:
+                    row.update(kind="error")
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in PDF_TEXT_SCHEMA.fields])
+
+    return df.mapInPandas(run, PDF_TEXT_SCHEMA)
+
+
 def media_decode_features(
     df: DataFrame,
     id_col: str = "media_id",

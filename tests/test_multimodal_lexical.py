@@ -5,6 +5,7 @@ from __future__ import annotations
 import hashlib
 import zlib
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -118,3 +119,73 @@ def test_bmp_wav_roundtrip_and_decode_features(spark):
     assert got[2]["kind"] == "error" and got[2]["width"] is None
     assert got[3]["kind"] == "error"
     assert got[4]["kind"] == "error"
+
+
+def test_pdf_roundtrip_escapes_unicode_and_shapes():
+    """encode_pdf -> pdf_extract_text is exact for parens/backslash escapes,
+    UTF-8 text, empty lines, and multi-page layouts."""
+    pages = [
+        ["hello world (nested (deep))", "back\\slash and )stray("],
+        ["ünïcode · 中文 · עברית", "", "tail"],
+        ["single"],
+    ]
+    payload = multimodal.encode_pdf(pages)
+    assert payload.startswith(b"%PDF-1.4") and payload.rstrip().endswith(b"%%EOF")
+    n_pages, text = multimodal.pdf_extract_text(payload)
+    assert n_pages == 3
+    assert text == "\n\n".join("\n".join(p) for p in pages)
+
+
+def test_pdf_filterless_stream_and_corrupt_payloads():
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 34 >>\nstream\n"
+        b"BT 72 720 Td (a) Tj 0 -14 Td (b\\)c) Tj ET\nendstream\nendobj\n"
+    )
+    assert multimodal.pdf_extract_text(raw) == (1, "a\nb)c")
+    with pytest.raises(ValueError):
+        multimodal.pdf_extract_text(b"\x00garbage-not-a-pdf")
+    # valid header, corrupt Flate body -> ValueError, not a zlib crash
+    bad = multimodal.encode_pdf([["x"]]).replace(b"stream\n", b"stream\n\xff\xff", 1)
+    with pytest.raises(ValueError):
+        multimodal.pdf_extract_text(bad)
+
+
+def test_pdf_text_features_stage(spark):
+    """The mapInPandas stage recovers each doc's text arrangement from real
+    PDF bytes; corrupt payloads surface as error rows, never task crashes."""
+    from pyspark.sql.types import BinaryType
+
+    docs = load_table(spark, SF, "documents").limit(30).select("doc_id", "text")
+    pdocs = docs.toPandas()
+
+    @F.pandas_udf(BinaryType())
+    def synth(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            if int(i) % 7 == 0:
+                out.append(b"\x00nope")
+                continue
+            ws = (t or "").split()
+            lines = [" ".join(ws[k:k + 6]) for k in range(0, len(ws), 6)] or [""]
+            out.append(multimodal.encode_pdf([lines[j:j + 4] for j in range(0, len(lines), 4)]))
+        return pd.Series(out)
+
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.pdf_text_features(
+            docs.select("doc_id", synth("doc_id", "text").alias("payload"))
+        ).collect()
+    }
+    assert len(got) == len(pdocs)
+    for _, row in pdocs.iterrows():
+        r = got[int(row["doc_id"])]
+        if int(row["doc_id"]) % 7 == 0:
+            assert r["kind"] == "error" and r["pdf_text"] is None
+            continue
+        ws = row["text"].split()
+        lines = [" ".join(ws[k:k + 6]) for k in range(0, len(ws), 6)] or [""]
+        pages = [lines[j:j + 4] for j in range(0, len(lines), 4)]
+        assert r["kind"] == "pdf"
+        assert r["n_pages"] == len(pages)
+        assert r["n_lines"] == len(lines)
+        assert r["pdf_text"] == "\n\n".join("\n".join(p) for p in pages)
