@@ -25,6 +25,7 @@ from dataflow_spark.ops import (
     multimodal,
     prompted,
     quality,
+    reasoning,
     refine,
     windows,
 )
@@ -857,6 +858,174 @@ def q_pdf_extract(spark, sf):
         F.col("doc_id"), synth_pdf(F.col("doc_id"), words).alias("payload")
     )
     return multimodal.pdf_text_features(media)
+
+
+def q_mathverify(spark, sf):
+    """Math-verify answer judge (battery member): planted (answer, ground
+    truth) pairs exercise every normalization path — boxed fractions vs
+    reduced fractions, decimals vs halves, thousands commas, percents,
+    off-by-one negatives, case/space-folded strings — and the judge
+    (ops/reasoning.py math_verify_judge, pure JVM decimal cross products)
+    must reproduce the verdict the planting arithmetic implies."""
+    d = load_table(spark, sf, "documents").select("doc_id")
+    a = (F.col("doc_id") % 97 + 1).cast("long")
+    m = (F.col("doc_id") % 6).cast("int")
+    s = lambda c: c.cast("string")  # noqa: E731
+    ans = (
+        F.when(m == 0, F.concat(s(a), F.lit("/"), s(a + 1)))
+        .when(m == 1, F.concat(s(a), F.lit(".5")))
+        .when(m == 2, F.concat(s(a), F.lit(",000")))
+        .when(m == 3, F.concat(s(a), F.lit("%")))
+        .when(m == 4, s(a + 1))
+        .otherwise(F.concat(F.lit("X "), s(a), F.lit("b")))
+    )
+    gt = (
+        F.when(m == 0, F.concat(F.lit(r"\boxed{"), s(a * 2), F.lit("/"), s(a * 2 + 2), F.lit("}")))
+        .when(m == 1, F.concat(s(a * 2 + 1), F.lit("/2")))
+        .when(m == 2, F.concat(s(a), F.lit("000")))
+        .when(m == 3, F.concat(s(a), F.lit("/100")))
+        .when(m == 4, s(a))
+        .otherwise(F.concat(F.lit("x"), s(a), F.lit("B")))
+    )
+    out = reasoning.math_verify_judge(
+        d.select("doc_id", ans.alias("student_answer"), gt.alias("correct_answer"))
+    )
+    return out.select(
+        "doc_id", "student_answer", "correct_answer",
+        F.col("verified").cast("boolean").alias("verified"),
+    )
+
+
+def q_sql_consistency(spark, sf):
+    """SQLConsistencyFilter (battery member): the LLM-judge prompted filter
+    with the reference's fenced-block 'yes' parse (any ``` block containing
+    yes passes; a bare unfenced yes must NOT — the stub plants that case).
+    Labeling mode so every row gets a CORRECTNESS row; the oracle recomputes
+    the stub verdict from md5(prompt) arithmetic and replays the parse."""
+    from dataflow_spark.ops.text2sql import sql_consistency_filter
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    rows = d.select(
+        "doc_id",
+        F.concat(F.lit("how many rows for doc "), F.col("doc_id").cast("string")).alias("question"),
+        F.concat(F.lit("SELECT count(*) FROM documents WHERE doc_id = "),
+                 F.col("doc_id").cast("string")).alias("sql_text"),
+    )
+    return sql_consistency_filter(
+        rows, sql_col="sql_text",
+        ddl="documents(doc_id BIGINT, text VARCHAR)", keep_only=False,
+    )
+
+
+def q_mathbook_extract(spark, sf):
+    """MathBookQuestionExtract's text-side parse (battery member): planted
+    <image>NAME.jpg</image> tags inside each doc's question text; the
+    operator (ops/refine.py extract_mathbook_questions) collects the image
+    names and strips the tags — both engines run the identical RE2-safe
+    regexps."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    body = F.concat(
+        F.lit("Q"), F.col("doc_id").cast("string"), F.lit(": "),
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" <image>fig"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".jpg</image> end"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" <image>x.jpg</image>")).otherwise(F.lit("")),
+    )
+    out = refine.extract_mathbook_questions(
+        d.select("doc_id", body.alias("text")), "doc_id"
+    )
+    return out.select(
+        "doc_id", "question",
+        F.concat_ws(",", "image_refs").alias("refs_csv"), "n_images",
+    )
+
+
+def q_code_sandbox(spark, sf):
+    """Code-sandbox evaluator (battery member): planted snippets run for
+    REAL through the restricted-AST interpreter (ops/code.py safe_exec) —
+    arithmetic, a summation loop, string methods, an undefined name, and an
+    import attempt. The oracle recomputes expected status+stdout from the
+    planting arithmetic, so actual execution (not pattern-matching) is what
+    the value check pins."""
+    from dataflow_spark.ops.code import code_sandbox_evaluate
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    a = (F.col("doc_id") % 9 + 2).cast("long")
+    b = (F.col("doc_id") % 7 + 3).cast("long")
+    n = (F.col("doc_id") % 10 + 5).cast("long")
+    m = (F.col("doc_id") % 5).cast("int")
+    s = lambda c: c.cast("string")  # noqa: E731
+    code = (
+        F.when(m == 0, F.concat(F.lit("x = "), s(a), F.lit("\ny = "), s(b),
+                                F.lit("\nprint(x * y + "), s(a), F.lit(")")))
+        .when(m == 1, F.concat(F.lit("s = 0\nfor i in range("), s(n),
+                               F.lit("):\n    s += i\nprint(s)")))
+        .when(m == 2, F.concat(F.lit("w = 'ab"), s(a), F.lit("'\nprint(w.upper())")))
+        .when(m == 3, F.lit("print(undefined_var)"))
+        .otherwise(F.lit("import os\nprint(os)"))
+    )
+    return code_sandbox_evaluate(
+        d.select("doc_id", code.alias("generated_code"))
+    ).select("doc_id", "sandbox_status", "sandbox_log")
+
+
+_SMILES_GOLD = ("CCO", "CC(C)O", "C1CCCCC1", "CC=O",
+                "CCO", "c1ccccc1", "C1CCCCC1", "CC1CCC(CC1)C(C)C")
+_SMILES_SYNTH = ("OCC", "OC(C)C", "C2CCCCC2", "O=CC",
+                 "CCN", "C1CCCCC1", "C1CCCC1", "C(C)(C)C1CCC(C)CC1")
+_SMILES_EQ = (1, 1, 1, 1, 0, 0, 0, 1)  # planted verdicts the engine must reach
+
+
+def q_smiles_eval(spark, sf):
+    """SMILES extraction + equivalence (battery member — chemistry family,
+    extract_smiles_from_text.py:14-181 + eval_smiles_equivalence.py:11-165):
+    the synth structures ride through the LLM boundary as decorated JSON
+    (code fences / wrapping quotes / chatter, one decoration per md5 band),
+    the salvage chain + from_json recover them, and equivalence is judged by
+    REAL Morgan-refinement canonicalization (ops/chem.py) over planted
+    variant pairs — reversals, permuted branches, renumbered rings, and
+    near-misses. Item B is withheld every 4th doc (missing synth -> 0,
+    :87-91); a wrong duplicate 'A' entry precedes the right one (last-wins
+    dict build, :75-79). The oracle emits the planting table's verdicts."""
+    import hashlib
+
+    from dataflow_spark.ops import chem
+
+    class StubChem:
+        PREFIX = "Extract SMILES structures as JSON from: "
+
+        def generate(self, prompts):
+            def respond(p: str) -> str:
+                content = p[len(self.PREFIX):]
+                k = int(hashlib.md5(p.encode()).hexdigest()[:8], 16) % 4
+                return {
+                    0: content,
+                    1: "```json\n" + content + "\n```",
+                    2: "'" + content + "'",
+                    3: "json here it is: " + content + " extra",
+                }[k]
+
+            return prompts.map(respond)
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    p0 = (F.col("doc_id") % 8 + 1).cast("int")
+    p1 = ((F.col("doc_id") + 3) % 8 + 1).cast("int")
+    gold = F.array(*[F.lit(x) for x in _SMILES_GOLD])
+    syn = F.array(*[F.lit(x) for x in _SMILES_SYNTH])
+    st = lambda a, s: F.struct(F.lit(a).alias("abbreviation"), s.alias("smiles"))  # noqa: E731
+    golden = F.array(st("A", F.element_at(gold, p0)), st("B", F.element_at(gold, p1)))
+    synth2 = F.array(st("A", F.lit("CCC")), st("A", F.element_at(syn, p0)))
+    synth3 = F.concat(synth2, F.array(st("B", F.element_at(syn, p1))))
+    synth = F.when(F.col("doc_id") % 4 != 0, synth3).otherwise(synth2)
+    base = d.select("doc_id", F.to_json(synth).alias("text"), golden.alias("golden_label"))
+    ext = chem.extract_smiles(base, "text", backend=StubChem())
+    scored = chem.smiles_equivalence_scores(ext, "golden_label", "synth_smiles").drop("text")
+    blocks = chem.smiles_block_rollup(scored, ["doc_id"])
+    return scored.join(blocks, "doc_id").select(
+        "doc_id", "item_idx", "abbreviation", "golden_smiles", "synth_smiles",
+        F.col("score").cast("int").alias("score"),
+        "block_score", "block_total", "block_accuracy_q",
+    )
 
 
 def q_data_card(spark, sf):
@@ -1930,11 +2099,48 @@ def q_gen_battery(spark, sf):
                       s1=F.col("runable_label")),
         _battery_pack(q_docs_doc2qa(spark, sf), "docs_doc2qa",
                       _kcat("doc_id", "qa_idx"), ["question", "answer"]),
+        _battery_pack(q_multihop_qa(spark, sf), "multihop_qa",
+                      _kcat("doc_id", "pair_idx"),
+                      ["premise", "intermediate", "conclusion", "related_csv",
+                       "question", "answer", "n_steps", "n_facts"],
+                      s1=F.col("complexity_q")),
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def q_multihop_qa(spark, sf):
+    """KBCMultiHopQAGenerator (battery member): the full columnar pipeline —
+    preprocess gates, sentence split, (premise, intermediate, conclusion)
+    info pairs with related contexts, one serving call per pair, JSON QA
+    parse, exact fixed-point complexity (ops/multihop.py, reference
+    kbc_multihop_qa_generator.py:258-585). The oracle replays the gates,
+    sentence algebra, and md5-derived stub fields in SQL; the engine must
+    reach them by actually parsing the returned JSON."""
+    from dataflow_spark.ops.multihop import multihop_qa
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    # the synthetic docs carry no sentence punctuation — typeset them into
+    # 8-word '.'-sentences (engine-portable array algebra, same rule in the
+    # oracle) so the sentence gates and info-pair construction get exercised
+    ws = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    n_s = F.ceil(F.size(ws) / F.lit(8)).cast("int")
+    sent_text = F.concat(
+        F.concat_ws(
+            ". ",
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_s - 1, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(ws, i * 8 + 1, 8)),
+            ),
+        ),
+        F.lit("."),
+    )
+    return multihop_qa(d.select("doc_id", sent_text.alias("text")), "doc_id")
 
 
 def q_score_battery(spark, sf):
@@ -2140,6 +2346,23 @@ def q_score_battery(spark, sf):
         _battery_pack(q_pdf_extract(spark, sf), "pdf_extract",
                       _kcat("doc_id"),
                       ["kind", "n_pages", "n_lines", "pdf_text"]),
+        _battery_pack(q_mathverify(spark, sf), "mathverify",
+                      _kcat("doc_id"),
+                      ["student_answer", "correct_answer", "verified"]),
+        _battery_pack(q_sql_consistency(spark, sf), "sql_consistency",
+                      _kcat("doc_id"),
+                      ["question", "sql_text", "consistent"]),
+        _battery_pack(q_mathbook_extract(spark, sf), "mathbook_extract",
+                      _kcat("doc_id"),
+                      ["question", "refs_csv", "n_images"]),
+        _battery_pack(q_code_sandbox(spark, sf), "code_sandbox",
+                      _kcat("doc_id"),
+                      ["sandbox_status", "sandbox_log"]),
+        _battery_pack(q_smiles_eval(spark, sf), "smiles_eval",
+                      _kcat("doc_id", "item_idx"),
+                      ["abbreviation", "golden_smiles", "synth_smiles",
+                       "score", "block_score", "block_total",
+                       "block_accuracy_q"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3884,6 +4107,90 @@ def oracle_sql() -> dict[str, str]:
         inner = ", ".join(f"cast({c} AS VARCHAR)" for c in cols)
         return f"concat_ws('#', {inner})"
 
+    # multihop_qa: the oracle replays the preprocess gates, '.'-sentence
+    # algebra, info-pair construction (1-based DuckDB lambda index vs the
+    # engine's 0-based pair_idx), and the md5-derived stub QA fields; the
+    # Spark side must reach them by parsing the generated JSON
+    # (ops/multihop.py, kbc_multihop_qa_generator.py:258-585).
+    o["multihop_qa"] = r"""
+        WITH wsrc AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(coalesce(text, '')),
+                                                   '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ),
+        typeset AS (
+          SELECT doc_id,
+                 array_to_string(
+                   list_transform(
+                     range(0, greatest(CAST(ceil(len(ws) / 8.0) AS INT), 1)),
+                     i -> array_to_string(ws[8 * CAST(i AS INT) + 1
+                                             : 8 * CAST(i AS INT) + 8], ' ')),
+                   '. ') || '.' AS text
+          FROM wsrc
+        ),
+        base AS (
+          SELECT doc_id, trim(coalesce(text, '')) AS tt FROM typeset
+        ),
+        gated AS (
+          SELECT doc_id, tt FROM base
+          WHERE length(tt) >= 100 AND length(tt) <= 200000
+            AND length(tt) - length(replace(tt, '.', '')) >= 2
+            AND length(regexp_replace(tt, '[A-Za-z0-9\s]', '', 'g')) * 10
+                <= length(tt) * 3
+        ),
+        sents AS (
+          SELECT doc_id,
+                 list_filter(list_transform(regexp_split_to_array(tt, '\.'),
+                                            s -> trim(s)),
+                             s -> s <> '') AS sent
+          FROM gated
+        ),
+        ok AS (SELECT doc_id, sent, len(sent) AS n FROM sents WHERE len(sent) >= 3),
+        idx AS (
+          SELECT doc_id, sent, CAST(unnest(range(0, n - 2)) AS INT) AS i
+          FROM ok
+        ),
+        gp AS (
+          SELECT doc_id, i AS pair_idx,
+                 sent[i + 1] AS premise, sent[i + 2] AS intermediate,
+                 sent[i + 3] AS conclusion,
+                 coalesce(array_to_string(
+                   list_slice(
+                     list_filter(sent, (s, j) -> j <> i + 1 AND j <> i + 2
+                                                 AND length(s) > 10),
+                     1, 2),
+                   '|'), '') AS related_csv
+          FROM idx
+          WHERE length(sent[i + 1]) > 10 AND length(sent[i + 2]) > 10
+        ),
+        h AS (
+          SELECT *,
+                 md5('Generate one multi-hop question with reasoning steps '
+                     || 'and supporting facts as JSON for this context: '
+                     || premise || '. ' || intermediate || '. ' || conclusion)
+                   AS hh
+          FROM gp
+        ),
+        f AS (
+          SELECT doc_id, pair_idx, premise, intermediate, conclusion,
+                 related_csv,
+                 1 + CAST(('0x' || substr(hh, 1, 2)) AS UBIGINT) % 3 AS ns,
+                 CAST(('0x' || substr(hh, 3, 2)) AS UBIGINT) % 4 AS nf,
+                 'why ' || substr(hh, 5, 6) AS question,
+                 'ans-' || substr(hh, 11, 6) AS answer
+          FROM h
+        )
+        SELECT doc_id, pair_idx, premise, intermediate, conclusion,
+               related_csv, question, answer,
+               CAST(ns AS INT) AS n_steps, CAST(nf AS INT) AS n_facts,
+               CAST((least(ns, 3) * 4000) // 3 + (least(nf, 3) * 3000) // 3
+                    + (2 * 1500) // 20 + (1 * 1500) // 50 AS BIGINT)
+                 AS complexity_q
+        FROM f
+    """
+
     o["gen_battery"] = " UNION ALL ".join([
         _pack_sql("sft_seed", o["sft_seed"],
                   "coalesce(instruction, '∅')", ["output", "raw_content"]),
@@ -3906,6 +4213,11 @@ def oracle_sql() -> dict[str, str]:
                   s1="runable_label"),
         _pack_sql("docs_doc2qa", o["docs_doc2qa"],
                   _kcat_sql("doc_id", "qa_idx"), ["question", "answer"]),
+        _pack_sql("multihop_qa", o["multihop_qa"],
+                  _kcat_sql("doc_id", "pair_idx"),
+                  ["premise", "intermediate", "conclusion", "related_csv",
+                   "question", "answer", "n_steps", "n_facts"],
+                  s1="complexity_q"),
     ])
 
     # decontam: 13-gram benchmark decontamination survivors. Gram identity is
@@ -4717,6 +5029,132 @@ def oracle_sql() -> dict[str, str]:
         FROM documents WHERE doc_id % 17 = 0
     """
 
+    # mathverify: the oracle rebuilds the planted (answer, gt) strings with
+    # the same concat arithmetic and derives the verdict from the planting
+    # rule (m=4 is the only unequal case) — the Spark judge must reach the
+    # same verdict by actually normalizing (ops/reasoning.py
+    # math_verify_judge).
+    o["mathverify"] = r"""
+        SELECT doc_id,
+               CASE m WHEN 0 THEN a || '/' || (a + 1)
+                      WHEN 1 THEN a || '.5'
+                      WHEN 2 THEN a || ',000'
+                      WHEN 3 THEN a || '%'
+                      WHEN 4 THEN CAST(a + 1 AS VARCHAR)
+                      ELSE 'X ' || a || 'b' END AS student_answer,
+               CASE m WHEN 0 THEN '\boxed{' || (a * 2) || '/' || (a * 2 + 2) || '}'
+                      WHEN 1 THEN (a * 2 + 1) || '/2'
+                      WHEN 2 THEN a || '000'
+                      WHEN 3 THEN a || '/100'
+                      WHEN 4 THEN CAST(a AS VARCHAR)
+                      ELSE 'x' || a || 'B' END AS correct_answer,
+               (m <> 4) AS verified
+        FROM (SELECT doc_id, doc_id % 97 + 1 AS a, doc_id % 6 AS m
+              FROM documents) t
+    """
+
+    # sql_consistency: stub-judge verdict recomputed from md5(prompt)
+    # arithmetic (k in (1,3) emits a fenced yes; k=2 plants a bare unfenced
+    # 'yes' that must NOT pass — pins the reference's ``` block parse).
+    o["sql_consistency"] = """
+        WITH r AS (
+          SELECT doc_id,
+                 'how many rows for doc ' || CAST(doc_id AS VARCHAR) AS question,
+                 'SELECT count(*) FROM documents WHERE doc_id = '
+                   || CAST(doc_id AS VARCHAR) AS sql_text
+          FROM documents
+        )
+        SELECT doc_id, question, sql_text,
+               (CAST(('0x' || substr(md5(
+                  'Judge whether this SQL answers the question. Reply yes or '
+                  || 'no inside a ``` block.' || chr(10)
+                  || 'Question: ' || question || chr(10)
+                  || 'SQL: ' || sql_text || chr(10)
+                  || 'Schema: documents(doc_id BIGINT, text VARCHAR)'
+                ), 1, 8)) AS UBIGINT) % 4) IN (1, 3) AS consistent
+        FROM r
+    """
+
+    # mathbook_extract: both engines run the identical RE2-safe image-tag
+    # regexps (ops/refine.py extract_mathbook_questions).
+    o["mathbook_extract"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 'Q' || doc_id || ': ' || substr(text, 1, 40)
+                   || ' <image>fig' || (doc_id % 7) || '.jpg</image> end'
+                   || CASE WHEN doc_id % 3 = 0 THEN ' <image>x.jpg</image>'
+                           ELSE '' END AS body
+          FROM documents
+        )
+        SELECT doc_id,
+               trim(regexp_replace(body, '<image>(.*?)\.jpg</image>', '', 'g'))
+                 AS question,
+               array_to_string(
+                 regexp_extract_all(body, '<image>(.*?)\.jpg</image>', 1), ',')
+                 AS refs_csv,
+               CAST(len(regexp_extract_all(body, '<image>(.*?)\.jpg</image>', 1))
+                 AS INT) AS n_images
+        FROM t
+    """
+
+    # code_sandbox: expected status + stdout recomputed from the planting
+    # arithmetic — the Spark side must get there by ACTUALLY executing the
+    # snippets in the restricted-AST interpreter (ops/code.py safe_exec).
+    o["code_sandbox"] = """
+        WITH t AS (
+          SELECT doc_id, doc_id % 9 + 2 AS a, doc_id % 7 + 3 AS b,
+                 doc_id % 10 + 5 AS n, doc_id % 5 AS m
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN m IN (0, 1, 2) THEN 'PASS' ELSE 'FAIL' END
+                 AS sandbox_status,
+               CASE m WHEN 0 THEN CAST(a * b + a AS VARCHAR) || chr(10)
+                      WHEN 1 THEN CAST(n * (n - 1) // 2 AS VARCHAR) || chr(10)
+                      WHEN 2 THEN 'AB' || a || chr(10)
+                      WHEN 3 THEN 'NameError: undefined_var'
+                      ELSE 'import not allowed' END AS sandbox_log
+        FROM t
+    """
+
+    # smiles_eval: the oracle emits the planting table's equivalence
+    # verdicts (plus the withheld-item and block-rollup rules) — the Spark
+    # side must reach them by decorating/salvaging the JSON through the
+    # serving boundary and ACTUALLY canonicalizing each SMILES pair
+    # (ops/chem.py canonical_smiles).
+    _sg = "', '".join(_SMILES_GOLD)
+    _ss = "', '".join(_SMILES_SYNTH)
+    _se = ", ".join(str(x) for x in _SMILES_EQ)
+    o["smiles_eval"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(doc_id % 8 + 1 AS INT) AS p0,
+                 CAST((doc_id + 3) % 8 + 1 AS INT) AS p1,
+                 doc_id % 4 <> 0 AS has_b,
+                 ['{_sg}'] AS gold, ['{_ss}'] AS syn, [{_se}] AS eqv
+          FROM documents
+        ),
+        items AS (
+          SELECT doc_id, 0 AS item_idx, 'A' AS abbreviation,
+                 gold[p0] AS golden_smiles, syn[p0] AS synth_smiles,
+                 eqv[p0] AS score
+          FROM d
+          UNION ALL
+          SELECT doc_id, 1, 'B', gold[p1],
+                 CASE WHEN has_b THEN syn[p1] END,
+                 CASE WHEN has_b THEN eqv[p1] ELSE 0 END
+          FROM d
+        )
+        SELECT doc_id, item_idx, abbreviation, golden_smiles, synth_smiles,
+               CAST(score AS INT) AS score,
+               CAST(sum(score) OVER (PARTITION BY doc_id) AS BIGINT)
+                 AS block_score,
+               CAST(2 AS BIGINT) AS block_total,
+               CAST(sum(score) OVER (PARTITION BY doc_id) * 10000 // 2
+                 AS BIGINT) AS block_accuracy_q
+        FROM items
+    """
+
     # cep_pattern: MATCH_RECOGNIZE-style role-sequence CEP (ops/windows.py
     # detect_role_patterns). Patterns stay in the character-class+quantifier
     # subset where Java regex and RE2 agree on leftmost non-overlapping
@@ -5372,6 +5810,18 @@ def oracle_sql() -> dict[str, str]:
                    "sum_b", "n_samples", "peak", "energy", "duration_ms"]),
         _pack_sql("pdf_extract", o["pdf_extract"], _kcat_sql("doc_id"),
                   ["kind", "n_pages", "n_lines", "pdf_text"]),
+        _pack_sql("mathverify", o["mathverify"], _kcat_sql("doc_id"),
+                  ["student_answer", "correct_answer", "verified"]),
+        _pack_sql("sql_consistency", o["sql_consistency"], _kcat_sql("doc_id"),
+                  ["question", "sql_text", "consistent"]),
+        _pack_sql("mathbook_extract", o["mathbook_extract"], _kcat_sql("doc_id"),
+                  ["question", "refs_csv", "n_images"]),
+        _pack_sql("code_sandbox", o["code_sandbox"], _kcat_sql("doc_id"),
+                  ["sandbox_status", "sandbox_log"]),
+        _pack_sql("smiles_eval", o["smiles_eval"],
+                  _kcat_sql("doc_id", "item_idx"),
+                  ["abbreviation", "golden_smiles", "synth_smiles", "score",
+                   "block_score", "block_total", "block_accuracy_q"]),
     ])
 
     _dim_sql = ", ".join(
@@ -5401,7 +5851,9 @@ def oracle_sql() -> dict[str, str]:
         "turn_repeat", "ccnet_buckets", "script_mix", "vocab_growth",
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",
-        "minhash_new", "media_decode", "pdf_extract",
+        "minhash_new", "media_decode", "pdf_extract", "mathverify",
+        "sql_consistency", "mathbook_extract", "code_sandbox", "multihop_qa",
+        "smiles_eval",
     ):
         del o[_member]
 

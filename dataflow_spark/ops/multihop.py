@@ -1,0 +1,182 @@
+"""Multi-hop QA generation over knowledge-base text (KBCMultiHopQAGenerator,
+knowledge_cleaning/generate/kbc_multihop_qa_generator.py).
+
+Reference pipeline per document (:258-313): preprocess gates (strip; length
+in [min_len, max_len] :330-334; at least two '.'-sentences :376; special-char
+ratio <= 0.3 :396-383) -> sentence split on '.' (:398-402) -> info pairs: for
+each i with len(s_i) > 10 and len(s_i+1) > 10, (premise, intermediate,
+conclusion) = (s_i, s_i+1, s_i+2) plus the first 2 other sentences longer
+than 10 as related contexts (:406-425) -> one LLM call per info pair with
+context "premise. intermediate. conclusion" (:449-457) -> JSON QA parse
+requiring a question key (:464-480) -> complexity = mean over pairs of
+0.4*min(steps/3,1) + 0.3*min(facts/3,1) + 0.15*min(qwords/20,1) +
+0.15*min(awords/50,1) (:543-585).
+
+Spark shape: every stage is a narrow column expression — gates fuse with the
+scan, the sentence array is built once per doc, info pairs are one explode
+over sequence(0, n-3) (the only row-multiplying step), and the serving call
+is the standard iterator-UDF boundary. No driver loop, no collect; at 100 TB
+the explode fan-out is bounded by sentences-per-doc and the serving stage
+dominates exactly as in the reference.
+
+Engine-vs-oracle notes: the special-char class is ASCII [A-Za-z0-9\\s]
+(the reference's unicode isalnum also admits CJK ranges — documented delta,
+irrelevant on the Latin fixture); trim is space-only on both engines; the
+complexity is emitted as an EXACT fixed-point integer (scale 10^4 with floor
+division per term) so no float crosses an engine boundary.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops.prompted import ServingBackend, serving_udf
+
+MULTIHOP_SYS = (
+    "Generate one multi-hop question with reasoning steps and supporting "
+    "facts as JSON for this context: "
+)
+
+SENT_MIN = 10  # kbc_multihop_qa_generator.py:408 — sentence length gate
+
+QA_SCHEMA = (
+    "question string, reasoning_steps array<struct<step:string>>, "
+    "answer string, supporting_facts array<string>"
+)
+
+
+class MultiHopStubServing(ServingBackend):
+    """Deterministic QA JSON keyed by md5(prompt): ns = 1 + h[0:2] % 3
+    reasoning steps, nf = h[2:4] % 4 supporting facts, question
+    'why ' + h[4:10], answer 'ans-' + h[10:16]. The ENGINE must recover the
+    fields by actually parsing the JSON; the oracle recomputes them from the
+    md5 arithmetic."""
+
+    def generate(self, prompts: pd.Series) -> pd.Series:
+        import hashlib
+        import json
+
+        def respond(p: str) -> str:
+            h = hashlib.md5(p.encode("utf-8")).hexdigest()
+            ns = 1 + int(h[0:2], 16) % 3
+            nf = int(h[2:4], 16) % 4
+            return json.dumps(
+                {
+                    "question": "why " + h[4:10],
+                    "reasoning_steps": [{"step": f"s{i}"} for i in range(ns)],
+                    "answer": "ans-" + h[10:16],
+                    "supporting_facts": [f"f{i}" for i in range(nf)],
+                }
+            )
+
+        return prompts.map(respond)
+
+
+def _passes_gates(tt, min_len: int, max_len: int):
+    """Preprocess gates on the trimmed text column (:330-386)."""
+    n = F.length(tt)
+    dots = n - F.length(F.replace(tt, F.lit("."), F.lit("")))
+    specials = F.length(F.regexp_replace(tt, r"[A-Za-z0-9\s]", ""))
+    return (
+        (n >= min_len) & (n <= max_len) & (dots >= 2)
+        & (specials * 10 <= n * 3)  # ratio <= 0.3 in exact integers
+    )
+
+
+def multihop_qa(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    backend: ServingBackend | None = None,
+    min_len: int = 100,
+    max_len: int = 200_000,
+) -> DataFrame:
+    """One row per generated multi-hop QA pair:
+    (id_col, pair_idx, premise, intermediate, conclusion, related_csv,
+    question, answer, n_steps, n_facts, complexity_q).
+
+    complexity_q is the reference's per-pair complexity (:560-580) in exact
+    fixed-point: (4000*min(ns,3))//3 + (3000*min(nf,3))//3 +
+    (1500*min(qwords,20))//20 + (1500*min(awords,50))//50 — scale 10^4,
+    floor division per term, identical in DuckDB."""
+    backend = backend or MultiHopStubServing()
+    tt = F.trim(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+    base = df.select(F.col(id_col), tt.alias("__t")).filter(
+        _passes_gates(F.col("__t"), min_len, max_len)
+    )
+    sent = F.filter(
+        F.transform(F.split(F.col("__t"), r"\."), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    base = base.select(id_col, sent.alias("__sent")).filter(F.size("__sent") >= 3)
+    pairs = base.select(
+        id_col,
+        "__sent",
+        F.explode(F.sequence(F.lit(0), F.size("__sent") - 3)).alias("pair_idx"),
+    )
+    i = F.col("pair_idx")
+    el = lambda k: F.element_at(F.col("__sent"), k)  # noqa: E731 (1-based)
+    pairs = pairs.filter(
+        (F.length(el(i + 1)) > SENT_MIN) & (F.length(el(i + 2)) > SENT_MIN)
+    )
+    zipped = F.arrays_zip(
+        F.col("__sent"),
+        F.sequence(F.lit(0), F.size("__sent") - 1),
+    )  # fields: __sent, 1
+    related = F.transform(
+        F.slice(
+            F.filter(
+                zipped,
+                lambda z: (z["1"] != i) & (z["1"] != i + 1)
+                & (F.length(z["__sent"]) > SENT_MIN),
+            ),
+            1,
+            2,
+        ),
+        lambda z: z["__sent"],
+    )
+    pairs = pairs.select(
+        id_col,
+        "pair_idx",
+        el(i + 1).alias("premise"),
+        el(i + 2).alias("intermediate"),
+        el(i + 3).alias("conclusion"),
+        F.concat_ws("|", related).alias("related_csv"),
+    )
+    context = F.concat(
+        F.col("premise"), F.lit(". "), F.col("intermediate"), F.lit(". "),
+        F.col("conclusion"),
+    )  # :450-453
+    prompt = F.concat(F.lit(MULTIHOP_SYS), context)
+    qa = F.from_json(serving_udf(backend)(prompt), QA_SCHEMA)
+    out = pairs.withColumn("__qa", qa).filter(
+        F.col("__qa.question").isNotNull()  # :473 — question key required
+    )
+    ns = F.size("__qa.reasoning_steps")
+    nf = F.size(F.coalesce(F.col("__qa.supporting_facts"), F.array()))
+    qw = F.size(F.split(F.trim(F.col("__qa.question")), r"\s+"))
+    aw = F.size(F.split(F.trim(F.col("__qa.answer")), r"\s+"))
+    complexity_q = (
+        (F.least(ns, F.lit(3)) * 4000).cast("long") / 3
+    ).cast("long") + (
+        (F.least(nf, F.lit(3)) * 3000).cast("long") / 3
+    ).cast("long") + (
+        (F.least(qw, F.lit(20)) * 1500).cast("long") / 20
+    ).cast("long") + (
+        (F.least(aw, F.lit(50)) * 1500).cast("long") / 50
+    ).cast("long")
+    return out.select(
+        id_col,
+        "pair_idx",
+        "premise",
+        "intermediate",
+        "conclusion",
+        "related_csv",
+        F.col("__qa.question").alias("question"),
+        F.col("__qa.answer").alias("answer"),
+        ns.cast("int").alias("n_steps"),
+        nf.cast("int").alias("n_facts"),
+        complexity_q.cast("long").alias("complexity_q"),
+    )

@@ -280,3 +280,82 @@ def sft_to_pretrain(
     q = F.coalesce(F.col(question_col).cast("string"), F.lit(""))
     a = F.coalesce(F.col(answer_col).cast("string"), F.lit(""))
     return df.select(F.concat(q, F.lit("\n"), a).alias(out))
+
+
+# ---------------------------------------------------------------------------
+# Math-verify answer judge (ReasoningAnswerJudgeMathVerifyFilter,
+# reasoning/filter/reasoning_answer_judge_mathverify_filter.py:59-80 — the
+# reference delegates to the math_verify package's parse()/verify()). The
+# sympy-class symbolic engine is out of sandbox scope; this is the REAL
+# arithmetic core for the answer forms that dominate math-eval data —
+# \boxed{...} unwrap, $/comma/space stripping, \frac{a}{b} and a/b fractions,
+# decimals, percents — compared as exact rationals via cross-product equality
+# in decimal(38) (no float round-trip), with a case-folded string fallback
+# for non-numeric answers. Pure JVM expressions end-to-end: no UDF, and the
+# DuckDB oracle runs the identical normalization (HUGEINT cross products).
+# ---------------------------------------------------------------------------
+
+_MV_INT = r"^[+-]?[0-9]+$"
+_MV_DEC = r"^[+-]?[0-9]*\.[0-9]+$"
+_MV_FRAC = r"^([+-]?[0-9]+)/([+-]?[0-9]+)$"
+
+
+def _mv_norm(c):
+    """Normalized answer string: boxed payload if present, then strip
+    whitespace/$/commas/\\left/\\right, rewrite one-level \\frac{a}{b} to
+    a/b, split off a trailing percent. Returns (clean_string, is_percent)."""
+    s = F.coalesce(c.cast("string"), F.lit(""))
+    boxed = F.regexp_extract(s, r"\\boxed\{([^{}]*)\}", 1)
+    s = F.when(boxed != "", boxed).otherwise(s)
+    s = F.regexp_replace(s, r"[\s$,]+", "")
+    s = F.regexp_replace(s, r"\\left|\\right", "")
+    s = F.regexp_replace(s, r"^\\frac\{([+-]?[0-9]+)\}\{([+-]?[0-9]+)\}$", "$1/$2")
+    pct = s.rlike(r"(\\%|%)$")
+    s = F.regexp_replace(s, r"(\\%|%)$", "")
+    return s, pct
+
+
+def _mv_rational(s, pct):
+    """(num, den) as decimal(38,0) columns, or (NULL, NULL) when the string
+    is not one of the rational forms. den carries the percent factor."""
+    from pyspark.sql.types import DecimalType
+
+    dec38 = DecimalType(38, 0)
+    frac_tail = F.regexp_extract(s, r"\.([0-9]+)$", 1)
+    den_dec = F.concat(F.lit("1"), F.repeat(F.lit("0"), F.length(frac_tail)))
+    num = (
+        F.when(s.rlike(_MV_INT), s.cast(dec38))
+        .when(s.rlike(_MV_DEC), F.regexp_replace(s, r"\.", "").cast(dec38))
+        .when(s.rlike(_MV_FRAC), F.regexp_extract(s, _MV_FRAC, 1).cast(dec38))
+    )
+    den = (
+        F.when(s.rlike(_MV_INT), F.lit("1").cast(dec38))
+        .when(s.rlike(_MV_DEC), den_dec.cast(dec38))
+        .when(s.rlike(_MV_FRAC), F.regexp_extract(s, _MV_FRAC, 2).cast(dec38))
+    )
+    den = F.when(pct, den * 100).otherwise(den)
+    return num, den
+
+
+def math_verify_judge(
+    df: DataFrame,
+    answer_col: str = "student_answer",
+    gt_col: str = "correct_answer",
+    out: str = "verified",
+) -> DataFrame:
+    """Judge answer == ground truth under math normalization
+    (reasoning_answer_judge_mathverify_filter.py:78-79 contract: a boolean
+    result column; the filter variant keeps verified rows). Rational forms
+    compare as exact cross products a1*b2 == a2*b1 (sign lives in either
+    slot, so negative denominators are handled); anything else falls back to
+    case-folded normalized-string equality. A rational on one side and a
+    non-rational on the other is False, like math_verify's failed parse."""
+    a_s, a_p = _mv_norm(F.col(answer_col))
+    g_s, g_p = _mv_norm(F.col(gt_col))
+    a_n, a_d = _mv_rational(a_s, a_p)
+    g_n, g_d = _mv_rational(g_s, g_p)
+    both_rat = a_n.isNotNull() & g_n.isNotNull()
+    verdict = F.when(both_rat, (a_n * g_d) == (g_n * a_d)).otherwise(
+        a_n.isNull() & g_n.isNull() & (F.lower(a_s) == F.lower(g_s))
+    )
+    return df.withColumn(out, verdict)

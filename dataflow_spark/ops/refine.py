@@ -553,3 +553,28 @@ def canonical_url(col: Column) -> Column:
     return F.concat(
         host, path, F.when(qs == F.lit(""), F.lit("")).otherwise(F.concat(F.lit("?"), qs))
     )
+
+
+def extract_mathbook_questions(
+    df: DataFrame, id_col: str, col: str = "text"
+) -> DataFrame:
+    """MathBookQuestionExtract's in-engine parse stage
+    (knowledge_cleaning/generate/mathbook_question_extract.py:249-256): each
+    extracted block carries inline `<image>NAME.jpg</image>` tags; the
+    operator collects the image names (findall r'<image>(.*?)\\.jpg</image>')
+    and strips the tags from the question text. The PDF→image→MinerU→VLM
+    front half of the reference is the documented GPU boundary (the PDF text
+    itself is handled by ops/multimodal.pdf_extract_text); this is the
+    text-side contract, pure JVM regexps (RE2-safe: non-greedy, no
+    lookaround) so the oracle replays it.
+
+    Returns (id_col, question, image_refs array<string>, n_images)."""
+    tag = r"<image>(.*?)\.jpg</image>"
+    refs = F.regexp_extract_all(F.col(col), F.lit(tag), 1)
+    question = F.trim(F.regexp_replace(F.col(col), tag, ""))
+    return df.select(
+        F.col(id_col),
+        question.alias("question"),
+        refs.alias("image_refs"),
+        F.size(refs).cast("int").alias("n_images"),
+    )

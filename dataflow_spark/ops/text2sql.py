@@ -155,3 +155,76 @@ def sql_synthesis_prompts(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQLConsistencyFilter (text2sql/filter/sql_consistency_filter.py:14-103):
+# an LLM judges whether the SQL answers the question given the schema DDL;
+# the response is lowercased and scanned for fenced ``` blocks, and the row
+# passes if ANY block contains 'yes' (:42-49). The parse contract runs as
+# pure JVM expressions (regexp_extract_all + exists) so the DuckDB oracle
+# replays it identically; the judge itself is the standard serving boundary.
+# ---------------------------------------------------------------------------
+
+CONSISTENCY_TEMPLATE = (
+    "Judge whether this SQL answers the question. Reply yes or no inside a "
+    "``` block.\nQuestion: {q}\nSQL: {s}\nSchema: {d}"
+)
+
+
+class StubSQLJudgeServing:
+    """Deterministic judge stub: k = md5(prompt)[:8] % 4 picks the response
+    shape — 0: fenced no; 1: fenced no THEN fenced yes (any-block rule);
+    2: bare 'yes' with NO fence (must NOT pass — pins the fence requirement);
+    3: fenced 'YES indeed' (case-fold). Engine-portable: verdict is k in
+    (1, 3), recomputable from md5 arithmetic in SQL."""
+
+    def generate(self, prompts):
+        import hashlib
+
+        import pandas as pd
+
+        def respond(p: str) -> str:
+            k = int(hashlib.md5(p.encode("utf-8")).hexdigest()[:8], 16) % 4
+            return {
+                0: "analysis\n```\nno\n```",
+                1: "```\nno\n```\nreconsider:\n```\n yes \n```",
+                2: "yes",
+                3: "```\nYES indeed\n```",
+            }[k]
+
+        return prompts.map(respond)
+
+
+def sql_consistency_filter(
+    df: DataFrame,
+    question_col: str = "question",
+    sql_col: str = "sql",
+    ddl: str = "",
+    backend=None,
+    keep_only: bool = True,
+    out: str = "consistent",
+) -> DataFrame:
+    """Filter rows to those whose SQL the judge deems consistent with the
+    question (sql_consistency_filter.py:63-99: prompt per row from
+    (question, sql, ddl), parse with _parse_consistency_response :42-49,
+    keep passing indices). keep_only=False labels instead of filtering."""
+    from dataflow_spark.ops.prompted import StubServing, serving_udf  # noqa: F401
+
+    backend = backend or StubSQLJudgeServing()
+    prompt = F.concat(
+        F.lit("Judge whether this SQL answers the question. Reply yes or no "
+              "inside a ``` block.\nQuestion: "),
+        F.coalesce(F.col(question_col).cast("string"), F.lit("")),
+        F.lit("\nSQL: "),
+        F.coalesce(F.col(sql_col).cast("string"), F.lit("")),
+        F.lit("\nSchema: "),
+        F.lit(ddl),
+    )
+    resp = F.lower(serving_udf(backend)(prompt))
+    blocks = F.regexp_extract_all(resp, F.lit(r"(?s)```\s*(.*?)\s*```"), 1)
+    consistent = F.coalesce(
+        F.exists(blocks, lambda b: b.contains("yes")), F.lit(False)
+    )
+    labeled = df.withColumn(out, consistent)
+    return labeled.filter(F.col(out)).drop(out) if keep_only else labeled

@@ -713,6 +713,89 @@ register(
                                "digit_heavy", "keep"],
     ),
 )
+register(
+    "math_verify_judge",
+    OpSpec(
+        lambda **p: (lambda df: __import__(
+            "dataflow_spark.ops.reasoning", fromlist=["reasoning"]
+        ).math_verify_judge(
+            df, p.get("answer_col", "student_answer"),
+            p.get("gt_col", "correct_answer"), p.get("out", "verified"))),
+        lambda p: [p.get("answer_col", "student_answer"),
+                   p.get("gt_col", "correct_answer")],
+        lambda p: [p.get("out", "verified")],
+    ),
+)
+register(
+    "sql_consistency_filter",
+    OpSpec(
+        lambda **p: (lambda df: __import__(
+            "dataflow_spark.ops.text2sql", fromlist=["text2sql"]
+        ).sql_consistency_filter(
+            df, p.get("question_col", "question"), p.get("sql_col", "sql_text"),
+            ddl=p.get("ddl", ""), keep_only=p.get("keep_only", True))),
+        lambda p: [p.get("question_col", "question"), p.get("sql_col", "sql_text")],
+        _NO_NEW,
+        drops_rows=True,
+    ),
+)
+register(
+    "mathbook_extract",
+    OpSpec(
+        lambda **p: (lambda df: refine.extract_mathbook_questions(
+            df, p.get("id_col", "doc_id"), p.get("col", "text"))),
+        lambda p: [p.get("id_col", "doc_id"), p.get("col", "text")],
+        lambda p: ["question", "image_refs", "n_images"],
+        schema_cols=lambda p: [p.get("id_col", "doc_id"), "question",
+                               "image_refs", "n_images"],
+    ),
+)
+register(
+    "code_sandbox",
+    OpSpec(
+        lambda **p: (lambda df: __import__(
+            "dataflow_spark.ops.code", fromlist=["code"]
+        ).code_sandbox_evaluate(
+            df, p.get("code_col", "generated_code"),
+            step_limit=p.get("step_limit", 100_000))),
+        lambda p: [p.get("code_col", "generated_code")],
+        lambda p: ["sandbox_status", "sandbox_log"],
+    ),
+)
+register(
+    "multihop_qa",
+    OpSpec(
+        lambda **p: (lambda df: __import__(
+            "dataflow_spark.ops.multihop", fromlist=["multihop"]
+        ).multihop_qa(
+            df, p.get("id_col", "doc_id"), p.get("col", "text"),
+            min_len=p.get("min_len", 100), max_len=p.get("max_len", 200_000))),
+        lambda p: [p.get("id_col", "doc_id"), p.get("col", "text")],
+        lambda p: [],
+        drops_rows=True,
+        schema_cols=lambda p: [p.get("id_col", "doc_id"), "pair_idx",
+                               "premise", "intermediate", "conclusion",
+                               "related_csv", "question", "answer",
+                               "n_steps", "n_facts", "complexity_q"],
+    ),
+)
+register(
+    "smiles_equivalence",
+    OpSpec(
+        lambda **p: (lambda df: __import__(
+            "dataflow_spark.ops.chem", fromlist=["chem"]
+        ).smiles_equivalence_scores(
+            df, p.get("golden_col", "golden_label"),
+            p.get("synth_col", "synth_smiles"))),
+        lambda p: [p.get("golden_col", "golden_label"),
+                   p.get("synth_col", "synth_smiles")],
+        # exploded item rows carry the remaining input columns through, so
+        # this is a column UNION (golden/synth arrays are consumed — the one
+        # imprecision static validation accepts here)
+        lambda p: ["item_idx", "abbreviation", "golden_smiles",
+                   "synth_smiles", "score"],
+    ),
+)
 
 
 class PipelineConfigError(KeyError):

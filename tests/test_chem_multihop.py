@@ -1,0 +1,164 @@
+"""SMILES canonicalization/equivalence, JSON salvage chain, and the
+multi-hop QA generator."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops import chem
+from dataflow_spark.ops.multihop import MULTIHOP_SYS, multihop_qa
+
+EQ_PAIRS = [
+    ("CCO", "OCC"),
+    ("CCO", "C-C-O"),
+    ("CC(C)O", "OC(C)C"),
+    ("CC(N)(O)C", "CC(O)(N)C"),
+    ("C1CCCCC1", "C2CCCCC2"),
+    ("C1CCCCC1", "C%10CCCCC%10"),
+    ("CC=O", "O=CC"),
+    ("C1CC1C", "CC1CC1"),
+    ("CC1CCC(CC1)C(C)C", "C(C)(C)C1CCC(C)CC1"),  # permuted branched ring
+]
+NEQ_PAIRS = [
+    ("CCO", "CCN"),
+    ("CCO", "CCC"),
+    ("C1CCCCC1", "C1CCCC1"),
+    ("CC=O", "CCO"),
+    ("c1ccccc1", "C1CCCCC1"),  # aromatic ring != aliphatic ring
+    ("CC(C)O", "CCCO"),
+    ("[NH4]", "[NH3]"),
+]
+
+
+@pytest.mark.parametrize("a,b", EQ_PAIRS)
+def test_smiles_equivalent_pairs(a, b):
+    assert chem.smiles_equivalent(a, b)
+    assert chem.canonical_smiles(a) == chem.canonical_smiles(b)
+
+
+@pytest.mark.parametrize("a,b", NEQ_PAIRS)
+def test_smiles_inequivalent_pairs(a, b):
+    assert not chem.smiles_equivalent(a, b)
+
+
+def test_smiles_canonical_idempotent_and_reparsable():
+    for a, _ in EQ_PAIRS:
+        c = chem.canonical_smiles(a)
+        assert chem.canonical_smiles(c) == c  # writer output reparses
+
+
+def test_smiles_unsupported_forms_fail_closed():
+    # stereo, disconnected salts, unbalanced syntax -> False, never a raise
+    for s in ("C/C=C/C", "C@C", "CC.O", "C1CC", "C(", "", "Xx", "[unclosed"):
+        assert chem.smiles_equivalent(s, s) is False
+
+
+def test_salvage_json_chain(spark):
+    j = '[{"abbreviation": "A", "smiles": "CCO"}]'
+    wrapped = [
+        j,
+        "```json\n" + j + "\n```",
+        "```\n" + j + "\n```",
+        "'" + j + "'",
+        '"' + j + '"',
+        "json " + j,
+        "here you go: " + j + " hope that helps!",
+        "json sure: " + j + " trailing",
+    ]
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(wrapped)], ["i", "raw"])
+    out = df.select(
+        "i", F.from_json(chem.salvage_json_col(F.col("raw")), chem.SMILES_SCHEMA).alias("p")
+    ).collect()
+    for r in out:
+        assert r["p"] is not None, wrapped[r["i"]]
+        assert r["p"][0]["smiles"] == "CCO"
+    # garbage -> NULL (the reference's [] analog)
+    bad = spark.createDataFrame([(0, "no json here")], ["i", "raw"]).select(
+        F.from_json(chem.salvage_json_col(F.col("raw")), chem.SMILES_SCHEMA).alias("p")
+    ).collect()
+    assert bad[0]["p"] is None
+
+
+def test_extract_and_equivalence_end_to_end(spark):
+    # defined inside the test so cloudpickle ships the class by VALUE — a
+    # module-level class in tests/ is pickled by reference, which executor
+    # workers cannot import
+    class _StubChem:
+        PREFIX = "Extract SMILES structures as JSON from: "
+
+        def generate(self, prompts: pd.Series) -> pd.Series:
+            def respond(p: str) -> str:
+                content = p[len(self.PREFIX):]
+                k = int(hashlib.md5(p.encode()).hexdigest()[:8], 16) % 4
+                return {
+                    0: content,
+                    1: "```json\n" + content + "\n```",
+                    2: "'" + content + "'",
+                    3: "json here it is: " + content + " extra",
+                }[k]
+
+            return prompts.map(respond)
+
+    rows = []
+    for i in range(8):
+        synth = [
+            {"abbreviation": "A", "smiles": "CCC"},  # wrong, overwritten
+            {"abbreviation": "A", "smiles": "OCC"},
+        ]
+        if i % 2:
+            synth.append({"abbreviation": "B", "smiles": "O=CC"})
+        golden = [
+            {"abbreviation": "A", "smiles": "CCO"},
+            {"abbreviation": "B", "smiles": "CC=O"},
+        ]
+        rows.append((i, json.dumps(synth), golden))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, "
+        "golden_label array<struct<abbreviation:string,smiles:string>>",
+    )
+    ext = chem.extract_smiles(df, "text", backend=_StubChem())
+    scored = chem.smiles_equivalence_scores(ext, "golden_label", "synth_smiles")
+    for r in scored.collect():
+        want = 1 if (r["abbreviation"] == "A" or r["doc_id"] % 2 == 1) else 0
+        assert r["score"] == want, r
+    roll = {r["doc_id"]: r for r in chem.smiles_block_rollup(scored, ["doc_id"]).collect()}
+    assert roll[0]["block_score"] == 1 and roll[0]["block_accuracy_q"] == 5000
+    assert roll[1]["block_score"] == 2 and roll[1]["block_accuracy_q"] == 10000
+
+
+def test_multihop_qa_twin_and_gates(spark):
+    text1 = (
+        "The quick brown fox jumps over a lazy dog. A second sentence with "
+        "meat on it. Conclusion sentences carry the payoff here. Another "
+        "related context sentence. Tiny. Final long sentence for related checks."
+    )
+    rows = [
+        (1, text1),
+        (2, "too short. ok."),                       # length gate
+        (3, "@@@@ !!!! " * 20 + ". x. y."),          # special-char gate
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = multihop_qa(df, "doc_id").collect()
+    assert {r["doc_id"] for r in out} == {1}
+    r = next(x for x in out if x["pair_idx"] == 0)
+    ctx = f"{r['premise']}. {r['intermediate']}. {r['conclusion']}"
+    h = hashlib.md5((MULTIHOP_SYS + ctx).encode()).hexdigest()
+    ns = 1 + int(h[0:2], 16) % 3
+    nf = int(h[2:4], 16) % 4
+    assert (r["n_steps"], r["n_facts"]) == (ns, nf)
+    assert r["question"] == "why " + h[4:10]
+    assert r["answer"] == "ans-" + h[10:16]
+    cq = (
+        (min(ns, 3) * 4000) // 3 + (min(nf, 3) * 3000) // 3
+        + (2 * 1500) // 20 + (1 * 1500) // 50
+    )
+    assert r["complexity_q"] == cq
+    # the short 'Tiny' sentence can be premise/intermediate for no pair
+    for x in out:
+        assert len(x["premise"]) > 10 and len(x["intermediate"]) > 10

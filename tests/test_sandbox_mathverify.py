@@ -1,0 +1,132 @@
+"""Restricted-AST code sandbox, math-verify judge, SQL-consistency parse,
+and mathbook image-tag extraction."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops.code import safe_exec
+from dataflow_spark.ops.reasoning import math_verify_judge
+from dataflow_spark.ops.refine import extract_mathbook_questions
+from dataflow_spark.ops.text2sql import sql_consistency_filter
+
+
+# ---------------------------------------------------------------- sandbox
+
+@pytest.mark.parametrize(
+    "code,ok,log",
+    [
+        ("x = 3\ny = 4\nprint(x * y + 1)", True, "13\n"),
+        ("s = 0\nfor i in range(10):\n    s += i\nprint(s)", True, "45\n"),
+        ("w = 'ab7'\nprint(w.upper())", True, "AB7\n"),
+        ("a, b = 1, 2\nprint(a + b, a < b)", True, "3 True\n"),
+        ("d = {'a': 1}\nd['b'] = 2\nprint(sorted(d.keys()))", True, "['a', 'b']\n"),
+        ("print(f'v={1 + 2}')", True, "v=3\n"),
+        ("if 1 < 2 < 3:\n    print('yes')\nelse:\n    print('no')", True, "yes\n"),
+        ("print(undefined_var)", False, "NameError: undefined_var"),
+        ("import os", False, "import not allowed"),
+        ("print(open('/etc/passwd'))", False, "NameError: open"),
+        ("def f():\n    pass", False, "statement not allowed: FunctionDef"),
+        ("print(1 +", False, None),  # syntax error; message prefix checked below
+    ],
+)
+def test_safe_exec_cases(code, ok, log):
+    got_ok, got_log = safe_exec(code)
+    assert got_ok == ok
+    if log is not None:
+        assert got_log == log
+    elif not ok:
+        assert got_log.startswith("SyntaxError")
+
+
+def test_safe_exec_escape_attempts_fail_closed():
+    for code in (
+        "print(().__class__)",
+        "x = ().__class__.__bases__",
+        "print(getattr(1, 'real'))",
+        "exec('print(1)')",
+        "eval('1+1')",
+        "__builtins__['open']",
+        "while True:\n    pass",
+        "print('x' * 10 ** 9)",
+        "print(2 ** 99999)",
+    ):
+        ok, log = safe_exec(code)
+        assert not ok, code
+        assert log  # reason always given
+
+
+def test_safe_exec_step_budget_is_deterministic():
+    ok1, log1 = safe_exec("i = 0\nwhile i < 10**6:\n    i += 1", step_limit=5000)
+    ok2, log2 = safe_exec("i = 0\nwhile i < 10**6:\n    i += 1", step_limit=5000)
+    assert (ok1, log1) == (ok2, log2) == (False, "step limit exceeded")
+
+
+# ------------------------------------------------------------- mathverify
+
+def test_math_verify_judge_forms(spark):
+    rows = [
+        ("3/4", r"\boxed{6/8}", True),
+        ("2.50", "5/2", True),
+        ("1,000", "1000", True),
+        ("50%", "1/2", True),
+        (r"50\%", "0.5", True),
+        ("7", "8", False),
+        ("x + Y", "X+y", True),
+        ("foo", "0.5", False),   # rational vs non-rational -> False
+        ("-1/2", "1/-2", True),
+        ("-0.25", "-1/4", True),
+        ("0.333", "1/3", False),  # exact rationals, not float-close
+        (None, "", True),
+    ]
+    df = spark.createDataFrame(
+        [(i, a, g) for i, (a, g, _) in enumerate(rows)],
+        ["i", "student_answer", "correct_answer"],
+    )
+    got = {r["i"]: r["verified"] for r in math_verify_judge(df).collect()}
+    for i, (a, g, want) in enumerate(rows):
+        assert got[i] == want, (a, g)
+
+
+# -------------------------------------------------------- sql consistency
+
+def test_sql_consistency_fence_parse_and_stub_twin(spark):
+    df = spark.createDataFrame(
+        [(i, f"q{i}", f"SELECT {i}") for i in range(60)],
+        ["i", "question", "sql_text"],
+    )
+    labeled = sql_consistency_filter(
+        df, sql_col="sql_text", ddl="D", keep_only=False
+    ).collect()
+    for r in labeled:
+        p = (
+            "Judge whether this SQL answers the question. Reply yes or no "
+            "inside a ``` block.\nQuestion: " + r["question"]
+            + "\nSQL: " + r["sql_text"] + "\nSchema: D"
+        )
+        k = int(hashlib.md5(p.encode()).hexdigest()[:8], 16) % 4
+        # k=2 is a bare un-fenced 'yes' and must NOT pass
+        assert r["consistent"] == (k in (1, 3)), (r["i"], k)
+    kept = sql_consistency_filter(df, sql_col="sql_text", ddl="D").count()
+    assert kept == sum(1 for r in labeled if r["consistent"])
+
+
+# ------------------------------------------------------- mathbook extract
+
+def test_mathbook_question_extract(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Solve x. <image>fig1.jpg</image> Then y. <image>fig2.jpg</image>"),
+            (2, "No images here"),
+            (3, "<image>a.jpg</image><image>b.jpg</image>"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in extract_mathbook_questions(df, "doc_id").collect()}
+    assert got[1]["question"] == "Solve x.  Then y."
+    assert got[1]["image_refs"] == ["fig1", "fig2"] and got[1]["n_images"] == 2
+    assert got[2]["image_refs"] == [] and got[2]["n_images"] == 0
+    assert got[3]["question"] == "" and got[3]["image_refs"] == ["a", "b"]
