@@ -1028,6 +1028,191 @@ def q_smiles_eval(spark, sf):
     )
 
 
+class StubReasoningJudge:
+    """Deterministic stub for the four reasoning judge/evaluator prompt
+    families (category / difficulty / answer-judge / question-check),
+    keyed by prompt prefix + md5(prompt) band. Each band exercises a
+    different branch of the reference parse chain; the oracle recomputes
+    every band from the identical md5 arithmetic in SQL."""
+
+    def generate(self, prompts):
+        import hashlib
+        import re as _re
+
+        from dataflow_spark.ops import reasoning as R
+
+        def respond(p: str) -> str:
+            h = int(hashlib.md5(p.encode("utf-8")).hexdigest()[:8], 16)
+            if p.startswith(R.CATEGORY_PROMPT):
+                m = _re.search(r"\[cat (\d+)\.(\d+)\]", p)
+                pi, si = int(m.group(1)), int(m.group(2))
+                pname = R.CATEGORY_PRIMARY[pi - 1]
+                sname = R.CATEGORY_SECONDARY[pname][si - 1]
+                k = h % 5
+                if k == 0:
+                    return ('{"primary_category": "%d", '
+                            '"secondary_category": "%d.%d"}' % (pi, pi, si))
+                if k == 1:
+                    return ('```json\n{"note": "好的", "primary_category": "%s", '
+                            '"secondary_category": "%s"}\n```' % (pname, sname))
+                if k == 2:
+                    return ('{"primary_category": "%s 42", '
+                            '"secondary_category": "%s_7"}'
+                            % (pname.upper(), sname.replace(" ", "_")))
+                if k == 3:
+                    return "this is chatter, not a JSON object"
+                return ('{"primary_category": "Quantum Basketweaving", '
+                        '"secondary_category": "zzz"}')
+            if p.startswith(R.DIFFICULTY_PROMPT):
+                k = h % 3
+                if k == 0:
+                    return "Rating: %d" % (1 + h % 10)
+                if k == 1:
+                    return "Rating: %d.5" % (1 + h % 9)
+                return "too hard to say"
+            if p.startswith(R.ANSWER_JUDGE_PROMPT):
+                k = h % 4
+                return {
+                    0: '{"judgement_result": true}',
+                    1: 'Noted. "JUDGEMENT_RESULT": FALSE.',
+                    2: "I believe it is true.",
+                    3: "nope",
+                }[k]
+            if p.startswith(R.QUESTION_CHECK_PROMPT):
+                k = h % 4
+                return {
+                    0: '{"judgement_test": true}',
+                    1: '{"judgement_test": FALSE} maybe',
+                    2: "definitely True",
+                    3: "invalid question",
+                }[k]
+            return "unexpected"
+
+        return prompts.map(respond)
+
+
+def q_reasoning_judge(spark, sf):
+    """The reasoning judge/evaluator family (battery member — four reference
+    operators through their real parse chains):
+    ReasoningQuestionCategorySampleEvaluator (fence + non-ASCII strip, JSON
+    parse, numeric/X.Y + normalized-text taxonomy matching + k*8+m code),
+    ReasoningQuestionDifficultySampleEvaluator (Rating regex, -1 fallback),
+    ReasoningAnswerModelJudgeFilter (judgement_result parse, contains-'true'
+    fallback, empty-reference rows skip the model and default False), and
+    ReasoningQuestionFilter (judgement_test parse). Stub bands are planted
+    so every branch fires; the oracle replays the md5 band arithmetic."""
+    d = load_table(spark, sf, "documents").select("doc_id")
+    pi = (F.col("doc_id") % 7 + 1).cast("int")
+    si = (F.col("doc_id") % 2 + 1).cast("int")
+    a = (F.col("doc_id") % 89 + 1).cast("long")
+    q = F.concat(
+        F.lit("Q"), F.col("doc_id").cast("string"),
+        F.lit(" [cat "), pi.cast("string"), F.lit("."), si.cast("string"),
+        F.lit("] solve it"),
+    )
+    rows = d.select(
+        "doc_id",
+        q.alias("question"),
+        F.concat(F.lit("the result is "), a.cast("string")).alias("answer"),
+        F.when(F.col("doc_id") % 5 != 0, a.cast("string"))
+        .otherwise(F.lit("")).alias("reference_answer"),
+    )
+    b = StubReasoningJudge()
+    out = reasoning.question_category(rows, "question", backend=b)
+    out = reasoning.question_difficulty(out, "question", backend=b)
+    out = reasoning.answer_model_judge(
+        out, "question", "answer", "reference_answer", keep_all=True, backend=b
+    )
+    out = reasoning.question_quality_filter(out, "question", keep_all=True, backend=b)
+    return out.select(
+        "doc_id", "question", "primary_category", "secondary_category",
+        "category_code",
+        F.col("difficulty_score").alias("difficulty"),
+        F.col("answer_match_result").cast("string").alias("judge_ok"),
+        F.col("question_ok").cast("string").alias("q_ok"),
+    )
+
+
+def q_reasoning_dataset(spark, sf):
+    """Reasoning dataset evaluators (battery member — Category/Difficulty/
+    TokenDatasetEvaluator corpus roll-ups, ops/reasoning.py): per-(primary,
+    secondary) taxonomy counts, difficulty value_counts, and token-length
+    stats with the reference's sorted[n//2] median via a length-histogram
+    cumulative window (no global row sort). Rows ride in one frame keyed
+    (kind, key) with six value slots."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    pi = (F.col("doc_id") % 7 + 1).cast("int")
+    si = (F.col("doc_id") % 2 + 1).cast("int")
+    prim = F.element_at(
+        F.array(*[F.lit(p) for p in reasoning.CATEGORY_PRIMARY]), pi
+    )
+    sec = F.lit(None).cast("string")
+    for k_, p_ in enumerate(reasoning.CATEGORY_PRIMARY, start=1):
+        secs = reasoning.CATEGORY_SECONDARY[p_]
+        sec = F.when(
+            pi == k_, F.element_at(F.array(*[F.lit(s_) for s_ in secs]), si)
+        ).otherwise(sec)
+    diff = (F.col("doc_id") % 4 + 1).cast("double")
+    nq = (F.col("doc_id") % 13).cast("int")
+    na = (F.col("doc_id") % 11).cast("int")
+    word = F.concat(F.lit("w"), (F.col("doc_id") % 3).cast("string"))
+    rep = lambda n: F.when(  # noqa: E731
+        n > 0, F.concat_ws(" ", F.transform(F.sequence(F.lit(1), n), lambda _: word))
+    ).otherwise(F.lit(""))
+    base = d.select(
+        "doc_id", prim.alias("primary_category"), sec.alias("secondary_category"),
+        diff.alias("difficulty_score"),
+        rep(nq).alias("instruction"), rep(na).alias("output"),
+    )
+    nul = F.lit(None).cast("long")
+    cat = reasoning.category_dataset_eval(base).select(
+        F.lit("cat").alias("kind"),
+        F.concat_ws("#", "primary", "secondary").alias("key"),
+        F.col("n").alias("c1"), nul.alias("c2"), nul.alias("c3"),
+        nul.alias("c4"), nul.alias("c5"), nul.alias("c6"),
+    )
+    dif = reasoning.difficulty_dataset_eval(base).select(
+        F.lit("diff").alias("kind"),
+        F.col("difficulty").cast("int").cast("string").alias("key"),
+        F.col("n").alias("c1"), nul.alias("c2"), nul.alias("c3"),
+        nul.alias("c4"), nul.alias("c5"), nul.alias("c6"),
+    )
+    tok = reasoning.token_dataset_eval(base, "instruction", "output").select(
+        F.lit("tok").alias("kind"), F.col("side").alias("key"),
+        F.col("n").alias("c1"), F.col("zeros").alias("c2"),
+        F.col("min_tok").alias("c3"), F.col("max_tok").alias("c4"),
+        F.col("mean_ppm").alias("c5"), F.col("median_tok").alias("c6"),
+    )
+    return cat.unionByName(dif).unionByName(tok)
+
+
+def q_pipeline_root(spark, sf):
+    """ReasoningAnswerPipelineRootFilter (battery member): ground-truth
+    fill-from-answer via the qwenmatheval extraction kernel (boxed /
+    'he answer is' / last-number branches all planted) + has-gt routing
+    label (ops/reasoning.py answer_pipeline_root). The oracle recomputes
+    the expected extraction from the planting arithmetic, so the kernel's
+    branch order is what the value check pins."""
+    d = load_table(spark, sf, "documents").select("doc_id")
+    a = (F.col("doc_id") % 97 + 1).cast("long")
+    g = (F.col("doc_id") % 53 + 1).cast("long")
+    m = (F.col("doc_id") % 4).cast("int")
+    s = lambda c: c.cast("string")  # noqa: E731
+    ans = (
+        F.when(m == 0, F.concat(F.lit("So the answer is "), s(a), F.lit(".")))
+        .when(m == 1, F.concat(F.lit("Thus \\boxed{"), s(a), F.lit("} done")))
+        .when(m == 2, F.concat(F.lit("computed value 42 then "), s(a)))
+        .otherwise(F.lit(""))
+    )
+    gt = F.when(F.col("doc_id") % 3 == 0, s(g)).otherwise(F.lit(""))
+    rows = d.select("doc_id", ans.alias("output"), gt.alias("golden_answer"))
+    out = reasoning.answer_pipeline_root(rows, "output", "golden_answer")
+    return out.select(
+        "doc_id", "output", "golden_answer",
+        F.col("has_gt").cast("string").alias("has_gt"),
+    )
+
+
 def q_data_card(spark, sf):
     """Per-domain corpus data card (battery member): doc counts, token
     totals, exact-dup counts, nearest-rank p50/p95 token lengths per source
@@ -2363,6 +2548,17 @@ def q_score_battery(spark, sf):
                       ["abbreviation", "golden_smiles", "synth_smiles",
                        "score", "block_score", "block_total",
                        "block_accuracy_q"]),
+        _battery_pack(q_reasoning_judge(spark, sf), "reasoning_judge",
+                      _kcat("doc_id"),
+                      ["question", "primary_category", "secondary_category",
+                       "category_code", "judge_ok", "q_ok"],
+                      s1=F.col("difficulty")),
+        _battery_pack(q_reasoning_dataset(spark, sf), "reasoning_dataset",
+                      _kcat("kind", "key"),
+                      ["c1", "c2", "c3", "c4", "c5", "c6"]),
+        _battery_pack(q_pipeline_root(spark, sf), "pipeline_root",
+                      _kcat("doc_id"),
+                      ["output", "golden_answer", "has_gt"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -5155,6 +5351,148 @@ def oracle_sql() -> dict[str, str]:
         FROM items
     """
 
+    # reasoning_judge: the four reasoning judge/evaluator stub bands replayed
+    # from md5(prompt) arithmetic; the cats VALUES table is the taxonomy the
+    # engine must REACH through fence-strip + JSON parse + normalization.
+    def _sq(s: str) -> str:
+        """Python prompt constant -> SQL string expression (quotes escaped,
+        newlines spliced as chr(10))."""
+        body = s.replace("'", "''")
+        return "'" + body.replace("\n", "' || chr(10) || '") + "'"
+
+    _cats_vals = ",\n              ".join(
+        f"({k + 1}, {m + 1}, '{p}', '{s_}')"
+        for k, p in enumerate(reasoning.CATEGORY_PRIMARY)
+        for m, s_ in enumerate(reasoning.CATEGORY_SECONDARY[p])
+    )
+    _cat_p = _sq(reasoning.CATEGORY_PROMPT)
+    _dif_p = _sq(reasoning.DIFFICULTY_PROMPT)
+    _jud_p = _sq(reasoning.ANSWER_JUDGE_PROMPT)
+    _qck_p = _sq(reasoning.QUESTION_CHECK_PROMPT)
+    _u8 = "CAST(('0x' || substr(md5({p}), 1, 8)) AS UBIGINT)"
+    o["reasoning_judge"] = f"""
+        WITH cats(pi, si, pname, sname) AS (VALUES
+              {_cats_vals}),
+        b AS (
+          SELECT doc_id, CAST(doc_id % 7 + 1 AS INT) AS pi,
+                 CAST(doc_id % 2 + 1 AS INT) AS si,
+                 doc_id % 89 + 1 AS a
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, pi, si,
+                 'Q' || doc_id || ' [cat ' || pi || '.' || si
+                   || '] solve it' AS question,
+                 'the result is ' || a AS answer,
+                 CASE WHEN doc_id % 5 <> 0 THEN CAST(a AS VARCHAR)
+                      ELSE '' END AS ref
+          FROM b
+        ),
+        h AS (
+          SELECT r.*,
+                 {_u8.format(p=_cat_p + " || question")} % 5 AS kc,
+                 {_u8.format(p=_dif_p + " || question")} AS hd,
+                 {_u8.format(p=_jud_p + " || 'Question: ' || question || chr(10) || 'Answer: ' || answer || chr(10) || 'Reference: ' || ref")} % 4 AS kj,
+                 {_u8.format(p=_qck_p + " || question")} % 4 AS kq
+          FROM r
+        )
+        SELECT doc_id, question,
+               CASE WHEN kc IN (0, 1, 2) THEN c.pname
+                    WHEN kc = 4 THEN '' END AS primary_category,
+               CASE WHEN kc IN (0, 1, 2) THEN c.sname
+                    WHEN kc = 4 THEN '' END AS secondary_category,
+               CAST(CASE WHEN kc IN (0, 1, 2)
+                         THEN (h.pi - 1) * 8 + (h.si - 1)
+                         ELSE 170 END AS INT) AS category_code,
+               CASE hd % 3
+                 WHEN 0 THEN CAST(1 + hd % 10 AS DOUBLE)
+                 WHEN 1 THEN CAST(1 + hd % 9 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+                 ELSE CAST(-1.0 AS DOUBLE) END AS difficulty,
+               CAST(doc_id % 5 <> 0 AND kj IN (0, 2) AS VARCHAR) AS judge_ok,
+               CAST(kq IN (0, 2) AS VARCHAR) AS q_ok
+        FROM h JOIN cats c ON c.pi = h.pi AND c.si = h.si
+    """
+
+    # reasoning_dataset: the three corpus roll-ups replayed from the planting
+    # arithmetic; median is the reference's sorted[n//2] via the histogram
+    # cumulative rule.
+    o["reasoning_dataset"] = f"""
+        WITH cats(pi, si, pname, sname) AS (VALUES
+              {_cats_vals}),
+        b AS (
+          SELECT doc_id, CAST(doc_id % 7 + 1 AS INT) AS pi,
+                 CAST(doc_id % 2 + 1 AS INT) AS si,
+                 doc_id % 4 + 1 AS diff,
+                 doc_id % 13 AS nq, doc_id % 11 AS na
+          FROM documents
+        ),
+        lab AS (SELECT b.*, c.pname, c.sname
+                FROM b JOIN cats c ON c.pi = b.pi AND c.si = b.si),
+        catr AS (
+          SELECT 'cat' AS kind, pname || '#' || sname AS key,
+                 count(*) AS c1, NULL AS c2, NULL AS c3, NULL AS c4,
+                 NULL AS c5, NULL AS c6
+          FROM lab GROUP BY 1, 2
+        ),
+        difr AS (
+          SELECT 'diff' AS kind, CAST(diff AS VARCHAR) AS key,
+                 count(*) AS c1, NULL, NULL, NULL, NULL, NULL
+          FROM b GROUP BY 1, 2
+        ),
+        lens AS (
+          SELECT 'question' AS side, nq AS len FROM b
+          UNION ALL SELECT 'answer', na FROM b
+        ),
+        st AS (
+          SELECT side, count(*) AS n,
+                 sum(CASE WHEN len = 0 THEN 1 ELSE 0 END) AS zeros,
+                 min(len) AS min_tok, max(len) AS max_tok,
+                 sum(len) * 1000000 // count(*) AS mean_ppm
+          FROM lens GROUP BY side
+        ),
+        mh AS (SELECT side, len, count(*) AS c FROM lens GROUP BY 1, 2),
+        mc AS (
+          SELECT side, len,
+                 sum(c) OVER (PARTITION BY side ORDER BY len) AS cm,
+                 sum(c) OVER (PARTITION BY side) AS n
+          FROM mh
+        ),
+        med AS (
+          SELECT side, min(CASE WHEN cm >= n // 2 + 1 THEN len END) AS m
+          FROM mc GROUP BY side
+        ),
+        tokr AS (
+          SELECT 'tok' AS kind, st.side AS key, st.n AS c1, st.zeros AS c2,
+                 st.min_tok AS c3, st.max_tok AS c4, st.mean_ppm AS c5,
+                 med.m AS c6
+          FROM st JOIN med ON st.side = med.side
+        )
+        SELECT kind, key, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+               CAST(c3 AS BIGINT) AS c3, CAST(c4 AS BIGINT) AS c4,
+               CAST(c5 AS BIGINT) AS c5, CAST(c6 AS BIGINT) AS c6
+        FROM (SELECT * FROM catr UNION ALL SELECT * FROM difr
+              UNION ALL SELECT * FROM tokr) u
+    """
+
+    # pipeline_root: expected ground-truth fill from the planting arithmetic
+    # (the engine must reach it through the real extraction kernel).
+    o["pipeline_root"] = r"""
+        WITH b AS (
+          SELECT doc_id, doc_id % 97 + 1 AS a, doc_id % 53 + 1 AS g,
+                 CAST(doc_id % 4 AS INT) AS m
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE m WHEN 0 THEN 'So the answer is ' || a || '.'
+                      WHEN 1 THEN 'Thus \boxed{' || a || '} done'
+                      WHEN 2 THEN 'computed value 42 then ' || a
+                      ELSE '' END AS output,
+               CASE WHEN doc_id % 3 = 0 THEN CAST(g AS VARCHAR)
+                    WHEN m <> 3 THEN CAST(a AS VARCHAR) END AS golden_answer,
+               CAST(doc_id % 3 = 0 OR m <> 3 AS VARCHAR) AS has_gt
+        FROM b
+    """
+
     # cep_pattern: MATCH_RECOGNIZE-style role-sequence CEP (ops/windows.py
     # detect_role_patterns). Patterns stay in the character-class+quantifier
     # subset where Java regex and RE2 agree on leftmost non-overlapping
@@ -5822,6 +6160,15 @@ def oracle_sql() -> dict[str, str]:
                   _kcat_sql("doc_id", "item_idx"),
                   ["abbreviation", "golden_smiles", "synth_smiles", "score",
                    "block_score", "block_total", "block_accuracy_q"]),
+        _pack_sql("reasoning_judge", o["reasoning_judge"], _kcat_sql("doc_id"),
+                  ["question", "primary_category", "secondary_category",
+                   "category_code", "judge_ok", "q_ok"],
+                  s1="difficulty"),
+        _pack_sql("reasoning_dataset", o["reasoning_dataset"],
+                  _kcat_sql("kind", '"key"'),
+                  ["c1", "c2", "c3", "c4", "c5", "c6"]),
+        _pack_sql("pipeline_root", o["pipeline_root"], _kcat_sql("doc_id"),
+                  ["output", "golden_answer", "has_gt"]),
     ])
 
     _dim_sql = ", ".join(
@@ -5853,7 +6200,7 @@ def oracle_sql() -> dict[str, str]:
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",
         "minhash_new", "media_decode", "pdf_extract", "mathverify",
         "sql_consistency", "mathbook_extract", "code_sandbox", "multihop_qa",
-        "smiles_eval",
+        "smiles_eval", "reasoning_judge", "reasoning_dataset", "pipeline_root",
     ):
         del o[_member]
 

@@ -359,3 +359,404 @@ def math_verify_judge(
         a_n.isNull() & g_n.isNull() & (F.lower(a_s) == F.lower(g_s))
     )
     return df.withColumn(out, verdict)
+
+
+# ---------------------------------------------------------------------------
+# Question category / difficulty evaluators + LLM-judge filters + dataset
+# roll-ups (the reasoning eval/filter family the tree had no analog for):
+#   - ReasoningQuestionCategorySampleEvaluator
+#     (reasoning/eval/reasoning_question_category_sample_evaluator.py:78-110):
+#     LLM classify -> strip ```json fences + non-ASCII -> JSON parse ->
+#     normalize_categories (utils/reasoning/CategoryFuzz.py:84-133: numeric
+#     "X.Y"/"X" codes first, then text matching against the taxonomy).
+#   - ReasoningQuestionDifficultySampleEvaluator (…difficulty…py:88-100):
+#     regex `Rating:\s*((\d+\.\d+)|\d+)` -> float, else -1.
+#   - ReasoningAnswerModelJudgeFilter (reasoning_answer_model_judge_filter
+#     .py:41-66,96-110): `"judgement_result": true|false` parse with a
+#     contains-'true' fallback; rows with empty reference answers never
+#     reach the model and default False.
+#   - ReasoningQuestionFilter (reasoning_question_filter.py:69-91): same
+#     parse against `judgement_test`.
+#   - ReasoningCategory/Difficulty/TokenDatasetEvaluator
+#     (reasoning/eval/reasoning_*_dataset_evaluator.py): corpus roll-ups.
+#
+# Spark shape: the serving boundary is the shared iterator-UDF stage; every
+# parse/normalize step after it is a pure JVM expression (regexp_extract /
+# get_json_object / when-chains over the literal taxonomy), so Catalyst can
+# fuse the whole post-serving chain into the scan projection. The taxonomy
+# tables are compile-time literals — 7 primaries, 28 secondaries — far below
+# expression-bloat territory.
+# ---------------------------------------------------------------------------
+
+# The reference taxonomy (CategoryFuzz.py:6-59) — the specification being
+# reimplemented, not copied code.
+CATEGORY_PRIMARY = [
+    "Foundations and Logic",
+    "Algebra and Number Theory",
+    "Analysis and Differential Equations",
+    "Geometry and Topology",
+    "Probability, Statistics, and Discrete Mathematics",
+    "Applied and Computational Mathematics",
+    "Arithmetic",
+]
+CATEGORY_SECONDARY = {
+    "Foundations and Logic": [
+        "Mathematical Logic and Set Theory",
+        "Basic Theory, Formalization, and History & Education",
+    ],
+    "Algebra and Number Theory": [
+        "Linear Algebra and Group Theory",
+        "Ring Theory, Field Theory, and Polynomial Algebra",
+        "Commutative Algebra and Homological/Categorical Methods",
+        "Number Theory",
+        "Algebraic Geometry",
+    ],
+    "Analysis and Differential Equations": [
+        "Real Analysis, Measure Theory, and Functional Analysis",
+        "Complex Analysis and Special Functions",
+        "Differential Equations and Dynamical Systems",
+        "Integral Transforms, Integral Equations, and Difference Equations",
+        "Harmonic Analysis",
+    ],
+    "Geometry and Topology": [
+        "Euclidean, Analytic, and Convex/Discrete Geometry",
+        "Differential Geometry and Manifold Theory",
+        "Topology and Algebraic Topology",
+    ],
+    "Probability, Statistics, and Discrete Mathematics": [
+        "Probability Theory and Stochastic Processes",
+        "Mathematical Statistics",
+        "Combinatorics and Graph Theory",
+    ],
+    "Applied and Computational Mathematics": [
+        "Numerical Analysis and Computational Methods",
+        "Optimal Control, Variational Methods, and Optimization",
+        "Operations Research and Game Theory",
+        "Systems Theory and Control",
+        "Computer Science and Algorithms",
+        "Mathematical Physics and Engineering Mathematics",
+        "Information and Communication",
+        "Bimathematics",
+    ],
+    "Arithmetic": [
+        "Basic Arithmetic and Number Operations",
+        "Word Problems and Real-Life Applications",
+    ],
+}
+
+CATEGORY_PROMPT = (
+    "Classify this math question. Reply JSON with primary_category and "
+    "secondary_category.\nQuestion: "
+)
+DIFFICULTY_PROMPT = (
+    "Rate the difficulty of this math question from 1 to 10. Reply "
+    "'Rating: <n>'.\nQuestion: "
+)
+ANSWER_JUDGE_PROMPT = (
+    "Judge whether the answer matches the reference. Reply JSON with "
+    "judgement_result true or false.\n"
+)
+QUESTION_CHECK_PROMPT = (
+    "Check this question for format, semantics, logic and solvability. "
+    "Reply JSON with judgement_test true or false.\nQuestion: "
+)
+
+
+def _norm_cat(c):
+    """normalize_text twin (CategoryFuzz.py:61-67): lowercase, drop
+    digits/dots/hyphens/underscores/brackets/commas/&//, collapse spaces."""
+    s = F.lower(c)
+    s = F.regexp_replace(s, r"[0-9.\-_()\[\],&/]", " ")
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def normalize_categories(raw_primary, raw_secondary):
+    """normalize_categories (CategoryFuzz.py:84-133): numeric "X.Y" code on
+    the secondary first, then numeric "X" on the primary, then text matching
+    — here EXACT normalized-text equality (the deterministic core of the
+    reference's rapidfuzz WRatio>=50 tier; the fuzzy partial-token scorer is
+    that library's boundary and is documented, not imitated approximately).
+    Unmatched -> ('', ''); a matched primary with unmatched secondary keeps
+    the primary. Returns (primary, secondary) Columns (never NULL)."""
+    rp = F.coalesce(raw_primary, F.lit(""))
+    rs = F.coalesce(raw_secondary, F.lit(""))
+
+    # 1) "X.Y" on raw_secondary
+    xy_p = F.regexp_extract(rs, r"^\s*(\d+)\s*\.\s*(\d+)\s*\.?\s*$", 1)
+    xy_s = F.regexp_extract(rs, r"^\s*(\d+)\s*\.\s*(\d+)\s*\.?\s*$", 2)
+    pi = F.when(xy_p != "", xy_p.cast("int")).otherwise(F.lit(None))
+    si = F.when(xy_s != "", xy_s.cast("int")).otherwise(F.lit(None))
+    code_pair = F.lit(None).cast("struct<p:string,s:string>")
+    for k, p in enumerate(CATEGORY_PRIMARY, start=1):
+        for m, sname in enumerate(CATEGORY_SECONDARY[p], start=1):
+            code_pair = F.when(
+                (pi == k) & (si == m),
+                F.struct(F.lit(p).alias("p"), F.lit(sname).alias("s")),
+            ).otherwise(code_pair)
+
+    # 2) numeric "X" on raw_primary
+    x_p = F.regexp_extract(rp, r"^\s*(\d+)\s*\.?\s*$", 1)
+    xpi = F.when(x_p != "", x_p.cast("int")).otherwise(F.lit(None))
+    num_primary = F.lit(None).cast("string")
+    for k, p in enumerate(CATEGORY_PRIMARY, start=1):
+        num_primary = F.when(xpi == k, F.lit(p)).otherwise(num_primary)
+
+    # 3) normalized-text match on the primary
+    np_ = _norm_cat(rp)
+    txt_primary = F.lit(None).cast("string")
+    for p in CATEGORY_PRIMARY:
+        txt_primary = F.when(np_ == _norm_cat(F.lit(p)), F.lit(p)).otherwise(txt_primary)
+
+    primary = F.coalesce(num_primary, txt_primary)
+
+    # 4) normalized-text match on the secondary within the chosen primary
+    ns = _norm_cat(rs)
+    secondary = F.lit(None).cast("string")
+    for p in CATEGORY_PRIMARY:
+        for sname in CATEGORY_SECONDARY[p]:
+            secondary = F.when(
+                (primary == p) & (ns == _norm_cat(F.lit(sname))), F.lit(sname)
+            ).otherwise(secondary)
+
+    out_p = F.coalesce(code_pair["p"], primary, F.lit(""))
+    out_s = F.coalesce(
+        code_pair["s"],
+        F.when(primary.isNotNull(), F.coalesce(secondary, F.lit(""))),
+        F.lit(""),
+    )
+    return out_p, out_s
+
+
+def category_code(primary, secondary):
+    """category_hasher (CategoryFuzz.py:135-142): k*8+m over 0-based indices,
+    170 for anything outside the taxonomy."""
+    out = F.lit(170)
+    for k, p in enumerate(CATEGORY_PRIMARY):
+        for m, sname in enumerate(CATEGORY_SECONDARY[p]):
+            out = F.when((primary == p) & (secondary == sname), F.lit(k * 8 + m)).otherwise(out)
+    return out.cast("int")
+
+
+def question_category(
+    df: DataFrame,
+    input_col: str = "instruction",
+    backend=None,
+) -> DataFrame:
+    """ReasoningQuestionCategorySampleEvaluator: serving call, fence +
+    non-ASCII strip (:93-97), JSON parse, taxonomy normalization. A response
+    that is not JSON leaves both categories NULL (the reference logs and
+    leaves the row's columns unset, :113-118)."""
+    from dataflow_spark.ops.prompted import StubServing, serving_udf
+
+    backend = backend or StubServing()
+    prompt = F.concat(F.lit(CATEGORY_PROMPT), F.col(input_col).cast("string"))
+    out = df.withColumn("__resp", serving_udf(backend)(prompt))
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.trim(F.col("__resp")), r"^```json\s*", ""),
+        r"\s*```$",
+        "",
+    )
+    cleaned = F.regexp_replace(cleaned, r"[^\x00-\x7F]+", "")
+    rawp = F.get_json_object(cleaned, "$.primary_category")
+    raws = F.get_json_object(cleaned, "$.secondary_category")
+    # valid JSON object with neither key present still parses to ('','')
+    # downstream; a non-JSON response yields NULL from get_json_object on
+    # BOTH keys AND fails the object sniff -> NULL categories
+    is_json = F.get_json_object(cleaned, "$") .isNotNull()
+    p, s = normalize_categories(rawp, raws)
+    return (
+        out.withColumn("primary_category", F.when(is_json, p))
+        .withColumn("secondary_category", F.when(is_json, s))
+        .withColumn(
+            "category_code",
+            F.when(is_json, category_code(F.col("primary_category"), F.col("secondary_category")))
+            .otherwise(F.lit(170))
+            .cast("int"),
+        )
+        .drop("__resp")
+    )
+
+
+def question_difficulty(
+    df: DataFrame,
+    input_col: str = "instruction",
+    out: str = "difficulty_score",
+    backend=None,
+) -> DataFrame:
+    """ReasoningQuestionDifficultySampleEvaluator (:88-100): `Rating:` regex
+    -> double, unmatched -> -1.0."""
+    from dataflow_spark.ops.prompted import StubServing, serving_udf
+
+    backend = backend or StubServing()
+    prompt = F.concat(F.lit(DIFFICULTY_PROMPT), F.col(input_col).cast("string"))
+    o = df.withColumn("__resp", serving_udf(backend)(prompt))
+    m = F.regexp_extract(F.col("__resp"), r"Rating:\s*((\d+\.\d+)|\d+)", 1)
+    return o.withColumn(
+        out, F.when(m != "", m.cast("double")).otherwise(F.lit(-1.0))
+    ).drop("__resp")
+
+
+def _judgement_parse(resp, key: str):
+    """ResolveResponse twin (reasoning_answer_model_judge_filter.py:41-66):
+    `"<key>"\\s*:\\s*(true|false)` case-insensitive, else contains-'true'
+    fallback; NULL/empty response -> False."""
+    m = F.lower(F.regexp_extract(resp, r'(?i)"' + key + r'"\s*:\s*(true|false)', 1))
+    verdict = F.when(m != "", m == "true").otherwise(
+        F.lower(F.coalesce(resp, F.lit(""))).contains("true")
+    )
+    return F.when(resp.isNull() | (F.trim(resp) == ""), F.lit(False)).otherwise(verdict)
+
+
+def answer_model_judge(
+    df: DataFrame,
+    question_col: str = "question",
+    answer_col: str = "answer",
+    reference_col: str = "reference_answer",
+    keep_all: bool = False,
+    backend=None,
+) -> DataFrame:
+    """ReasoningAnswerModelJudgeFilter (:96-174): rows whose reference answer
+    is NULL/'' are skipped (no model call — the NULL-prompt serving skip) and
+    default answer_match_result=False; everything else is LLM-judged via the
+    judgement_result parse. keep_all=False drops non-matching rows."""
+    from dataflow_spark.ops.prompted import StubServing, serving_udf
+
+    backend = backend or StubServing()
+    has_ref = F.col(reference_col).isNotNull() & (F.col(reference_col) != "")
+    prompt = F.when(
+        has_ref,
+        F.concat(
+            F.lit(ANSWER_JUDGE_PROMPT),
+            F.lit("Question: "), F.col(question_col).cast("string"),
+            F.lit("\nAnswer: "), F.col(answer_col).cast("string"),
+            F.lit("\nReference: "), F.col(reference_col).cast("string"),
+        ),
+    )
+    o = df.withColumn("__resp", serving_udf(backend)(prompt))
+    o = o.withColumn(
+        "answer_match_result",
+        F.when(~has_ref, F.lit(False)).otherwise(
+            _judgement_parse(F.col("__resp"), "judgement_result")
+        ),
+    ).drop("__resp")
+    return o if keep_all else o.filter(F.col("answer_match_result"))
+
+
+def question_quality_filter(
+    df: DataFrame,
+    input_col: str = "math_problem",
+    keep_all: bool = False,
+    backend=None,
+) -> DataFrame:
+    """ReasoningQuestionFilter (:69-105): four-aspect correctness check via
+    one judge prompt; `judgement_test` parse; keeps qualifying rows."""
+    from dataflow_spark.ops.prompted import StubServing, serving_udf
+
+    backend = backend or StubServing()
+    prompt = F.concat(F.lit(QUESTION_CHECK_PROMPT), F.col(input_col).cast("string"))
+    o = df.withColumn("__resp", serving_udf(backend)(prompt))
+    o = o.withColumn(
+        "question_ok", _judgement_parse(F.col("__resp"), "judgement_test")
+    ).drop("__resp")
+    return o if keep_all else o.filter(F.col("question_ok"))
+
+
+def answer_pipeline_root(
+    df: DataFrame,
+    answer_col: str = "output",
+    gt_col: str = "golden_answer",
+) -> DataFrame:
+    """ReasoningAnswerPipelineRootFilter (reasoning_answer_pipeline_root_
+    filter.py:62-93): fill a missing/empty ground truth by extracting it from
+    the raw answer (the qwenmatheval kernel), then route rows into the
+    has-gt / no-gt branches. Here the branch is a column (`has_gt`) — the
+    Spark twin of the reference's two output files is two filters over one
+    labeled frame, so the routing stays a narrow map stage."""
+    raw_gt = F.col(gt_col).cast("string")
+    have = raw_gt.isNotNull() & (raw_gt != "")
+    need_extract = ~have & F.col(answer_col).isNotNull() & (F.col(answer_col) != "")
+    work = df.withColumn(
+        "__ex_src", F.when(need_extract, F.col(answer_col).cast("string"))
+    )
+    work = answer_extraction(work, col="__ex_src", out="__ex")
+    filled = F.when(have, raw_gt).otherwise(F.when(F.col("__ex") != "", F.col("__ex")))
+    return (
+        work.withColumn(gt_col, filled)
+        .withColumn("has_gt", filled.isNotNull() & (filled != ""))
+        .drop("__ex_src", "__ex")
+    )
+
+
+def category_dataset_eval(
+    df: DataFrame,
+    primary_col: str = "primary_category",
+    secondary_col: str = "secondary_category",
+) -> DataFrame:
+    """ReasoningCategoryDatasetEvaluator (:47-66): per-(primary, secondary)
+    sample counts, restricted to taxonomy members — one hash aggregate."""
+    valid = F.lit(False)
+    for p in CATEGORY_PRIMARY:
+        for s in CATEGORY_SECONDARY[p]:
+            valid = valid | ((F.col(primary_col) == p) & (F.col(secondary_col) == s))
+    return (
+        df.filter(valid)
+        .groupBy(F.col(primary_col).alias("primary"), F.col(secondary_col).alias("secondary"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def difficulty_dataset_eval(
+    df: DataFrame, difficulty_col: str = "difficulty_score"
+) -> DataFrame:
+    """ReasoningDifficultyDatasetEvaluator (:41-46): value_counts over the
+    difficulty level."""
+    return df.groupBy(F.col(difficulty_col).alias("difficulty")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+def token_dataset_eval(
+    df: DataFrame,
+    question_col: str = "instruction",
+    answer_col: str = "output",
+) -> DataFrame:
+    """ReasoningTokenDatasetEvaluator (:48-80): corpus token-length stats for
+    questions and answers — zero count, min, max, mean, median. Tokens are
+    whitespace words (the HF AutoTokenizer is the documented library
+    boundary; the STATISTICS pipeline is what this reimplements). The
+    reference's median is sorted[n // 2] — reproduced exactly via a
+    length-histogram cumulative window (the outlier_trim discipline: the
+    distinct-length table is tiny at any corpus size, so no global row sort).
+    Mean is emitted as integer micro-units (sum*10^6 div n) — float division
+    would be the one engine-divergent op in an otherwise integer pipeline.
+    Returns one row per side: (side, n, zeros, min_tok, max_tok, mean_ppm,
+    median_tok)."""
+    toks = lambda c: F.size(  # noqa: E731
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col(c).cast("string"), F.lit(""))), r"\s+"),
+            lambda x: x != F.lit(""),
+        )
+    ).cast("long")
+    sides = []
+    for side, c in (("question", question_col), ("answer", answer_col)):
+        sides.append(df.select(F.lit(side).alias("side"), toks(c).alias("len")))
+    lens = sides[0].unionByName(sides[1])
+    hist = lens.groupBy("side", "len").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("side").orderBy("len")
+    cum = hist.withColumn("cm", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("side"))
+    )
+    # sorted[n // 2] is the (n//2 + 1)-th smallest (0-based index n//2)
+    med = (
+        cum.filter(F.col("cm") >= F.expr("n div 2") + 1)
+        .groupBy("side")
+        .agg(F.min("len").alias("median_tok"))
+    )
+    stats = lens.groupBy("side").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("len") == 0).cast("long")).alias("zeros"),
+        F.min("len").alias("min_tok"),
+        F.max("len").alias("max_tok"),
+        F.expr("sum(len) * 1000000 div count(*)").alias("mean_ppm"),
+    )
+    return stats.join(med, "side")
