@@ -1213,6 +1213,327 @@ def q_pipeline_root(spark, sf):
     )
 
 
+def q_file_type_filter(spark, sf):
+    """CodeFileTypeContentFilter (battery member): the format-specific keep
+    rules over (filetype, filename, line_count, visible_text_length,
+    total_code_length) — size-checked types, the html visible-text ratio as
+    an integer cross product, and the dead 'text'-filename branch reproduced
+    faithfully (ops/code.py file_type_content_filter, reference
+    code_file_type_content_filter.py:143-153). Planted NULL line_counts
+    exercise the coalesce; the oracle replays the branch chain."""
+    from dataflow_spark.ops.code import file_type_content_filter
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    ft = (
+        F.when(F.col("doc_id") % 8 == 0, F.lit("text"))
+        .when(F.col("doc_id") % 8 == 1, F.lit("json"))
+        .when(F.col("doc_id") % 8 == 2, F.lit("html"))
+        .when(F.col("doc_id") % 8 == 3, F.lit("python"))
+        .when(F.col("doc_id") % 8 == 4, F.lit("yaml"))
+        .when(F.col("doc_id") % 8 == 5, F.lit("graphviz"))
+        .when(F.col("doc_id") % 8 == 6, F.lit("markdown"))
+        .otherwise(F.lit("dot"))
+    )
+    fn = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("readme.md"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("notes.txt"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("random_log.txt"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("todo"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("requirements.txt"))
+        .otherwise(F.lit("cmakelists.txt"))
+    )
+    lc = (
+        F.when(F.col("doc_id") % 31 == 0, F.lit(None))
+        .otherwise(F.col("doc_id") % 700)
+        .cast("int")
+    )
+    rows = d.select(
+        "doc_id", ft.alias("filetype"), fn.alias("filename"),
+        lc.alias("line_count"),
+        (F.col("doc_id") % 260).cast("int").alias("visible_text_length"),
+        (F.col("doc_id") % 997).cast("int").alias("total_code_length"),
+    )
+    out = file_type_content_filter(rows, keep_only=False)
+    return out.select(
+        "doc_id", "filetype", "filename", "line_count",
+        "visible_text_length", "total_code_length",
+        F.col("file_type_content_filter_label").alias("keep_label"),
+    )
+
+
+class StubCodeGen:
+    """Deterministic stub for the code<->instruction self-instruct loop.
+    Instruction prompts get a whitespace-padded instruction (pins the trim);
+    code prompts get three md5 bands — python-tagged fence, bare fence with
+    trailing chatter (pins the greedy first-to-LAST-fence span), no fence
+    (pins the raw-response fallback). The oracle recomputes every band's
+    EXPECTED PARSE from md5 arithmetic, so the regexp chain is value-checked
+    against an independent construction, not replayed."""
+
+    def generate(self, prompts):
+        import hashlib
+
+        from dataflow_spark.ops import code as C
+
+        def respond(p: str) -> str:
+            n = int(hashlib.md5(p.encode("utf-8")).hexdigest()[:8], 16)
+            if p.startswith(C.CODE_TO_INSTRUCTION_PROMPT):
+                return "  print the value %d  " % (n % 1000)
+            k = n % 3
+            if k == 0:
+                return "```python\nx = %d\nprint(x)\n```" % (n % 100)
+            if k == 1:
+                return "Sure:\n```\ny = %d\n```\ntrailing chatter" % (n % 50)
+            return "  x = %d  # no fence  " % (n % 10)
+
+        return prompts.map(respond)
+
+
+def q_code_instr_loop(spark, sf):
+    """Code->instruction->code self-instruct loop (battery member): the two
+    chained serving stages of CodeCodeToInstructionGenerator +
+    CodeInstructionToCodeGenerator with the fenced-block parse
+    (ops/code.py code_to_instruction/instruction_to_code, reference
+    code_code_to_instruction_generator.py:72-95,
+    code_instruction_to_code_generator.py:72-101)."""
+    from dataflow_spark.ops import code as C
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    rows = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("def f(): return "), (F.col("doc_id") % 100).cast("string")
+        ).alias("code"),
+    )
+    b = StubCodeGen()
+    out = C.code_to_instruction(rows, "code", backend=b)
+    out = C.instruction_to_code(out, "generated_instruction", backend=b)
+    return out.select("doc_id", "code", "generated_instruction", "generated_code")
+
+
+def q_prompted_thin(spark, sf):
+    """Thin prompted-archetype operators (battery member): Doc2Prompt,
+    Phi4QA, and RAREReasonDistill — each one serving stage whose value is
+    the prompt contract (ops/prompted.py doc2prompt_generate /
+    phi4qa_generate / reason_distill_generate). Planted scenario/question/
+    documents carry padding whitespace so the reference's per-part trims
+    (rare_reasondistill_generator.py:75-85) are what the value check pins."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    rows = d.select(
+        "doc_id", "text",
+        F.concat(
+            F.lit("  support case "), (F.col("doc_id") % 23).cast("string"),
+            F.lit(" "),
+        ).alias("scenario"),
+        F.concat(
+            F.lit("what about item "), (F.col("doc_id") % 37).cast("string"),
+            F.lit("?"),
+        ).alias("question"),
+        F.array(
+            F.concat(
+                F.lit("  doc alpha for "), F.col("doc_id").cast("string"),
+                F.lit("  "),
+            ),
+            F.substring(F.col("text"), 1, 40),
+        ).alias("documents"),
+    )
+    out = prompted.doc2prompt_generate(rows, "text")
+    out = prompted.phi4qa_generate(out, "text")
+    out = prompted.reason_distill_generate(out)
+    return out.select("doc_id", "generated_prompt", "generated_content", "reasoning")
+
+
+class StubGrader:
+    """Deterministic stub for the Doc2QA rubric evaluator: md5 band 10 is
+    unparsable chatter (pins the grade-0/''-feedback fallback,
+    doc2qa_sample_evaluator.py:131-138); bands 0-9 emit the
+    **Grading**/**Feedback** pair the reference parses."""
+
+    def generate(self, prompts):
+        import hashlib
+
+        def respond(p: str) -> str:
+            h = hashlib.md5(p.encode("utf-8")).hexdigest()
+            n = int(h[:8], 16)
+            if n % 11 == 10:
+                return "no grade provided"
+            return "**Grading**: %d\n**Feedback**: fb-%s" % (1 + n % 10, h[:8])
+
+        return prompts.map(respond)
+
+
+def q_doc2qa_eval(spark, sf):
+    """Doc2QASampleEvaluator (battery member): four rubric dimensions, one
+    serving call each, parsed with the **Grading**/**Feedback** regexp pair
+    (ops/prompted.py doc2qa_evaluate, doc2qa_sample_evaluator.py:109-154).
+    Grades are integral by construction so the int projection is exact."""
+    d = load_table(spark, sf, "documents").select("doc_id")
+    rows = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Why is item "), (F.col("doc_id") % 53).cast("string"),
+            F.lit(" special?"),
+        ).alias("question"),
+        F.concat(
+            F.lit("Because of rule "), (F.col("doc_id") % 71).cast("string"),
+            F.lit("."),
+        ).alias("answer"),
+    )
+    out = prompted.doc2qa_evaluate(rows, backend=StubGrader())
+    return out.select(
+        "doc_id", "question", "answer",
+        *[
+            F.col(dim + "_grade").cast("int").alias(dim + "_grade")
+            for dim, _ in prompted.DOC2QA_EVAL_DIMS
+        ],
+        *[F.col(dim + "_feedback") for dim, _ in prompted.DOC2QA_EVAL_DIMS],
+    )
+
+
+def q_superfiltering(spark, sf):
+    """Superfiltering IFD (battery member): ppl(output|instruction) /
+    ppl(output) over the corpus-fit bigram LM, integer-exact on the 2^-20
+    grid (ops/quality.py superfiltering_ifd,
+    superfiltering_sample_evaluator.py:57-97). Planted slices include
+    empty-instruction rows (IFD must be exactly 1 -> diff 0) and
+    empty-output rows (NULL scores)."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    li = (F.col("doc_id") % 7).cast("int")
+    lo = (F.col("doc_id") % 13).cast("int")
+    rows = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(ws, F.lit(1), li)).alias("instruction"),
+        F.concat_ws(" ", F.slice(ws, li + 1, lo)).alias("output"),
+    )
+    return quality.superfiltering_ifd(rows, "doc_id")
+
+
+def q_sql_compare(spark, sf):
+    """SQL result-set comparison (battery member): per-row execution of two
+    statements against the per-worker embedded DB with order-insensitive
+    result equality — the compare_sql contract Text2SQLCoTGenerator verifies
+    candidates with (ops/sqlexec.py sql_result_compare,
+    text2sql_cot_generator.py:113-125). Bands cover equal-under-rename,
+    unequal values, broken SQL, empty statement, and order-insensitivity;
+    the oracle knows each band's expected verdict from the planting
+    arithmetic, so actual execution is what the value check pins."""
+    from dataflow_spark.ops.sqlexec import sql_result_compare
+
+    e = load_table(spark, sf, "events").select("event_id")
+    m = (F.col("event_id") % 5).cast("int")
+    n = (F.col("event_id") % 43).cast("string")
+    sql_a = (
+        F.when(m == 0, F.concat(F.lit("SELECT "), n, F.lit(" AS x")))
+        .when(m == 1, F.concat(F.lit("SELECT "), n, F.lit(" AS x")))
+        .when(m == 2, F.lit("SELEC broken FROM nowhere"))
+        .when(m == 3, F.lit(""))
+        .otherwise(
+            F.concat(
+                F.lit("SELECT * FROM (VALUES (1), ("), n,
+                F.lit(")) t(x) ORDER BY x DESC"),
+            )
+        )
+    )
+    sql_b = (
+        F.when(m == 0, F.concat(F.lit("SELECT "), n, F.lit(" + 0 AS y")))
+        .when(m == 1, F.concat(F.lit("SELECT "), n, F.lit(" + 1 AS x")))
+        .when(m == 2, F.lit("SELECT 1"))
+        .when(m == 3, F.lit("SELECT 1"))
+        .otherwise(
+            F.concat(
+                F.lit("SELECT * FROM (VALUES ("), n,
+                F.lit("), (1)) t(x) ORDER BY x"),
+            )
+        )
+    )
+    rows = e.select("event_id", sql_a.alias("sql_a"), sql_b.alias("sql_b"))
+    return sql_result_compare(rows, "sql_a", "sql_b")
+
+
+class StubText2SQL:
+    """Deterministic stub for the Text2SQL question+CoT generators: question
+    prompts get four md5 bands (full tags / no external knowledge / missing
+    question -> dropped / chatter -> dropped); CoT prompts get three (two
+    ```sql blocks where only the LAST is correct-candidate — pins the
+    last-block rule — / one block / none -> dropped). Whether the candidate
+    verifies against the gold SQL is real execution, not stub arithmetic."""
+
+    def generate(self, prompts):
+        import hashlib
+
+        from dataflow_spark.ops import text2sql as T
+
+        def respond(p: str) -> str:
+            h = hashlib.md5(p.encode("utf-8")).hexdigest()
+            n = int(h[:8], 16)
+            if p.startswith(T.QUESTION_GEN_PROMPT):
+                k = n % 4
+                if k == 3:
+                    return "no tags at all"
+                parts = ["[EXPLANATION-START] because %s [EXPLANATION-END]" % h[:6]]
+                if k != 2:
+                    parts.append(
+                        "[QUESTION-START] what is value %d? [QUESTION-END]" % (n % 97)
+                    )
+                if k == 0:
+                    parts.append(
+                        "[EXTERNAL-KNOWLEDGE-START] fact-%s [EXTERNAL-KNOWLEDGE-END]"
+                        % h[6:10]
+                    )
+                return " ".join(parts)
+            k = n % 3
+            if k == 2:
+                return "reasoning without sql"
+            if k == 1:
+                return "step 1 ... final:\n```sql\nSELECT %d AS v\n```" % (n % 7)
+            return (
+                "first try:\n```sql\nSELECT 999 AS v\n```\nrevise:\n"
+                "```sql\nSELECT %d AS v\n```" % (n % 7)
+            )
+
+        return prompts.map(respond)
+
+
+def q_t2s_qgen_cot(spark, sf):
+    """Text2SQLQuestionGenerator + Text2SQLCoTGenerator (battery member):
+    DDL column-description harvesting, the triple [X-START]/[X-END] parse
+    with drop-on-missing, then CoT synthesis whose LAST ```sql block must
+    execute and match the gold SQL's results to keep the row
+    (ops/text2sql.py text2sql_question_generator / text2sql_cot_generator,
+    reference text2sql_question_generator.py:56-105,
+    text2sql_cot_generator.py:97-205)."""
+    from dataflow_spark.ops import text2sql as T
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    rows = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("SELECT v"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(" FROM t"),
+        ).alias("sql_text"),
+        F.concat(
+            F.lit('CREATE TABLE t ("id" INTEGER /* row id */, "v'),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit('" TEXT /* value col */)'),
+        ).alias("ddl"),
+        F.concat(
+            F.lit("SELECT "), (F.col("doc_id") % 7).cast("string"),
+            F.lit(" AS v"),
+        ).alias("gold_sql"),
+    )
+    b = StubText2SQL()
+    out = T.text2sql_question_generator(rows, "sql_text", "ddl", backend=b)
+    out = T.text2sql_cot_generator(out, "question", "gold_sql", backend=b)
+    return out.select(
+        "doc_id", "question", "explanation", "external_knowledge",
+        "column_descriptions", "generated_sql",
+    )
+
+
 def q_data_card(spark, sf):
     """Per-domain corpus data card (battery member): doc counts, token
     totals, exact-dup counts, nearest-rank p50/p95 token lengths per source
@@ -2257,10 +2578,13 @@ def _kcat(*cols):
 
 
 def q_gen_battery(spark, sf):
-    """Generator battery — 7 members, each a full chained serving pipeline
+    """Generator battery — 11 members, each a full chained serving pipeline
     (see the member q_ functions above for reference file:line):
     sft_seed, condor_gen, rag_atomic, text2sql_gen, reasoning_qsynth,
-    funccall_tasks, docs_doc2qa."""
+    funccall_tasks, docs_doc2qa, multihop_qa, code_instr_loop
+    (code->instruction->code self-instruct loop), prompted_thin
+    (Doc2Prompt/Phi4QA/RAREReasonDistill archetypes), t2s_qgen_cot
+    (Text2SQL question + execution-verified CoT generators)."""
     parts = [
         _battery_pack(q_sft_seed(spark, sf), "sft_seed",
                       F.coalesce(F.col("instruction"), F.lit("∅")),
@@ -2289,6 +2613,16 @@ def q_gen_battery(spark, sf):
                       ["premise", "intermediate", "conclusion", "related_csv",
                        "question", "answer", "n_steps", "n_facts"],
                       s1=F.col("complexity_q")),
+        _battery_pack(q_code_instr_loop(spark, sf), "code_instr_loop",
+                      _kcat("doc_id"),
+                      ["code", "generated_instruction", "generated_code"]),
+        _battery_pack(q_prompted_thin(spark, sf), "prompted_thin",
+                      _kcat("doc_id"),
+                      ["generated_prompt", "generated_content", "reasoning"]),
+        _battery_pack(q_t2s_qgen_cot(spark, sf), "t2s_qgen_cot",
+                      _kcat("doc_id"),
+                      ["question", "explanation", "external_knowledge",
+                       "column_descriptions", "generated_sql"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2329,7 +2663,7 @@ def q_multihop_qa(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 49 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 62 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -2374,7 +2708,17 @@ def q_score_battery(spark, sf):
     weighted_sample (Efraimidis–Spirakis weighted draw without
     replacement), minhash_new (incremental MinHash-LSH dedup vs a frozen
     corpus — the FineWeb per-dump recipe, planted regime), media_decode
-    (REAL BMP/WAV byte-level decode, arithmetic oracle)."""
+    (REAL BMP/WAV byte-level decode, arithmetic oracle), pdf_extract (REAL
+    FlateDecode PDF text extraction), mathverify (exact-rational math
+    answer judge), sql_consistency (LLM-judge SQL filter), mathbook_extract
+    (image-tag question harvest), code_sandbox (restricted-AST REAL
+    execution), smiles_eval (REAL SMILES canonicalization + extraction),
+    reasoning_judge / reasoning_dataset / pipeline_root (the reasoning
+    judge/evaluator family), file_type_filter (format-specific keep rules),
+    doc2qa_eval (four-dimension Doc2QA rubric), superfiltering
+    (instruction-following-difficulty IFD over the corpus bigram LM), and
+    sql_compare (per-row order-insensitive SQL result equality by REAL
+    execution)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -2559,6 +2903,26 @@ def q_score_battery(spark, sf):
         _battery_pack(q_pipeline_root(spark, sf), "pipeline_root",
                       _kcat("doc_id"),
                       ["output", "golden_answer", "has_gt"]),
+        _battery_pack(q_file_type_filter(spark, sf), "file_type_filter",
+                      _kcat("doc_id"),
+                      ["filetype", "filename", "line_count",
+                       "visible_text_length", "total_code_length",
+                       "keep_label"]),
+        _battery_pack(q_doc2qa_eval(spark, sf), "doc2qa_eval",
+                      _kcat("doc_id"),
+                      ["question", "answer",
+                       "question_quality_grade", "answer_alignment_grade",
+                       "answer_verifiability_grade", "downstream_value_grade",
+                       "question_quality_feedback", "answer_alignment_feedback",
+                       "answer_verifiability_feedback",
+                       "downstream_value_feedback"]),
+        _battery_pack(q_superfiltering(spark, sf), "superfiltering",
+                      _kcat("doc_id"),
+                      ["n_out", "nll_cond_q", "nll_alone_q", "ifd_diff_q",
+                       "keep_easy"]),
+        _battery_pack(q_sql_compare(spark, sf), "sql_compare",
+                      _kcat("event_id"),
+                      ["sql_a", "sql_b", "results_equal"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -4387,6 +4751,277 @@ def oracle_sql() -> dict[str, str]:
         FROM f
     """
 
+    def _sq(s: str) -> str:
+        """Python prompt constant -> SQL string expression (quotes escaped,
+        newlines spliced as chr(10))."""
+        body = s.replace("'", "''")
+        return "'" + body.replace("\n", "' || chr(10) || '") + "'"
+
+    def _u8(p: str) -> str:
+        """md5(p) first-8-hex as UBIGINT — int(md5(p)[:8], 16)'s SQL twin."""
+        return f"CAST(('0x' || substr(md5({p}), 1, 8)) AS UBIGINT)"
+
+    def _echo(p: str) -> str:
+        """StubServing's tagged echo: '[gen-<h8>] ' + first 10 ws-split words
+        (python str.split()'s exact twin — empties filtered)."""
+        return (
+            f"'[gen-' || substr(md5({p}), 1, 8) || '] ' || "
+            f"array_to_string(list_filter(regexp_split_to_array(trim({p}), "
+            f"'\\s+'), x -> x <> '')[1:10], ' ')"
+        )
+
+    from dataflow_spark.ops import code as _code
+    from dataflow_spark.ops import text2sql as _t2s
+
+    # code_instr_loop: the expected parse of every stub band is RECOMPUTED
+    # from md5 arithmetic (python-tagged fence, bare fence with trailing
+    # chatter -> greedy first-to-LAST span, no fence -> .strip() fallback),
+    # so the engine's regexp chain is checked against an independent
+    # construction.
+    _c2i = _sq(_code.CODE_TO_INSTRUCTION_PROMPT)
+    _i2c = _sq(_code.INSTRUCTION_TO_CODE_PROMPT)
+    o["code_instr_loop"] = f"""
+        WITH b AS (
+          SELECT doc_id,
+                 'def f(): return ' || CAST(doc_id % 100 AS VARCHAR) AS code
+          FROM documents),
+        h1 AS (SELECT *, {_u8(_c2i + " || code")} AS n1 FROM b),
+        it AS (SELECT *,
+                      'print the value ' || CAST(n1 % 1000 AS VARCHAR) AS instr
+               FROM h1),
+        h2 AS (SELECT *, {_u8(_i2c + " || instr")} AS n2 FROM it)
+        SELECT doc_id, code, instr AS generated_instruction,
+               CASE WHEN n2 % 3 = 0
+                      THEN 'x = ' || CAST(n2 % 100 AS VARCHAR) || chr(10)
+                           || 'print(x)'
+                    WHEN n2 % 3 = 1 THEN 'y = ' || CAST(n2 % 50 AS VARCHAR)
+                    ELSE 'x = ' || CAST(n2 % 10 AS VARCHAR) || '  # no fence'
+               END AS generated_code
+        FROM h2
+    """
+
+    # prompted_thin: three thin prompted archetypes; the oracle rebuilds each
+    # prompt (including the reference's per-part trims on the reason-distill
+    # side — trim() is space-only in BOTH engines) and replays the stub echo.
+    _d2p = _sq(prompted.DOC2PROMPT_TEMPLATE)
+    _phi = _sq(prompted.PHI4QA_TEMPLATE)
+    _rdt = _sq(prompted.REASON_DISTILL_TEMPLATE)
+    o["prompted_thin"] = f"""
+        WITH b AS (
+          SELECT doc_id, text,
+                 'support case ' || CAST(doc_id % 23 AS VARCHAR) AS scen,
+                 'what about item ' || CAST(doc_id % 37 AS VARCHAR) || '?' AS q,
+                 trim('doc alpha for ' || CAST(doc_id AS VARCHAR)
+                      || chr(10) || chr(10) || trim(substr(text, 1, 40)))
+                   AS docs_str
+          FROM documents),
+        p AS (
+          SELECT doc_id,
+                 {_d2p} || text AS p_a,
+                 {_phi} || text AS p_b,
+                 {_rdt} || 'Scenario: ' || scen || chr(10) || 'Question: '
+                   || q || chr(10) || 'Documents: ' || docs_str AS p_c
+          FROM b)
+        SELECT doc_id,
+               {_echo("p_a")} AS generated_prompt,
+               {_echo("p_b")} AS generated_content,
+               {_echo("p_c")} AS reasoning
+        FROM p
+    """
+
+    # t2s_qgen_cot: question-stage tag parse bands + DDL column-description
+    # harvest + CoT last-```sql-block rule; survival requires the candidate
+    # SQL's RESULT SET to equal the gold's (the engine executes both — the
+    # oracle derives the verdict from the planting arithmetic).
+    _qgp = _sq(_t2s.QUESTION_GEN_PROMPT)
+    _cgp = _sq(_t2s.COT_GEN_PROMPT)
+    o["t2s_qgen_cot"] = f"""
+        WITH b AS (
+          SELECT doc_id,
+                 'SELECT v' || CAST(doc_id % 7 AS VARCHAR) || ' FROM t'
+                   AS sql_text,
+                 CAST(doc_id % 3 AS VARCHAR) AS vcol
+          FROM documents),
+        h1 AS (SELECT *, md5({_qgp} || sql_text) AS m1 FROM b),
+        n1t AS (SELECT *,
+                       CAST(('0x' || substr(m1, 1, 8)) AS UBIGINT) AS n1
+                FROM h1),
+        k1 AS (SELECT * FROM n1t WHERE n1 % 4 IN (0, 1)),
+        qt AS (SELECT *,
+                      'what is value ' || CAST(n1 % 97 AS VARCHAR) || '?'
+                        AS question
+               FROM k1),
+        h2 AS (SELECT *, {_u8(_cgp + " || question")} AS n2 FROM qt)
+        SELECT doc_id, question,
+               'because ' || substr(m1, 1, 6) AS explanation,
+               CASE WHEN n1 % 4 = 0 THEN 'fact-' || substr(m1, 7, 4)
+                    ELSE '' END AS external_knowledge,
+               'id=row id,v' || vcol || '=value col' AS column_descriptions,
+               'SELECT ' || CAST(n2 % 7 AS VARCHAR) || ' AS v' AS generated_sql
+        FROM h2
+        WHERE n2 % 3 IN (0, 1) AND n2 % 7 = doc_id % 7
+    """
+
+    # file_type_filter: the keep-rule branch chain replayed (size-checked
+    # types first — which is why the reference's 'text'-filename branch is
+    # dead; html's visible-text ratio as the 5*visible integer cross product).
+    o["file_type_filter"] = """
+        WITH b AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 8 AS INT)
+                   WHEN 0 THEN 'text' WHEN 1 THEN 'json' WHEN 2 THEN 'html'
+                   WHEN 3 THEN 'python' WHEN 4 THEN 'yaml'
+                   WHEN 5 THEN 'graphviz' WHEN 6 THEN 'markdown'
+                   ELSE 'dot' END AS filetype,
+                 CASE CAST(doc_id % 6 AS INT)
+                   WHEN 0 THEN 'readme.md' WHEN 1 THEN 'notes.txt'
+                   WHEN 2 THEN 'random_log.txt' WHEN 3 THEN 'todo'
+                   WHEN 4 THEN 'requirements.txt'
+                   ELSE 'cmakelists.txt' END AS filename,
+                 CASE WHEN doc_id % 31 = 0 THEN NULL
+                      ELSE CAST(doc_id % 700 AS INT) END AS line_count,
+                 CAST(doc_id % 260 AS INT) AS visible_text_length,
+                 CAST(doc_id % 997 AS INT) AS total_code_length
+          FROM documents)
+        SELECT doc_id, filetype, filename, line_count, visible_text_length,
+               total_code_length,
+               CASE WHEN filetype IN ('text', 'json', 'yaml', 'graphviz',
+                                      'dot')
+                      THEN CASE WHEN coalesce(line_count, 0) <= 512
+                                THEN 1 ELSE 0 END
+                    WHEN filetype = 'html'
+                      THEN CASE WHEN visible_text_length >= 100
+                                 AND visible_text_length * 5
+                                     >= greatest(total_code_length, 1)
+                                THEN 1 ELSE 0 END
+                    ELSE 1 END AS keep_label
+        FROM b
+    """
+
+    # doc2qa_eval: four rubric dimensions, each its own serving call; band
+    # 10 of 11 is unparsable (grade 0 / '' feedback), the rest replay the
+    # **Grading**/**Feedback** pair from md5 arithmetic.
+    _d2q_cols = []
+    for _dim, _rub in prompted.DOC2QA_EVAL_DIMS:
+        _pfx = _sq(
+            _rub
+            + " Reply '**Grading**: <1-10>' then '**Feedback**: <text>'.\n"
+            + "Question: "
+        )
+        _p = f"{_pfx} || question || {_sq(chr(10) + 'Answer: ')} || answer"
+        _h = f"md5({_p})"
+        _n = f"CAST(('0x' || substr({_h}, 1, 8)) AS UBIGINT)"
+        _d2q_cols.append(
+            f"CASE WHEN {_n} % 11 = 10 THEN 0 "
+            f"ELSE CAST(1 + {_n} % 10 AS INT) END AS {_dim}_grade"
+        )
+        _d2q_cols.append(
+            f"CASE WHEN {_n} % 11 = 10 THEN '' "
+            f"ELSE 'fb-' || substr({_h}, 1, 8) END AS {_dim}_feedback"
+        )
+    _d2q_sel = ",\n               ".join(_d2q_cols)
+    o["doc2qa_eval"] = f"""
+        WITH b AS (
+          SELECT doc_id,
+                 'Why is item ' || CAST(doc_id % 53 AS VARCHAR) || ' special?'
+                   AS question,
+                 'Because of rule ' || CAST(doc_id % 71 AS VARCHAR) || '.'
+                   AS answer
+          FROM documents)
+        SELECT doc_id, question, answer,
+               {_d2q_sel}
+        FROM b
+    """
+
+    # superfiltering: ln IFD = nll(output|instruction) - nll(output) over the
+    # corpus-fit bigram LM with stupid backoff, replayed position-for-
+    # position (internal pairs count on both sides; the first output token
+    # is bigram-from-last-instruction-token on the conditional side and
+    # context-free unigram on the alone side), floored to the 2^-20 grid.
+    o["superfiltering"] = """
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(
+                               trim(lower(coalesce(text, ''))), '\\s+'),
+                             x -> x <> '') AS ws
+          FROM documents),
+        sl AS (
+          SELECT doc_id,
+                 ws[1 : CAST(doc_id % 7 AS INT)] AS it,
+                 ws[CAST(doc_id % 7 AS INT) + 1
+                    : CAST(doc_id % 7 AS INT) + CAST(doc_id % 13 AS INT)]
+                   AS ot
+          FROM tk),
+        wt AS (SELECT doc_id, list_concat(it, ot) AS w, it, ot FROM sl),
+        uni AS (SELECT u.g AS g, count(*) AS c1
+                FROM wt, unnest(w) AS u(g) GROUP BY 1),
+        big AS (SELECT w[i] || ' ' || w[i + 1] AS g, count(*) AS c2
+                FROM wt, unnest(generate_series(1, len(w) - 1)) AS s(i)
+                GROUP BY 1),
+        tot AS (SELECT sum(c1) AS n FROM uni),
+        pos AS (
+          SELECT doc_id, ot[i] AS p, ot[i + 1] AS wd,
+                 1 AS ic, 1 AS ia, 0 AS iu
+          FROM wt, unnest(generate_series(1, len(ot) - 1)) AS s(i)
+          UNION ALL
+          SELECT doc_id, CASE WHEN len(it) >= 1 THEN it[-1] END, ot[1],
+                 1, 0, CASE WHEN len(it) >= 1 THEN 0 ELSE 1 END
+          FROM wt WHERE len(ot) >= 1
+          UNION ALL
+          SELECT doc_id, NULL, ot[1], 0, 1, 1
+          FROM wt WHERE len(ot) >= 1),
+        sc AS (
+          SELECT p.doc_id, p.ic, p.ia,
+                 CASE WHEN p.iu = 1 THEN ln(CAST(uw.c1 AS DOUBLE) / tot.n)
+                      WHEN coalesce(b2.c2, 0) > 0
+                        THEN ln(CAST(b2.c2 AS DOUBLE) / up.c1)
+                      ELSE ln((CAST(0.4 AS DOUBLE) * uw.c1) / tot.n)
+                 END AS s
+          FROM pos p
+          LEFT JOIN big b2 ON b2.g = coalesce(p.p, '') || ' ' || p.wd
+          LEFT JOIN uni up ON up.g = p.p
+          LEFT JOIN uni uw ON uw.g = p.wd
+          CROSS JOIN tot),
+        agg AS (
+          SELECT doc_id,
+                 CAST(sum(ia) AS BIGINT) AS n_out,
+                 CAST(-sum(CAST(floor(s * 1048576) AS BIGINT) * ic)
+                      AS BIGINT) AS nll_cond_q,
+                 CAST(-sum(CAST(floor(s * 1048576) AS BIGINT) * ia)
+                      AS BIGINT) AS nll_alone_q
+          FROM sc GROUP BY doc_id)
+        SELECT t.doc_id, a.n_out, a.nll_cond_q, a.nll_alone_q,
+               a.nll_cond_q - a.nll_alone_q AS ifd_diff_q,
+               CAST(coalesce(a.nll_cond_q - a.nll_alone_q < 0, false)
+                    AS VARCHAR) AS keep_easy
+        FROM sl t LEFT JOIN agg a USING (doc_id)
+    """
+
+    # sql_compare: the verdict per band is derived from the planting
+    # arithmetic — the ENGINE must reach it by real execution + order-
+    # insensitive result comparison of both statements.
+    o["sql_compare"] = """
+        WITH e AS (
+          SELECT event_id, CAST(event_id % 5 AS INT) AS m,
+                 CAST(event_id % 43 AS VARCHAR) AS n
+          FROM events)
+        SELECT event_id,
+               CASE WHEN m = 0 THEN 'SELECT ' || n || ' AS x'
+                    WHEN m = 1 THEN 'SELECT ' || n || ' AS x'
+                    WHEN m = 2 THEN 'SELEC broken FROM nowhere'
+                    WHEN m = 3 THEN ''
+                    ELSE 'SELECT * FROM (VALUES (1), (' || n
+                         || ')) t(x) ORDER BY x DESC' END AS sql_a,
+               CASE WHEN m = 0 THEN 'SELECT ' || n || ' + 0 AS y'
+                    WHEN m = 1 THEN 'SELECT ' || n || ' + 1 AS x'
+                    WHEN m = 2 THEN 'SELECT 1'
+                    WHEN m = 3 THEN 'SELECT 1'
+                    ELSE 'SELECT * FROM (VALUES (' || n
+                         || '), (1)) t(x) ORDER BY x' END AS sql_b,
+               CASE WHEN m IN (0, 4) THEN 1 ELSE 0 END AS results_equal
+        FROM e
+    """
+
     o["gen_battery"] = " UNION ALL ".join([
         _pack_sql("sft_seed", o["sft_seed"],
                   "coalesce(instruction, '∅')", ["output", "raw_content"]),
@@ -4414,6 +5049,16 @@ def oracle_sql() -> dict[str, str]:
                   ["premise", "intermediate", "conclusion", "related_csv",
                    "question", "answer", "n_steps", "n_facts"],
                   s1="complexity_q"),
+        _pack_sql("code_instr_loop", o["code_instr_loop"],
+                  _kcat_sql("doc_id"),
+                  ["code", "generated_instruction", "generated_code"]),
+        _pack_sql("prompted_thin", o["prompted_thin"],
+                  _kcat_sql("doc_id"),
+                  ["generated_prompt", "generated_content", "reasoning"]),
+        _pack_sql("t2s_qgen_cot", o["t2s_qgen_cot"],
+                  _kcat_sql("doc_id"),
+                  ["question", "explanation", "external_knowledge",
+                   "column_descriptions", "generated_sql"]),
     ])
 
     # decontam: 13-gram benchmark decontamination survivors. Gram identity is
@@ -5354,12 +5999,7 @@ def oracle_sql() -> dict[str, str]:
     # reasoning_judge: the four reasoning judge/evaluator stub bands replayed
     # from md5(prompt) arithmetic; the cats VALUES table is the taxonomy the
     # engine must REACH through fence-strip + JSON parse + normalization.
-    def _sq(s: str) -> str:
-        """Python prompt constant -> SQL string expression (quotes escaped,
-        newlines spliced as chr(10))."""
-        body = s.replace("'", "''")
-        return "'" + body.replace("\n", "' || chr(10) || '") + "'"
-
+    # (_sq is defined above the gen_battery member oracles.)
     _cats_vals = ",\n              ".join(
         f"({k + 1}, {m + 1}, '{p}', '{s_}')"
         for k, p in enumerate(reasoning.CATEGORY_PRIMARY)
@@ -6169,6 +6809,22 @@ def oracle_sql() -> dict[str, str]:
                   ["c1", "c2", "c3", "c4", "c5", "c6"]),
         _pack_sql("pipeline_root", o["pipeline_root"], _kcat_sql("doc_id"),
                   ["output", "golden_answer", "has_gt"]),
+        _pack_sql("file_type_filter", o["file_type_filter"],
+                  _kcat_sql("doc_id"),
+                  ["filetype", "filename", "line_count",
+                   "visible_text_length", "total_code_length", "keep_label"]),
+        _pack_sql("doc2qa_eval", o["doc2qa_eval"], _kcat_sql("doc_id"),
+                  ["question", "answer",
+                   "question_quality_grade", "answer_alignment_grade",
+                   "answer_verifiability_grade", "downstream_value_grade",
+                   "question_quality_feedback", "answer_alignment_feedback",
+                   "answer_verifiability_feedback",
+                   "downstream_value_feedback"]),
+        _pack_sql("superfiltering", o["superfiltering"], _kcat_sql("doc_id"),
+                  ["n_out", "nll_cond_q", "nll_alone_q", "ifd_diff_q",
+                   "keep_easy"]),
+        _pack_sql("sql_compare", o["sql_compare"], _kcat_sql("event_id"),
+                  ["sql_a", "sql_b", "results_equal"]),
     ])
 
     _dim_sql = ", ".join(
@@ -6201,6 +6857,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_new", "media_decode", "pdf_extract", "mathverify",
         "sql_consistency", "mathbook_extract", "code_sandbox", "multihop_qa",
         "smiles_eval", "reasoning_judge", "reasoning_dataset", "pipeline_root",
+        "code_instr_loop", "prompted_thin", "t2s_qgen_cot",
+        "file_type_filter", "doc2qa_eval", "superfiltering", "sql_compare",
     ):
         del o[_member]
 

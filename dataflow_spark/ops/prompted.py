@@ -292,3 +292,119 @@ def stub_score_col(system_prompt: str, input_col: Column) -> Column:
     prompt = build_prompt(system_prompt, input_col)
     hex8 = F.substring(F.md5(prompt), 1, 8)
     return (F.conv(hex8, 16, 10).cast("long") % 5 + 1).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# Thin prompted-archetype instances the reference ships as named operators:
+#   - Doc2PromptGenerator (core_text/generate/doc2prompt_generator.py:62-87):
+#     auto-prompt per document fragment, raw response kept.
+#   - Phi4QAGenerator (text_pt/generate/phi4qa_generator.py:50-82): QA-style
+#     rewrite of raw pretrain content, raw response kept.
+#   - RAREReasonDistillGenerator (rare/generate/rare_reasondistill_generator
+#     .py:62-118): prompt over (scenario, question, "\n\n"-joined documents).
+# Each is one serving stage; parses are identity, so the operator value is
+# the prompt contract — kept as named functions so pipelines (and the
+# coverage audit) can reference them directly.
+# ---------------------------------------------------------------------------
+
+DOC2PROMPT_TEMPLATE = (
+    "Write a prompt that would elicit seed QA pairs from this document "
+    "fragment.\nDocument: "
+)
+PHI4QA_TEMPLATE = (
+    "Rewrite this raw content as a question-and-answer exchange.\nContent: "
+)
+REASON_DISTILL_TEMPLATE = (
+    "Given the scenario, question and documents, produce the step-by-step "
+    "reasoning.\n"
+)
+
+
+def doc2prompt_generate(
+    df: DataFrame, input_col: str = "text",
+    out: str = "generated_prompt", backend: ServingBackend | None = None,
+) -> DataFrame:
+    backend = backend or StubServing()
+    prompt = F.concat(F.lit(DOC2PROMPT_TEMPLATE), F.col(input_col).cast("string"))
+    return df.withColumn(out, serving_udf(backend)(prompt))
+
+
+def phi4qa_generate(
+    df: DataFrame, input_col: str = "raw_content",
+    out: str = "generated_content", backend: ServingBackend | None = None,
+) -> DataFrame:
+    backend = backend or StubServing()
+    prompt = F.concat(F.lit(PHI4QA_TEMPLATE), F.col(input_col).cast("string"))
+    return df.withColumn(out, serving_udf(backend)(prompt))
+
+
+def reason_distill_generate(
+    df: DataFrame,
+    scenario_col: str = "scenario",
+    question_col: str = "question",
+    docs_col: str = "documents",
+    out: str = "reasoning",
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    """documents is array<string>; the reference joins with blank lines and
+    strips each part (:75-85)."""
+    backend = backend or StubServing()
+    docs_str = F.array_join(
+        F.transform(F.col(docs_col), lambda d: F.trim(d)), "\n\n"
+    )
+    prompt = F.concat(
+        F.lit(REASON_DISTILL_TEMPLATE),
+        F.lit("Scenario: "), F.trim(F.col(scenario_col).cast("string")),
+        F.lit("\nQuestion: "), F.trim(F.col(question_col).cast("string")),
+        F.lit("\nDocuments: "), F.trim(docs_str),
+    )
+    return df.withColumn(out, serving_udf(backend)(prompt))
+
+
+# ---------------------------------------------------------------------------
+# Doc2QASampleEvaluator (core_text/eval/doc2qa_sample_evaluator.py:109-154):
+# four rubric dimensions (question quality / answer alignment / answer
+# verifiability / downstream value), each its own LLM call, each parsed with
+# the `**Grading**: (\d+)` + `**Feedback**: (.+)` pair (unmatched -> 0 / '').
+# ---------------------------------------------------------------------------
+
+DOC2QA_EVAL_DIMS = (
+    ("question_quality", "Rate the question's quality."),
+    ("answer_alignment", "Rate how well the answer aligns with the document."),
+    ("answer_verifiability", "Rate how verifiable the answer is."),
+    ("downstream_value", "Rate the pair's downstream training value."),
+)
+
+
+def doc2qa_evaluate(
+    df: DataFrame,
+    question_col: str = "question",
+    answer_col: str = "answer",
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    """One serving stage per dimension (the reference runs them serially,
+    :141-154); grade parse is a pure JVM regexp so all four post-serving
+    parses fuse into one projection. Emits <dim>_grade (double — the
+    reference floats the int) and <dim>_feedback per dimension."""
+    backend = backend or StubServing()
+    out = df
+    for dim, rubric in DOC2QA_EVAL_DIMS:
+        prompt = F.concat(
+            F.lit(rubric),
+            F.lit(" Reply '**Grading**: <1-10>' then '**Feedback**: <text>'.\n"),
+            F.lit("Question: "), F.col(question_col).cast("string"),
+            F.lit("\nAnswer: "), F.col(answer_col).cast("string"),
+        )
+        resp = F.col("__resp_" + dim)
+        g = F.regexp_extract(resp, r"\*\*Grading\*\*:\s*(\d+)", 1)
+        fb = F.regexp_extract(resp, r"(?s)\*\*Feedback\*\*:\s*(.+)", 1)
+        out = (
+            out.withColumn("__resp_" + dim, serving_udf(backend)(prompt))
+            .withColumn(
+                dim + "_grade",
+                F.when(g != "", g.cast("double")).otherwise(F.lit(0.0)),
+            )
+            .withColumn(dim + "_feedback", F.trim(fb))
+            .drop("__resp_" + dim)
+        )
+    return out

@@ -1430,3 +1430,136 @@ def cdc_upsert(
         .where((F.col("__rn") == 1) & (F.col("__op") != "delete"))
         .select(*data_cols)
     )
+
+
+def superfiltering_ifd(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    instruction_col: str = "instruction",
+    output_col: str = "output",
+) -> DataFrame:
+    """Superfiltering IFD — instruction-following difficulty (Li et al. 2024,
+    text_sft/eval/superfiltering_sample_evaluator.py:57-97 +
+    Superfiltering/data_analysis.py:20-53): score =
+    ppl(output | instruction) / ppl(output). The reference computes both
+    perplexities with GPT-2; here the LM is the corpus-fit BIGRAM model with
+    stupid backoff (the sb_lm/CCNet discipline one order lower — the model
+    is the documented library boundary, the CONDITIONING algebra is what
+    this reimplements): counts come from the (instruction ++ output) token
+    stream, and
+
+        ln IFD = nll(output | instruction) - nll(output)
+
+    where the two sides differ EXACTLY at the first output token (bigram
+    context = last instruction token vs. context-free unigram c1(w)/N) —
+    every later token's context is inside the output and cancels. Both
+    sides are still evaluated as explicit position streams so the identity
+    is computed, not assumed.
+
+    Integer-exact: per-token scores floor to the 2^-20 grid and sum as
+    int64 (nll_*_q are the NEGATED sums, so more-positive = harder);
+    keep_easy = nll_cond_q < nll_alone_q (IFD < 1 — the instruction made
+    the output easier; Superfiltering keeps the opposite tail for training,
+    the flag orients the band either way without a float ratio). Empty
+    output -> NULL scores (the reference returns no score, :80-84); empty
+    instruction -> the conditional first token is unigram-scored too, so
+    IFD = 1 exactly (data_analysis.py falls back to the bare prompt).
+
+    Scale shape: two vocabulary-sized count tables (partial-agg explodes),
+    the position stream joins them on gram keys, one groupBy(id) roll-up —
+    no sorts, no collects.
+    """
+    tk = lambda c: F.filter(  # noqa: E731
+        F.split(F.trim(F.lower(F.coalesce(F.col(c).cast("string"), F.lit("")))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = df.select(
+        F.col(id_col), tk(instruction_col).alias("__it"), tk(output_col).alias("__ot")
+    ).withColumn("__wt", F.concat("__it", "__ot"))
+
+    uni = base.select(F.explode("__wt").alias("__g")).groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__c1")
+    )
+    nw1 = F.greatest(F.size("__wt") - 1, F.lit(0))
+    big = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice("__wt", 1, nw1), F.slice("__wt", 2, nw1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("__g")
+    ).groupBy("__g").agg(F.count(F.lit(1)).alias("__c2"))
+    tot = uni.agg(F.sum("__c1").alias("__N"))
+
+    no = F.size("__ot")
+    ni = F.size("__it")
+    nin = F.greatest(no - 1, F.lit(0))
+
+    def st(prev, w, ic, ia, iu):
+        return F.struct(
+            prev.alias("p"), w.alias("w"),
+            F.lit(ic).alias("ic"), F.lit(ia).alias("ia"), F.lit(iu).alias("iu"),
+        )
+
+    empty = F.array().cast("array<struct<p:string,w:string,ic:int,ia:int,iu:int>>")
+    internal = F.zip_with(
+        F.slice("__ot", 1, nin), F.slice("__ot", 2, nin),
+        lambda a, b: st(a, b, 1, 1, 0),
+    )
+    first = F.element_at("__ot", 1)
+    nul = F.lit(None).cast("string")
+    bd = F.when(
+        no >= 1,
+        F.when(ni >= 1, F.array(st(F.element_at("__it", -1), first, 1, 0, 0)))
+        .otherwise(F.array(st(nul, first, 1, 0, 1))),
+    ).otherwise(empty)
+    u1 = F.when(no >= 1, F.array(st(nul, first, 0, 1, 1))).otherwise(empty)
+    pos = base.select(
+        F.col(id_col), F.explode(F.concat(internal, bd, u1)).alias("__r")
+    ).select(
+        id_col,
+        F.col("__r.p").alias("__p"), F.col("__r.w").alias("__w"),
+        F.col("__r.ic").alias("__ic"), F.col("__r.ia").alias("__ia"),
+        F.col("__r.iu").alias("__iu"),
+        F.concat(F.coalesce(F.col("__r.p"), F.lit("")), F.lit(" "), F.col("__r.w"))
+        .alias("__pw"),
+    )
+
+    a = float(SB_ALPHA_NUM) / float(SB_ALPHA_DEN)
+    j = (
+        pos.join(big.withColumnRenamed("__g", "__pw"), "__pw", "left")
+        .join(
+            uni.withColumnRenamed("__g", "__p").withColumnRenamed("__c1", "__cp"),
+            "__p", "left",
+        )
+        .join(
+            uni.withColumnRenamed("__g", "__w").withColumnRenamed("__c1", "__cw"),
+            "__w", "left",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    score = (
+        F.when(F.col("__iu") == 1, F.log(F.col("__cw").cast("double") / F.col("__N")))
+        .when(
+            F.coalesce(F.col("__c2"), F.lit(0)) > 0,
+            F.log(F.col("__c2").cast("double") / F.col("__cp")),
+        )
+        .otherwise(F.log(F.lit(a) * F.col("__cw") / F.col("__N")))
+    )
+    q = F.floor(score * F.lit(float(SB_SCALE))).cast("bigint")
+    agg = (
+        j.select(F.col(id_col), q.alias("__q"), "__ic", "__ia")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__ia").cast("long").alias("n_out"),
+            (-F.sum(F.col("__q") * F.col("__ic"))).cast("long").alias("nll_cond_q"),
+            (-F.sum(F.col("__q") * F.col("__ia"))).cast("long").alias("nll_alone_q"),
+        )
+    )
+    out = base.select(id_col).join(agg, id_col, "left")
+    diff = F.col("nll_cond_q") - F.col("nll_alone_q")
+    return out.select(
+        id_col, "n_out", "nll_cond_q", "nll_alone_q",
+        diff.alias("ifd_diff_q"),
+        F.coalesce(diff < 0, F.lit(False)).cast("string").alias("keep_easy"),
+    )

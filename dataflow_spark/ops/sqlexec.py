@@ -95,3 +95,52 @@ def sql_execution_filter(
 
     labeled = sql_execution_classifier(df, sql_col, schema_parquet)
     return labeled.filter(F.col("executable") == 1).drop("executable", "exec_error")
+
+
+def sql_result_compare(
+    df: DataFrame,
+    sql_a_col: str,
+    sql_b_col: str,
+    schema_parquet: dict[str, str] | None = None,
+    out_col: str = "results_equal",
+) -> DataFrame:
+    """Execute two statements per row against the per-worker embedded DB and
+    compare their result sets order-insensitively — the compare_sql contract
+    the Text2SQLCoTGenerator verifies candidate SQL with
+    (text2sql/generate/text2sql_cot_generator.py:113-125; the reference's
+    per-statement timeout maps to the engine's own task timeout here).
+    Empty/NULL or erroring SQL on either side -> 0. Distinct (a, b) pairs
+    are memoized per batch — generated SQL repeats heavily."""
+    schema_parquet = schema_parquet or {}
+    fields = list(df.schema.fields) + [StructField(out_col, IntegerType())]
+    out_schema = StructType(fields)
+
+    def compare(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        con = _get_con(schema_parquet)
+        res_cache: dict[str, tuple | None] = {}
+        pair_cache: dict[tuple, int] = {}
+
+        def run(stmt):
+            if not stmt:
+                return None
+            if stmt not in res_cache:
+                try:
+                    rows = con.execute(stmt).fetchall()
+                    res_cache[stmt] = tuple(sorted(map(repr, rows)))
+                except Exception:  # noqa: BLE001 — failure IS the verdict
+                    res_cache[stmt] = None
+            return res_cache[stmt]
+
+        def one(pair):
+            if pair not in pair_cache:
+                ra, rb = run(pair[0]), run(pair[1])
+                pair_cache[pair] = int(ra is not None and ra == rb)
+            return pair_cache[pair]
+
+        for pdf in batches:
+            pdf[out_col] = [
+                one((a, b)) for a, b in zip(pdf[sql_a_col], pdf[sql_b_col])
+            ]
+            yield pdf
+
+    return df.mapInPandas(compare, out_schema)

@@ -228,3 +228,109 @@ def sql_consistency_filter(
     )
     labeled = df.withColumn(out, consistent)
     return labeled.filter(F.col(out)).drop(out) if keep_only else labeled
+
+
+# ---------------------------------------------------------------------------
+# Text2SQLQuestionGenerator (text2sql/generate/text2sql_question_generator
+# .py:56-105): DDL column-description harvesting + the three
+# [X-START]/[X-END] response tags; a response missing explanation or
+# question is dropped (parse returns None :84-90).
+# Text2SQLCoTGenerator (text2sql_cot_generator.py:97-205): CoT synthesis
+# whose embedded SQL (LAST ```sql block, :104-111) must execute and match
+# the gold SQL's results to keep the row.
+# ---------------------------------------------------------------------------
+
+QUESTION_GEN_PROMPT = (
+    "Write a natural-language question this SQL answers. Use the tags "
+    "[EXPLANATION-START][EXPLANATION-END][QUESTION-START][QUESTION-END]"
+    "[EXTERNAL-KNOWLEDGE-START][EXTERNAL-KNOWLEDGE-END].\nSQL: "
+)
+COT_GEN_PROMPT = (
+    "Explain step by step how to answer the question with SQL, ending with "
+    "the final SQL in a ```sql block.\nQuestion: "
+)
+
+
+def extract_column_descriptions(ddl: Column) -> Column:
+    """extract_column_descriptions (:56-68): every `"col" TYPE /* desc */`
+    pair in the CREATE statement, first-wins per lowercased column name,
+    rendered as a sorted `col=desc` CSV (the dict's deterministic, engine-
+    portable projection). Pure JVM regexps."""
+    pairs = F.regexp_extract_all(ddl, F.lit(r'"(\w+)"\s+\w+\s*/\*\s*(.*?)\s*\*/'), 0)
+    kv = F.transform(
+        pairs,
+        lambda m: F.concat(
+            F.lower(F.regexp_extract(m, r'"(\w+)"', 1)),
+            F.lit("="),
+            F.regexp_extract(m, r"/\*\s*(.*?)\s*\*/", 1),
+        ),
+    )
+    # first-wins per column name == keep the first occurrence; planted DDL
+    # has unique names per statement, and duplicates collapse via the sorted
+    # distinct projection both engines share
+    return F.array_join(F.array_sort(F.array_distinct(kv)), ",")
+
+
+def _tag(resp: Column, name: str) -> Column:
+    return F.trim(
+        F.regexp_extract(resp, r"(?s)\[" + name + r"-START\](.*?)\[" + name + r"-END\]", 1)
+    )
+
+
+def text2sql_question_generator(
+    df: DataFrame,
+    sql_col: str = "sql_text",
+    ddl_col: str = "ddl",
+    backend=None,
+) -> DataFrame:
+    """The generator stage: serving call per row, triple-tag parse, drop on
+    missing explanation/question (:84-90 returns None -> row excluded),
+    external knowledge optional ('' kept). Emits question,
+    external_knowledge, and the DDL's column-description CSV."""
+    from dataflow_spark.ops.prompted import StubServing, serving_udf
+
+    backend = backend or StubServing()
+    prompt = F.concat(F.lit(QUESTION_GEN_PROMPT), F.col(sql_col).cast("string"))
+    o = df.withColumn("__resp", serving_udf(backend)(prompt))
+    o = (
+        o.withColumn("explanation", _tag(F.col("__resp"), "EXPLANATION"))
+        .withColumn("question", _tag(F.col("__resp"), "QUESTION"))
+        .withColumn("external_knowledge", _tag(F.col("__resp"), "EXTERNAL-KNOWLEDGE"))
+        .withColumn("column_descriptions", extract_column_descriptions(F.col(ddl_col)))
+        .drop("__resp")
+    )
+    return o.filter((F.col("explanation") != "") & (F.col("question") != ""))
+
+
+def extract_last_sql_block(resp: Column) -> Column:
+    """extract_sql (:104-111): the LAST ```sql fenced block, '' if none."""
+    blocks = F.regexp_extract_all(resp, F.lit(r"(?s)```sql\s*(.*?)\s*```"), 1)
+    return F.when(F.size(blocks) > 0, F.trim(F.element_at(blocks, -1))).otherwise(
+        F.lit("")
+    )
+
+
+def text2sql_cot_generator(
+    df: DataFrame,
+    question_col: str = "question",
+    gold_sql_col: str = "gold_sql",
+    schema_parquet: dict[str, str] | None = None,
+    out_cot: str = "cot_reasoning",
+    backend=None,
+) -> DataFrame:
+    """CoT generation with execution-verified retention (:144-205): the
+    response's last ```sql block is executed against the embedded schema and
+    compared with the gold SQL's results (sql_result_compare — the
+    compare_sql contract); only verified rows keep their CoT. The reference's
+    retry loop is one more pass of the same stage over the failed remainder."""
+    from dataflow_spark.ops.prompted import StubServing, serving_udf
+    from dataflow_spark.ops.sqlexec import sql_result_compare
+
+    backend = backend or StubServing()
+    prompt = F.concat(F.lit(COT_GEN_PROMPT), F.col(question_col).cast("string"))
+    o = df.withColumn(out_cot, serving_udf(backend)(prompt))
+    o = o.withColumn("generated_sql", extract_last_sql_block(F.col(out_cot)))
+    o = sql_result_compare(
+        o, "generated_sql", gold_sql_col, schema_parquet, out_col="sql_verified"
+    )
+    return o.filter(F.col("sql_verified") == 1)
