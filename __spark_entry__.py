@@ -2278,7 +2278,7 @@ def q_eval_accuracy(spark, sf):
     hit2 = F.coalesce((norm(nlp.lang_id_v2(F.col("text"))) == norm(F.col("lang"))).cast("int"), F.lit(0))
     # project the hit flags BEFORE the aggregate: sum() and avg() each hold a
     # copy of their argument expression, so an inline hit2 would evaluate the
-    # heavy 42-language lang_id_v2 twice per row (measured 2x on eval_accuracy)
+    # heavy 77-language lang_id_v2 twice per row (measured 2x on eval_accuracy)
     return d.select(hit1.alias("__h1"), hit2.alias("__h2")).agg(
         F.count("*").alias("n_samples"),
         F.sum("__h1").cast("long").alias("n_correct"),
@@ -3547,8 +3547,20 @@ def oracle_sql() -> dict[str, str]:
         + " ".join(f"WHEN s2_{l} = {_max2} THEN '{l}'" for l in _langs2)
         + " END"
     )
+    def _script_val2(lang):
+        # SCRIPT_SUBRULES twin: nested marker-letter CASE within the
+        # pluricentric scripts, fallback = the script's base language
+        sub = _nlp.SCRIPT_SUBRULES.get(lang)
+        if not sub:
+            return f"'{lang}'"
+        arms = " ".join(
+            f"WHEN regexp_matches(text, '[{chars}]') THEN '{sl}'"
+            for chars, sl in sub
+        )
+        return f"CASE {arms} ELSE '{lang}' END"
+
     _script2 = " ".join(
-        f"WHEN regexp_matches(text, '[{lo}-{hi}]') THEN '{lang}'"
+        f"WHEN regexp_matches(text, '[{lo}-{hi}]') THEN {_script_val2(lang)}"
         for lang, lo, hi in _nlp.SCRIPT_RANGES
     )
     _langid2 = f"CASE {_script2} ELSE {_latin2} END"

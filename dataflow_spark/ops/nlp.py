@@ -19,10 +19,12 @@ All four close reference-parity gaps flagged in round 1:
     18 reference entity labels covered by the ordered ner_rules() chain
     (pattern-bound recall, not model-bound — the honest delta vs a trained
     NER, documented).
-  - lang_id_v2: script detection (23 non-Latin scripts) + stopword-profile
-    argmax (19 Latin languages) — the fastText-class stand-in for
-    LanguageFilter (language_filter.py:61-65); 42 languages + 'und'. Pure JVM
-    expressions, exactly replicated by the SQL oracle.
+  - lang_id_v2: script detection (27 non-Latin scripts, refined by marker
+    letters inside the pluricentric blocks — cyrillic be/uk/mk/sr/ru/bg,
+    arabic ps/ur/fa/ar, hebrew yi/he) + stopword-profile argmax (41 Latin
+    languages) — the fastText-class stand-in for LanguageFilter
+    (language_filter.py:61-65); 77 languages + 'und'. Pure JVM expressions,
+    exactly replicated by the SQL oracle.
 """
 
 from __future__ import annotations
@@ -419,6 +421,33 @@ LATIN_PROFILES: dict[str, tuple[str, ...]] = {
     "id": ("yang", "dan", "ini", "itu", "dengan", "tidak", "untuk", "dari", "akan", "saya", "ada", "juga"),
     "vi": ("của", "và", "là", "có", "không", "trong", "được", "người", "những", "một", "cho", "đã"),
     "ca": ("els", "amb", "què", "més", "però", "aquest", "com", "ha", "són", "seva", "una", "dels"),
+    # round-3 breadth pass 2 (appended — earlier tie decisions preserved).
+    # Words are chosen DISTINCTIVE vs the profiles above, not merely
+    # frequent: near-relatives (af/nl, sk/cs, et/fi, ms/id, gl/pt) keep only
+    # function words the sibling does not share, so the sibling's own text
+    # still out-hits the newcomer.
+    "af": ("nie", "vir", "wat", "ons", "baie", "maar", "sal", "hulle", "gesê", "hierdie", "word", "teen"),
+    "sq": ("dhe", "një", "është", "për", "nuk", "më", "që", "të", "ka", "si", "nga", "kjo"),
+    "az": ("və", "də", "ki", "üçün", "olaraq", "edir", "olan", "bütün", "sonra", "zaman", "deyil", "lakin"),
+    "hr": ("što", "ili", "nije", "biti", "jer", "kada", "će", "bio", "ovo", "samo", "vrlo", "može"),
+    "sl": ("je", "da", "ne", "so", "kot", "tudi", "lahko", "bil", "še", "pa", "med", "bolj"),
+    "sk": ("sa", "ako", "som", "sú", "bol", "pre", "či", "aby", "ich", "keď", "môže", "veľmi"),
+    "et": ("see", "oma", "kui", "ka", "siis", "või", "üle", "mis", "ning", "kuid", "välja", "pärast"),
+    "lt": ("ir", "yra", "kad", "bet", "kaip", "tai", "buvo", "savo", "iš", "labai", "jau", "apie"),
+    "lv": ("un", "ir", "ka", "bet", "kā", "tas", "bija", "savu", "no", "par", "arī", "vai"),
+    "is": ("að", "það", "sem", "við", "ekki", "hann", "var", "með", "því", "eru", "hafa", "þetta"),
+    "ga": ("agus", "na", "ar", "go", "le", "sé", "ach", "bhí", "tá", "mar", "nach", "sin"),
+    "cy": ("yn", "yr", "ac", "mae", "ei", "bod", "wedi", "gan", "ond", "hyn", "oedd", "fod"),
+    "mt": ("li", "ta", "il", "ma", "hu", "din", "dan", "biex", "kien", "aktar", "jew", "ukoll"),
+    "gl": ("unha", "máis", "tamén", "polo", "coa", "súa", "moi", "onde", "despois", "cando", "dende", "isto"),
+    "eu": ("eta", "ez", "da", "bat", "du", "dira", "ere", "baina", "hau", "zen", "dago", "egin"),
+    "sw": ("na", "ya", "wa", "ni", "kwa", "katika", "hii", "lakini", "sana", "watu", "kama", "yake"),
+    "tl": ("ang", "ng", "sa", "mga", "ay", "hindi", "ako", "ito", "siya", "kung", "naman", "lang"),
+    "ms": ("daripada", "sahaja", "boleh", "kerana", "awak", "sangat", "macam", "pula", "tetapi", "iaitu", "bagi", "amat"),
+    "so": ("iyo", "waa", "waxaa", "ayaa", "soo", "inuu", "kale", "sidoo", "badan", "karaa", "laga", "wuxuu"),
+    "ht": ("nan", "ak", "yon", "li", "pou", "sa", "te", "ki", "pa", "men", "gen", "tout"),
+    "eo": ("kaj", "la", "estas", "ne", "por", "kun", "sed", "tio", "ankaŭ", "povas", "esti", "pli"),
+    "uz": ("va", "bu", "bilan", "uchun", "ham", "emas", "katta", "yangi", "deb", "edi", "lekin", "bor"),
 }
 
 # script ranges (first-match wins, checked before Latin profiles)
@@ -448,15 +477,51 @@ SCRIPT_RANGES: tuple[tuple[str, str, str], ...] = (
     ("am", "ሀ", "፿"),  # ethiopic (amharic)
     ("km", "ក", "៿"),  # khmer
     ("hy", "԰", "֏"),  # armenian
+    # round-3 breadth pass 2: more single-dominant-language scripts
+    # (disjoint BMP ranges — appended, first-match order unaffected)
+    ("or", "଀", "୿"),  # oriya/odia U+0B00-0B7F
+    ("bo", "ༀ", "࿿"),  # tibetan U+0F00-0FFF
+    ("dv", "ހ", "޿"),  # thaana U+0780-07BF
+    ("mn", "᠀", "ᢪ"),  # mongolian script U+1800-18AA
 )
+
+# Within-script disambiguation (fastText-176's remaining mass for these
+# scripts): per base-script language, ordered (marker-char-class, lang)
+# rules checked on the RAW text, falling back to the base language. Marker
+# sets are alphabet facts, not statistics — letters one orthography has and
+# its script-siblings lack (both cases listed; script rlike sees raw text):
+#   cyrillic: ў→be before і/ї/є/ґ→uk (be uses і too); ѓ/ќ/ѕ→mk before
+#     ј/љ/њ/ћ/ђ/џ→sr (mk shares ј љ њ); ы/э/ё→ru (bg lacks all three)
+#     before ъ→bg (ru uses ъ rarely, bg constantly) — else ru.
+#   arabic: ps retroflexes ټ ډ ړ ږ ښ ڼ first (ps borrows fa letters), then
+#     ur-only ٹ ڈ ڑ ے ں ھ, then fa پ چ ژ گ — else ar.
+#   hebrew: yiddish digraph ligatures װ ױ ײ — else he.
+SCRIPT_SUBRULES: dict[str, tuple[tuple[str, str], ...]] = {
+    "ru": (
+        ("ўЎ", "be"),
+        ("іїєґІЇЄҐ", "uk"),
+        ("ѓќѕЃЌЅ", "mk"),
+        ("јљњћђџЈЉЊЋЂЏ", "sr"),
+        ("ыэёЫЭЁ", "ru"),
+        ("ъЪ", "bg"),
+    ),
+    "ar": (
+        ("ټډړږښڼ", "ps"),
+        ("ٹڈڑےںھ", "ur"),
+        ("پچژگ", "fa"),
+    ),
+    "he": (("װױײ", "yi"),),
+}
 
 
 def lang_id_v2(col: Column) -> Column:
     """fastText-class stand-in (LanguageFilter, language_filter.py:61-65):
-    23 scripts by codepoint presence (first match in SCRIPT_RANGES order),
-    else stopword-profile argmax over 19 Latin languages (ties -> profile
-    order), else 'und'. 42 languages + und, pure JVM expressions; the SQL
-    oracle replicates rule-for-rule."""
+    27 scripts by codepoint presence (first match in SCRIPT_RANGES order),
+    refined within the pluricentric scripts by SCRIPT_SUBRULES marker
+    letters (cyrillic -> be/uk/mk/sr/ru/bg, arabic -> ps/ur/fa/ar,
+    hebrew -> yi/he), else stopword-profile argmax over 41 Latin languages
+    (ties -> profile order), else 'und'. 77 languages + und, pure JVM
+    expressions; the SQL oracle replicates rule-for-rule."""
     from dataflow_spark.ops.quality import _let
 
     ws = F.split(F.trim(F.lower(col)), r"\s+")
@@ -484,10 +549,21 @@ def lang_id_v2(col: Column) -> Column:
         return _let(sc, pick)
 
     latin = _let(ws, latin_of)
+
+    def script_value(lang: str) -> Column:
+        sub = SCRIPT_SUBRULES.get(lang)
+        if not sub:
+            return F.lit(lang)
+        v = None
+        for chars, sl in sub:
+            c = col.rlike(f"[{chars}]")
+            v = F.when(c, F.lit(sl)) if v is None else v.when(c, F.lit(sl))
+        return v.otherwise(F.lit(lang))
+
     out = None
     for lang, lo, hi in SCRIPT_RANGES:
         cond = col.rlike(f"[{lo}-{hi}]")
-        out = F.when(cond, F.lit(lang)) if out is None else out.when(cond, F.lit(lang))
+        out = F.when(cond, script_value(lang)) if out is None else out.when(cond, script_value(lang))
     # fast path: every script range starts at U+0370+ (Greek is the lowest),
     # so a row with no codepoint >= U+0370 can skip all 23 script regex
     # scans. Rows failing every range (e.g. an em-dash) still fall back to

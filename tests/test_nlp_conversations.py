@@ -159,11 +159,50 @@ def test_ner_redact_covers_18_entity_labels(spark):
         assert tag in got[i], (cases[i][0], got[i])
 
 
-def test_lang_id_v2_breadth_42_languages(spark):
-    """Round-3 breadth: every script range and Latin profile detects a
-    canonical sample of its language (the fastText-176 stand-in now covers
-    42 languages + und)."""
+def test_lang_id_v2_breadth_77_languages(spark):
+    """Round-3 breadth: every script range, script subrule, and Latin
+    profile detects a canonical sample of its language (the fastText-176
+    stand-in now covers 77 languages + und)."""
     samples = {
+        # script-subrule languages (breadth pass 2): marker letters inside
+        # a shared script block
+        "uk": "це українська мова і її текст",
+        "be": "гэта беларуская мова ў тэксце",
+        "sr": "ово је српски текст са љубављу",
+        "mk": "ова е македонски текст за ѕвезди и ќерки",
+        "bg": "това е български текст във вътрешността",
+        "fa": "این یک متن فارسی است که گچپژ دارد",
+        "ur": "یہ اردو کی تحریر ہے جس میں ٹھیک حروف ہیں",
+        "ps": "دا پښتو متن دی چې ځانګړي توري لري",
+        "yi": "דאָס איז ייִדיש מיט װ און ײ אותיות",
+        # new single-script languages (breadth pass 2)
+        "or": "ଏହା ଓଡ଼ିଆ ଭାଷା ଅଟେ",
+        "bo": "འདི་བོད་སྐད་ཡིན།",
+        "dv": "މިއީ ދިވެހި ބަހެވެ",
+        "mn": "ᠮᠣᠩᠭᠣᠯ ᠪᠢᠴᠢᠭ᠌",
+        # new latin-profile languages (breadth pass 2)
+        "af": "ons sal nie baie vir hulle gesê hierdie woorde teen wat maar",
+        "sq": "dhe një është për nuk më që të ka si nga kjo fjalë",
+        "az": "və də ki üçün olaraq edir olan bütün sonra zaman deyil lakin",
+        "hr": "što ili nije biti jer kada će bio ovo samo vrlo može",
+        "sl": "je da ne so kot tudi lahko bil še pa med bolj",
+        "sk": "sa ako som sú bol pre či aby ich keď môže veľmi",
+        "et": "see oma kui ka siis või üle mis ning kuid välja pärast",
+        "lt": "ir yra kad bet kaip tai buvo savo iš labai jau apie",
+        "lv": "un ir ka bet kā tas bija savu no par arī vai",
+        "is": "að það sem við ekki hann var með því eru hafa þetta",
+        "ga": "agus na ar go le sé ach bhí tá mar nach sin",
+        "cy": "yn yr ac mae ei bod wedi gan ond hyn oedd fod",
+        "mt": "li ta il ma hu din dan biex kien aktar jew ukoll",
+        "gl": "unha máis tamén polo coa súa moi onde despois cando dende isto",
+        "eu": "eta ez da bat du dira ere baina hau zen dago egin",
+        "sw": "na ya wa ni kwa katika hii lakini sana watu kama yake",
+        "tl": "ang ng sa mga ay hindi ako ito siya kung naman lang",
+        "ms": "daripada sahaja boleh kerana awak sangat macam pula tetapi iaitu bagi amat",
+        "so": "iyo waa waxaa ayaa soo inuu kale sidoo badan karaa laga wuxuu",
+        "ht": "nan ak yon li pou sa te ki pa men gen tout",
+        "eo": "kaj la estas ne por kun sed tio ankaŭ povas esti pli",
+        "uz": "va bu bilan uchun ham emas katta yangi deb edi lekin bor",
         # script-range languages
         "ja": "こんにちは世界のみなさん", "ko": "안녕하세요 세계", "zh": "你好世界朋友们",
         "ru": "привет мир как дела", "el": "γεια σου κόσμε", "he": "שלום עולם",
