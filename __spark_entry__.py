@@ -769,11 +769,13 @@ def q_minhash_new(spark, sf):
 
 
 def q_media_decode(spark, sf):
-    """REAL media decode (battery member): payloads are genuine 24-bit BMP
-    and PCM16 WAV bytes encoded from doc_id-derived pixels/samples inside a
-    pandas UDF, then decoded by the actual format parsers
-    (ops/multimodal.py decode_bmp / decode_wav — numpy header+pixel
-    parsing, stdlib wave) into integer-exact signal statistics; every 17th
+    """REAL media decode (battery member): payloads are genuine 24-bit BMP,
+    8-bit truecolor PNG (zlib IDAT, cycling all five RFC 2083 scanline
+    filters), and PCM16 WAV bytes encoded from doc_id-derived pixels/samples
+    inside a pandas UDF, then decoded by the actual format parsers
+    (ops/multimodal.py decode_bmp / decode_png / decode_wav — numpy
+    header+pixel parsing, stdlib zlib+wave, format sniffed by magic) into
+    integer-exact signal statistics; every 17th
     payload is planted garbage and must surface as an 'error' row, not a
     task crash. The oracle never sees the bytes — it recomputes the
     expected statistics from the synthesis arithmetic, so the byte-level
@@ -796,11 +798,13 @@ def q_media_decode(spark, sf):
                 r = (x * 7 + y * 13 + i) % 256
                 g = (x * 3 + y * 0 + i) % 256
                 b = (x * 0 + y * 5 + i) % 256
-                out.append(
-                    multimodal.encode_bmp(
-                        np.stack([r, g, b], axis=2).astype(np.uint8)
-                    )
-                )
+                px = np.stack([r, g, b], axis=2).astype(np.uint8)
+                # alternate the container: same pixels, two real codecs —
+                # PNG (zlib + filter cycle) every 4th id, BMP otherwise.
+                # The oracle's statistics are pixel arithmetic, so both
+                # containers must decode to the identical numbers.
+                enc = multimodal.encode_png if i % 4 == 0 else multimodal.encode_bmp
+                out.append(enc(px))
             else:
                 n = 64 + i % 64
                 t = np.arange(n)

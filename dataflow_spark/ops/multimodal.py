@@ -150,9 +150,10 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # REAL codecs for self-describing formats that need no external library:
-# 24-bit uncompressed BMP (pure numpy header+pixel parsing) and PCM16 WAV
+# 24-bit uncompressed BMP (pure numpy header+pixel parsing), 8-bit truecolor
+# PNG (stdlib zlib + all five RFC 2083 scanline filters), and PCM16 WAV
 # (stdlib `wave`). These make the decode path GENUINE — real bytes in, real
-# pixels/samples out — while library-backed codecs (JPEG/PNG/MP3/MP4) stay
+# pixels/samples out — while library-backed codecs (JPEG/MP3/MP4) stay
 # behind the injectable `decoder=` seam of extract_features. Reference
 # boundary: core_vision/core_speech operators hand media to model backends;
 # here the decode itself is the demonstrated stage.
@@ -200,6 +201,157 @@ def decode_bmp(payload: bytes):
     buf = np.frombuffer(payload, dtype=np.uint8, offset=offset, count=stride * h)
     rows = buf.reshape(h, stride)[:, :row_raw].reshape(h, w, 3)
     return w, h, rows[::-1, :, ::-1].copy()  # bottom-up -> top-down, BGR -> RGB
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left to the
+    linear estimate a + b - c, ties left > up > up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(arr) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (RFC 2083): IHDR + one zlib IDAT + IEND, CRC32 per chunk. The scanline
+    filter type CYCLES y % 5 (None/Sub/Up/Average/Paeth) so a roundtrip
+    exercises every filter the spec defines — the decoder below must undo
+    all five, not just the easy ones."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    bpp = 3
+    raw = bytearray()
+    prev = bytes(w * bpp)
+    for y in range(h):
+        line = a[y].tobytes()
+        f = y % 5
+        raw.append(f)
+        if f == 0:  # None
+            raw += line
+        elif f == 1:  # Sub
+            raw += bytes(
+                (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(len(line))
+            )
+        elif f == 2:  # Up
+            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(len(line)))
+        elif f == 3:  # Average
+            raw += bytes(
+                (line[i] - ((line[i - bpp] if i >= bpp else 0) + prev[i]) // 2) & 0xFF
+                for i in range(len(line))
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    line[i]
+                    - _paeth(
+                        line[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(len(line))
+            )
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Decode an 8-bit truecolor (color type 2) PNG to
+    (width, height, (H, W, 3) uint8 RGB): chunk walk with CRC verification,
+    zlib-inflate of the concatenated IDATs, and per-scanline unfiltering of
+    all five filter types (None/Sub/Up/Average/Paeth). Raises ValueError on
+    anything outside that profile (interlace, palette, alpha, 16-bit) —
+    honest failure, not a guess."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or ctype != 2 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("only 8-bit truecolor non-interlaced PNG supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # truncated/garbled IDAT -> honest ValueError
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = out[y]
+    return w, h, out.reshape(h, w, 3).copy()
 
 
 def encode_wav(samples, rate: int = 8000) -> bytes:
@@ -538,7 +690,12 @@ def media_decode_features(
                 try:
                     raw = bytes(payload) if payload is not None else b""
                     if mtype == "image":
-                        w, h, arr = decode_bmp(raw)
+                        # format sniff by magic — the stage accepts a mixed
+                        # BMP/PNG column, as a real media scan would
+                        if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                            w, h, arr = decode_png(raw)
+                        else:
+                            w, h, arr = decode_bmp(raw)
                         a = arr.astype(np.int64)
                         row.update(
                             kind="image", width=w, height=h, n_px=w * h,

@@ -121,6 +121,49 @@ def test_bmp_wav_roundtrip_and_decode_features(spark):
     assert got[4]["kind"] == "error"
 
 
+def test_png_roundtrip_all_filters_and_corrupt():
+    """encode_png cycles all five RFC 2083 scanline filters (y % 5), so a
+    tall image roundtrip proves the decoder undoes None/Sub/Up/Average/Paeth
+    — and corrupt chunks fail closed with ValueError, never garbage pixels."""
+    import numpy as np
+
+    from dataflow_spark.ops import multimodal as M
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (5, 5), (6, 8), (11, 3), (7, 13)]:  # >=5 rows hits all filters
+        a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        w2, h2, back = M.decode_png(M.encode_png(a))
+        assert (w2, h2) == (w, h) and (back == a).all()
+    good = M.encode_png(np.full((5, 4, 3), 7, dtype=np.uint8))
+    with pytest.raises(ValueError):
+        M.decode_png(b"\x89PNG\r\n\x1a\n" + b"junk")
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF  # corrupt IEND CRC
+    with pytest.raises(ValueError):
+        M.decode_png(bytes(bad_crc))
+    with pytest.raises(ValueError):
+        M.decode_png(good[:40])  # truncated mid-IDAT
+    with pytest.raises(ValueError):
+        M.decode_bmp(good)  # wrong codec stays an honest failure
+
+
+def test_media_decode_features_sniffs_png(spark):
+    import numpy as np
+
+    from dataflow_spark.ops import multimodal as M
+
+    px = np.full((2, 3, 3), [5, 6, 7], dtype=np.uint8)
+    rows = [
+        (0, "image", bytearray(M.encode_png(px))),
+        (1, "image", bytearray(M.encode_bmp(px))),
+    ]
+    df = spark.createDataFrame(rows, "media_id: long, media_type: string, payload: binary")
+    got = {r["media_id"]: r.asDict() for r in M.media_decode_features(df).collect()}
+    for k in (0, 1):  # same pixels, two containers -> identical statistics
+        assert got[k]["kind"] == "image" and got[k]["n_px"] == 6
+        assert (got[k]["sum_r"], got[k]["sum_g"], got[k]["sum_b"]) == (30, 36, 42)
+
+
 def test_pdf_roundtrip_escapes_unicode_and_shapes():
     """encode_pdf -> pdf_extract_text is exact for parens/backslash escapes,
     UTF-8 text, empty lines, and multi-page layouts."""
