@@ -440,6 +440,17 @@ def q_burst_detect(spark, sf):
     return windows.burst_detect(e)
 
 
+def q_window_drift(spark, sf):
+    """Window-over-window distribution drift (battery member): per 1h
+    tumbling window the event_type histogram, consecutive pairs scored by
+    Jensen-Shannon divergence in integer fixed point (the
+    unigram_entropy/sb_lm exactness rule), drift flagged above 1/16 nat —
+    the streaming data-quality alarm beside the CEP stages
+    (ops/windows.py window_distribution_drift)."""
+    e = load_table(spark, sf, "events")
+    return windows.window_distribution_drift(e, F.col("event_type"))
+
+
 def q_latency_stats(spark, sf):
     """Assistant response-latency profiling (battery member): per-conv
     count/sum/min/max of the microsecond gap between each assistant turn and
@@ -2693,7 +2704,9 @@ def q_score_battery(spark, sf):
     per dup cluster), snapshot_diff (corpus release diff:
     added/removed/changed/unchanged), semantic_decontam (embedding-level
     benchmark decontamination), conv_gate (conversation-shape quality
-    gates), burst_detect (windowed rate-anomaly CEP alert), latency_stats
+    gates), burst_detect (windowed rate-anomaly CEP alert), window_drift
+    (consecutive-window Jensen-Shannon distribution drift, integer
+    fixed-point KL numerators), latency_stats
     (assistant response-latency profiling, integer epoch-us), tool_json
     (strict tool-call JSON arg conformance), secret_scan (credential
     recognizer battery + redaction), strat_sample (exact per-stratum quota
@@ -2813,6 +2826,9 @@ def q_score_battery(spark, sf):
         _battery_pack(q_burst_detect(spark, sf), "burst_detect",
                       _kcat("event_type", "win_start"), ["burst"],
                       s1=F.col("n_events")),
+        _battery_pack(q_window_drift(spark, sf), "window_drift",
+                      _kcat("win_start"),
+                      ["n_prev", "n_curr", "n_buckets", "kl_pm_q", "kl_qm_q", "drift"]),
         _battery_pack(q_latency_stats(spark, sf), "latency_stats",
                       _kcat("conv_id"),
                       ["sum_latency_us", "min_latency_us", "max_latency_us"],
@@ -6423,6 +6439,59 @@ def oracle_sql() -> dict[str, str]:
         FROM cells c JOIN tot USING (event_type)
     """
 
+    # window_drift: consecutive-window JS divergence (ops/windows.py
+    # window_distribution_drift) — histogram-sized joins, integer
+    # fixed-point KL numerators (ln over left-associated double products of
+    # exact int64 counts — the unigram_entropy discipline), drift compared
+    # at 2^21/16 on the same scaled-double grid.
+    o["window_drift"] = """
+        WITH cells AS (
+          SELECT date_trunc('hour', ts) AS w, event_type AS b, count(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        totals AS (SELECT w, sum(c) AS n FROM cells GROUP BY 1),
+        pairs AS (
+          SELECT t2.w AS w, t1.n AS n_prev, t2.n AS n_curr
+          FROM totals t1 JOIN totals t2 ON t2.w = t1.w + INTERVAL 1 HOUR
+        ),
+        bunion AS (
+          SELECT DISTINCT w, b FROM (
+            SELECT w + INTERVAL 1 HOUR AS w, b FROM cells
+            UNION ALL
+            SELECT w, b FROM cells
+          )
+        ),
+        merged AS (
+          SELECT p.w, p.n_prev, p.n_curr, u.b,
+                 coalesce(cp.c, 0) AS cp, coalesce(cq.c, 0) AS cq
+          FROM pairs p
+          JOIN bunion u ON u.w = p.w
+          LEFT JOIN cells cp ON cp.w = p.w - INTERVAL 1 HOUR AND cp.b = u.b
+          LEFT JOIN cells cq ON cq.w = p.w AND cq.b = u.b
+        ),
+        agg AS (
+          SELECT w AS win_start,
+                 CAST(n_prev AS BIGINT) AS n_prev,
+                 CAST(n_curr AS BIGINT) AS n_curr,
+                 CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(sum(CASE WHEN cp > 0 THEN cp * CAST(floor(ln(
+                       2.0 * CAST(cp AS DOUBLE) * CAST(n_curr AS DOUBLE)
+                       / (CAST(cp AS DOUBLE) * CAST(n_curr AS DOUBLE)
+                          + CAST(cq AS DOUBLE) * CAST(n_prev AS DOUBLE))
+                     ) * 1048576) AS BIGINT) ELSE 0 END) AS BIGINT) AS kl_pm_q,
+                 CAST(sum(CASE WHEN cq > 0 THEN cq * CAST(floor(ln(
+                       2.0 * CAST(cq AS DOUBLE) * CAST(n_prev AS DOUBLE)
+                       / (CAST(cp AS DOUBLE) * CAST(n_curr AS DOUBLE)
+                          + CAST(cq AS DOUBLE) * CAST(n_prev AS DOUBLE))
+                     ) * 1048576) AS BIGINT) ELSE 0 END) AS BIGINT) AS kl_qm_q
+          FROM merged GROUP BY 1, 2, 3
+        )
+        SELECT win_start, n_prev, n_curr, n_buckets, kl_pm_q, kl_qm_q,
+               (CAST(kl_pm_q AS DOUBLE) / n_prev
+                + CAST(kl_qm_q AS DOUBLE) / n_curr) > 131072.0 AS drift
+        FROM agg
+    """
+
     # latency_stats: assistant response latency (ops/windows.py
     # response_latency) — integer epoch-us lag arithmetic (timestamps are
     # micro-resolution, so epoch_us diff == timestamp_diff(MICROSECOND)).
@@ -6751,6 +6820,8 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("burst_detect", o["burst_detect"],
                   _kcat_sql("event_type", "win_start"), ["burst"],
                   s1="n_events"),
+        _pack_sql("window_drift", o["window_drift"], _kcat_sql("win_start"),
+                  ["n_prev", "n_curr", "n_buckets", "kl_pm_q", "kl_qm_q", "drift"]),
         _pack_sql("latency_stats", o["latency_stats"], _kcat_sql("conv_id"),
                   ["sum_latency_us", "min_latency_us", "max_latency_us"],
                   s1="n_responses"),
@@ -6866,7 +6937,7 @@ def oracle_sql() -> dict[str, str]:
         "cep_pattern", "para_dedup", "unigram_entropy", "softdedup",
         "url_dedup", "source_overlap", "chat_render", "keep_best",
         "snapshot_diff", "semantic_decontam", "conv_gate", "burst_detect",
-        "latency_stats", "tool_json", "secret_scan", "strat_sample",
+        "window_drift", "latency_stats", "tool_json", "secret_scan", "strat_sample",
         "turn_repeat", "ccnet_buckets", "script_mix", "vocab_growth",
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",

@@ -386,3 +386,97 @@ def tool_flow(
         F.count(F.lit(1)).cast("long").alias("n_transitions"),
         F.countDistinct("__c").cast("long").alias("n_convs"),
     )
+
+
+def window_distribution_drift(
+    df: DataFrame,
+    bucket: F.Column,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    tau_num: int = 1,
+    tau_den: int = 16,
+) -> DataFrame:
+    """Window-over-window distribution-drift monitor — the streaming
+    data-quality alarm a production pipeline runs beside its CEP stages:
+    per tumbling window build the histogram of a bounded ``bucket``
+    feature, then score each consecutive window pair by Jensen-Shannon
+    divergence and flag drift above tau (default 1/16 ≈ 0.0625 nat).
+
+        JS(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M),  M = (P+Q)/2
+        p_i/m_i = 2·c_i·n_q / (c_i·n_q + d_i·n_p)   (exact-integer ratio)
+
+    Exactness discipline (the unigram_entropy / sb_lm rule): the checked
+    outputs are INTEGER fixed-point numerators
+    ``kl_pm_q = Σ_{c_i>0} c_i·floor(ln(2·c_i·n_q/(c_i·n_q+d_i·n_p))·2^20)``
+    (and symmetrically kl_qm_q), so JS ≈ (kl_pm_q/n_p + kl_qm_q/n_q)/2^21.
+    The ln argument is built from int64 counts promoted to double with
+    left-associated products — bit-identical IEEE arithmetic on both
+    engines (int64 products could overflow past ~10^9-row windows; the
+    double path is the documented wide-window form). The drift flag
+    compares ``kl_pm_q/n_p + kl_qm_q/n_q > 2^21·tau`` — one deterministic
+    double comparison.
+
+    Scale shape: ONE groupBy(window, bucket) with map-side combine over the
+    raw stream (the north-star tumbling-agg shuffle); everything after runs
+    on the histogram table, whose size is n_windows × n_buckets —
+    independent of row count. The consecutive-pair join is histogram-sized.
+    Streaming twin: the same agg under withWatermark, with the pair join as
+    a self stream-stream interval join or a foreachBatch delta against the
+    previous window's stored histogram.
+
+    Returns (win_start, n_prev, n_curr, n_buckets, kl_pm_q, kl_qm_q, drift)
+    — one row per consecutive (both non-empty) window pair, stamped with
+    the CURRENT window's start.
+    """
+    cells = df.groupBy(
+        F.window(F.col(ts_col), window)["start"].alias("__w"), bucket.alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    totals = cells.groupBy("__w").agg(F.sum("__c").alias("__n"))
+    step = F.expr(f"INTERVAL {window}")
+    # consecutive pairs, both windows non-empty (empty windows do not exist
+    # in the grouped output, so a gap breaks the chain — by design: drift
+    # against a silent hour is a rate alarm, burst_detect's job)
+    pairs = (
+        totals.select((F.col("__w") + step).alias("__w"), F.col("__n").alias("n_prev"))
+        .join(totals.select("__w", F.col("__n").alias("n_curr")), "__w")
+    )
+    p = cells.select((F.col("__w") + step).alias("__w"), "__b", F.col("__c").alias("__cp"))
+    q = cells.select("__w", "__b", F.col("__c").alias("__cq"))
+    merged = (
+        p.join(q, ["__w", "__b"], "full")
+        .join(pairs, "__w")  # drops full-outer rows whose sibling window is absent
+        .select(
+            "__w", "n_prev", "n_curr",
+            F.coalesce(F.col("__cp"), F.lit(0)).alias("__cp"),
+            F.coalesce(F.col("__cq"), F.lit(0)).alias("__cq"),
+        )
+    )
+    cp, cq = F.col("__cp").cast("double"), F.col("__cq").cast("double")
+    np_, nq = F.col("n_prev").cast("double"), F.col("n_curr").cast("double")
+    denom = cp * nq + cq * np_
+    term_p = F.when(
+        F.col("__cp") > 0,
+        F.col("__cp") * F.floor(F.log(F.lit(2.0) * cp * nq / denom) * F.lit(1048576)).cast("long"),
+    ).otherwise(F.lit(0))
+    term_q = F.when(
+        F.col("__cq") > 0,
+        F.col("__cq") * F.floor(F.log(F.lit(2.0) * cq * np_ / denom) * F.lit(1048576)).cast("long"),
+    ).otherwise(F.lit(0))
+    agg = merged.groupBy("__w", "n_prev", "n_curr").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(term_p).alias("kl_pm_q"),
+        F.sum(term_q).alias("kl_qm_q"),
+    )
+    js_scaled = (
+        F.col("kl_pm_q").cast("double") / F.col("n_prev")
+        + F.col("kl_qm_q").cast("double") / F.col("n_curr")
+    )
+    return agg.select(
+        F.col("__w").alias("win_start"),
+        F.col("n_prev").cast("long").alias("n_prev"),
+        F.col("n_curr").cast("long").alias("n_curr"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("kl_pm_q").cast("long").alias("kl_pm_q"),
+        F.col("kl_qm_q").cast("long").alias("kl_qm_q"),
+        (js_scaled > F.lit(2097152.0 * tau_num / tau_den)).alias("drift"),
+    )

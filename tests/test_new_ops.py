@@ -1406,3 +1406,42 @@ def test_cdc_upsert_total_order_on_payload_ties(spark):
             base.repartition(8), changes.repartition(8), "k", "version", "op"
         ).collect()
         assert len(got) == 1 and got[0]["text"] == want
+
+
+def test_window_distribution_drift_matches_twin_and_breaks_on_gaps(spark):
+    """JS-divergence drift monitor: integer KL numerators equal the pure
+    python twin; a silent window breaks the consecutive chain (no pair row);
+    identical consecutive distributions score exactly 0/0 and no drift."""
+    import datetime
+    import math
+
+    from dataflow_spark.ops import windows as W
+
+    base = datetime.datetime(2026, 1, 1)
+    spec = {0: {0: 4, 1: 4}, 1: {0: 7, 1: 1}, 2: {0: 1, 1: 1, 2: 6},
+            4: {0: 5}, 5: {0: 5}}  # hour 3 silent -> chain broken
+    rows = [
+        (base + datetime.timedelta(hours=h, minutes=i), b)
+        for h, d in spec.items() for b, c in d.items() for i in range(c)
+    ]
+    df = spark.createDataFrame(rows, "ts: timestamp, b: int")
+    got = {r["win_start"].hour: r.asDict()
+           for r in W.window_distribution_drift(df, F.col("b")).collect()}
+    assert set(got) == {1, 2, 5}  # hours 3 (silent) and 4 (no prev) absent
+
+    def twin(prev, curr):
+        npv, nq = sum(prev.values()), sum(curr.values())
+        ks = set(prev) | set(curr)
+        den = {k: prev.get(k, 0) * nq + curr.get(k, 0) * npv for k in ks}
+        kp = sum(prev[k] * math.floor(math.log(2.0 * prev[k] * nq / den[k]) * 1048576)
+                 for k in ks if prev.get(k, 0) > 0)
+        kq = sum(curr[k] * math.floor(math.log(2.0 * curr[k] * npv / den[k]) * 1048576)
+                 for k in ks if curr.get(k, 0) > 0)
+        return kp, kq, kp / npv + kq / nq > 2097152.0 / 16
+    for h in (1, 2, 5):
+        kp, kq, drift = twin(spec[h - 1], spec[h])
+        r = got[h]
+        assert (r["kl_pm_q"], r["kl_qm_q"], r["drift"]) == (kp, kq, drift), h
+    # identical distributions: ln(1) = 0 exactly on both engines
+    assert (got[5]["kl_pm_q"], got[5]["kl_qm_q"], got[5]["drift"]) == (0, 0, False)
+    assert got[2]["n_buckets"] == 3 and got[2]["drift"] is True
