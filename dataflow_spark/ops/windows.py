@@ -431,6 +431,30 @@ def window_distribution_drift(
     cells = df.groupBy(
         F.window(F.col(ts_col), window)["start"].alias("__w"), bucket.alias("__b")
     ).agg(F.count(F.lit(1)).alias("__c"))
+    return drift_from_histogram(cells, "__w", "__b", "__c", window, tau_num, tau_den)
+
+
+def drift_from_histogram(
+    hist: DataFrame,
+    win_col: str,
+    bucket_col: str,
+    count_col: str,
+    window: str = "1 hour",
+    tau_num: int = 1,
+    tau_den: int = 16,
+) -> DataFrame:
+    """The consecutive-pair JS arithmetic of window_distribution_drift over
+    a PRE-BUILT histogram table (win_start, bucket, count) — the batch half
+    of the streaming drift monitor: a watermarked streaming
+    groupBy(window, bucket) appends finalized histograms to a sink
+    (streaming/pipeline.py histogram_stage), and this computes drift over
+    the stored table, replay-idempotent because finalized windows never
+    change. Semantics and fixed-point discipline identical to
+    window_distribution_drift (same code path)."""
+    cells = hist.select(
+        F.col(win_col).alias("__w"), F.col(bucket_col).alias("__b"),
+        F.col(count_col).alias("__c"),
+    )
     totals = cells.groupBy("__w").agg(F.sum("__c").alias("__n"))
     step = F.expr(f"INTERVAL {window}")
     # consecutive pairs, both windows non-empty (empty windows do not exist

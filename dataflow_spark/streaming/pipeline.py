@@ -163,3 +163,27 @@ def match_triggers_stage(
 def run_to_completion(query) -> None:
     """Drain an availableNow/file-bounded streaming query."""
     query.awaitTermination()
+
+
+def histogram_stage(
+    sdf: DataFrame,
+    bucket_col: str = "role",
+    watermark: str | None = "10 minutes",
+    window: str = "5 minutes",
+) -> DataFrame:
+    """Finalized per-window histograms — the streaming half of the
+    distribution-drift monitor (ops/windows.py drift_from_histogram is the
+    batch half): groupBy(tumbling window, bucket) counts under a watermark,
+    append mode, so a (win_start, bucket, n) row emits exactly once, when
+    the watermark passes its window end. The idempotent sink's stored
+    histogram table therefore only ever APPENDS immutable windows — drift
+    computed over it is replay-idempotent by construction, and the
+    histogram (n_windows × n_buckets rows) is the ONLY state that outlives
+    the stream: the raw turns are never re-read. watermark=None inherits an
+    upstream stage's watermark (see window_quality_stage)."""
+    pre = sdf.withWatermark("ts", watermark) if watermark is not None else sdf
+    return (
+        pre.groupBy(F.window("ts", window).alias("win"), F.col(bucket_col).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "bucket", "n")
+    )

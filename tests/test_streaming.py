@@ -755,3 +755,54 @@ def test_dedup_append_sink_incremental_and_replay_idempotent(spark, tmp_path):
     sink(last, batch_id=2)
     again = sink.read(spark).toPandas()
     assert len(again) == 60
+
+
+def test_streaming_histogram_drift_matches_batch_and_replays(spark, tmp_path):
+    """Drift monitor end-to-end: the watermarked histogram_stage appends
+    finalized (win, bucket, n) rows; drift_from_histogram over the stored
+    table equals the batch window_distribution_drift on the raw turns; a
+    restart from checkpoint appends nothing (replay idempotence)."""
+    from dataflow_spark.ops import windows as W
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    df = synth_transcripts(spark, n_turns=3000, n_convs=30, seed=9)
+    pdf = df.toPandas().sort_values("ts")
+    chunks = [pdf.iloc[: len(pdf) // 2], pdf.iloc[len(pdf) // 2 :]]
+    write_ordered_chunks(list(chunks), src)
+
+    def drain():
+        sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+        hist = sp.histogram_stage(sdf, bucket_col="role", watermark="1 minute", window="5 minutes")
+        sink = IdempotentBatchSink(out)
+        q = (
+            hist.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sink
+
+    sink = drain()
+    stored = sink.read(spark)
+    streamed = (
+        W.drift_from_histogram(stored, "win_start", "bucket", "n", "5 minutes")
+        .toPandas().sort_values("win_start").reset_index(drop=True)
+    )
+    # batch twin over the raw turns, restricted to windows the watermark
+    # finalized (the last open window may be missing from the stream output)
+    batch = (
+        W.window_distribution_drift(df, F.col("role"), window="5 minutes")
+        .toPandas()
+    )
+    batch = batch[batch["win_start"].isin(set(streamed["win_start"]))]
+    batch = batch.sort_values("win_start").reset_index(drop=True)
+    assert len(streamed) > 2
+    pd.testing.assert_frame_equal(streamed, batch[streamed.columns])
+
+    before = len(sink.read(spark).toPandas())
+    drain()  # restart from the same checkpoint: nothing new to process
+    assert len(sink.read(spark).toPandas()) == before
