@@ -324,9 +324,39 @@ def _get_symspell() -> SymSpellIndex:
 # ---------------------------------------------------------------------------
 
 GPE_GAZETTEER = (
+    # cities (round-2 core)
     "London", "Paris", "Tokyo", "Berlin", "Madrid", "Rome", "Beijing",
     "Moscow", "Cairo", "Delhi", "Sydney", "Toronto", "Chicago", "Boston",
     "Seattle", "Austin", "Dublin", "Oslo", "Vienna", "Zurich",
+    # round-3 breadth: more world cities
+    "Amsterdam", "Athens", "Bangkok", "Barcelona", "Bogota", "Brussels",
+    "Budapest", "Buenos Aires", "Copenhagen", "Dubai", "Geneva", "Hanoi",
+    "Helsinki", "Istanbul", "Jakarta", "Johannesburg", "Karachi", "Kyiv",
+    "Lagos", "Lima", "Lisbon", "Manila", "Melbourne", "Mexico City",
+    "Montreal", "Mumbai", "Nairobi", "New York City", "New York", "Osaka",
+    "Ottawa", "Prague", "San Francisco", "Santiago", "Sao Paulo", "Seoul",
+    "Shanghai", "Singapore", "Stockholm", "Taipei", "Tehran", "Tel Aviv",
+    "Warsaw", "Washington",
+    # countries + regions (multi-word before their prefixes — the rule
+    # builder sorts longest-first so alternation order is deterministic in
+    # both regex engines, which prefer the leftmost listed alternative)
+    "United States of America", "United States", "United Kingdom",
+    "New Zealand", "South Korea", "North Korea", "South Africa",
+    "Saudi Arabia", "Costa Rica", "Sri Lanka", "Czech Republic",
+    "Afghanistan", "Argentina", "Australia", "Austria", "Bangladesh",
+    "Belgium", "Brazil", "Bulgaria", "Canada", "Chile", "China", "Colombia",
+    "Croatia", "Cuba", "Denmark", "Ecuador", "Egypt", "Estonia", "Ethiopia",
+    "Finland", "France", "Germany", "Ghana", "Greece", "Hungary", "Iceland",
+    "India", "Indonesia", "Iran", "Iraq", "Ireland", "Israel", "Italy",
+    "Jamaica", "Japan", "Jordan", "Kenya", "Kuwait", "Latvia", "Lebanon",
+    "Lithuania", "Malaysia", "Mexico", "Mongolia", "Morocco", "Nepal",
+    "Netherlands", "Nigeria", "Norway", "Pakistan", "Panama", "Paraguay",
+    "Peru", "Philippines", "Poland", "Portugal", "Qatar", "Romania",
+    "Russia", "Rwanda", "Senegal", "Serbia", "Singapore", "Slovakia",
+    "Slovenia", "Somalia", "Spain", "Sudan", "Sweden", "Switzerland",
+    "Syria", "Taiwan", "Tanzania", "Thailand", "Tunisia", "Turkey",
+    "Uganda", "Ukraine", "Uruguay", "Uzbekistan", "Venezuela", "Vietnam",
+    "Zambia", "Zimbabwe",
 )
 
 _PERSON_RE = r"\b(Mr|Mrs|Ms|Dr|Prof)\.? [A-Z][a-z]+\b"
@@ -349,25 +379,37 @@ def ner_rules() -> tuple[tuple[str, str], ...]:
     PERCENT/QUANTITY/ORDINAL) run before the CARDINAL catch-all. Breadth is
     pattern-bound, not model-bound — documented as the honest delta vs a
     trained NER."""
-    gaz = "|".join(GPE_GAZETTEER)
+    # longest entry first: Java regex and RE2 both take the LEFTMOST listed
+    # alternative, so "New York City" must precede "New York" or the suffix
+    # "City" survives the redaction
+    gaz = "|".join(sorted(set(GPE_GAZETTEER), key=lambda s: (-len(s), s)))
     return (
         (_PERSON_RE, "[PERSON]"),
         (_ORG_RE, "[ORG]"),
         (rf"\b({gaz})\b", "[GPE]"),
         (r"https?://[^ ]+|www\.[^ ]+", "[URL]"),
         (r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b", "[EMAIL]"),
-        (r"\bWorld War (II|I)\b|\bthe (Olympics|World Cup|Super Bowl)\b", "[EVENT]"),
+        (r"\bWorld War (II|I)\b|\bthe (Olympics|World Cup|Super Bowl"
+         r"|Cold War|Renaissance|Industrial Revolution|Great Depression)\b", "[EVENT]"),
         (r"\b[A-Z][a-z]+ (Airport|Bridge|Stadium|Station|Tower|Dam)\b", "[FAC]"),
         (r"\bMount [A-Z][a-z]+\b|\bthe [A-Z][a-z]+ (River|Desert|Valley)\b"
          r"|\b(Pacific|Atlantic|Arctic) Ocean\b", "[LOC]"),
-        (r"\b(iPhone|iPad|Android|PlayStation|Xbox|Walkman|Kindle)\b", "[PRODUCT]"),
+        (r"\b(iPhone|iPad|Android|PlayStation|Xbox|Walkman|Kindle|MacBook"
+         r"|Windows 1[01]|Tesla Model [SXY3]|Boeing 7[0-9]7|Airbus A3[0-9]0)\b", "[PRODUCT]"),
         (r"\bthe [A-Z][a-z]+ (Act|Amendment|Treaty)\b|\bArticle \d+\b", "[LAW]"),
         (r"\bthe (Mona Lisa|Odyssey|Iliad|Hamlet)\b", "[WORK_OF_ART]"),
         (r"\b(English|Spanish|Mandarin|Hindi|Arabic|Portuguese|Bengali|Urdu"
-         r"|Swahili|Cantonese)\b", "[LANGUAGE]"),
+         r"|Swahili|Cantonese|French|German|Russian|Japanese|Italian|Korean"
+         r"|Turkish|Dutch|Polish|Vietnamese|Tagalog|Farsi|Hebrew|Greek"
+         r"|Punjabi|Tamil|Telugu|Marathi|Javanese|Thai)\b", "[LANGUAGE]"),
         (r"\b(American|Americans|British|Canadian|Australian|European"
          r"|Europeans|Mexican|Brazilian|Democrats|Republicans|Christians"
-         r"|Muslims|Buddhist|Buddhists)\b", "[NORP]"),
+         # Japanese/Russian/German-the-adjective hit [LANGUAGE] first (the
+         # chain is first-match); only forms the LANGUAGE rule cannot claim
+         # are listed here
+         r"|Muslims|Buddhist|Buddhists|Chinese|Indian|Indians"
+         r"|Russians|Germans|Italians|Spaniards|Egyptians|Nigerians"
+         r"|Koreans|Hindus|Jews|Catholics|Protestants|Sikhs)\b", "[NORP]"),
         (rf"\b({_MONTHS}) \d{{1,2}}(, \d{{4}})?\b|\b\d{{4}}-\d{{2}}-\d{{2}}\b"
          r"|\b\d{1,2}/\d{1,2}/\d{2,4}\b", "[DATE]"),
         (r"\b\d{1,2}:\d{2}(:\d{2})?( ?(am|pm|AM|PM))?\b", "[TIME]"),
