@@ -2266,7 +2266,11 @@ def q_turn_eval_pairs(spark, sf):
     greedy-matching BERTScore over deterministic hash embeddings
     (BertSampleEvaluator analog, stub embedding table) — all exactly
     SQL-oracle-checked."""
-    j = _turn_pairs(spark, sf)
+    # the pair join (scan + transcript window + self-join) feeds FOUR metric
+    # consumers — persist it once or each consumer re-derives it (measured
+    # ~3.4 s per re-derivation at sf0.1; the cider/bert internals persist
+    # their own TOKENIZED projections, but that does not cover this join)
+    j = _turn_pairs(spark, sf).persist()
     base = j.select(
         "conv_id",
         "turn_idx",
