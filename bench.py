@@ -370,13 +370,15 @@ def _streaming_replay(spark, table_dir: str, n_turns: int) -> float:
 
 def _streaming_cep(spark, table_dir: str) -> float:
     """North-star CEP streaming path: the same 8-trigger replay through the
-    two stateful complex-event stages — session reassembly
-    (applyInPandasWithState, event-time timeout) and the stream-stream
-    trigger join (watermarked interval join) — each draining to its own
-    idempotent foreachBatch sink (two sinks = two queries by Spark's model;
-    they share the cluster and run concurrently, which is also how a real
+    three stateful complex-event stages — session reassembly
+    (applyInPandasWithState, event-time timeout), the stream-stream
+    trigger join (watermarked interval join), and live role-pattern
+    detection (tool-chain/stall/loop sequence CEP, the north-star
+    "tool-call sequence detection") — each draining to its own idempotent
+    foreachBatch sink (three sinks = three queries by Spark's model; they
+    share the cluster and run concurrently, which is also how a real
     deployment fans one source into several CEP consumers). Returns wall
-    seconds for the full drain of both."""
+    seconds for the full drain of all three."""
     import shutil
     import tempfile
 
@@ -395,7 +397,15 @@ def _streaming_cep(spark, table_dir: str) -> float:
         joined = sp.match_triggers_stage(
             sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
         )
+        cep = st.cep_pattern_stage(
+            sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+        )
         qs = [
+            cep.writeStream.foreachBatch(IdempotentBatchSink(f"{work}/out_cep"))
+            .option("checkpointLocation", f"{work}/ck_cep")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start(),
             sessions.writeStream.foreachBatch(IdempotentBatchSink(f"{work}/out_sess"))
             .option("checkpointLocation", f"{work}/ck_sess")
             .outputMode("append")

@@ -292,3 +292,99 @@ def session_reassembly_tws_stage(
             timeMode="eventTime",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CEP role-pattern detection (the stateful twin of
+# ops/windows.py detect_role_patterns — the north-star "tool-call sequence
+# detection" as a live stream stage instead of a batch fold)
+# ---------------------------------------------------------------------------
+
+CEP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", LongType()),
+        StructField("role_seq", StringType()),
+        StructField("c_tool_chain", IntegerType()),
+        StructField("c_stalled_user", IntegerType()),
+        StructField("c_tool_loop", IntegerType()),
+    ]
+)
+
+CEP_STATE_SCHEMA = StructType(
+    [
+        StructField("turn_idxs", ArrayType(IntegerType())),
+        StructField("initials", ArrayType(StringType())),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+
+def cep_row(conv_id: str, turn_idxs: list, initials: list) -> dict[str, Any]:
+    """Close a conversation's CEP state into the detect_role_patterns row
+    contract: turn-ordered role-initial string + non-overlapping pattern
+    counts. Python re.findall and Spark regexp_count agree on
+    non-overlapping greedy counts for the char-class+quantifier pattern
+    subset CEP_ROLE_PATTERNS stays inside (the cep_pattern battery member
+    pins the same property engine-vs-oracle)."""
+    import re
+
+    from dataflow_spark.ops.windows import CEP_ROLE_PATTERNS
+
+    order = sorted(range(len(turn_idxs)), key=lambda i: turn_idxs[i])
+    seq = "".join(initials[i] for i in order)
+    row = {"conv_id": conv_id, "n_turns": len(turn_idxs), "role_seq": seq}
+    for name, pat in CEP_ROLE_PATTERNS.items():
+        row[f"c_{name}"] = len(re.findall(pat, seq))
+    return row
+
+
+def make_cep_func(gap_seconds: int = 1800):
+    def cep_func(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        if state.hasTimedOut:
+            turn_idxs, initials, _last_us = state.get
+            state.remove()
+            yield pd.DataFrame([cep_row(conv_id, list(turn_idxs), list(initials))])
+            return
+        turn_idxs: list[int] = []
+        initials: list[str] = []
+        last_us = 0
+        if state.exists:
+            t0, i0, last_us = state.get
+            turn_idxs, initials = list(t0), list(i0)
+        for pdf in pdfs:
+            # columnar extraction; state per conversation is ONE CHAR per
+            # turn + the index array — the minimal CEP footprint (the full
+            # texts live in session_reassembly_stage's state, not here)
+            turn_idxs.extend(int(x) for x in pdf["turn_idx"].astype("int64").tolist())
+            initials.extend(r[:1] for r in pdf["role"].astype(str).tolist())
+            last_us = max(last_us, int(pd.to_datetime(pdf["ts"]).astype("int64").max() // 1000))
+        state.update((turn_idxs, initials, last_us))
+        desired_ms = last_us // 1000 + gap_seconds * 1000
+        state.setTimeoutTimestamp(max(desired_ms, state.getCurrentWatermarkMs() + 1))
+
+    return cep_func
+
+
+def cep_pattern_stage(
+    sdf: DataFrame, watermark: str = "10 minutes", gap_seconds: int = 1800
+) -> DataFrame:
+    """Live tool-call/stall/loop sequence detection keyed on conv_id:
+    event-time session state (one role initial per turn), patterns evaluated
+    once at session close — identical output rows to the batch
+    detect_role_patterns fold over the same closed conversations (equality
+    pinned in tests/test_streaming.py)."""
+    return (
+        sdf.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            make_cep_func(gap_seconds),
+            outputStructType=CEP_OUTPUT_SCHEMA,
+            stateStructType=CEP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

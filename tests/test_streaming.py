@@ -806,3 +806,54 @@ def test_streaming_histogram_drift_matches_batch_and_replays(spark, tmp_path):
     before = len(sink.read(spark).toPandas())
     drain()  # restart from the same checkpoint: nothing new to process
     assert len(sink.read(spark).toPandas()) == before
+
+
+def test_streaming_cep_patterns_match_batch_fold(spark, tmp_path):
+    """Streaming CEP role-pattern stage == the batch detect_role_patterns
+    fold over the same closed conversations, including out-of-order arrival
+    (turn order restored from turn_idx at session close)."""
+    from dataflow_spark.ops import windows as W
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows1 = [
+        _tx("A", 0, "user", "q", t0),
+        _tx("A", 2, "tool", "r1", t0 + pd.Timedelta("2 minutes")),  # out of order
+        _tx("A", 1, "assistant", "calling", t0 + pd.Timedelta("1 minute")),
+        _tx("B", 0, "user", "x", t0),
+        _tx("B", 1, "user", "still there?", t0 + pd.Timedelta("1 minute")),
+    ]
+    rows2 = [
+        _tx("A", 3, "tool", "r2", t0 + pd.Timedelta("3 minutes")),
+        _tx("A", 4, "tool", "r3", t0 + pd.Timedelta("4 minutes")),
+        _tx("A", 5, "assistant", "done", t0 + pd.Timedelta("5 minutes")),
+        _tx("B", 2, "user", "hello?", t0 + pd.Timedelta("2 minutes")),
+    ]
+    sent1 = [_tx("zz-sent", 0, "user", "s1", t0 + pd.Timedelta("3 hours"))]
+    sent2 = [_tx("zz-sent", 1, "user", "s2", t0 + pd.Timedelta("3 hours") + pd.Timedelta("1 minute"))]
+    write_ordered_chunks(
+        [pd.DataFrame(rows1), pd.DataFrame(rows2), pd.DataFrame(sent1), pd.DataFrame(sent2)], src
+    )
+
+    sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+    cep = st.cep_pattern_stage(sdf, watermark="1 minute", gap_seconds=1800)
+    sink = IdempotentBatchSink(out)
+    q = cep.writeStream.foreachBatch(sink).option("checkpointLocation", ck).outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination()
+    got = sink.read(spark).toPandas()
+    got = got[got.conv_id != "zz-sent"].sort_values("conv_id").reset_index(drop=True)
+
+    a = got[got.conv_id == "A"].iloc[0]
+    assert a["role_seq"] == "uattta"  # turn order restored despite arrival order
+    assert (a["c_tool_chain"], a["c_stalled_user"], a["c_tool_loop"]) == (1, 0, 1)
+    b = got[got.conv_id == "B"].iloc[0]
+    assert b["role_seq"] == "uuu"
+    assert (b["c_tool_chain"], b["c_stalled_user"], b["c_tool_loop"]) == (0, 1, 0)
+
+    # exact row equality vs the batch fold over the same conversations
+    batch_df = spark.createDataFrame(pd.DataFrame(rows1 + rows2))
+    batch = W.detect_role_patterns(batch_df).toPandas().sort_values("conv_id").reset_index(drop=True)
+    for col in ["conv_id", "n_turns", "role_seq", "c_tool_chain", "c_stalled_user", "c_tool_loop"]:
+        assert list(got[col]) == list(batch[col]), col
