@@ -326,6 +326,32 @@ register(
            schema_cols=lambda p: ["conv_id", "n_turns", "first_ts", "last_ts",
                                   "convo_digest", "n_tool_turns"]),
 )
+register(
+    "role_patterns",
+    # batch fold and live applyInPandasWithState CEP share one output
+    # contract, so this is a genuine batch/streaming twin pair: the config
+    # runs detect_role_patterns in batch mode and the stateful
+    # cep_pattern_stage under build_pipeline(streaming=True)
+    OpSpec(lambda **p: (lambda df: windows.detect_role_patterns(df)),
+           lambda p: ["conv_id", "turn_idx", "role"],
+           lambda p: ["n_turns", "role_seq", "c_tool_chain", "c_stalled_user", "c_tool_loop"],
+           streaming_builder=lambda **p: (lambda df: __import__(
+               "dataflow_spark.streaming.state", fromlist=["x"]).cep_pattern_stage(
+                   df, p.get("watermark", "10 minutes"), p.get("gap_seconds", 1800))),
+           schema_cols=lambda p: ["conv_id", "n_turns", "role_seq",
+                                  "c_tool_chain", "c_stalled_user", "c_tool_loop"]),
+)
+register(
+    "window_drift",
+    OpSpec(lambda **p: (lambda df: windows.window_distribution_drift(
+               df, F.col(p.get("bucket_col", "role")),
+               p.get("ts_col", "ts"), p.get("window", "1 hour"))),
+           lambda p: [p.get("ts_col", "ts"), p.get("bucket_col", "role")],
+           lambda p: ["win_start", "n_prev", "n_curr", "n_buckets",
+                      "kl_pm_q", "kl_qm_q", "drift"],
+           schema_cols=lambda p: ["win_start", "n_prev", "n_curr",
+                                  "n_buckets", "kl_pm_q", "kl_qm_q", "drift"]),
+)
 
 
 def _nlp_op(fname):
