@@ -2895,7 +2895,8 @@ def q_score_battery(spark, sf):
         _battery_pack(q_media_decode(spark, sf), "media_decode",
                       _kcat("media_id"),
                       ["kind", "width", "height", "n_px", "sum_r", "sum_g",
-                       "sum_b", "n_samples", "peak", "energy", "duration_ms"]),
+                       "sum_b", "n_samples", "peak", "energy", "duration_ms",
+                       "zcr"]),
         _battery_pack(q_pdf_extract(spark, sf), "pdf_extract",
                       _kcat("doc_id"),
                       ["kind", "n_pages", "n_lines", "pdf_text"]),
@@ -5836,7 +5837,11 @@ def oracle_sql() -> dict[str, str]:
                  count(*) AS n_samples,
                  max(abs((t.i * 37 + d.doc_id) % 2048 - 1024)) AS peak,
                  sum(((t.i * 37 + d.doc_id) % 2048 - 1024)
-                     * ((t.i * 37 + d.doc_id) % 2048 - 1024)) AS energy
+                     * ((t.i * 37 + d.doc_id) % 2048 - 1024)) AS energy,
+                 sum(CASE WHEN t.i >= 1 AND
+                       (((t.i * 37 + d.doc_id) % 2048 - 1024) < 0)
+                       <> ((((t.i - 1) * 37 + d.doc_id) % 2048 - 1024) < 0)
+                     THEN 1 ELSE 0 END) AS zcr
           FROM documents d, range(0, 128) t(i)
           WHERE d.doc_id % 17 <> 0 AND d.doc_id % 2 = 1
             AND t.i < 64 + d.doc_id % 64
@@ -5848,17 +5853,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
                CAST(sum_b AS BIGINT) AS sum_b,
                CAST(NULL AS BIGINT) AS n_samples, CAST(NULL AS BIGINT) AS peak,
-               CAST(NULL AS BIGINT) AS energy, CAST(NULL AS BIGINT) AS duration_ms
+               CAST(NULL AS BIGINT) AS energy, CAST(NULL AS BIGINT) AS duration_ms,
+               CAST(NULL AS BIGINT) AS zcr
         FROM img
         UNION ALL
         SELECT doc_id, 'audio', NULL, NULL, NULL, NULL, NULL, NULL,
                CAST(n_samples AS BIGINT), CAST(peak AS BIGINT),
                CAST(energy AS BIGINT),
-               CAST((1000 * n_samples) // 8000 AS BIGINT)
+               CAST((1000 * n_samples) // 8000 AS BIGINT),
+               CAST(zcr AS BIGINT)
         FROM aud
         UNION ALL
         SELECT doc_id, 'error', NULL, NULL, NULL, NULL, NULL, NULL,
-               NULL, NULL, NULL, NULL
+               NULL, NULL, NULL, NULL, NULL
         FROM documents WHERE doc_id % 17 = 0
     """
 
@@ -6876,7 +6883,8 @@ def oracle_sql() -> dict[str, str]:
                   ["text"]),
         _pack_sql("media_decode", o["media_decode"], _kcat_sql("media_id"),
                   ["kind", "width", "height", "n_px", "sum_r", "sum_g",
-                   "sum_b", "n_samples", "peak", "energy", "duration_ms"]),
+                   "sum_b", "n_samples", "peak", "energy", "duration_ms",
+                   "zcr"]),
         _pack_sql("pdf_extract", o["pdf_extract"], _kcat_sql("doc_id"),
                   ["kind", "n_pages", "n_lines", "pdf_text"]),
         _pack_sql("mathverify", o["mathverify"], _kcat_sql("doc_id"),

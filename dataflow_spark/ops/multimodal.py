@@ -400,6 +400,9 @@ DECODE_SCHEMA = StructType(
         StructField("peak", LongType()),
         StructField("energy", LongType()),
         StructField("duration_ms", LongType()),
+        # zero-crossing count: Σ [sign(s_t) != sign(s_{t-1})] with sign =
+        # (s < 0) — the classic voiced/unvoiced DSP signal, integer-exact
+        StructField("zcr", LongType()),
     ]
 )
 
@@ -711,6 +714,7 @@ def media_decode_features(
                             peak=int(np.abs(a).max()) if len(s) else 0,
                             energy=int((a * a).sum()),
                             duration_ms=(1000 * len(s)) // rate if rate else None,
+                            zcr=int(((a[:-1] < 0) != (a[1:] < 0)).sum()) if len(s) > 1 else 0,
                         )
                     else:
                         row.update(kind="error")

@@ -116,6 +116,7 @@ def test_bmp_wav_roundtrip_and_decode_features(spark):
     assert got[1]["peak"] == 300
     assert got[1]["energy"] == 100**2 + 200**2 + 300**2
     assert got[1]["duration_ms"] == 3  # 3 samples at 1 kHz
+    assert got[1]["zcr"] == 2  # 100 -> -200 -> 300: two sign changes
     assert got[2]["kind"] == "error" and got[2]["width"] is None
     assert got[3]["kind"] == "error"
     assert got[4]["kind"] == "error"
