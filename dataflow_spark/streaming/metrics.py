@@ -44,6 +44,18 @@ class LineageMetricsListener(StreamingQueryListener):
                 {"description": s.description, "start": s.startOffset, "end": s.endOffset, "rows": s.numInputRows}
                 for s in (p.sources or [])
             ],
+            # event-time health: current watermark + per-batch min/max event
+            # time — the lateness story (rows older than the watermark are
+            # dropped by stateful operators; a watermark stuck in the past
+            # shows up here long before state explodes)
+            "event_time": dict(p.eventTime) if p.eventTime else {},
+            # df.observe() custom counters (observe_stage below): rows and
+            # data-quality tallies measured INSIDE the plan, per batch —
+            # no extra action, no second scan
+            "observed": {
+                name: dict(row.asDict()) if hasattr(row, "asDict") else dict(row)
+                for name, row in (dict(p.observedMetrics) if p.observedMetrics else {}).items()
+            },
         }
         with self._lock:
             self.progress.append(rec)
@@ -60,3 +72,25 @@ class LineageMetricsListener(StreamingQueryListener):
     def total_rows(self) -> int:
         with self._lock:
             return sum(r["num_input_rows"] for r in self.progress)
+
+
+def observe_stage(df, name: str = "stage_input", text_col: str = "text"):
+    """Attach in-plan data-quality counters to a (streaming or batch)
+    DataFrame: row count, NULL/empty-text count, and the min/max event time
+    entering the stage. Spark evaluates observe() metrics as accumulators
+    inside the existing plan — zero extra scans — and surfaces them per
+    micro-batch through StreamingQueryProgress.observedMetrics, which
+    LineageMetricsListener records under "observed". Put one of these ahead
+    of a watermarked aggregation and the recorded min_ts vs the listener's
+    event_time.watermark tells you exactly how much data arrived late."""
+    from pyspark.sql import functions as F
+
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (F.col(text_col).isNull() | (F.col(text_col) == "")).cast("long")
+        ).alias("n_null_text"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )

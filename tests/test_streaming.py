@@ -857,3 +857,51 @@ def test_streaming_cep_patterns_match_batch_fold(spark, tmp_path):
     batch = W.detect_role_patterns(batch_df).toPandas().sort_values("conv_id").reset_index(drop=True)
     for col in ["conv_id", "n_turns", "role_seq", "c_tool_chain", "c_stalled_user", "c_tool_loop"]:
         assert list(got[col]) == list(batch[col]), col
+
+
+def test_lineage_listener_records_observed_metrics_and_event_time(spark, tmp_path):
+    """observe_stage counters surface per micro-batch through the lineage
+    listener: in-plan row/null-text tallies + min/max event time, plus the
+    progress eventTime watermark — the lateness observability story."""
+    import time as _time
+
+    from dataflow_spark.streaming.metrics import LineageMetricsListener, observe_stage
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    df = synth_transcripts(spark, n_turns=1200, n_convs=12, seed=21)
+    pdf = df.toPandas().sort_values("ts")
+    write_ordered_chunks([pdf.iloc[:600], pdf.iloc[600:]], src)
+
+    listener = LineageMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        sdf = observe_stage(sp.read_transcript_stream(spark, src, max_files_per_trigger=1))
+        agg = sp.window_quality_stage(sdf, watermark="1 minute", window="5 minutes")
+        sink = IdempotentBatchSink(out)
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        for _ in range(60):  # listener events arrive asynchronously
+            with listener._lock:
+                obs = [r for r in listener.progress if r["observed"].get("stage_input")]
+            if len(obs) >= 2:
+                break
+            _time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+
+    assert len(obs) >= 2  # one observation per data micro-batch
+    seen = sum(r["observed"]["stage_input"]["n_rows"] for r in obs)
+    assert seen == 1200  # every input row counted in-plan, no second scan
+    for r in obs:
+        m = r["observed"]["stage_input"]
+        assert m["n_null_text"] == 0 and m["min_ts"] <= m["max_ts"]
+    # the progress stream carries the advancing event-time watermark
+    assert any(r["event_time"].get("watermark") for r in listener.progress)
