@@ -2279,7 +2279,11 @@ def q_turn_eval_pairs(spark, sf):
     )
     cid = quality.cider_scores(j, ["conv_id", "turn_idx"], "p_text", "a_text")
     bert = quality.bertscore_greedy(j, ["conv_id", "turn_idx"], "p_text", "a_text")
-    return base.join(cid, ["conv_id", "turn_idx"]).join(bert, ["conv_id", "turn_idx"])
+    res = base.join(cid, ["conv_id", "turn_idx"]).join(bert, ["conv_id", "turn_idx"])
+    # handle exposed for release by long-lived drivers (the cider_pairs_cache
+    # convention — ops/quality.py cider_scores)
+    res.turn_pairs_cache = j
+    return res
 
 
 def q_eval_accuracy(spark, sf):

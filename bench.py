@@ -432,6 +432,7 @@ def run_default() -> None:
     spark = get_spark("bench", cores=CPUS)
     qmap = entry_mod.queries()
     timings: dict[str, float] = {}
+    fns: dict[str, object] = {}
     for name in HEADLINE:
         # battery members (sql_hardness, model_score, domain_mix, ...) are
         # not standalone queries() keys; fall back to their builder fn so
@@ -439,6 +440,7 @@ def run_default() -> None:
         fn = qmap.get(name) or getattr(entry_mod, f"q_{name}", None)
         if fn is None:
             continue
+        fns[name] = fn
         # each query is timed COLD and in isolation: caches from previous
         # queries are dropped first (an op's internal persist() must not
         # subsidize a later query), and the timer covers plan BUILD +
@@ -460,7 +462,7 @@ def run_default() -> None:
     for name, cold in sorted(timings.items(), key=lambda kv: -kv[1]):
         if cold <= 8.0:
             break
-        fn = qmap.get(name) or getattr(entry_mod, f"q_{name}", None)
+        fn = fns[name]
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         _materialize(fn(spark, SF_DIR))

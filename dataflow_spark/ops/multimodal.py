@@ -328,7 +328,12 @@ def decode_png(payload: bytes):
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
+    # prev stays a plain `bytes` object so prev[i] is a PYTHON int: indexing
+    # a uint8 ndarray yields a numpy scalar, and under NumPy >= 2 (NEP 50)
+    # `python_int + uint8_scalar` stays uint8 and WRAPS — (200 + 100) // 2
+    # would unfilter to 22 instead of 150 in the Average branch, and Paeth's
+    # a + b - c would pick the wrong predictor, silently corrupting pixels
+    prev = bytes(stride)
     for y in range(h):
         f = raw[y * (stride + 1)]
         line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
@@ -349,8 +354,8 @@ def decode_png(payload: bytes):
                 line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
         elif f != 0:
             raise ValueError(f"unknown PNG filter type {f}")
-        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
-        prev = out[y]
+        prev = bytes(line)
+        out[y] = np.frombuffer(prev, dtype=np.uint8)
     return w, h, out.reshape(h, w, 3).copy()
 
 

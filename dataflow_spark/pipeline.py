@@ -333,7 +333,10 @@ register(
     # runs detect_role_patterns in batch mode and the stateful
     # cep_pattern_stage under build_pipeline(streaming=True)
     OpSpec(lambda **p: (lambda df: windows.detect_role_patterns(df)),
-           lambda p: ["conv_id", "turn_idx", "role"],
+           # "ts" is only consumed by the streaming twin (withWatermark +
+           # event-time timers), but validate_config must reject at submit
+           # time what the streaming pipeline would reject at run time
+           lambda p: ["conv_id", "turn_idx", "role", "ts"],
            lambda p: ["n_turns", "role_seq", "c_tool_chain", "c_stalled_user", "c_tool_loop"],
            streaming_builder=lambda **p: (lambda df: __import__(
                "dataflow_spark.streaming.state", fromlist=["x"]).cep_pattern_stage(

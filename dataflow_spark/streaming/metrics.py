@@ -74,7 +74,7 @@ class LineageMetricsListener(StreamingQueryListener):
             return sum(r["num_input_rows"] for r in self.progress)
 
 
-def observe_stage(df, name: str = "stage_input", text_col: str = "text"):
+def observe_stage(df, name: str = "stage_input", text_col: str = "text", ts_col: str = "ts"):
     """Attach in-plan data-quality counters to a (streaming or batch)
     DataFrame: row count, NULL/empty-text count, and the min/max event time
     entering the stage. Spark evaluates observe() metrics as accumulators
@@ -91,6 +91,6 @@ def observe_stage(df, name: str = "stage_input", text_col: str = "text"):
         F.sum(
             (F.col(text_col).isNull() | (F.col(text_col) == "")).cast("long")
         ).alias("n_null_text"),
-        F.min("ts").alias("min_ts"),
-        F.max("ts").alias("max_ts"),
+        F.min(ts_col).alias("min_ts"),
+        F.max(ts_col).alias("max_ts"),
     )

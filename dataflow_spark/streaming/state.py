@@ -332,7 +332,10 @@ def cep_row(conv_id: str, turn_idxs: list, initials: list) -> dict[str, Any]:
     from dataflow_spark.ops.windows import CEP_ROLE_PATTERNS
 
     order = sorted(range(len(turn_idxs)), key=lambda i: turn_idxs[i])
-    seq = "".join(initials[i] for i in order)
+    # NULL-role turns count toward n_turns but contribute NO character —
+    # the batch fold's substring(NULL) -> NULL element is skipped by
+    # array_join, and the twin must match it
+    seq = "".join(initials[i] for i in order if initials[i])
     row = {"conv_id": conv_id, "n_turns": len(turn_idxs), "role_seq": seq}
     for name, pat in CEP_ROLE_PATTERNS.items():
         row[f"c_{name}"] = len(re.findall(pat, seq))
@@ -360,7 +363,11 @@ def make_cep_func(gap_seconds: int = 1800):
             # turn + the index array — the minimal CEP footprint (the full
             # texts live in session_reassembly_stage's state, not here)
             turn_idxs.extend(int(x) for x in pdf["turn_idx"].astype("int64").tolist())
-            initials.extend(r[:1] for r in pdf["role"].astype(str).tolist())
+            # raw .tolist() keeps None as None (astype(str) would render the
+            # literal 'None' and a NULL role would become initial 'N')
+            initials.extend(
+                (r[:1] if isinstance(r, str) else None) for r in pdf["role"].tolist()
+            )
             last_us = max(last_us, int(pd.to_datetime(pdf["ts"]).astype("int64").max() // 1000))
         state.update((turn_idxs, initials, last_us))
         desired_ms = last_us // 1000 + gap_seconds * 1000

@@ -905,3 +905,37 @@ def test_lineage_listener_records_observed_metrics_and_event_time(spark, tmp_pat
         assert m["n_null_text"] == 0 and m["min_ts"] <= m["max_ts"]
     # the progress stream carries the advancing event-time watermark
     assert any(r["event_time"].get("watermark") for r in listener.progress)
+
+
+def test_streaming_cep_null_role_matches_batch(spark, tmp_path):
+    """A NULL-role turn counts toward n_turns but contributes no character
+    to role_seq — in BOTH the batch fold and the streaming twin (review
+    finding: str(None)[:1] would have emitted 'N' into the stream side)."""
+    from dataflow_spark.ops import windows as W
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        _tx("A", 0, "user", "q", t0),
+        {**_tx("A", 1, "assistant", "r", t0 + pd.Timedelta("1 minute")), "role": None},
+        _tx("A", 2, "assistant", "done", t0 + pd.Timedelta("2 minutes")),
+    ]
+    sent1 = [_tx("zz-sent", 0, "user", "s1", t0 + pd.Timedelta("3 hours"))]
+    sent2 = [_tx("zz-sent", 1, "user", "s2", t0 + pd.Timedelta("3 hours") + pd.Timedelta("1 minute"))]
+    write_ordered_chunks([pd.DataFrame(rows), pd.DataFrame(sent1), pd.DataFrame(sent2)], src)
+
+    sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+    cep = st.cep_pattern_stage(sdf, watermark="1 minute", gap_seconds=1800)
+    sink = IdempotentBatchSink(out)
+    q = cep.writeStream.foreachBatch(sink).option("checkpointLocation", ck).outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination()
+    got = sink.read(spark).toPandas()
+    a = got[got.conv_id == "A"].iloc[0]
+
+    batch_df = spark.createDataFrame(pd.DataFrame(rows)).withColumn(
+        "role", F.when(F.col("role") == "", None).otherwise(F.col("role"))
+    )
+    b = W.detect_role_patterns(batch_df).filter(F.col("conv_id") == "A").first()
+    assert (a["n_turns"], a["role_seq"]) == (b["n_turns"], b["role_seq"]) == (3, "ua")
