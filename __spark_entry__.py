@@ -451,6 +451,15 @@ def q_window_drift(spark, sf):
     return windows.window_distribution_drift(e, F.col("event_type"))
 
 
+def q_trend_terms(spark, sf):
+    """Per-window trending terms (battery member): tumbling 1h windows over
+    the transcript stream, top-5 terms by (count desc, term asc) with the
+    raw-rank WindowGroupLimit pushdown — the streaming-analytics
+    heavy-hitter panel (ops/windows.py windowed_top_terms)."""
+    t = _transcripts(spark, sf)
+    return windows.windowed_top_terms(t, "ts", "text", "1 hour", k=5)
+
+
 def q_latency_stats(spark, sf):
     """Assistant response-latency profiling (battery member): per-conv
     count/sum/min/max of the microsecond gap between each assistant turn and
@@ -2837,6 +2846,8 @@ def q_score_battery(spark, sf):
         _battery_pack(q_window_drift(spark, sf), "window_drift",
                       _kcat("win_start"),
                       ["n_prev", "n_curr", "n_buckets", "kl_pm_q", "kl_qm_q", "drift"]),
+        _battery_pack(q_trend_terms(spark, sf), "trend_terms",
+                      _kcat("win_start", "rank"), ["term"], s1=F.col("n")),
         _battery_pack(q_latency_stats(spark, sf), "latency_stats",
                       _kcat("conv_id"),
                       ["sum_latency_us", "min_latency_us", "max_latency_us"],
@@ -6507,6 +6518,29 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
     """
 
+    # trend_terms: per-window trending terms (ops/windows.py
+    # windowed_top_terms) — PY_WS tokenization parity, length gate >= 3,
+    # row_number over (n desc, term asc) == the engine's deterministic rank.
+    o["trend_terms"] = with_transcripts(f"""
+        , tok AS (
+          SELECT date_trunc('hour', ts) AS win_start, u.term
+          FROM transcripts,
+               unnest(list_filter(
+                 regexp_split_to_array(lower(coalesce(text, '')), '{_pyws_re}'),
+                 x -> length(x) >= 3)) AS u(term)
+        ),
+        cells AS (
+          SELECT win_start, term, count(*) AS n FROM tok GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT win_start, term, CAST(n AS BIGINT) AS n,
+                 CAST(row_number() OVER (PARTITION BY win_start
+                                         ORDER BY n DESC, term) AS BIGINT) AS rank
+          FROM cells
+        )
+        SELECT win_start, term, n, rank FROM ranked WHERE rank <= 5
+    """)
+
     # latency_stats: assistant response latency (ops/windows.py
     # response_latency) — integer epoch-us lag arithmetic (timestamps are
     # micro-resolution, so epoch_us diff == timestamp_diff(MICROSECOND)).
@@ -6837,6 +6871,8 @@ def oracle_sql() -> dict[str, str]:
                   s1="n_events"),
         _pack_sql("window_drift", o["window_drift"], _kcat_sql("win_start"),
                   ["n_prev", "n_curr", "n_buckets", "kl_pm_q", "kl_qm_q", "drift"]),
+        _pack_sql("trend_terms", o["trend_terms"], _kcat_sql("win_start", "rank"),
+                  ["term"], s1="n"),
         _pack_sql("latency_stats", o["latency_stats"], _kcat_sql("conv_id"),
                   ["sum_latency_us", "min_latency_us", "max_latency_us"],
                   s1="n_responses"),
@@ -6953,7 +6989,7 @@ def oracle_sql() -> dict[str, str]:
         "cep_pattern", "para_dedup", "unigram_entropy", "softdedup",
         "url_dedup", "source_overlap", "chat_render", "keep_best",
         "snapshot_diff", "semantic_decontam", "conv_gate", "burst_detect",
-        "window_drift", "latency_stats", "tool_json", "secret_scan", "strat_sample",
+        "window_drift", "trend_terms", "latency_stats", "tool_json", "secret_scan", "strat_sample",
         "turn_repeat", "ccnet_buckets", "script_mix", "vocab_growth",
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",

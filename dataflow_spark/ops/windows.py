@@ -504,3 +504,48 @@ def drift_from_histogram(
         F.col("kl_qm_q").cast("long").alias("kl_qm_q"),
         (js_scaled > F.lit(2097152.0 * tau_num / tau_den)).alias("drift"),
     )
+
+
+def windowed_top_terms(
+    df: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window: str = "1 hour",
+    k: int = 5,
+    min_len: int = 3,
+) -> DataFrame:
+    """Per-window trending terms — the streaming-analytics heavy-hitter
+    panel over the transcript stream: tokenize, count per (tumbling window,
+    term), keep each window's top k by (count desc, term asc).
+
+    Scale shape: ONE (window, term)-keyed groupBy with map-side combine
+    (the tumbling-agg shuffle again), then a window-partitioned rank whose
+    RAW row_number is filtered before any cast so InferWindowGroupLimit
+    keeps executor state at O(k) per window partition — never a full
+    per-window sort materialization (the dsir_select / embedding-top-k
+    pushdown discipline). Tokens under min_len chars are dropped (stopword
+    economy: 'the'/'a' trending every window is noise, and the length gate
+    is engine-portable where a stopword list would drift).
+
+    Returns (win_start, term, n, rank) — exactly k rows per non-empty
+    window (fewer when the window has fewer distinct terms).
+    """
+    from pyspark.sql import Window as W
+
+    from dataflow_spark.ops.refine import PY_WS_RE
+
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), PY_WS_RE),
+        lambda t: F.length(t) >= min_len,
+    )
+    cells = (
+        df.select(F.window(F.col(ts_col), window)["start"].alias("win_start"), F.explode(toks).alias("term"))
+        .groupBy("win_start", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("win_start").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        cells.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("win_start", "term", F.col("n").cast("long").alias("n"), F.col("__rk").cast("long").alias("rank"))
+    )

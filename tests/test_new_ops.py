@@ -1445,3 +1445,24 @@ def test_window_distribution_drift_matches_twin_and_breaks_on_gaps(spark):
     # identical distributions: ln(1) = 0 exactly on both engines
     assert (got[5]["kl_pm_q"], got[5]["kl_qm_q"], got[5]["drift"]) == (0, 0, False)
     assert got[2]["n_buckets"] == 3 and got[2]["drift"] is True
+
+
+def test_windowed_top_terms_rank_rule_and_pushdown(spark):
+    """Trending terms: (count desc, term asc) rank with ties, min_len gate,
+    and the raw-rank filter keeps InferWindowGroupLimit in the plan."""
+    import datetime
+
+    from dataflow_spark.ops import windows as W
+
+    base = datetime.datetime(2026, 2, 1)
+    rows = []
+    # hour 0: alpha x3, beta x3 (tie -> alpha first), gamma x1, 'ab' gated out
+    for i, term in enumerate(["alpha"] * 3 + ["beta"] * 3 + ["gamma"] + ["ab"] * 9):
+        rows.append((base + datetime.timedelta(minutes=i), f"{term} filler"))
+    df = spark.createDataFrame(rows, "ts: timestamp, text: string")
+    got = W.windowed_top_terms(df, k=3).orderBy("rank").collect()
+    assert [(r["term"], r["n"], r["rank"]) for r in got] == [
+        ("filler", 16, 1), ("alpha", 3, 2), ("beta", 3, 3)
+    ]
+    plan = W.windowed_top_terms(df, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # executor state O(k), not O(vocab)
