@@ -163,6 +163,7 @@ class DedupAppendSink:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
+        from pyspark.sql.types import NullType, StructType
 
         keys = self.key_cols or ["__key"]
         b = self._keyed(batch_df)
@@ -175,11 +176,41 @@ class DedupAppendSink:
         )
         w = Window.partitionBy(*keys).orderBy(*order)
         b = b.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+        target: StructType | None = None
         if os.path.isdir(self.target_dir) and any(
             f.endswith(".parquet") for _, _, fs in os.walk(self.target_dir) for f in fs
         ):
-            seen = b.sparkSession.read.parquet(self.target_dir).select(*keys).distinct()
-            b = b.join(seen, keys, "left_anti")
+            tgt = b.sparkSession.read.parquet(self.target_dir)
+            target = tgt.schema
+            b = b.join(tgt.select(*keys).distinct(), keys, "left_anti")
+        # SCHEMA CONTRACT (the Iceberg-MERGE coercion this sink stands in
+        # for): an append-only multi-file table must keep ONE footer schema,
+        # because a plain parquet read infers from a single footer — one
+        # divergent file poisons reads of all the others depending on which
+        # filename sorts first (measured flake: a replayed batch built via
+        # createDataFrame over all-None pandas columns carried a void-typed
+        # column; its zero-row part file won schema inference and every
+        # string-typed file then failed with PARQUET_COLUMN_DATA_TYPE_
+        # MISMATCH). Align every batch to the existing target schema by name
+        # (order + cast — void casts to anything as nulls); refuse column-set
+        # drift loudly. First write: void columns are stored as string so the
+        # table is never seeded with an uncastable type.
+        if target is not None:
+            if set(b.columns) != {f.name for f in target.fields}:
+                raise ValueError(
+                    f"batch columns {sorted(b.columns)} != target columns "
+                    f"{sorted(f.name for f in target.fields)} at {self.target_dir}"
+                )
+            b = b.select(*[F.col(f.name).cast(f.dataType) for f in target.fields])
+        else:
+            b = b.select(
+                *[
+                    F.col(f.name).cast("string").alias(f.name)
+                    if isinstance(f.dataType, NullType)
+                    else F.col(f.name)
+                    for f in b.schema.fields
+                ]
+            )
         # __key stays in the target: it IS the seen-set consulted by later
         # batches (read() hides it)
         b.write.mode("append").parquet(self.target_dir)

@@ -721,18 +721,15 @@ def test_dedup_append_sink_incremental_and_replay_idempotent(spark, tmp_path):
     micro-batch (beyond any watermark) still drops; final table equals batch
     first-wins dedup; replaying a batch into the sink appends nothing.
 
-    Retried once on AssertionError with fresh dirs: observed a single
-    unreproducible failure under full-suite load (2026-08-20; 6 targeted
-    re-runs incl. under concurrent Spark load all green) — the retry keeps a
-    rare environment hiccup from killing the -x gate while a REPEATED
-    failure still fails the test."""
-    for attempt in (0, 1):
-        try:
-            _dedup_append_sink_scenario(spark, tmp_path / f"a{attempt}")
-            return
-        except AssertionError:
-            if attempt:
-                raise
+    The manual replay below deliberately rebuilds the batch via
+    createDataFrame over pandas, where the all-None `tool` column infers as
+    NullType — the once-flaky schema-poisoning regression (a void-typed
+    zero-row part file won single-footer schema inference whenever its UUID
+    filename sorted first, and every string-typed file then failed with
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH). The sink now aligns each batch to
+    the target schema; the footer scan at the end pins that no void-typed
+    file can ever reach the table again."""
+    _dedup_append_sink_scenario(spark, tmp_path)
 
 
 def _dedup_append_sink_scenario(spark, tmp_path):
@@ -766,11 +763,22 @@ def _dedup_append_sink_scenario(spark, tmp_path):
     assert sorted(got["turn_idx"]) == list(range(60))
 
     # crash-replay: push the LAST batch through the sink again by hand —
-    # idempotent, nothing appends
+    # idempotent, nothing appends. createDataFrame infers `tool` (all None)
+    # as void here, exercising the schema-alignment contract (see docstring).
     last = spark.createDataFrame(chunks[2])
+    assert str(last.schema["tool"].dataType) == "NullType()"  # the hazard is live
     sink(last, batch_id=2)
     again = sink.read(spark).toPandas()
     assert len(again) == 60
+    # no footer in the target may carry a void-typed column (deterministic
+    # check — the read above only fails when the void file sorts first)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(f"{tgt}/*.parquet"):
+        s = pq.read_schema(f)
+        assert "null" not in {str(s.field(i).type) for i in range(len(s.names))}, f
 
 
 def test_streaming_histogram_drift_matches_batch_and_replays(spark, tmp_path):
