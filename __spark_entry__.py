@@ -2342,6 +2342,66 @@ def q_model_score(spark, sf):
     return models.model_score_stage(d.select("doc_id", "text")).select("doc_id", "model_score")
 
 
+def _sft_triple(spark, sf):
+    """Deterministic (instruction, input, response) derivation from the
+    documents table — the SFT-evaluator fixture both engines reconstruct."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Summarize doc "), F.col("doc_id").cast("string"),
+            F.lit(": "), F.substring("text", 1, 80),
+        ).alias("instruction"),
+        F.substring("text", 1, 40).alias("input"),
+        F.concat(
+            F.lit("Summary "), F.col("doc_id").cast("string"),
+            F.lit(": "), F.substring("text", 41, 60),
+        ).alias("response"),
+    )
+
+
+def q_instag_eval(spark, sf):
+    """InstagSampleEvaluator — tag-count diversity score + tag list via a
+    REAL from_json parse of the serving output (ops/sft_eval.py,
+    instag_sample_evaluator.py:58-124). The md5-shaped stub exercises every
+    parse branch: non-JSON (Parsing-error -> 1), single dict (-> 1), k-tag
+    list (-> k); the oracle replays response construction + the reference's
+    json.loads fold from the same md5 arithmetic."""
+    from dataflow_spark.ops import sft_eval
+
+    return sft_eval.instag_evaluate(_sft_triple(spark, sf)).select(
+        "doc_id", "instag_score", "tags_csv"
+    )
+
+
+def q_llm_judge(spark, sf):
+    """Treeinstruct + Alpagasus LLM-judge scores in one pass: last-line vs
+    FIRST-line first-token float parses (treeinstruct_sample_evaluator.py:
+    58-61, alpagasus_sample_evaluator.py:64-66) — each stub plants a decoy
+    number on the other line, so swapping the line selection is a visible
+    value error; unparsable responses yield NULL (cast semantics) where the
+    reference raises."""
+    from dataflow_spark.ops import sft_eval
+
+    out = sft_eval.treeinstruct_evaluate(_sft_triple(spark, sf))
+    out = sft_eval.alpagasus_evaluate(out)
+    return out.select("doc_id", "TreeinstructScore", "AlpagasusScore")
+
+
+def q_deita_rm(spark, sf):
+    """Deita complexity/quality + RM reward through ONE mapInPandas pass
+    loading the sft_eval_w.npz integer artifact per worker (ops/sft_eval.py,
+    deita_complexity_sample_evaluator.py:57-85, rm_sample_evaluator.py:45-56).
+    Integer logits + base-2 softmax make the probability-weighted template
+    score exact dyadic arithmetic, so all three heads are value-checked
+    against weights the oracle embeds as SQL tables."""
+    from dataflow_spark.ops import sft_eval
+
+    return sft_eval.sft_eval_scores(_sft_triple(spark, sf)).select(
+        "doc_id", "deita_complexity", "deita_quality", "reward_q"
+    )
+
+
 def q_mlp_score(spark, sf):
     """The SAME model stage with REAL loaded-from-file weights: a 256-bucket
     feature-hashed logistic regression trained by tools/train_tiny_model.py
@@ -2695,7 +2755,7 @@ def q_multihop_qa(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 62 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 67 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -2752,7 +2812,12 @@ def q_score_battery(spark, sf):
     doc2qa_eval (four-dimension Doc2QA rubric), superfiltering
     (instruction-following-difficulty IFD over the corpus bigram LM), and
     sql_compare (per-row order-insensitive SQL result equality by REAL
-    execution)."""
+    execution), instag (InsTag tag-count diversity via a REAL from_json
+    parse of the stub's JSON), llm_judge (Treeinstruct last-line +
+    Alpagasus first-line float parses, decoy-pinned), and deita_rm (Deita
+    complexity/quality probability-weighted template scores — integer
+    logits + exact base-2 softmax — plus the RM reward head, one
+    mapInPandas pass over the shipped sft_eval_w.npz artifact)."""
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -2963,6 +3028,17 @@ def q_score_battery(spark, sf):
         _battery_pack(q_sql_compare(spark, sf), "sql_compare",
                       _kcat("event_id"),
                       ["sql_a", "sql_b", "results_equal"]),
+        _battery_pack(q_instag_eval(spark, sf), "instag",
+                      _kcat("doc_id"), ["tags_csv"],
+                      s1=F.col("instag_score")),
+        _battery_pack(q_llm_judge(spark, sf), "llm_judge",
+                      _kcat("doc_id"), [],
+                      s1=F.col("TreeinstructScore"),
+                      s2=F.col("AlpagasusScore")),
+        _battery_pack(q_deita_rm(spark, sf), "deita_rm",
+                      _kcat("doc_id"), ["reward_q"],
+                      s1=F.col("deita_complexity"),
+                      s2=F.col("deita_quality")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -6800,6 +6876,157 @@ def oracle_sql() -> dict[str, str]:
         + "\nSELECT query_id, neighbor_id, rank, dist FROM pqr WHERE rank <= 5"
     )
 
+    # --- SFT instruction-quality evaluator family (ops/sft_eval.py) ---
+    from dataflow_spark.ops import sft_eval as _se
+
+    def _sq(s: str) -> str:
+        """SQL single-quoted literal (newlines stay literal; '' escapes ')."""
+        return "'" + s.replace("'", "''") + "'"
+
+    _triple_sql = """
+        triple AS (
+          SELECT doc_id,
+                 'Summarize doc ' || CAST(doc_id AS VARCHAR) || ': '
+                   || substr(text, 1, 80) AS instruction,
+                 substr(text, 1, 40) AS input,
+                 'Summary ' || CAST(doc_id AS VARCHAR) || ': '
+                   || substr(text, 41, 60) AS response
+          FROM documents
+        )"""
+
+    # instag: response construction + the reference's json.loads fold replayed
+    # from md5(prompt) arithmetic (k=0 parse-error -> 1, k=1 dict -> 1,
+    # k=2,3 -> tag-list length); the Spark side must get there by REALLY
+    # parsing the JSON the stub emitted.
+    o["instag"] = f"""
+        WITH {_triple_sql},
+        hh AS (
+          SELECT doc_id,
+                 md5({_sq(_se.INSTAG_PREFIX)} || instruction
+                     || {_sq(_se.INSTAG_SUFFIX)}) AS h
+          FROM triple
+        ),
+        kk AS (
+          SELECT doc_id, h,
+                 CAST(('0x' || substr(h, 1, 8)) AS UBIGINT) % 4 AS k4
+          FROM hh
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN k4 IS NULL THEN NULL
+                         WHEN k4 IN (0, 1) THEN 1 ELSE k4 END AS INT)
+                 AS instag_score,
+               CASE WHEN k4 IS NULL THEN NULL
+                    WHEN k4 = 0 THEN 'Parsing error'
+                    WHEN k4 = 1 THEN 'intent-' || substr(h, 1, 6)
+                    WHEN k4 = 2 THEN 'tag-' || substr(h, 1, 6) || '-1,tag-'
+                                  || substr(h, 1, 6) || '-2'
+                    ELSE 'tag-' || substr(h, 1, 6) || '-1,tag-'
+                         || substr(h, 1, 6) || '-2,tag-'
+                         || substr(h, 1, 6) || '-3' END AS tags_csv
+        FROM kk
+    """
+
+    # llm_judge: treeinstruct last-line parse (k7=0 unparsable -> NULL, else
+    # k7+2) and alpagasus first-line parse (k=6 unparsable -> NULL, else k%6)
+    o["llm_judge"] = f"""
+        WITH {_triple_sql},
+        kk AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5({_sq(_se.TREE_PREFIX)} || instruction
+                   || {_sq(_se.TREE_SUFFIX)}), 1, 8)) AS UBIGINT) % 7 AS kt,
+                 CAST(('0x' || substr(md5({_sq(_se.ALPAGASUS_P0)} || instruction
+                   || {_sq(_se.ALPAGASUS_P1)} || input
+                   || {_sq(_se.ALPAGASUS_P2)} || response
+                   || {_sq(_se.ALPAGASUS_P3)}), 1, 8)) AS UBIGINT) % 7 AS ka
+          FROM triple
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN kt IS NULL OR kt = 0 THEN NULL
+                         ELSE kt + 2 END AS DOUBLE) AS TreeinstructScore,
+               CAST(CASE WHEN ka IS NULL OR ka = 6 THEN NULL
+                         ELSE ka % 6 END AS DOUBLE) AS AlpagasusScore
+        FROM kk
+    """
+
+    # deita_rm: the sft_eval_w.npz integer weights as a SQL table; class
+    # logits are exact BIGINT sums over md5-bucketed tokens of the rendered
+    # reference templates, and the base-2 softmax terms are built with an
+    # integer SHIFT (1::BIGINT << (lmax-li)) so every probability is the
+    # identical exact dyadic double numpy's exp2 produces — no libm pow.
+    import io as _io2
+
+    import numpy as _np2
+
+    _sw = _np2.load(
+        _io2.BytesIO(
+            (Path(__file__).parent / "dataflow_spark" / "artifacts" / "sft_eval_w.npz").read_bytes()
+        )
+    )
+    _se_rows = ", ".join(
+        "(" + ", ".join(
+            [str(b)]
+            + [str(int(_sw["wc"][i][b])) for i in range(6)]
+            + [str(int(_sw["wq"][i][b])) for i in range(6)]
+            + [str(int(_sw["wr"][b]))]
+        ) + ")"
+        for b in range(256)
+    )
+    _se_cols = ("bucket, " + ", ".join(f"wc{i+1}" for i in range(6)) + ", "
+                + ", ".join(f"wq{i+1}" for i in range(6)) + ", wr")
+    _WS_TRIM = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+
+    def _tok_cte(name: str, src: str) -> str:
+        return (
+            f"{name} AS (SELECT doc_id, unnest(regexp_split_to_array("
+            f"trim(lower(s), {_WS_TRIM}), '\\s+')) AS tok FROM {src})"
+        )
+
+    def _deita_score_sql(l: str) -> str:
+        lmax = "greatest(" + ", ".join(f"{l}.l{i+1}" for i in range(6)) + ")"
+        ps = [
+            f"(1.0 / CAST(CAST(1 AS BIGINT) << least({lmax} - {l}.l{i+1}, 40) AS DOUBLE))"
+            for i in range(6)
+        ]
+        num = " + ".join(f"{i+1} * {p}" for i, p in enumerate(ps))
+        den = " + ".join(ps)
+        return f"round(({num}) / ({den}), 6)"
+
+    _lsum = lambda w, b: ", ".join(  # noqa: E731
+        f"CAST({int(b[i])} + sum({w}{i+1}) AS BIGINT) AS l{i+1}" for i in range(6)
+    )
+    o["deita_rm"] = f"""
+        WITH wt AS (SELECT * FROM (VALUES {_se_rows}) AS t({_se_cols})),
+        {_triple_sql},
+        ctext AS (SELECT doc_id, {_sq(_se.DEITA_C_PREFIX)} || instruction
+                    || {_sq(_se.DEITA_C_SUFFIX)} AS s FROM triple),
+        qtext AS (SELECT doc_id, {_sq(_se.DEITA_Q_P0)} || instruction
+                    || {_sq(_se.DEITA_Q_P1)} || response
+                    || {_sq(_se.DEITA_Q_P2)} AS s FROM triple),
+        rtext AS (SELECT doc_id, instruction || ' [SEP] ' || response AS s
+                  FROM triple),
+        {_tok_cte("ctok", "ctext")},
+        {_tok_cte("qtok", "qtext")},
+        {_tok_cte("rtok", "rtext")},
+        lc AS (SELECT doc_id, {_lsum("wc", _sw["bc"])}
+               FROM ctok JOIN wt ON ('0x' || substr(md5(tok), 1, 2))::INT = bucket
+               GROUP BY doc_id),
+        lq AS (SELECT doc_id, {_lsum("wq", _sw["bq"])}
+               FROM qtok JOIN wt ON ('0x' || substr(md5(tok), 1, 2))::INT = bucket
+               GROUP BY doc_id),
+        lr AS (SELECT doc_id,
+                      CAST({int(_sw["br"])} + sum(wr) AS BIGINT) AS reward_q
+               FROM rtok JOIN wt ON ('0x' || substr(md5(tok), 1, 2))::INT = bucket
+               GROUP BY doc_id)
+        SELECT t.doc_id,
+               {_deita_score_sql("lc")} AS deita_complexity,
+               {_deita_score_sql("lq")} AS deita_quality,
+               lr.reward_q AS reward_q
+        FROM triple t
+        LEFT JOIN lc ON t.doc_id = lc.doc_id
+        LEFT JOIN lq ON t.doc_id = lq.doc_id
+        LEFT JOIN lr ON t.doc_id = lr.doc_id
+    """
+
     o["score_battery"] = " UNION ALL ".join([
         _pack_sql("pii_safety", o["pii_safety"],
                   _kcat_sql("conv_id", "turn_idx"),
@@ -6964,6 +7191,12 @@ def oracle_sql() -> dict[str, str]:
                    "keep_easy"]),
         _pack_sql("sql_compare", o["sql_compare"], _kcat_sql("event_id"),
                   ["sql_a", "sql_b", "results_equal"]),
+        _pack_sql("instag", o["instag"], _kcat_sql("doc_id"),
+                  ["tags_csv"], s1="instag_score"),
+        _pack_sql("llm_judge", o["llm_judge"], _kcat_sql("doc_id"), [],
+                  s1="TreeinstructScore", s2="AlpagasusScore"),
+        _pack_sql("deita_rm", o["deita_rm"], _kcat_sql("doc_id"),
+                  ["reward_q"], s1="deita_complexity", s2="deita_quality"),
     ])
 
     _dim_sql = ", ".join(
@@ -6998,6 +7231,7 @@ def oracle_sql() -> dict[str, str]:
         "smiles_eval", "reasoning_judge", "reasoning_dataset", "pipeline_root",
         "code_instr_loop", "prompted_thin", "t2s_qgen_cot",
         "file_type_filter", "doc2qa_eval", "superfiltering", "sql_compare",
+        "instag", "llm_judge", "deita_rm",
     ):
         del o[_member]
 

@@ -1,0 +1,404 @@
+"""SFT instruction-quality evaluator family (SURVEY.md §2.5) — the concrete
+parse/score semantics of the reference's text_sft evaluators, each previously
+covered only by the generic prompted/model archetypes:
+
+  - InstagSampleEvaluator  (instag_sample_evaluator.py:58-124): vicuna-wrapped
+    tag prompt, JSON response parse — list -> len(list); dict with any content
+    -> 1 (a JSONDecodeError ALSO scores 1, because the reference substitutes
+    {"tag": "Parsing error", ...} before scoring, :95-99,110); empty dict/other
+    -> 0.
+  - TreeinstructSampleEvaluator (treeinstruct_sample_evaluator.py:45-63 +
+    prompts/general_text.py:159-174): syntax-tree node count parsed from the
+    LAST line's FIRST whitespace token (`response.strip().split("\n")[-1]
+    .split()[0]` -> float). The reference crashes on an unparsable response;
+    this engine emits NULL instead (cast semantics), documented deviation.
+  - AlpagasusSampleEvaluator (alpagasus_sample_evaluator.py:52-68 +
+    prompts/general_text.py:132-145): 0-5 quality score parsed from the FIRST
+    line's first token. Same NULL-not-crash deviation.
+  - Deita complexity/quality (deita_complexity_sample_evaluator.py:57-85,
+    deita_quality_sample_evaluator.py:59-87): first-generated-token logits at
+    the six digit tokens -> softmax -> dot [1..6]. The analog computes the six
+    class logits as EXACT int64 sums (256-bucket md5 token hashing dot the
+    shipped integer weights artifact, sft_eval_w.npz) over the reference's own
+    prompt template rendering, then takes the probability-weighted template
+    score with a BASE-2 softmax: with integer logits, every 2^(li-lmax) term
+    is an exact dyadic rational, so Spark, numpy, and DuckDB compute the
+    identical double and the stage is value-checked, not golden-only. (Base-2
+    is the reference's softmax at temperature 1/ln2 — a fixed monotone
+    reparameterization, same ranking, same [1,6] range.)
+  - RMSampleEvaluator (rm_sample_evaluator.py:45-56): sequence-classifier
+    scalar reward over the (instruction, response) pair — analog is the raw
+    integer logit of a loaded linear head over hashed features of
+    `instruction || ' [SEP] ' || response` (the two-segment tokenizer call at
+    :48), exact by construction.
+
+Stage shapes: the three LLM evaluators are serving_udf stages (Arrow-batched,
+NULL-masked, one backend per worker — ops/prompted.py); the two model
+evaluators share ONE mapInPandas pass loading sft_eval_w.npz once per worker
+(three heads, one Arrow boundary). At 10^12 rows every stage is a narrow
+per-row map — no shuffle, no driver state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops.prompted import ServingBackend, serving_udf
+
+# ---------------------------------------------------------------------------
+# Prompt templates — reproduced from the reference so md5(prompt) agrees
+# between the engine, the stub backend, and the DuckDB oracle.
+
+# instag_sample_evaluator.py:58-68 (vicuna-style conversation wrapper)
+INSTAG_PREFIX = (
+    "system: A chat between a curious user and an artificial intelligence "
+    "assistant. The assistant gives helpful, detailed, and polite answers to "
+    "the human's questions. user: Please identify tags of user intentions in "
+    "the following user query and provide an explanation for each tag. Please "
+    'respond in the JSON format {"tag": str, "explanation": str}.\n'
+    "User query: "
+)
+INSTAG_SUFFIX = " Assistant:"
+
+# prompts/general_text.py:161-174 (system + "\n" + user, treeinstruct_sample_
+# evaluator.py:53-55)
+TREE_PREFIX = (
+    "You are an instruction rewriter. You need to parse a given user "
+    "instruction into a TREE structure following Semantic Parsing in the "
+    "natural language processing field.\n"
+    "step-1: Parse the old instruction to a TREE-1 through Semantic Parsing. "
+    "Count and return the number of nodes in TREE-1.\n"
+    "Old instruction: "
+)
+TREE_SUFFIX = (
+    "\nPlease count and return the number of nodes in TREE-1. Output the "
+    "number in the single LAST line."
+)
+
+# prompts/general_text.py:135-145 (instruction/input/response triple + the
+# 0-5 first-line rating request)
+ALPAGASUS_P0 = (
+    "We would like to request your feedback on the performance of AI "
+    "assistant in response to the instruction and the given input displayed "
+    "following.\nInstruction: "
+)
+ALPAGASUS_P1 = "\nInput: "
+ALPAGASUS_P2 = "\nResponse: "
+ALPAGASUS_P3 = (
+    "\nPlease rate according to the quality of the response to the "
+    "instruction and the input. Each assistant receives a score on a scale "
+    "of 0 to 5, where a higher score indicates a higher level of the "
+    "quality. Please first output a single line containing the value "
+    "indicating the scores."
+)
+
+# deita_complexity_sample_evaluator.py:58-59
+DEITA_C_PREFIX = (
+    "You are a helpful assistant. Please identify the complexity score of "
+    "the following user query. \n##Query: "
+)
+DEITA_C_SUFFIX = "\n##Complexity: "
+# deita_quality_sample_evaluator.py:61-62
+DEITA_Q_P0 = (
+    "You are a helpful assistant. Please identify the quality score of the "
+    "Response corresponding to the Question.\n#Question#:\n"
+)
+DEITA_Q_P1 = "\n#Response#:\n"
+DEITA_Q_P2 = "\n##Quality: "
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stub backends. Each derives its response SHAPE from
+# md5(prompt) so (a) every parse branch of the reference is exercised and
+# (b) the DuckDB oracle can replay response construction + parse with the
+# same md5 arithmetic (the sql_consistency/mathverify battery pattern).
+
+
+def _md5_k(p: str, mod: int) -> tuple[str, int]:
+    import hashlib
+
+    h = hashlib.md5(p.encode("utf-8")).hexdigest()
+    return h, int(h[:8], 16) % mod
+
+
+class InstagStubServing(ServingBackend):
+    """k = md5%4: 0 -> non-JSON text (reference substitutes a Parsing-error
+    dict -> score 1); 1 -> a single JSON DICT (dict branch -> 1); 2,3 -> a
+    JSON list of k tag objects (list branch -> k)."""
+
+    def generate(self, prompts: pd.Series) -> pd.Series:
+        import json
+
+        def respond(p: str) -> str:
+            h, k = _md5_k(p, 4)
+            if k == 0:
+                return f"tags: none identified ({h[:6]})"
+            if k == 1:
+                return json.dumps(
+                    {"tag": f"intent-{h[:6]}", "explanation": "single intent"},
+                    separators=(", ", ": "),
+                )
+            return json.dumps(
+                [
+                    {"tag": f"tag-{h[:6]}-{i}", "explanation": f"intent {i}"}
+                    for i in range(1, k + 1)
+                ],
+                separators=(", ", ": "),
+            )
+
+        return prompts.map(respond)
+
+
+class TreeinstructStubServing(ServingBackend):
+    """k = md5%7: 0 -> unparsable last line (float() would raise in the
+    reference; the engine must emit NULL); else a two-line response whose
+    FIRST line carries a decoy number 99 — selecting the wrong line is a
+    visible value error."""
+
+    def generate(self, prompts: pd.Series) -> pd.Series:
+        def respond(p: str) -> str:
+            _, k = _md5_k(p, 7)
+            if k == 0:
+                return "step-1 failed: 99 markers unmatched\nno tree"
+            return f"step-1: parsed depth {k % 3 + 1} with 99 markers\n{k + 2} nodes"
+
+        return prompts.map(respond)
+
+
+class AlpagasusStubServing(ServingBackend):
+    """k = md5%7: 6 -> unparsable first line (NULL); else '<k%6> out of 5'
+    on the FIRST line with a decoy 77 on the explanation line."""
+
+    def generate(self, prompts: pd.Series) -> pd.Series:
+        def respond(p: str) -> str:
+            _, k = _md5_k(p, 7)
+            if k == 6:
+                return "poor response\n0 of 77 criteria met"
+            return f"{k % 6} out of 5\nExplanation: matched 77 criteria"
+
+        return prompts.map(respond)
+
+
+# ---------------------------------------------------------------------------
+# LLM evaluator stages
+
+
+def instag_evaluate(
+    df: DataFrame,
+    instruction_col: str = "instruction",
+    score_col: str = "instag_score",
+    tags_col: str = "tags_csv",
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    """InstagSampleEvaluator — tag-count diversity score + the tag list
+    (instag_sample_evaluator.py:102-124). The response parse is REAL
+    `from_json` over the serving output (not a shortcut on the stub's k):
+    list -> size, dict-with-content -> 1, valid-but-empty dict -> 0,
+    unparsable -> 1 (the reference's Parsing-error substitution, :95-99)."""
+    backend = backend or InstagStubServing()
+    prompt = F.concat(
+        F.lit(INSTAG_PREFIX), F.col(instruction_col).cast("string"), F.lit(INSTAG_SUFFIX)
+    )
+    out = df.withColumn("__resp", serving_udf(backend)(prompt))
+    resp = F.col("__resp")
+    # json.loads-equivalent dispatch: Spark's from_json is PERMISSIVE (it
+    # wraps a JSON object into a 1-element array under an array schema and
+    # returns an all-NULL struct for malformed input), so branch on the
+    # leading character + schemas that round-trip exactly: json_array_length
+    # counts elements of ANY valid JSON array (the reference's len(list),
+    # including non-object members), and map<string,string> distinguishes
+    # {} (empty map, ->0) from malformed (NULL, ->1 via the Parsing-error
+    # substitution). Known deviation: a bare JSON scalar response ('5') takes
+    # the parse-error branch (score 1) where json.loads would give 0.
+    n_arr = F.json_array_length(resp)
+    arr = F.from_json(resp, "array<struct<tag:string,explanation:string>>")
+    mp = F.from_json(resp, "map<string,string>")
+    is_list = F.startswith(F.ltrim(resp), F.lit("[")) & n_arr.isNotNull()
+    score = (
+        F.when(resp.isNull(), F.lit(None))  # no serving call happened
+        .when(is_list, n_arr)
+        .when(mp.isNotNull() & (F.size(mp) > 0), F.lit(1))
+        .when(mp.isNotNull(), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    tags = (
+        F.when(resp.isNull(), F.lit(None))
+        .when(
+            is_list,
+            F.when(
+                arr.isNotNull(), F.concat_ws(",", F.transform(arr, lambda x: x["tag"]))
+            ).otherwise(F.lit("")),
+        )
+        .when(mp.isNotNull(), F.coalesce(mp["tag"], F.lit("")))
+        .otherwise(F.lit("Parsing error"))
+    )
+    return (
+        out.withColumn(score_col, score.cast("int"))
+        .withColumn(tags_col, tags)
+        .drop("__resp")
+    )
+
+
+def _last_line_first_token(resp: Column) -> Column:
+    """treeinstruct_sample_evaluator.py:58-61 — strip, split lines, last line,
+    first whitespace token, float(); try_cast gives NULL where the
+    reference would raise ValueError (ANSI cast would also raise)."""
+    last = F.element_at(F.split(F.trim(resp), "\n"), -1)
+    return F.element_at(F.split(F.trim(last), r"\s+"), 1).try_cast("double")
+
+
+def _first_line_first_token(resp: Column) -> Column:
+    """alpagasus_sample_evaluator.py:64-66 — strip, FIRST line, first token."""
+    first = F.element_at(F.split(F.trim(resp), "\n"), 1)
+    return F.element_at(F.split(F.trim(first), r"\s+"), 1).try_cast("double")
+
+
+def treeinstruct_evaluate(
+    df: DataFrame,
+    instruction_col: str = "instruction",
+    score_col: str = "TreeinstructScore",
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    backend = backend or TreeinstructStubServing()
+    prompt = F.concat(
+        F.lit(TREE_PREFIX), F.col(instruction_col).cast("string"), F.lit(TREE_SUFFIX)
+    )
+    out = df.withColumn("__resp", serving_udf(backend)(prompt))
+    return out.withColumn(score_col, _last_line_first_token(F.col("__resp"))).drop("__resp")
+
+
+def alpagasus_evaluate(
+    df: DataFrame,
+    instruction_col: str = "instruction",
+    input_col: str = "input",
+    response_col: str = "response",
+    score_col: str = "AlpagasusScore",
+    backend: ServingBackend | None = None,
+) -> DataFrame:
+    backend = backend or AlpagasusStubServing()
+    prompt = F.concat(
+        F.lit(ALPAGASUS_P0),
+        F.col(instruction_col).cast("string"),
+        F.lit(ALPAGASUS_P1),
+        F.col(input_col).cast("string"),
+        F.lit(ALPAGASUS_P2),
+        F.col(response_col).cast("string"),
+        F.lit(ALPAGASUS_P3),
+    )
+    out = df.withColumn("__resp", serving_udf(backend)(prompt))
+    return out.withColumn(score_col, _first_line_first_token(F.col("__resp"))).drop("__resp")
+
+
+# ---------------------------------------------------------------------------
+# Model-backed heads: Deita complexity + quality and the RM reward scalar,
+# one artifact, one Arrow pass.
+
+_CLAMP = -40  # 2^-40 ~ 9e-13: below any weight's influence, exactly dyadic
+
+
+class SftEvalModel:
+    """Loaded-from-artifact three-head scorer (the HashedLogisticModel seam:
+    importlib.resources read so the artifact also loads from the --py-files
+    zip; cached per worker by models._load_model)."""
+
+    def __init__(self, path: str | None = None):
+        import io
+
+        import numpy as np
+
+        if path is None:
+            import importlib.resources as ir
+
+            raw = (ir.files("dataflow_spark") / "artifacts" / "sft_eval_w.npz").read_bytes()
+            data = np.load(io.BytesIO(raw))
+        else:
+            data = np.load(path)
+        self.wc = data["wc"]
+        self.wq = data["wq"]
+        self.bc = data["bc"]
+        self.bq = data["bq"]
+        self.wr = data["wr"]
+        self.br = int(data["br"])
+
+    @staticmethod
+    def _buckets(text: str) -> list[int]:
+        import hashlib
+        import re
+
+        toks = re.split(r"\s+", text.strip(" \t\n\r\f\v").lower(), flags=re.ASCII)
+        return [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:2], 16) for t in toks]
+
+    def _deita(self, text: str, w, b) -> float:
+        """Integer logits -> base-2 softmax -> dot [1..6]; exact dyadic."""
+        import numpy as np
+
+        counts = np.bincount(self._buckets(text), minlength=256).astype(np.int64)
+        logits = b + w @ counts  # int64[6]
+        sh = np.maximum(logits - logits.max(), _CLAMP).astype(np.float64)
+        p = np.exp2(sh)
+        return round(float((p * np.arange(1, 7)).sum() / p.sum()), 6)
+
+    def deita_complexity(self, instruction: str) -> float:
+        return self._deita(DEITA_C_PREFIX + instruction + DEITA_C_SUFFIX, self.wc, self.bc)
+
+    def deita_quality(self, instruction: str, response: str) -> float:
+        return self._deita(
+            DEITA_Q_P0 + instruction + DEITA_Q_P1 + response + DEITA_Q_P2,
+            self.wq,
+            self.bq,
+        )
+
+    def reward(self, instruction: str, response: str) -> int:
+        return self.br + int(self.wr[self._buckets(instruction + " [SEP] " + response)].sum())
+
+
+def sft_eval_scores(
+    df: DataFrame,
+    instruction_col: str = "instruction",
+    response_col: str = "response",
+    loader=SftEvalModel,
+    model_key: str = "sft_eval_w",
+) -> DataFrame:
+    """Appends deita_complexity, deita_quality (double, [1,6]) and reward_q
+    (long, raw integer logit) in ONE mapInPandas pass — the model-stage
+    archetype (ops/models.py) with three heads sharing a single artifact load
+    per worker. NULL in either input -> NULL scores for the pair heads; NULL
+    instruction -> NULL complexity."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from dataflow_spark.ops.models import _load_model
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("deita_complexity", DoubleType()),
+            StructField("deita_quality", DoubleType()),
+            StructField("reward_q", LongType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _load_model(loader, model_key)
+        for pdf in batches:
+            ins, rsp = pdf[instruction_col], pdf[response_col]
+            pdf["deita_complexity"] = [
+                None if i is None else model.deita_complexity(i) for i in ins
+            ]
+            pdf["deita_quality"] = [
+                None if (i is None or r is None) else model.deita_quality(i, r)
+                for i, r in zip(ins, rsp)
+            ]
+            pdf["reward_q"] = pd.array(
+                [
+                    None if (i is None or r is None) else model.reward(i, r)
+                    for i, r in zip(ins, rsp)
+                ],
+                dtype="Int64",
+            )
+            yield pdf
+
+    return df.mapInPandas(score, schema)

@@ -390,6 +390,47 @@ register(
     ),
 )
 register(
+    "instag_evaluate",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.sft_eval", fromlist=["x"]).instag_evaluate(
+            df, p.get("instruction_col", "instruction"))),
+        lambda p: [p.get("instruction_col", "instruction")],
+        lambda p: ["instag_score", "tags_csv"],
+    ),
+)
+register(
+    "treeinstruct_evaluate",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.sft_eval", fromlist=["x"]).treeinstruct_evaluate(
+            df, p.get("instruction_col", "instruction"))),
+        lambda p: [p.get("instruction_col", "instruction")],
+        lambda p: ["TreeinstructScore"],
+    ),
+)
+register(
+    "alpagasus_evaluate",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.sft_eval", fromlist=["x"]).alpagasus_evaluate(
+            df, p.get("instruction_col", "instruction"),
+            p.get("input_col", "input"), p.get("response_col", "response"))),
+        lambda p: [p.get("instruction_col", "instruction"),
+                   p.get("input_col", "input"),
+                   p.get("response_col", "response")],
+        lambda p: ["AlpagasusScore"],
+    ),
+)
+register(
+    "sft_eval_scores",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.sft_eval", fromlist=["x"]).sft_eval_scores(
+            df, p.get("instruction_col", "instruction"),
+            p.get("response_col", "response"))),
+        lambda p: [p.get("instruction_col", "instruction"),
+                   p.get("response_col", "response")],
+        lambda p: ["deita_complexity", "deita_quality", "reward_q"],
+    ),
+)
+register(
     "dedup_simhash",
     OpSpec(
         lambda **p: (lambda df: dedup.dedup_simhash(

@@ -1,0 +1,166 @@
+"""SFT instruction-quality evaluator family (ops/sft_eval.py): the Spark
+parses are checked against python twins that implement the REFERENCE kernels
+verbatim (json.loads fold, strip/split line parses, true softmax), and the
+Deita/RM heads against exact numpy recomputation with the shipped artifact."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dataflow_spark.ops import sft_eval as se
+
+
+def _ref_instag_fold(resp: str) -> tuple[int, bool]:
+    """instag_sample_evaluator.py:95-124 verbatim: (score, via_parse_error)."""
+    try:
+        out = json.loads(resp)
+    except json.JSONDecodeError:
+        out = {"tag": "Parsing error", "explanation": resp[:100]}
+    if isinstance(out, list):
+        return len(out), False
+    if isinstance(out, dict) and "tag" in out:
+        return 1, out.get("tag") == "Parsing error"
+    if isinstance(out, dict) and len(out) > 0:
+        return 1, False
+    return 0, False
+
+
+def _fixed_serving(mapping):
+    """Backend with canned responses. Defined via a LOCAL class so cloudpickle
+    ships it by value to executors (a test-module-level class is pickled by
+    reference and fails to import on workers)."""
+
+    class FixedServing(se.ServingBackend):
+        def generate(self, prompts: pd.Series) -> pd.Series:
+            return prompts.map(mapping)
+
+    return FixedServing()
+
+
+def test_instag_parse_matches_reference_fold(spark):
+    """Every json.loads shape the reference fold distinguishes (k-list,
+    dict-with-tag, dict-without-tag, empty dict, malformed) parses to the
+    same score through Spark's from_json dispatch."""
+    shapes = {
+        "two tags": '[{"tag": "a", "explanation": "x"}, {"tag": "b", "explanation": "y"}]',
+        "one tag": '[{"tag": "only", "explanation": "x"}]',
+        "dict": '{"tag": "d", "explanation": "x"}',
+        "dict no tag": '{"other": "z"}',
+        "empty dict": "{}",
+        "not json": "tags: none found",
+        "plain list": "[1, 2, 3]",
+    }
+    df = spark.createDataFrame([(k,) for k in shapes], "instruction string")
+    out = se.instag_evaluate(df, backend=_fixed_serving(
+        {se.INSTAG_PREFIX + k + se.INSTAG_SUFFIX: v for k, v in shapes.items()}
+    ))
+    got = {r["instruction"]: (r["instag_score"], r["tags_csv"]) for r in out.collect()}
+    for k, resp in shapes.items():
+        want, via_err = _ref_instag_fold(resp)
+        assert got[k][0] == want, (k, got[k], want)
+        if via_err:
+            assert got[k][1] == "Parsing error"
+    assert got["two tags"][1] == "a,b"
+    assert got["dict"][1] == "d"
+
+
+def test_line_parses_pin_line_selection(spark):
+    """Treeinstruct reads the LAST line's first token, Alpagasus the FIRST
+    line's — decoy numbers on the other line must not leak through; an
+    unparsable token is NULL (reference float() would raise)."""
+    df = spark.createDataFrame([("q", "i", "r")], "instruction string, input string, response string")
+    tree_resp = "step 1: found 99 markers\n7 nodes"
+    alp_resp = "4 out of 5\nExplanation: 77 criteria"
+    t_prompt = se.TREE_PREFIX + "q" + se.TREE_SUFFIX
+    a_prompt = (se.ALPAGASUS_P0 + "q" + se.ALPAGASUS_P1 + "i"
+                + se.ALPAGASUS_P2 + "r" + se.ALPAGASUS_P3)
+    out = se.treeinstruct_evaluate(df, backend=_fixed_serving({t_prompt: tree_resp}))
+    out = se.alpagasus_evaluate(out, backend=_fixed_serving({a_prompt: alp_resp}))
+    row = out.collect()[0]
+    # reference kernels, verbatim
+    assert row["TreeinstructScore"] == float(tree_resp.strip().split("\n")[-1].split()[0])
+    assert row["AlpagasusScore"] == float(alp_resp.strip().split("\n")[0].split()[0])
+
+    bad = se.treeinstruct_evaluate(
+        df, backend=_fixed_serving({t_prompt: "parse failed: 99\nno tree"})
+    ).collect()[0]
+    assert bad["TreeinstructScore"] is None
+
+
+def test_stub_backends_cover_every_branch():
+    """The md5-shaped stubs must emit at least one response per parse branch
+    over a modest prompt population (otherwise the oracle check is vacuous)."""
+    prompts = pd.Series([f"p{i}" for i in range(64)])
+    instag = se.InstagStubServing().generate(prompts)
+    kinds = {(_ref_instag_fold(r)) for r in instag}
+    assert any(err for _, err in kinds)  # parse-error branch
+    assert {s for s, _ in kinds} >= {1, 2, 3}
+    tree = se.TreeinstructStubServing().generate(prompts)
+    assert any(r.endswith("no tree") for r in tree)
+    assert any(not r.endswith("no tree") for r in tree)
+    alp = se.AlpagasusStubServing().generate(prompts)
+    assert any(r.startswith("poor") for r in alp)
+
+
+def test_deita_base2_softmax_matches_true_softmax_reparam():
+    """Base-2 softmax == reference softmax at temperature 1/ln2: recompute
+    deita_complexity with scipy-style exp softmax over logits*ln2 and compare
+    (float-tolerant; the base-2 path itself is exact)."""
+    m = se.SftEvalModel()
+    text = "Sort a list of numbers in python without using sort()"
+    got = m.deita_complexity(text)
+    counts = np.bincount(m._buckets(se.DEITA_C_PREFIX + text + se.DEITA_C_SUFFIX),
+                         minlength=256).astype(np.int64)
+    logits = (m.bc + m.wc @ counts).astype(np.float64) * np.log(2.0)
+    p = np.exp(logits - logits.max())
+    want = float((p / p.sum() * np.arange(1, 7)).sum())
+    assert abs(got - want) < 1e-6
+    assert 1.0 <= got <= 6.0
+
+
+def test_deita_rm_exact_recompute_and_artifact_load(spark):
+    """The mapInPandas stage reproduces a direct numpy recompute from the
+    artifact bit-for-bit, including NULL masking on either input."""
+    rows = [
+        (1, "Write a haiku about rain", "Rain falls on the roof"),
+        (2, "Explain TCP slow start", None),
+        (3, None, "orphan response"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, instruction string, response string")
+    got = {r["doc_id"]: r for r in se.sft_eval_scores(df).collect()}
+    m = se.SftEvalModel()
+    r1 = got[1]
+    assert r1["deita_complexity"] == m.deita_complexity(rows[0][1])
+    assert r1["deita_quality"] == m.deita_quality(rows[0][1], rows[0][2])
+    assert r1["reward_q"] == m.reward(rows[0][1], rows[0][2])
+    assert got[2]["deita_complexity"] is not None
+    assert got[2]["deita_quality"] is None and got[2]["reward_q"] is None
+    assert got[3]["deita_complexity"] is None
+
+
+def test_deita_exactness_is_dyadic():
+    """The base-2 probability terms are exact dyadics: recomputing the score
+    with Fraction arithmetic gives the same double before rounding."""
+    from fractions import Fraction
+
+    m = se.SftEvalModel()
+    text = "Translate 'good morning' to Japanese"
+    s = se.DEITA_C_PREFIX + text + se.DEITA_C_SUFFIX
+    counts = np.bincount(m._buckets(s), minlength=256).astype(np.int64)
+    logits = m.bc + m.wc @ counts
+    sh = np.maximum(logits - logits.max(), -40)
+    terms = [Fraction(1, 2 ** int(-x)) for x in sh]
+    want = float(sum((i + 1) * t for i, t in enumerate(terms)) / sum(terms))
+    assert m.deita_complexity(text) == round(want, 6)
+
+
+@pytest.mark.parametrize("op", ["instag_evaluate", "treeinstruct_evaluate",
+                                "alpagasus_evaluate", "sft_eval_scores"])
+def test_registry_entries(op):
+    from dataflow_spark.pipeline import OPERATOR_REGISTRY
+
+    assert op in OPERATOR_REGISTRY

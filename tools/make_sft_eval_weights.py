@@ -1,0 +1,38 @@
+"""Generate dataflow_spark/artifacts/sft_eval_w.npz — the integer weight
+artifact behind the Deita complexity/quality scorers and the RM reward head
+(ops/sft_eval.py).
+
+Weights are INTEGER on purpose: the Deita analog computes its class logits as
+exact int64 sums (hashed-token counts dot int weights), so the base-2
+softmax-weighted template score is exact dyadic-rational arithmetic that the
+DuckDB oracle reproduces bit-for-bit (see sft_eval.py docstring). A fixed
+seed makes the artifact reproducible; quality of the weights is irrelevant —
+the semantics under test is the probability-weighted-template stage of
+deita_complexity_sample_evaluator.py:57-85, not model accuracy (the real
+hkust-nlp scorer is a GPU Llama outside this sandbox).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.join(HERE, "..", "dataflow_spark", "artifacts", "sft_eval_w.npz")
+
+rng = np.random.RandomState(20260820)
+
+# Deita heads: 6 class logit rows (score tokens "1".."6") over 256 md5 buckets
+wc = rng.randint(-3, 4, size=(6, 256)).astype(np.int64)  # complexity head
+wq = rng.randint(-3, 4, size=(6, 256)).astype(np.int64)  # quality head
+bc = np.array([0, 1, 2, 3, 2, 1], dtype=np.int64)
+bq = np.array([1, 2, 3, 3, 2, 0], dtype=np.int64)
+
+# RM reward head: single linear row, raw integer logit out (the reference's
+# sequence-classifier emits one raw scalar, rm_sample_evaluator.py:50-53)
+wr = rng.randint(-5, 6, size=256).astype(np.int64)
+br = np.int64(7)
+
+np.savez(OUT, wc=wc, wq=wq, bc=bc, bq=bq, wr=wr, br=br)
+print(f"wrote {os.path.normpath(OUT)}")
