@@ -368,6 +368,37 @@ def _streaming_replay(spark, table_dir: str, n_turns: int) -> float:
     return dt
 
 
+def _streaming_eval(spark, table_dir: str) -> float:
+    """North-star LLM-operator-in-stream path: the same 8-trigger replay with
+    the model-score + InsTag serving stage applied per turn in-flight
+    (streaming/pipeline.py evaluator_stage) draining to the idempotent sink.
+    Measures the Arrow-UDF model-stage throughput inside micro-batches —
+    the per-worker model singleton loads once and serves all 8 triggers."""
+    import shutil
+    import tempfile
+
+    from dataflow_spark.streaming import pipeline as sp
+    from dataflow_spark.streaming.sink import IdempotentBatchSink
+
+    work = tempfile.mkdtemp(prefix="bench_seval_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    spark.read.parquet(table_dir).repartition(8).write.parquet(src)
+    sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+    staged = sp.evaluator_stage(sdf)
+    t0 = time.perf_counter()
+    with _state_partitions(spark):
+        q = (
+            staged.writeStream.foreachBatch(IdempotentBatchSink(out))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    dt = time.perf_counter() - t0
+    shutil.rmtree(work, ignore_errors=True)
+    return dt
+
+
 def _streaming_cep(spark, table_dir: str) -> float:
     """North-star CEP streaming path: the same 8-trigger replay through the
     three stateful complex-event stages — session reassembly
@@ -504,6 +535,8 @@ def run_default() -> None:
     timings["streaming_replay"] = round(stream_sec, 3)
     cep_sec = min(_streaming_cep(spark, table_dir) for _ in range(2))
     timings["streaming_cep"] = round(cep_sec, 3)
+    seval_sec = min(_streaming_eval(spark, table_dir) for _ in range(2))
+    timings["streaming_eval"] = round(seval_sec, 3)
 
     print(json.dumps({
         "metric": "headline query wall time (sum) + flagship e2e turns/sec",
@@ -516,6 +549,7 @@ def run_default() -> None:
         "flagship_turns_per_sec": round(n_turns / flagship_sec, 1),
         "streaming_turns_per_sec": round(n_turns / stream_sec, 1),
         "streaming_cep_turns_per_sec": round(n_turns / cep_sec, 1),
+        "streaming_eval_turns_per_sec": round(n_turns / seval_sec, 1),
     }))
     spark.stop()
 

@@ -42,6 +42,29 @@ def clean_stage(sdf: DataFrame) -> DataFrame:
     return filters.apply_quality_filter_udf(out)
 
 
+def evaluator_stage(sdf: DataFrame, backend=None) -> DataFrame:
+    """LLM-operator stage INSIDE the stream — the north star's core claim
+    ("each DataFlow operator becomes a vectorized pandas/Arrow UDF stage
+    inside readStream pipelines", BASELINE.json north_star): appends the
+    model-backed quality score (mapInPandas iterator, per-worker model
+    singleton — ops/models.py) and the InsTag tag-count diversity score
+    (serving pandas UDF + real from_json parse — ops/sft_eval.py) to every
+    turn in-flight.
+
+    Stateless per-row maps: no watermark or state store, micro-batch plans
+    reuse the same Arrow stages as batch, and replay is idempotent because
+    every output column is a pure function of the input row (stream == batch
+    equality + restart no-op pinned in tests/test_streaming.py). At 10^12
+    turns this is the shape model scoring must take — the model loads once
+    per executor python worker and streams Arrow batches; no shuffle, no
+    driver involvement."""
+    from dataflow_spark.ops.models import model_score_stage
+    from dataflow_spark.ops.sft_eval import instag_evaluate
+
+    out = model_score_stage(sdf, col="text", out="model_score")
+    return instag_evaluate(out, instruction_col="text", backend=backend)
+
+
 def dedup_stage(sdf: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup: watermark + dropDuplicatesWithinWatermark keyed
     on the text hash. State is bounded by the watermark horizon; at 10^12

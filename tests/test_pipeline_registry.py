@@ -161,3 +161,19 @@ def test_validate_config_schema_replacing_ops():
     # non-replacing ops still union
     out = validate_config([{"op": "remove_extra_spaces"}], cols)
     assert set(cols) <= set(out)
+
+
+def test_sft_scoring_card_runs_batch(spark):
+    """The shipped sft_scoring card (model score + InsTag over turn text)
+    validates and composes through the registry; the built pipeline appends
+    exactly the declared columns."""
+    from dataflow_spark.pipeline import build_pipeline, load_config, validate_config
+    from dataflow_spark.synth import synth_transcripts
+
+    cfg = load_config("jobs/configs/sft_scoring.json")
+    validate_config(cfg, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    df = synth_transcripts(spark, n_turns=200, n_convs=4, seed=5)
+    out = build_pipeline(cfg)(df)
+    rows = out.limit(5).collect()
+    assert {"model_score", "instag_score", "tags_csv"} <= set(out.columns)
+    assert all(r["instag_score"] is not None for r in rows)

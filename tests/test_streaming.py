@@ -963,3 +963,48 @@ def test_streaming_cep_null_role_matches_batch(spark, tmp_path):
     )
     b = W.detect_role_patterns(batch_df).filter(F.col("conv_id") == "A").first()
     assert (a["n_turns"], a["role_seq"]) == (b["n_turns"], b["role_seq"]) == (3, "ua")
+
+
+def test_evaluator_stage_stream_matches_batch_and_restart_noop(spark, tmp_path):
+    """LLM-operator stage in-stream (north-star claim): the model-score +
+    InsTag serving stage over a 4-trigger replay equals the batch twin on
+    every row, and a restart over the drained checkpoint adds nothing."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    df = synth_transcripts(spark, n_turns=800, n_convs=10, seed=21)
+    pdf = df.toPandas()
+    write_ordered_chunks([pdf.iloc[i::4].copy() for i in range(4)], src)
+
+    def run():
+        sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+        sink = IdempotentBatchSink(out)
+        q = (
+            sp.evaluator_stage(sdf)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sink
+
+    sink = run()
+    got = (
+        sink.read(spark)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        sp.evaluator_stage(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == len(pdf)
+    for c in ("model_score", "instag_score", "tags_csv"):
+        assert got[c].fillna("∅").tolist() == want[c].fillna("∅").tolist(), c
+
+    run()  # restart on the drained checkpoint: no new batches, no new rows
+    assert len(sink.read(spark).toPandas()) == len(pdf)
