@@ -218,3 +218,70 @@ class DedupAppendSink:
     def read(self, spark: SparkSession) -> DataFrame:
         df = spark.read.parquet(self.target_dir)
         return df.drop("__key") if not self.key_cols else df
+
+
+class DBMergeSink:
+    """Exactly-once streaming delivery into the DB document store (db.py —
+    the reference's MyScale/ClickHouse storage contract, storage.py:453-467):
+    every micro-batch is MERGE-upserted as one JSON document per row, keyed
+    by `key_cols`, via `INSERT OR REPLACE` on the table's PRIMARY KEY. A
+    checkpoint replay rewrites the identical documents (the doc is a pure
+    sorted-key JSON rendering of the row), so the table is bit-identical
+    under kill/restart — the MERGE-keyed exactly-once contract of sink.py
+    applied to the DB backend. Swapping DuckDB for ClickHouse JDBC changes
+    the connection, not the MERGE discipline (ClickHouse: ReplacingMergeTree
+    keyed on the same columns).
+
+    Like the reference's DB writes, batches ship driver-side as Arrow pages;
+    at 10^12 turns the distributed path is jdbc_write on a partitioned
+    cluster sink — this class is the exactly-once CONTRACT demonstrator."""
+
+    def __init__(self, db_path: str, keys: list[str], table: str = "dataflow_docs"):
+        self.db_path = db_path
+        self.keys = list(keys)
+        self.table = table
+
+    def _connect(self):
+        import duckdb
+
+        con = duckdb.connect(self.db_path)
+        con.execute(
+            f"CREATE TABLE IF NOT EXISTS {self.table} "
+            "(doc_key VARCHAR PRIMARY KEY, batch_id BIGINT, data VARCHAR)"
+        )
+        return con
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import json
+
+        pdf = batch_df.toPandas()
+        if len(pdf) == 0:
+            return
+        con = self._connect()
+        try:
+            rows = [
+                (
+                    "#".join(str(rec[k]) for k in self.keys),
+                    batch_id,
+                    json.dumps(rec, default=str, sort_keys=True),
+                )
+                for rec in pdf.to_dict(orient="records")
+            ]
+            con.executemany(
+                f"INSERT OR REPLACE INTO {self.table} VALUES (?, ?, ?)", rows
+            )
+        finally:
+            con.close()
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Parallelized read-back of the stored documents (doc_key, data)."""
+        import duckdb
+
+        con = duckdb.connect(self.db_path)
+        try:
+            pdf = con.execute(
+                f"SELECT doc_key, data FROM {self.table} ORDER BY doc_key"
+            ).df()
+        finally:
+            con.close()
+        return spark.createDataFrame(pdf)

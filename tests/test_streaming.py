@@ -1008,3 +1008,51 @@ def test_evaluator_stage_stream_matches_batch_and_restart_noop(spark, tmp_path):
 
     run()  # restart on the drained checkpoint: no new batches, no new rows
     assert len(sink.read(spark).toPandas()) == len(pdf)
+
+
+def test_db_merge_sink_exactly_once(spark, tmp_path):
+    """Streaming delivery into the DB document store (the reference's
+    MyScale write path) is exactly-once: (1) the drained stream's table
+    equals the batch twin's document set; (2) a crash-replay of an
+    already-committed batch changes nothing; (3) restart over the drained
+    checkpoint adds nothing."""
+    import json
+
+    from dataflow_spark.streaming.sink import DBMergeSink
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    db = str(tmp_path / "docs.duckdb")
+    df = synth_transcripts(spark, n_turns=600, n_convs=8, seed=31)
+    pdf = df.toPandas()
+    write_ordered_chunks([pdf.iloc[i::3].copy() for i in range(3)], src)
+    sink = DBMergeSink(db, keys=["conv_id", "turn_idx"])
+
+    def run():
+        sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            sdf.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    stored = sink.read(spark).toPandas()
+    assert len(stored) == len(pdf)
+    # per-turn text equality under stable key ordering (the north-rule
+    # invariant): every stored doc's text equals the source row's
+    texts = {r["doc_key"]: json.loads(r["data"])["text"] for _, r in stored.iterrows()}
+    for _, r in pdf.iterrows():
+        k = f"{r['conv_id']}#{r['turn_idx']}"
+        assert texts[k] == r["text"]
+
+    # crash replay: re-apply batch 0's data under its original batch_id
+    sink(spark.createDataFrame(pdf.iloc[0::3]), 0)
+    again = sink.read(spark).toPandas()
+    assert len(again) == len(pdf)
+    assert sorted(again["data"].tolist()) == sorted(stored["data"].tolist())
+
+    run()  # restart on drained checkpoint: no-op
+    assert len(sink.read(spark).toPandas()) == len(pdf)
