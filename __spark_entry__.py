@@ -6989,7 +6989,11 @@ def oracle_sql() -> dict[str, str]:
         ]
         num = " + ".join(f"{i+1} * {p}" for i, p in enumerate(ps))
         den = " + ".join(ps)
-        return f"round(({num}) / ({den}), 6)"
+        # floor(x*1e6)/1e6, not round(,6): Python rounds half-to-even and
+        # DuckDB half-away, and the all-dyadic score makes exact 7-digit
+        # halfway values reachable; floor of the identical IEEE product is
+        # engine-portable
+        return f"floor((({num}) / ({den})) * 1000000) / 1000000"
 
     _lsum = lambda w, b: ", ".join(  # noqa: E731
         f"CAST({int(b[i])} + sum({w}{i+1}) AS BIGINT) AS l{i+1}" for i in range(6)

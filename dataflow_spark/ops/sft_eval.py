@@ -217,7 +217,12 @@ def instag_evaluate(
     n_arr = F.json_array_length(resp)
     arr = F.from_json(resp, "array<struct<tag:string,explanation:string>>")
     mp = F.from_json(resp, "map<string,string>")
-    is_list = F.startswith(F.ltrim(resp), F.lit("[")) & n_arr.isNotNull()
+    # strip ALL leading whitespace (json.loads does) — F.ltrim is space-only,
+    # so a '\n['-prefixed array response would misroute to the error branch
+    is_list = (
+        F.startswith(F.regexp_replace(resp, r"^\s+", ""), F.lit("["))
+        & n_arr.isNotNull()
+    )
     score = (
         F.when(resp.isNull(), F.lit(None))  # no serving call happened
         .when(is_list, n_arr)
@@ -243,18 +248,26 @@ def instag_evaluate(
     )
 
 
+def _strip_ws(col: Column) -> Column:
+    """Python str.strip() twin — F.trim strips ASCII SPACE only, so a
+    response with a trailing newline (the typical LLM generation shape)
+    would mis-parse; Java \\s here covers the reference kernel's whitespace
+    (review round 3)."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def _last_line_first_token(resp: Column) -> Column:
     """treeinstruct_sample_evaluator.py:58-61 — strip, split lines, last line,
     first whitespace token, float(); try_cast gives NULL where the
     reference would raise ValueError (ANSI cast would also raise)."""
-    last = F.element_at(F.split(F.trim(resp), "\n"), -1)
-    return F.element_at(F.split(F.trim(last), r"\s+"), 1).try_cast("double")
+    last = F.element_at(F.split(_strip_ws(resp), "\n"), -1)
+    return F.element_at(F.split(_strip_ws(last), r"\s+"), 1).try_cast("double")
 
 
 def _first_line_first_token(resp: Column) -> Column:
     """alpagasus_sample_evaluator.py:64-66 — strip, FIRST line, first token."""
-    first = F.element_at(F.split(F.trim(resp), "\n"), 1)
-    return F.element_at(F.split(F.trim(first), r"\s+"), 1).try_cast("double")
+    first = F.element_at(F.split(_strip_ws(resp), "\n"), 1)
+    return F.element_at(F.split(_strip_ws(first), r"\s+"), 1).try_cast("double")
 
 
 def treeinstruct_evaluate(
@@ -329,18 +342,31 @@ class SftEvalModel:
         import hashlib
         import re
 
-        toks = re.split(r"\s+", text.strip(" \t\n\r\f\v").lower(), flags=re.ASCII)
+        # split class is RE2's \s ([ \t\n\f\r] — NO \x0b) so the DuckDB
+        # oracle's regexp_split '\s+' tokenizes identically; Python re.ASCII
+        # \s would also split on vertical tab and diverge (review round 3).
+        # The strip set keeps \v to match the oracle's trim(chr(11)) set.
+        toks = re.split(r"[ \t\n\f\r]+", text.strip(" \t\n\r\f\v").lower())
         return [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:2], 16) for t in toks]
 
     def _deita(self, text: str, w, b) -> float:
-        """Integer logits -> base-2 softmax -> dot [1..6]; exact dyadic."""
+        """Integer logits -> base-2 softmax -> dot [1..6]; exact dyadic.
+
+        6-decimal truncation via floor(x*1e6)/1e6, NOT round(x, 6): the
+        all-dyadic design makes exact 7-digit halfway values reachable
+        (e.g. 3 + 1/128 = 3.0078125), where Python rounds half-to-even and
+        DuckDB half-away — floor of the identical IEEE product is the same
+        in every engine (review round 3)."""
+        import math
+
         import numpy as np
 
         counts = np.bincount(self._buckets(text), minlength=256).astype(np.int64)
         logits = b + w @ counts  # int64[6]
         sh = np.maximum(logits - logits.max(), _CLAMP).astype(np.float64)
         p = np.exp2(sh)
-        return round(float((p * np.arange(1, 7)).sum() / p.sum()), 6)
+        v = float((p * np.arange(1, 7)).sum() / p.sum())
+        return math.floor(v * 1e6) / 1e6
 
     def deita_complexity(self, instruction: str) -> float:
         return self._deita(DEITA_C_PREFIX + instruction + DEITA_C_SUFFIX, self.wc, self.bc)

@@ -258,13 +258,19 @@ class DBMergeSink:
         if len(pdf) == 0:
             return
         con = self._connect()
+
+        def key_of(rec) -> str:
+            # escape the joiner so distinct key tuples can never render to
+            # the same doc_key ('a#1'+'2' vs 'a'+'1#2' — an unescaped join
+            # would silently REPLACE one row with the other, review round 3)
+            return "#".join(
+                str(rec[k]).replace("\\", "\\\\").replace("#", "\\#")
+                for k in self.keys
+            )
+
         try:
             rows = [
-                (
-                    "#".join(str(rec[k]) for k in self.keys),
-                    batch_id,
-                    json.dumps(rec, default=str, sort_keys=True),
-                )
+                (key_of(rec), batch_id, json.dumps(rec, default=str, sort_keys=True))
                 for rec in pdf.to_dict(orient="records")
             ]
             con.executemany(
@@ -284,4 +290,6 @@ class DBMergeSink:
             ).df()
         finally:
             con.close()
-        return spark.createDataFrame(pdf)
+        # explicit schema: an all-empty table yields a 0-row object-dtype
+        # frame that createDataFrame cannot infer a schema from
+        return spark.createDataFrame(pdf, schema="doc_key string, data string")

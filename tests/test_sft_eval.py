@@ -155,7 +155,9 @@ def test_deita_exactness_is_dyadic():
     sh = np.maximum(logits - logits.max(), -40)
     terms = [Fraction(1, 2 ** int(-x)) for x in sh]
     want = float(sum((i + 1) * t for i, t in enumerate(terms)) / sum(terms))
-    assert m.deita_complexity(text) == round(want, 6)
+    import math
+
+    assert m.deita_complexity(text) == math.floor(want * 1e6) / 1e6
 
 
 @pytest.mark.parametrize("op", ["instag_evaluate", "treeinstruct_evaluate",
@@ -164,3 +166,53 @@ def test_registry_entries(op):
     from dataflow_spark.pipeline import OPERATOR_REGISTRY
 
     assert op in OPERATOR_REGISTRY
+
+
+def test_line_parses_handle_surrounding_whitespace(spark):
+    """A trailing newline / leading whitespace (the typical LLM generation
+    shape) must not null out the parse — the reference kernel .strip()s all
+    whitespace before splitting (review round 3)."""
+    df = spark.createDataFrame([("q", "i", "r")], "instruction string, input string, response string")
+    t_prompt = se.TREE_PREFIX + "q" + se.TREE_SUFFIX
+    a_prompt = (se.ALPAGASUS_P0 + "q" + se.ALPAGASUS_P1 + "i"
+                + se.ALPAGASUS_P2 + "r" + se.ALPAGASUS_P3)
+    tree_resp = "found 99 markers\n\t7 nodes\n"
+    alp_resp = "\n4 out of 5\nnote: 77\n"
+    out = se.treeinstruct_evaluate(df, backend=_fixed_serving({t_prompt: tree_resp}))
+    out = se.alpagasus_evaluate(out, backend=_fixed_serving({a_prompt: alp_resp}))
+    row = out.collect()[0]
+    assert row["TreeinstructScore"] == float(tree_resp.strip().split("\n")[-1].split()[0])
+    assert row["AlpagasusScore"] == float(alp_resp.strip().split("\n")[0].split()[0])
+
+
+def test_instag_leading_whitespace_array(spark):
+    """json.loads skips leading whitespace before '[' — so must the list
+    dispatch (review round 3)."""
+    resp = '\n [{"tag": "a", "explanation": "x"}, {"tag": "b", "explanation": "y"}]'
+    df = spark.createDataFrame([("q",)], "instruction string")
+    out = se.instag_evaluate(
+        df, backend=_fixed_serving({se.INSTAG_PREFIX + "q" + se.INSTAG_SUFFIX: resp})
+    ).collect()[0]
+    assert out["instag_score"] == 2
+    assert out["tags_csv"] == "a,b"
+
+
+def test_db_merge_sink_key_escaping(spark, tmp_path):
+    """Distinct key tuples whose rendered values contain '#' must not
+    collide into one PRIMARY KEY (review round 3)."""
+    from dataflow_spark.streaming.sink import DBMergeSink
+
+    db = str(tmp_path / "esc.duckdb")
+    sink = DBMergeSink(db, keys=["conv_id", "turn_idx"])
+    df = spark.createDataFrame(
+        [("a#1", "2", "x"), ("a", "1#2", "y")],
+        "conv_id string, turn_idx string, text string",
+    )
+    sink(df, 0)
+    stored = sink.read(spark).toPandas()
+    assert len(stored) == 2
+
+    # empty-table read returns an empty typed frame, not an inference error
+    empty = DBMergeSink(str(tmp_path / "empty.duckdb"), keys=["conv_id"])
+    empty._connect().close()
+    assert empty.read(spark).count() == 0
