@@ -286,3 +286,90 @@ def test_script_profile_count_invariants(spark, texts):
             assert all(c == 0 for c in counts)
         else:
             assert r[f"c_{r['dominant']}"] == max(counts) > 0
+
+
+# --- SFT evaluator parse equivalence (ops/sft_eval.py vs reference kernels) --
+
+RESP_TEXT = st.text(
+    alphabet=list("abcdefABC0123456789 .+-\n\t:{}[]\"',"),
+    min_size=0,
+    max_size=40,
+)
+JSON_VAL = st.recursive(
+    st.one_of(
+        st.none(),
+        st.integers(-99, 99),
+        st.text(alphabet=list("abc "), max_size=6),
+    ),
+    lambda c: st.one_of(
+        st.lists(c, max_size=4),
+        st.dictionaries(st.sampled_from(["tag", "explanation", "x"]), c, max_size=3),
+    ),
+    max_leaves=6,
+)
+
+
+def _ref_line_parse(resp: str, line: int):
+    """treeinstruct/alpagasus kernel: strip, split lines, line [-1 or 0],
+    first token, float(); any raise -> None (the engine's documented
+    NULL-not-crash)."""
+    try:
+        return float(resp.strip().split("\n")[line].split()[0])
+    except (ValueError, IndexError, OverflowError):
+        return None
+
+
+def _py_floatable(tok: str) -> bool:
+    """Python float() accepts forms Spark's cast does not ('1_0', unicode
+    digits); the generated alphabet avoids them except underscores."""
+    return "_" not in tok
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(resps=st.lists(st.one_of(RESP_TEXT, JSON_VAL.map(lambda v: __import__("json").dumps(v))), min_size=1, max_size=20))
+def test_sft_parse_kernels_match_reference_on_arbitrary_responses(spark, resps):
+    """For arbitrary response strings (random text + rendered JSON), the
+    Spark-side parses equal the reference python kernels: tree = last-line
+    first-token float, alpagasus = first-line first-token float, instag =
+    the json.loads fold (skipping the documented bare-scalar deviation)."""
+    import json as _json
+
+    from dataflow_spark.ops import sft_eval as se
+
+    df = spark.createDataFrame([(r,) for r in resps], "resp string")
+    out = df.select(
+        "resp",
+        se._last_line_first_token(F.col("resp")).alias("tree"),
+        se._first_line_first_token(F.col("resp")).alias("alp"),
+    ).collect()
+    for row in out:
+        r = row["resp"]
+        assert row["tree"] == _ref_line_parse(r, -1), ("tree", repr(r))
+        assert row["alp"] == _ref_line_parse(r, 0), ("alp", repr(r))
+
+    # instag: run the real operator with a backend that echoes the response
+    idx = {f"p{i}": r for i, r in enumerate(resps)}
+    from dataflow_spark.ops.sft_eval import INSTAG_PREFIX, INSTAG_SUFFIX
+
+    class Echo(se.ServingBackend):
+        def generate(self, prompts):
+            return prompts.map(
+                lambda p: idx[p[len(INSTAG_PREFIX):-len(INSTAG_SUFFIX)]]
+            )
+
+    dfi = spark.createDataFrame([(k,) for k in idx], "instruction string")
+    got = {
+        row["instruction"]: row["instag_score"]
+        for row in se.instag_evaluate(dfi, backend=Echo()).collect()
+    }
+    for k, r in idx.items():
+        try:
+            parsed = _json.loads(r)
+            if not isinstance(parsed, (list, dict)):
+                continue  # documented deviation: bare JSON scalar -> 1 vs 0
+            want = len(parsed) if isinstance(parsed, list) else (
+                1 if ("tag" in parsed or len(parsed) > 0) else 0
+            )
+        except (ValueError, RecursionError):
+            want = 1  # Parsing-error substitution
+        assert got[k] == want, ("instag", repr(r))
