@@ -2402,6 +2402,27 @@ def q_deita_rm(spark, sf):
     )
 
 
+def q_qurating(spark, sf):
+    """QuratingSampleEvaluator + QuratingFilter — FOUR labeled quality
+    dimensions from one model pass (qurating_sample_evaluator.py:14,71-88)
+    and the per-label [min,max] band conjunction (qurating_filter.py:65-84),
+    exposed as a keep flag so both halves are value-checked. Integer linear
+    heads from the shipped sft_eval_w.npz — exact; oracle embeds the same
+    weights."""
+    from dataflow_spark.ops import sft_eval
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    scored = sft_eval.qurating_scores(d)
+    # non-trivial band: educational_value >= 0 AND writing_style <= 200 —
+    # drops a real fraction of rows, so the filter half is value-checked too
+    kept = sft_eval.qurating_band_filter(
+        scored,
+        min_scores={"educational_value": 0, "writing_style": -10_000},
+        max_scores={"educational_value": 10_000, "writing_style": 200},
+    )
+    return kept.select("doc_id", *sft_eval.QURATING_LABELS)
+
+
 def q_mlp_score(spark, sf):
     """The SAME model stage with REAL loaded-from-file weights: a 256-bucket
     feature-hashed logistic regression trained by tools/train_tiny_model.py
@@ -2755,7 +2776,7 @@ def q_multihop_qa(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 67 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 68 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -3039,6 +3060,10 @@ def q_score_battery(spark, sf):
                       _kcat("doc_id"), ["reward_q"],
                       s1=F.col("deita_complexity"),
                       s2=F.col("deita_quality")),
+        _battery_pack(q_qurating(spark, sf), "qurating",
+                      _kcat("doc_id"),
+                      ["writing_style", "required_expertise",
+                       "facts_and_trivia", "educational_value"]),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -7031,6 +7056,41 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN lr ON t.doc_id = lr.doc_id
     """
 
+    # qurating: the four labeled integer heads + the band-filter WHERE —
+    # same weights table idea as deita_rm, raw text (no template)
+    _q4_rows = ", ".join(
+        "(" + ", ".join(
+            [str(b)] + [str(int(_sw["wqr"][i][b])) for i in range(4)]
+        ) + ")"
+        for b in range(256)
+    )
+    _q4_sums = ", ".join(
+        f"CAST({int(_sw['bqr'][i])} + sum(q{i+1}) AS BIGINT) AS {lbl}"
+        for i, lbl in enumerate(
+            ["writing_style", "required_expertise", "facts_and_trivia",
+             "educational_value"]
+        )
+    )
+    o["qurating"] = f"""
+        WITH wt4 AS (SELECT * FROM (VALUES {_q4_rows})
+                     AS t(bucket, q1, q2, q3, q4)),
+        tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(
+                   trim(lower(text), {_WS_TRIM}), '\\s+')) AS tok
+          FROM documents
+        ),
+        sc AS (
+          SELECT doc_id, {_q4_sums}
+          FROM tok JOIN wt4 ON ('0x' || substr(md5(tok), 1, 2))::INT = bucket
+          GROUP BY doc_id
+        )
+        SELECT doc_id, writing_style, required_expertise, facts_and_trivia,
+               educational_value
+        FROM sc
+        WHERE educational_value BETWEEN 0 AND 10000
+          AND writing_style BETWEEN -10000 AND 200
+    """
+
     o["score_battery"] = " UNION ALL ".join([
         _pack_sql("pii_safety", o["pii_safety"],
                   _kcat_sql("conv_id", "turn_idx"),
@@ -7201,6 +7261,9 @@ def oracle_sql() -> dict[str, str]:
                   s1="TreeinstructScore", s2="AlpagasusScore"),
         _pack_sql("deita_rm", o["deita_rm"], _kcat_sql("doc_id"),
                   ["reward_q"], s1="deita_complexity", s2="deita_quality"),
+        _pack_sql("qurating", o["qurating"], _kcat_sql("doc_id"),
+                  ["writing_style", "required_expertise",
+                   "facts_and_trivia", "educational_value"]),
     ])
 
     _dim_sql = ", ".join(
@@ -7235,7 +7298,7 @@ def oracle_sql() -> dict[str, str]:
         "smiles_eval", "reasoning_judge", "reasoning_dataset", "pipeline_root",
         "code_instr_loop", "prompted_thin", "t2s_qgen_cot",
         "file_type_filter", "doc2qa_eval", "superfiltering", "sql_compare",
-        "instag", "llm_judge", "deita_rm",
+        "instag", "llm_judge", "deita_rm", "qurating",
     ):
         del o[_member]
 

@@ -336,6 +336,8 @@ class SftEvalModel:
         self.bq = data["bq"]
         self.wr = data["wr"]
         self.br = int(data["br"])
+        self.wqr = data["wqr"]
+        self.bqr = data["bqr"]
 
     @staticmethod
     def _buckets(text: str) -> list[int]:
@@ -380,6 +382,15 @@ class SftEvalModel:
 
     def reward(self, instruction: str, response: str) -> int:
         return self.br + int(self.wr[self._buckets(instruction + " [SEP] " + response)].sum())
+
+    def qurating(self, text: str) -> list[int]:
+        """Four labeled integer logits over raw text (QuRater's per-dimension
+        head outputs, qurating_sample_evaluator.py:71-88; raw fixed-point
+        analog of the model's float logits)."""
+        import numpy as np
+
+        counts = np.bincount(self._buckets(text), minlength=256).astype(np.int64)
+        return [int(v) for v in (self.bqr + self.wqr @ counts)]
 
 
 def sft_eval_scores(
@@ -428,3 +439,61 @@ def sft_eval_scores(
             yield pdf
 
     return df.mapInPandas(score, schema)
+
+
+QURATING_LABELS = [
+    "writing_style",
+    "required_expertise",
+    "facts_and_trivia",
+    "educational_value",
+]
+
+
+def qurating_scores(
+    df: DataFrame,
+    col: str = "text",
+    loader=SftEvalModel,
+    model_key: str = "sft_eval_w",
+) -> DataFrame:
+    """QuratingSampleEvaluator — FOUR labeled quality dimensions from ONE
+    model pass (qurating_sample_evaluator.py:14,71-88: the QuRater-1.3B
+    annotator emits all four heads per sequence; column per label). Analog:
+    four integer linear heads over hashed features, one mapInPandas pass,
+    weights from the shipped sft_eval_w.npz — exact by construction, so all
+    four dimensions are value-checkable in SQL."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from dataflow_spark.ops.models import _load_model
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(lbl, LongType()) for lbl in QURATING_LABELS]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _load_model(loader, model_key)
+        for pdf in batches:
+            cols = {lbl: [] for lbl in QURATING_LABELS}
+            for t in pdf[col]:
+                vals = [None] * 4 if t is None else model.qurating(t)
+                for lbl, v in zip(QURATING_LABELS, vals):
+                    cols[lbl].append(v)
+            for lbl in QURATING_LABELS:
+                pdf[lbl] = pd.array(cols[lbl], dtype="Int64")
+            yield pdf
+
+    return df.mapInPandas(score, schema)
+
+
+def qurating_band_filter(
+    df: DataFrame,
+    min_scores: dict[str, int],
+    max_scores: dict[str, int],
+) -> DataFrame:
+    """QuratingFilter (qurating_filter.py:65-84): keep rows where EVERY
+    labeled dimension sits inside its [min, max] band — the per-label
+    `(df[label] >= lo) & (df[label] <= hi)` conjunction."""
+    cond = F.lit(True)
+    for lbl, lo in min_scores.items():
+        cond = cond & F.col(lbl).between(F.lit(lo), F.lit(max_scores[lbl]))
+    return df.filter(cond)

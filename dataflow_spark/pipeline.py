@@ -431,6 +431,25 @@ register(
     ),
 )
 register(
+    "qurating_scores",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.sft_eval", fromlist=["x"]).qurating_scores(
+            df, p.get("col", "text"))),
+        _TEXT_IN,
+        lambda p: list(__import__("dataflow_spark.ops.sft_eval", fromlist=["x"]).QURATING_LABELS),
+    ),
+)
+register(
+    "qurating_band_filter",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.sft_eval", fromlist=["x"]).qurating_band_filter(
+            df, p["min_scores"], p["max_scores"])),
+        lambda p: list(p["min_scores"].keys()),
+        _NO_NEW,
+        drops_rows=True,
+    ),
+)
+register(
     "dedup_simhash",
     OpSpec(
         lambda **p: (lambda df: dedup.dedup_simhash(

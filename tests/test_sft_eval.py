@@ -216,3 +216,41 @@ def test_db_merge_sink_key_escaping(spark, tmp_path):
     empty = DBMergeSink(str(tmp_path / "empty.duckdb"), keys=["conv_id"])
     empty._connect().close()
     assert empty.read(spark).count() == 0
+
+
+def test_qurating_four_heads_exact_and_band_filter(spark):
+    """qurating_scores reproduces the direct numpy recompute for all four
+    labeled dims from the shipped artifact; the band filter keeps exactly the
+    rows inside every [min,max]."""
+    from dataflow_spark.ops.sft_eval import (
+        QURATING_LABELS,
+        SftEvalModel,
+        qurating_band_filter,
+        qurating_scores,
+    )
+
+    rows = [(1, "An essay on thermodynamics"), (2, "buy now click here"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in qurating_scores(df).collect()}
+    m = SftEvalModel()
+    for doc_id, text in rows:
+        if text is None:
+            assert all(got[doc_id][lbl] is None for lbl in QURATING_LABELS)
+        else:
+            want = m.qurating(text)
+            assert [got[doc_id][lbl] for lbl in QURATING_LABELS] == want
+
+    scored = qurating_scores(df.filter("text is not null"))
+    w1 = {r["doc_id"]: r["writing_style"] for r in scored.collect()}
+    cut = sorted(w1.values())[0]  # band excludes the lower of the two
+    kept = qurating_band_filter(
+        scored,
+        min_scores={"writing_style": cut + 1},
+        max_scores={"writing_style": 10**6},
+    ).collect()
+    assert [r["doc_id"] for r in kept] == [d for d, v in w1.items() if v > cut]
+
+    from dataflow_spark.pipeline import OPERATOR_REGISTRY
+
+    assert "qurating_scores" in OPERATOR_REGISTRY
+    assert "qurating_band_filter" in OPERATOR_REGISTRY

@@ -34,5 +34,11 @@ bq = np.array([1, 2, 3, 3, 2, 0], dtype=np.int64)
 wr = rng.randint(-5, 6, size=256).astype(np.int64)
 br = np.int64(7)
 
-np.savez(OUT, wc=wc, wq=wq, bc=bc, bq=bq, wr=wr, br=br)
+# Qurating heads: 4 labeled linear rows (writing_style, required_expertise,
+# facts_and_trivia, educational_value — qurating_sample_evaluator.py:14);
+# drawn AFTER the arrays above so regenerating leaves them bit-identical
+wqr = rng.randint(-4, 5, size=(4, 256)).astype(np.int64)
+bqr = np.array([2, -1, 0, 3], dtype=np.int64)
+
+np.savez(OUT, wc=wc, wq=wq, bc=bc, bq=bq, wr=wr, br=br, wqr=wqr, bqr=bqr)
 print(f"wrote {os.path.normpath(OUT)}")
