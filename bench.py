@@ -311,6 +311,108 @@ def run_scaling() -> None:
     }))
 
 
+def run_streaming_only(rep: int) -> None:
+    """One streaming-scaling leg: drain the replicated transcript table
+    through the north-star streaming pipeline (readStream 8 triggers →
+    clean → watermark dedup → windowed agg → idempotent sink) on the
+    cluster size given by SPARK_GRAFT_EXECUTORS. Identical job at every
+    size: same 8 source files, same state-partition count (8 — pinned at
+    the first checkpoint, sized to load like a real deployment), same
+    shuffle partitioning. Timed drains use a FRESH checkpoint + sink (state
+    store setup is part of every real run); best-of-2 after one warm-up
+    drain for JIT/codegen."""
+    import shutil
+    import tempfile
+
+    from dataflow_spark.session import get_spark
+    from dataflow_spark.streaming import pipeline as sp
+    from dataflow_spark.streaming.sink import IdempotentBatchSink
+    from dataflow_spark.tables import load_table
+
+    n_exec = os.environ.get("SPARK_GRAFT_EXECUTORS")
+    _conf = {
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "50000",
+        "spark.sql.files.maxPartitionBytes": "16m",
+        "spark.sql.files.openCostInBytes": "16777216",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        "spark.local.dir": "/dev/shm/spark-local",
+    }
+    if n_exec:
+        spark = get_spark("bench-sstream", shuffle_partitions=8, executors=int(n_exec),
+                          extra_conf=_conf)
+    else:
+        spark = get_spark("bench-sstream", cores=CPUS, shuffle_partitions=8,
+                          extra_conf=_conf)
+    n_turns = load_table(spark, SF_DIR, "events").count() * rep
+    os.makedirs("/dev/shm/bench-input", exist_ok=True)
+    work = tempfile.mkdtemp(prefix="sstream_", dir="/dev/shm/bench-input")
+    _prepare_input(spark, SF_DIR, rep, f"{work}/table")
+    # 64 source files, 8 per trigger: a single file per trigger (~6MB after
+    # dictionary encoding) makes every micro-batch's scan+clean chain ONE
+    # task — the whole replay serializes and efficiency collapses to ~0.3
+    # regardless of executors (measured). 8 files/trigger gives each
+    # micro-batch 8-way scan parallelism at EVERY cluster size, like the
+    # many-file Iceberg snapshots a real stream reads.
+    spark.read.parquet(f"{work}/table").repartition(64).write.parquet(f"{work}/src")
+
+    def drain(tag: str) -> float:
+        sdf = sp.read_transcript_stream(spark, f"{work}/src", max_files_per_trigger=8)
+        staged = sp.window_quality_stage(sp.dedup_stage(sp.clean_stage(sdf)), watermark=None)
+        t0 = time.perf_counter()
+        q = (
+            staged.writeStream.foreachBatch(IdempotentBatchSink(f"{work}/out_{tag}"))
+            .option("checkpointLocation", f"{work}/ck_{tag}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return time.perf_counter() - t0
+
+    drain("warm")
+    best = min(drain("t1"), drain("t2"))
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({"executors": n_exec, "cores": CPUS if not n_exec else None,
+                      "sec": round(best, 3), "turns": n_turns,
+                      "turns_per_sec": round(n_turns / best, 1)}))
+    spark.stop()
+
+
+def run_streaming_scaling() -> None:
+    """North-rule criterion measured on the STREAMING engine itself: the
+    same 8-trigger replay at N=1 vs 4N=4 separate executor JVMs (see
+    run_scaling for why separate JVMs, not local[N])."""
+    rep = int(os.environ.get("SPARK_GRAFT_SSCALE_REP", "10"))
+    out = {}
+    for n_exec in (1, 4):
+        env = dict(os.environ, SPARK_GRAFT_EXECUTORS=str(n_exec))
+        r = subprocess.run(
+            [sys.executable, __file__, "--streaming-only", str(rep)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        with open(f"/tmp/sscaling_leg{n_exec}.err", "w") as fh:
+            fh.write(r.stderr)
+        lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
+        if not lines:
+            sys.stderr.write(
+                f"--streaming-only (executors={n_exec}) produced no JSON "
+                f"(exit={r.returncode}); last stderr:\n"
+                + "\n".join(r.stderr.strip().splitlines()[-30:]) + "\n"
+            )
+            raise SystemExit(1)
+        out[n_exec] = json.loads(lines[-1])
+    eff = (out[4]["turns_per_sec"] / out[1]["turns_per_sec"]) / 4.0
+    print(json.dumps({
+        "metric": "streaming replay turns/sec scaling N=1 -> 4N=4 executors (2 cores each)",
+        "sf": _sf_of(SF_DIR),
+        "rep": rep,
+        "turns": out[4]["turns"],
+        "n1": out[1], "n4": out[4],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+    }))
+
+
 class _state_partitions:
     """Size the stateful-operator partition count to the streaming load.
 
@@ -560,5 +662,10 @@ if __name__ == "__main__":
         run_flagship_only(int(sys.argv[2]) if len(sys.argv) > 2 else 1)
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         run_scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--streaming-only":
+        CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", str(CPUS)))
+        run_streaming_only(int(sys.argv[2]) if len(sys.argv) > 2 else 1)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--streaming-scaling":
+        run_streaming_scaling()
     else:
         run_default()
