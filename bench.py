@@ -451,8 +451,8 @@ def _streaming_replay(spark, table_dir: str, n_turns: int) -> float:
     work = tempfile.mkdtemp(prefix="bench_stream_")
     src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
     # split the prepared table into 8 files -> 8 micro-batch triggers
-    spark.read.parquet(table_dir).repartition(8).write.parquet(src)
-    sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+    spark.read.parquet(table_dir).repartition(64).write.parquet(src)  # 8 files/trigger: single-file triggers scan as ONE task (see --streaming-scaling finding)
+    sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=8)
     # watermark is defined once by dedup_stage; the window agg inherits it
     staged = sp.window_quality_stage(sp.dedup_stage(sp.clean_stage(sdf)), watermark=None)
     t0 = time.perf_counter()
@@ -484,8 +484,8 @@ def _streaming_eval(spark, table_dir: str) -> float:
 
     work = tempfile.mkdtemp(prefix="bench_seval_")
     src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
-    spark.read.parquet(table_dir).repartition(8).write.parquet(src)
-    sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+    spark.read.parquet(table_dir).repartition(64).write.parquet(src)  # 8 files/trigger: single-file triggers scan as ONE task (see --streaming-scaling finding)
+    sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=8)
     staged = sp.evaluator_stage(sdf)
     t0 = time.perf_counter()
     with _state_partitions(spark):
@@ -521,7 +521,7 @@ def _streaming_cep(spark, table_dir: str) -> float:
 
     work = tempfile.mkdtemp(prefix="bench_cep_")
     src = f"{work}/src"
-    spark.read.parquet(table_dir).repartition(8).write.parquet(src)
+    spark.read.parquet(table_dir).repartition(8).write.parquet(src)  # single-file triggers: the three concurrent stateful queries contend when each trigger adds 8 scan tasks x 3 queries (measured 9.7 -> 14.5 s) — state work, not the scan, dominates here
     t0 = time.perf_counter()
     with _state_partitions(spark):
         sessions = st.session_reassembly_stage(
