@@ -431,6 +431,51 @@ register(
     ),
 )
 register(
+    # PandasOperator analog for config pipelines (core_text/refine/
+    # pandas_operator.py:8 — arbitrary df->df column derivations), config-safe:
+    # SQL expressions instead of pickled lambdas. `requires` declares the
+    # input columns for compile-time validation (exprs are free-form SQL, so
+    # they cannot be statically inspected).
+    "with_columns",
+    OpSpec(
+        lambda **p: (lambda df: __import__("functools").reduce(
+            lambda d, kv: d.withColumn(kv[0], __import__("pyspark.sql.functions", fromlist=["x"]).expr(kv[1])),
+            list(p["exprs"].items()), df)),
+        lambda p: list(p.get("requires", [])),
+        lambda p: list(p["exprs"].keys()),
+    ),
+)
+register(
+    # the generic score-band keep rule every reference *Filter shares
+    # (perplexity_filter.py:52-55: keep min <= score <= max, inclusive)
+    "score_band_filter",
+    OpSpec(
+        lambda **p: (lambda df: df.filter(
+            __import__("pyspark.sql.functions", fromlist=["x"]).col(p["col"]).between(p["min"], p["max"]))),
+        lambda p: [p["col"]],
+        _NO_NEW,
+        drops_rows=True,
+    ),
+)
+register(
+    # the kernel returns only (id, scores) — the reference's Filter.run
+    # APPENDS its score to the same dataframe (superfiltering_filter.py run),
+    # so the config op joins the scores back on the (unique) id
+    "superfiltering_scores",
+    OpSpec(
+        lambda **p: (lambda df: df.join(
+            __import__("dataflow_spark.ops.quality", fromlist=["x"]).superfiltering_ifd(
+                df, p.get("id_col", "doc_id"),
+                p.get("instruction_col", "instruction"),
+                p.get("output_col", "output")),
+            p.get("id_col", "doc_id"), "left")),
+        lambda p: [p.get("id_col", "doc_id"),
+                   p.get("instruction_col", "instruction"),
+                   p.get("output_col", "output")],
+        lambda p: ["n_out", "nll_cond_q", "nll_alone_q", "ifd_diff_q", "keep_easy"],
+    ),
+)
+register(
     "qurating_scores",
     OpSpec(
         lambda **p: (lambda df: __import__("dataflow_spark.ops.sft_eval", fromlist=["x"]).qurating_scores(

@@ -177,3 +177,31 @@ def test_sft_scoring_card_runs_batch(spark):
     rows = out.limit(5).collect()
     assert {"model_score", "instag_score", "tags_csv"} <= set(out.columns)
     assert all(r["instag_score"] is not None for r in rows)
+
+
+def test_sft_filter_migration_card_runs(spark):
+    """jobs/configs/sft_filter.json — the reference's GPU text_sft_filter
+    pipeline (word-count band -> Superfiltering IFD band -> DeitaQuality
+    band -> Instag band, text_sft_filter.py:24-45) — validates, composes,
+    and enforces every band."""
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.pipeline import build_pipeline, load_config, validate_config
+    from dataflow_spark.synth import synth_transcripts
+
+    cfg = load_config("jobs/configs/sft_filter.json")
+    validate_config(cfg, ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    df = synth_transcripts(spark, n_turns=1500, n_convs=15, seed=11)
+    out = build_pipeline(cfg)(df)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.min("n_words").alias("wmin"), F.max("n_words").alias("wmax"),
+        F.max("ifd_diff_q").alias("dmax"),
+        F.min("deita_quality").alias("qmin"),
+        F.min("instag_score").alias("imin"),
+    ).collect()[0]
+    assert 0 < agg["n"] < 1500
+    assert agg["wmin"] >= 20 and agg["wmax"] <= 1000
+    assert agg["dmax"] <= 0
+    assert agg["qmin"] >= 2.5
+    assert agg["imin"] >= 2
