@@ -1766,6 +1766,22 @@ def q_kmeans_cluster(spark, sf):
     return embeddings.kmeans_assign(e, "vec_id", "embedding", k=8, iters=2)
 
 
+def q_host_rank(spark, sf):
+    """Host-graph PageRank authority (battery member `host_rank`, SURVEY
+    §2.9 — beyond-reference; the reference has no link-graph operator):
+    deterministic doc→host link derivation (md5 buckets, 64 synthetic
+    hosts, the fixture stand-in for real HTML outlinks) contracted to a
+    weighted host graph, then 4 integer fixed-point PR iterations
+    (TOTAL=2^36 mass units, damping 17/20 — ops/webgraph.py). Every update
+    is nonnegative int64 multiply/floor-divide, so the bounded loop unrolls
+    into an exact CTE twin (the kmeans/connected-components precedent)."""
+    from dataflow_spark.ops import webgraph
+
+    d = load_table(spark, sf, "documents")
+    edges = webgraph.derive_host_edges(d, n_hosts=64, src_fanout=8)
+    return webgraph.pagerank(edges, weight_col=None, iters=4)
+
+
 def q_embed_topk(spark, sf):
     e = load_table(spark, sf, "embeddings")
     qs = e.filter(F.col("vec_id") < 3)
@@ -2776,13 +2792,15 @@ def q_multihop_qa(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 68 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 69 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
     quality_lr.npz artifact), decontam (13-gram benchmark decontamination
     survivors), domain_mix (temperature domain sampler), kmeans_cluster
-    (deterministic Lloyd), pq_topk (PQ/ADC ANN), dsir_select (DSIR
+    (deterministic Lloyd), host_rank (host-graph PageRank authority,
+    integer fixed-point — ops/webgraph.py), pq_topk (PQ/ADC ANN),
+    dsir_select (DSIR
     importance resampling), outlier_trim (nearest-rank percentile band),
     seq_pack (concatenate-and-chunk sequence packing), bpe_merges
     (distributed BPE tokenizer training, round-1 candidates), dup_spans
@@ -2861,6 +2879,9 @@ def q_score_battery(spark, sf):
                       s1=F.col("rank"), s2=F.col("quota")),
         _battery_pack(q_kmeans_cluster(spark, sf), "kmeans_cluster",
                       _kcat("vec_id"), [], s1=F.col("cluster")),
+        _battery_pack(q_host_rank(spark, sf), "host_rank",
+                      _kcat("host"), ["od", "indeg"],
+                      s1=F.col("rank_q")),
         _battery_pack(q_pq_topk(spark, sf), "pq_topk",
                       _kcat("query_id", "neighbor_id"), [],
                       s1=F.col("rank"), s2=F.col("dist")),
@@ -6857,6 +6878,47 @@ def oracle_sql() -> dict[str, str]:
         "WITH " + ",\n".join(_km_parts) + "\nSELECT vec_id, cluster FROM af"
     )
 
+    # host-graph PageRank (ops/webgraph.py): md5-bucket edge derivation,
+    # least(count,cap) weights, then 4 unrolled integer fixed-point rounds —
+    # TOTAL=2^36, damping 17/20, base=(TOTAL//n*3)//20, per-edge contribution
+    # (r*w*17)//(od*20). All operands nonnegative integers, so DuckDB's //
+    # == Spark's div and ranks match bit-for-bit. Sums are cast back to
+    # BIGINT (DuckDB sum() widens to HUGEINT; Spark stays long).
+    def _b32_sql(x):
+        return f"CAST(('0x' || substr(md5({x}), 1, 8))::UBIGINT AS BIGINT)"
+
+    _hp_total, _hp_cap = 1 << 36, 1 << 20
+    _hp_parts = [
+        f"hpre AS (SELECT 'h' || CAST((({_b32_sql('source')} * 8 + "
+        f"{_b32_sql('CAST(doc_id AS VARCHAR)')} % 8) % 64) AS VARCHAR) AS src, "
+        f"'h' || CAST(({_b32_sql('text')} % 64) AS VARCHAR) AS dst FROM documents)",
+        f"hpe AS (SELECT src, dst, CAST(least(count(*), {_hp_cap}) AS BIGINT) AS w "
+        "FROM hpre WHERE src <> dst GROUP BY src, dst)",
+        "hph AS (SELECT src AS host FROM hpe UNION SELECT dst FROM hpe)",
+        "hpn AS (SELECT count(*) AS n FROM hph)",
+        "hpod AS (SELECT src, CAST(sum(w) AS BIGINT) AS od FROM hpe GROUP BY src)",
+        "hpeo AS (SELECT e.src, e.dst, e.w, o.od FROM hpe e JOIN hpod o ON e.src = o.src)",
+        f"hpr0 AS (SELECT host, CAST({_hp_total} // n AS BIGINT) AS r "
+        "FROM hph CROSS JOIN hpn)",
+    ]
+    for _t in range(1, 5):
+        _hp_parts.append(
+            f"hpr{_t} AS (SELECT h.host, CAST((({_hp_total} // n.n) * 3) // 20 "
+            "+ coalesce(c.s, 0) AS BIGINT) AS r "
+            "FROM hph h CROSS JOIN hpn n LEFT JOIN ("
+            "SELECT e.dst, CAST(sum((p.r * e.w * 17) // (e.od * 20)) AS BIGINT) AS s "
+            f"FROM hpeo e JOIN hpr{_t - 1} p ON e.src = p.host GROUP BY e.dst) c "
+            "ON h.host = c.dst)"
+        )
+    o["host_rank"] = (
+        "WITH " + ",\n".join(_hp_parts)
+        + "\nSELECT r.host, r.r AS rank_q, coalesce(o.od, 0) AS od, "
+        "coalesce(i.indeg, 0) AS indeg FROM hpr4 r "
+        "LEFT JOIN hpod o ON r.host = o.src "
+        "LEFT JOIN (SELECT dst, CAST(count(*) AS BIGINT) AS indeg FROM hpe "
+        "GROUP BY dst) i ON r.host = i.dst"
+    )
+
     # product quantization (m=4 subspaces x 16 dims, k=8 codes, 1 Lloyd
     # iter) + asymmetric-distance top-5 for queries vec_id < 3: per-subspace
     # kmeans CTEs (the same generator), encode = per-subspace argmin, ADC =
@@ -7111,6 +7173,8 @@ def oracle_sql() -> dict[str, str]:
                   s1="rank", s2="quota"),
         _pack_sql("kmeans_cluster", o["kmeans_cluster"], _kcat_sql("vec_id"), [],
                   s1="cluster"),
+        _pack_sql("host_rank", o["host_rank"], _kcat_sql("host"),
+                  ["od", "indeg"], s1="rank_q"),
         _pack_sql("pq_topk", o["pq_topk"], _kcat_sql("query_id", "neighbor_id"), [],
                   s1="rank", s2="dist"),
         _pack_sql("dsir_select", o["dsir_select"], _kcat_sql("doc_id"), [],
@@ -7298,7 +7362,7 @@ def oracle_sql() -> dict[str, str]:
         "smiles_eval", "reasoning_judge", "reasoning_dataset", "pipeline_root",
         "code_instr_loop", "prompted_thin", "t2s_qgen_cot",
         "file_type_filter", "doc2qa_eval", "superfiltering", "sql_compare",
-        "instag", "llm_judge", "deita_rm", "qurating",
+        "instag", "llm_judge", "deita_rm", "qurating", "host_rank",
     ):
         del o[_member]
 

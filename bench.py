@@ -67,6 +67,7 @@ HEADLINE = [
     "refine_tokens_battery",
     "domain_mix",
     "kmeans_cluster",
+    "host_rank",
     "dsir_select",
     "outlier_trim",
     "seq_pack",

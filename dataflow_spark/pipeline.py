@@ -660,6 +660,18 @@ register(
     ),
 )
 register(
+    # host-graph PageRank authority (ops/webgraph.py): consumes an edge
+    # frame (src, dst[, w]); schema-replacing — emits the per-host rank table
+    "host_pagerank",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.webgraph", fromlist=["x"]).pagerank(
+            df, p.get("src_col", "src"), p.get("dst_col", "dst"),
+            p.get("weight_col", "w"), iters=p.get("iters", 4))),
+        lambda p: [p.get("src_col", "src"), p.get("dst_col", "dst")],
+        schema_cols=lambda p: ["host", "rank_q", "od", "indeg"],
+    ),
+)
+register(
     "semdedup",
     OpSpec(
         lambda **p: (lambda df: __import__("dataflow_spark.ops.embeddings", fromlist=["x"]).semdedup(

@@ -1,0 +1,121 @@
+"""Host-graph PageRank (ops/webgraph.py): exact equality against a pure-
+python twin of the integer fixed-point update, plus structural properties
+(dangling hosts, weight capping, mass bounds)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from dataflow_spark.ops import webgraph
+from dataflow_spark.ops.webgraph import PR_D_DEN, PR_D_NUM, PR_TOTAL
+
+
+def _twin_pagerank(edge_rows, iters=4, total=PR_TOTAL, weight_cap=1 << 20):
+    """Verbatim python re-statement of the documented integer update."""
+    agg: dict[tuple[str, str], int] = {}
+    for s, d, w in edge_rows:
+        if s == d:
+            continue
+        agg[(s, d)] = agg.get((s, d), 0) + (1 if w is None else w)
+    agg = {k: min(v, weight_cap) for k, v in agg.items()}
+    hosts = sorted({s for s, _ in agg} | {d for _, d in agg})
+    n = len(hosts)
+    r0 = total // n
+    base = (r0 * (PR_D_DEN - PR_D_NUM)) // PR_D_DEN
+    od: dict[str, int] = {}
+    for (s, _), w in agg.items():
+        od[s] = od.get(s, 0) + w
+    r = {h: r0 for h in hosts}
+    for _ in range(iters):
+        nxt = {h: base for h in hosts}
+        for (s, d), w in agg.items():
+            nxt[d] += (r[s] * w * PR_D_NUM) // (od[s] * PR_D_DEN)
+        r = nxt
+    indeg: dict[str, int] = {}
+    for (_, d) in agg:
+        indeg[d] = indeg.get(d, 0) + 1
+    return {h: (r[h], od.get(h, 0), indeg.get(h, 0)) for h in hosts}
+
+
+EDGES = [
+    # a small web: hub h0 linking out, a 2-cycle, a dangling sink, parallel
+    # links that must be summed, and a self-loop that must be dropped
+    ("h0", "h1", 3),
+    ("h0", "h2", 1),
+    ("h1", "h2", 2),
+    ("h2", "h1", 1),
+    ("h1", "sink", 1),
+    ("h0", "h1", 4),  # parallel: sums with the first h0->h1
+    ("h3", "h3", 9),  # self-loop: dropped (h3 only exists via h4's link)
+    ("h4", "h3", None),  # NULL weight -> 1
+]
+
+
+def test_pagerank_matches_twin(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string, w int")
+    got = {
+        r["host"]: (r["rank_q"], r["od"], r["indeg"])
+        for r in webgraph.pagerank(df, iters=4).collect()
+    }
+    assert got == _twin_pagerank(EDGES, iters=4)
+
+
+def test_pagerank_dangling_and_mass(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string, w int")
+    rows = {r["host"]: r for r in webgraph.pagerank(df, iters=4).collect()}
+    n = len(rows)
+    base = ((PR_TOTAL // n) * (PR_D_DEN - PR_D_NUM)) // PR_D_DEN
+    # dangling sink: no outlinks, receives its share but floor(base + in-mass)
+    assert rows["sink"]["od"] == 0 and rows["sink"]["rank_q"] > base
+    # h3 is only a target (its self-loop was dropped): dangling too
+    assert rows["h3"]["od"] == 0
+    # every rank >= base; total never exceeds the injected mass
+    assert all(r["rank_q"] >= base for r in rows.values())
+    assert sum(r["rank_q"] for r in rows.values()) <= PR_TOTAL
+    # the hub's main target outranks the leaf it competes with
+    assert rows["h1"]["rank_q"] > rows["h4"]["rank_q"]
+
+
+def test_pagerank_weight_cap(spark):
+    # a 2^30 parallel-link bomb: uncapped it would overflow r*w*17 headroom;
+    # capped, the edge behaves as weight_cap and the run stays exact
+    edges = [("a", "b", 1 << 30), ("b", "a", 1), ("a", "c", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {
+        r["host"]: (r["rank_q"], r["od"], r["indeg"])
+        for r in webgraph.pagerank(df, iters=3).collect()
+    }
+    assert got == _twin_pagerank(edges, iters=3)
+    assert got["a"][1] == (1 << 20) + 1  # capped 2^30 -> 2^20, plus a->c
+
+
+def _b32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_derive_host_edges_portable(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "srcA"), (2, "gamma", "srcB"), (3, "alpha beta", "srcA")],
+        "doc_id long, text string, source string",
+    )
+    got = [
+        (r["src"], r["dst"])
+        for r in webgraph.derive_host_edges(docs, n_hosts=16, src_fanout=4)
+        .orderBy("src", "dst")
+        .collect()
+    ]
+    want = sorted(
+        (
+            f"h{(_b32(src) * 4 + _b32(str(i)) % 4) % 16}",
+            f"h{_b32(t) % 16}",
+        )
+        for i, t, src in [(1, "alpha beta", "srcA"), (2, "gamma", "srcB"), (3, "alpha beta", "srcA")]
+    )
+    assert got == want
+
+
+def test_pagerank_empty(spark):
+    df = spark.createDataFrame([], "src string, dst string, w int")
+    assert webgraph.pagerank(df).count() == 0
