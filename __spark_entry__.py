@@ -1567,6 +1567,16 @@ def q_data_card(spark, sf):
     return quality.corpus_data_card(d, "source", "text")
 
 
+def q_quantile_sketch(spark, sf):
+    """GK quantile-sketch per-domain percentiles (battery member): the
+    10^12-row path for data_card's p50/p95 — approx_percentile's mergeable
+    Greenwald–Khanna sketch, value-checked via the events_json envelope
+    discipline (exact nearest-rank [p45,p55]/[p90,p99] bands + in-band
+    flags; ops/quality.py quantile_sketch_card)."""
+    d = load_table(spark, sf, "documents")
+    return quality.quantile_sketch_card(d, "source", "text")
+
+
 def q_source_overlap(spark, sf):
     """Cross-domain duplicate-overlap matrix (battery member): distinct
     shared texts + integer-basis-point Jaccard per unordered domain pair —
@@ -2792,7 +2802,7 @@ def q_multihop_qa(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 69 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 70 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -2806,7 +2816,8 @@ def q_score_battery(spark, sf):
     (distributed BPE tokenizer training, round-1 candidates), dup_spans
     (ExactSubstr duplicated-substring spans), bloom_new (Bloom-bitmap
     incremental dedup vs a reference corpus), budget_sel (token-budget
-    greedy selection), data_card (per-domain corpus statistics), semdedup
+    greedy selection), data_card (per-domain corpus statistics),
+    quantile_sketch (GK approx-percentile card, envelope-checked), semdedup
     (the composed SemDeDup cluster-then-dedup pipeline), sb_lm (trigram
     stupid-backoff LM scores, the CCNet-style corpus-LM quality signal),
     cep_pattern (MATCH_RECOGNIZE-style role-sequence CEP counts),
@@ -2908,6 +2919,10 @@ def q_score_battery(spark, sf):
         _battery_pack(q_data_card(spark, sf), "data_card",
                       _kcat("domain"), ["n_docs", "n_tokens", "dup_docs"],
                       s1=F.col("p50_tok"), s2=F.col("p95_tok")),
+        _battery_pack(q_quantile_sketch(spark, sf), "quantile_sketch",
+                      _kcat("domain"),
+                      ["n_docs", "lo50", "hi50", "lo95", "hi95"],
+                      s1=F.col("p50_ok"), s2=F.col("p95_ok")),
         _battery_pack(q_semdedup(spark, sf), "semdedup",
                       _kcat("vec_id"), [], s1=F.col("cluster")),
         _battery_pack(q_sb_lm(spark, sf), "sb_lm",
@@ -5536,6 +5551,40 @@ def oracle_sql() -> dict[str, str]:
         FROM scal s JOIN pcts USING (domain)
     """
 
+    # quantile_sketch: the GK-sketch percentile card — the oracle computes
+    # the exact nearest-rank bands with the identical basis-point rank rule
+    # and asserts the in-band flags are 1 (the events_json approx-envelope
+    # discipline: a sketch regression flips a flag and fails the hash gate)
+    o["quantile_sketch"] = """
+        WITH qsb AS (
+          SELECT source AS domain,
+                 CAST(len(regexp_extract_all(coalesce(text,''),
+                      '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS t
+          FROM documents
+        ),
+        qsc AS (SELECT domain, t AS v, count(*) AS c FROM qsb GROUP BY 1, 2),
+        qsu AS (
+          SELECT domain, v,
+                 SUM(c) OVER (PARTITION BY domain ORDER BY v) AS cumc,
+                 SUM(c) OVER (PARTITION BY domain) AS n
+          FROM qsc
+        ),
+        qsbd AS (
+          SELECT domain,
+                 min(CASE WHEN cumc >= (n*4500 + 9999) // 10000 THEN v END) AS lo50,
+                 min(CASE WHEN cumc >= (n*5500 + 9999) // 10000 THEN v END) AS hi50,
+                 min(CASE WHEN cumc >= (n*9000 + 9999) // 10000 THEN v END) AS lo95,
+                 min(CASE WHEN cumc >= (n*9900 + 9999) // 10000 THEN v END) AS hi95
+          FROM qsu GROUP BY domain
+        ),
+        qsn AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs FROM qsb GROUP BY domain)
+        SELECT n.domain, n.n_docs,
+               CAST(lo50 AS BIGINT) AS lo50, CAST(hi50 AS BIGINT) AS hi50,
+               CAST(lo95 AS BIGINT) AS lo95, CAST(hi95 AS BIGINT) AS hi95,
+               1 AS p50_ok, 1 AS p95_ok
+        FROM qsn n JOIN qsbd USING (domain)
+    """
+
     # sb_lm: trigram stupid-backoff LM scores (ops/quality.py
     # stupid_backoff_logprob). Float parity rules: every probability is an
     # exact-integer count ratio evaluated in DOUBLE (DuckDB parses bare 0.4
@@ -7191,6 +7240,9 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("data_card", o["data_card"], _kcat_sql("domain"),
                   ["n_docs", "n_tokens", "dup_docs"],
                   s1="p50_tok", s2="p95_tok"),
+        _pack_sql("quantile_sketch", o["quantile_sketch"], _kcat_sql("domain"),
+                  ["n_docs", "lo50", "hi50", "lo95", "hi95"],
+                  s1="p50_ok", s2="p95_ok"),
         _pack_sql("semdedup", o["semdedup"], _kcat_sql("vec_id"), [],
                   s1="cluster"),
         _pack_sql("sb_lm", o["sb_lm"], _kcat_sql("doc_id"), [],
@@ -7363,6 +7415,7 @@ def oracle_sql() -> dict[str, str]:
         "code_instr_loop", "prompted_thin", "t2s_qgen_cot",
         "file_type_filter", "doc2qa_eval", "superfiltering", "sql_compare",
         "instag", "llm_judge", "deita_rm", "qurating", "host_rank",
+        "quantile_sketch",
     ):
         del o[_member]
 

@@ -76,6 +76,7 @@ HEADLINE = [
     "bloom_new",
     "budget_select",
     "data_card",
+    "quantile_sketch",
     "semdedup",
     "sb_lm",
     "cep_pattern",
@@ -379,24 +380,99 @@ def run_streaming_only(rep: int) -> None:
     spark.stop()
 
 
-def run_streaming_scaling() -> None:
-    """North-rule criterion measured on the STREAMING engine itself: the
-    same 8-trigger replay at N=1 vs 4N=4 separate executor JVMs (see
-    run_scaling for why separate JVMs, not local[N])."""
-    rep = int(os.environ.get("SPARK_GRAFT_SSCALE_REP", "10"))
+def run_streaming_cep_only(rep: int) -> None:
+    """One CEP streaming-scaling leg: drain the replicated transcript table
+    through the THREE concurrent stateful CEP queries (session reassembly,
+    stream-stream trigger join, live role-pattern CEP — see _streaming_cep)
+    on the cluster size given by SPARK_GRAFT_EXECUTORS. Identical job at
+    every size: same source files, same files-per-trigger
+    (SPARK_GRAFT_CEP_FPT, default 2 — the middle ground between the
+    single-file layout the per-query bench prefers and the 8-wide layout
+    whose 8x3 scan tasks contend across the three queries: a scaling
+    measurement needs the scan leg to be parallelizable AT ALL for the
+    extra executors to matter), same 8 state partitions pinned at the
+    first checkpoint. Fresh checkpoints + sinks per timed drain,
+    best-of-2 after one warm-up drain."""
+    import shutil
+    import tempfile
+
+    from dataflow_spark.session import get_spark
+    from dataflow_spark.streaming import pipeline as sp
+    from dataflow_spark.streaming import state as st
+    from dataflow_spark.streaming.sink import IdempotentBatchSink
+    from dataflow_spark.tables import load_table
+
+    n_exec = os.environ.get("SPARK_GRAFT_EXECUTORS")
+    fpt = int(os.environ.get("SPARK_GRAFT_CEP_FPT", "2"))
+    _conf = {
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "50000",
+        "spark.sql.files.maxPartitionBytes": "16m",
+        "spark.sql.files.openCostInBytes": "16777216",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        "spark.local.dir": "/dev/shm/spark-local",
+    }
+    if n_exec:
+        spark = get_spark("bench-scep", shuffle_partitions=8, executors=int(n_exec),
+                          extra_conf=_conf)
+    else:
+        spark = get_spark("bench-scep", cores=CPUS, shuffle_partitions=8,
+                          extra_conf=_conf)
+    n_turns = load_table(spark, SF_DIR, "events").count() * rep
+    os.makedirs("/dev/shm/bench-input", exist_ok=True)
+    work = tempfile.mkdtemp(prefix="scep_", dir="/dev/shm/bench-input")
+    _prepare_input(spark, SF_DIR, rep, f"{work}/table")
+    # 8 triggers, fpt files each
+    spark.read.parquet(f"{work}/table").repartition(8 * fpt).write.parquet(f"{work}/src")
+
+    def drain(tag: str) -> float:
+        t0 = time.perf_counter()
+        stages = {
+            "sess": st.session_reassembly_stage(
+                sp.read_transcript_stream(spark, f"{work}/src", max_files_per_trigger=fpt)
+            ),
+            "join": sp.match_triggers_stage(
+                sp.read_transcript_stream(spark, f"{work}/src", max_files_per_trigger=fpt)
+            ),
+            "cep": st.cep_pattern_stage(
+                sp.read_transcript_stream(spark, f"{work}/src", max_files_per_trigger=fpt)
+            ),
+        }
+        qs = [
+            sdf.writeStream.foreachBatch(IdempotentBatchSink(f"{work}/out_{name}_{tag}"))
+            .option("checkpointLocation", f"{work}/ck_{name}_{tag}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            for name, sdf in stages.items()
+        ]
+        for q in qs:
+            q.awaitTermination()
+        return time.perf_counter() - t0
+
+    drain("warm")
+    best = min(drain("t1"), drain("t2"))
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({"executors": n_exec, "cores": CPUS if not n_exec else None,
+                      "files_per_trigger": fpt, "sec": round(best, 3),
+                      "turns": n_turns, "turns_per_sec": round(n_turns / best, 1)}))
+    spark.stop()
+
+
+def _scaling_legs(mode: str, rep: int, metric: str) -> None:
+    """Shared N=1 vs 4N=4 wrapper for the streaming scaling measurements."""
     out = {}
     for n_exec in (1, 4):
         env = dict(os.environ, SPARK_GRAFT_EXECUTORS=str(n_exec))
         r = subprocess.run(
-            [sys.executable, __file__, "--streaming-only", str(rep)],
+            [sys.executable, __file__, mode, str(rep)],
             env=env, capture_output=True, text=True, timeout=3600,
         )
-        with open(f"/tmp/sscaling_leg{n_exec}.err", "w") as fh:
+        with open(f"/tmp/sscaling_{mode.strip('-')}_leg{n_exec}.err", "w") as fh:
             fh.write(r.stderr)
         lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
         if not lines:
             sys.stderr.write(
-                f"--streaming-only (executors={n_exec}) produced no JSON "
+                f"{mode} (executors={n_exec}) produced no JSON "
                 f"(exit={r.returncode}); last stderr:\n"
                 + "\n".join(r.stderr.strip().splitlines()[-30:]) + "\n"
             )
@@ -404,7 +480,7 @@ def run_streaming_scaling() -> None:
         out[n_exec] = json.loads(lines[-1])
     eff = (out[4]["turns_per_sec"] / out[1]["turns_per_sec"]) / 4.0
     print(json.dumps({
-        "metric": "streaming replay turns/sec scaling N=1 -> 4N=4 executors (2 cores each)",
+        "metric": metric,
         "sf": _sf_of(SF_DIR),
         "rep": rep,
         "turns": out[4]["turns"],
@@ -412,6 +488,29 @@ def run_streaming_scaling() -> None:
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
     }))
+
+
+def run_streaming_scaling() -> None:
+    """North-rule criterion measured on the STREAMING engine itself: the
+    same 8-trigger replay at N=1 vs 4N=4 separate executor JVMs (see
+    run_scaling for why separate JVMs, not local[N])."""
+    rep = int(os.environ.get("SPARK_GRAFT_SSCALE_REP", "10"))
+    _scaling_legs(
+        "--streaming-only", rep,
+        "streaming replay turns/sec scaling N=1 -> 4N=4 executors (2 cores each)",
+    )
+
+
+def run_streaming_cep_scaling() -> None:
+    """North-rule criterion measured on the stateful CEP path itself: the
+    three concurrent CEP queries (session reassembly + trigger join +
+    role-pattern detection) at N=1 vs 4N=4 separate executor JVMs."""
+    rep = int(os.environ.get("SPARK_GRAFT_SSCALE_REP", "10"))
+    _scaling_legs(
+        "--streaming-cep-only", rep,
+        "streaming CEP (3 concurrent stateful queries) turns/sec scaling "
+        "N=1 -> 4N=4 executors (2 cores each)",
+    )
 
 
 class _state_partitions:
@@ -668,5 +767,10 @@ if __name__ == "__main__":
         run_streaming_only(int(sys.argv[2]) if len(sys.argv) > 2 else 1)
     elif len(sys.argv) > 1 and sys.argv[1] == "--streaming-scaling":
         run_streaming_scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--streaming-cep-only":
+        CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", str(CPUS)))
+        run_streaming_cep_only(int(sys.argv[2]) if len(sys.argv) > 2 else 1)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--streaming-cep-scaling":
+        run_streaming_cep_scaling()
     else:
         run_default()

@@ -1563,3 +1563,70 @@ def superfiltering_ifd(
         diff.alias("ifd_diff_q"),
         F.coalesce(diff < 0, F.lit(False)).cast("string").alias("keep_easy"),
     )
+
+
+def quantile_sketch_card(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Greenwald–Khanna quantile-sketch percentiles with an in-plan
+    verification band — the 10^12-row path for `corpus_data_card`'s exact
+    p50/p95 columns.
+
+    corpus_data_card's nearest-rank percentiles carry a (domain, distinct
+    token-count) table through a window — bounded (~10^4 rows/domain) but
+    still a per-domain sort. At extreme scale the production answer is the
+    mergeable GK sketch behind Spark's `approx_percentile` (Greenwald &
+    Khanna, SIGMOD 2001): one partial-aggregatable pass, sketch size
+    O(accuracy), NO sort, NO distinct-value table — rank error ≤ n/accuracy
+    by the GK guarantee.
+
+    Approximate ops get the events_json treatment (approx_count_distinct's
+    checked 5% envelope): alongside the sketch values this emits the exact
+    nearest-rank band [p45, p55] (resp. [p90, p99] for the tail) using the
+    same basis-point `(n*bp + 9999) div 10000` rank rule as the data card,
+    plus p50_ok/p95_ok flags asserting the sketch landed inside its band.
+    With accuracy=10000 the GK rank error is 0.01% — two decades inside the
+    5-percentile band — so the DuckDB twin asserts the flags are 1 and the
+    BOUNDS are value-checked exactly; a sketch regression (or a broken
+    accuracy knob) flips a flag and fails the hash gate.
+
+    Returns (domain, n_docs, lo50, hi50, lo95, hi95, p50_ok, p95_ok).
+    """
+    tok = bpe_ish_token_count(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(F.col(domain_col).alias("domain"), tok.alias("__t"))
+    counts = base.groupBy("domain", "__t").agg(F.count(F.lit(1)).alias("__c"))
+    cum = counts.withColumn(
+        "__cum", F.sum("__c").over(Window.partitionBy("domain").orderBy("__t"))
+    ).withColumn("__n", F.sum("__c").over(Window.partitionBy("domain")))
+
+    def _rank_val(bp: int) -> Column:
+        return F.min(
+            F.when(F.expr(f"__cum >= (__n * {bp} + 9999) div 10000"), F.col("__t"))
+        )
+
+    bounds = cum.groupBy("domain").agg(
+        _rank_val(4500).alias("lo50"),
+        _rank_val(5500).alias("hi50"),
+        _rank_val(9000).alias("lo95"),
+        _rank_val(9900).alias("hi95"),
+    )
+    sk = base.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(f"approx_percentile(__t, array(0.5D, 0.95D), {accuracy})").alias("__ap"),
+    )
+    j = sk.join(bounds, "domain")
+    ok50 = (F.col("__ap")[0] >= F.col("lo50")) & (F.col("__ap")[0] <= F.col("hi50"))
+    ok95 = (F.col("__ap")[1] >= F.col("lo95")) & (F.col("__ap")[1] <= F.col("hi95"))
+    return j.select(
+        "domain",
+        "n_docs",
+        F.col("lo50").cast("long").alias("lo50"),
+        F.col("hi50").cast("long").alias("hi50"),
+        F.col("lo95").cast("long").alias("lo95"),
+        F.col("hi95").cast("long").alias("hi95"),
+        ok50.cast("int").alias("p50_ok"),
+        ok95.cast("int").alias("p95_ok"),
+    )

@@ -660,6 +660,18 @@ register(
     ),
 )
 register(
+    # GK-sketch percentile card (ops/quality.py): schema-replacing summary
+    "quantile_sketch_card",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.quality", fromlist=["x"]).quantile_sketch_card(
+            df, p.get("domain_col", "source"), p.get("col", "text"),
+            accuracy=p.get("accuracy", 10000))),
+        lambda p: [p.get("domain_col", "source"), p.get("col", "text")],
+        schema_cols=lambda p: ["domain", "n_docs", "lo50", "hi50",
+                               "lo95", "hi95", "p50_ok", "p95_ok"],
+    ),
+)
+register(
     # host-graph PageRank authority (ops/webgraph.py): consumes an edge
     # frame (src, dst[, w]); schema-replacing — emits the per-host rank table
     "host_pagerank",

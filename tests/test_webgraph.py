@@ -119,3 +119,20 @@ def test_derive_host_edges_portable(spark):
 def test_pagerank_empty(spark):
     df = spark.createDataFrame([], "src string, dst string, w int")
     assert webgraph.pagerank(df).count() == 0
+
+
+def test_quantile_sketch_card(spark):
+    """quantile_sketch_card (ops/quality.py): exact bands on a hand-computed
+    skewed frame; sketch flags in-band (GK is exact below `accuracy` rows)."""
+    from dataflow_spark.ops.quality import quantile_sketch_card
+
+    rows = [("a", "w " * k) for k in range(1, 101)] + [("b", "x")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["domain"]: r for r in quantile_sketch_card(df).collect()}
+    a = out["a"]
+    # domain a: token counts 1..100 -> nearest-rank bp value at rank
+    # ceil(100*bp/10000) is just bp//100
+    assert (a["lo50"], a["hi50"], a["lo95"], a["hi95"]) == (45, 55, 90, 99)
+    assert a["n_docs"] == 100 and a["p50_ok"] == 1 and a["p95_ok"] == 1
+    b = out["b"]
+    assert (b["lo50"], b["hi50"], b["p50_ok"], b["p95_ok"]) == (1, 1, 1, 1)
