@@ -21,6 +21,7 @@ submit-time validation.
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -1010,3 +1011,61 @@ def load_config(path: str) -> list[dict]:
     if not isinstance(cfg, list):
         raise PipelineConfigError("pipeline config must be a JSON list of steps")
     return cfg
+
+
+RECOMMEND_PROMPT = (
+    "You are a data-pipeline planner. Compose a pipeline for this task from "
+    "the operator catalog ONLY. Reply with a JSON list of steps, each "
+    '{{"op": <name>, ...params}}, inside a ```json fence.\n'
+    "Task: {task}\nInput columns: {cols}\nCatalog: {catalog}\n"
+)
+
+_FENCE_RE = re.compile(r"```(?:json)?\s*(\[.*?\])\s*```", re.DOTALL)
+
+
+def recommend_pipeline(
+    task: str,
+    backend,
+    input_cols: list[str] | tuple[str, ...] = ("doc_id", "text", "source"),
+    max_rounds: int = 2,
+) -> list[dict]:
+    """The reference's agent entry (SURVEY §3.3; `dataflow/agent/…` — an LLM
+    selects/composes operators into a pipeline JSON, then executes via the
+    operator registry `get_operator`, core/operator.py:17-28). Same contract
+    over this engine's registry: prompt a serving backend with the task and
+    the op catalog, parse the fenced JSON step list, then `validate_config`
+    against the declared input columns; on a parse/validation failure,
+    re-prompt with the error appended (the agent's repair loop), up to
+    `max_rounds` attempts. Returns the validated config (runnable via
+    `build_pipeline`); raises PipelineConfigError when no round yields a
+    valid plan.
+
+    Driver-side by design: pipeline planning is metadata work over the op
+    catalog — one prompt per plan, never a per-row stage. Any
+    ServingBackend works (StubServing in tests, the OpenAI-compatible HTTP
+    client or the local decode engine for real use)."""
+    import pandas as pd
+
+    catalog = ", ".join(sorted(OPERATOR_REGISTRY))
+    prompt = RECOMMEND_PROMPT.format(task=task, cols=list(input_cols), catalog=catalog)
+    last_err: Exception | None = None
+    for _ in range(max_rounds):
+        resp = backend.generate(pd.Series([prompt])).iloc[0]
+        try:
+            m = _FENCE_RE.search(resp or "")
+            if not m:
+                raise PipelineConfigError("no fenced JSON list in response")
+            cfg = json.loads(m.group(1))
+            if not isinstance(cfg, list) or not all(
+                isinstance(s, dict) and "op" in s for s in cfg
+            ):
+                raise PipelineConfigError("response is not a list of op steps")
+            validate_config(cfg, list(input_cols))
+            return cfg
+        except (PipelineConfigError, json.JSONDecodeError) as e:
+            last_err = e
+            prompt = (
+                RECOMMEND_PROMPT.format(task=task, cols=list(input_cols), catalog=catalog)
+                + f"\nYour previous plan failed validation: {e}. Fix it."
+            )
+    raise PipelineConfigError(f"no valid plan after {max_rounds} rounds: {last_err}")

@@ -205,3 +205,49 @@ def test_sft_filter_migration_card_runs(spark):
     assert agg["dmax"] <= 0
     assert agg["qmin"] >= 2.5
     assert agg["imin"] >= 2
+
+
+class _ScriptedServing:
+    """Returns canned responses in order; records prompts (agent-loop stub)."""
+
+    def __init__(self, responses):
+        self.responses = list(responses)
+        self.prompts = []
+
+    def generate(self, prompts):
+        import pandas as pd
+
+        self.prompts.extend(list(prompts))
+        return pd.Series([self.responses.pop(0)] * len(prompts))
+
+
+def test_recommend_pipeline_valid_first_round():
+    from dataflow_spark.pipeline import recommend_pipeline
+
+    plan = '```json\n[{"op": "remove_extra_spaces"}, {"op": "rule_quality_filter"}]\n```'
+    be = _ScriptedServing([plan])
+    cfg = recommend_pipeline("clean web text", be, input_cols=["doc_id", "text"])
+    assert [s["op"] for s in cfg] == ["remove_extra_spaces", "rule_quality_filter"]
+    assert "Catalog:" in be.prompts[0] and "clean web text" in be.prompts[0]
+
+
+def test_recommend_pipeline_repair_loop():
+    from dataflow_spark.pipeline import recommend_pipeline
+
+    bad = '```json\n[{"op": "no_such_operator"}]\n```'
+    good = '```json\n[{"op": "lowercase"}]\n```'
+    be = _ScriptedServing([bad, good])
+    cfg = recommend_pipeline("lowercase it", be, input_cols=["text"])
+    assert cfg == [{"op": "lowercase"}]
+    # the repair prompt carries the validation error back to the model
+    assert "no_such_operator" in be.prompts[1]
+
+
+def test_recommend_pipeline_gives_up():
+    import pytest
+
+    from dataflow_spark.pipeline import PipelineConfigError, recommend_pipeline
+
+    be = _ScriptedServing(["no json here", "still none"])
+    with pytest.raises(PipelineConfigError):
+        recommend_pipeline("task", be, input_cols=["text"], max_rounds=2)
