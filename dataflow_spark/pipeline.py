@@ -673,14 +673,29 @@ register(
     ),
 )
 register(
+    # fixture link derivation (ops/webgraph.py): doc table -> (src, dst)
+    # edge frame; on a real crawl replaced by the per-document outlink explode
+    "derive_host_edges",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.webgraph", fromlist=["x"]).derive_host_edges(
+            df, p.get("source_col", "source"), p.get("id_col", "doc_id"),
+            p.get("col", "text"), n_hosts=p.get("n_hosts", 64),
+            src_fanout=p.get("src_fanout", 8))),
+        lambda p: [p.get("source_col", "source"), p.get("id_col", "doc_id"),
+                   p.get("col", "text")],
+        schema_cols=lambda p: ["src", "dst"],
+    ),
+)
+register(
     # host-graph PageRank authority (ops/webgraph.py): consumes an edge
     # frame (src, dst[, w]); schema-replacing — emits the per-host rank table
     "host_pagerank",
     OpSpec(
         lambda **p: (lambda df: __import__("dataflow_spark.ops.webgraph", fromlist=["x"]).pagerank(
             df, p.get("src_col", "src"), p.get("dst_col", "dst"),
-            p.get("weight_col", "w"), iters=p.get("iters", 4))),
-        lambda p: [p.get("src_col", "src"), p.get("dst_col", "dst")],
+            p.get("weight_col"), iters=p.get("iters", 4))),
+        lambda p: [p.get("src_col", "src"), p.get("dst_col", "dst")]
+        + ([p["weight_col"]] if p.get("weight_col") else []),
         schema_cols=lambda p: ["host", "rank_q", "od", "indeg"],
     ),
 )

@@ -251,3 +251,19 @@ def test_recommend_pipeline_gives_up():
     be = _ScriptedServing(["no json here", "still none"])
     with pytest.raises(PipelineConfigError):
         recommend_pipeline("task", be, input_cols=["text"], max_rounds=2)
+
+
+def test_webgraph_card_runs(spark):
+    """jobs/configs/webgraph_card.json — edge derivation -> host PageRank ->
+    rank band: validates (schema-replacing steps resolve), composes, and the
+    built pipeline emits one ranked row per host."""
+    from dataflow_spark.pipeline import build_pipeline, load_config, validate_config
+
+    cfg = load_config("jobs/configs/webgraph_card.json")
+    cols = validate_config(cfg, ["doc_id", "text", "lang", "source", "n_chars"])
+    assert set(cols) == {"host", "rank_q", "od", "indeg"}
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = build_pipeline(cfg)(df)
+    rows = out.collect()
+    assert 0 < len(rows) <= 64
+    assert all(r["rank_q"] > 0 for r in rows)
