@@ -180,6 +180,39 @@ def q_bm25_hardneg(spark, sf):
     )
 
 
+def q_rrf_fusion(spark, sf):
+    """Reciprocal-rank fusion of lexical BM25 and embedding-cosine retrieval
+    (battery member `rrf_fusion`, SURVEY §2.9; Cormack 2009 k=60): the
+    hybrid-retrieval combiner for RAG-corpus construction. Queries = every
+    20th document (the bm25_hardneg convention: first-6-token question,
+    matching embedding row by id); each retriever contributes its per-query
+    top-10; fused score = Σ 1000000 div (60 + rank) — integer-exact, so the
+    SQL twin (BM25 CTE + cosine CTE + integer fuse) matches hash-for-hash
+    (ops/retrieval.py rrf_fuse)."""
+    from dataflow_spark.ops import retrieval
+
+    d = load_table(spark, sf, "documents")
+    q = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 6)).alias("question"),
+    )
+    sc = retrieval.bm25_scores(d.select("doc_id", "text"), q, max_df_ratio=1.0)
+    wl = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 4).desc(), F.col("doc_id").asc()
+    )
+    lex = (
+        sc.filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("__rk", F.row_number().over(wl))
+        .filter(F.col("__rk") <= 10)
+        .select("query_id", "doc_id", F.col("__rk").alias("rank"))
+    )
+    e = load_table(spark, sf, "embeddings")
+    sem = embeddings.brute_force_topk(
+        e, e.filter(F.col("vec_id") % 20 == 0), k=10
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return retrieval.rrf_fuse([lex, sem], top_k=10)
+
+
 def q_docs_quality(spark, sf):
     """Per-doc quality battery: counts, ratios, composite score, BOTH lang-ID
     models (3-lang heuristic + the 15-language script/profile model), and an
@@ -2802,14 +2835,15 @@ def q_multihop_qa(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 70 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 71 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
     quality_lr.npz artifact), decontam (13-gram benchmark decontamination
     survivors), domain_mix (temperature domain sampler), kmeans_cluster
     (deterministic Lloyd), host_rank (host-graph PageRank authority,
-    integer fixed-point — ops/webgraph.py), pq_topk (PQ/ADC ANN),
+    integer fixed-point — ops/webgraph.py), rrf_fusion (reciprocal-rank
+    hybrid BM25+cosine fusion), pq_topk (PQ/ADC ANN),
     dsir_select (DSIR
     importance resampling), outlier_trim (nearest-rank percentile band),
     seq_pack (concatenate-and-chunk sequence packing), bpe_merges
@@ -2893,6 +2927,9 @@ def q_score_battery(spark, sf):
         _battery_pack(q_host_rank(spark, sf), "host_rank",
                       _kcat("host"), ["od", "indeg"],
                       s1=F.col("rank_q")),
+        _battery_pack(q_rrf_fusion(spark, sf), "rrf_fusion",
+                      _kcat("query_id", "doc_id"), ["n_lists"],
+                      s1=F.col("rrf_q"), s2=F.col("rank")),
         _battery_pack(q_pq_topk(spark, sf), "pq_topk",
                       _kcat("query_id", "neighbor_id"), [],
                       s1=F.col("rank"), s2=F.col("dist")),
@@ -3889,6 +3926,66 @@ def oracle_sql() -> dict[str, str]:
     # exhaustive-probe IVF (n_probe = n_cells) covers the full corpus, so the
     # exact brute-force SQL is a true oracle for the IVF topology
     o["embed_ivf_topk"] = o["embed_topk"]
+
+    # RRF hybrid fusion: the bm25_hardneg BM25 CTE chain (same query
+    # derivation) top-10 + the embed_topk cosine ranking top-10, fused with
+    # integer 1000000 // (60 + rank) contributions (Cormack 2009, k=60)
+    o["rrf_fusion"] = f"""
+        WITH toks AS (
+          SELECT doc_id AS d, t
+          FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS u(t)
+          WHERE t <> ''
+        ), postings AS (
+          SELECT t, d, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), dl AS (
+          SELECT d, count(*) AS dl FROM toks GROUP BY 1
+        ), consts AS (
+          SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT avg(dl) FROM dl) AS avgdl
+        ), dft AS (
+          SELECT t, count(*) AS df, ln(1.0 + ((SELECT n FROM consts) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+          FROM postings GROUP BY 1
+        ), q AS (
+          SELECT doc_id AS qid,
+                 array_to_string(regexp_split_to_array(text, ' ')[1:6], ' ') AS question
+          FROM documents WHERE doc_id % 20 = 0
+        ), qterms AS (
+          SELECT qid, t, count(*) AS qtf
+          FROM q, unnest(regexp_split_to_array(lower(question), '[^a-z0-9]+')) AS u(t)
+          WHERE t <> '' GROUP BY 1, 2
+        ), scored AS (
+          SELECT qt.qid, p.d,
+                 sum(qt.qtf * f.idf * p.tf
+                     / (p.tf + 0.9 * (1.0 - 0.4 + 0.4 * dl.dl / (SELECT avgdl FROM consts)))) AS score
+          FROM qterms qt JOIN dft f USING (t) JOIN postings p USING (t) JOIN dl ON dl.d = p.d
+          GROUP BY 1, 2
+        ), lex AS (
+          SELECT qid AS query_id, d AS doc_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY round(score, 4) DESC, d ASC) AS rank
+          FROM scored WHERE d <> qid
+          QUALIFY rank <= 10
+        ), sem AS (
+          SELECT query_id, doc_id, rank FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY round({_dot} / ({_norm_a} * {_norm_b}), 6) DESC, b.vec_id) AS rank
+            FROM embeddings a JOIN embeddings b ON a.vec_id % 20 = 0 AND b.vec_id <> a.vec_id
+          ) WHERE rank <= 10
+        ), unioned AS (
+          SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM lex
+          UNION ALL
+          SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM sem
+        ), fused AS (
+          SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_q,
+                 CAST(count(*) AS BIGINT) AS n_lists
+          FROM unioned GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id, rrf_q, n_lists,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_q DESC, doc_id ASC) AS BIGINT) AS rank
+        FROM fused
+        QUALIFY rank <= 10
+    """
 
     # planted near-dup table (the _embeddings_with_planted twin): every 10th
     # row copied with vec_id+1e6 and component 0 shifted +0.2 (cos ~0.98)
@@ -7224,6 +7321,8 @@ def oracle_sql() -> dict[str, str]:
                   s1="cluster"),
         _pack_sql("host_rank", o["host_rank"], _kcat_sql("host"),
                   ["od", "indeg"], s1="rank_q"),
+        _pack_sql("rrf_fusion", o["rrf_fusion"], _kcat_sql("query_id", "doc_id"),
+                  ["n_lists"], s1="rrf_q", s2="rank"),
         _pack_sql("pq_topk", o["pq_topk"], _kcat_sql("query_id", "neighbor_id"), [],
                   s1="rank", s2="dist"),
         _pack_sql("dsir_select", o["dsir_select"], _kcat_sql("doc_id"), [],
@@ -7415,7 +7514,7 @@ def oracle_sql() -> dict[str, str]:
         "code_instr_loop", "prompted_thin", "t2s_qgen_cot",
         "file_type_filter", "doc2qa_eval", "superfiltering", "sql_compare",
         "instag", "llm_judge", "deita_rm", "qurating", "host_rank",
-        "quantile_sketch",
+        "quantile_sketch", "rrf_fusion",
     ):
         del o[_member]
 

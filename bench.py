@@ -68,6 +68,7 @@ HEADLINE = [
     "domain_mix",
     "kmeans_cluster",
     "host_rank",
+    "rrf_fusion",
     "dsir_select",
     "outlier_trim",
     "seq_pack",

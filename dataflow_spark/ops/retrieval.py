@@ -150,3 +150,63 @@ def bm25_hard_negatives(
         .filter(F.col("neg_rank") <= num_neg)
         .select(query_id, "neg_rank", doc_id, F.round("score", 4).alias("score"))
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    scale: int = 1_000_000,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    the standard hybrid-retrieval combiner: fuse N per-query rank lists
+    (e.g. lexical BM25 + embedding cosine) without score calibration,
+
+        rrf(d) = Σ_lists 1 / (k + rank_list(d)),   k = 60
+
+    Hybrid lexical+semantic retrieval is the production default for
+    RAG-corpus construction and hard-negative mining; RRF is its
+    rank-only fusion rule (no per-retriever score normalization needed —
+    exactly why it composes retrievers with incomparable score scales).
+
+    Integer-exact by the repo's fixed-point discipline: each contribution
+    is `scale div (k + rank)` (int64), so the fused scores are
+    bit-portable and the member is hash-checkable against a SQL twin —
+    a float 1/(k+r) sum would be summation-order-sensitive.
+
+    Scale shape: each input list is already per-query top-k (ranked rows ~
+    |queries| x k, corpus-independent); the fuse is one unionByName + one
+    groupBy(query, doc) partial agg + one per-query WindowGroupLimit —
+    nothing here ever touches corpus-scale data.
+
+    Returns (query_id, doc_id, rrf_q, n_lists, rank): fused fixed-point
+    score, how many input lists ranked the doc, and the fused 1-based rank
+    (ties broken by doc id).
+    """
+    tagged = None
+    for r in rankings:
+        s = r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            F.expr(f"div(CAST({scale} AS BIGINT), {k} + {rank_col})").alias("__c"),
+        )
+        tagged = s if tagged is None else tagged.unionByName(s)
+    fused = tagged.groupBy("query_id", "doc_id").agg(
+        F.sum("__c").alias("rrf_q"), F.count(F.lit(1)).alias("n_lists")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_q").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= top_k)
+        .select(
+            "query_id", "doc_id",
+            F.col("rrf_q").cast("long").alias("rrf_q"),
+            F.col("n_lists").cast("long").alias("n_lists"),
+            F.col("__rk").cast("long").alias("rank"),
+        )
+    )

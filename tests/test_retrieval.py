@@ -116,3 +116,31 @@ def test_hard_neg_start_index(spark):
     want = _bm25_twin(CORPUS, CORPUS[0][1])
     order = sorted(want, key=lambda d: (-round(want[d], 4), d))[1:3]
     assert [r.doc_id for r in out] == order
+
+
+def test_rrf_fuse_twin(spark):
+    """rrf_fuse equals the written rule: sum of 10^6 // (60 + rank) over
+    lists, ranked per query with doc-id tie-break."""
+    from dataflow_spark.ops.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    sem = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (2, 20, 2), (2, 21, 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rrf_q"], r["n_lists"], r["rank"])
+        for r in rrf_fuse([lex, sem], top_k=3).collect()
+    }
+    c = lambda r: 1_000_000 // (60 + r)
+    # q1: doc11 in both lists (ranks 2,1) beats doc10 (rank 1 in one list)
+    assert got[(1, 11)] == (c(2) + c(1), 2, 1)
+    assert got[(1, 10)] == (c(1), 1, 2)
+    # doc13 c(2)=16129 beats doc12 c(3)=15873: top-3 cut keeps 11,10,13
+    assert got[(1, 13)] == (c(2), 1, 3) and (1, 12) not in got
+    # q2: doc20 in both lists wins over doc21
+    assert got[(2, 20)] == (c(1) + c(2), 2, 1)
+    assert got[(2, 21)] == (c(1), 1, 2)
