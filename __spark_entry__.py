@@ -213,6 +213,45 @@ def q_rrf_fusion(spark, sf):
     return retrieval.rrf_fuse([lex, sem], top_k=10)
 
 
+def q_ndcg_eval(spark, sf):
+    """nDCG@10 over the fused hybrid retrieval (battery member `ndcg_eval`,
+    SURVEY §2.9; Järvelin 2002): graded judgments derived deterministically
+    (every 25th-congruent doc judged per query, gain 1+md5%3), DCG/IDCG as
+    integer fixed-point (weight table floor(2^20/log2(i+1)) embedded as
+    literals in BOTH engines), ndcg in basis points — hash-exact
+    (ops/retrieval.py ndcg_at_k)."""
+    from dataflow_spark.ops import retrieval
+
+    res = q_rrf_fusion(spark, sf)
+    d = load_table(spark, sf, "documents").select("doc_id")
+    qs = d.filter(F.col("doc_id") % 20 == 0).select(F.col("doc_id").alias("qid"))
+    pair_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("qid").cast("string"), F.lit("#"), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    jd = (
+        qs.join(
+            d,
+            (F.col("doc_id") % 25 == F.col("qid") % 25) & (F.col("doc_id") != F.col("qid")),
+        )
+        .select(
+            F.col("qid").alias("query_id"),
+            "doc_id",
+            (F.lit(1) + pair_h % 3).alias("gain"),
+        )
+    )
+    return retrieval.ndcg_at_k(res, jd, k=10)
+
+
 def q_docs_quality(spark, sf):
     """Per-doc quality battery: counts, ratios, composite score, BOTH lang-ID
     models (3-lang heuristic + the 15-language script/profile model), and an
@@ -2835,7 +2874,7 @@ def q_multihop_qa(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 71 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 72 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -2843,7 +2882,8 @@ def q_score_battery(spark, sf):
     survivors), domain_mix (temperature domain sampler), kmeans_cluster
     (deterministic Lloyd), host_rank (host-graph PageRank authority,
     integer fixed-point — ops/webgraph.py), rrf_fusion (reciprocal-rank
-    hybrid BM25+cosine fusion), pq_topk (PQ/ADC ANN),
+    hybrid BM25+cosine fusion), ndcg_eval (fixed-point nDCG@10 over the
+    fused list), pq_topk (PQ/ADC ANN),
     dsir_select (DSIR
     importance resampling), outlier_trim (nearest-rank percentile band),
     seq_pack (concatenate-and-chunk sequence packing), bpe_merges
@@ -2930,6 +2970,9 @@ def q_score_battery(spark, sf):
         _battery_pack(q_rrf_fusion(spark, sf), "rrf_fusion",
                       _kcat("query_id", "doc_id"), ["n_lists"],
                       s1=F.col("rrf_q"), s2=F.col("rank")),
+        _battery_pack(q_ndcg_eval(spark, sf), "ndcg_eval",
+                      _kcat("query_id"), ["n_judged", "dcg_q", "idcg_q"],
+                      s1=F.col("ndcg_bp")),
         _battery_pack(q_pq_topk(spark, sf), "pq_topk",
                       _kcat("query_id", "neighbor_id"), [],
                       s1=F.col("rank"), s2=F.col("dist")),
@@ -3985,6 +4028,43 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY rrf_q DESC, doc_id ASC) AS BIGINT) AS rank
         FROM fused
         QUALIFY rank <= 10
+    """
+
+    # nDCG@10 over the fused list: judgments are the deterministic md5-graded
+    # pairs, the weight table is the SAME python-computed literal list both
+    # engines embed (ops/retrieval.py ndcg_weights), everything else int64
+    from dataflow_spark.ops.retrieval import ndcg_weights as _ndcg_w
+
+    _wlit = "[" + ", ".join(str(x) for x in _ndcg_w(10)) + "]"
+    _pairh = ("CAST(('0x' || substr(md5(CAST(q.doc_id AS VARCHAR) || '#' || "
+              "CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 3 AS BIGINT)")
+    o["ndcg_eval"] = f"""
+        WITH res AS (SELECT query_id, doc_id, rank FROM ({o["rrf_fusion"]})),
+        jd AS (
+          SELECT q.doc_id AS query_id, d.doc_id AS doc_id, 1 + {_pairh} AS gain
+          FROM documents q JOIN documents d
+            ON q.doc_id % 20 = 0 AND d.doc_id % 25 = q.doc_id % 25
+               AND d.doc_id <> q.doc_id
+        ),
+        dcg AS (
+          SELECT r.query_id,
+                 CAST(sum(coalesce(j.gain, 0) * ({_wlit})[CAST(r.rank AS INT)]) AS BIGINT) AS dcg_q
+          FROM res r LEFT JOIN jd j
+            ON r.query_id = j.query_id AND r.doc_id = j.doc_id
+          GROUP BY 1
+        ),
+        ideal AS (
+          SELECT query_id, CAST(count(*) AS BIGINT) AS n_judged,
+                 CAST(sum(CASE WHEN i <= 10 THEN gain * ({_wlit})[CAST(i AS INT)] ELSE 0 END) AS BIGINT) AS idcg_q
+          FROM (SELECT query_id, doc_id, gain,
+                       row_number() OVER (PARTITION BY query_id ORDER BY gain DESC, doc_id) AS i
+                FROM jd)
+          GROUP BY 1
+        )
+        SELECT i.query_id, i.n_judged,
+               CAST(coalesce(dcg_q, 0) AS BIGINT) AS dcg_q, i.idcg_q,
+               CAST(coalesce(dcg_q, 0) * 10000 // idcg_q AS BIGINT) AS ndcg_bp
+        FROM ideal i LEFT JOIN dcg USING (query_id)
     """
 
     # planted near-dup table (the _embeddings_with_planted twin): every 10th
@@ -7323,6 +7403,8 @@ def oracle_sql() -> dict[str, str]:
                   ["od", "indeg"], s1="rank_q"),
         _pack_sql("rrf_fusion", o["rrf_fusion"], _kcat_sql("query_id", "doc_id"),
                   ["n_lists"], s1="rrf_q", s2="rank"),
+        _pack_sql("ndcg_eval", o["ndcg_eval"], _kcat_sql("query_id"),
+                  ["n_judged", "dcg_q", "idcg_q"], s1="ndcg_bp"),
         _pack_sql("pq_topk", o["pq_topk"], _kcat_sql("query_id", "neighbor_id"), [],
                   s1="rank", s2="dist"),
         _pack_sql("dsir_select", o["dsir_select"], _kcat_sql("doc_id"), [],
@@ -7514,7 +7596,7 @@ def oracle_sql() -> dict[str, str]:
         "code_instr_loop", "prompted_thin", "t2s_qgen_cot",
         "file_type_filter", "doc2qa_eval", "superfiltering", "sql_compare",
         "instag", "llm_judge", "deita_rm", "qurating", "host_rank",
-        "quantile_sketch", "rrf_fusion",
+        "quantile_sketch", "rrf_fusion", "ndcg_eval",
     ):
         del o[_member]
 

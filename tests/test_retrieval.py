@@ -144,3 +144,35 @@ def test_rrf_fuse_twin(spark):
     # q2: doc20 in both lists wins over doc21
     assert got[(2, 20)] == (c(1) + c(2), 2, 1)
     assert got[(2, 21)] == (c(1), 1, 2)
+
+
+def test_ndcg_at_k_twin(spark):
+    """ndcg_at_k equals a hand-computed example: perfect ranking -> 10000 bp,
+    reversed ranking < 10000, unjudged docs contribute 0."""
+    from dataflow_spark.ops.retrieval import ndcg_at_k, ndcg_weights
+
+    w = ndcg_weights(10)
+    jd = spark.createDataFrame(
+        [(1, 10, 3), (1, 11, 2), (1, 12, 1), (2, 20, 2), (2, 21, 1)],
+        "query_id long, doc_id long, gain long",
+    )
+    perfect = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    out = {r["query_id"]: r for r in ndcg_at_k(perfect, jd).collect()}
+    assert out[1]["ndcg_bp"] == 10000 and out[1]["n_judged"] == 3
+    assert out[1]["dcg_q"] == 3 * w[0] + 2 * w[1] + 1 * w[2] == out[1]["idcg_q"]
+    # query 2 retrieved nothing -> dcg 0, ndcg 0
+    assert out[2]["dcg_q"] == 0 and out[2]["ndcg_bp"] == 0
+
+    # reversed + an unjudged doc at rank 1
+    rev = spark.createDataFrame(
+        [(1, 99, 1), (1, 12, 2), (1, 11, 3), (1, 10, 4)],
+        "query_id long, doc_id long, rank long",
+    )
+    out2 = {r["query_id"]: r for r in ndcg_at_k(rev, jd).collect()}
+    dcg = 0 * w[0] + 1 * w[1] + 2 * w[2] + 3 * w[3]
+    idcg = 3 * w[0] + 2 * w[1] + 1 * w[2]
+    assert out2[1]["dcg_q"] == dcg
+    assert out2[1]["ndcg_bp"] == dcg * 10000 // idcg < 10000
