@@ -213,7 +213,7 @@ def q_rrf_fusion(spark, sf):
     return retrieval.rrf_fuse([lex, sem], top_k=10)
 
 
-def q_ndcg_eval(spark, sf):
+def q_ndcg_eval(spark, sf, res=None):
     """nDCG@10 over the fused hybrid retrieval (battery member `ndcg_eval`,
     SURVEY §2.9; Järvelin 2002): graded judgments derived deterministically
     (every 25th-congruent doc judged per query, gain 1+md5%3), DCG/IDCG as
@@ -222,7 +222,8 @@ def q_ndcg_eval(spark, sf):
     (ops/retrieval.py ndcg_at_k)."""
     from dataflow_spark.ops import retrieval
 
-    res = q_rrf_fusion(spark, sf)
+    if res is None:
+        res = q_rrf_fusion(spark, sf)
     d = load_table(spark, sf, "documents").select("doc_id")
     qs = d.filter(F.col("doc_id") % 20 == 0).select(F.col("doc_id").alias("qid"))
     pair_h = F.conv(
@@ -2942,6 +2943,10 @@ def q_score_battery(spark, sf):
     complexity/quality probability-weighted template scores — integer
     logits + exact base-2 softmax — plus the RM reward head, one
     mapInPandas pass over the shipped sft_eval_w.npz artifact)."""
+    # the fused retrieval list feeds TWO members (rrf_fusion + ndcg_eval):
+    # checkpoint it once so the BM25 index build + cosine ranking never
+    # execute twice per battery run (result is |queries| x 10 rows — tiny)
+    _rrf_shared = q_rrf_fusion(spark, sf).localCheckpoint(eager=True)
     parts = [
         _battery_pack(q_pii_safety(spark, sf), "pii_safety",
                       _kcat("conv_id", "turn_idx"),
@@ -2967,10 +2972,10 @@ def q_score_battery(spark, sf):
         _battery_pack(q_host_rank(spark, sf), "host_rank",
                       _kcat("host"), ["od", "indeg"],
                       s1=F.col("rank_q")),
-        _battery_pack(q_rrf_fusion(spark, sf), "rrf_fusion",
+        _battery_pack(_rrf_shared, "rrf_fusion",
                       _kcat("query_id", "doc_id"), ["n_lists"],
                       s1=F.col("rrf_q"), s2=F.col("rank")),
-        _battery_pack(q_ndcg_eval(spark, sf), "ndcg_eval",
+        _battery_pack(q_ndcg_eval(spark, sf, res=_rrf_shared), "ndcg_eval",
                       _kcat("query_id"), ["n_judged", "dcg_q", "idcg_q"],
                       s1=F.col("ndcg_bp")),
         _battery_pack(q_pq_topk(spark, sf), "pq_topk",
@@ -4063,7 +4068,9 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT i.query_id, i.n_judged,
                CAST(coalesce(dcg_q, 0) AS BIGINT) AS dcg_q, i.idcg_q,
-               CAST(coalesce(dcg_q, 0) * 10000 // idcg_q AS BIGINT) AS ndcg_bp
+               CAST(CASE WHEN i.idcg_q > 0
+                         THEN coalesce(dcg_q, 0) * 10000 // i.idcg_q
+                         ELSE 0 END AS BIGINT) AS ndcg_bp
         FROM ideal i LEFT JOIN dcg USING (query_id)
     """
 

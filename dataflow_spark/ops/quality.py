@@ -785,6 +785,30 @@ def with_scores(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def _domain_rank_values(base: DataFrame, bps: dict[str, int]) -> DataFrame:
+    """Nearest-rank percentile values per domain — the ONE implementation of
+    the basis-point rank rule `value at rank (n*bp + 9999) div 10000`
+    shared by corpus_data_card (p50/p95) and quantile_sketch_card (its
+    verification bands): `base` is a (domain, __t) frame; returns one row
+    per domain with a value column per (name -> bp) entry, computed over
+    the per-domain cumulative distinct-value table (~10^4 rows/domain
+    regardless of corpus size, windowed per domain, never a global sort).
+    A float ceil(p*n) here would diverge between engines — the integer rule
+    is the portability contract, so it must not be re-implemented."""
+    counts = base.groupBy("domain", "__t").agg(F.count(F.lit(1)).alias("__c"))
+    cum = counts.withColumn(
+        "__cum", F.sum("__c").over(Window.partitionBy("domain").orderBy("__t"))
+    ).withColumn("__n", F.sum("__c").over(Window.partitionBy("domain")))
+    return cum.groupBy("domain").agg(
+        *[
+            F.min(
+                F.when(F.expr(f"__cum >= (__n * {bp} + 9999) div 10000"), F.col("__t"))
+            ).alias(name)
+            for name, bp in bps.items()
+        ]
+    )
+
+
 def corpus_data_card(
     df: DataFrame,
     domain_col: str = "source",
@@ -822,17 +846,8 @@ def corpus_data_card(
         F.sum("__t").alias("n_tokens"),
         (F.count(F.lit(1)) - F.count_distinct(F.col("__fp"))).alias("dup_docs"),
     )
-    counts = base.groupBy("domain", "__t").agg(F.count(F.lit(1)).alias("__c"))
-    cum = counts.withColumn(
-        "__cum", F.sum("__c").over(Window.partitionBy("domain").orderBy("__t"))
-    ).withColumn("__n", F.sum("__c").over(Window.partitionBy("domain")))
-    pcts = cum.groupBy("domain").agg(
-        F.min(
-            F.when(F.expr("__cum >= (__n * 5000 + 9999) div 10000"), F.col("__t"))
-        ).alias("p50_tok"),
-        F.min(
-            F.when(F.expr("__cum >= (__n * 9500 + 9999) div 10000"), F.col("__t"))
-        ).alias("p95_tok"),
+    pcts = _domain_rank_values(
+        base.select("domain", "__t"), {"p50_tok": 5000, "p95_tok": 9500}
     )
     return scal.join(pcts, "domain").select(
         "domain",
@@ -1597,21 +1612,8 @@ def quantile_sketch_card(
     """
     tok = bpe_ish_token_count(F.coalesce(F.col(text_col), F.lit("")))
     base = df.select(F.col(domain_col).alias("domain"), tok.alias("__t"))
-    counts = base.groupBy("domain", "__t").agg(F.count(F.lit(1)).alias("__c"))
-    cum = counts.withColumn(
-        "__cum", F.sum("__c").over(Window.partitionBy("domain").orderBy("__t"))
-    ).withColumn("__n", F.sum("__c").over(Window.partitionBy("domain")))
-
-    def _rank_val(bp: int) -> Column:
-        return F.min(
-            F.when(F.expr(f"__cum >= (__n * {bp} + 9999) div 10000"), F.col("__t"))
-        )
-
-    bounds = cum.groupBy("domain").agg(
-        _rank_val(4500).alias("lo50"),
-        _rank_val(5500).alias("hi50"),
-        _rank_val(9000).alias("lo95"),
-        _rank_val(9900).alias("hi95"),
+    bounds = _domain_rank_values(
+        base, {"lo50": 4500, "hi50": 5500, "lo95": 9000, "hi95": 9900}
     )
     sk = base.groupBy("domain").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

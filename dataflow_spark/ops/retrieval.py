@@ -186,6 +186,8 @@ def rrf_fuse(
     score, how many input lists ranked the doc, and the fused 1-based rank
     (ties broken by doc id).
     """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking DataFrame")
     tagged = None
     for r in rankings:
         s = r.select(
@@ -303,5 +305,10 @@ def ndcg_at_k(
         "n_judged",
         F.coalesce(F.col("dcg_q"), F.lit(0)).cast("long").alias("dcg_q"),
         F.col("idcg_q").cast("long").alias("idcg_q"),
-        F.expr("div(coalesce(dcg_q, 0) * 10000, idcg_q)").cast("long").alias("ndcg_bp"),
+        # idcg_q = 0 when every judged doc carries gain 0 (routine in graded
+        # judgment sets): define ndcg as 0 there instead of NULL/div-by-zero
+        F.when(F.col("idcg_q") > 0, F.expr("div(coalesce(dcg_q, 0) * 10000, idcg_q)"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ndcg_bp"),
     )

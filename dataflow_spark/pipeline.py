@@ -1077,7 +1077,12 @@ def recommend_pipeline(
                 raise PipelineConfigError("response is not a list of op steps")
             validate_config(cfg, list(input_cols))
             return cfg
-        except (PipelineConfigError, json.JSONDecodeError) as e:
+        except (json.JSONDecodeError, KeyError, TypeError, AttributeError) as e:
+            # KeyError covers PipelineConfigError (its subclass) AND raw
+            # KeyError/TypeError/AttributeError from registry param lambdas
+            # hit during validate_config (e.g. a plan step missing a required
+            # param) — every malformed plan must trigger a repair round, not
+            # crash the loop
             last_err = e
             prompt = (
                 RECOMMEND_PROMPT.format(task=task, cols=list(input_cols), catalog=catalog)

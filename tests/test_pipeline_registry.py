@@ -267,3 +267,17 @@ def test_webgraph_card_runs(spark):
     rows = out.collect()
     assert 0 < len(rows) <= 64
     assert all(r["rank_q"] > 0 for r in rows)
+
+
+def test_recommend_pipeline_repairs_missing_param():
+    """A plan step missing a required param (registry lambda raises raw
+    KeyError during validate_config) must trigger a repair round, not crash
+    (review finding: KeyError escaped the except clause)."""
+    from dataflow_spark.pipeline import recommend_pipeline
+
+    bad = '```json\n[{"op": "score_band_filter", "min": 0, "max": 10}]\n```'
+    good = '```json\n[{"op": "lowercase"}]\n```'
+    be = _ScriptedServing([bad, good])
+    cfg = recommend_pipeline("band it", be, input_cols=["text"])
+    assert cfg == [{"op": "lowercase"}]
+    assert "col" in be.prompts[1]

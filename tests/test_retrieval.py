@@ -176,3 +176,19 @@ def test_ndcg_at_k_twin(spark):
     idcg = 3 * w[0] + 2 * w[1] + 1 * w[2]
     assert out2[1]["dcg_q"] == dcg
     assert out2[1]["ndcg_bp"] == dcg * 10000 // idcg < 10000
+
+
+def test_ndcg_zero_idcg_and_empty_fuse(spark):
+    """Review-finding guards: all-gain-0 judgments -> ndcg_bp 0 (not NULL);
+    rrf_fuse([]) raises a clear ValueError."""
+    import pytest
+
+    from dataflow_spark.ops.retrieval import ndcg_at_k, rrf_fuse
+
+    jd = spark.createDataFrame([(1, 10, 0), (1, 11, 0)],
+                               "query_id long, doc_id long, gain long")
+    res = spark.createDataFrame([(1, 10, 1)], "query_id long, doc_id long, rank long")
+    row = ndcg_at_k(res, jd).collect()[0]
+    assert row["idcg_q"] == 0 and row["ndcg_bp"] == 0
+    with pytest.raises(ValueError):
+        rrf_fuse([])
