@@ -1650,6 +1650,17 @@ def q_quantile_sketch(spark, sf):
     return quality.quantile_sketch_card(d, "source", "text")
 
 
+def q_kmv_overlap(spark, sf):
+    """KMV-sketch cross-domain overlap (battery member `kmv_overlap`,
+    SURVEY §2.9; Beyer 2007): per-source k=64 smallest 48-bit md5 text
+    hashes, pairwise Jaccard estimated from merged sketches, shipped next
+    to the exact figure with the estimator's own error as a checked column.
+    Deterministic md5 arithmetic end-to-end — the sketch estimate itself is
+    bit-exact against the SQL twin (ops/quality.py kmv_overlap)."""
+    d = load_table(spark, sf, "documents")
+    return quality.kmv_overlap(d, "source", "text", k=64)
+
+
 def q_source_overlap(spark, sf):
     """Cross-domain duplicate-overlap matrix (battery member): distinct
     shared texts + integer-basis-point Jaccard per unordered domain pair —
@@ -2875,7 +2886,7 @@ def q_multihop_qa(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 72 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 73 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -2901,7 +2912,8 @@ def q_score_battery(spark, sf):
     softdedup (SoftDeDup data-commonness reweighting scores),
     url_dedup (CC-style URL canonicalization + URL-level dedup),
     source_overlap (cross-domain duplicate-overlap matrix, integer-bp
-    Jaccard), chat_render (ChatML-style SFT serialization + token
+    Jaccard), kmv_overlap (KMV-sketch overlap estimate vs exact, bit-exact
+    replay), chat_render (ChatML-style SFT serialization + token
     budget), keep_best (quality-aware keeper selection — longest-wins
     per dup cluster), snapshot_diff (corpus release diff:
     added/removed/changed/unchanged), semantic_decontam (embedding-level
@@ -3032,6 +3044,9 @@ def q_score_battery(spark, sf):
         _battery_pack(q_source_overlap(spark, sf), "source_overlap",
                       _kcat("src_a", "src_b"), [],
                       s1=F.col("n_common"), s2=F.col("jac_bp")),
+        _battery_pack(q_kmv_overlap(spark, sf), "kmv_overlap",
+                      _kcat("src_a", "src_b"), ["k_used", "err_bp"],
+                      s1=F.col("est_jac_bp"), s2=F.col("exact_jac_bp")),
         _battery_pack(q_chat_render(spark, sf), "chat_render",
                       _kcat("conv_id"), ["render_digest"],
                       s1=F.col("n_turns"), s2=F.col("n_tokens")),
@@ -7031,6 +7046,57 @@ def oracle_sql() -> dict[str, str]:
     # source_overlap_matrix) over 5 deterministic conversation groups. The
     # oracle joins raw texts where the engine joins xxhash64 (2^-64 trade);
     # Jaccard in integer basis points (div, never float).
+    # KMV-sketch overlap: deterministic md5 arithmetic — the sketch estimate
+    # is replayed bit-exactly (48-bit prefixes, k=64 rank windows, integer bp)
+    o["kmv_overlap"] = """
+        WITH kdd AS (
+          SELECT DISTINCT source AS s,
+                 CAST(('0x' || substr(md5(text), 1, 12))::UBIGINT AS BIGINT) AS h
+          FROM documents
+        ),
+        ksk AS (
+          SELECT s, h FROM (
+            SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS r FROM kdd
+          ) WHERE r <= 64
+        ),
+        kdm AS (SELECT DISTINCT s FROM kdd),
+        kp AS (SELECT a.s AS src_a, b.s AS src_b FROM kdm a JOIN kdm b ON a.s < b.s),
+        ku AS (
+          SELECT src_a, src_b, h, max(ia) AS ia, max(ib) AS ib FROM (
+            SELECT p.src_a, p.src_b, k.h, 1 AS ia, 0 AS ib
+            FROM kp p JOIN ksk k ON k.s = p.src_a
+            UNION ALL
+            SELECT p.src_a, p.src_b, k.h, 0 AS ia, 1 AS ib
+            FROM kp p JOIN ksk k ON k.s = p.src_b
+          ) GROUP BY 1, 2, 3
+        ),
+        kest AS (
+          SELECT src_a, src_b,
+                 CAST((10000 * sum(ia * ib)) // count(*) AS BIGINT) AS est_jac_bp
+          FROM (
+            SELECT src_a, src_b, ia, ib,
+                   row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS r
+            FROM ku
+          ) WHERE r <= 64 GROUP BY 1, 2
+        ),
+        ksz AS (SELECT s, count(*) AS n FROM kdd GROUP BY 1),
+        kint AS (
+          SELECT a.s AS src_a, b.s AS src_b, count(*) AS c
+          FROM kdd a JOIN kdd b ON a.h = b.h AND a.s < b.s GROUP BY 1, 2
+        ),
+        kex AS (
+          SELECT p.src_a, p.src_b,
+                 CAST((10000 * coalesce(c, 0)) // (na.n + nb.n - coalesce(c, 0)) AS BIGINT) AS exact_jac_bp
+          FROM kp p LEFT JOIN kint USING (src_a, src_b)
+          JOIN ksz na ON na.s = p.src_a JOIN ksz nb ON nb.s = p.src_b
+        )
+        SELECT e.src_a, e.src_b, CAST(64 AS BIGINT) AS k_used,
+               CAST(coalesce(est_jac_bp, 0) AS BIGINT) AS est_jac_bp,
+               exact_jac_bp,
+               CAST(abs(coalesce(est_jac_bp, 0) - exact_jac_bp) AS BIGINT) AS err_bp
+        FROM kex e LEFT JOIN kest USING (src_a, src_b)
+    """
+
     o["source_overlap"] = with_transcripts(
         """
         , d AS (
@@ -7448,6 +7514,8 @@ def oracle_sql() -> dict[str, str]:
                   ["is_common"], s1="n_shingles", s2="commonness_q"),
         _pack_sql("url_dedup", o["url_dedup"], _kcat_sql("doc_id"),
                   ["canon_url"], s1="keeper_id", s2="n_dups"),
+        _pack_sql("kmv_overlap", o["kmv_overlap"], _kcat_sql("src_a", "src_b"),
+                  ["k_used", "err_bp"], s1="est_jac_bp", s2="exact_jac_bp"),
         _pack_sql("source_overlap", o["source_overlap"], _kcat_sql("src_a", "src_b"),
                   [], s1="n_common", s2="jac_bp"),
         _pack_sql("chat_render", o["chat_render"], _kcat_sql("conv_id"),
@@ -7603,7 +7671,7 @@ def oracle_sql() -> dict[str, str]:
         "code_instr_loop", "prompted_thin", "t2s_qgen_cot",
         "file_type_filter", "doc2qa_eval", "superfiltering", "sql_compare",
         "instag", "llm_judge", "deita_rm", "qurating", "host_rank",
-        "quantile_sketch", "rrf_fusion", "ndcg_eval",
+        "quantile_sketch", "rrf_fusion", "ndcg_eval", "kmv_overlap",
     ):
         del o[_member]
 

@@ -1632,3 +1632,102 @@ def quantile_sketch_card(
         ok50.cast("int").alias("p50_ok"),
         ok95.cast("int").alias("p95_ok"),
     )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    k: int = 64,
+) -> DataFrame:
+    """KMV-sketch cross-domain overlap (Beyer, Haas, Reinwald, Sismanis &
+    Gemulla, SIGMOD 2007; Broder's min-wise estimate): per domain keep the
+    k smallest 48-bit md5 values of its distinct texts; a domain pair's
+    Jaccard is estimated from the merged sketches alone,
+
+        U   = the k smallest values of sketch(A) ∪ sketch(B)
+        est = |{v ∈ U : v ∈ sketch(A) ∧ v ∈ sketch(B)}| · 10000 div |U|
+
+    This is the sketch twin of `source_overlap_matrix`: the exact matrix
+    joins on every shared text hash (fan-out bounded by per-text domain
+    multiplicity but still corpus-sized input); the KMV path reduces each
+    domain to k values FIRST — at 10^12 rows the pairwise stage touches
+    n_domains·k rows total, and sketches of separate dumps/partitions merge
+    by union (the KMV property), so it composes with incremental ingest.
+
+    Exactness discipline: the sketch is deterministic md5 arithmetic, so
+    the DuckDB twin reproduces the estimate BIT-EXACTLY — the approximation
+    is vs the true Jaccard, not vs the oracle. Both figures ship per pair
+    (est_jac_bp from the sketch, exact_jac_bp from the full distinct sets)
+    plus their absolute gap, so the estimator's error is itself a checked,
+    visible column. Per-domain sketch extraction is a rank window over the
+    distinct (domain, hash) frame; at extreme scale pre-filter hashes with
+    a prefix threshold (the size-targeted-sampler trick) before ranking.
+
+    Returns (src_a, src_b, k_used, est_jac_bp, exact_jac_bp, err_bp) for
+    every unordered domain pair (zero-overlap pairs included — the sketch
+    says 0 and the exact side confirms it).
+    """
+    h48 = F.conv(F.substring(F.md5(F.col(text_col)), 1, 12), 16, 10).cast("bigint")
+    dd = df.select(F.col(domain_col).alias("__s"), h48.alias("__h")).distinct()
+    wk = Window.partitionBy("__s").orderBy("__h")
+    sk = dd.withColumn("__r", F.row_number().over(wk)).filter(F.col("__r") <= k)
+    doms = dd.select("__s").distinct()
+    pairs = (
+        doms.select(F.col("__s").alias("src_a"))
+        .join(doms.select(F.col("__s").alias("src_b")), F.col("src_a") < F.col("src_b"))
+    )
+    ua = pairs.join(sk, pairs.src_a == sk.__s).select(
+        "src_a", "src_b", "__h", F.lit(1).alias("__ia"), F.lit(0).alias("__ib")
+    )
+    ub = pairs.join(sk, pairs.src_b == sk.__s).select(
+        "src_a", "src_b", "__h", F.lit(0).alias("__ia"), F.lit(1).alias("__ib")
+    )
+    merged = (
+        ua.unionByName(ub)
+        .groupBy("src_a", "src_b", "__h")
+        .agg(F.max("__ia").alias("__ia"), F.max("__ib").alias("__ib"))
+    )
+    wu = Window.partitionBy("src_a", "src_b").orderBy("__h")
+    est = (
+        merged.withColumn("__r", F.row_number().over(wu))
+        .filter(F.col("__r") <= k)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.col("__ia") * F.col("__ib")).alias("__both"),
+            F.count(F.lit(1)).alias("__u"),
+        )
+        .select(
+            "src_a", "src_b",
+            F.expr("(10000 * __both) div __u").alias("est_jac_bp"),
+        )
+    )
+    sizes = dd.groupBy("__s").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = dd.alias("a"), dd.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__s") < F.col("b.__s")))
+        .groupBy(F.col("a.__s").alias("src_a"), F.col("b.__s").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    exact = (
+        pairs.join(inter, ["src_a", "src_b"], "left")
+        .join(sizes.select(F.col("__s").alias("src_a"), F.col("__n").alias("__na")), "src_a")
+        .join(sizes.select(F.col("__s").alias("src_b"), F.col("__n").alias("__nb")), "src_b")
+        .select(
+            "src_a", "src_b",
+            F.expr("(10000 * coalesce(__c, 0)) div (__na + __nb - coalesce(__c, 0))")
+            .alias("exact_jac_bp"),
+        )
+    )
+    return (
+        exact.join(est, ["src_a", "src_b"], "left")
+        .select(
+            "src_a", "src_b",
+            F.lit(k).cast("long").alias("k_used"),
+            F.coalesce(F.col("est_jac_bp"), F.lit(0)).cast("long").alias("est_jac_bp"),
+            F.col("exact_jac_bp").cast("long").alias("exact_jac_bp"),
+            F.abs(F.coalesce(F.col("est_jac_bp"), F.lit(0)) - F.col("exact_jac_bp"))
+            .cast("long")
+            .alias("err_bp"),
+        )
+    )

@@ -136,3 +136,38 @@ def test_quantile_sketch_card(spark):
     assert a["n_docs"] == 100 and a["p50_ok"] == 1 and a["p95_ok"] == 1
     b = out["b"]
     assert (b["lo50"], b["hi50"], b["p50_ok"], b["p95_ok"]) == (1, 1, 1, 1)
+
+
+def test_kmv_overlap_twin(spark):
+    """kmv_overlap: with k >= all distinct hashes the KMV estimate IS the
+    exact Jaccard (err 0); with a planted overlap the figures agree with a
+    hand-computed python twin."""
+    import hashlib
+
+    from dataflow_spark.ops.quality import kmv_overlap
+
+    rows = (
+        [("a", f"shared-{i}") for i in range(10)]
+        + [("a", f"only-a-{i}") for i in range(10)]
+        + [("b", f"shared-{i}") for i in range(10)]
+        + [("b", f"only-b-{i}") for i in range(30)]
+        + [("c", "isolated")]
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r["src_a"], r["src_b"]): r for r in kmv_overlap(df, k=64).collect()}
+    ab = out[("a", "b")]
+    # |A∩B|=10, |A∪B|=50 -> 2000 bp exactly; k=64 covers every hash so the
+    # sketch estimate equals the exact figure
+    assert ab["exact_jac_bp"] == 2000 and ab["est_jac_bp"] == 2000 and ab["err_bp"] == 0
+    assert out[("a", "c")]["est_jac_bp"] == 0 and out[("a", "c")]["exact_jac_bp"] == 0
+    assert len(out) == 3  # all unordered pairs emitted
+
+    # small k: estimate from the 4 smallest union hashes, python twin
+    out4 = {(r["src_a"], r["src_b"]): r for r in kmv_overlap(df, k=4).collect()}
+    h = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+    A = sorted(h(f"shared-{i}") for i in range(10)) + sorted(h(f"only-a-{i}") for i in range(10))
+    B = sorted(h(f"shared-{i}") for i in range(10)) + sorted(h(f"only-b-{i}") for i in range(30))
+    skA, skB = set(sorted(A)[:4]), set(sorted(B)[:4])
+    U = sorted(skA | skB)[:4]
+    want = 10000 * sum(1 for v in U if v in skA and v in skB) // len(U)
+    assert out4[("a", "b")]["est_jac_bp"] == want
