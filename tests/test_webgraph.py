@@ -171,3 +171,34 @@ def test_kmv_overlap_twin(spark):
     U = sorted(skA | skB)[:4]
     want = 10000 * sum(1 for v in U if v in skA and v in skB) // len(U)
     assert out4[("a", "b")]["est_jac_bp"] == want
+
+
+def test_new_ops_plan_receipts(spark):
+    """Physical-plan receipts for the session's operators: rank-limited
+    windows compile to partial WindowGroupLimit (only <=k rows per group
+    cross the exchange), and nothing drops into a Python row stage."""
+    from dataflow_spark.ops.retrieval import rrf_fuse
+    from dataflow_spark.ops.quality import kmv_overlap, quantile_sketch_card
+
+    lex = spark.createDataFrame(
+        [(1, 10 + i, i + 1) for i in range(20)], "query_id long, doc_id long, rank long"
+    )
+    sem = spark.createDataFrame(
+        [(1, 15 + i, i + 1) for i in range(20)], "query_id long, doc_id long, rank long"
+    )
+    p1 = rrf_fuse([lex, sem], top_k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p1
+    assert "ArrowEvalPython" not in p1 and "BatchEvalPython" not in p1
+
+    docs = spark.createDataFrame(
+        [("s" + str(i % 3), f"text {i} " * (i % 7 + 1)) for i in range(60)],
+        "source string, text string",
+    )
+    p2 = kmv_overlap(docs, k=8)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in p2  # both k-min rank windows push the limit
+    assert "ArrowEvalPython" not in p2 and "BatchEvalPython" not in p2
+
+    # the sketch card is pure JVM: GK agg + window bands, no Python stage
+    p3 = quantile_sketch_card(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "approx_percentile" in p3
+    assert "ArrowEvalPython" not in p3 and "BatchEvalPython" not in p3
