@@ -1731,3 +1731,43 @@ def kmv_overlap(
             .alias("err_bp"),
         )
     )
+
+
+def kmv_hash48(col: Column) -> Column:
+    """Portable 48-bit md5-prefix hash (the KMV value space); DuckDB twin:
+    ('0x' || substr(md5(x), 1, 12))::UBIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+def windowed_kmv_sketch(
+    df: DataFrame,
+    domain_col: str = "role",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    k: int = 16,
+    keep_below: int = 1 << 44,
+) -> DataFrame:
+    """Per-(tumbling window, domain) KMV sketch — the batch twin of
+    `streaming/pipeline.py kmv_stage` (stream==batch equality pinned in
+    tests). Threshold-KMV: only hashes below `keep_below` are aggregated
+    (a candidate for the final k-min must be small, so the filter is
+    lossless as long as >= k survivors exist — size keep_below to
+    E[survivors] = distinct · keep_below/2^48 ≈ 8k), then the k smallest
+    distinct values per group, sorted. Returns
+    (win_start, domain, sketch, n_kept)."""
+    h = kmv_hash48(F.col(text_col))
+    return (
+        df.select(
+            F.window(ts_col, window).alias("win"),
+            F.col(domain_col).alias("domain"),
+            h.alias("__h"),
+        )
+        .filter(F.col("__h") < keep_below)
+        .groupBy("win", "domain")
+        .agg(
+            F.slice(F.sort_array(F.collect_set("__h")), 1, k).alias("sketch"),
+            F.size(F.collect_set("__h")).cast("long").alias("n_kept"),
+        )
+        .select(F.col("win.start").alias("win_start"), "domain", "sketch", "n_kept")
+    )

@@ -661,6 +661,36 @@ register(
     ),
 )
 register(
+    # KMV-sketch cross-domain overlap (ops/quality.py): schema-replacing
+    "kmv_overlap",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.quality", fromlist=["x"]).kmv_overlap(
+            df, p.get("domain_col", "source"), p.get("col", "text"),
+            k=p.get("k", 64))),
+        lambda p: [p.get("domain_col", "source"), p.get("col", "text")],
+        schema_cols=lambda p: ["src_a", "src_b", "k_used", "est_jac_bp",
+                               "exact_jac_bp", "err_bp"],
+    ),
+)
+register(
+    # per-window KMV sketches; streaming twin = the watermarked kmv_stage
+    "windowed_kmv",
+    OpSpec(
+        lambda **p: (lambda df: __import__("dataflow_spark.ops.quality", fromlist=["x"]).windowed_kmv_sketch(
+            df, p.get("domain_col", "role"), p.get("col", "text"),
+            p.get("ts_col", "ts"), window=p.get("window", "5 minutes"),
+            k=p.get("k", 16), keep_below=p.get("keep_below", 1 << 44))),
+        lambda p: [p.get("domain_col", "role"), p.get("col", "text"),
+                   p.get("ts_col", "ts")],
+        schema_cols=lambda p: ["win_start", "domain", "sketch", "n_kept"],
+        streaming_builder=lambda **p: (lambda sdf: __import__("dataflow_spark.streaming.pipeline", fromlist=["x"]).kmv_stage(
+            sdf, p.get("domain_col", "role"), p.get("col", "text"),
+            watermark=p.get("watermark", "10 minutes"),
+            window=p.get("window", "5 minutes"),
+            k=p.get("k", 16), keep_below=p.get("keep_below", 1 << 44))),
+    ),
+)
+register(
     # GK-sketch percentile card (ops/quality.py): schema-replacing summary
     "quantile_sketch_card",
     OpSpec(

@@ -210,3 +210,45 @@ def histogram_stage(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("win.start").alias("win_start"), "bucket", "n")
     )
+
+
+def kmv_stage(
+    sdf: DataFrame,
+    domain_col: str = "role",
+    text_col: str = "text",
+    watermark: str | None = "10 minutes",
+    window: str = "5 minutes",
+    k: int = 16,
+    keep_below: int = 1 << 44,
+) -> DataFrame:
+    """Finalized per-window KMV sketches — sketches ARE the right streaming
+    state (they merge by union, the KMV property), so the distinct-text
+    profile of an unbounded stream persists as k bigints per (window,
+    domain) instead of the texts themselves. Threshold-KMV bounds the agg
+    state: only hashes below `keep_below` enter the group (lossless for the
+    final k-min while >= k survive; size keep_below so E[survivors] stays
+    ~hundreds), the k smallest distinct values emit ONCE per group when the
+    watermark closes the window (append mode). Stored sketch rows are
+    immutable ⇒ replay-idempotent through the idempotent sink, and
+    downstream KMV overlap estimates (ops/quality.py kmv_overlap) compose
+    over any union of stored sketches — across windows, domains, or dumps.
+    Batch twin: ops/quality.py windowed_kmv_sketch (equality pinned in
+    tests/test_streaming.py)."""
+    from dataflow_spark.ops.quality import kmv_hash48
+
+    pre = sdf.withWatermark("ts", watermark) if watermark is not None else sdf
+    h = kmv_hash48(F.col(text_col))
+    return (
+        pre.select(
+            F.window("ts", window).alias("win"),
+            F.col(domain_col).alias("domain"),
+            h.alias("__h"),
+        )
+        .filter(F.col("__h") < keep_below)
+        .groupBy("win", "domain")
+        .agg(
+            F.slice(F.sort_array(F.collect_set("__h")), 1, k).alias("sketch"),
+            F.size(F.collect_set("__h")).cast("long").alias("n_kept"),
+        )
+        .select(F.col("win.start").alias("win_start"), "domain", "sketch", "n_kept")
+    )

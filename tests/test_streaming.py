@@ -1056,3 +1056,61 @@ def test_db_merge_sink_exactly_once(spark, tmp_path):
 
     run()  # restart on drained checkpoint: no-op
     assert len(sink.read(spark).toPandas()) == len(pdf)
+
+
+def test_streaming_kmv_sketch_matches_batch_and_replays(spark, tmp_path):
+    """kmv_stage: watermarked per-(window, domain) KMV sketches equal the
+    batch windowed_kmv_sketch twin on finalized windows; a restart from the
+    same checkpoint appends nothing (replay idempotence)."""
+    from dataflow_spark.ops.quality import windowed_kmv_sketch
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    df = synth_transcripts(spark, n_turns=3000, n_convs=30, seed=13)
+    pdf = df.toPandas().sort_values("ts")
+    write_ordered_chunks([pdf.iloc[: len(pdf) // 2], pdf.iloc[len(pdf) // 2 :]], src)
+
+    # keep_below = full space here: the fixture is small, so the threshold
+    # prefilter is exercised separately below
+    KEEP = 1 << 48
+
+    def drain():
+        sdf = sp.read_transcript_stream(spark, src, max_files_per_trigger=1)
+        sk = sp.kmv_stage(sdf, watermark="1 minute", window="5 minutes",
+                          k=8, keep_below=KEEP)
+        sink = IdempotentBatchSink(out)
+        q = (
+            sk.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sink
+
+    sink = drain()
+    streamed = sink.read(spark).toPandas()
+    assert len(streamed) > 2
+    batch = windowed_kmv_sketch(df, window="5 minutes", k=8, keep_below=KEEP).toPandas()
+    batch = batch[batch["win_start"].isin(set(streamed["win_start"]))]
+    for frame in (streamed, batch):
+        frame.sort_values(["win_start", "domain"], inplace=True)
+        frame.reset_index(drop=True, inplace=True)
+        frame["sketch"] = frame["sketch"].apply(list)
+    pd.testing.assert_frame_equal(streamed[batch.columns], batch)
+
+    before = len(sink.read(spark).toPandas())
+    drain()
+    assert len(sink.read(spark).toPandas()) == before
+
+    # threshold-KMV is lossless while >= k hashes survive the prefilter:
+    # with a tighter threshold every emitted sketch value sits below it and
+    # still equals the unthresholded k-min head that falls under it
+    tight = windowed_kmv_sketch(df, window="5 minutes", k=8, keep_below=1 << 46).toPandas()
+    full = windowed_kmv_sketch(df, window="5 minutes", k=8, keep_below=1 << 48).toPandas()
+    merged = tight.merge(full, on=["win_start", "domain"], suffixes=("_t", "_f"))
+    for _, r in merged.iterrows():
+        want = [v for v in r["sketch_f"] if v < (1 << 46)][:8]
+        assert list(r["sketch_t"]) == want
