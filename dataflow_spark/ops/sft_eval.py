@@ -256,18 +256,38 @@ def _strip_ws(col: Column) -> Column:
     return F.regexp_replace(col, r"^\s+|\s+$", "")
 
 
+# Python float() grammar (ASCII scope): optional sign, digit groups with
+# single underscores, optional fraction/exponent, or inf/infinity/nan.
+# Spark's string->double cast is WIDER in one direction (it accepts Java
+# literal suffixes: '0d', '1f' -> 0.0, 1.0 where float() raises — found by
+# the hypothesis parity test) and NARROWER in another (it rejects python's
+# '1_0' digit grouping), so the cast is gated on this regex and underscores
+# are stripped before casting. Unicode digits (float('٥')) remain the
+# documented out-of-scope edge (Java \d is ASCII).
+_PY_FLOAT_RE = (
+    r"(?i)^[+\-]?((\d(_?\d)*(\.(\d(_?\d)*)?)?|\.\d(_?\d)*)(e[+\-]?\d(_?\d)*)?"
+    r"|inf(inity)?|nan)$"
+)
+
+
+def _py_float(tok: Column) -> Column:
+    return F.when(
+        tok.rlike(_PY_FLOAT_RE), F.regexp_replace(tok, "_", "").try_cast("double")
+    )
+
+
 def _last_line_first_token(resp: Column) -> Column:
     """treeinstruct_sample_evaluator.py:58-61 — strip, split lines, last line,
-    first whitespace token, float(); try_cast gives NULL where the
-    reference would raise ValueError (ANSI cast would also raise)."""
+    first whitespace token, float(); the _py_float gate gives NULL exactly
+    where the reference would raise ValueError."""
     last = F.element_at(F.split(_strip_ws(resp), "\n"), -1)
-    return F.element_at(F.split(_strip_ws(last), r"\s+"), 1).try_cast("double")
+    return _py_float(F.element_at(F.split(_strip_ws(last), r"\s+"), 1))
 
 
 def _first_line_first_token(resp: Column) -> Column:
     """alpagasus_sample_evaluator.py:64-66 — strip, FIRST line, first token."""
     first = F.element_at(F.split(_strip_ws(resp), "\n"), 1)
-    return F.element_at(F.split(_strip_ws(first), r"\s+"), 1).try_cast("double")
+    return _py_float(F.element_at(F.split(_strip_ws(first), r"\s+"), 1))
 
 
 def treeinstruct_evaluate(

@@ -373,3 +373,119 @@ def test_sft_parse_kernels_match_reference_on_arbitrary_responses(spark, resps):
         except (ValueError, RecursionError):
             want = 1  # Parsing-error substitution
         assert got[k] == want, ("instag", repr(r))
+
+
+# --- round-3 continuation kernels: pagerank / rrf / kmv --------------------
+
+
+@st.composite
+def edge_lists(draw):
+    n_hosts = draw(st.integers(2, 6))
+    n_edges = draw(st.integers(1, 15))
+    return [
+        (
+            f"h{draw(st.integers(0, n_hosts - 1))}",
+            f"h{draw(st.integers(0, n_hosts - 1))}",
+            draw(st.integers(1, 9)),
+        )
+        for _ in range(n_edges)
+    ]
+
+
+@given(edges=edge_lists(), iters=st.integers(1, 3))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pagerank_equals_python_twin(spark, edges, iters):
+    """Distributed integer PageRank == the sequential python fold on any
+    small multigraph (incl. self-loops, parallel edges, dangling nodes)."""
+    from dataflow_spark.ops import webgraph
+    from tests.test_webgraph import _twin_pagerank
+
+    if all(s == d for s, d, _ in edges):
+        return  # graph empties after self-loop drop
+    df = spark.createDataFrame(edges, "src string, dst string, w int")
+    got = {
+        r["host"]: (r["rank_q"], r["od"], r["indeg"])
+        for r in webgraph.pagerank(df, iters=iters).collect()
+    }
+    assert got == _twin_pagerank(edges, iters=iters)
+
+
+@st.composite
+def rank_lists(draw):
+    lists = []
+    for _ in range(draw(st.integers(1, 3))):
+        rows = []
+        for q in range(draw(st.integers(1, 3))):
+            docs = draw(
+                st.lists(st.integers(0, 12), min_size=1, max_size=6, unique=True)
+            )
+            rows += [(q, d, i + 1) for i, d in enumerate(docs)]
+        lists.append(rows)
+    return lists
+
+
+@given(lists=rank_lists(), top_k=st.integers(1, 5))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_rrf_fuse_equals_python_twin(spark, lists, top_k):
+    from dataflow_spark.ops.retrieval import rrf_fuse
+
+    dfs = [
+        spark.createDataFrame(rows, "query_id long, doc_id long, rank long")
+        for rows in lists
+    ]
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rrf_q"], r["n_lists"], r["rank"])
+        for r in rrf_fuse(dfs, top_k=top_k).collect()
+    }
+    acc: dict[tuple[int, int], list[int]] = {}
+    for rows in lists:
+        for q, d, rk in rows:
+            acc.setdefault((q, d), []).append(1_000_000 // (60 + rk))
+    want = {}
+    byq: dict[int, list] = {}
+    for (q, d), cs in acc.items():
+        byq.setdefault(q, []).append((d, sum(cs), len(cs)))
+    for q, items in byq.items():
+        items.sort(key=lambda t: (-t[1], t[0]))
+        for i, (d, s, n) in enumerate(items[:top_k], 1):
+            want[(q, d)] = (s, n, i)
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.text(min_size=1, max_size=8)),
+        min_size=2,
+        max_size=40,
+    ),
+    k=st.integers(1, 8),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_kmv_overlap_equals_python_twin(spark, rows, k):
+    """KMV estimate + exact Jaccard both equal the python fold for any
+    domain/text multiset and any k."""
+    import hashlib
+
+    from dataflow_spark.ops.quality import kmv_overlap
+
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["src_a"], r["src_b"]): (r["est_jac_bp"], r["exact_jac_bp"], r["err_bp"])
+        for r in kmv_overlap(df, k=k).collect()
+    }
+    h = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+    sets: dict[str, set] = {}
+    for s, t in rows:
+        sets.setdefault(s, set()).add(h(t))
+    want = {}
+    doms = sorted(sets)
+    for i, a in enumerate(doms):
+        for b in doms[i + 1 :]:
+            A, B = sets[a], sets[b]
+            exact = 10000 * len(A & B) // len(A | B)
+            skA = set(sorted(A)[:k])
+            skB = set(sorted(B)[:k])
+            U = sorted(skA | skB)[:k]
+            est = 10000 * sum(1 for v in U if v in skA and v in skB) // len(U)
+            want[(a, b)] = (est, exact, abs(est - exact))
+    assert got == want
