@@ -1851,6 +1851,18 @@ def q_pq_topk(spark, sf):
     return embeddings.pq_topk(enc, cbs, qv, k=5)
 
 
+def q_ivfpq_topk(spark, sf):
+    """Composed IVF+PQ ANN (battery member `ivfpq_topk`, SURVEY §2.9;
+    Jégou 2011 IVFADC): deterministic integer-Lloyd coarse cells (8, 1
+    iter) prune to n_probe=2 per query, PQ ADC (m=4, k=8) scores only the
+    survivors — the whole PRUNED pipeline replays bit-exactly in the
+    generated CTE twin (ops/embeddings.py ivf_pq_topk)."""
+    e = load_table(spark, sf, "embeddings")
+    return embeddings.ivf_pq_topk(
+        e, query_ids=[0, 1, 2], n_cells=8, n_probe=2, m=4, k_codes=8, k=5, iters=1
+    )
+
+
 def q_kmeans_cluster(spark, sf):
     """Deterministic k-means (k=8, 2 Lloyd updates + final assign) over the
     integer-quantized embedding lattice — the SemDeDup cluster-then-dedup
@@ -2886,7 +2898,7 @@ def q_multihop_qa(spark, sf):
 
 
 def q_score_battery(spark, sf):
-    """Evaluator/classifier battery — 73 members: pii_safety (Presidio
+    """Evaluator/classifier battery — 74 members: pii_safety (Presidio
     analog), docs_toxicity (Perspective analog), sql_hardness (SQL component
     + execution classifiers), model_score (model-backed evaluator stage, stub
     weights), mlp_score (same stage, REAL weights loaded from the shipped
@@ -2895,7 +2907,9 @@ def q_score_battery(spark, sf):
     (deterministic Lloyd), host_rank (host-graph PageRank authority,
     integer fixed-point — ops/webgraph.py), rrf_fusion (reciprocal-rank
     hybrid BM25+cosine fusion), ndcg_eval (fixed-point nDCG@10 over the
-    fused list), pq_topk (PQ/ADC ANN),
+    fused list), pq_topk (PQ/ADC ANN), ivfpq_topk (composed IVFADC —
+    deterministic coarse cells prune, PQ scores survivors, pruned pipeline
+    replayed exactly),
     dsir_select (DSIR
     importance resampling), outlier_trim (nearest-rank percentile band),
     seq_pack (concatenate-and-chunk sequence packing), bpe_merges
@@ -2991,6 +3005,9 @@ def q_score_battery(spark, sf):
                       _kcat("query_id"), ["n_judged", "dcg_q", "idcg_q"],
                       s1=F.col("ndcg_bp")),
         _battery_pack(q_pq_topk(spark, sf), "pq_topk",
+                      _kcat("query_id", "neighbor_id"), [],
+                      s1=F.col("rank"), s2=F.col("dist")),
+        _battery_pack(q_ivfpq_topk(spark, sf), "ivfpq_topk",
                       _kcat("query_id", "neighbor_id"), [],
                       s1=F.col("rank"), s2=F.col("dist")),
         _battery_pack(q_dsir_select(spark, sf), "dsir_select",
@@ -7262,6 +7279,41 @@ def oracle_sql() -> dict[str, str]:
         + "\nSELECT query_id, neighbor_id, rank, dist FROM pqr WHERE rank <= 5"
     )
 
+    # composed IVF+PQ (IVFADC): the SAME per-subspace PQ CTEs plus a
+    # full-dim integer-Lloyd coarse quantizer (8 cells, 1 iter), per-query
+    # n_probe=2 nearest cells, ADC restricted to probed-cell members. Every
+    # stage is deterministic, so the oracle replays the PRUNED pipeline
+    # exactly (unlike embed_ivf_topk, whose ML-KMeans cells force the
+    # exhaustive-probe equality oracle).
+    _iq_parts = list(_pq_parts[:-2])  # reuse qb/sb*/codebooks/e*/lut*/ct* CTEs
+    _iq_parts += ["ivbase AS (SELECT vec_id, xqf AS xq FROM qb)"]
+    _iq_parts += _kmeans_cte_parts("iv", "ivbase", k=8, iters=1, dim=64)
+    _iq_parts += [
+        f"ivd AS (SELECT b.vec_id, c.cl, {_KM_D2} AS d2 "
+        "FROM ivbase b CROSS JOIN ivc1 c)",
+        "iva AS (SELECT vec_id, cl AS cluster FROM ("
+        "SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn "
+        "FROM ivd) WHERE rn = 1)",
+        f"ivq AS (SELECT b.vec_id AS query_id, c.cl, {_KM_D2} AS d2 "
+        "FROM (SELECT vec_id, xq FROM ivbase WHERE vec_id < 3) b CROSS JOIN ivc1 c)",
+        "ivp AS (SELECT query_id, cl FROM ("
+        "SELECT query_id, cl, row_number() OVER (PARTITION BY query_id ORDER BY d2, cl) AS rn "
+        "FROM ivq) WHERE rn <= 2)",
+        "iadc AS (SELECT query_id, neighbor_id, sum(d) AS dist FROM ("
+        + " UNION ALL ".join(_pq_contribs)
+        + ") GROUP BY query_id, neighbor_id)",
+        "fadc AS (SELECT a.query_id, a.neighbor_id, a.dist FROM iadc a "
+        "JOIN iva v ON v.vec_id = a.neighbor_id "
+        "JOIN ivp p ON p.query_id = a.query_id AND p.cl = v.cluster)",
+        "iqr AS (SELECT query_id, neighbor_id, dist, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank "
+        "FROM fadc)",
+    ]
+    o["ivfpq_topk"] = (
+        "WITH " + ",\n".join(_iq_parts)
+        + "\nSELECT query_id, neighbor_id, rank, dist FROM iqr WHERE rank <= 5"
+    )
+
     # --- SFT instruction-quality evaluator family (ops/sft_eval.py) ---
     from dataflow_spark.ops import sft_eval as _se
 
@@ -7480,6 +7532,8 @@ def oracle_sql() -> dict[str, str]:
                   ["n_judged", "dcg_q", "idcg_q"], s1="ndcg_bp"),
         _pack_sql("pq_topk", o["pq_topk"], _kcat_sql("query_id", "neighbor_id"), [],
                   s1="rank", s2="dist"),
+        _pack_sql("ivfpq_topk", o["ivfpq_topk"], _kcat_sql("query_id", "neighbor_id"), [],
+                  s1="rank", s2="dist"),
         _pack_sql("dsir_select", o["dsir_select"], _kcat_sql("doc_id"), [],
                   s1="dsir_score", s2="rank"),
         _pack_sql("outlier_trim", o["outlier_trim"], _kcat_sql("doc_id"),
@@ -7672,6 +7726,7 @@ def oracle_sql() -> dict[str, str]:
         "file_type_filter", "doc2qa_eval", "superfiltering", "sql_compare",
         "instag", "llm_judge", "deita_rm", "qurating", "host_rank",
         "quantile_sketch", "rrf_fusion", "ndcg_eval", "kmv_overlap",
+        "ivfpq_topk",
     ):
         del o[_member]
 

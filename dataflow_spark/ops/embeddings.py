@@ -956,3 +956,106 @@ def semantic_decontaminate(
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
         (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k_codes: int = 8,
+    k: int = 5,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Composed IVF+PQ ANN — the production web-scale stack (Jégou, Douze &
+    Schmid, TPAMI 2011 §IV "IVFADC"): a coarse quantizer prunes the corpus
+    to each query's n_probe nearest cells, and within the survivors the
+    scan cost is PQ asymmetric-distance LUT lookups — at 10^12 vectors the
+    index holds m log2(k) bits per vector and each query touches
+    ~n_probe/n_cells of it.
+
+    This composition reuses the repo's two deterministic halves — the
+    integer-lattice Lloyd coarse quantizer (`_kmeans_centers`, the
+    kmeans_cluster machinery) and the per-subspace PQ codebooks/ADC
+    (`pq_train_encode`/`pq_topk`'s LUT construction) — so UNLIKE the
+    ML-KMeans `ivf_topk` (whose oracle needs exhaustive probing), the whole
+    pruned pipeline is bit-deterministic: cell assignment, probe choice,
+    codes, and ADC distances all replay exactly in the generated CTE twin
+    EVEN WITH REAL PRUNING (n_probe < n_cells). Approximation is vs the
+    true neighbors, never vs the oracle.
+
+    Per-query probe cells are chosen driver-side from the (n_cells × dim)
+    integer centers — driver traffic independent of corpus size; the
+    candidate filter is `cluster IN probe_cells`, an equi-semi-filter that
+    partition-prunes a cell-partitioned index layout.
+
+    Returns (query_id, neighbor_id, rank, dist) — integer ADC distances,
+    rank 1..k per query, ties on neighbor id.
+    """
+    from pyspark.sql import Window
+
+    base = _kmeans_quantize(df, id_col, vec_col).persist()
+    try:
+        centers = _kmeans_centers(base, id_col, k=n_cells, iters=iters)
+        assigned = base.withColumn("cluster", _kmeans_assign_expr(centers)).select(
+            id_col, "cluster"
+        )
+        qrows = {
+            r[id_col]: list(r["xq"])
+            for r in base.filter(F.col(id_col).isin(list(query_ids))).collect()
+        }
+        enc, cbs = pq_train_encode(df, id_col, vec_col, m=m, k=k_codes, iters=iters)
+        encc = enc.join(assigned, id_col).localCheckpoint(eager=True)
+    finally:
+        base.unpersist()
+
+    def _probe(xq: list[int]) -> list[int]:
+        d2 = [
+            (sum((a - b) * (a - b) for a, b in zip(xq, c)), cl)
+            for cl, c in enumerate(centers)
+        ]
+        d2.sort()
+        return [cl for _, cl in d2[:n_probe]]
+
+    dsub = len(cbs[0][0])
+    parts = []
+    for qid in sorted(qrows):
+        xq = qrows[qid]
+        probe = _probe(xq)
+        dist_expr = None
+        for j in range(m):
+            qsub = xq[j * dsub : (j + 1) * dsub]
+            lut = [
+                sum((a - b) * (a - b) for a, b in zip(qsub, c)) for c in cbs[j]
+            ]
+            term = F.element_at(
+                F.array(*[F.lit(int(v)).cast("bigint") for v in lut]),
+                F.element_at("codes", j + 1) + 1,
+            )
+            dist_expr = term if dist_expr is None else dist_expr + term
+        parts.append(
+            encc.filter(
+                (F.col(id_col) != qid) & F.col("cluster").isin(probe)
+            ).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                dist_expr.alias("dist"),
+            )
+        )
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("__rk").cast("long").alias("rank"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+    )

@@ -462,3 +462,30 @@ def test_semantic_decontaminate(spark):
     assert got[1]["contaminated"] and got[1]["n_hits"] == 1
     assert not got[2]["contaminated"] and got[2]["n_hits"] == 0
     assert not got[3]["contaminated"]  # cos(train3, eval100) = 0.6 < 0.9
+
+
+def test_ivf_pq_composition(spark):
+    """ivf_pq_topk: with n_probe == n_cells the composed pipeline equals
+    pq_topk exactly (pruning off == plain ADC); with real pruning the
+    results are a subset drawn only from probed cells and recall vs
+    unpruned ADC stays useful."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2]
+    full = embeddings.ivf_pq_topk(e, qids, n_cells=8, n_probe=8, m=4, k_codes=8, k=5, iters=1)
+    enc, cbs = embeddings.pq_train_encode(e, m=4, k=8, iters=1)
+    qs = {r["vec_id"]: list(r["embedding"]) for r in e.filter(F.col("vec_id") < 3).collect()}
+    plain = embeddings.pq_topk(enc, cbs, [(q, qs[q]) for q in qids], k=5)
+    a = sorted(map(tuple, full.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
+
+    pruned = embeddings.ivf_pq_topk(e, qids, n_cells=8, n_probe=2, m=4, k_codes=8, k=5, iters=1)
+    got = {(r["query_id"], r["neighbor_id"]) for r in pruned.collect()}
+    ref = {(r["query_id"], r["neighbor_id"]) for r in plain.collect()}
+    # every query still returns k rows, and recall vs unpruned ADC is real
+    per_q = {}
+    for q, n in got:
+        per_q.setdefault(q, set()).add(n)
+    assert all(len(v) == 5 for v in per_q.values())
+    recall = len(got & ref) / len(ref)
+    assert recall >= 0.4, recall
