@@ -1003,10 +1003,15 @@ def ivf_pq_topk(
         assigned = base.withColumn("cluster", _kmeans_assign_expr(centers)).select(
             id_col, "cluster"
         )
+        if not query_ids:
+            raise ValueError("ivf_pq_topk needs at least one query id")
         qrows = {
             r[id_col]: list(r["xq"])
             for r in base.filter(F.col(id_col).isin(list(query_ids))).collect()
         }
+        missing = sorted(set(query_ids) - set(qrows))
+        if missing:
+            raise ValueError(f"query ids not present in the corpus: {missing}")
         enc, cbs = pq_train_encode(df, id_col, vec_col, m=m, k=k_codes, iters=iters)
         encc = enc.join(assigned, id_col).localCheckpoint(eager=True)
     finally:

@@ -489,3 +489,13 @@ def test_ivf_pq_composition(spark):
     assert all(len(v) == 5 for v in per_q.values())
     recall = len(got & ref) / len(ref)
     assert recall >= 0.4, recall
+
+
+def test_ivf_pq_bad_query_ids(spark):
+    import pytest
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="at least one"):
+        embeddings.ivf_pq_topk(e, [])
+    with pytest.raises(ValueError, match="not present"):
+        embeddings.ivf_pq_topk(e, [0, 99999999])
