@@ -7069,7 +7069,7 @@ def oracle_sql() -> dict[str, str]:
         WITH kdd AS (
           SELECT DISTINCT source AS s,
                  CAST(('0x' || substr(md5(text), 1, 12))::UBIGINT AS BIGINT) AS h
-          FROM documents
+          FROM documents WHERE text IS NOT NULL
         ),
         ksk AS (
           SELECT s, h FROM (

@@ -988,14 +988,25 @@ def ivf_pq_topk(
     true neighbors, never vs the oracle.
 
     Per-query probe cells are chosen driver-side from the (n_cells × dim)
-    integer centers — driver traffic independent of corpus size; the
-    candidate filter is `cluster IN probe_cells`, an equi-semi-filter that
-    partition-prunes a cell-partitioned index layout.
+    integer centers — driver traffic independent of corpus size. The scan
+    is ONE broadcast hash join, plan size independent of |queries|: a tiny
+    (query_id, probe_cell, lut_flat) DataFrame (|queries| × n_probe rows,
+    each carrying the query's m·k_codes ADC LUT as an array column) is
+    broadcast and joined on `cluster == probe_cell`; the m ADC terms are
+    array lookups into the JOINED lut column, so neither the number of
+    queries nor the LUT values appear in the plan as literals. (Earlier
+    revision unioned one filtered scan per query with literal LUT arrays —
+    plan compiled O(|queries|·m·k_codes); this form replaces it per the
+    round-3 scale audit.) On a cell-partitioned index layout the same join
+    key partition-prunes to the probed cells.
 
     Returns (query_id, neighbor_id, rank, dist) — integer ADC distances,
     rank 1..k per query, ties on neighbor id.
     """
     from pyspark.sql import Window
+
+    if not query_ids:
+        raise ValueError("ivf_pq_topk needs at least one query id")
 
     base = _kmeans_quantize(df, id_col, vec_col).persist()
     try:
@@ -1003,8 +1014,6 @@ def ivf_pq_topk(
         assigned = base.withColumn("cluster", _kmeans_assign_expr(centers)).select(
             id_col, "cluster"
         )
-        if not query_ids:
-            raise ValueError("ivf_pq_topk needs at least one query id")
         qrows = {
             r[id_col]: list(r["xq"])
             for r in base.filter(F.col(id_col).isin(list(query_ids))).collect()
@@ -1026,33 +1035,40 @@ def ivf_pq_topk(
         return [cl for _, cl in d2[:n_probe]]
 
     dsub = len(cbs[0][0])
-    parts = []
+    probe_rows = []
     for qid in sorted(qrows):
         xq = qrows[qid]
-        probe = _probe(xq)
-        dist_expr = None
+        lut_flat: list[int] = []
         for j in range(m):
             qsub = xq[j * dsub : (j + 1) * dsub]
-            lut = [
-                sum((a - b) * (a - b) for a, b in zip(qsub, c)) for c in cbs[j]
-            ]
-            term = F.element_at(
-                F.array(*[F.lit(int(v)).cast("bigint") for v in lut]),
-                F.element_at("codes", j + 1) + 1,
+            lut_flat.extend(
+                int(sum((a - b) * (a - b) for a, b in zip(qsub, c)))
+                for c in cbs[j]
             )
-            dist_expr = term if dist_expr is None else dist_expr + term
-        parts.append(
-            encc.filter(
-                (F.col(id_col) != qid) & F.col("cluster").isin(probe)
-            ).select(
-                F.lit(qid).cast("long").alias("query_id"),
-                F.col(id_col).alias("neighbor_id"),
-                dist_expr.alias("dist"),
-            )
+        for cell in _probe(xq):
+            probe_rows.append((int(qid), int(cell), lut_flat))
+    probes = df.sparkSession.createDataFrame(
+        probe_rows, "query_id bigint, __cell int, __lut array<bigint>"
+    )
+    # ADC distance: m 0-based lookups into the joined per-query LUT array —
+    # subspace j's slot is j*k_codes + codes[j]; no literals, so the plan
+    # (and whole-stage codegen size) is independent of |queries|.
+    dist_expr = None
+    for j in range(m):
+        term = F.get(
+            F.col("__lut"),
+            (F.lit(j * k_codes) + F.element_at("codes", j + 1)).cast("int"),
         )
-    scored = parts[0]
-    for p in parts[1:]:
-        scored = scored.unionByName(p)
+        dist_expr = term if dist_expr is None else dist_expr + term
+    scored = (
+        encc.join(F.broadcast(probes), F.col("cluster") == F.col("__cell"))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            dist_expr.alias("dist"),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id"))
     return (
         scored.withColumn("__rk", F.row_number().over(w))

@@ -1669,7 +1669,15 @@ def kmv_overlap(
     says 0 and the exact side confirms it).
     """
     h48 = F.conv(F.substring(F.md5(F.col(text_col)), 1, 12), 16, 10).cast("bigint")
-    dd = df.select(F.col(domain_col).alias("__s"), h48.alias("__h")).distinct()
+    # NULL texts never enter the sketch: a NULL hash would survive
+    # .distinct() but sort differently in Spark (NULLs first) vs DuckDB
+    # (NULLs last) and count as a "shared" value in the merged groupBy
+    # while the exact equi-join excludes it (advisor round 3).
+    dd = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(domain_col).alias("__s"), h48.alias("__h"))
+        .distinct()
+    )
     wk = Window.partitionBy("__s").orderBy("__h")
     sk = dd.withColumn("__r", F.row_number().over(wk)).filter(F.col("__r") <= k)
     doms = dd.select("__s").distinct()

@@ -271,7 +271,12 @@ _PY_FLOAT_RE = (
 
 
 def _py_float(tok: Column) -> Column:
-    return F.when(
+    # Signed nan first: float('-nan')/float('+nan') return nan, but Spark's
+    # string->double cast only special-cases UNSIGNED 'nan'
+    # (Double.parseDouble throws; processFloatingPointSpecialLiterals
+    # matches inf/infinity/nan without a sign), so try_cast('-nan') would be
+    # NULL where the reference parses nan (advisor round 3).
+    return F.when(tok.rlike(r"(?i)^[+\-]nan$"), F.lit(float("nan"))).when(
         tok.rlike(_PY_FLOAT_RE), F.regexp_replace(tok, "_", "").try_cast("double")
     )
 

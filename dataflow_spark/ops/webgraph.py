@@ -71,7 +71,8 @@ def pagerank(
     """Integer fixed-point PageRank over a weighted directed multigraph.
 
     edges: one row per (src, dst[, weight]) link; parallel rows are summed,
-    self-loops dropped, weights capped at `weight_cap` AFTER summation.
+    self-loops and nonpositive weights dropped (NULL weight counts as 1),
+    weights capped at `weight_cap` AFTER summation.
     Returns (host, rank_q, od, indeg): fixed-point rank (int64, of `total`
     mass units before dangling leak), summed-capped out-weight (NULL for
     dangling hosts → exposed as 0), and distinct in-neighbor count.
@@ -86,6 +87,11 @@ def pagerank(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
         )
         .filter(F.col("src") != F.col("dst"))
+        # nonnegative-operand contract: zero/negative weights would make od
+        # 0/negative (div-by-zero NULLs; Spark div truncates toward zero
+        # while the python twin floors) — drop them like self-loops, the
+        # low-side mirror of the weight_cap (advisor round 3).
+        .filter(F.col("w") > 0)
         .groupBy("src", "dst")
         .agg(F.least(F.sum("w"), F.lit(weight_cap)).alias("w"))
         .persist()

@@ -491,6 +491,24 @@ def test_ivf_pq_composition(spark):
     assert recall >= 0.4, recall
 
 
+def test_ivf_pq_plan_independent_of_queries(spark):
+    """Join-form IVFADC: at 64 queries the physical plan is ONE broadcast
+    join against the (query, probe-cell, LUT) frame — no per-query Union
+    branches and no Python eval (the round-3 scale-audit fix)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [r["vec_id"] for r in e.select("vec_id").orderBy("vec_id").limit(64).collect()]
+    assert len(qids) == 64
+    out = embeddings.ivf_pq_topk(e, qids, n_cells=8, n_probe=2, m=4, k_codes=8, k=5, iters=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # and it still returns k rows per query
+    counts = {r["query_id"]: r["n"] for r in
+              out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert len(counts) == 64 and all(v == 5 for v in counts.values())
+
+
 def test_ivf_pq_bad_query_ids(spark):
     import pytest
 

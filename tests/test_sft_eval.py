@@ -185,6 +185,25 @@ def test_line_parses_handle_surrounding_whitespace(spark):
     assert row["AlpagasusScore"] == float(alp_resp.strip().split("\n")[0].split()[0])
 
 
+def test_py_float_signed_nan(spark):
+    """Advisor round 3: float('-nan')/float('+nan') return nan in Python,
+    but Spark's string->double cast special-cases only unsigned 'nan' —
+    the signed forms must map to nan explicitly, not NULL."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("-nan",), ("+nan",), ("nan",), ("-NaN",), ("-inf",), ("x",), ("1.5",)],
+        "tok string",
+    )
+    got = {r["tok"]: r["v"] for r in df.select("tok", se._py_float(F.col("tok")).alias("v")).collect()}
+    for t in ("-nan", "+nan", "nan", "-NaN"):
+        assert got[t] is not None and math.isnan(got[t]), (t, got[t])
+    assert got["-inf"] == float("-inf") and got["1.5"] == 1.5
+    assert got["x"] is None
+
+
 def test_instag_leading_whitespace_array(spark):
     """json.loads skips leading whitespace before '[' — so must the list
     dispatch (review round 3)."""

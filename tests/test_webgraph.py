@@ -173,6 +173,37 @@ def test_kmv_overlap_twin(spark):
     assert out4[("a", "b")]["est_jac_bp"] == want
 
 
+def test_kmv_overlap_null_text_excluded(spark):
+    """Advisor round 3: NULL texts must never enter the sketch — a NULL
+    48-bit hash survives .distinct(), sorts differently in Spark vs DuckDB,
+    and counts as 'shared' in the merged groupBy while the exact equi-join
+    excludes it. With the filter, results equal the NULL-free frame."""
+    from dataflow_spark.ops.quality import kmv_overlap
+
+    clean = [("a", f"t{i}") for i in range(6)] + [("b", f"t{i}") for i in range(3, 9)]
+    withnull = clean + [("a", None), ("b", None)]
+    key = lambda rs: sorted(tuple(r) for r in rs)
+    df1 = spark.createDataFrame(clean, "source string, text string")
+    df2 = spark.createDataFrame(withnull, "source string, text string")
+    assert key(kmv_overlap(df1, k=64).collect()) == key(kmv_overlap(df2, k=64).collect())
+
+
+def test_pagerank_rejects_nonpositive_weights(spark):
+    """Advisor round 3: zero/negative weights violate the nonnegative-
+    operand contract (od could hit 0 -> div NULL; Spark div truncates vs
+    python floor). They are dropped like self-loops, so an all-bad-weight
+    edge leaves its endpoints dangling rather than corrupting ranks."""
+    good = spark.createDataFrame(
+        [("a", "b", 2), ("b", "a", 1)], "src string, dst string, w int"
+    )
+    noisy = spark.createDataFrame(
+        [("a", "b", 2), ("b", "a", 1), ("a", "b", 0), ("b", "a", -5)],
+        "src string, dst string, w int",
+    )
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(webgraph.pagerank(good, iters=2)) == key(webgraph.pagerank(noisy, iters=2))
+
+
 def test_new_ops_plan_receipts(spark):
     """Physical-plan receipts for the session's operators: rank-limited
     windows compile to partial WindowGroupLimit (only <=k rows per group
