@@ -84,6 +84,69 @@ class DBStorage:
 
 
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+CLICKHOUSE_DRIVER = "com.clickhouse.jdbc.ClickHouseDriver"
+
+
+class ClickHouseDialect:
+    """Generated-SQL probe for the documented ClickHouse/MyScale swap — no
+    network, no driver jar: these are EXACTLY the statements the JDBC
+    call sites would issue when the URL + driver class switch to ClickHouse
+    (reference contract: /root/reference/dataflow/utils/storage.py:391-484).
+
+    The MERGE discipline translates, it doesn't transliterate: ClickHouse
+    has no MERGE statement, so the JDBCMergeSink exactly-once contract maps
+    to a ReplacingMergeTree keyed (ORDER BY) doc_key with batch_id as the
+    version column — replaying a micro-batch re-INSERTs identical
+    deterministic documents and the engine keeps max-version per key, so
+    the collapsed (FINAL) view is bit-identical under replay. Reads use
+    SELECT ... FINAL (or OPTIMIZE ... FINAL first at maintenance windows)
+    to force the collapse the Derby MERGE performs synchronously."""
+
+    driver = CLICKHOUSE_DRIVER
+
+    @staticmethod
+    def create_doc_table(table: str = "dataflow_docs") -> str:
+        return (
+            f"CREATE TABLE IF NOT EXISTS {table} "
+            "(doc_key String, batch_id Int64, data String) "
+            "ENGINE = ReplacingMergeTree(batch_id) ORDER BY doc_key"
+        )
+
+    @staticmethod
+    def upsert_batch(table: str = "dataflow_docs") -> str:
+        # the JDBCMergeSink staging write lands here directly: Spark's JDBC
+        # writer emits this INSERT per executor partition; Replacing
+        # collapse IS the merge, so no driver-side statement follows
+        return f"INSERT INTO {table} (doc_key, batch_id, data) VALUES (?, ?, ?)"
+
+    @staticmethod
+    def read_merged(table: str = "dataflow_docs") -> str:
+        return f"SELECT doc_key, data FROM {table} FINAL"
+
+    @staticmethod
+    def force_merge(table: str = "dataflow_docs") -> str:
+        return f"OPTIMIZE TABLE {table} FINAL"
+
+    @staticmethod
+    def create_row_table(table: str = "dataflow_rows") -> str:
+        # the reference's system-column document store (storage.py:453-467)
+        return (
+            f"CREATE TABLE IF NOT EXISTS {table} "
+            "(pipeline_id String, task_id String, raw_data_id Int64, "
+            "min_hashes Array(UInt64), data String) "
+            "ENGINE = ReplacingMergeTree(raw_data_id) "
+            "ORDER BY (pipeline_id, task_id, raw_data_id)"
+        )
+
+    @staticmethod
+    def read_page(table: str = "dataflow_rows") -> str:
+        # the reference's LIMIT/OFFSET paging (storage.py:406-407); at
+        # cluster scale jdbc_read_partitioned's range predicates replace it
+        return (
+            f"SELECT data FROM {table} "
+            "WHERE pipeline_id = ? AND task_id = ? "
+            "ORDER BY raw_data_id LIMIT ? OFFSET ?"
+        )
 
 
 def jdbc_write(

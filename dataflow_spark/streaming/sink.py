@@ -220,6 +220,144 @@ class DedupAppendSink:
         return df.drop("__key") if not self.key_cols else df
 
 
+class JDBCMergeSink:
+    """DISTRIBUTED exactly-once streaming MERGE into a JDBC document store —
+    the cluster-scale twin of DBMergeSink (which pages every micro-batch
+    through the driver as pandas, mirroring the reference's own driver-side
+    paging, storage.py:453-467). Here no row ever crosses the driver:
+
+      1. executors render (doc_key, batch_id, data-JSON) for their
+         partitions and ship them in parallel through Spark's JDBC writer
+         into a per-sink STAGING table (mode=overwrite, >= `num_partitions`
+         connections — db.py jdbc_write's topology);
+      2. the driver then issues ONE set-based `MERGE INTO target USING
+         staging ON doc_key` statement that the database executes
+         server-side (Derby >= 10.11 MERGE; metadata-scale driver work).
+
+    Exactly-once by idempotence: the staging write is a full overwrite and
+    the MERGE a pure keyed upsert of deterministic documents, so replaying
+    a micro-batch after a crash-between-stage-and-merge (or re-running a
+    committed batch) rewrites identical staging rows and re-merges to an
+    identical target — pinned by the replay/restart test. Swapping Derby
+    for ClickHouse keeps the discipline with a different spelling: INSERT
+    the staging frame into a ReplacingMergeTree keyed doc_key (MIGRATION.md).
+
+    Within-batch key collisions resolve deterministically (min data string
+    per key) via one partial-aggregable groupBy, so the winner is
+    independent of partitioning and replay order."""
+
+    def __init__(
+        self,
+        url: str,
+        keys: list[str],
+        table: str = "dataflow_docs",
+        driver: str | None = None,
+        num_partitions: int = 2,
+        key_len: int = 512,
+        data_len: int = 16000,
+    ):
+        from dataflow_spark.db import DERBY_DRIVER
+
+        self.url = url
+        self.keys = list(keys)
+        self.table = table
+        self.stage_table = table + "_stage"
+        self.driver = driver or DERBY_DRIVER
+        self.num_partitions = num_partitions
+        self.key_len = key_len
+        self.data_len = data_len
+
+    # -- driver-side statements (DDL + MERGE) via the JVM's DriverManager --
+    def _execute(self, spark: SparkSession, sql: str, ignore_states: tuple = ()) -> None:
+        jvm = spark._jvm
+        jvm.java.lang.Class.forName(self.driver)
+        conn = jvm.java.sql.DriverManager.getConnection(self.url)
+        try:
+            st = conn.createStatement()
+            try:
+                st.executeUpdate(sql)
+            finally:
+                st.close()
+        except Exception as e:  # Derby has no IF NOT EXISTS — filter by SQLState
+            if not any(state in str(e) for state in ignore_states):
+                raise
+        finally:
+            conn.close()
+
+    def _ensure_target(self, spark: SparkSession) -> None:
+        # quoted lowercase identifiers throughout: Spark's JDBC writer
+        # creates the staging table with QUOTED column names, and Derby
+        # folds unquoted ones to uppercase — mixing the two breaks the MERGE
+        self._execute(
+            spark,
+            f'CREATE TABLE {self.table} ("doc_key" VARCHAR({self.key_len}) PRIMARY KEY, '
+            f'"batch_id" BIGINT, "data" VARCHAR({self.data_len}))',
+            ignore_states=("X0Y32",),  # table already exists
+        )
+
+    def _doc_frame(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        # same escaped-join key discipline as DBMergeSink (review round 3):
+        # '\' -> '\\' then '#' -> '\#', so distinct key tuples never render
+        # to the same doc_key; NULL parts render as 'None' like str(None)
+        def esc(c: str):
+            s = F.coalesce(F.col(c).cast("string"), F.lit("None"))
+            s = F.regexp_replace(s, r"\\", r"\\\\")
+            return F.regexp_replace(s, "#", r"\\#")
+
+        key = F.concat_ws("#", *[esc(k) for k in self.keys])
+        # deterministic per-row JSON document: struct fields in sorted name
+        # order (the sort_keys=True twin), rendered executor-side
+        data = F.to_json(F.struct(*[F.col(c) for c in sorted(batch_df.columns)]))
+        return (
+            batch_df.select(key.alias("doc_key"), data.alias("data"))
+            .groupBy("doc_key")
+            .agg(F.min("data").alias("data"))
+            .select(
+                "doc_key",
+                F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                "data",
+            )
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        stage = self._doc_frame(batch_df, batch_id).repartition(
+            self.num_partitions, "doc_key"
+        )
+        (
+            stage.write.option(
+                "createTableColumnTypes",
+                f"doc_key VARCHAR({self.key_len}), batch_id BIGINT, "
+                f"data VARCHAR({self.data_len})",
+            ).jdbc(
+                self.url,
+                self.stage_table,
+                mode="overwrite",
+                properties={"driver": self.driver},
+            )
+        )
+        self._ensure_target(spark)
+        self._execute(
+            spark,
+            f"MERGE INTO {self.table} t USING {self.stage_table} s "
+            'ON t."doc_key" = s."doc_key" '
+            'WHEN MATCHED THEN UPDATE SET "batch_id" = s."batch_id", "data" = s."data" '
+            'WHEN NOT MATCHED THEN INSERT ("doc_key", "batch_id", "data") '
+            'VALUES (s."doc_key", s."batch_id", s."data")',
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Read-back of (doc_key, data). Single-query here (test-sized
+        tables); at scale use db.py jdbc_read_partitioned on batch_id for a
+        range-predicated query per partition."""
+        self._ensure_target(spark)
+        return spark.read.jdbc(
+            self.url, self.table, properties={"driver": self.driver}
+        ).select("doc_key", "data")
+
+
 class DBMergeSink:
     """Exactly-once streaming delivery into the DB document store (db.py —
     the reference's MyScale/ClickHouse storage contract, storage.py:453-467):

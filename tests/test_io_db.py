@@ -96,6 +96,26 @@ def test_jdbc_partitioned_roundtrip(spark, tmp_path):
     assert got == want
 
 
+def test_clickhouse_dialect_probe():
+    """Generated-SQL golden for the documented ClickHouse swap (round-3
+    task #9): the statements the JDBC call sites would run — Replacing-
+    MergeTree keyed doc_key versioned batch_id for the exactly-once sink,
+    FINAL reads, and the reference's LIMIT/OFFSET page shape."""
+    from dataflow_spark.db import CLICKHOUSE_DRIVER, ClickHouseDialect as d
+
+    assert d.driver == CLICKHOUSE_DRIVER == "com.clickhouse.jdbc.ClickHouseDriver"
+    assert d.create_doc_table() == (
+        "CREATE TABLE IF NOT EXISTS dataflow_docs "
+        "(doc_key String, batch_id Int64, data String) "
+        "ENGINE = ReplacingMergeTree(batch_id) ORDER BY doc_key"
+    )
+    assert d.upsert_batch("t") == "INSERT INTO t (doc_key, batch_id, data) VALUES (?, ?, ?)"
+    assert d.read_merged() == "SELECT doc_key, data FROM dataflow_docs FINAL"
+    assert d.force_merge("t") == "OPTIMIZE TABLE t FINAL"
+    assert "ORDER BY (pipeline_id, task_id, raw_data_id)" in d.create_row_table()
+    assert d.read_page().endswith("ORDER BY raw_data_id LIMIT ? OFFSET ?")
+
+
 def test_sql_execution_classifier_and_filter(spark, sf_dir):
     from dataflow_spark.ops.sqlexec import sql_execution_classifier, sql_execution_filter
 
