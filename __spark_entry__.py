@@ -2464,6 +2464,22 @@ def q_model_score(spark, sf):
     return models.model_score_stage(d.select("doc_id", "text")).select("doc_id", "model_score")
 
 
+def q_ner_tagger(spark, sf):
+    """Trained NER token tagger (battery member `ner_tagger`; the model half
+    of the NERRefiner shape, ner_refiner.py:46): an INTEGER perceptron over
+    hashed word/suffix/shape features, trained via tools/train_tiny_ner.py,
+    loaded per worker from the shipped ner_tagger.npz and served through the
+    mapInPandas model stage. Integer scores + first-max argmax, so the
+    oracle replays the exact prediction from the same weights embedded as a
+    VALUES table (ops/nlp.py ner_tagger_stage)."""
+    from dataflow_spark.ops import nlp
+
+    d = load_table(spark, sf, "documents")
+    return nlp.ner_tagger_stage(d.select("doc_id", "text")).select(
+        "doc_id", "ner_tagged", "n_entities"
+    )
+
+
 def _sft_triple(spark, sf):
     """Deterministic (instruction, input, response) derivation from the
     documents table — the SFT-evaluator fixture both engines reconstruct."""
@@ -2988,6 +3004,8 @@ def q_score_battery(spark, sf):
                       _kcat("doc_id"), [], s1=F.col("model_score")),
         _battery_pack(q_mlp_score(spark, sf), "mlp_score",
                       _kcat("doc_id"), [], s1=F.col("mlp_score")),
+        _battery_pack(q_ner_tagger(spark, sf), "ner_tagger",
+                      _kcat("doc_id"), ["ner_tagged"], s1=F.col("n_entities")),
         _battery_pack(q_decontam(spark, sf), "decontam",
                       _kcat("doc_id"), []),
         _battery_pack(q_domain_mix(spark, sf), "domain_mix",
@@ -4927,6 +4945,83 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY doc_id
         )
         SELECT doc_id, round(1.0/(1.0 + exp(-({_lr_b} + mw))), 6) AS mlp_score FROM feat
+    """
+
+    # ner_tagger twin: the trained integer-perceptron weights
+    # (ner_tagger.npz, tools/train_tiny_ner.py) embedded as a per-bucket
+    # VALUES table (nonzero buckets only); per token three md5-bucketed
+    # features (word / 3-char suffix / shape), integer class scores summed
+    # via three left joins, first-max argmax as a CASE chain, tokens
+    # reassembled in position order.
+    _nart = _np.load(
+        _io.BytesIO(
+            (Path(__file__).parent / "dataflow_spark" / "artifacts" / "ner_tagger.npz").read_bytes()
+        )
+    )
+    _nW = _nart["W"].astype("int64")
+    _nzb = sorted({int(b) for c in range(_nW.shape[0]) for b in _np.nonzero(_nW[c])[0]})
+    _nvals = ", ".join(
+        "({},{},{},{},{},{})".format(b, *(int(_nW[c][b]) for c in range(5))) for b in _nzb
+    )
+    _strip = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    o["ner_tagger"] = f"""
+        WITH nw AS (SELECT * FROM (VALUES {_nvals}) AS t(b, w0, w1, w2, w3, w4)),
+        nsrc AS (
+          SELECT doc_id, text, trim(text, {_strip}) AS st FROM documents
+        ),
+        ntok AS (
+          SELECT doc_id, unnest(ws) AS tok, unnest(range(1, len(ws)+1)) AS pos
+          FROM (SELECT doc_id, regexp_split_to_array(st, '\\s+') AS ws
+                FROM nsrc WHERE text IS NOT NULL AND st <> '')
+        ),
+        nfeat AS (
+          SELECT doc_id, pos, tok,
+            ('0x' || substr(md5('w:' || lower(tok)), 1, 3))::INT AS b1,
+            ('0x' || substr(md5('s3:' || right(lower(tok), 3)), 1, 3))::INT AS b2,
+            ('0x' || substr(md5('sh:' ||
+               CASE WHEN regexp_matches(tok, '^[A-Z][a-z]+$') THEN 'Xx'
+                    WHEN regexp_matches(tok, '^[A-Z]+$') THEN 'X'
+                    WHEN regexp_matches(tok, '^[0-9]+$') THEN 'd'
+                    WHEN regexp_matches(tok, '^[a-z]+$') THEN 'x'
+                    ELSE 'o' END), 1, 3))::INT AS b3
+          FROM ntok
+        ),
+        nsc AS (
+          SELECT f.doc_id, f.pos, f.tok,
+            coalesce(x.w0,0)+coalesce(y.w0,0)+coalesce(z.w0,0) AS s0,
+            coalesce(x.w1,0)+coalesce(y.w1,0)+coalesce(z.w1,0) AS s1,
+            coalesce(x.w2,0)+coalesce(y.w2,0)+coalesce(z.w2,0) AS s2,
+            coalesce(x.w3,0)+coalesce(y.w3,0)+coalesce(z.w3,0) AS s3,
+            coalesce(x.w4,0)+coalesce(y.w4,0)+coalesce(z.w4,0) AS s4
+          FROM nfeat f
+          LEFT JOIN nw x ON x.b = f.b1
+          LEFT JOIN nw y ON y.b = f.b2
+          LEFT JOIN nw z ON z.b = f.b3
+        ),
+        npred AS (
+          SELECT doc_id, pos, tok,
+            CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 AND s0 >= s4 THEN 'O'
+                 WHEN s1 >= s2 AND s1 >= s3 AND s1 >= s4 THEN 'PERSON'
+                 WHEN s2 >= s3 AND s2 >= s4 THEN 'GPE'
+                 WHEN s3 >= s4 THEN 'ORG'
+                 ELSE 'DATE' END AS cls
+          FROM nsc
+        ),
+        nagg AS (
+          SELECT doc_id,
+            string_agg(CASE WHEN cls = 'O' THEN tok ELSE '[' || cls || ']' END,
+                       ' ' ORDER BY pos) AS ner_tagged,
+            CAST(sum(CASE WHEN cls = 'O' THEN 0 ELSE 1 END) AS INT) AS n_entities
+          FROM npred GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+          CASE WHEN s.text IS NULL THEN NULL
+               WHEN s.st = '' THEN s.text
+               ELSE a.ner_tagged END AS ner_tagged,
+          CASE WHEN s.text IS NULL THEN NULL
+               WHEN s.st = '' THEN 0
+               ELSE a.n_entities END AS n_entities
+        FROM nsrc s LEFT JOIN nagg a USING (doc_id)
     """
 
     # MetaStubServing twin: h = md5(META_PROMPT || text); unparsable iff
@@ -7690,6 +7785,8 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("qurating", o["qurating"], _kcat_sql("doc_id"),
                   ["writing_style", "required_expertise",
                    "facts_and_trivia", "educational_value"]),
+        _pack_sql("ner_tagger", o["ner_tagger"], _kcat_sql("doc_id"),
+                  ["ner_tagged"], s1="n_entities"),
     ])
 
     _dim_sql = ", ".join(
@@ -7726,7 +7823,7 @@ def oracle_sql() -> dict[str, str]:
         "file_type_filter", "doc2qa_eval", "superfiltering", "sql_compare",
         "instag", "llm_judge", "deita_rm", "qurating", "host_rank",
         "quantile_sketch", "rrf_fusion", "ndcg_eval", "kmv_overlap",
-        "ivfpq_topk",
+        "ivfpq_topk", "ner_tagger",
     ):
         del o[_member]
 

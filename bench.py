@@ -314,6 +314,25 @@ def run_scaling() -> None:
     }))
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _state_store_conf() -> dict:
+    """SPARK_GRAFT_STATE_STORE=rocksdb switches every stateful streaming
+    bench leg to the RocksDB state-store provider (off-heap, spill-to-disk
+    state — the provider a 100x-state deployment runs, vs the default
+    HDFS-backed in-JVM-memory store these benches otherwise measure)."""
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        return {"spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER}
+    return {}
+
+
+def _state_store_name() -> str:
+    return "rocksdb" if _state_store_conf() else "hdfs-memory"
+
+
 def run_streaming_only(rep: int) -> None:
     """One streaming-scaling leg: drain the replicated transcript table
     through the north-star streaming pipeline (readStream 8 triggers →
@@ -340,6 +359,7 @@ def run_streaming_only(rep: int) -> None:
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
         "spark.local.dir": "/dev/shm/spark-local",
     }
+    _conf.update(_state_store_conf())
     if n_exec:
         spark = get_spark("bench-sstream", shuffle_partitions=8, executors=int(n_exec),
                           extra_conf=_conf)
@@ -376,6 +396,7 @@ def run_streaming_only(rep: int) -> None:
     best = min(drain("t1"), drain("t2"))
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps({"executors": n_exec, "cores": CPUS if not n_exec else None,
+                      "state_store": _state_store_name(),
                       "sec": round(best, 3), "turns": n_turns,
                       "turns_per_sec": round(n_turns / best, 1)}))
     spark.stop()
@@ -412,6 +433,7 @@ def run_streaming_cep_only(rep: int) -> None:
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
         "spark.local.dir": "/dev/shm/spark-local",
     }
+    _conf.update(_state_store_conf())
     if n_exec:
         spark = get_spark("bench-scep", shuffle_partitions=8, executors=int(n_exec),
                           extra_conf=_conf)
@@ -448,13 +470,26 @@ def run_streaming_cep_only(rep: int) -> None:
         ]
         for q in qs:
             q.awaitTermination()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        # state-store receipt: per-operator rows/memory from the final
+        # progress of each of the three stateful queries
+        ops = []
+        for q in qs:
+            lp = q.lastProgress
+            if lp:
+                ops.extend(lp.get("stateOperators") or [])
+        if ops:
+            state_stats["state_rows"] = sum(o.get("numRowsTotal") or 0 for o in ops)
+            state_stats["state_mem_bytes"] = sum(o.get("memoryUsedBytes") or 0 for o in ops)
+        return dt
 
+    state_stats: dict = {}
     drain("warm")
     best = min(drain("t1"), drain("t2"))
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps({"executors": n_exec, "cores": CPUS if not n_exec else None,
                       "files_per_trigger": fpt, "sec": round(best, 3),
+                      "state_store": _state_store_name(), **state_stats,
                       "turns": n_turns, "turns_per_sec": round(n_turns / best, 1)}))
     spark.stop()
 

@@ -436,6 +436,124 @@ def ner_redact(df: DataFrame, col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Trained NER token tagger (model half of the NERRefiner shape)
+# ---------------------------------------------------------------------------
+
+NER_CLASSES = ("O", "PERSON", "GPE", "ORG", "DATE")
+NER_BUCKETS = 4096
+
+
+class NERTaggerModel:
+    """REAL trained-weights NER token classifier through the model seam —
+    the trained half of the NERRefiner shape (ner_refiner.py:46 runs spaCy's
+    statistical tagger; ner_rules() above covers the label surface but is
+    pattern-bound). An INTEGER perceptron over hashed features (word
+    identity, 3-char suffix, token shape -> 4096 md5 buckets), trained and
+    reproducible via tools/train_tiny_ner.py, shipped as
+    dataflow_spark/artifacts/ner_tagger.npz and loaded once per worker.
+
+    Integer scores + first-max argmax mean the Spark stage and the DuckDB
+    oracle replay the identical prediction with zero float sensitivity (the
+    deita/rm integer-logit discipline, ops/sft_eval.py). Suffix + shape
+    features generalize to tokens the gazetteer never saw — the honest
+    delta vs spaCy is breadth/fidelity of the label set, not the stage."""
+
+    def __init__(self, path: str | None = None):
+        import io
+
+        import numpy as np
+
+        if path is None:
+            import importlib.resources as ir
+
+            raw = (
+                ir.files("dataflow_spark") / "artifacts" / "ner_tagger.npz"
+            ).read_bytes()
+            data = np.load(io.BytesIO(raw))
+        else:
+            data = np.load(path)
+        self.W = data["W"].astype("int64")
+        self.classes = [str(c) for c in data["classes"]]
+
+    @staticmethod
+    def _shape(tok: str) -> str:
+        import re
+
+        if re.fullmatch(r"[A-Z][a-z]+", tok):
+            return "Xx"
+        if re.fullmatch(r"[A-Z]+", tok):
+            return "X"
+        if re.fullmatch(r"[0-9]+", tok):
+            return "d"
+        if re.fullmatch(r"[a-z]+", tok):
+            return "x"
+        return "o"
+
+    def tag_one(self, t: str | None) -> tuple[str | None, int | None]:
+        import hashlib
+        import re
+
+        if t is None:
+            return None, None
+        if t.strip(" \t\n\r\f\v") == "":
+            return t, 0  # no tokens to tag — avoids scoring the '' token
+        ws_re = re.compile(r"\s+", re.ASCII)
+
+        def bucket(feat: str) -> int:
+            return int(hashlib.md5(feat.encode()).hexdigest()[:3], 16)
+
+        out, n = [], 0
+        for tok in ws_re.split(t.strip(" \t\n\r\f\v")):
+            lo = tok.lower()
+            fs = (
+                bucket("w:" + lo),
+                bucket("s3:" + lo[-3:]),
+                bucket("sh:" + self._shape(tok)),
+            )
+            scores = [int(self.W[c][fs[0]] + self.W[c][fs[1]] + self.W[c][fs[2]])
+                      for c in range(len(self.classes))]
+            pred = scores.index(max(scores))  # first max — ties to lowest id
+            if pred != 0:
+                out.append("[" + self.classes[pred] + "]")
+                n += 1
+            else:
+                out.append(tok)
+        return " ".join(out), n
+
+    def tag_batch(self, texts: pd.Series) -> tuple[pd.Series, pd.Series]:
+        pairs = texts.map(self.tag_one)
+        return pairs.map(lambda p: p[0]), pairs.map(lambda p: p[1])
+
+
+def ner_tagger_stage(
+    df: DataFrame, text_col: str = "text", path: str | None = None
+) -> DataFrame:
+    """Serve the trained tagger through the per-worker-singleton model stage
+    (ops/models.py lifecycle): mapInPandas, artifact loaded once per python
+    worker, Arrow batches streamed through. Appends `ner_tagged` (entity
+    tokens rewritten to [CLASS]) and `n_entities`."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from dataflow_spark.ops.models import _load_model
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("ner_tagged", StringType()), StructField("n_entities", IntegerType())]
+    )
+
+    def run(batches):
+        model = _load_model(lambda: NERTaggerModel(path), "ner_tagger")
+        for pdf in batches:
+            tagged, n = model.tag_batch(pdf[text_col])
+            pdf = pdf.copy()
+            pdf["ner_tagged"] = tagged
+            pdf["n_entities"] = n.astype("Int32")
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
 # Profile language ID (lang_id_v2)
 # ---------------------------------------------------------------------------
 

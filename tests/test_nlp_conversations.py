@@ -464,3 +464,51 @@ def test_preference_pairs(spark):
     out0 = {r["prompt"]: r for r in C.preference_pairs(df, min_margin=0).collect()}
     assert out0["P3"]["chosen_id"] == out0["P3"]["rejected_id"] == "a1#2"
     assert out0["P3"]["margin"] == 0
+
+
+def test_ner_tagger_stage_matches_python_twin_and_is_sensible(spark):
+    """Round-3 task #4: the trained perceptron tagger (ner_tagger.npz via
+    the per-worker model seam) — stage output equals the python twin
+    token-for-token, entities from the training families resolve, and
+    suffix/shape features generalize to a name the gazetteer never saw."""
+    from dataflow_spark.ops.nlp import NERTaggerModel, ner_tagger_stage
+
+    rows = [
+        (1, "James Smith visited Paris in January 1999"),
+        (2, "Acme Corp opened an office in Tokyo"),
+        (3, "the quick brown fox ran"),
+        (4, None),
+        (5, ""),
+        (6, "   "),
+        (7, "Svensson joined Initech Ltd in December"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: (r["ner_tagged"], r["n_entities"])
+           for r in ner_tagger_stage(df).collect()}
+    twin = NERTaggerModel()
+    for i, t in rows:
+        assert got[i] == twin.tag_one(t), (i, t)
+    # sanity on the label families (training-family tokens resolve)
+    assert got[1][0] == "[PERSON] [PERSON] visited [GPE] in [DATE] [DATE]"
+    assert got[2][0].startswith("[ORG] [ORG]") and "[GPE]" in got[2][0]
+    assert got[3] == ("the quick brown fox ran", 0)
+    assert got[4] == (None, None) and got[5] == ("", 0)
+    assert got[7][1] >= 3  # Svensson/Initech/Ltd/December tagged
+
+
+def test_ner_tagger_artifact_reproducible():
+    """tools/train_tiny_ner.py retrains to the committed weights (same
+    data, same seed) — the artifact is a genuine reproducible train run."""
+    import importlib.util
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "train_tiny_ner", "tools/train_tiny_ner.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    W = m.train()
+    shipped = np.load("dataflow_spark/artifacts/ner_tagger.npz")
+    assert (W == shipped["W"]).all()
+    assert list(shipped["classes"]) == m.CLASSES

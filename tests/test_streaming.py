@@ -1110,6 +1110,95 @@ def test_jdbc_merge_sink_exactly_once_distributed(spark, tmp_path):
     assert len(sink.read(spark).toPandas()) == len(pdf)
 
 
+def test_stateful_stages_under_rocksdb_provider(spark, tmp_path):
+    """Round-3 task #3: streaming results are state-store-provider-
+    independent. The watermark dedup and the live CEP pattern stage drain
+    under the RocksDB provider (the off-heap/spill provider a 100x-state
+    deployment runs) and match their batch twins exactly; the progress
+    receipt proves RocksDB was actually active."""
+    from dataflow_spark.ops import windows as W
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    old = spark.conf.get(prov_key)
+    spark.conf.set(prov_key, rocks)
+    try:
+        src = str(tmp_path / "src")
+        df = synth_transcripts(spark, n_turns=2000, n_convs=25, seed=7)
+        pdf = df.toPandas()
+        # sentinel rows two days past the data advance the watermark so
+        # every real session closes and the CEP stage emits
+        sent = pd.DataFrame(
+            [_tx("zz-sent", i, "user", f"s{i}", pdf["ts"].max() + pd.Timedelta(days=2, minutes=i))
+             for i in range(2)]
+        )
+        write_ordered_chunks([pdf.iloc[i::4].copy() for i in range(4)] + [sent], src)
+
+        # watermark dedup (dropDuplicatesWithinWatermark state)
+        dsink = IdempotentBatchSink(str(tmp_path / "out_d"))
+        qd = (
+            sp.dedup_stage(sp.clean_stage(sp.read_transcript_stream(spark, src, max_files_per_trigger=1)), watermark="10 days")
+            .writeStream.foreachBatch(dsink)
+            .option("checkpointLocation", str(tmp_path / "ck_d"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        # live CEP role patterns (applyInPandasWithState session state)
+        # gap wider than the synth data's span: one session per conv, so the
+        # batch fold over whole conversations is the exact twin
+        csink = IdempotentBatchSink(str(tmp_path / "out_c"))
+        qc = (
+            st.cep_pattern_stage(
+                sp.read_transcript_stream(spark, src, max_files_per_trigger=1),
+                # watermark > the fixture's time span (the interleaved chunks
+                # arrive arbitrarily late within it): no in-stream late drops,
+                # so the whole-conv batch fold is the exact twin
+                watermark="2 hours",
+                gap_seconds=86400,
+            )
+            .writeStream.foreachBatch(csink)
+            .option("checkpointLocation", str(tmp_path / "ck_c"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qd.awaitTermination()
+        qc.awaitTermination()
+
+        # receipt: the committed state ops ran on RocksDB (provider-specific
+        # custom metrics appear in the progress stateOperators)
+        import json as _json
+
+        progress = _json.dumps(
+            [qd.lastProgress or {}, qc.lastProgress or {}], default=str
+        ).lower()
+        assert "rocksdb" in progress, progress[:500]
+
+        got_d = dsink.read(spark).toPandas()
+        got_d = got_d[got_d.conv_id != "zz-sent"]
+        batch_clean = sp.clean_stage(df).toPandas()
+        assert sorted(got_d["text"].tolist()) == sorted(
+            batch_clean["text"].drop_duplicates().tolist()
+        )
+
+        got_c = csink.read(spark).toPandas()
+        got_c = got_c[got_c.conv_id != "zz-sent"].sort_values("conv_id").reset_index(drop=True)
+        batch_c = (
+            W.detect_role_patterns(df)
+            .toPandas().sort_values("conv_id").reset_index(drop=True)
+        )
+        # closed sessions only — every emitted conv must equal the batch fold
+        bmap = {r.conv_id: r for r in batch_c.itertuples()}
+        assert len(got_c) > 0
+        for r in got_c.itertuples():
+            b = bmap[r.conv_id]
+            assert (r.role_seq, r.c_tool_chain, r.c_stalled_user, r.c_tool_loop) == (
+                b.role_seq, b.c_tool_chain, b.c_stalled_user, b.c_tool_loop
+            ), r.conv_id
+    finally:
+        spark.conf.set(prov_key, old)
+
+
 def test_streaming_kmv_sketch_matches_batch_and_replays(spark, tmp_path):
     """kmv_stage: watermarked per-(window, domain) KMV sketches equal the
     batch windowed_kmv_sketch twin on finalized windows; a restart from the

@@ -1,0 +1,178 @@
+"""Train the shipped NER token-tagger artifact (run once, committed).
+
+Produces dataflow_spark/artifacts/ner_tagger.npz — an INTEGER perceptron
+token classifier in the spaCy-NER stage shape the reference uses
+(/root/reference/dataflow/operators/general_text/refine/ner_refiner.py:46
+runs a trained entity tagger over text and rewrites spans to [LABEL] tags;
+the gazetteer/pattern stand-in in ops/nlp.py ner_rules covers the label
+surface but is pattern-bound). This tagger closes the MODEL half of the
+shape: a genuine trained-weights artifact, loaded from disk per worker,
+whose features (word identity, 3-char suffix, token shape) generalize to
+tokens the gazetteer never saw.
+
+Why a perceptron: its weights and scores stay INTEGERS, so the Spark stage
+and the DuckDB oracle replay the exact same argmax with no float-summation
+sensitivity — the same exactness discipline as the deita/rm integer-logit
+heads (ops/sft_eval.py).
+
+Classes (index = id): O, PERSON, GPE, ORG, DATE.
+Features per token (hashed to 256 md5 buckets, namespaced by prefix):
+  w:<lower>   s3:<last-3-of-lower>   sh:<shape>
+Shape: Xx (Capitalized), X (ALLCAPS), d (digits), x (lower), o (other).
+
+Training corpus: synthetic labeled tokens from public word lists (common
+first/last names, the world-city/country gazetteer, org suffixes, month
+names / 4-digit years, stopword+content filler), with punctuation-suffixed
+variants so real prose tokenization ('Paris,') still resolves. Multi-epoch
+perceptron, deterministic order.
+
+Reproduce: python tools/train_tiny_ner.py   (rewrites the npz in place)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import numpy as np
+
+N_BUCKETS = 4096  # md5 first 3 hex chars; 256 collided badly at ~1.1k types
+CLASSES = ["O", "PERSON", "GPE", "ORG", "DATE"]
+EPOCHS = 20
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def bucket(feat: str) -> int:
+    return int(hashlib.md5(feat.encode()).hexdigest()[:3], 16)
+
+
+def shape_of(tok: str) -> str:
+    import re
+
+    if re.fullmatch(r"[A-Z][a-z]+", tok):
+        return "Xx"
+    if re.fullmatch(r"[A-Z]+", tok):
+        return "X"
+    if re.fullmatch(r"[0-9]+", tok):
+        return "d"
+    if re.fullmatch(r"[a-z]+", tok):
+        return "x"
+    return "o"
+
+
+def features(tok: str) -> list[int]:
+    lo = tok.lower()
+    return [
+        bucket("w:" + lo),
+        bucket("s3:" + lo[-3:]),
+        bucket("sh:" + shape_of(tok)),
+    ]
+
+
+PERSON = [
+    "James", "Mary", "Robert", "Patricia", "John", "Jennifer", "Michael",
+    "Linda", "David", "Elizabeth", "William", "Barbara", "Richard", "Susan",
+    "Joseph", "Jessica", "Thomas", "Sarah", "Charles", "Karen", "Daniel",
+    "Nancy", "Matthew", "Lisa", "Anthony", "Betty", "Mark", "Margaret",
+    "Donald", "Sandra", "Steven", "Ashley", "Paul", "Kimberly", "Andrew",
+    "Emily", "Joshua", "Donna", "Kenneth", "Michelle",
+    "Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia", "Miller",
+    "Davis", "Rodriguez", "Martinez", "Hernandez", "Lopez", "Gonzalez",
+    "Wilson", "Anderson", "Taylor", "Moore", "Jackson", "Martin",
+    "Thompson", "Petrov", "Ivanov", "Svensson", "Andersson", "Nakamura",
+    "Tanaka", "Kowalski", "Nowak", "Fernandez", "Rossi",
+]
+ORG_WORDS = [
+    "Inc", "Corp", "Ltd", "LLC", "Co", "GmbH", "PLC", "Holdings",
+    "Microsoft", "Globex", "Initech", "Acme", "Cyberdyne", "Wayntech",
+    "Datasoft", "Cloudsoft", "Firmtech", "Banktech", "Medisoft", "Agritech",
+    "Finacorp", "Medicorp", "Unicorp", "Dynacorp", "Intracorp",
+]
+MONTHS = [
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+]
+FILLER = [
+    "the", "a", "of", "and", "to", "in", "is", "it", "that", "for", "on",
+    "as", "with", "was", "at", "by", "be", "this", "are", "or", "from",
+    "said", "visited", "founded", "met", "reported", "joined", "signed",
+    "company", "city", "market", "deal", "quarter", "growth", "team",
+    "product", "office", "press", "launch", "note", "today", "plan",
+]
+
+
+def make_tokens() -> list[tuple[str, int]]:
+    from dataflow_spark.ops.nlp import GPE_GAZETTEER
+
+    rows: list[tuple[str, int]] = []
+
+    def add(tok: str, cls: str):
+        i = CLASSES.index(cls)
+        rows.append((tok, i))
+        # punctuation-suffixed prose variants keep the suffix/word features
+        # close enough for the tagger to resolve them too
+        rows.append((tok + ",", i))
+        rows.append((tok + ".", i))
+
+    for w in PERSON:
+        add(w, "PERSON")
+    for g in GPE_GAZETTEER:
+        for part in g.split():
+            if part[0:1].isupper() and part.lower() not in ("of", "the"):
+                add(part, "GPE")
+    for w in ORG_WORDS:
+        add(w, "ORG")
+    for m in MONTHS:
+        add(m, "DATE")
+    for y in range(1950, 2030, 7):
+        add(str(y), "DATE")
+    for w in FILLER:
+        add(w, "O")
+        add(w.upper(), "O")
+    # lowercase digit-free junk + short numbers stay O (years are DATE only
+    # through the d-shape + w: identity combination learned above)
+    for w in ("xyzzy", "frobnicate", "foo", "bar", "baz", "1", "2", "10", "42", "100"):
+        add(w, "O")
+    return rows
+
+
+def train() -> np.ndarray:
+    data = make_tokens()
+    W = np.zeros((len(CLASSES), N_BUCKETS), dtype=np.int64)
+    rng = np.random.RandomState(20240821)
+    for _ in range(EPOCHS):
+        order = rng.permutation(len(data))
+        for idx in order:
+            tok, y = data[idx]
+            fs = features(tok)
+            scores = [int(sum(W[c][b] for b in fs)) for c in range(len(CLASSES))]
+            pred = int(np.argmax(scores))  # ties -> lowest index, like argmax
+            if pred != y:
+                for b in fs:
+                    W[y][b] += 1
+                    W[pred][b] -= 1
+    return W
+
+
+def main() -> None:
+    W = train()
+    data = make_tokens()
+    correct = 0
+    for tok, y in data:
+        fs = features(tok)
+        scores = [int(sum(W[c][b] for b in fs)) for c in range(len(CLASSES))]
+        if int(np.argmax(scores)) == y:
+            correct += 1
+    acc = correct / len(data)
+    out = os.path.join(
+        os.path.dirname(__file__), "..", "dataflow_spark", "artifacts", "ner_tagger.npz"
+    )
+    np.savez(out, W=W, classes=np.array(CLASSES))
+    print(f"train accuracy {acc:.4f} over {len(data)} tokens -> {out}")
+    assert acc > 0.97, acc
+
+
+if __name__ == "__main__":
+    main()
