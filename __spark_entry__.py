@@ -2419,26 +2419,34 @@ def q_turn_eval_pairs(spark, sf):
 
 def q_eval_accuracy(spark, sf):
     """BenchDatasetEvaluator analog (bench_dataset_evaluator.py:49-56):
-    dataset-level exact-match accuracy of BOTH lang-ID models vs the
-    documents table's ground-truth `lang` column, one aggregate row.
+    dataset-level exact-match accuracy of all THREE lang-ID heads vs the
+    documents table's ground-truth `lang` column, one aggregate row —
+    the 3-word heuristic, the 77-language profile model (lang_id_v2), and
+    round 4's TRAINED char-trigram perceptron head (lang_id_v3_stage,
+    fastText's architecture, shipped langid_tri.npz artifact; the oracle
+    embeds the same integer weights and replays the argmax).
     (The synthetic docs text is English-vocabulary word soup whatever the
     lang tag, so absolute accuracy is low by construction — the checked
     artifact is the evaluator arithmetic, not the model.)"""
     from dataflow_spark.ops import nlp
 
     d = load_table(spark, sf, "documents")
+    d3 = nlp.lang_id_v3_stage(d.select("doc_id", "lang", "text"), "text", "__pred3")
     norm = lambda c: F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
     hit1 = F.coalesce((norm(quality.lang_id(F.col("text"))) == norm(F.col("lang"))).cast("int"), F.lit(0))
     hit2 = F.coalesce((norm(nlp.lang_id_v2(F.col("text"))) == norm(F.col("lang"))).cast("int"), F.lit(0))
+    hit3 = F.coalesce((norm(F.col("__pred3")) == norm(F.col("lang"))).cast("int"), F.lit(0))
     # project the hit flags BEFORE the aggregate: sum() and avg() each hold a
     # copy of their argument expression, so an inline hit2 would evaluate the
     # heavy 77-language lang_id_v2 twice per row (measured 2x on eval_accuracy)
-    return d.select(hit1.alias("__h1"), hit2.alias("__h2")).agg(
+    return d3.select(hit1.alias("__h1"), hit2.alias("__h2"), hit3.alias("__h3")).agg(
         F.count("*").alias("n_samples"),
         F.sum("__h1").cast("long").alias("n_correct"),
         F.round(F.avg("__h1"), 6).alias("accuracy"),
         F.sum("__h2").cast("long").alias("n_correct_v2"),
         F.round(F.avg("__h2"), 6).alias("accuracy_v2"),
+        F.sum("__h3").cast("long").alias("n_correct_v3"),
+        F.round(F.avg("__h3"), 6).alias("accuracy_v3"),
     )
 
 
@@ -4730,27 +4738,75 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN corrected c ON d.doc_id = c.doc_id
     """
 
+    # lang_id_v3 twin: the trained char-trigram perceptron (langid_tri.npz,
+    # tools/train_tiny_langid.py) — nonzero (lang_idx, bucket, weight)
+    # triples embedded as VALUES, per-doc trigram buckets joined and summed,
+    # first-max argmax (ties -> lowest lang index), max <= 0 -> 'und';
+    # script branch identical to v2's (_script2), trigram head as fallback.
+    import io as _lio
+
+    import numpy as _lnp
+
+    _lt = _lnp.load(
+        _lio.BytesIO(
+            (Path(__file__).parent / "dataflow_spark" / "artifacts" / "langid_tri.npz").read_bytes()
+        )
+    )
+    _ltW = _lt["W"].astype("int64")
+    _ltlangs = [str(x) for x in _lt["langs"]]
+    _lt_vals = ", ".join(
+        f"({li},{b},{int(_ltW[li][b])})"
+        for li in range(_ltW.shape[0])
+        for b in _lnp.nonzero(_ltW[li])[0]
+    )
+    _lt_names = ", ".join(f"({li},'{l}')" for li, l in enumerate(_ltlangs))
+    _lstrip = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
     o["eval_accuracy"] = f"""
+        WITH ltw AS (SELECT * FROM (VALUES {_lt_vals}) AS t(li, b, w)),
+        lnm AS (SELECT * FROM (VALUES {_lt_names}) AS t(li, lang3)),
+        lsrc AS (SELECT doc_id, lang, text,
+                 ' ' || regexp_replace(trim(lower(text), {_lstrip}), '\\s+', ' ', 'g') || ' ' AS s2
+                 FROM documents),
+        ltri AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(s2) - 1),
+                   i -> ('0x' || substr(md5(substr(s2, CAST(i AS INT), 3)), 1, 3))::INT)) AS b
+                 FROM lsrc WHERE text IS NOT NULL AND len(s2) >= 3
+                   AND regexp_matches(s2, '[a-z]')),
+        lsc AS (SELECT doc_id, li, sum(w) AS s FROM ltri JOIN ltw USING (b) GROUP BY doc_id, li),
+        lfull AS (SELECT d.doc_id, n.li, n.lang3, coalesce(s.s, 0) AS s
+                  FROM (SELECT DISTINCT doc_id FROM ltri) d
+                  CROSS JOIN lnm n
+                  LEFT JOIN lsc s ON s.doc_id = d.doc_id AND s.li = n.li),
+        lpred AS (SELECT doc_id, CASE WHEN s <= 0 THEN 'und' ELSE lang3 END AS tri_lang
+                  FROM (SELECT doc_id, s, lang3,
+                               row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, li ASC) AS r
+                        FROM lfull) WHERE r = 1)
         SELECT count(*) AS n_samples,
                CAST(sum(hit) AS BIGINT) AS n_correct,
                round(avg(hit), 6) AS accuracy,
                CAST(sum(hit2) AS BIGINT) AS n_correct_v2,
-               round(avg(hit2), 6) AS accuracy_v2
+               round(avg(hit2), 6) AS accuracy_v2,
+               CAST(sum(hit3) AS BIGINT) AS n_correct_v3,
+               round(avg(hit3), 6) AS accuracy_v3
         FROM (
           SELECT CASE WHEN
             (CASE WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
                   WHEN es >= fr AND es > 0 THEN 'es'
                   WHEN fr > 0 THEN 'fr' ELSE 'und' END) = lower(trim(lang))
             THEN 1 ELSE 0 END AS hit,
-            CASE WHEN ({_langid2}) = lower(trim(lang)) THEN 1 ELSE 0 END AS hit2
+            CASE WHEN ({_langid2}) = lower(trim(lang)) THEN 1 ELSE 0 END AS hit2,
+            CASE WHEN text IS NULL THEN 0
+                 WHEN (CASE {_script2} ELSE coalesce(tri_lang, 'und') END) = lower(trim(lang))
+                 THEN 1 ELSE 0 END AS hit3
           FROM (
-            SELECT lang, text,
+            SELECT lang, text, tri_lang,
                    len(list_filter(lws, w -> w IN ('the','a','of','and','to','is','in','it'))) AS en,
                    len(list_filter(lws, w -> w IN ('el','la','de','que','y','los','es','una'))) AS es,
                    len(list_filter(lws, w -> w IN ('le','la','de','et','les','des','est','une'))) AS fr,
                    {_prof_hits}
-            FROM (SELECT lang, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS lws
-                  FROM documents)
+            FROM (SELECT s.lang, s.text, p.tri_lang,
+                         regexp_split_to_array(trim(lower(s.text)), '\\s+') AS lws
+                  FROM lsrc s LEFT JOIN lpred p USING (doc_id))
           )
         )
     """

@@ -709,6 +709,13 @@ def lang_id_v2(col: Column) -> Column:
         return _let(sc, pick)
 
     latin = _let(ws, latin_of)
+    return _script_or(col, latin)
+
+
+def _script_or(col: Column, fallback: Column) -> Column:
+    """Codepoint-range script detection (+ within-script marker subrules)
+    with a pluggable non-script fallback — shared by lang_id_v2 (stopword
+    profiles) and lang_id_v3_stage (trained trigram classifier)."""
 
     def script_value(lang: str) -> Column:
         sub = SCRIPT_SUBRULES.get(lang)
@@ -726,7 +733,98 @@ def lang_id_v2(col: Column) -> Column:
         out = F.when(cond, script_value(lang)) if out is None else out.when(cond, script_value(lang))
     # fast path: every script range starts at U+0370+ (Greek is the lowest),
     # so a row with no codepoint >= U+0370 can skip all 23 script regex
-    # scans. Rows failing every range (e.g. an em-dash) still fall back to
-    # the Latin profiles on both branches — semantics identical.
+    # scans. Rows failing every range (e.g. an em-dash) still fall back on
+    # both branches — semantics identical.
     has_script_char = col.rlike("[\\u0370-\\uffff]")
-    return F.when(has_script_char, out.otherwise(latin)).otherwise(latin)
+    return F.when(has_script_char, out.otherwise(fallback)).otherwise(fallback)
+
+
+# ---------------------------------------------------------------------------
+# Trained char-trigram language ID (lang_id_v3 — the fastText architecture)
+# ---------------------------------------------------------------------------
+
+
+class LangTrigramModel:
+    """REAL trained lang-ID head in fastText's own architecture — a linear
+    classifier over a bag of hashed character n-grams (Joulin et al. 2016;
+    the reference loads fastText-176 in language_filter.py:61-65). An
+    INTEGER perceptron over char TRIGRAMS of ' '+normalized-text+' '
+    (lower, whitespace collapsed), 4096 md5 buckets, 41 Latin-script
+    classes; trained + reproducible via tools/train_tiny_langid.py, shipped
+    as artifacts/langid_tri.npz. Unlike the stopword profiles this learns
+    orthography — trigrams straddle word boundaries, so diacritics and
+    affix patterns vote, not just whole function words.
+
+    max score <= 0 (or no trigrams) -> 'und'; ties -> lowest class index.
+    Integer scores, so the DuckDB oracle replays the argmax exactly."""
+
+    def __init__(self, path: str | None = None):
+        import io
+
+        import numpy as np
+
+        if path is None:
+            import importlib.resources as ir
+
+            raw = (
+                ir.files("dataflow_spark") / "artifacts" / "langid_tri.npz"
+            ).read_bytes()
+            data = np.load(io.BytesIO(raw))
+        else:
+            data = np.load(path)
+        self.W = data["W"].astype("int64")
+        self.langs = [str(x) for x in data["langs"]]
+
+    def predict_one(self, t: str | None) -> str | None:
+        import hashlib
+        import re
+
+        import numpy as np
+
+        if t is None:
+            return None
+        s = re.sub(r"\s+", " ", t.strip(" \t\n\r\f\v").lower(), flags=re.ASCII)
+        s2 = " " + s + " "
+        # no ascii letter at all (digits/punctuation soup) -> no linguistic
+        # evidence; don't let collision buckets vote (every Latin-script
+        # class contains ascii letters)
+        if len(s2) < 3 or not re.search(r"[a-z]", s2):
+            return "und"
+        buckets = [
+            int(hashlib.md5(s2[i : i + 3].encode()).hexdigest()[:3], 16)
+            for i in range(len(s2) - 2)
+        ]
+        scores = self.W[:, buckets].sum(axis=1)
+        if int(scores.max()) <= 0:
+            return "und"
+        return self.langs[int(np.argmax(scores))]
+
+    def predict_batch(self, texts: pd.Series) -> pd.Series:
+        return texts.map(self.predict_one)
+
+
+def lang_id_v3_stage(
+    df: DataFrame, text_col: str = "text", out: str = "lang_v3",
+    path: str | None = None,
+) -> DataFrame:
+    """Full 77-language lang-ID with the TRAINED Latin head: the exact
+    codepoint-range script detector first (unchanged from lang_id_v2), and
+    the Latin-script mass routed through the trigram perceptron served per
+    worker via the model seam (ops/models.py lifecycle). Appends `out`."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from dataflow_spark.ops.models import _load_model
+
+    schema = StructType(list(df.schema.fields) + [StructField("__tri_lang", StringType())])
+
+    def run(batches):
+        model = _load_model(lambda: LangTrigramModel(path), "langid_tri")
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__tri_lang"] = model.predict_batch(pdf[text_col])
+            yield pdf
+
+    staged = df.mapInPandas(run, schema)
+    return staged.withColumn(
+        out, _script_or(F.col(text_col), F.col("__tri_lang"))
+    ).drop("__tri_lang")

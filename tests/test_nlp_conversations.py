@@ -512,3 +512,60 @@ def test_ner_tagger_artifact_reproducible():
     shipped = np.load("dataflow_spark/artifacts/ner_tagger.npz")
     assert (W == shipped["W"]).all()
     assert list(shipped["classes"]) == m.CLASSES
+
+
+def _fixture_77():
+    """The 77-language canonical samples from
+    test_lang_id_v2_breadth_77_languages (shared by the v3 test)."""
+    import re
+    import inspect
+
+    src = inspect.getsource(test_lang_id_v2_breadth_77_languages)
+    m = re.search(r"samples = (\{.*?\n    \})", src, re.DOTALL)
+    return eval(m.group(1))
+
+
+def test_lang_id_v3_trained_head_beats_profiles_on_fixture(spark):
+    """Round-3 task #5: the TRAINED char-trigram head (fastText
+    architecture, shipped langid_tri.npz) — accuracy on the canonical
+    77-language fixture >= the profile model's (which is 100% there), the
+    script branch unchanged, und on no-evidence input, and the stage equals
+    the python twin + script composition row-for-row."""
+    from dataflow_spark.ops.nlp import LangTrigramModel, lang_id_v3_stage
+
+    samples = _fixture_77()
+    rows = [(lang, text) for lang, text in samples.items()]
+    df = spark.createDataFrame(rows, "lang: string, text: string")
+    got = {r["lang"]: r["pred"] for r in
+           lang_id_v3_stage(df, "text", "pred").select("lang", "pred").collect()}
+    wrong = {k: v for k, v in got.items() if v != k}
+    assert not wrong, wrong  # 77/77 — matches the v2 fixture bar exactly
+
+    out = lang_id_v3_stage(
+        spark.createDataFrame([("12345 !!!",), ("",), (None,)], "text: string"),
+        "text", "pred",
+    ).select("pred").collect()
+    assert [r["pred"] for r in out] == ["und", "und", None]
+
+    # Latin rows route through the python twin (script rows bypass it)
+    twin = LangTrigramModel()
+    for lang, text in samples.items():
+        if lang in ("en", "de", "nl", "sv", "da", "no", "fi", "pl", "ms", "id"):
+            assert twin.predict_one(text) == lang, lang
+
+
+def test_langid_artifact_reproducible():
+    """tools/train_tiny_langid.py retrains to the committed weights."""
+    import importlib.util
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "train_tiny_langid", "tools/train_tiny_langid.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    langs, W = m.train()
+    shipped = np.load("dataflow_spark/artifacts/langid_tri.npz")
+    assert (W == shipped["W"]).all()
+    assert [str(x) for x in shipped["langs"]] == langs

@@ -1,0 +1,191 @@
+"""Train the shipped char-trigram language-ID artifact (run once, committed).
+
+Produces dataflow_spark/artifacts/langid_tri.npz — an INTEGER perceptron
+over hashed character trigrams, the fastText-176 architecture at tiny scale
+(fastText lang-ID IS a linear classifier over bag-of-char-n-gram features,
+Joulin et al. 2016/2017; the reference loads it in
+/root/reference/dataflow/operators/general_text/filter/language_filter.py:61-65).
+This closes the TRAINED half of the lang-ID shape: ops/nlp.py lang_id_v2 is
+a hand-built stopword-profile model; this artifact learns orthography
+(trigrams cross word boundaries, so diacritic patterns and affixes count,
+not just whole function words).
+
+Classes = the 41 Latin-script languages of LATIN_PROFILES (non-Latin
+scripts are already solved exactly by the codepoint-range detector, which
+lang_id_v3 keeps as its first branch). Integer weights + first-max argmax
+keep the Spark stage and the DuckDB oracle bit-identical (the
+deita/ner_tagger discipline).
+
+Training text per language: the LATIN_PROFILES stopword inventory plus 2-3
+short authored sentences of ordinary public vocabulary. Features: char
+trigrams of ' '+normalize(text)+' ' (lower, whitespace collapsed), hashed
+to 4096 md5 buckets.
+
+Reproduce: python tools/train_tiny_langid.py   (rewrites the npz in place)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+N_BUCKETS = 4096
+EPOCHS = 30
+
+SENTENCES: dict[str, list[str]] = {
+    "en": ["the children are playing in the garden with their friends",
+           "she said that it was not possible to finish the work today"],
+    "es": ["los niños están jugando en el jardín con sus amigos",
+           "ella dijo que no era posible terminar el trabajo hoy",
+           "el gato vive en la casa y cada dia cuenta una historia del barrio"],
+    "fr": ["les enfants jouent dans le jardin avec leurs amis",
+           "elle a dit qu'il n'était pas possible de finir le travail aujourd'hui"],
+    "de": ["die Kinder spielen im Garten mit ihren Freunden",
+           "sie sagte, dass es nicht möglich war, die Arbeit heute zu beenden",
+           "der Hund und die Katze sind auf dem Tisch im Haus das ist gut"],
+    "it": ["i bambini stanno giocando in giardino con i loro amici",
+           "ha detto che non era possibile finire il lavoro oggi"],
+    "pt": ["as crianças estão brincando no jardim com os seus amigos",
+           "ela disse que não era possível terminar o trabalho hoje"],
+    "nl": ["de kinderen spelen in de tuin met hun vrienden",
+           "ze zei dat het niet mogelijk was om het werk vandaag af te maken",
+           "de kat en de hond zijn in het huis van een man die niet gaat"],
+    "sv": ["barnen leker i trädgården med sina vänner",
+           "hon sade att det inte var möjligt att avsluta arbetet idag",
+           "jag har varit på väg till skolan och det är inte som förut"],
+    "da": ["børnene leger i haven med deres venner",
+           "hun sagde at det ikke var muligt at afslutte arbejdet i dag",
+           "jeg har ikke set hunden der kan komme til byen så hurtigt men nu"],
+    "no": ["barna leker i hagen med vennene sine",
+           "hun sa at det ikke var mulig å fullføre arbeidet i dag",
+           "jeg har ikke vært på skolen han skal være med til byen nå"],
+    "fi": ["lapset leikkivät puutarhassa ystäviensä kanssa",
+           "hän sanoi, että työtä ei ollut mahdollista saada valmiiksi tänään"],
+    "pl": ["dzieci bawią się w ogrodzie ze swoimi przyjaciółmi",
+           "powiedziała, że nie było możliwe skończyć pracy dzisiaj"],
+    "cs": ["děti si hrají na zahradě se svými přáteli",
+           "řekla, že dnes nebylo možné práci dokončit"],
+    "ro": ["copiii se joacă în grădină cu prietenii lor",
+           "ea a spus că nu a fost posibil să termine lucrarea astăzi"],
+    "hu": ["a gyerekek a kertben játszanak a barátaikkal",
+           "azt mondta, hogy ma nem volt lehetséges befejezni a munkát"],
+    "tr": ["çocuklar bahçede arkadaşlarıyla oynuyor",
+           "bugün işi bitirmenin mümkün olmadığını söyledi"],
+    "id": ["anak-anak sedang bermain di taman dengan teman-teman mereka",
+           "dia mengatakan bahwa tidak mungkin menyelesaikan pekerjaan hari ini"],
+    "vi": ["những đứa trẻ đang chơi trong vườn với bạn bè của chúng",
+           "cô ấy nói rằng không thể hoàn thành công việc hôm nay được"],
+    "ca": ["els nens juguen al jardí amb els seus amics",
+           "ella va dir que no era possible acabar la feina avui"],
+    "af": ["die kinders speel in die tuin saam met hulle vriende",
+           "sy het gesê dat dit nie moontlik was om die werk vandag klaar te maak nie"],
+    "sq": ["fëmijët po luajnë në kopsht me miqtë e tyre",
+           "ajo tha se nuk ishte e mundur të përfundonte puna sot"],
+    "az": ["uşaqlar bağçada dostları ilə oynayırlar",
+           "o dedi ki, bu gün işi bitirmək mümkün deyildi"],
+    "hr": ["djeca se igraju u vrtu sa svojim prijateljima",
+           "rekla je da danas nije bilo moguće završiti posao"],
+    "sl": ["otroci se igrajo na vrtu s svojimi prijatelji",
+           "rekla je, da danes ni bilo mogoče končati dela"],
+    "sk": ["deti sa hrajú v záhrade so svojimi priateľmi",
+           "povedala, že dnes nebolo možné dokončiť prácu"],
+    "et": ["lapsed mängivad aias koos oma sõpradega",
+           "ta ütles, et täna ei olnud võimalik tööd lõpetada"],
+    "lt": ["vaikai žaidžia sode su savo draugais",
+           "ji pasakė, kad šiandien nebuvo įmanoma baigti darbo"],
+    "lv": ["bērni spēlējas dārzā ar saviem draugiem",
+           "viņa teica, ka šodien nebija iespējams pabeigt darbu"],
+    "is": ["börnin leika sér í garðinum með vinum sínum",
+           "hún sagði að það væri ekki hægt að klára verkið í dag"],
+    "ga": ["tá na páistí ag súgradh sa ghairdín lena gcairde",
+           "dúirt sí nach raibh sé indéanta an obair a chríochnú inniu"],
+    "cy": ["mae'r plant yn chwarae yn yr ardd gyda'u ffrindiau",
+           "dywedodd nad oedd yn bosibl gorffen y gwaith heddiw"],
+    "mt": ["it-tfal qed jilagħbu fil-ġnien ma' sħabhom",
+           "hija qalet li ma kienx possibbli li x-xogħol jitlesta llum"],
+    "gl": ["os nenos están xogando no xardín cos seus amigos",
+           "ela dixo que non era posible rematar o traballo hoxe"],
+    "eu": ["haurrak lorategian jolasten ari dira beren lagunekin",
+           "esan zuen gaur ezin zela lana amaitu"],
+    "sw": ["watoto wanacheza bustanini pamoja na marafiki zao",
+           "alisema kwamba haikuwezekana kumaliza kazi leo"],
+    "tl": ["naglalaro ang mga bata sa hardin kasama ang kanilang mga kaibigan",
+           "sinabi niya na hindi posibleng matapos ang trabaho ngayon"],
+    "ms": ["kanak-kanak sedang bermain di taman bersama rakan-rakan mereka",
+           "dia berkata bahawa tidak mungkin menyiapkan kerja itu hari ini"],
+    "so": ["carruurtu waxay ku ciyaarayaan beerta iyaga iyo saaxiibbadood",
+           "waxay tidhi suurtagal ma ahayn in shaqada la dhammeeyo maanta"],
+    "ht": ["timoun yo ap jwe nan jaden an ak zanmi yo",
+           "li te di ke li pa t posib pou fini travay la jodi a"],
+    "eo": ["la infanoj ludas en la ĝardeno kun siaj amikoj",
+           "ŝi diris ke ne estis eble fini la laboron hodiaŭ"],
+    "uz": ["bolalar bog'da do'stlari bilan o'ynashmoqda",
+           "u bugun ishni tugatish mumkin emasligini aytdi"],
+}
+
+
+def normalize(t: str) -> str:
+    import re
+
+    return re.sub(r"\s+", " ", t.strip(" \t\n\r\f\v").lower(), flags=re.ASCII)
+
+
+def trigrams(t: str) -> list[str]:
+    s = " " + normalize(t) + " "
+    return [s[i : i + 3] for i in range(len(s) - 2)]
+
+
+def bucket(tri: str) -> int:
+    return int(hashlib.md5(tri.encode()).hexdigest()[:3], 16)
+
+
+def make_corpus():
+    from dataflow_spark.ops.nlp import LATIN_PROFILES
+
+    langs = list(LATIN_PROFILES)
+    assert set(SENTENCES) == set(langs), set(langs) ^ set(SENTENCES)
+    rows = []
+    for li, lang in enumerate(langs):
+        texts = list(SENTENCES[lang]) + [" ".join(LATIN_PROFILES[lang])]
+        for t in texts:
+            rows.append(([bucket(x) for x in trigrams(t)], li))
+    return langs, rows
+
+
+def train():
+    langs, rows = make_corpus()
+    W = np.zeros((len(langs), N_BUCKETS), dtype=np.int64)
+    rng = np.random.RandomState(20240821)
+    for _ in range(EPOCHS):
+        for idx in rng.permutation(len(rows)):
+            bs, y = rows[idx]
+            scores = W[:, bs].sum(axis=1)
+            pred = int(np.argmax(scores))
+            if pred != y:
+                np.add.at(W[y], bs, 1)
+                np.add.at(W[pred], bs, -1)
+    return langs, W
+
+
+def main() -> None:
+    langs, W = train()
+    _, rows = make_corpus()
+    acc = sum(
+        int(np.argmax(W[:, bs].sum(axis=1))) == y for bs, y in rows
+    ) / len(rows)
+    out = os.path.join(
+        os.path.dirname(__file__), "..", "dataflow_spark", "artifacts", "langid_tri.npz"
+    )
+    np.savez(out, W=W, langs=np.array(langs))
+    nz = int((W != 0).sum())
+    print(f"train accuracy {acc:.4f} over {len(rows)} texts; nonzero {nz} -> {out}")
+    assert acc == 1.0, acc
+
+
+if __name__ == "__main__":
+    main()
