@@ -961,12 +961,15 @@ def q_mathverify(spark, sf):
     """Math-verify answer judge (battery member): planted (answer, ground
     truth) pairs exercise every normalization path — boxed fractions vs
     reduced fractions, decimals vs halves, thousands commas, percents,
-    off-by-one negatives, case/space-folded strings — and the judge
-    (ops/reasoning.py math_verify_judge, pure JVM decimal cross products)
-    must reproduce the verdict the planting arithmetic implies."""
+    off-by-one negatives, case/space-folded strings — PLUS round 4's
+    symbolic paths (modes 6-8: polynomial expand/collect x(x+a) ≡ x^2+ax,
+    ratio cross-multiplication (x^2-a^2)/(x+a) ≡ x-a, and an off-by-one
+    expansion that must stay False). The judge (ops/reasoning.py
+    math_verify_judge, JVM decimal cross products + the symbolic pandas-UDF
+    tail) must reproduce the verdict the planting arithmetic implies."""
     d = load_table(spark, sf, "documents").select("doc_id")
     a = (F.col("doc_id") % 97 + 1).cast("long")
-    m = (F.col("doc_id") % 6).cast("int")
+    m = (F.col("doc_id") % 9).cast("int")
     s = lambda c: c.cast("string")  # noqa: E731
     ans = (
         F.when(m == 0, F.concat(s(a), F.lit("/"), s(a + 1)))
@@ -974,6 +977,9 @@ def q_mathverify(spark, sf):
         .when(m == 2, F.concat(s(a), F.lit(",000")))
         .when(m == 3, F.concat(s(a), F.lit("%")))
         .when(m == 4, s(a + 1))
+        .when(m == 6, F.concat(F.lit("x(x+"), s(a), F.lit(")")))
+        .when(m == 7, F.concat(F.lit("(x^2-"), s(a * a), F.lit(")/(x+"), s(a), F.lit(")")))
+        .when(m == 8, F.concat(F.lit("x(x+"), s(a), F.lit(")")))
         .otherwise(F.concat(F.lit("X "), s(a), F.lit("b")))
     )
     gt = (
@@ -982,10 +988,14 @@ def q_mathverify(spark, sf):
         .when(m == 2, F.concat(s(a), F.lit("000")))
         .when(m == 3, F.concat(s(a), F.lit("/100")))
         .when(m == 4, s(a))
+        .when(m == 6, F.concat(F.lit("x^2+"), s(a), F.lit("x")))
+        .when(m == 7, F.concat(F.lit("x-"), s(a)))
+        .when(m == 8, F.concat(F.lit("x^2+"), s(a), F.lit("x+1")))
         .otherwise(F.concat(F.lit("x"), s(a), F.lit("B")))
     )
     out = reasoning.math_verify_judge(
-        d.select("doc_id", ans.alias("student_answer"), gt.alias("correct_answer"))
+        d.select("doc_id", ans.alias("student_answer"), gt.alias("correct_answer")),
+        symbolic=True,
     )
     return out.select(
         "doc_id", "student_answer", "correct_answer",
@@ -6471,6 +6481,10 @@ def oracle_sql() -> dict[str, str]:
     # rule (m=4 is the only unequal case) — the Spark judge must reach the
     # same verdict by actually normalizing (ops/reasoning.py
     # math_verify_judge).
+    # modes 6-8 are the round-4 SYMBOLIC plantings (ops/reasoning.py
+    # _poly_equivalent): 6 = expand/collect x(x+a) ≡ x^2+ax, 7 = ratio
+    # cross-multiplication (x^2-a^2)/(x+a) ≡ x-a, 8 = off-by-one expansion
+    # that must stay False; expected verdicts come from the construction.
     o["mathverify"] = r"""
         SELECT doc_id,
                CASE m WHEN 0 THEN a || '/' || (a + 1)
@@ -6478,15 +6492,21 @@ def oracle_sql() -> dict[str, str]:
                       WHEN 2 THEN a || ',000'
                       WHEN 3 THEN a || '%'
                       WHEN 4 THEN CAST(a + 1 AS VARCHAR)
+                      WHEN 6 THEN 'x(x+' || a || ')'
+                      WHEN 7 THEN '(x^2-' || (a * a) || ')/(x+' || a || ')'
+                      WHEN 8 THEN 'x(x+' || a || ')'
                       ELSE 'X ' || a || 'b' END AS student_answer,
                CASE m WHEN 0 THEN '\boxed{' || (a * 2) || '/' || (a * 2 + 2) || '}'
                       WHEN 1 THEN (a * 2 + 1) || '/2'
                       WHEN 2 THEN a || '000'
                       WHEN 3 THEN a || '/100'
                       WHEN 4 THEN CAST(a AS VARCHAR)
+                      WHEN 6 THEN 'x^2+' || a || 'x'
+                      WHEN 7 THEN 'x-' || a
+                      WHEN 8 THEN 'x^2+' || a || 'x+1'
                       ELSE 'x' || a || 'B' END AS correct_answer,
-               (m <> 4) AS verified
-        FROM (SELECT doc_id, doc_id % 97 + 1 AS a, doc_id % 6 AS m
+               (m NOT IN (4, 8)) AS verified
+        FROM (SELECT doc_id, doc_id % 97 + 1 AS a, doc_id % 9 AS m
               FROM documents) t
     """
 

@@ -342,6 +342,7 @@ def math_verify_judge(
     answer_col: str = "student_answer",
     gt_col: str = "correct_answer",
     out: str = "verified",
+    symbolic: bool = False,
 ) -> DataFrame:
     """Judge answer == ground truth under math normalization
     (reasoning_answer_judge_mathverify_filter.py:78-79 contract: a boolean
@@ -349,7 +350,18 @@ def math_verify_judge(
     compare as exact cross products a1*b2 == a2*b1 (sign lives in either
     slot, so negative denominators are handled); anything else falls back to
     case-folded normalized-string equality. A rational on one side and a
-    non-rational on the other is False, like math_verify's failed parse."""
+    non-rational on the other is False, like math_verify's failed parse.
+
+    symbolic=True adds the SYMBOLIC TAIL (round-3 next #6 — the part the
+    reference gets from math_verify's sympy backend): rows the exact paths
+    reject are re-tried as single-variable polynomial / rational-function
+    equivalence over ℚ (`x(x+1)` ≡ `x^2+x`; `(x^2-9)/(x+3)` ≡ `x-3`) via
+    an Arrow-batched pandas UDF (_poly_equivalent — expand + collect with
+    Fraction coefficients, cross-multiplied ratio equality). The declared
+    grammar: one variable, integer literals, + - * / ^ (nonneg integer
+    exponents <= 64), parentheses, implicit multiplication; anything
+    outside it (multi-variable, functions, radicals, π) parses to None and
+    keeps the exact-path verdict — the remaining honest sympy boundary."""
     a_s, a_p = _mv_norm(F.col(answer_col))
     g_s, g_p = _mv_norm(F.col(gt_col))
     a_n, a_d = _mv_rational(a_s, a_p)
@@ -358,7 +370,224 @@ def math_verify_judge(
     verdict = F.when(both_rat, (a_n * g_d) == (g_n * a_d)).otherwise(
         a_n.isNull() & g_n.isNull() & (F.lower(a_s) == F.lower(g_s))
     )
+    if symbolic:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("boolean")
+        def poly_eq(a: pd.Series, g: pd.Series) -> pd.Series:
+            return pd.Series(
+                [_poly_equivalent(x, y) for x, y in zip(a, g)], dtype="boolean"
+            )
+
+        verdict = verdict | poly_eq(F.col(answer_col), F.col(gt_col))
     return df.withColumn(out, verdict)
+
+
+# --- symbolic tail: polynomial / rational-function normal forms over ℚ ----
+
+_POLY_MAX_DEG = 64
+
+
+def _mv_norm_py(s: str | None) -> str | None:
+    """Python twin of _mv_norm for the symbolic path: boxed unwrap,
+    whitespace/$/comma strip, \\left/\\right removal. Percent-tailed and
+    empty strings are not in the polynomial grammar -> None."""
+    import re
+
+    if s is None:
+        return None
+    m = re.search(r"\\boxed\{([^{}]*)\}", s)
+    if m:
+        s = m.group(1)
+    s = re.sub(r"[\s$,]+", "", s)
+    s = s.replace(r"\left", "").replace(r"\right", "")
+    if s == "" or re.search(r"(\\%|%)$", s):
+        return None
+    return s
+
+
+def _poly_parse(s: str):
+    """Recursive-descent parse of the declared grammar into a rational
+    function (num, den): polynomials as {degree: Fraction}. Returns
+    (num, den, var_letter_or_None) or None when out of grammar."""
+    from fractions import Fraction
+
+    toks: list[tuple[str, object]] = []
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch.isdigit():
+            j = i
+            while j < len(s) and s[j].isdigit():
+                j += 1
+            toks.append(("int", int(s[i:j])))
+            i = j
+        elif "a" <= ch.lower() <= "z":
+            toks.append(("var", ch))
+            i += 1
+        elif ch in "+-*/^()":
+            toks.append((ch, ch))
+            i += 1
+        else:
+            return None
+    pos = 0
+    var_seen: list[str] = []
+
+    def peek():
+        return toks[pos][0] if pos < len(toks) else None
+
+    ONE = {0: Fraction(1)}
+
+    def pzero():
+        return {}
+
+    def padd(p, q, sign=1):
+        r = dict(p)
+        for d, c in q.items():
+            r[d] = r.get(d, Fraction(0)) + sign * c
+            if r[d] == 0:
+                del r[d]
+        return r
+
+    def pmul(p, q):
+        r: dict = {}
+        for d1, c1 in p.items():
+            for d2, c2 in q.items():
+                d = d1 + d2
+                if d > _POLY_MAX_DEG:
+                    raise _PolyError()
+                r[d] = r.get(d, Fraction(0)) + c1 * c2
+                if r[d] == 0:
+                    del r[d]
+        return r
+
+    class _PolyError(Exception):
+        pass
+
+    def expr():
+        nonlocal pos
+        n, d = term()
+        while peek() in ("+", "-"):
+            op = peek()
+            pos += 1
+            n2, d2 = term()
+            # n/d ± n2/d2 = (n*d2 ± n2*d) / (d*d2)
+            n = padd(pmul(n, d2), pmul(n2, d), 1 if op == "+" else -1)
+            d = pmul(d, d2)
+        return n, d
+
+    def term():
+        nonlocal pos
+        n, d = factor()
+        while True:
+            t = peek()
+            if t in ("*", "/"):
+                pos += 1
+                n2, d2 = factor()
+                if t == "*":
+                    n, d = pmul(n, n2), pmul(d, d2)
+                else:
+                    if not n2:
+                        raise _PolyError()  # division by zero polynomial
+                    n, d = pmul(n, d2), pmul(d, n2)
+            elif t in ("int", "var", "("):
+                n2, d2 = factor()  # implicit multiplication: 2x, x(x+1)
+                n, d = pmul(n, n2), pmul(d, d2)
+            else:
+                return n, d
+
+    def factor():
+        nonlocal pos
+        sign = 1
+        while peek() in ("+", "-"):
+            if peek() == "-":
+                sign = -sign
+            pos += 1
+        n, d = power()
+        if sign < 0:
+            n = {k: -v for k, v in n.items()}
+        return n, d
+
+    def power():
+        nonlocal pos
+        n, d = atom()
+        if peek() == "^":
+            pos += 1
+            if peek() != "int":
+                raise _PolyError()
+            k = toks[pos][1]
+            pos += 1
+            if not (0 <= k <= _POLY_MAX_DEG):
+                raise _PolyError()
+            rn, rd = ONE.copy(), ONE.copy()
+            for _ in range(k):
+                rn, rd = pmul(rn, n), pmul(rd, d)
+            return rn, rd
+        return n, d
+
+    def atom():
+        nonlocal pos
+        t = peek()
+        from fractions import Fraction as Fr
+
+        if t == "int":
+            v = toks[pos][1]
+            pos += 1
+            return ({0: Fr(v)} if v else {}), ONE.copy()
+        if t == "var":
+            ch = toks[pos][1]
+            pos += 1
+            if ch not in var_seen:
+                var_seen.append(ch)
+            if len(var_seen) > 1:
+                raise _PolyError()  # multivariate: out of grammar
+            return {1: Fr(1)}, ONE.copy()
+        if t == "(":
+            pos += 1
+            n, d = expr()
+            if peek() != ")":
+                raise _PolyError()
+            pos += 1
+            return n, d
+        raise _PolyError()
+
+    try:
+        n, d = expr()
+        if pos != len(toks) or not d:
+            return None
+        return n, d, (var_seen[0] if var_seen else None)
+    except (_PolyError, RecursionError):
+        return None
+
+
+def _poly_equivalent(a: str | None, g: str | None) -> bool:
+    """Normal-form equivalence of two expressions in the declared grammar:
+    parse both to rational functions, require the same (single) variable
+    letter when both use one, compare by cross-multiplication
+    num_a*den_g == num_g*den_a (exact Fraction arithmetic — the standard
+    cancel()-style equivalence, agreeing with sympy up to removable
+    singularities)."""
+    na, ng = _mv_norm_py(a), _mv_norm_py(g)
+    if na is None or ng is None:
+        return False
+    pa, pg = _poly_parse(na), _poly_parse(ng)
+    if pa is None or pg is None:
+        return False
+    n1, d1, v1 = pa
+    n2, d2, v2 = pg
+    if v1 is not None and v2 is not None and v1 != v2:
+        return False
+
+    def pmul(p, q):
+        from fractions import Fraction
+
+        r: dict = {}
+        for da, ca in p.items():
+            for db, cb in q.items():
+                r[da + db] = r.get(da + db, Fraction(0)) + ca * cb
+        return {k: v for k, v in r.items() if v != 0}
+
+    return pmul(n1, d2) == pmul(n2, d1)
 
 
 # ---------------------------------------------------------------------------

@@ -130,3 +130,48 @@ def test_mathbook_question_extract(spark):
     assert got[1]["image_refs"] == ["fig1", "fig2"] and got[1]["n_images"] == 2
     assert got[2]["image_refs"] == [] and got[2]["n_images"] == 0
     assert got[3]["question"] == "" and got[3]["image_refs"] == ["a", "b"]
+
+
+def test_poly_equivalence_symbolic_tail():
+    """Round-3 task #6: the symbolic tail — expand+collect over Q and ratio
+    cross-multiplication for the declared grammar; out-of-grammar inputs
+    (multivariate, functions, percent, degree cap) parse to None and keep
+    the exact-path verdict."""
+    from dataflow_spark.ops.reasoning import _poly_equivalent as eq
+
+    assert eq("x(x+1)", "x^2+x")
+    assert eq("(x+1)^2", "x^2+2x+1")
+    assert eq("(x^2-9)/(x+3)", "x-3")
+    assert eq("x/2+x/2", "x")
+    assert eq("2x", "x+x")
+    assert eq(r"\boxed{x(x+1)}", "x ^ 2 + x")  # normalization feeds the parser
+    assert eq("-(x-1)", "1-x")
+    assert eq("(x+1)/(x-1)", "(x^2+2x+1)/(x^2-1)")
+    assert eq("3/4", "6/8")
+    assert not eq("x^2", "x^2+1")
+    assert not eq("y^2+y", "x^2+x")   # distinct variable letters
+    assert not eq("xy", "yx")          # multivariate: out of grammar
+    assert not eq("x/0", "x")          # zero-polynomial denominator
+    assert not eq("x^65", "x^65")      # over the degree cap
+    assert not eq("sin(x)", "sin(x)")  # functions: out of grammar
+    assert not eq("50%", "1/2")        # percent stays on the exact path
+    assert not eq(None, "x") and not eq("", "")
+
+
+def test_math_verify_judge_symbolic_flag(spark):
+    """symbolic=True flips only the algebra-equivalent rows; the exact
+    paths and the default (symbolic=False) behavior are unchanged."""
+    from dataflow_spark.ops.reasoning import math_verify_judge
+
+    rows = [
+        (1, "x(x+2)", "x^2+2x"),        # symbolic True
+        (2, "x(x+2)", "x^2+2x+1"),      # symbolic False
+        (3, "1/2", "2/4"),               # exact-rational True either way
+        (4, "Paris", "paris"),           # string-fold True either way
+        (5, "(x^2-4)/(x-2)", "x+2"),    # ratio True
+    ]
+    df = spark.createDataFrame(rows, "id long, student_answer string, correct_answer string")
+    plain = {r["id"]: r["verified"] for r in math_verify_judge(df).collect()}
+    sym = {r["id"]: r["verified"] for r in math_verify_judge(df, symbolic=True).collect()}
+    assert plain == {1: False, 2: False, 3: True, 4: True, 5: False}
+    assert sym == {1: True, 2: False, 3: True, 4: True, 5: True}
