@@ -916,6 +916,50 @@ def q_media_decode(spark, sf):
     return multimodal.media_decode_features(media)
 
 
+def q_speech2text(spark, sf):
+    """CTC speech-to-text (battery member, round-4 task #7 — the trained
+    stand-in for Speech2TextGenerator, speech2text_generator.py:16): each
+    doc plants a token sequence by doc_id arithmetic, renders it as REAL
+    PCM16 WAV square-wave tones + silences inside a pandas UDF, and
+    ops/multimodal.py speech_to_text_stage decodes the bytes, frames them,
+    scores each frame with the shipped integer acoustic model (ctc_asr.npz)
+    and CTC-greedy-collapses to the transcript. Every 17th payload is
+    garbage and must surface as an error row. The oracle never hears the
+    audio — it recomputes the expected transcript from the planting
+    arithmetic, so the whole synth→WAV→frames→model→CTC chain is what the
+    value check pins."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from dataflow_spark.ops import multimodal
+
+    @F.pandas_udf(BinaryType())
+    def synth_wav(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 17 == 0:
+                out.append(b"\x00garbage-not-a-wav")
+                continue
+            toks = [(i + 3 * j) % 8 for j in range(i % 4 + 1)]
+            parts = [np.zeros(200, np.int16)]
+            for t in toks:
+                k = t + 2
+                jj = np.arange(400)
+                parts.append(
+                    np.where((jj // k) % 2 == 0, 8000, -8000).astype(np.int16)
+                )
+                parts.append(np.zeros(200, np.int16))
+            out.append(multimodal.encode_wav(np.concatenate(parts)))
+        return pd.Series(out)
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    media = d.select(
+        F.col("doc_id").alias("media_id"), synth_wav(F.col("doc_id")).alias("payload")
+    )
+    return multimodal.speech_to_text_stage(media)
+
+
 def q_pdf_extract(spark, sf):
     """REAL PDF text extraction (battery member — the
     FileOrURLToMarkdownConverter PDF branch, knowledge_cleaning/generate/
@@ -3182,6 +3226,9 @@ def q_score_battery(spark, sf):
                       ["weight", "key_q", "rank"]),
         _battery_pack(q_minhash_new(spark, sf), "minhash_new",
                       _kcat("doc_id"), ["text"]),
+        _battery_pack(q_speech2text(spark, sf), "speech2text",
+                      _kcat("media_id"), ["transcript", "asr_error"],
+                      s1=F.col("n_tokens")),
         _battery_pack(q_media_decode(spark, sf), "media_decode",
                       _kcat("media_id"),
                       ["kind", "width", "height", "n_px", "sum_r", "sum_g",
@@ -6382,6 +6429,21 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
     """
 
+    # speech2text: arithmetic oracle — the expected transcript is rebuilt
+    # from the planted token rule (L = doc_id%4+1, tok_i = (doc_id+3i)%8),
+    # never from the audio; garbage payloads (every 17th) are error rows.
+    o["speech2text"] = """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    ELSE array_to_string(list_transform(range(0, doc_id % 4 + 1),
+                         i -> (['go','stop','left','right','up','down','yes','no'])[CAST((doc_id + 3 * i) % 8 AS INT) + 1]), ' ')
+               END AS transcript,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    ELSE CAST(doc_id % 4 + 1 AS BIGINT) END AS n_tokens,
+               CASE WHEN doc_id % 17 = 0 THEN 'Error' ELSE NULL END AS asr_error
+        FROM documents
+    """
+
     # media_decode: the oracle recomputes expected decode statistics from
     # the synthesis arithmetic (ops/multimodal.py decode_bmp/decode_wav do
     # the real byte parsing on the Spark side).
@@ -7809,6 +7871,8 @@ def oracle_sql() -> dict[str, str]:
                   ["weight", "key_q", "rank"]),
         _pack_sql("minhash_new", o["minhash_new"], _kcat_sql("doc_id"),
                   ["text"]),
+        _pack_sql("speech2text", o["speech2text"], _kcat_sql("media_id"),
+                  ["transcript", "asr_error"], s1="n_tokens"),
         _pack_sql("media_decode", o["media_decode"], _kcat_sql("media_id"),
                   ["kind", "width", "height", "n_px", "sum_r", "sum_g",
                    "sum_b", "n_samples", "peak", "energy", "duration_ms",
@@ -7892,7 +7956,7 @@ def oracle_sql() -> dict[str, str]:
         "turn_repeat", "ccnet_buckets", "script_mix", "vocab_growth",
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",
-        "minhash_new", "media_decode", "pdf_extract", "mathverify",
+        "minhash_new", "media_decode", "speech2text", "pdf_extract", "mathverify",
         "sql_consistency", "mathbook_extract", "code_sandbox", "multihop_qa",
         "smiles_eval", "reasoning_judge", "reasoning_dataset", "pipeline_root",
         "code_instr_loop", "prompted_thin", "t2s_qgen_cot",

@@ -729,3 +729,97 @@ def media_decode_features(
             yield pd.DataFrame(out, columns=[f.name for f in DECODE_SCHEMA.fields])
 
     return df.mapInPandas(run, DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# CTC speech-to-text (Speech2TextGenerator's decode half with TRAINED
+# weights — core_speech/generate/speech2text_generator.py:16 hands audio to
+# a GPU ASR backend; this closes the last all-stub modality: real WAV bytes
+# in, a genuine trained artifact (tools/train_tiny_ctc.py -> ctc_asr.npz),
+# a real CTC greedy best-path decode out. Graves et al. 2006.)
+# ---------------------------------------------------------------------------
+
+CTC_FRAME = 100
+CTC_ZCR_BUCKETS = 128
+
+
+class CTCSpeechModel:
+    """Per-frame integer acoustic model + CTC greedy decode: feature = the
+    frame's zero-crossing count (sign = s<0, same convention as
+    DECODE_SCHEMA.zcr), logits = W[class][zcr] from the shipped integer
+    perceptron, argmax per frame (first max), collapse repeats, drop
+    blanks. Integer end-to-end, so transcripts replay exactly from the
+    planting arithmetic in the oracle."""
+
+    def __init__(self, path: str | None = None):
+        import io as _io
+
+        import numpy as np
+
+        if path is None:
+            import importlib.resources as ir
+
+            raw = (
+                ir.files("dataflow_spark") / "artifacts" / "ctc_asr.npz"
+            ).read_bytes()
+            data = np.load(_io.BytesIO(raw))
+        else:
+            data = np.load(path)
+        self.W = data["W"].astype("int64")
+        self.classes = [str(c) for c in data["classes"]]
+
+    def transcribe_samples(self, s) -> tuple[str, int]:
+        import numpy as np
+
+        s = np.asarray(s)
+        toks: list[str] = []
+        prev = 0
+        for i in range(0, len(s) - CTC_FRAME + 1, CTC_FRAME):
+            f = s[i : i + CTC_FRAME]
+            neg = f < 0
+            z = min(int((neg[1:] != neg[:-1]).sum()), CTC_ZCR_BUCKETS - 1)
+            c = int(np.argmax(self.W[:, z]))
+            if c != 0 and c != prev:
+                toks.append(self.classes[c])
+            prev = c
+        return " ".join(toks), len(toks)
+
+
+SPEECH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("transcript", StringType()),
+        StructField("n_tokens", LongType()),
+        StructField("asr_error", StringType()),
+    ]
+)
+
+
+def speech_to_text_stage(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    path: str | None = None,
+) -> DataFrame:
+    """Speech2TextGenerator shape: WAV payload column -> transcript column,
+    model loaded once per worker through the model seam (ops/models.py
+    lifecycle), Arrow batches streamed. Undecodable payloads surface as
+    error rows (transcript NULL, asr_error set), never task crashes."""
+    from dataflow_spark.ops.models import _load_model
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _load_model(lambda: CTCSpeechModel(path), "ctc_asr")
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = {"media_id": int(mid), "transcript": None,
+                       "n_tokens": None, "asr_error": None}
+                try:
+                    _, s = decode_wav(bytes(payload) if payload is not None else b"")
+                    row["transcript"], row["n_tokens"] = model.transcribe_samples(s)
+                except Exception as e:
+                    row["asr_error"] = type(e).__name__
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in SPEECH_SCHEMA.fields])
+
+    return df.mapInPandas(run, SPEECH_SCHEMA)

@@ -233,3 +233,51 @@ def test_pdf_text_features_stage(spark):
         assert r["n_pages"] == len(pages)
         assert r["n_lines"] == len(lines)
         assert r["pdf_text"] == "\n\n".join("\n".join(p) for p in pages)
+
+
+def test_ctc_speech_to_text_roundtrip_and_errors(spark):
+    """Round-3 task #7: the CTC speech stand-in — planted square-wave tone
+    sequences render to REAL WAV bytes, the stage decodes + frames + scores
+    with the shipped trained acoustic model and CTC-greedy-collapses back
+    to the planted tokens; garbage payloads become error rows."""
+    import numpy as np
+
+    from dataflow_spark.ops import multimodal as M
+
+    def render(tokens):
+        parts = [np.zeros(200, np.int16)]
+        for t in tokens:
+            k = t + 2
+            jj = np.arange(400)
+            parts.append(np.where((jj // k) % 2 == 0, 8000, -8000).astype(np.int16))
+            parts.append(np.zeros(200, np.int16))
+        return M.encode_wav(np.concatenate(parts))
+
+    names = ["go", "stop", "left", "right", "up", "down", "yes", "no"]
+    plans = {1: [0], 2: [3, 6], 3: [7, 0, 4], 4: [2, 2, 5]}  # incl. repeat
+    rows = [(i, render(toks)) for i, toks in plans.items()] + [(99, b"\x00garbage-not-a-wav")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict() for r in M.speech_to_text_stage(df).collect()}
+    for i, toks in plans.items():
+        assert got[i]["transcript"] == " ".join(names[t] for t in toks), i
+        assert got[i]["n_tokens"] == len(toks) and got[i]["asr_error"] is None
+    assert got[99]["transcript"] is None and got[99]["asr_error"] == "Error"
+
+    # python twin agrees with the stage
+    m = M.CTCSpeechModel()
+    _, s = M.decode_wav(render([5, 1]))
+    assert m.transcribe_samples(s) == ("down stop", 2)
+
+
+def test_ctc_artifact_reproducible():
+    import importlib.util
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location("train_tiny_ctc", "tools/train_tiny_ctc.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    W = m.train()
+    shipped = np.load("dataflow_spark/artifacts/ctc_asr.npz")
+    assert (W == shipped["W"]).all()
+    assert [str(c) for c in shipped["classes"]] == m.CLASSES

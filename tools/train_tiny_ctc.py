@@ -1,0 +1,122 @@
+"""Train the shipped CTC speech-recognition artifact (run once, committed).
+
+Produces dataflow_spark/artifacts/ctc_asr.npz — a tiny acoustic model in
+the CTC shape (Graves et al. 2006): per-frame class logits over
+{blank} ∪ vocabulary, greedy best-path decode (argmax per frame, collapse
+repeats, drop blanks). Backs ops/multimodal.py speech_to_text_stage — the
+trained stand-in for the reference's Speech2TextGenerator
+(/root/reference/dataflow/operators/core_speech/generate/
+speech2text_generator.py:16 hands audio to a GPU ASR model; this closes
+the last all-stub modality with an artifact a GPU-less sandbox can run,
+same per-worker-singleton lifecycle, real WAV bytes in, real decode loop).
+
+Acoustic convention (shared with the battery planting and tests):
+PCM16 mono 8 kHz; token t in 0..7 is a square wave of half-period t+2
+samples, amplitude 8000, segment 400 samples; 200 samples of silence
+between/around tokens; frames of 100 samples. The per-frame feature is the
+integer zero-crossing count (sign = s<0, the DECODE_SCHEMA zcr), so every
+step — feature, logits (integer perceptron W[class][zcr]), argmax,
+collapse — is integer-exact and the oracle can recompute transcripts from
+the planting arithmetic alone.
+
+Reproduce: python tools/train_tiny_ctc.py   (rewrites the npz in place)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+RATE = 8000
+SEG = 400
+SIL = 200
+FRAME = 100
+AMP = 8000
+N_TOK = 8
+ZCR_BUCKETS = 128
+TOKENS = ["go", "stop", "left", "right", "up", "down", "yes", "no"]
+CLASSES = ["<blank>"] + TOKENS
+EPOCHS = 8
+
+
+def tone(tok: int, n: int = SEG) -> np.ndarray:
+    """Square wave, half-period tok+2 samples, starting positive."""
+    k = tok + 2
+    j = np.arange(n)
+    return np.where((j // k) % 2 == 0, AMP, -AMP).astype(np.int16)
+
+
+def render(tokens: list[int]) -> np.ndarray:
+    parts = [np.zeros(SIL, dtype=np.int16)]
+    for t in tokens:
+        parts.append(tone(t))
+        parts.append(np.zeros(SIL, dtype=np.int16))
+    return np.concatenate(parts)
+
+
+def frame_zcr(samples: np.ndarray) -> list[int]:
+    """Integer zero-crossing count per 100-sample frame (sign = s<0); the
+    trailing partial frame is dropped."""
+    out = []
+    for i in range(0, len(samples) - FRAME + 1, FRAME):
+        f = samples[i : i + FRAME]
+        neg = f < 0
+        out.append(int((neg[1:] != neg[:-1]).sum()))
+    return out
+
+
+def frame_labels(tokens: list[int]) -> list[int]:
+    labs = [0] * (SIL // FRAME)
+    for t in tokens:
+        labs += [t + 1] * (SEG // FRAME)
+        labs += [0] * (SIL // FRAME)
+    return labs
+
+
+def train():
+    rng = np.random.RandomState(20240821)
+    W = np.zeros((len(CLASSES), ZCR_BUCKETS), dtype=np.int64)
+    seqs = [
+        [int(rng.randint(0, N_TOK)) for _ in range(int(rng.randint(1, 5)))]
+        for _ in range(200)
+    ]
+    for _ in range(EPOCHS):
+        for seq in seqs:
+            feats = frame_zcr(render(seq))
+            labs = frame_labels(seq)
+            assert len(feats) == len(labs)
+            for z, y in zip(feats, labs):
+                z = min(z, ZCR_BUCKETS - 1)
+                pred = int(np.argmax(W[:, z]))
+                if pred != y:
+                    W[y][z] += 1
+                    W[pred][z] -= 1
+    return W
+
+
+def main() -> None:
+    W = train()
+    # sanity: greedy CTC on fresh sequences reproduces the token stream
+    rng = np.random.RandomState(7)
+    ok = 0
+    for _ in range(50):
+        seq = [int(rng.randint(0, N_TOK)) for _ in range(int(rng.randint(1, 5)))]
+        feats = [min(z, ZCR_BUCKETS - 1) for z in frame_zcr(render(seq))]
+        path = [int(np.argmax(W[:, z])) for z in feats]
+        decoded, prev = [], 0
+        for c in path:
+            if c != 0 and c != prev:
+                decoded.append(c - 1)
+            prev = c
+        ok += decoded == seq
+    out = os.path.join(
+        os.path.dirname(__file__), "..", "dataflow_spark", "artifacts", "ctc_asr.npz"
+    )
+    np.savez(out, W=W, classes=np.array(CLASSES))
+    print(f"greedy-decode accuracy {ok}/50 -> {out}")
+    assert ok == 50, ok
+
+
+if __name__ == "__main__":
+    main()
