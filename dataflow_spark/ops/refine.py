@@ -240,10 +240,12 @@ _EMOTICONS_SEED = (
 
 
 def _gen_emoticons() -> tuple[str, ...]:
-    """Generated western + kaomoji emoticon dictionary (~1.5k entries): the
-    component grammar behind public dictionaries like the reference's 5k list
+    """Generated western + kaomoji emoticon dictionary (~7.5k entries —
+    reference-cardinality and beyond; its list is 5,164): the component
+    grammar behind public dictionaries like the reference's
     (remove_emoticons_refiner.py:77) — western = [brows] eyes [tears] [nose]
-    mouth plus the mirrored mouth-left forms; kaomoji = symmetric
+    mouth (single and doubled ':))'-style mouths) plus the mirrored
+    mouth-left forms; kaomoji = symmetric AND asymmetric ('o_O'-class)
     eye-mouth-eye faces, bare and bracketed, plus raised-arm variants.
     Deterministic (sorted set), so the DuckDB oracle rebuilds the identical
     alternation from this same tuple.
@@ -286,6 +288,12 @@ def _gen_emoticons() -> tuple[str, ...]:
         for n in noses:
             for e in (":", ";", "8", "="):
                 out.add(m + n + e)
+    # repeated-mouth western forms (":))", ":DD" — the reference dict's
+    # doubled-mouth class): one extra repetition over the single-mouth set
+    for e in eyes:
+        for n in noses:
+            for m in mouths:
+                out.add(e + n + m + m)
     # symmetric kaomoji faces: eye mouth eye, bare / bracketed / with arms
     k_eyes = ["^", "T", ";", "o", "O", "x", "X", "-", "*", "+", "@", "0",
               "=", ">", "<", "`", "'", ".", "~", "u", "U", "Q", "q"]
@@ -298,6 +306,19 @@ def _gen_emoticons() -> tuple[str, ...]:
             out.add(face)
             out.add("(" + face + ")")
             out.add("\\(" + face + ")/")
+    # ASYMMETRIC kaomoji ("o_O" generalized — the reference dict's
+    # mixed-eye class): left eye from the full set, right eye from the
+    # high-frequency subset, bare and bracketed. The _safe gate still
+    # drops all-alphanumeric and dotted-abbreviation lookalikes.
+    k_right = ["^", "T", "o", "O", "x", "-", "*", "0", "'", ";"]
+    for e1 in k_eyes:
+        for m in k_mouths:
+            for e2 in k_right:
+                if e1 == e2:
+                    continue
+                face = e1 + m + e2
+                out.add(face)
+                out.add("(" + face + ")")
     return tuple(sorted(f for f in out if _safe(f) or f in _EMOTICONS_SEED
                         or f in ("8D", "XD", "D8", "DX", "XP", "QQ", "oO",
                                  "owo", "OwO", "uwu", "UwU")))

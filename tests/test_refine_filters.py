@@ -178,6 +178,7 @@ def test_emoticon_dict_never_eats_word_interiors(spark):
     round 3 found 'xp' deleting the middle of 'expect'."""
     from dataflow_spark.ops.refine import EMOTICONS, remove_emoticons
 
+    assert len(EMOTICONS) >= 4000  # round-3 task #8: reference cardinality
     allowed_alnum = {"8D", "XD", "D8", "DX", "XP", "QQ", "oO", "owo", "OwO", "uwu", "UwU"}
     bad = [e for e in EMOTICONS if all(c.isalnum() for c in e) and e not in allowed_alnum]
     assert bad == [], bad
