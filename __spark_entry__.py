@@ -916,6 +916,49 @@ def q_media_decode(spark, sf):
     return multimodal.media_decode_features(media)
 
 
+def q_jpeg_decode(spark, sf):
+    """REAL baseline JPEG decode (battery member, round 4 — closes the
+    'library image codecs behind the seam' boundary): each doc plants a
+    16x24 grid of constant-gray 8x8 tiles with EVEN offsets from 128
+    (DC = 8·(v-128) is a multiple of the Annex-K DC quant step 16 and all
+    AC vanish, so the lossy codec round-trips these blocks EXACTLY),
+    encodes them to genuine JFIF bytes (ops/multimodal.py encode_jpeg:
+    FDCT, Annex-K quantization, zigzag, Huffman) inside a pandas UDF, and
+    media_decode_features sniffs the FF D8 magic and runs the full decoder
+    (marker parse, Huffman+unstuffing, dequantize, IDCT, YCbCr->RGB).
+    Every 17th payload is garbage -> error row. The oracle recomputes the
+    channel sums from the tile-value arithmetic — the whole byte-level
+    encode->entropy-decode->IDCT chain is what the value check pins."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from dataflow_spark.ops import multimodal
+
+    @F.pandas_udf(BinaryType())
+    def synth_jpeg(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 17 == 0:
+                out.append(b"\xff\xd8garbage-not-a-jpeg")
+                continue
+            tiles = np.zeros((16, 24, 3), dtype=np.uint8)
+            for k in range(6):
+                v = 2 * ((i * 7 + k) % 128)
+                tiles[(k // 3) * 8 : (k // 3 + 1) * 8,
+                      (k % 3) * 8 : (k % 3 + 1) * 8, :] = v
+            out.append(multimodal.encode_jpeg(tiles))
+        return pd.Series(out)
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        synth_jpeg(F.col("doc_id")).alias("payload"),
+    )
+    return multimodal.media_decode_features(media)
+
+
 def q_speech2text(spark, sf):
     """CTC speech-to-text (battery member, round-4 task #7 — the trained
     stand-in for Speech2TextGenerator, speech2text_generator.py:16): each
@@ -3226,6 +3269,10 @@ def q_score_battery(spark, sf):
                       ["weight", "key_q", "rank"]),
         _battery_pack(q_minhash_new(spark, sf), "minhash_new",
                       _kcat("doc_id"), ["text"]),
+        _battery_pack(q_jpeg_decode(spark, sf), "jpeg_decode",
+                      _kcat("media_id"),
+                      ["kind", "width", "height", "n_px", "sum_r", "sum_g",
+                       "sum_b"]),
         _battery_pack(q_speech2text(spark, sf), "speech2text",
                       _kcat("media_id"), ["transcript", "asr_error"],
                       s1=F.col("n_tokens")),
@@ -6429,6 +6476,26 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
     """
 
+    # jpeg_decode: arithmetic oracle — channel sums recomputed from the
+    # planted tile values (v_k = 2*((doc_id*7+k) % 128), 64 px per tile);
+    # gray tiles => sum_r = sum_g = sum_b; garbage every 17th -> error row.
+    o["jpeg_decode"] = """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 17 = 0 THEN 'error' ELSE 'image' END AS kind,
+               CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(24 AS BIGINT) END AS width,
+               CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(16 AS BIGINT) END AS height,
+               CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(384 AS BIGINT) END AS n_px,
+               s AS sum_r, s AS sum_g, s AS sum_b
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 17 = 0 THEN NULL
+                      ELSE CAST(64 * list_sum(list_transform(range(0, 6),
+                           k -> 2 * ((doc_id * 7 + k) % 128))) AS BIGINT)
+                 END AS s
+          FROM documents
+        )
+    """
+
     # speech2text: arithmetic oracle — the expected transcript is rebuilt
     # from the planted token rule (L = doc_id%4+1, tok_i = (doc_id+3i)%8),
     # never from the audio; garbage payloads (every 17th) are error rows.
@@ -7871,6 +7938,9 @@ def oracle_sql() -> dict[str, str]:
                   ["weight", "key_q", "rank"]),
         _pack_sql("minhash_new", o["minhash_new"], _kcat_sql("doc_id"),
                   ["text"]),
+        _pack_sql("jpeg_decode", o["jpeg_decode"], _kcat_sql("media_id"),
+                  ["kind", "width", "height", "n_px", "sum_r", "sum_g",
+                   "sum_b"]),
         _pack_sql("speech2text", o["speech2text"], _kcat_sql("media_id"),
                   ["transcript", "asr_error"], s1="n_tokens"),
         _pack_sql("media_decode", o["media_decode"], _kcat_sql("media_id"),
@@ -7956,7 +8026,8 @@ def oracle_sql() -> dict[str, str]:
         "turn_repeat", "ccnet_buckets", "script_mix", "vocab_growth",
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",
-        "minhash_new", "media_decode", "speech2text", "pdf_extract", "mathverify",
+        "minhash_new", "media_decode", "jpeg_decode", "speech2text",
+        "pdf_extract", "mathverify",
         "sql_consistency", "mathbook_extract", "code_sandbox", "multihop_qa",
         "smiles_eval", "reasoning_judge", "reasoning_dataset", "pipeline_root",
         "code_instr_loop", "prompted_thin", "t2s_qgen_cot",

@@ -110,6 +110,11 @@ HEADLINE = [
     "weighted_sample",
     "minhash_new",
     "media_decode",
+    # round-4 additions: trained-model stages + the join-form composed ANN
+    "ner_tagger",
+    "speech2text",
+    "ivfpq_topk",
+    "mathverify",
 ]
 
 
@@ -776,6 +781,7 @@ def run_default() -> None:
     seval_sec = min(_streaming_eval(spark, table_dir) for _ in range(2))
     timings["streaming_eval"] = round(seval_sec, 3)
 
+    _emit_shared_key_delta(timings)
     print(json.dumps({
         "metric": "headline query wall time (sum) + flagship e2e turns/sec",
         "value": round(sum(timings.values()), 3),
@@ -790,6 +796,77 @@ def run_default() -> None:
         "streaming_eval_turns_per_sec": round(n_turns / seval_sec, 1),
     }))
     spark.stop()
+
+
+def _emit_shared_key_delta(timings: dict) -> None:
+    """Keep the bench honest as the query count grows (round-3 task #10):
+    compare this run's per-query timings against the LATEST recorded
+    BENCH_r*.json on their SHARED keys and write BENCH_DELTA.md — a
+    per-key table sorted worst-regression-first plus improved/flat/
+    regressed counts — so a regression can't hide inside sum growth from
+    newly added queries. Regression = >20% slower AND >0.5 s absolute
+    (box variance on identical code is measured at up to ~35% on
+    sub-second queries)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not benches:
+        return
+    prev_path = benches[-1]
+    try:
+        with open(prev_path) as fh:
+            prev = json.loads(fh.read())
+    except (OSError, ValueError):
+        return
+    # driver records wrap the bench line under "parsed"
+    pq = (prev.get("queries") or (prev.get("parsed") or {}).get("queries")) or {}
+    shared = sorted(k for k in timings if k in pq)
+    if not shared:
+        return
+    rows = []
+    n_imp = n_flat = n_reg = 0
+    for k in shared:
+        now, was = float(timings[k]), float(pq[k])
+        d = now - was
+        pct = (d / was * 100.0) if was > 0 else 0.0
+        if d > 0.5 and pct > 20.0:
+            cls = "REGRESSED"
+            n_reg += 1
+        elif d < -0.5 and pct < -20.0:
+            cls = "improved"
+            n_imp += 1
+        else:
+            cls = "flat"
+            n_flat += 1
+        rows.append((pct, k, was, now, d, cls))
+    rows.sort(key=lambda r: -r[0])
+    new_keys = sorted(k for k in timings if k not in pq)
+    gone_keys = sorted(k for k in pq if k not in timings)
+    lines = [
+        "# BENCH shared-key delta (auto-emitted by bench.py)",
+        "",
+        f"This run vs `{os.path.basename(prev_path)}` on {len(shared)} shared "
+        f"query keys: **{n_reg} regressed / {n_flat} flat / {n_imp} improved** "
+        "(regressed = >20% AND >0.5 s slower; box variance on identical code "
+        "is up to ~35% on short queries).",
+        "",
+        f"New keys this run (excluded from the sum comparison): "
+        f"{', '.join(new_keys) if new_keys else 'none'}.",
+        f"Keys no longer present: {', '.join(gone_keys) if gone_keys else 'none'}.",
+        "",
+        "| query | prev s | now s | delta s | delta % | class |",
+        "|---|---|---|---|---|---|",
+    ]
+    for pct, k, was, now, d, cls in rows:
+        lines.append(f"| {k} | {was:.2f} | {now:.2f} | {d:+.2f} | {pct:+.0f}% | {cls} |")
+    with open(os.path.join(here, "BENCH_DELTA.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    sys.stderr.write(
+        f"[bench] shared-key delta vs {os.path.basename(prev_path)}: "
+        f"{n_reg} regressed / {n_flat} flat / {n_imp} improved "
+        f"-> BENCH_DELTA.md\n"
+    )
 
 
 if __name__ == "__main__":

@@ -699,9 +699,11 @@ def media_decode_features(
                     raw = bytes(payload) if payload is not None else b""
                     if mtype == "image":
                         # format sniff by magic — the stage accepts a mixed
-                        # BMP/PNG column, as a real media scan would
+                        # BMP/PNG/JPEG column, as a real media scan would
                         if raw[:8] == b"\x89PNG\r\n\x1a\n":
                             w, h, arr = decode_png(raw)
+                        elif raw[:2] == b"\xff\xd8":
+                            w, h, arr = decode_jpeg(raw)
                         else:
                             w, h, arr = decode_bmp(raw)
                         a = arr.astype(np.int64)
@@ -823,3 +825,414 @@ def speech_to_text_stage(
             yield pd.DataFrame(out, columns=[f.name for f in SPEECH_SCHEMA.fields])
 
     return df.mapInPandas(run, SPEECH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG codec (ITU-T T.81, public spec — closes the "library
+# codecs stay behind the seam" boundary for the dominant image format):
+# encoder = JFIF RGB->YCbCr, 8x8 FDCT, Annex-K quantization, zigzag,
+# DC-differential + AC run/size coding with the Annex-K Huffman tables;
+# decoder = full marker parse (DQT/SOF0/DHT/SOS), Huffman decode with byte
+# unstuffing, dequantize, IDCT, clamp, YCbCr->RGB. Baseline sequential,
+# 4:4:4 (no subsampling). Same honesty contract as BMP/PNG/WAV: real bytes
+# in, real pixels out; JPEG is lossy in general, but constant 8x8-aligned
+# gray blocks with even offsets round-trip EXACTLY (DC = 8*(v-128) is a
+# multiple of the DC quant step 16, all AC vanish), which is what the
+# arithmetic-oracle battery member plants.
+# ---------------------------------------------------------------------------
+
+# Annex K.1 luminance / K.2 chrominance quantization tables (row-major)
+JPEG_QL = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+JPEG_QC = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3 Huffman table specs: (bits[1..16], huffval)
+_HT_DC_L = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_C = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HT_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(bits, vals):
+    """T.81 C.2: canonical code assignment from the BITS/HUFFVAL spec."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _dct_mat():
+    import numpy as np
+
+    n = np.arange(8)
+    M = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    M[0] /= np.sqrt(2)
+    return M * 0.5  # orthonormal-scaled: A @ X @ A.T with this A is the T.81 FDCT
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-pad to byte boundary
+
+
+def _mag_bits(v: int):
+    """T.81 F.1.2.1: (size, amplitude bits) for a signed coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else ((1 << size) - 1 + v)
+    return size, bits
+
+
+def encode_jpeg(arr) -> bytes:
+    """Encode an RGB uint8 array (h, w, 3), h and w multiples of 8, as a
+    baseline sequential 4:4:4 JFIF JPEG with Annex-K quant/Huffman tables."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.float64)
+    h, w = a.shape[0], a.shape[1]
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg needs 8-aligned dimensions")
+    r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+    Y = 0.299 * r + 0.587 * g + 0.114 * b
+    Cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    Cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    D = _dct_mat()
+    qlt = np.array(JPEG_QL, dtype=np.float64).reshape(8, 8)
+    qct = np.array(JPEG_QC, dtype=np.float64).reshape(8, 8)
+    dc_l, dc_c = _huff_codes(*_HT_DC_L), _huff_codes(*_HT_DC_C)
+    ac_l, ac_c = _huff_codes(*_HT_AC_L), _huff_codes(*_HT_AC_C)
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            for ci, (plane, qt, dct_, act_) in enumerate(
+                ((Y, qlt, dc_l, ac_l), (Cb, qct, dc_c, ac_c), (Cr, qct, dc_c, ac_c))
+            ):
+                blk = plane[by : by + 8, bx : bx + 8] - 128.0
+                S = D @ blk @ D.T
+                q = np.round(S / qt).astype(np.int64)
+                zz = [int(q.flat[z]) for z in _ZIGZAG]
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                size, bits = _mag_bits(diff)
+                c, ln = dct_[size]
+                bw.put(c, ln)
+                if size:
+                    bw.put(bits, size)
+                run = 0
+                last_nz = 0
+                for k in range(63, 0, -1):
+                    if zz[k]:
+                        last_nz = k
+                        break
+                for k in range(1, last_nz + 1):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = act_[0xF0]  # ZRL
+                        bw.put(c, ln)
+                        run -= 16
+                    size, bits = _mag_bits(v)
+                    c, ln = act_[(run << 4) | size]
+                    bw.put(c, ln)
+                    bw.put(bits, size)
+                    run = 0
+                if last_nz < 63:
+                    c, ln = act_[0x00]  # EOB
+                    bw.put(c, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(JPEG_QL[_ZIGZAG[i]] for i in range(64)))
+    out += seg(0xFFDB, bytes([1]) + bytes(JPEG_QC[_ZIGZAG[i]] for i in range(64)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, (hv, tq) in enumerate((((1, 1), 0), ((1, 1), 1), ((1, 1), 1)), 1):
+        sof += bytes([cid, (hv[0] << 4) | hv[1], tq])
+    out += seg(0xFFC0, sof)
+    for cls, tid, (bits, vals) in (
+        (0, 0, _HT_DC_L), (0, 1, _HT_DC_C), (1, 0, _HT_AC_L), (1, 1, _HT_AC_C)
+    ):
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-coded-segment bit reader with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy segment")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("marker inside entropy segment")
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _huff_decoder(bits, vals):
+    """code->(value) lookup keyed (length, code)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_read(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("bad huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """Decode a baseline sequential 4:4:4 JPEG (as produced by encode_jpeg;
+    any single-scan 8-bit 3-component non-subsampled baseline file with
+    0-indexed quant ids works) to (w, h, uint8 RGB array)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    hts: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comp: list[tuple[int, int]] = []  # (component id, quant table id)
+    scan_comp: list[tuple[int, int, int]] = []  # (cid, dc table, ac table)
+    data = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack(">H", payload[pos : pos + 2])[0]
+        body = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                z = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int64)
+                q = np.zeros(64, dtype=np.int64)
+                for j in range(64):
+                    q[_ZIGZAG[j]] = z[j]
+                qts[tq] = q.reshape(8, 8)
+                i += 65
+        elif marker == 0xC0:
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or nc != 3:
+                raise ValueError("only 8-bit 3-component baseline supported")
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError("subsampling unsupported")
+                comp.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                hts[(cls, tid)] = _huff_decoder(bits, vals)
+                i += 17 + n
+        elif marker == 0xDA:
+            ns = body[0]
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan_comp.append((cid, tt >> 4, tt & 15))
+            data = payload[pos + ln :]
+            break
+        pos += ln
+    if data is None or h is None:
+        raise ValueError("no scan")
+    # strip trailing EOI for the bit reader (it must not see a bare 0xFF)
+    end = data.rfind(b"\xff\xd9")
+    if end != -1:
+        data = data[:end]
+    br = _BitReader(data)
+    D = _dct_mat()
+    planes = [np.zeros((h + 7) // 8 * 8 * ((w + 7) // 8 * 8), dtype=np.float64)
+              .reshape((h + 7) // 8 * 8, (w + 7) // 8 * 8) for _ in range(3)]
+    pred = [0, 0, 0]
+    qt_of = {cid: qts[tq] for cid, tq in comp}
+    for by in range(0, (h + 7) // 8 * 8, 8):
+        for bx in range(0, (w + 7) // 8 * 8, 8):
+            for ci, (cid, dct_id, act_id) in enumerate(scan_comp):
+                dc_t, ac_t = hts[(0, dct_id)], hts[(1, act_id)]
+                size = _huff_read(br, dc_t)
+                diff = _extend(br.read(size), size) if size else 0
+                pred[ci] += diff
+                zz = [0] * 64
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = _huff_read(br, ac_t)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    zz[k] = _extend(br.read(s), s)
+                    k += 1
+                q = np.zeros((8, 8), dtype=np.float64)
+                for j in range(64):
+                    q.flat[_ZIGZAG[j]] = zz[j]
+                S = q * qt_of[cid]
+                blk = D.T @ S @ D + 128.0
+                planes[ci][by : by + 8, bx : bx + 8] = blk
+    Y, Cb, Cr = planes[0][:h, :w], planes[1][:h, :w] - 128.0, planes[2][:h, :w] - 128.0
+    r = Y + 1.402 * Cr
+    g = Y - 0.344136 * Cb - 0.714136 * Cr
+    b = Y + 1.772 * Cb
+    rgb = np.stack([r, g, b], axis=2)
+    arr = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return w, h, arr

@@ -489,6 +489,8 @@ class NERTaggerModel:
             return "x"
         return "o"
 
+    _BUCKET_CACHE: dict[str, int] = {}
+
     def tag_one(self, t: str | None) -> tuple[str | None, int | None]:
         import hashlib
         import re
@@ -498,9 +500,15 @@ class NERTaggerModel:
         if t.strip(" \t\n\r\f\v") == "":
             return t, 0  # no tokens to tag — avoids scoring the '' token
         ws_re = re.compile(r"\s+", re.ASCII)
+        cache = NERTaggerModel._BUCKET_CACHE
 
         def bucket(feat: str) -> int:
-            return int(hashlib.md5(feat.encode()).hexdigest()[:3], 16)
+            b = cache.get(feat)
+            if b is None:
+                b = int(hashlib.md5(feat.encode()).hexdigest()[:3], 16)
+                if len(cache) < 1_000_000:  # open vocabulary: bound the memo
+                    cache[feat] = b
+            return b
 
         out, n = [], 0
         for tok in ws_re.split(t.strip(" \t\n\r\f\v")):
@@ -775,6 +783,8 @@ class LangTrigramModel:
         self.W = data["W"].astype("int64")
         self.langs = [str(x) for x in data["langs"]]
 
+    _BUCKET_CACHE: dict[str, int] = {}
+
     def predict_one(self, t: str | None) -> str | None:
         import hashlib
         import re
@@ -790,10 +800,18 @@ class LangTrigramModel:
         # class contains ascii letters)
         if len(s2) < 3 or not re.search(r"[a-z]", s2):
             return "und"
-        buckets = [
-            int(hashlib.md5(s2[i : i + 3].encode()).hexdigest()[:3], 16)
-            for i in range(len(s2) - 2)
-        ]
+        # distinct-trigram space is tiny vs the corpus, so memoize md5
+        # buckets per worker (measured ~2x on the eval_accuracy head)
+        cache = LangTrigramModel._BUCKET_CACHE
+        buckets = []
+        for i in range(len(s2) - 2):
+            tri = s2[i : i + 3]
+            b = cache.get(tri)
+            if b is None:
+                b = int(hashlib.md5(tri.encode()).hexdigest()[:3], 16)
+                if len(cache) < 1_000_000:  # charset^3-bounded in practice
+                    cache[tri] = b
+            buckets.append(b)
         scores = self.W[:, buckets].sum(axis=1)
         if int(scores.max()) <= 0:
             return "und"

@@ -281,3 +281,51 @@ def test_ctc_artifact_reproducible():
     shipped = np.load("dataflow_spark/artifacts/ctc_asr.npz")
     assert (W == shipped["W"]).all()
     assert [str(c) for c in shipped["classes"]] == m.CLASSES
+
+
+def test_jpeg_codec_roundtrip_and_stage(spark):
+    """Round 4: REAL baseline JPEG (T.81) — constant-gray even-offset 8x8
+    tiles round-trip EXACTLY through FDCT/quant/Huffman and back; smooth
+    gradients stay within quantization error; the decode stage sniffs the
+    magic and emits exact channel sums; garbage -> error row."""
+    import numpy as np
+
+    from dataflow_spark.ops import multimodal as M
+
+    tiles = np.zeros((16, 24, 3), dtype=np.uint8)
+    vals = [[130, 100, 200], [128, 64, 250]]
+    for i in range(2):
+        for j in range(3):
+            tiles[i * 8 : (i + 1) * 8, j * 8 : (j + 1) * 8, :] = vals[i][j]
+    enc = M.encode_jpeg(tiles)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    w, h, back = M.decode_jpeg(enc)
+    assert (w, h) == (24, 16)
+    assert (back == tiles).all()  # exact: DC multiples of the quant step
+
+    x = np.linspace(0, 255, 32)
+    smooth = np.stack([np.tile(x, (32, 1))] * 3, axis=2).astype(np.uint8)
+    _, _, back2 = M.decode_jpeg(M.encode_jpeg(smooth))
+    assert np.abs(back2.astype(int) - smooth.astype(int)).max() <= 3
+
+    rows = [(1, "image", M.encode_jpeg(tiles)), (2, "image", b"\xff\xd8junk")]
+    df = spark.createDataFrame(rows, "media_id long, media_type string, payload binary")
+    got = {r["media_id"]: r.asDict() for r in M.media_decode_features(df).collect()}
+    s = int(tiles[:, :, 0].astype(np.int64).sum())
+    assert got[1]["kind"] == "image" and got[1]["n_px"] == 384
+    assert got[1]["sum_r"] == got[1]["sum_g"] == got[1]["sum_b"] == s
+    assert got[2]["kind"] == "error"
+
+
+def test_jpeg_decoder_rejects_unsupported():
+    import numpy as np
+    import pytest
+
+    from dataflow_spark.ops import multimodal as M
+
+    with pytest.raises(ValueError, match="SOI"):
+        M.decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError):
+        M.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")  # progressive SOF2
+    with pytest.raises(ValueError):
+        M.encode_jpeg(np.zeros((10, 8, 3), dtype=np.uint8))  # non-8-aligned
