@@ -810,7 +810,7 @@ def speech_to_text_stage(
     from dataflow_spark.ops.models import _load_model
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = _load_model(lambda: CTCSpeechModel(path), "ctc_asr")
+        model = _load_model(lambda: CTCSpeechModel(path), f"ctc_asr:{path}")
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
@@ -966,6 +966,11 @@ class _BitWriter:
             pad = 8 - self.nbits
             self.put((1 << pad) - 1, pad)  # 1-pad to byte boundary
 
+    def marker(self, m: int):
+        """Byte-align then emit a raw (unstuffed) marker — RSTn."""
+        self.flush()
+        self.out += bytes((0xFF, m))
+
 
 def _mag_bits(v: int):
     """T.81 F.1.2.1: (size, amplitude bits) for a signed coefficient."""
@@ -977,9 +982,12 @@ def _mag_bits(v: int):
     return size, bits
 
 
-def encode_jpeg(arr) -> bytes:
+def encode_jpeg(arr, restart_interval: int = 0) -> bytes:
     """Encode an RGB uint8 array (h, w, 3), h and w multiples of 8, as a
-    baseline sequential 4:4:4 JFIF JPEG with Annex-K quant/Huffman tables."""
+    baseline sequential 4:4:4 JFIF JPEG with Annex-K quant/Huffman tables.
+    restart_interval > 0 emits a DRI segment and an RSTn marker every that
+    many MCUs (predictors reset, entropy stream byte-aligned) — the layout
+    real camera/library files use for error resilience."""
     import struct
 
     import numpy as np
@@ -1000,8 +1008,13 @@ def encode_jpeg(arr) -> bytes:
 
     bw = _BitWriter()
     pred = [0, 0, 0]
+    mcu = 0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.marker(0xD0 + (mcu // restart_interval - 1) % 8)
+                pred = [0, 0, 0]
+            mcu += 1
             for ci, (plane, qt, dct_, act_) in enumerate(
                 ((Y, qlt, dc_l, ac_l), (Cb, qct, dc_c, ac_c), (Cr, qct, dc_c, ac_c))
             ):
@@ -1056,6 +1069,8 @@ def encode_jpeg(arr) -> bytes:
         (0, 0, _HT_DC_L), (0, 1, _HT_DC_C), (1, 0, _HT_AC_L), (1, 1, _HT_AC_C)
     ):
         out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += seg(0xFFDA, sos)
     out += bw.out
@@ -1089,6 +1104,20 @@ class _BitReader:
         self.nbits -= n
         self.acc &= (1 << self.nbits) - 1
         return v
+
+    def restart(self):
+        """Consume an RSTn at an MCU boundary: discard padding bits to the
+        byte boundary, then the two marker bytes."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("expected restart marker")
 
 
 def _huff_decoder(bits, vals):
@@ -1139,9 +1168,13 @@ def decode_jpeg(payload: bytes):
     comp: list[tuple[int, int]] = []  # (component id, quant table id)
     scan_comp: list[tuple[int, int, int]] = []  # (cid, dc table, ac table)
     data = None
+    restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker")
+        # any number of 0xFF fill bytes may pad before a marker (T.81 B.1.1.2)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -1171,6 +1204,8 @@ def decode_jpeg(payload: bytes):
                 comp.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline SOF0 supported")
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -1200,8 +1235,13 @@ def decode_jpeg(payload: bytes):
               .reshape((h + 7) // 8 * 8, (w + 7) // 8 * 8) for _ in range(3)]
     pred = [0, 0, 0]
     qt_of = {cid: qts[tq] for cid, tq in comp}
+    mcu = 0
     for by in range(0, (h + 7) // 8 * 8, 8):
         for bx in range(0, (w + 7) // 8 * 8, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.restart()
+                pred = [0, 0, 0]
+            mcu += 1
             for ci, (cid, dct_id, act_id) in enumerate(scan_comp):
                 dc_t, ac_t = hts[(0, dct_id)], hts[(1, act_id)]
                 size = _huff_read(br, dc_t)

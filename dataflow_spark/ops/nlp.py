@@ -442,6 +442,29 @@ def ner_redact(df: DataFrame, col: str = "text") -> DataFrame:
 NER_CLASSES = ("O", "PERSON", "GPE", "ORG", "DATE")
 NER_BUCKETS = 4096
 
+# RE2's \s is [\t\n\f\r ] (NO vertical tab), unlike Python's re.ASCII \s —
+# the python kernels must split/collapse on exactly this class or a \x0b in
+# the text diverges engine-vs-oracle (review round 4). The STRIP set keeps
+# \v because the oracle's trim list includes chr(11).
+RE2_WS = " \t\n\r\f"
+_MD5_BUCKET_CACHE: dict[str, int] = {}
+
+
+def md5_bucket(feat: str) -> int:
+    """THE hashed-feature bucket shared by every trained-artifact head
+    (NER tagger, trigram lang-ID) AND their training scripts — md5 first 3
+    hex chars -> 4096. One implementation so train/serve/oracle can never
+    desynchronize (review round 4). Memo bounded at 1M entries (open
+    vocabulary on the NER side)."""
+    import hashlib
+
+    b = _MD5_BUCKET_CACHE.get(feat)
+    if b is None:
+        b = int(hashlib.md5(feat.encode()).hexdigest()[:3], 16)
+        if len(_MD5_BUCKET_CACHE) < 1_000_000:
+            _MD5_BUCKET_CACHE[feat] = b
+    return b
+
 
 class NERTaggerModel:
     """REAL trained-weights NER token classifier through the model seam —
@@ -489,26 +512,15 @@ class NERTaggerModel:
             return "x"
         return "o"
 
-    _BUCKET_CACHE: dict[str, int] = {}
-
     def tag_one(self, t: str | None) -> tuple[str | None, int | None]:
-        import hashlib
         import re
 
         if t is None:
             return None, None
         if t.strip(" \t\n\r\f\v") == "":
             return t, 0  # no tokens to tag — avoids scoring the '' token
-        ws_re = re.compile(r"\s+", re.ASCII)
-        cache = NERTaggerModel._BUCKET_CACHE
-
-        def bucket(feat: str) -> int:
-            b = cache.get(feat)
-            if b is None:
-                b = int(hashlib.md5(feat.encode()).hexdigest()[:3], 16)
-                if len(cache) < 1_000_000:  # open vocabulary: bound the memo
-                    cache[feat] = b
-            return b
+        ws_re = re.compile(f"[{RE2_WS}]+")
+        bucket = md5_bucket
 
         out, n = [], 0
         for tok in ws_re.split(t.strip(" \t\n\r\f\v")):
@@ -550,7 +562,7 @@ def ner_tagger_stage(
     )
 
     def run(batches):
-        model = _load_model(lambda: NERTaggerModel(path), "ner_tagger")
+        model = _load_model(lambda: NERTaggerModel(path), f"ner_tagger:{path}")
         for pdf in batches:
             tagged, n = model.tag_batch(pdf[text_col])
             pdf = pdf.copy()
@@ -783,36 +795,29 @@ class LangTrigramModel:
         self.W = data["W"].astype("int64")
         self.langs = [str(x) for x in data["langs"]]
 
-    _BUCKET_CACHE: dict[str, int] = {}
-
     def predict_one(self, t: str | None) -> str | None:
-        import hashlib
         import re
 
         import numpy as np
 
         if t is None:
             return None
-        s = re.sub(r"\s+", " ", t.strip(" \t\n\r\f\v").lower(), flags=re.ASCII)
+        # collapse on RE2's \s class (no \x0b) so the oracle's
+        # regexp_replace('\s+') sees the same string (review round 4)
+        s = re.sub(f"[{RE2_WS}]+", " ", t.strip(" \t\n\r\f\v").lower())
         s2 = " " + s + " "
         # no ascii letter at all (digits/punctuation soup) -> no linguistic
         # evidence; don't let collision buckets vote (every Latin-script
         # class contains ascii letters)
         if len(s2) < 3 or not re.search(r"[a-z]", s2):
             return "und"
-        # distinct-trigram space is tiny vs the corpus, so memoize md5
-        # buckets per worker (measured ~2x on the eval_accuracy head)
-        cache = LangTrigramModel._BUCKET_CACHE
-        buckets = []
-        for i in range(len(s2) - 2):
-            tri = s2[i : i + 3]
-            b = cache.get(tri)
-            if b is None:
-                b = int(hashlib.md5(tri.encode()).hexdigest()[:3], 16)
-                if len(cache) < 1_000_000:  # charset^3-bounded in practice
-                    cache[tri] = b
-            buckets.append(b)
-        scores = self.W[:, buckets].sum(axis=1)
+        # shared memoized bucket (md5_bucket); bincount then one (41 x 4096)
+        # @ (4096,) matvec — O(4096) scratch instead of a (41 x n_trigrams)
+        # fancy-index copy, which on a 10 MB document would transiently
+        # allocate gigabytes (review round 4). Integer-exact either way.
+        buckets = [md5_bucket(s2[i : i + 3]) for i in range(len(s2) - 2)]
+        counts = np.bincount(np.asarray(buckets, dtype=np.int64), minlength=self.W.shape[1])
+        scores = self.W @ counts
         if int(scores.max()) <= 0:
             return "und"
         return self.langs[int(np.argmax(scores))]
@@ -836,7 +841,7 @@ def lang_id_v3_stage(
     schema = StructType(list(df.schema.fields) + [StructField("__tri_lang", StringType())])
 
     def run(batches):
-        model = _load_model(lambda: LangTrigramModel(path), "langid_tri")
+        model = _load_model(lambda: LangTrigramModel(path), f"langid_tri:{path}")
         for pdf in batches:
             pdf = pdf.copy()
             pdf["__tri_lang"] = model.predict_batch(pdf[text_col])

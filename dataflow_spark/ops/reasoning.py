@@ -373,13 +373,19 @@ def math_verify_judge(
     if symbolic:
         from pyspark.sql.functions import pandas_udf
 
+        # the exact-path verdict rides INTO the UDF so already-true rows
+        # skip normalization/parsing entirely (an ArrowEvalPython stage is
+        # evaluated for the whole batch regardless of a when() around it —
+        # short-circuiting must happen inside, review round 4)
         @pandas_udf("boolean")
-        def poly_eq(a: pd.Series, g: pd.Series) -> pd.Series:
+        def poly_or(v: pd.Series, a: pd.Series, g: pd.Series) -> pd.Series:
             return pd.Series(
-                [_poly_equivalent(x, y) for x, y in zip(a, g)], dtype="boolean"
+                [True if x else _poly_equivalent(y, z)
+                 for x, y, z in zip(v, a, g)],
+                dtype="boolean",
             )
 
-        verdict = verdict | poly_eq(F.col(answer_col), F.col(gt_col))
+        verdict = poly_or(verdict, F.col(answer_col), F.col(gt_col))
     return df.withColumn(out, verdict)
 
 
@@ -416,13 +422,16 @@ def _poly_parse(s: str):
     i = 0
     while i < len(s):
         ch = s[i]
-        if ch.isdigit():
+        # ASCII-strict classes: ch.isdigit() admits Unicode digits like '²'
+        # which int() then rejects with a ValueError ESCAPING the grammar
+        # guard (review round 4 — 'x²+x' must parse to None, not crash)
+        if "0" <= ch <= "9":
             j = i
-            while j < len(s) and s[j].isdigit():
+            while j < len(s) and "0" <= s[j] <= "9":
                 j += 1
             toks.append(("int", int(s[i:j])))
             i = j
-        elif "a" <= ch.lower() <= "z":
+        elif ("a" <= ch <= "z") or ("A" <= ch <= "Z"):
             toks.append(("var", ch))
             i += 1
         elif ch in "+-*/^()":

@@ -308,8 +308,15 @@ class JDBCMergeSink:
 
         key = F.concat_ws("#", *[esc(k) for k in self.keys])
         # deterministic per-row JSON document: struct fields in sorted name
-        # order (the sort_keys=True twin), rendered executor-side
-        data = F.to_json(F.struct(*[F.col(c) for c in sorted(batch_df.columns)]))
+        # order (the sort_keys=True twin), rendered executor-side.
+        # ignoreNullFields=false — to_json otherwise DROPS null-valued keys,
+        # so consumers doing loads(data)['text'] would KeyError on NULL-text
+        # rows and the doc shape would diverge from DBMergeSink's
+        # json.dumps rendering (review round 4)
+        data = F.to_json(
+            F.struct(*[F.col(c) for c in sorted(batch_df.columns)]),
+            {"ignoreNullFields": "false"},
+        )
         return (
             batch_df.select(key.alias("doc_key"), data.alias("data"))
             .groupBy("doc_key")

@@ -329,3 +329,64 @@ def test_jpeg_decoder_rejects_unsupported():
         M.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")  # progressive SOF2
     with pytest.raises(ValueError):
         M.encode_jpeg(np.zeros((10, 8, 3), dtype=np.uint8))  # non-8-aligned
+
+
+def test_jpeg_restart_markers_and_fill_bytes():
+    """Review round 4: real camera/library baseline files carry DRI/RSTn
+    restart markers and 0xFF fill-byte padding — both must decode, not
+    surface as bogus error rows."""
+    import numpy as np
+
+    from dataflow_spark.ops import multimodal as M
+
+    tiles = np.zeros((16, 24, 3), dtype=np.uint8)
+    for k, v in enumerate((130, 100, 200, 128, 64, 250)):
+        tiles[(k // 3) * 8 : (k // 3 + 1) * 8, (k % 3) * 8 : (k % 3 + 1) * 8, :] = v
+    enc = M.encode_jpeg(tiles, restart_interval=2)
+    assert b"\xff\xdd" in enc  # DRI segment present
+    assert any(bytes([0xFF, m]) in enc for m in range(0xD0, 0xD8))  # RSTn
+    _, _, back = M.decode_jpeg(enc)
+    assert (back == tiles).all()
+
+    plain = M.encode_jpeg(tiles)
+    i = plain.find(b"\xff\xc0")
+    _, _, back2 = M.decode_jpeg(plain[:i] + b"\xff" + plain[i:])  # fill byte
+    assert (back2 == tiles).all()
+
+
+def test_model_stage_cache_key_includes_path(tmp_path, spark):
+    """Review round 4: a custom-path artifact must not be shadowed by the
+    default already cached in the worker."""
+    import numpy as np
+
+    from dataflow_spark.ops.multimodal import CTCSpeechModel
+    from dataflow_spark.ops.nlp import NERTaggerModel
+
+    # write a zero-weight NER artifact: every token scores 0 -> class O
+    p = str(tmp_path / "zero_ner.npz")
+    np.savez(p, W=np.zeros((5, 4096), dtype=np.int64),
+             classes=np.array(["O", "PERSON", "GPE", "ORG", "DATE"]))
+    from dataflow_spark.ops.nlp import ner_tagger_stage
+
+    df = spark.createDataFrame([(1, "Paris Smith")], "id long, text string")
+    default = ner_tagger_stage(df).collect()[0]
+    custom = ner_tagger_stage(df, path=p).collect()[0]
+    assert default["n_entities"] >= 1          # trained weights tag
+    assert custom["n_entities"] == 0           # zero weights tag nothing
+    assert custom["ner_tagged"] == "Paris Smith"
+    # twins resolve independently of the stage cache
+    assert NERTaggerModel(p).tag_one("Paris Smith") == ("Paris Smith", 0)
+    assert CTCSpeechModel().classes[0] == "<blank>"
+
+
+def test_ner_and_trigram_whitespace_matches_re2():
+    """Review round 4: RE2's \\s has no vertical tab — the python kernels
+    must not split/collapse on \\x0b or they diverge from the oracle."""
+    from dataflow_spark.ops.nlp import LangTrigramModel, NERTaggerModel
+
+    m = NERTaggerModel()
+    tagged, n = m.tag_one("Paris\x0bSmith")
+    assert " " not in tagged  # ONE token, not two (RE2 keeps \x0b inside)
+    t = LangTrigramModel()
+    # \x0b inside text is preserved (not collapsed); result deterministic
+    assert t.predict_one("the\x0bthe the the") == t.predict_one("the\x0bthe the the")

@@ -175,3 +175,14 @@ def test_math_verify_judge_symbolic_flag(spark):
     sym = {r["id"]: r["verified"] for r in math_verify_judge(df, symbolic=True).collect()}
     assert plain == {1: False, 2: False, 3: True, 4: True, 5: False}
     assert sym == {1: True, 2: False, 3: True, 4: True, 5: True}
+
+
+def test_poly_unicode_digits_parse_to_none():
+    """Review round 4: ch.isdigit() admits Unicode digits ('²', '٣') that
+    int() rejects — they must parse to None (grammar guard), never raise."""
+    from dataflow_spark.ops.reasoning import _poly_equivalent as eq
+
+    assert not eq("x²+x", "x^2+x")
+    assert not eq("x^٣", "x^3")
+    assert not eq("x²", "x²")
+    assert eq("x(x+1)", "x^2+x")  # ASCII grammar unaffected

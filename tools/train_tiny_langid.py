@@ -141,7 +141,11 @@ def trigrams(t: str) -> list[str]:
 
 
 def bucket(tri: str) -> int:
-    return int(hashlib.md5(tri.encode()).hexdigest()[:3], 16)
+    # THE shared bucket function (review round 4: one implementation so
+    # train/serve/oracle can never desynchronize)
+    from dataflow_spark.ops.nlp import md5_bucket
+
+    return md5_bucket(tri)
 
 
 def make_corpus():

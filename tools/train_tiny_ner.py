@@ -45,7 +45,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def bucket(feat: str) -> int:
-    return int(hashlib.md5(feat.encode()).hexdigest()[:3], 16)
+    # THE shared bucket function (review round 4: one implementation so
+    # train/serve/oracle can never desynchronize)
+    from dataflow_spark.ops.nlp import md5_bucket
+
+    return md5_bucket(feat)
 
 
 def shape_of(tok: str) -> str:
