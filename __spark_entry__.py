@@ -916,6 +916,57 @@ def q_media_decode(spark, sf):
     return multimodal.media_decode_features(media)
 
 
+def q_image_dhash(spark, sf):
+    """Perceptual image dedup (battery member, round 4 — dHash, the
+    production image near-dup primitive): docs in groups of three plant the
+    SAME 8x9 gray image (pixel rule (seed*31 + k^2*13) % 256) but alternate
+    the CONTAINER (BMP / PNG) by doc parity; ops/multimodal.py
+    image_dhash_features decodes the real bytes and computes the integer
+    64-bit difference hash + 4x16-bit pigeonhole bands, and
+    image_dedup_exact keeps first-wins per hash — so the value check pins
+    container-invariance (same pixels through two codecs must collide) AND
+    the dedup rule. Every 17th payload is garbage -> error row, keep NULL.
+    The oracle recomputes hash bits straight from the pixel rule."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from dataflow_spark.ops import multimodal
+
+    @F.pandas_udf(BinaryType())
+    def synth_img(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 17 == 0:
+                out.append(b"BMgarbage-not-an-image")
+                continue
+            seed = i - i % 3
+            a = np.zeros((8, 9, 3), dtype=np.uint8)
+            for r in range(8):
+                for c in range(9):
+                    k = r * 9 + c
+                    a[r, c, :] = (seed * 31 + k * k * 13) % 256
+            enc = multimodal.encode_png if i % 2 == 0 else multimodal.encode_bmp
+            out.append(enc(a))
+        return pd.Series(out)
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    media = d.select(
+        F.col("doc_id").alias("media_id"), synth_img(F.col("doc_id")).alias("payload")
+    )
+    feats = multimodal.image_dhash_features(media)
+    keep = multimodal.image_dedup_exact(feats).select("media_id", "keep")
+    hex4 = lambda c: F.lpad(F.lower(F.hex(c)), 4, "0")  # noqa: E731
+    return feats.join(keep, "media_id", "left").select(
+        "media_id",
+        F.when(
+            F.col("dhash").isNotNull(),
+            F.concat(*[hex4(F.col(f"band{i}")) for i in (3, 2, 1, 0)]),
+        ).alias("dhash_hex"),
+        "band0", "band1", "band2", "band3", "hash_error", "keep",
+    )
+
+
 def q_jpeg_decode(spark, sf):
     """REAL baseline JPEG decode (battery member, round 4 — closes the
     'library image codecs behind the seam' boundary): each doc plants a
@@ -3269,6 +3320,11 @@ def q_score_battery(spark, sf):
                       ["weight", "key_q", "rank"]),
         _battery_pack(q_minhash_new(spark, sf), "minhash_new",
                       _kcat("doc_id"), ["text"]),
+        _battery_pack(q_image_dhash(spark, sf), "image_dhash",
+                      _kcat("media_id"),
+                      ["dhash_hex", "band0", "band1", "band2", "band3",
+                       "hash_error"],
+                      s1=F.col("keep")),
         _battery_pack(q_jpeg_decode(spark, sf), "jpeg_decode",
                       _kcat("media_id"),
                       ["kind", "width", "height", "n_px", "sum_r", "sum_g",
@@ -6476,6 +6532,50 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
     """
 
+    # image_dhash: arithmetic oracle — hash bits recomputed straight from
+    # the planted 8x9 pixel rule g(k) = (seed*31 + k*k*13) % 256 (seed =
+    # doc_id - doc_id%3, groups of three share an image across BMP/PNG
+    # containers); band_i = sum of bits 16i..16i+15; first-wins keep on the
+    # full hex; garbage every 17th -> error row, keep NULL.
+    o["image_dhash"] = """
+        WITH db AS (
+          SELECT doc_id, doc_id - doc_id % 3 AS seed FROM documents
+          WHERE doc_id % 17 <> 0
+        ),
+        bands AS (
+          SELECT doc_id,
+                 list_transform(range(0, 4), bi ->
+                   CAST(list_sum(list_transform(range(0, 16), j ->
+                     CASE WHEN
+                       (seed * 31 + ((bi*16+j) // 8 * 9 + (bi*16+j) % 8)
+                          * ((bi*16+j) // 8 * 9 + (bi*16+j) % 8) * 13) % 256
+                       <
+                       (seed * 31 + ((bi*16+j) // 8 * 9 + (bi*16+j) % 8 + 1)
+                          * ((bi*16+j) // 8 * 9 + (bi*16+j) % 8 + 1) * 13) % 256
+                     THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END)) AS BIGINT)
+                 ) AS bs
+          FROM db
+        ),
+        hx AS (
+          SELECT doc_id,
+                 printf('%04x%04x%04x%04x', bs[4], bs[3], bs[2], bs[1]) AS dhash_hex,
+                 CAST(bs[1] AS INT) AS band0, CAST(bs[2] AS INT) AS band1,
+                 CAST(bs[3] AS INT) AS band2, CAST(bs[4] AS INT) AS band3
+          FROM bands
+        ),
+        kp AS (
+          SELECT doc_id, dhash_hex, band0, band1, band2, band3,
+                 CASE WHEN row_number() OVER (PARTITION BY dhash_hex ORDER BY doc_id) = 1
+                      THEN 1 ELSE 0 END AS keep
+          FROM hx
+        )
+        SELECT d.doc_id AS media_id, k.dhash_hex,
+               k.band0, k.band1, k.band2, k.band3,
+               CASE WHEN d.doc_id % 17 = 0 THEN 'error' END AS hash_error,
+               k.keep
+        FROM documents d LEFT JOIN kp k ON k.doc_id = d.doc_id
+    """
+
     # jpeg_decode: arithmetic oracle — channel sums recomputed from the
     # planted tile values (v_k = 2*((doc_id*7+k) % 128), 64 px per tile);
     # gray tiles => sum_r = sum_g = sum_b; garbage every 17th -> error row.
@@ -7938,6 +8038,9 @@ def oracle_sql() -> dict[str, str]:
                   ["weight", "key_q", "rank"]),
         _pack_sql("minhash_new", o["minhash_new"], _kcat_sql("doc_id"),
                   ["text"]),
+        _pack_sql("image_dhash", o["image_dhash"], _kcat_sql("media_id"),
+                  ["dhash_hex", "band0", "band1", "band2", "band3",
+                   "hash_error"], s1="keep"),
         _pack_sql("jpeg_decode", o["jpeg_decode"], _kcat_sql("media_id"),
                   ["kind", "width", "height", "n_px", "sum_r", "sum_g",
                    "sum_b"]),
@@ -8026,8 +8129,8 @@ def oracle_sql() -> dict[str, str]:
         "turn_repeat", "ccnet_buckets", "script_mix", "vocab_growth",
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",
-        "minhash_new", "media_decode", "jpeg_decode", "speech2text",
-        "pdf_extract", "mathverify",
+        "minhash_new", "media_decode", "jpeg_decode", "image_dhash",
+        "speech2text", "pdf_extract", "mathverify",
         "sql_consistency", "mathbook_extract", "code_sandbox", "multihop_qa",
         "smiles_eval", "reasoning_judge", "reasoning_dataset", "pipeline_root",
         "code_instr_loop", "prompted_thin", "t2s_qgen_cot",

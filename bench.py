@@ -115,6 +115,8 @@ HEADLINE = [
     "speech2text",
     "ivfpq_topk",
     "mathverify",
+    "jpeg_decode",
+    "image_dhash",
 ]
 
 

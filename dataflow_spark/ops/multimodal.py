@@ -1276,3 +1276,118 @@ def decode_jpeg(payload: bytes):
     rgb = np.stack([r, g, b], axis=2)
     arr = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return w, h, arr
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash, Krawetz 2013 "Kind of Like That" — the
+# production image-dedup primitive: PhotoDNA/PDQ-class pipelines bucket by
+# a difference hash before any expensive comparison). Integer end-to-end:
+# gray = (299R + 587G + 114B) // 1000, cells = floor-mean over an index-
+# partition grid, bit = cell < right-neighbor — so planted images replay
+# exactly in the oracle and identical bytes always collide.
+# ---------------------------------------------------------------------------
+
+
+def dhash64(arr) -> int:
+    """64-bit difference hash of an (H, W, 3) uint8 RGB array: integer
+    grayscale, downscale to 9x8 by index-partition floor-mean (cell (r, c)
+    averages pixels with r = y*8//H, c = x*9//W — exact for any size, the
+    identity map for a 9-wide 8-tall input), bit (r, c) = gray[r][c] <
+    gray[r][c+1], packed little-bit-first (bit k = row k//8, col k%8)."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.int64)
+    h, w = a.shape[0], a.shape[1]
+    gray = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    ys = np.arange(h) * 8 // h
+    xs = np.arange(w) * 9 // w
+    cells = np.zeros((8, 9), dtype=np.int64)
+    for r in range(8):
+        rows = gray[ys == r]
+        for c in range(9):
+            block = rows[:, xs == c]
+            cells[r][c] = int(block.sum()) // block.size
+    hsh = 0
+    for r in range(8):
+        for c in range(8):
+            if cells[r][c] < cells[r][c + 1]:
+                hsh |= 1 << (r * 8 + c)
+    return hsh
+
+
+IMAGE_DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash", LongType()),
+        StructField("band0", IntegerType()),
+        StructField("band1", IntegerType()),
+        StructField("band2", IntegerType()),
+        StructField("band3", IntegerType()),
+        StructField("hash_error", StringType()),
+    ]
+)
+
+
+def image_dhash_features(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode each image payload (BMP/PNG/JPEG by magic) and emit its dHash
+    plus 4x16-bit pigeonhole bands: two images within Hamming distance 3
+    share at least one band EXACTLY (pigeonhole over 4 bands), so the
+    near-dup candidate join is a plain equi-join per band — the SimHash
+    banding topology applied to images. Exact dedup is first-wins on the
+    full hash. Corrupt blobs -> error rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = {"media_id": int(mid), "dhash": None, "band0": None,
+                       "band1": None, "band2": None, "band3": None,
+                       "hash_error": None}
+                try:
+                    raw = bytes(payload) if payload is not None else b""
+                    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        _, _, arr = decode_png(raw)
+                    elif raw[:2] == b"\xff\xd8":
+                        _, _, arr = decode_jpeg(raw)
+                    else:
+                        _, _, arr = decode_bmp(raw)
+                    hsh = dhash64(arr)
+                    # store as signed int64 (bit 63 may be set)
+                    row["dhash"] = hsh - (1 << 64) if hsh >= 1 << 63 else hsh
+                    for i in range(4):
+                        row[f"band{i}"] = (hsh >> (16 * i)) & 0xFFFF
+                except Exception as e:
+                    row["hash_error"] = type(e).__name__
+                out.append(row)
+            pdf_out = pd.DataFrame(out, columns=[f.name for f in IMAGE_DHASH_SCHEMA.fields])
+            # build the hash column as nullable Int64 DIRECTLY from the
+            # python ints: DataFrame construction coerces an [int, None]
+            # column to float64 IMMEDIATELY (before any astype can run),
+            # and a 64-bit hash is not representable in a double — the
+            # sf0.001 value check caught two distinct hashes rounded onto
+            # one dedup partition
+            pdf_out["dhash"] = pd.array([r["dhash"] for r in out], dtype="Int64")
+            for i in range(4):
+                pdf_out[f"band{i}"] = pd.array(
+                    [r[f"band{i}"] for r in out], dtype="Int32"
+                )
+            yield pdf_out
+
+    return df.mapInPandas(run, IMAGE_DHASH_SCHEMA)
+
+
+def image_dedup_exact(hashes: DataFrame) -> DataFrame:
+    """First-wins exact image dedup on the perceptual hash: identical
+    renderings (same pixels, any of the three containers) collide on
+    dhash and only the smallest media_id keeps."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dhash").orderBy("media_id")
+    return (
+        hashes.filter(F.col("dhash").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("keep", (F.col("__rn") == 1).cast("int"))
+        .drop("__rn")
+    )

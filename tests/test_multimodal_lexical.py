@@ -390,3 +390,50 @@ def test_ner_and_trigram_whitespace_matches_re2():
     t = LangTrigramModel()
     # \x0b inside text is preserved (not collapsed); result deterministic
     assert t.predict_one("the\x0bthe the the") == t.predict_one("the\x0bthe the the")
+
+
+def test_image_dhash_dedup_and_precision(spark):
+    """Round 4: perceptual dHash image dedup — identical pixels through
+    DIFFERENT containers (BMP/PNG/JPEG-exact) collide; near-duplicates sit
+    at small Hamming distance and share a pigeonhole band; a mixed batch
+    with an error row must NOT round the int64 hash through float64 (the
+    pandas [int, None]->float64 coercion caught by the sf0.001 gate)."""
+    import numpy as np
+
+    from dataflow_spark.ops import multimodal as M
+
+    base = np.zeros((16, 24, 3), dtype=np.uint8)
+    for k, v in enumerate((130, 100, 200, 128, 64, 250)):
+        base[(k // 3) * 8 : (k // 3 + 1) * 8, (k % 3) * 8 : (k % 3 + 1) * 8, :] = v
+    rows = [
+        (1, M.encode_bmp(base)),
+        (2, M.encode_png(base)),            # same pixels, other container
+        (3, M.encode_jpeg(base)),           # exact-roundtrip JPEG planting
+        (4, M.encode_bmp(255 - base)),      # inverted: different image
+        (5, b"BMgarbage"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = M.image_dhash_features(df)
+    got = {r["media_id"]: r.asDict() for r in M.image_dedup_exact(feats).collect()}
+    assert got[1]["dhash"] == got[2]["dhash"] == got[3]["dhash"]
+    assert got[1]["keep"] == 1 and got[2]["keep"] == 0 and got[3]["keep"] == 0
+    assert 5 not in got  # error rows carry no hash
+    err = {r["media_id"]: r["hash_error"] for r in feats.collect()}
+    assert err[5] is not None
+
+    # precision through a mixed batch: stage hash == python twin exactly
+    twin = M.dhash64(base)
+    twin_signed = twin - (1 << 64) if twin >= 1 << 63 else twin
+    assert got[1]["dhash"] == twin_signed
+
+    # near-dup vs distinct: pigeonhole over the 4 bands
+    pert = base.copy()
+    pert[0:8, 0:8] = 132  # nudge one tile by 2 gray levels
+    h1, h2 = M.dhash64(base), M.dhash64(pert)
+    other = M.dhash64(255 - base)
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h1, h2) <= 3 < ham(h1, other)
+    shared_band = any(
+        ((h1 >> (16 * i)) & 0xFFFF) == ((h2 >> (16 * i)) & 0xFFFF) for i in range(4)
+    )
+    assert shared_band  # Hamming<=3 over 4 bands -> one band untouched
