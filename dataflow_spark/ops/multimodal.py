@@ -982,12 +982,14 @@ def _mag_bits(v: int):
     return size, bits
 
 
-def encode_jpeg(arr, restart_interval: int = 0) -> bytes:
+def encode_jpeg(arr, restart_interval: int = 0, subsample: bool = False) -> bytes:
     """Encode an RGB uint8 array (h, w, 3), h and w multiples of 8, as a
-    baseline sequential 4:4:4 JFIF JPEG with Annex-K quant/Huffman tables.
+    baseline sequential JFIF JPEG with Annex-K quant/Huffman tables —
+    4:4:4 by default, or 4:2:0 chroma subsampling (subsample=True, 16-
+    aligned dims: 2x2-mean chroma, 16x16 MCUs of four Y blocks + Cb + Cr —
+    the layout virtually every camera/library file uses).
     restart_interval > 0 emits a DRI segment and an RSTn marker every that
-    many MCUs (predictors reset, entropy stream byte-aligned) — the layout
-    real camera/library files use for error resilience."""
+    many MCUs (predictors reset, entropy stream byte-aligned)."""
     import struct
 
     import numpy as np
@@ -1006,52 +1008,77 @@ def encode_jpeg(arr, restart_interval: int = 0) -> bytes:
     dc_l, dc_c = _huff_codes(*_HT_DC_L), _huff_codes(*_HT_DC_C)
     ac_l, ac_c = _huff_codes(*_HT_AC_L), _huff_codes(*_HT_AC_C)
 
+    def put_block(bw, blk, qt, dct_, act_, pred, ci):
+        S = D @ blk @ D.T
+        q = np.round(S / qt).astype(np.int64)
+        zz = [int(q.flat[z]) for z in _ZIGZAG]
+        diff = zz[0] - pred[ci]
+        pred[ci] = zz[0]
+        size, bits = _mag_bits(diff)
+        c, ln = dct_[size]
+        bw.put(c, ln)
+        if size:
+            bw.put(bits, size)
+        run = 0
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if zz[k]:
+                last_nz = k
+                break
+        for k in range(1, last_nz + 1):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = act_[0xF0]  # ZRL
+                bw.put(c, ln)
+                run -= 16
+            size, bits = _mag_bits(v)
+            c, ln = act_[(run << 4) | size]
+            bw.put(c, ln)
+            bw.put(bits, size)
+            run = 0
+        if last_nz < 63:
+            c, ln = act_[0x00]  # EOB
+            bw.put(c, ln)
+
     bw = _BitWriter()
     pred = [0, 0, 0]
     mcu = 0
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                bw.marker(0xD0 + (mcu // restart_interval - 1) % 8)
-                pred = [0, 0, 0]
-            mcu += 1
-            for ci, (plane, qt, dct_, act_) in enumerate(
-                ((Y, qlt, dc_l, ac_l), (Cb, qct, dc_c, ac_c), (Cr, qct, dc_c, ac_c))
-            ):
-                blk = plane[by : by + 8, bx : bx + 8] - 128.0
-                S = D @ blk @ D.T
-                q = np.round(S / qt).astype(np.int64)
-                zz = [int(q.flat[z]) for z in _ZIGZAG]
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
-                size, bits = _mag_bits(diff)
-                c, ln = dct_[size]
-                bw.put(c, ln)
-                if size:
-                    bw.put(bits, size)
-                run = 0
-                last_nz = 0
-                for k in range(63, 0, -1):
-                    if zz[k]:
-                        last_nz = k
-                        break
-                for k in range(1, last_nz + 1):
-                    v = zz[k]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        c, ln = act_[0xF0]  # ZRL
-                        bw.put(c, ln)
-                        run -= 16
-                    size, bits = _mag_bits(v)
-                    c, ln = act_[(run << 4) | size]
-                    bw.put(c, ln)
-                    bw.put(bits, size)
-                    run = 0
-                if last_nz < 63:
-                    c, ln = act_[0x00]  # EOB
-                    bw.put(c, ln)
+    if subsample:
+        if h % 16 or w % 16:
+            raise ValueError("4:2:0 encode needs 16-aligned dimensions")
+        # chroma planes at half resolution: 2x2 block mean
+        Cb2 = (Cb[0::2, 0::2] + Cb[1::2, 0::2] + Cb[0::2, 1::2] + Cb[1::2, 1::2]) / 4.0
+        Cr2 = (Cr[0::2, 0::2] + Cr[1::2, 0::2] + Cr[0::2, 1::2] + Cr[1::2, 1::2]) / 4.0
+        for by in range(0, h, 16):
+            for bx in range(0, w, 16):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    bw.marker(0xD0 + (mcu // restart_interval - 1) % 8)
+                    pred = [0, 0, 0]
+                mcu += 1
+                # T.81 MCU order: the 2x2 luma blocks row-major, then Cb, Cr
+                for dy in (0, 8):
+                    for dx in (0, 8):
+                        put_block(bw, Y[by + dy : by + dy + 8, bx + dx : bx + dx + 8] - 128.0,
+                                  qlt, dc_l, ac_l, pred, 0)
+                put_block(bw, Cb2[by // 2 : by // 2 + 8, bx // 2 : bx // 2 + 8] - 128.0,
+                          qct, dc_c, ac_c, pred, 1)
+                put_block(bw, Cr2[by // 2 : by // 2 + 8, bx // 2 : bx // 2 + 8] - 128.0,
+                          qct, dc_c, ac_c, pred, 2)
+    else:
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    bw.marker(0xD0 + (mcu // restart_interval - 1) % 8)
+                    pred = [0, 0, 0]
+                mcu += 1
+                for ci, (plane, qt, dct_, act_) in enumerate(
+                    ((Y, qlt, dc_l, ac_l), (Cb, qct, dc_c, ac_c), (Cr, qct, dc_c, ac_c))
+                ):
+                    put_block(bw, plane[by : by + 8, bx : bx + 8] - 128.0,
+                              qt, dct_, act_, pred, ci)
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1062,7 +1089,8 @@ def encode_jpeg(arr, restart_interval: int = 0) -> bytes:
     out += seg(0xFFDB, bytes([0]) + bytes(JPEG_QL[_ZIGZAG[i]] for i in range(64)))
     out += seg(0xFFDB, bytes([1]) + bytes(JPEG_QC[_ZIGZAG[i]] for i in range(64)))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, (hv, tq) in enumerate((((1, 1), 0), ((1, 1), 1), ((1, 1), 1)), 1):
+    yhv = (2, 2) if subsample else (1, 1)
+    for cid, (hv, tq) in enumerate(((yhv, 0), ((1, 1), 1), ((1, 1), 1)), 1):
         sof += bytes([cid, (hv[0] << 4) | hv[1], tq])
     out += seg(0xFFC0, sof)
     for cls, tid, (bits, vals) in (
@@ -1152,9 +1180,11 @@ def _extend(bits: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline sequential 4:4:4 JPEG (as produced by encode_jpeg;
-    any single-scan 8-bit 3-component non-subsampled baseline file with
-    0-indexed quant ids works) to (w, h, uint8 RGB array)."""
+    """Decode a baseline sequential JPEG — 4:4:4 OR chroma-subsampled
+    (4:2:0 / 4:2:2: any sampling grid where each factor divides the max) —
+    to (w, h, uint8 RGB array). Handles DRI/RSTn restart markers, 0xFF
+    fill bytes and stuffed bytes; progressive (SOF2) and 16-bit quant
+    tables are rejected honestly."""
     import struct
 
     import numpy as np
@@ -1165,7 +1195,7 @@ def decode_jpeg(payload: bytes):
     qts: dict[int, np.ndarray] = {}
     hts: dict[tuple[int, int], dict] = {}
     h = w = None
-    comp: list[tuple[int, int]] = []  # (component id, quant table id)
+    comp: list[tuple[int, int, int, int]] = []  # (cid, h_i, v_i, quant id)
     scan_comp: list[tuple[int, int, int]] = []  # (cid, dc table, ac table)
     data = None
     restart_interval = 0
@@ -1199,9 +1229,7 @@ def decode_jpeg(payload: bytes):
                 raise ValueError("only 8-bit 3-component baseline supported")
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
-                    raise ValueError("subsampling unsupported")
-                comp.append((cid, tq))
+                comp.append((cid, hv >> 4, hv & 15, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline SOF0 supported")
         elif marker == 0xDD:
@@ -1231,45 +1259,67 @@ def decode_jpeg(payload: bytes):
         data = data[:end]
     br = _BitReader(data)
     D = _dct_mat()
-    planes = [np.zeros((h + 7) // 8 * 8 * ((w + 7) // 8 * 8), dtype=np.float64)
-              .reshape((h + 7) // 8 * 8, (w + 7) // 8 * 8) for _ in range(3)]
-    pred = [0, 0, 0]
-    qt_of = {cid: qts[tq] for cid, tq in comp}
+    hv_of = {cid: (hi, vi) for cid, hi, vi, _ in comp}
+    qt_of = {cid: qts[tq] for cid, _, _, tq in comp}
+    hmax = max(hi for _, hi, _, _ in comp)
+    vmax = max(vi for _, _, vi, _ in comp)
+    for _, hi, vi, _ in comp:
+        if hmax % hi or vmax % vi:
+            raise ValueError("non-dividing sampling factors unsupported")
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        cid: np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.float64)
+        for cid, hi, vi, _ in comp
+    }
+    pred = [0] * len(scan_comp)
     mcu = 0
-    for by in range(0, (h + 7) // 8 * 8, 8):
-        for bx in range(0, (w + 7) // 8 * 8, 8):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.restart()
-                pred = [0, 0, 0]
+                pred = [0] * len(scan_comp)
             mcu += 1
             for ci, (cid, dct_id, act_id) in enumerate(scan_comp):
+                hi, vi = hv_of[cid]
                 dc_t, ac_t = hts[(0, dct_id)], hts[(1, act_id)]
-                size = _huff_read(br, dc_t)
-                diff = _extend(br.read(size), size) if size else 0
-                pred[ci] += diff
-                zz = [0] * 64
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = _huff_read(br, ac_t)
-                    r, s = rs >> 4, rs & 15
-                    if s == 0:
-                        if r == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(br.read(s), s)
-                    k += 1
-                q = np.zeros((8, 8), dtype=np.float64)
-                for j in range(64):
-                    q.flat[_ZIGZAG[j]] = zz[j]
-                S = q * qt_of[cid]
-                blk = D.T @ S @ D + 128.0
-                planes[ci][by : by + 8, bx : bx + 8] = blk
-    Y, Cb, Cr = planes[0][:h, :w], planes[1][:h, :w] - 128.0, planes[2][:h, :w] - 128.0
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        size = _huff_read(br, dc_t)
+                        diff = _extend(br.read(size), size) if size else 0
+                        pred[ci] += diff
+                        zz = [0] * 64
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(br, ac_t)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.read(s), s)
+                            k += 1
+                        q = np.zeros((8, 8), dtype=np.float64)
+                        for j in range(64):
+                            q.flat[_ZIGZAG[j]] = zz[j]
+                        S = q * qt_of[cid]
+                        blk = D.T @ S @ D + 128.0
+                        py = (my * vi + byi) * 8
+                        px = (mx * hi + bxi) * 8
+                        planes[cid][py : py + 8, px : px + 8] = blk
+    # upsample every component to the full sampling grid (nearest-neighbor
+    # replication — the T.81 informative upsampling), then crop
+    full = []
+    for cid, hi, vi, _ in comp:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    Y, Cb, Cr = full[0], full[1] - 128.0, full[2] - 128.0
     r = Y + 1.402 * Cr
     g = Y - 0.344136 * Cb - 0.714136 * Cr
     b = Y + 1.772 * Cb

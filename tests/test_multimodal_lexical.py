@@ -437,3 +437,35 @@ def test_image_dhash_dedup_and_precision(spark):
         ((h1 >> (16 * i)) & 0xFFFF) == ((h2 >> (16 * i)) & 0xFFFF) for i in range(4)
     )
     assert shared_band  # Hamming<=3 over 4 bands -> one band untouched
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """Round 4: 4:2:0 chroma subsampling — the grid virtually every real
+    camera/library JPEG uses. Gray content (chroma constant 128) round-trips
+    exactly through the 16x16-MCU four-Y+Cb+Cr layout incl. restart
+    markers; colored gradients stay within chroma-subsampling error."""
+    import numpy as np
+
+    from dataflow_spark.ops import multimodal as M
+
+    g = np.zeros((32, 32, 3), dtype=np.uint8)
+    g[:16, :] = 130
+    g[16:, :] = 64
+    enc = M.encode_jpeg(g, subsample=True)
+    w, h, back = M.decode_jpeg(enc)
+    assert (w, h) == (32, 32) and (back == g).all()
+    _, _, bdri = M.decode_jpeg(M.encode_jpeg(g, subsample=True, restart_interval=1))
+    assert (bdri == g).all()
+
+    x = np.linspace(0, 255, 32)
+    sm = np.stack(
+        [np.tile(x, (32, 1)), np.tile(x[::-1], (32, 1)), np.full((32, 32), 100.0)],
+        axis=2,
+    ).astype(np.uint8)
+    _, _, bsm = M.decode_jpeg(M.encode_jpeg(sm, subsample=True))
+    assert np.abs(bsm.astype(int) - sm.astype(int)).max() <= 24
+
+    import pytest
+
+    with pytest.raises(ValueError, match="16-aligned"):
+        M.encode_jpeg(g[:24], subsample=True)
