@@ -967,6 +967,42 @@ def q_image_dhash(spark, sf):
     )
 
 
+def q_vqa_gen(spark, sf):
+    """PromptedVQA (gen_battery member, round 4 — prompted_vqa_generator.py:9):
+    REAL front half — each doc plants an 8x9 gray image (the dhash pixel
+    rule), ops/multimodal.py prompted_vqa decodes the actual bytes and
+    renders the image-context string from the decoded pixels, then the
+    md5-stub serving answers the question. Garbage payloads -> NULL context
+    AND no backend call. The oracle recomputes context from the pixel
+    arithmetic and replays the stub response."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from dataflow_spark.ops import multimodal
+
+    @F.pandas_udf(BinaryType())
+    def synth_img(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 17 == 0:
+                out.append(b"BMgarbage-not-an-image")
+                continue
+            a = np.zeros((8, 9, 3), dtype=np.uint8)
+            for r in range(8):
+                for c in range(9):
+                    k = r * 9 + c
+                    a[r, c, :] = (i * 31 + k * k * 13) % 256
+            out.append(multimodal.encode_bmp(a))
+        return pd.Series(out)
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    media = d.select(
+        F.col("doc_id").alias("media_id"), synth_img(F.col("doc_id")).alias("payload")
+    )
+    return multimodal.prompted_vqa(media)
+
+
 def q_jpeg_decode(spark, sf):
     """REAL baseline JPEG decode (battery member, round 4 — closes the
     'library image codecs behind the seam' boundary): each doc plants a
@@ -3020,6 +3056,8 @@ def q_gen_battery(spark, sf):
                       ["premise", "intermediate", "conclusion", "related_csv",
                        "question", "answer", "n_steps", "n_facts"],
                       s1=F.col("complexity_q")),
+        _battery_pack(q_vqa_gen(spark, sf), "vqa_gen",
+                      _kcat("media_id"), ["vqa_context", "vqa_answer"]),
         _battery_pack(q_code_instr_loop(spark, sf), "code_instr_loop",
                       _kcat("doc_id"),
                       ["code", "generated_instruction", "generated_code"]),
@@ -5738,6 +5776,38 @@ def oracle_sql() -> dict[str, str]:
         FROM e
     """
 
+    # vqa_gen: context recomputed from the planted 8x9 gray pixel rule
+    # (sum over 72 pixels of (doc_id*31 + k^2*13) % 256, same value on all
+    # three channels), prompt rendered exactly as prompted_vqa does, stub
+    # response replayed from md5(prompt) (the paired_gen discipline).
+    o["vqa_gen"] = """
+        WITH v AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 17 = 0 THEN NULL
+                      ELSE CAST(list_sum(list_transform(range(0, 72),
+                           k -> (doc_id * 31 + k * k * 13) % 256)) AS BIGINT)
+                 END AS s
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id,
+                 CASE WHEN s IS NULL THEN NULL
+                      ELSE 'img 9x8 r' || s || ' g' || s || ' b' || s
+                 END AS vqa_context
+          FROM v
+        )
+        SELECT doc_id AS media_id, vqa_context,
+               CASE WHEN vqa_context IS NULL THEN NULL ELSE
+                 '[gen-' || substr(md5(p), 1, 8) || '] '
+                   || array_to_string(regexp_split_to_array(trim(p), '\\s+')[1:10], ' ')
+               END AS vqa_answer
+        FROM (SELECT doc_id, vqa_context,
+                     'Answer the question about the image. What is in this image? '
+                       || vqa_context AS p
+              FROM c)
+    """
+
+
     o["gen_battery"] = " UNION ALL ".join([
         _pack_sql("sft_seed", o["sft_seed"],
                   "coalesce(instruction, '∅')", ["output", "raw_content"]),
@@ -5765,6 +5835,8 @@ def oracle_sql() -> dict[str, str]:
                   ["premise", "intermediate", "conclusion", "related_csv",
                    "question", "answer", "n_steps", "n_facts"],
                   s1="complexity_q"),
+        _pack_sql("vqa_gen", o["vqa_gen"], _kcat_sql("media_id"),
+                  ["vqa_context", "vqa_answer"]),
         _pack_sql("code_instr_loop", o["code_instr_loop"],
                   _kcat_sql("doc_id"),
                   ["code", "generated_instruction", "generated_code"]),
@@ -8130,7 +8202,7 @@ def oracle_sql() -> dict[str, str]:
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",
         "minhash_new", "media_decode", "jpeg_decode", "image_dhash",
-        "speech2text", "pdf_extract", "mathverify",
+        "vqa_gen", "speech2text", "pdf_extract", "mathverify",
         "sql_consistency", "mathbook_extract", "code_sandbox", "multihop_qa",
         "smiles_eval", "reasoning_judge", "reasoning_dataset", "pipeline_root",
         "code_instr_loop", "prompted_thin", "t2s_qgen_cot",

@@ -1441,3 +1441,71 @@ def image_dedup_exact(hashes: DataFrame) -> DataFrame:
         .withColumn("keep", (F.col("__rn") == 1).cast("int"))
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# PromptedVQA (core_vision/generate/prompted_vqa_generator.py:9 — the
+# reference hands an image + question to a VLM backend). The vision half of
+# the modality row, now with a REAL front end: the image features in the
+# prompt come from the engine's own byte-level decoders (BMP/PNG/JPEG by
+# magic), not a fake; only the VLM itself stays behind the ServingBackend
+# seam (tests/goldens use the deterministic md5 stub, production swaps an
+# OpenAI-compatible vision endpoint via serving.py).
+# ---------------------------------------------------------------------------
+
+VQA_PROMPT = "Answer the question about the image. "
+
+
+def prompted_vqa(
+    df: DataFrame,
+    question: str = "What is in this image?",
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    backend=None,
+) -> DataFrame:
+    """Two real stages: (1) decode the payload and render a deterministic
+    image-context string `img WxH r<sum> g<sum> b<sum>` from the actual
+    pixels (mapInPandas, magic-sniffed decoder, corrupt blobs -> NULL
+    context); (2) prompt = VQA_PROMPT + question + ' ' + context through
+    the shared serving stage (NULL context skips the backend call — the
+    reference's missing-input skip). Returns (id, vqa_context, vqa_answer)."""
+    import numpy as np
+
+    from dataflow_spark.ops.prompted import StubServing, serving_udf
+
+    from pyspark.sql.types import StructField as SF2, StructType as ST2
+
+    schema = ST2(
+        [SF2(id_col, LongType()), SF2("vqa_context", StringType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                ctx = None
+                try:
+                    raw = bytes(payload) if payload is not None else b""
+                    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        w, h, arr = decode_png(raw)
+                    elif raw[:2] == b"\xff\xd8":
+                        w, h, arr = decode_jpeg(raw)
+                    else:
+                        w, h, arr = decode_bmp(raw)
+                    a = arr.astype(np.int64)
+                    ctx = (
+                        f"img {w}x{h} r{int(a[:, :, 0].sum())} "
+                        f"g{int(a[:, :, 1].sum())} b{int(a[:, :, 2].sum())}"
+                    )
+                except Exception:
+                    ctx = None
+                out.append({id_col: int(mid), "vqa_context": ctx})
+            yield pd.DataFrame(out, columns=[id_col, "vqa_context"])
+
+    ctxdf = df.mapInPandas(run, schema)
+    gen = serving_udf(backend or StubServing())
+    prompt = F.when(
+        F.col("vqa_context").isNotNull(),
+        F.concat(F.lit(VQA_PROMPT + question + " "), F.col("vqa_context")),
+    )
+    return ctxdf.select(id_col, "vqa_context", gen(prompt).alias("vqa_answer"))

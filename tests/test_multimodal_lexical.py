@@ -469,3 +469,28 @@ def test_jpeg_420_subsampling_roundtrip():
 
     with pytest.raises(ValueError, match="16-aligned"):
         M.encode_jpeg(g[:24], subsample=True)
+
+
+def test_prompted_vqa_real_decode_front(spark):
+    """Round 4: PromptedVQA analog — the image context in the prompt comes
+    from the engine's own decoders (here a real BMP), the stub serving
+    answers deterministically, corrupt payloads skip the backend."""
+    import hashlib
+
+    import numpy as np
+
+    from dataflow_spark.ops import multimodal as M
+
+    a = np.zeros((8, 9, 3), dtype=np.uint8)
+    a[:, :, 0] = 10
+    a[:, :, 1] = 20
+    a[:, :, 2] = 30
+    rows = [(1, M.encode_bmp(a)), (2, b"BMjunk")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict() for r in M.prompted_vqa(df).collect()}
+    ctx = f"img 9x8 r{72*10} g{72*20} b{72*30}"
+    assert got[1]["vqa_context"] == ctx
+    p = M.VQA_PROMPT + "What is in this image? " + ctx
+    h = hashlib.md5(p.encode()).hexdigest()[:8]
+    assert got[1]["vqa_answer"] == f"[gen-{h}] " + " ".join(p.split()[:10])
+    assert got[2]["vqa_context"] is None and got[2]["vqa_answer"] is None
