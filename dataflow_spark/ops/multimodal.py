@@ -3,10 +3,17 @@
 The reference's vision/speech operators (e.g.
 /root/reference/dataflow/operators/core_vision/generate/prompted_vqa_generator.py:9,
 /root/reference/dataflow/operators/core_speech/generate/speech2text_generator.py:16)
-hand media to model backends. This sandbox has no image/audio libraries, so the
-DECODE step is stubbed (NotImplementedError or a deterministic fake), while
-everything Spark-side — schema, Arrow batch shape, mapInPandas plumbing,
-partitioning — is real and tested.
+hand media to model backends. This sandbox has no image/audio libraries, so
+this module implements the codecs itself from the public specs: 24-bit BMP,
+8-bit truecolor PNG (zlib + all five RFC 2083 filters), baseline JPEG
+(T.81: 4:4:4 AND 4:2:0, DRI/RSTn, Huffman/DCT both directions), PCM16 WAV,
+and PDF 1.4 text streams — real bytes in, real pixels/samples/text out —
+plus trained CTC speech-to-text, perceptual dHash image dedup, and the
+PromptedVQA front. Only large-model inference (VLM/ASR weights) and the
+remaining lossy audio codecs (MP3/AAC) stay behind the injectable
+`decoder=`/ServingBackend seams; the generic extract_features path keeps a
+deterministic fake for those. Everything Spark-side — schema, Arrow batch
+shape, mapInPandas plumbing, partitioning — is real and tested.
 
 Design for 100 TB of media:
   - media rows are (id, media_type, payload:binary, meta:struct) — payload
