@@ -967,6 +967,44 @@ def q_image_dhash(spark, sf):
     )
 
 
+def q_image_resize(spark, sf):
+    """REAL image resize (battery member, round 4 — the resize_stub's pixel
+    work done honestly): planted 16x24 constant-tile BMPs decode, box-
+    resample to 8x12 (integer floor-mean buckets) and re-encode; each 8x8
+    tile becomes a 4x4 constant patch, so the resized channel sums are
+    16 * sum(tile values) — recomputed arithmetically by the oracle.
+    Garbage every 17th -> error row."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from dataflow_spark.ops import multimodal
+
+    @F.pandas_udf(BinaryType())
+    def synth_img(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 17 == 0:
+                out.append(b"BMgarbage-not-an-image")
+                continue
+            tiles = np.zeros((16, 24, 3), dtype=np.uint8)
+            for k in range(6):
+                v = 2 * ((i * 7 + k) % 128)
+                tiles[(k // 3) * 8 : (k // 3 + 1) * 8,
+                      (k % 3) * 8 : (k % 3 + 1) * 8, :] = v
+            out.append(multimodal.encode_bmp(tiles))
+        return pd.Series(out)
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    media = d.select(
+        F.col("doc_id").alias("media_id"), synth_img(F.col("doc_id")).alias("payload")
+    )
+    return multimodal.resize_image(media, out_w=12, out_h=8).select(
+        "media_id", "out_w", "out_h", "out_sum_r", "out_sum_g", "out_sum_b",
+        "resize_error",
+    )
+
+
 def q_vqa_gen(spark, sf):
     """PromptedVQA (gen_battery member, round 4 — prompted_vqa_generator.py:9):
     REAL front half — each doc plants an 8x9 gray image (the dhash pixel
@@ -3363,6 +3401,10 @@ def q_score_battery(spark, sf):
                       ["dhash_hex", "band0", "band1", "band2", "band3",
                        "hash_error"],
                       s1=F.col("keep")),
+        _battery_pack(q_image_resize(spark, sf), "image_resize",
+                      _kcat("media_id"),
+                      ["out_w", "out_h", "out_sum_r", "out_sum_g",
+                       "out_sum_b", "resize_error"]),
         _battery_pack(q_jpeg_decode(spark, sf), "jpeg_decode",
                       _kcat("media_id"),
                       ["kind", "width", "height", "n_px", "sum_r", "sum_g",
@@ -6604,6 +6646,25 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
     """
 
+    # image_resize: arithmetic oracle — resized channel sums recomputed
+    # from the planted tile values (each 8x8 tile -> 4x4 constant patch:
+    # sum = 16 * sum of tile values); garbage every 17th -> error row.
+    o["image_resize"] = """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(12 AS INT) END AS out_w,
+               CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(8 AS INT) END AS out_h,
+               s AS out_sum_r, s AS out_sum_g, s AS out_sum_b,
+               CASE WHEN doc_id % 17 = 0 THEN 'error' END AS resize_error
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 17 = 0 THEN NULL
+                      ELSE CAST(16 * list_sum(list_transform(range(0, 6),
+                           k -> 2 * ((doc_id * 7 + k) % 128))) AS BIGINT)
+                 END AS s
+          FROM documents
+        )
+    """
+
     # image_dhash: arithmetic oracle — hash bits recomputed straight from
     # the planted 8x9 pixel rule g(k) = (seed*31 + k*k*13) % 256 (seed =
     # doc_id - doc_id%3, groups of three share an image across BMP/PNG
@@ -8113,6 +8174,9 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("image_dhash", o["image_dhash"], _kcat_sql("media_id"),
                   ["dhash_hex", "band0", "band1", "band2", "band3",
                    "hash_error"], s1="keep"),
+        _pack_sql("image_resize", o["image_resize"], _kcat_sql("media_id"),
+                  ["out_w", "out_h", "out_sum_r", "out_sum_g", "out_sum_b",
+                   "resize_error"]),
         _pack_sql("jpeg_decode", o["jpeg_decode"], _kcat_sql("media_id"),
                   ["kind", "width", "height", "n_px", "sum_r", "sum_g",
                    "sum_b"]),
@@ -8202,7 +8266,7 @@ def oracle_sql() -> dict[str, str]:
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",
         "minhash_new", "media_decode", "jpeg_decode", "image_dhash",
-        "vqa_gen", "speech2text", "pdf_extract", "mathverify",
+        "image_resize", "vqa_gen", "speech2text", "pdf_extract", "mathverify",
         "sql_consistency", "mathbook_extract", "code_sandbox", "multihop_qa",
         "smiles_eval", "reasoning_judge", "reasoning_dataset", "pipeline_root",
         "code_instr_loop", "prompted_thin", "t2s_qgen_cot",

@@ -1516,3 +1516,93 @@ def prompted_vqa(
         F.concat(F.lit(VQA_PROMPT + question + " "), F.col("vqa_context")),
     )
     return ctxdf.select(id_col, "vqa_context", gen(prompt).alias("vqa_answer"))
+
+
+# ---------------------------------------------------------------------------
+# REAL image resize (the resize_stub's pixel work, done honestly): integer
+# area/box resampling — output cell (r, c) is the floor-mean of the source
+# pixels whose index-partition buckets map to it (y*out_h//in_h,
+# x*out_w//in_w) — the same exact-integer discipline as dhash64, so planted
+# images replay arithmetically in the oracle. Decode by magic, resample,
+# re-encode BMP (the pipeline's uncompressed interchange container).
+# ---------------------------------------------------------------------------
+
+
+def box_resize(arr, out_h: int, out_w: int):
+    """Integer box resample of an (H, W, 3) uint8 array to (out_h, out_w, 3):
+    per output cell the floor-mean of its source bucket, channel-wise."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.int64)
+    h, w = a.shape[0], a.shape[1]
+    ys = np.arange(h) * out_h // h
+    xs = np.arange(w) * out_w // w
+    out = np.zeros((out_h, out_w, 3), dtype=np.int64)
+    for r in range(out_h):
+        rows = a[ys == r]
+        for c in range(out_w):
+            block = rows[:, xs == c]
+            out[r, c] = block.reshape(-1, 3).sum(axis=0) // (block.shape[0] * block.shape[1])
+    return out.astype(np.uint8)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("payload", BinaryType()),
+        StructField("out_sum_r", LongType()),
+        StructField("out_sum_g", LongType()),
+        StructField("out_sum_b", LongType()),
+        StructField("resize_error", StringType()),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Real resize stage: decode (BMP/PNG/JPEG by magic) -> integer box
+    resample -> re-encode BMP; emits the new payload plus integer channel
+    sums of the RESIZED pixels (the value-checkable receipt — the payload
+    bytes themselves are container detail). Corrupt blobs -> error rows."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = {"media_id": int(mid), "out_w": None, "out_h": None,
+                       "payload": None, "out_sum_r": None, "out_sum_g": None,
+                       "out_sum_b": None, "resize_error": None}
+                try:
+                    raw = bytes(payload) if payload is not None else b""
+                    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        _, _, arr = decode_png(raw)
+                    elif raw[:2] == b"\xff\xd8":
+                        _, _, arr = decode_jpeg(raw)
+                    else:
+                        _, _, arr = decode_bmp(raw)
+                    small = box_resize(arr, out_h, out_w)
+                    s = small.astype(np.int64)
+                    row.update(
+                        out_w=out_w, out_h=out_h, payload=encode_bmp(small),
+                        out_sum_r=int(s[:, :, 0].sum()),
+                        out_sum_g=int(s[:, :, 1].sum()),
+                        out_sum_b=int(s[:, :, 2].sum()),
+                    )
+                except Exception as e:
+                    row["resize_error"] = type(e).__name__
+                out.append(row)
+            pdf_out = pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+            for c in ("out_sum_r", "out_sum_g", "out_sum_b"):
+                # same [int, None] -> float64 construction trap as dhash
+                pdf_out[c] = pd.array([r[c] for r in out], dtype="Int64")
+            yield pdf_out
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)

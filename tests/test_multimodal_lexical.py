@@ -494,3 +494,34 @@ def test_prompted_vqa_real_decode_front(spark):
     h = hashlib.md5(p.encode()).hexdigest()[:8]
     assert got[1]["vqa_answer"] == f"[gen-{h}] " + " ".join(p.split()[:10])
     assert got[2]["vqa_context"] is None and got[2]["vqa_answer"] is None
+
+
+def test_box_resize_real_pixels(spark):
+    """Round 4: resize is REAL pixel work now — integer box resample with
+    exact means on constant regions, roundtrip through the stage with
+    re-encoded BMP payload; corrupt blobs -> error rows."""
+    import numpy as np
+
+    from dataflow_spark.ops import multimodal as M
+
+    tiles = np.zeros((16, 24, 3), dtype=np.uint8)
+    vals = [130, 100, 200, 128, 64, 250]
+    for k, v in enumerate(vals):
+        tiles[(k // 3) * 8 : (k // 3 + 1) * 8, (k % 3) * 8 : (k % 3 + 1) * 8, :] = v
+    small = M.box_resize(tiles, 8, 12)
+    for k, v in enumerate(vals):
+        patch = small[(k // 3) * 4 : (k // 3 + 1) * 4, (k % 3) * 4 : (k % 3 + 1) * 4]
+        assert (patch == v).all()
+    # floor-mean on a non-constant block: 2x2 of [0,1,2,3] -> floor(1.5)=1
+    grad = np.arange(4, dtype=np.uint8).reshape(2, 2)[:, :, None].repeat(3, axis=2)
+    assert (M.box_resize(grad, 1, 1) == 1).all()
+
+    rows = [(1, M.encode_bmp(tiles)), (2, b"BMjunk")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict() for r in M.resize_image(df, 12, 8).collect()}
+    assert (got[1]["out_w"], got[1]["out_h"]) == (12, 8)
+    assert got[1]["out_sum_r"] == 16 * sum(vals)
+    # the emitted payload is a decodable BMP of the resized pixels
+    w, h, back = M.decode_bmp(bytes(got[1]["payload"]))
+    assert (w, h) == (12, 8) and (back == small).all()
+    assert got[2]["resize_error"] is not None and got[2]["payload"] is None
