@@ -754,12 +754,15 @@ def pq_train_encode(
     Memory per vector drops from dim floats to m log2(k)-bit codes — the
     only way a 10^12-vector index fits a cluster's RAM.
 
-    Reuses the deterministic integer-lattice Lloyd machinery
-    (_kmeans_centers), so codebooks and codes are bit-reproducible and the
-    whole train+encode pipeline unrolls into an exact SQL twin. Training
-    collects m * iters * k * (dim/m) scalars — driver traffic independent
-    of corpus size. Encoding is one narrow JVM projection (m argmin
-    expressions over literal centers).
+    Same deterministic integer-lattice Lloyd math as _kmeans_centers
+    (identical init = k smallest ids, identical floor-mean updates — the
+    SQL twin is unchanged), but all m subspaces train in ONE corpus pass
+    per iteration: every row computes its m per-subspace argmins in a
+    single projection and one partial-aggregable groupBy((subspace,
+    cluster, dim)) collects m*k*(dim/m) rows — so training reads the
+    corpus iters+1 times instead of m*(iters+1) (the round-4 scale-shape
+    fix; driver traffic still independent of corpus size). Encoding is one
+    narrow JVM projection (m argmin expressions over literal centers).
 
     Returns (encoded_df(id, codes array<int>), codebooks[m][k][dim/m]).
     """
@@ -767,12 +770,49 @@ def pq_train_encode(
     try:
         dim = len(base.select("xq").first()["xq"])
         dsub = dim // m
-        codebooks: list[list[list[int]]] = []
-        for j in range(m):
-            sub = base.select(
-                id_col, F.slice("xq", j * dsub + 1, dsub).alias("xq")
+        # init: the k smallest ids' subvectors, exactly as the per-subspace
+        # _kmeans_centers would have chosen for every subspace
+        init_rows = base.orderBy(id_col).limit(k).collect()
+        codebooks = [
+            [list(r["xq"])[j * dsub : (j + 1) * dsub] for r in init_rows]
+            for j in range(m)
+        ]
+        for _ in range(iters):
+            cl_cols = [
+                _kmeans_assign_expr(codebooks[j], xq_col=f"__sub{j}")
+                for j in range(m)
+            ]
+            assigned = base.select(
+                *[F.slice("xq", j * dsub + 1, dsub).alias(f"__sub{j}") for j in range(m)],
+            ).select(
+                F.array(*cl_cols).alias("__cl"),
+                F.array(*[F.col(f"__sub{j}") for j in range(m)]).alias("__subs"),
             )
-            codebooks.append(_kmeans_centers(sub, id_col, k, iters))
+            stats = (
+                assigned.select(
+                    F.posexplode("__subs").alias("j", "sub"), F.col("__cl")
+                )
+                .select(
+                    F.col("j"),
+                    F.element_at("__cl", F.col("j") + 1).alias("cluster"),
+                    F.posexplode("sub").alias("di", "val"),
+                )
+                .groupBy("j", "cluster", "di")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            by_key: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+            for r in stats:
+                by_key.setdefault((r["j"], r["cluster"]), {})[r["di"]] = (r["s"], r["n"])
+            codebooks = [
+                [
+                    [by_key[(j, c)][i][0] // by_key[(j, c)][i][1] for i in range(dsub)]
+                    if (j, c) in by_key
+                    else codebooks[j][c]
+                    for c in range(k)
+                ]
+                for j in range(m)
+            ]
         code_cols = [
             _kmeans_assign_expr(codebooks[j], xq_col=f"__sub{j}")
             for j in range(m)
