@@ -967,6 +967,46 @@ def q_image_dhash(spark, sf):
     )
 
 
+def q_card_luhn(spark, sf):
+    """Luhn-validated payment-card scan (battery member, round 4 — the
+    checksum discipline of Presidio's CreditCardRecognizer): each doc
+    plants one VALID 16-digit card (check digit computed by Luhn) and one
+    INVALID twin (check shifted by 5), in plain or dash-grouped surface
+    form by parity; ops/safety.py scan_cards must count 2 candidates,
+    validate exactly 1, and redact ONLY the valid one. The oracle
+    recomputes the check digit with its own SQL Luhn fold — the two Luhn
+    implementations are pinned against each other."""
+
+    @F.pandas_udf("string")
+    def synth(ids: pd.Series) -> pd.Series:
+        def build(i: int) -> str:
+            p15 = "4" + str((i * 7919) % 10**14).zfill(14)
+            total = 0
+            for pos, ch in enumerate(p15, start=1):
+                d = int(ch)
+                v = d * 2 if pos % 2 == 1 else d
+                total += v - 9 if v > 9 else v
+            check = (10 - total % 10) % 10
+            valid = p15 + str(check)
+            invalid = p15 + str((check + 5) % 10)
+            fmt = (
+                (lambda s: s)
+                if i % 2 == 0
+                else (lambda s: "-".join(s[j : j + 4] for j in range(0, 16, 4)))
+            )
+            return f"order {i}: card {fmt(valid)} backup {fmt(invalid)} end"
+
+        return ids.map(lambda i: build(int(i)))
+
+    from dataflow_spark.ops.safety import scan_cards
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    planted = d.select("doc_id", synth(F.col("doc_id")).alias("text"))
+    return scan_cards(planted).select(
+        "doc_id", "n_card_candidates", "n_cards_valid", "cards_redacted"
+    )
+
+
 def q_image_resize(spark, sf):
     """REAL image resize (battery member, round 4 — the resize_stub's pixel
     work done honestly): planted 16x24 constant-tile BMPs decode, box-
@@ -3401,6 +3441,9 @@ def q_score_battery(spark, sf):
                       ["dhash_hex", "band0", "band1", "band2", "band3",
                        "hash_error"],
                       s1=F.col("keep")),
+        _battery_pack(q_card_luhn(spark, sf), "card_luhn",
+                      _kcat("doc_id"), ["cards_redacted"],
+                      s1=F.col("n_card_candidates"), s2=F.col("n_cards_valid")),
         _battery_pack(q_image_resize(spark, sf), "image_resize",
                       _kcat("media_id"),
                       ["out_w", "out_h", "out_sum_r", "out_sum_g",
@@ -6646,6 +6689,48 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
     """
 
+    # card_luhn: the oracle recomputes the VALID card's check digit with
+    # its own SQL Luhn fold (double odd 1-based positions, subtract 9 over
+    # 9, sum % 10) and rebuilds text + expected redaction from the same
+    # planting arithmetic as the Spark member.
+    _ld = "CAST(substr(p15, CAST(i AS INT), 1) AS INT)"
+    _lt = f"CASE WHEN i % 2 = 1 THEN {_ld} * 2 ELSE {_ld} END"
+    o["card_luhn"] = f"""
+        WITH lb AS (
+          SELECT doc_id,
+                 '4' || lpad(CAST((doc_id * 7919) % 100000000000000 AS VARCHAR), 14, '0') AS p15
+          FROM documents
+        ),
+        lc AS (
+          SELECT doc_id, p15,
+                 CAST((10 - list_sum(list_transform(range(1, 16), i ->
+                   CASE WHEN ({_lt}) > 9 THEN ({_lt}) - 9 ELSE ({_lt}) END
+                 )) % 10) % 10 AS INT) AS chk
+          FROM lb
+        ),
+        lv AS (
+          SELECT doc_id,
+                 p15 || CAST(chk AS VARCHAR) AS valid,
+                 p15 || CAST((chk + 5) % 10 AS VARCHAR) AS invalid
+          FROM lc
+        ),
+        lf AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN valid
+                      ELSE substr(valid,1,4) || '-' || substr(valid,5,4) || '-'
+                           || substr(valid,9,4) || '-' || substr(valid,13,4) END AS fv,
+                 CASE WHEN doc_id % 2 = 0 THEN invalid
+                      ELSE substr(invalid,1,4) || '-' || substr(invalid,5,4) || '-'
+                           || substr(invalid,9,4) || '-' || substr(invalid,13,4) END AS fi
+          FROM lv
+        )
+        SELECT doc_id,
+               CAST(2 AS INT) AS n_card_candidates,
+               CAST(1 AS INT) AS n_cards_valid,
+               'order ' || doc_id || ': card [CARD] backup ' || fi || ' end' AS cards_redacted
+        FROM lf
+    """
+
     # image_resize: arithmetic oracle — resized channel sums recomputed
     # from the planted tile values (each 8x8 tile -> 4x4 constant patch:
     # sum = 16 * sum of tile values); garbage every 17th -> error row.
@@ -8174,6 +8259,9 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("image_dhash", o["image_dhash"], _kcat_sql("media_id"),
                   ["dhash_hex", "band0", "band1", "band2", "band3",
                    "hash_error"], s1="keep"),
+        _pack_sql("card_luhn", o["card_luhn"], _kcat_sql("doc_id"),
+                  ["cards_redacted"],
+                  s1="n_card_candidates", s2="n_cards_valid"),
         _pack_sql("image_resize", o["image_resize"], _kcat_sql("media_id"),
                   ["out_w", "out_h", "out_sum_r", "out_sum_g", "out_sum_b",
                    "resize_error"]),
@@ -8266,7 +8354,8 @@ def oracle_sql() -> dict[str, str]:
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",
         "minhash_new", "media_decode", "jpeg_decode", "image_dhash",
-        "image_resize", "vqa_gen", "speech2text", "pdf_extract", "mathverify",
+        "image_resize", "card_luhn", "vqa_gen", "speech2text",
+        "pdf_extract", "mathverify",
         "sql_consistency", "mathbook_extract", "code_sandbox", "multihop_qa",
         "smiles_eval", "reasoning_judge", "reasoning_dataset", "pipeline_root",
         "code_instr_loop", "prompted_thin", "t2s_qgen_cot",

@@ -163,3 +163,50 @@ def scan_secrets(
         .withColumn("has_secret", F.col("n_secrets") > 0)
         .withColumn("redacted", red)
     )
+
+
+CARD_CANDIDATE_RE = r"\b(?:\d{16}|\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4})\b"
+
+
+def _luhn_ok_expr(norm: Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812 / Luhn 1960) over a normalized 16-digit
+    string, pure JVM: double every odd 1-based position from the left (for
+    even length that is the standard every-second-from-the-right), subtract
+    9 when the doubled digit exceeds 9, valid iff the sum % 10 == 0."""
+    seq = F.sequence(F.lit(1), F.lit(16))
+
+    def term(i):
+        d = F.substring(norm, 1, 16).substr(i, F.lit(1)).cast("int")
+        v = F.when(i % 2 == 1, d * 2).otherwise(d)
+        return F.when(v > 9, v - 9).otherwise(v)
+
+    total = F.aggregate(seq, F.lit(0), lambda acc, i: acc + term(i))
+    return (F.length(norm) == 16) & (total % 10 == 0)
+
+
+def scan_cards(df: DataFrame, col: str = "text") -> DataFrame:
+    """Payment-card detection with LUHN VALIDATION — the recognizer-plus-
+    checksum discipline Presidio's CreditCardRecognizer applies (a bare
+    16-digit regex false-positives on order ids and timestamps; the Luhn
+    check drops ~90% of random digit runs). Emits `n_card_candidates`
+    (16-digit surface forms: plain / dash / space groups),
+    `n_cards_valid` (Luhn-passing), and `cards_redacted` (the text with
+    each VALID card replaced by [CARD] — invalid candidates are left
+    alone, they are not card numbers). Pure JVM expressions: candidate
+    extraction, per-candidate checksum fold, and a redaction fold over the
+    validated array — a map stage at any scale; NULL text passes through."""
+    c = F.col(col)
+    cand = F.regexp_extract_all(c, F.lit(CARD_CANDIDATE_RE), 0)
+    norm = lambda s: F.regexp_replace(s, "[- ]", "")  # noqa: E731
+    valid = F.filter(cand, lambda s: _luhn_ok_expr(norm(s)))
+    redacted = F.aggregate(
+        valid, c, lambda acc, s: F.replace(acc, s, F.lit("[CARD]"))
+    )
+    return (
+        df.withColumn("n_card_candidates", F.coalesce(F.size(cand), F.lit(0)).cast("int"))
+        .withColumn(
+            "n_cards_valid",
+            F.coalesce(F.size(valid), F.lit(0)).cast("int"),
+        )
+        .withColumn("cards_redacted", redacted)
+    )

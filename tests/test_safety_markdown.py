@@ -91,3 +91,32 @@ def test_html_to_markdown_python_twin_parity(spark):
     got = {r.id: r.text for r in refine.html_to_markdown(df).collect()}
     for i, s in enumerate(samples):
         assert got[i] == twin(s), (i, got[i], twin(s))
+
+
+def test_scan_cards_luhn_validation(spark):
+    """Round 4: card detection with the Luhn checksum — valid test PANs in
+    plain and grouped forms are found AND validated; a Luhn-failing
+    16-digit run counts as candidate only and is NOT redacted; runs longer
+    than 16 digits never match."""
+    from dataflow_spark.ops.safety import scan_cards
+
+    rows = [
+        (1, "pay 4111111111111111 now"),
+        (2, "pay 4111-1111-1111-1111 now"),
+        (3, "pay 5500 0000 0000 0004 now"),
+        (4, "order 1234567812345678 is not a card"),
+        (5, "id 41111111111111112222 long run"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r.asDict() for r in scan_cards(df).collect()}
+    for i in (1, 2, 3):
+        assert (got[i]["n_card_candidates"], got[i]["n_cards_valid"]) == (1, 1), i
+        assert "[CARD]" in got[i]["cards_redacted"]
+    assert (got[4]["n_card_candidates"], got[4]["n_cards_valid"]) == (1, 0)
+    assert got[4]["cards_redacted"] == rows[3][1]  # invalid left alone
+    assert got[5]["n_card_candidates"] == 0
+    assert got[6]["cards_redacted"] is None
+    # plan stays JVM-side (no Python eval)
+    plan = scan_cards(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
