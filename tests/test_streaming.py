@@ -1255,3 +1255,60 @@ def test_streaming_kmv_sketch_matches_batch_and_replays(spark, tmp_path):
     for _, r in merged.iterrows():
         want = [v for v in r["sketch_f"] if v < (1 << 46)][:8]
         assert list(r["sketch_t"]) == want
+
+
+def test_streaming_image_dedup_on_perceptual_hash(spark, tmp_path):
+    """Round 4 composition: the media decode + dHash stage runs INSIDE a
+    stream (mapInPandas over micro-batches) and DedupAppendSink keyed on
+    the perceptual hash keeps only the first rendering of each image —
+    duplicates arriving in LATER micro-batches, even through a different
+    container (BMP vs PNG), drop against the accumulated target."""
+    import numpy as np
+
+    from dataflow_spark.ops import multimodal as M
+    from dataflow_spark.streaming.sink import DedupAppendSink
+
+    def img(seed):
+        a = np.zeros((8, 9, 3), dtype=np.uint8)
+        for r in range(8):
+            for c in range(9):
+                k = r * 9 + c
+                a[r, c, :] = (seed * 31 + k * k * 13) % 256
+        return a
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    chunk1 = pd.DataFrame(
+        {"media_id": [1, 2], "payload": [M.encode_bmp(img(1)), M.encode_bmp(img(2))]}
+    )
+    # chunk 2: image 1 again as PNG (cross-container dup) + a new image
+    chunk2 = pd.DataFrame(
+        {"media_id": [3, 4], "payload": [M.encode_png(img(1)), M.encode_bmp(img(5))]}
+    )
+    t0 = time.time() - 20
+    for i, ch in enumerate((chunk1, chunk2)):
+        p = os.path.join(src, f"part-{i:04d}.parquet")
+        ch.to_parquet(p, index=False)
+        os.utime(p, (t0 + i * 10, t0 + i * 10))
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+    sink = DedupAppendSink(str(tmp_path / "out"), key_cols=["dhash"], order_cols=["media_id"])
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    staged = M.image_dhash_features(sdf).filter(F.col("dhash").isNotNull())
+    q = (
+        staged.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["media_id"] for r in sink.read(spark).collect())
+    assert got == [1, 2, 4]  # 3 (cross-container dup of 1) dropped
