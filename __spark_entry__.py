@@ -967,6 +967,46 @@ def q_image_dhash(spark, sf):
     )
 
 
+def q_vad_segments(spark, sf):
+    """Voice-activity detection (battery member, round 4 — the energy-gated
+    segmentation every ASR pipeline runs before recognition, Rabiner &
+    Sambur 1975): each doc plants [2 silence][A tone][4 silence][B tone]
+    [2 silence] frames (A = doc_id%3+1, B = doc_id%2+1) as REAL PCM16 WAV;
+    ops/multimodal.py vad_stage decodes, frames, energy-gates and
+    hangover-merges — the 4-frame gap exceeds hang=2, so exactly two
+    segments with construction-known bounds come out. Garbage every 17th
+    -> error row. The oracle recomputes the segment table from the
+    planting arithmetic alone."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from dataflow_spark.ops import multimodal
+
+    @F.pandas_udf(BinaryType())
+    def synth_wav(ids: pd.Series) -> pd.Series:
+        def tone(n_frames: int) -> np.ndarray:
+            j = np.arange(n_frames * 100)
+            return np.where((j // 4) % 2 == 0, 8000, -8000).astype(np.int16)
+
+        sil = lambda n: np.zeros(n * 100, np.int16)  # noqa: E731
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 17 == 0:
+                out.append(b"\x00garbage-not-a-wav")
+                continue
+            a, b = i % 3 + 1, i % 2 + 1
+            s = np.concatenate([sil(2), tone(a), sil(4), tone(b), sil(2)])
+            out.append(multimodal.encode_wav(s))
+        return pd.Series(out)
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    media = d.select(
+        F.col("doc_id").alias("media_id"), synth_wav(F.col("doc_id")).alias("payload")
+    )
+    return multimodal.vad_stage(media)
+
+
 def q_card_luhn(spark, sf):
     """Luhn-validated payment-card scan (battery member, round 4 — the
     checksum discipline of Presidio's CreditCardRecognizer): each doc
@@ -3441,6 +3481,10 @@ def q_score_battery(spark, sf):
                       ["dhash_hex", "band0", "band1", "band2", "band3",
                        "hash_error"],
                       s1=F.col("keep")),
+        _battery_pack(q_vad_segments(spark, sf), "vad_segments",
+                      _kcat("media_id", "seg_idx"),
+                      ["start_frame", "end_frame", "vad_error"],
+                      s1=F.col("n_frames")),
         _battery_pack(q_card_luhn(spark, sf), "card_luhn",
                       _kcat("doc_id"), ["cards_redacted"],
                       s1=F.col("n_card_candidates"), s2=F.col("n_cards_valid")),
@@ -6689,6 +6733,24 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
     """
 
+    # vad_segments: arithmetic oracle — the planted layout [2 sil][A tone]
+    # [4 sil][B tone][2 sil] with hang=2 yields exactly two segments with
+    # construction-known bounds (the 4-frame gap splits, nothing merges).
+    o["vad_segments"] = """
+        SELECT doc_id AS media_id,
+               CAST(g.i AS INT) AS seg_idx,
+               CAST(CASE g.i WHEN 0 THEN 2 ELSE 6 + a END AS INT) AS start_frame,
+               CAST(CASE g.i WHEN 0 THEN 2 + a ELSE 6 + a + b END AS INT) AS end_frame,
+               CAST(CASE g.i WHEN 0 THEN a ELSE b END AS INT) AS n_frames,
+               CAST(NULL AS VARCHAR) AS vad_error
+        FROM (SELECT doc_id, doc_id % 3 + 1 AS a, doc_id % 2 + 1 AS b
+              FROM documents WHERE doc_id % 17 <> 0) t,
+             (SELECT unnest(range(0, 2)) AS i) g
+        UNION ALL
+        SELECT doc_id AS media_id, NULL, NULL, NULL, NULL, 'Error'
+        FROM documents WHERE doc_id % 17 = 0
+    """
+
     # card_luhn: the oracle recomputes the VALID card's check digit with
     # its own SQL Luhn fold (double odd 1-based positions, subtract 9 over
     # 9, sum % 10) and rebuilds text + expected redaction from the same
@@ -8259,6 +8321,8 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("image_dhash", o["image_dhash"], _kcat_sql("media_id"),
                   ["dhash_hex", "band0", "band1", "band2", "band3",
                    "hash_error"], s1="keep"),
+        _pack_sql("vad_segments", o["vad_segments"], _kcat_sql("media_id", "seg_idx"),
+                  ["start_frame", "end_frame", "vad_error"], s1="n_frames"),
         _pack_sql("card_luhn", o["card_luhn"], _kcat_sql("doc_id"),
                   ["cards_redacted"],
                   s1="n_card_candidates", s2="n_cards_valid"),
@@ -8354,7 +8418,7 @@ def oracle_sql() -> dict[str, str]:
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",
         "minhash_new", "media_decode", "jpeg_decode", "image_dhash",
-        "image_resize", "card_luhn", "vqa_gen", "speech2text",
+        "image_resize", "card_luhn", "vad_segments", "vqa_gen", "speech2text",
         "pdf_extract", "mathverify",
         "sql_consistency", "mathbook_extract", "code_sandbox", "multihop_qa",
         "smiles_eval", "reasoning_judge", "reasoning_dataset", "pipeline_root",

@@ -1606,3 +1606,96 @@ def resize_image(
             yield pdf_out
 
     return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Voice-activity detection (VAD) — the segmentation step every production
+# ASR pipeline runs BEFORE the recognizer (energy-gated framing with
+# hangover smoothing; Rabiner & Sambur 1975's energy/ZCR endpoint scheme in
+# its integer form). Consumes the same PCM16 WAV path as the CTC stage and
+# emits per-file speech segments, so speech corpora can be chunked and
+# silence-trimmed at corpus scale. Integer end-to-end: frame energy is an
+# int64 sum of squares, the threshold an integer, so planted tone/silence
+# layouts replay arithmetically in tests.
+# ---------------------------------------------------------------------------
+
+VAD_FRAME = 100
+
+
+def vad_segments(samples, threshold: int = 1_000_000, hang: int = 2):
+    """Frame-energy VAD over int16 samples: a frame (VAD_FRAME samples) is
+    active iff its energy sum(s^2) >= threshold; active runs closer than
+    `hang` inactive frames apart merge (hangover); returns a list of
+    (start_frame, end_frame_exclusive, n_frames) segments."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    flags = []
+    for i in range(0, len(s) - VAD_FRAME + 1, VAD_FRAME):
+        f = s[i : i + VAD_FRAME]
+        flags.append(int((f * f).sum()) >= threshold)
+    segs = []
+    start = None
+    gap = 0
+    for i, on in enumerate(flags):
+        if on:
+            if start is None:
+                start = i
+            gap = 0
+        elif start is not None:
+            gap += 1
+            if gap > hang:
+                end = i - gap + 1
+                segs.append((start, end, end - start))
+                start, gap = None, 0
+    if start is not None:
+        end = len(flags) - gap
+        segs.append((start, end, end - start))
+    return segs
+
+
+VAD_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("seg_idx", IntegerType()),
+        StructField("start_frame", IntegerType()),
+        StructField("end_frame", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("vad_error", StringType()),
+    ]
+)
+
+
+def vad_stage(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    threshold: int = 1_000_000,
+    hang: int = 2,
+) -> DataFrame:
+    """WAV payloads -> one row per detected speech segment (explode shape,
+    like the chunkers); files with NO active frames emit a single row with
+    seg_idx NULL so every input stays visible; corrupt blobs -> error rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                base = {"media_id": int(mid), "seg_idx": None, "start_frame": None,
+                        "end_frame": None, "n_frames": None, "vad_error": None}
+                try:
+                    _, s = decode_wav(bytes(payload) if payload is not None else b"")
+                    segs = vad_segments(s, threshold=threshold, hang=hang)
+                    if not segs:
+                        out.append(base)
+                    for j, (a, b, n) in enumerate(segs):
+                        row = dict(base)
+                        row.update(seg_idx=j, start_frame=a, end_frame=b, n_frames=n)
+                        out.append(row)
+                except Exception as e:
+                    row = dict(base)
+                    row["vad_error"] = type(e).__name__
+                    out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in VAD_SCHEMA.fields])
+
+    return df.mapInPandas(run, VAD_SCHEMA)

@@ -525,3 +525,36 @@ def test_box_resize_real_pixels(spark):
     w, h, back = M.decode_bmp(bytes(got[1]["payload"]))
     assert (w, h) == (12, 8) and (back == small).all()
     assert got[2]["resize_error"] is not None and got[2]["payload"] is None
+
+
+def test_vad_segments_energy_gating(spark):
+    """Round 4: VAD — energy-gated frames with hangover merging; short
+    gaps merge, long gaps split, silent files emit a NULL-segment row,
+    corrupt blobs error."""
+    import numpy as np
+
+    from dataflow_spark.ops import multimodal as M
+
+    def tone(n_frames):
+        j = np.arange(n_frames * 100)
+        return np.where((j // 4) % 2 == 0, 8000, -8000).astype(np.int16)
+
+    sil = lambda n: np.zeros(n * 100, np.int16)
+    layout = np.concatenate([sil(2), tone(3), sil(1), tone(2), sil(4), tone(1)])
+    assert M.vad_segments(layout) == [(2, 8, 6), (12, 13, 1)]  # gap 1 merges, gap 4 splits
+    assert M.vad_segments(sil(5)) == []
+
+    rows = [
+        (1, M.encode_wav(layout)),
+        (2, M.encode_wav(sil(5))),
+        (3, b"\x00junk-not-a-wav-xx"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {}
+    for r in M.vad_stage(df).collect():
+        got.setdefault(r["media_id"], []).append(r.asDict())
+    segs = sorted((r["seg_idx"], r["start_frame"], r["end_frame"], r["n_frames"])
+                  for r in got[1])
+    assert segs == [(0, 2, 8, 6), (1, 12, 13, 1)]
+    assert got[2][0]["seg_idx"] is None and got[2][0]["vad_error"] is None
+    assert got[3][0]["vad_error"] is not None
