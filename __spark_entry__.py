@@ -954,10 +954,20 @@ def q_image_dhash(spark, sf):
     media = d.select(
         F.col("doc_id").alias("media_id"), synth_img(F.col("doc_id")).alias("payload")
     )
+    from pyspark.sql import Window
+
+    # keep computed in ONE window pass over the features (no join back, so
+    # the python decode+hash mapInPandas lineage evaluates once, not twice
+    # — review round 4); NULL-hash error rows get NULL keep
     feats = multimodal.image_dhash_features(media)
-    keep = multimodal.image_dedup_exact(feats).select("media_id", "keep")
+    w = Window.partitionBy("dhash").orderBy("media_id")
     hex4 = lambda c: F.lpad(F.lower(F.hex(c)), 4, "0")  # noqa: E731
-    return feats.join(keep, "media_id", "left").select(
+    return feats.withColumn(
+        "keep",
+        F.when(
+            F.col("dhash").isNotNull(), (F.row_number().over(w) == 1).cast("int")
+        ),
+    ).select(
         "media_id",
         F.when(
             F.col("dhash").isNotNull(),

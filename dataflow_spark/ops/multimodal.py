@@ -1236,6 +1236,8 @@ def decode_jpeg(payload: bytes):
                 raise ValueError("only 8-bit 3-component baseline supported")
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if (hv >> 4) == 0 or (hv & 15) == 0:
+                    raise ValueError("zero sampling factor")
                 comp.append((cid, hv >> 4, hv & 15, tq))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline SOF0 supported")
@@ -1356,13 +1358,21 @@ def dhash64(arr) -> int:
     a = np.asarray(arr, dtype=np.int64)
     h, w = a.shape[0], a.shape[1]
     gray = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
-    ys = np.arange(h) * 8 // h
-    xs = np.arange(w) * 9 // w
     cells = np.zeros((8, 9), dtype=np.int64)
+    # contiguous source ranges per cell — identical to the y*8//h bucket
+    # partition when downscaling, and never-empty (nearest row/col) when
+    # the image is SMALLER than the grid (review round 4: a 4x4 thumbnail
+    # hit empty buckets and ZeroDivisionError)
+    # clamped: for h < 8 the ceil start can reach h (e.g. h=4, r=7), so
+    # fall back to the nearest source row/col
     for r in range(8):
-        rows = gray[ys == r]
+        y0 = min((r * h + 7) // 8, h - 1)
+        y1 = max(min(((r + 1) * h + 7) // 8, h), y0 + 1)
+        rows = gray[y0:y1]
         for c in range(9):
-            block = rows[:, xs == c]
+            x0 = min((c * w + 8) // 9, w - 1)
+            x1 = max(min(((c + 1) * w + 8) // 9, w), x0 + 1)
+            block = rows[:, x0:x1]
             cells[r][c] = int(block.sum()) // block.size
     hsh = 0
     for r in range(8):
@@ -1535,14 +1545,22 @@ def box_resize(arr, out_h: int, out_w: int):
 
     a = np.asarray(arr, dtype=np.int64)
     h, w = a.shape[0], a.shape[1]
-    ys = np.arange(h) * out_h // h
-    xs = np.arange(w) * out_w // w
     out = np.zeros((out_h, out_w, 3), dtype=np.int64)
+    # contiguous source ranges per output cell: identical to the
+    # y*out_h//h bucket partition on downscale, never-empty nearest-pixel
+    # ranges on UPSCALE (review round 4: upscaling hit empty buckets and
+    # ZeroDivisionError)
     for r in range(out_h):
-        rows = a[ys == r]
+        y0 = (r * h + out_h - 1) // out_h
+        y1 = max(((r + 1) * h + out_h - 1) // out_h, y0 + 1)
+        rows = a[min(y0, h - 1) : max(min(y1, h), min(y0, h - 1) + 1)]
         for c in range(out_w):
-            block = rows[:, xs == c]
-            out[r, c] = block.reshape(-1, 3).sum(axis=0) // (block.shape[0] * block.shape[1])
+            x0 = (c * w + out_w - 1) // out_w
+            x1 = max(((c + 1) * w + out_w - 1) // out_w, x0 + 1)
+            block = rows[:, min(x0, w - 1) : max(min(x1, w), min(x0, w - 1) + 1)]
+            out[r, c] = block.reshape(-1, 3).sum(axis=0) // (
+                block.shape[0] * block.shape[1]
+            )
     return out.astype(np.uint8)
 
 
@@ -1623,15 +1641,17 @@ VAD_FRAME = 100
 
 
 def vad_segments(samples, threshold: int = 1_000_000, hang: int = 2):
-    """Frame-energy VAD over int16 samples: a frame (VAD_FRAME samples) is
-    active iff its energy sum(s^2) >= threshold; active runs closer than
-    `hang` inactive frames apart merge (hangover); returns a list of
+    """Frame-energy VAD over int16 samples: a frame (VAD_FRAME samples; the
+    trailing PARTIAL frame is included — end-of-file speech must not
+    vanish) is active iff its energy sum(s^2) >= threshold; active runs
+    separated by AT MOST `hang` inactive frames merge (hangover: gap <=
+    hang merges, gap > hang splits); returns a list of
     (start_frame, end_frame_exclusive, n_frames) segments."""
     import numpy as np
 
     s = np.asarray(samples, dtype=np.int64)
     flags = []
-    for i in range(0, len(s) - VAD_FRAME + 1, VAD_FRAME):
+    for i in range(0, len(s), VAD_FRAME):
         f = s[i : i + VAD_FRAME]
         flags.append(int((f * f).sum()) >= threshold)
     segs = []

@@ -199,8 +199,16 @@ def scan_cards(df: DataFrame, col: str = "text") -> DataFrame:
     cand = F.regexp_extract_all(c, F.lit(CARD_CANDIDATE_RE), 0)
     norm = lambda s: F.regexp_replace(s, "[- ]", "")  # noqa: E731
     valid = F.filter(cand, lambda s: _luhn_ok_expr(norm(s)))
+    # \b-anchored replace, NOT a raw substring replace: a validated card's
+    # digits embedded inside a LONGER run (an order id the \b candidate
+    # guard correctly skipped) must not be mangled (review round 4).
+    # Candidates contain only digits/dash/space — no regex metachars.
     redacted = F.aggregate(
-        valid, c, lambda acc, s: F.replace(acc, s, F.lit("[CARD]"))
+        valid,
+        c,
+        lambda acc, s: F.regexp_replace(
+            acc, F.concat(F.lit(r"\b"), s, F.lit(r"\b")), F.lit("[CARD]")
+        ),
     )
     return (
         df.withColumn("n_card_candidates", F.coalesce(F.size(cand), F.lit(0)).cast("int"))

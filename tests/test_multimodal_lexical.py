@@ -558,3 +558,56 @@ def test_vad_segments_energy_gating(spark):
     assert segs == [(0, 2, 8, 6), (1, 12, 13, 1)]
     assert got[2][0]["seg_idx"] is None and got[2][0]["vad_error"] is None
     assert got[3][0]["vad_error"] is not None
+
+
+def test_round4_review2_fixes():
+    """Second review pass: upscale resize works (no empty buckets), tiny
+    images hash (no ZeroDivision), zero sampling factors reject as
+    ValueError, VAD sees the trailing partial frame and pins hang
+    boundaries (gap==hang merges, gap==hang+1 splits)."""
+    import numpy as np
+    import pytest
+
+    from dataflow_spark.ops import multimodal as M
+
+    # upscale: 2x2 -> 4x4 nearest replication
+    tiny = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    up = M.box_resize(tiny, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert (up[0, 0] == tiny[0, 0]).all() and (up[3, 3] == tiny[1, 1]).all()
+
+    # tiny-image dhash: deterministic, no crash
+    h = M.dhash64(np.full((4, 4, 3), 7, dtype=np.uint8))
+    assert isinstance(h, int)
+
+    # zero sampling factor -> honest ValueError
+    tiles = np.full((8, 8, 3), 130, dtype=np.uint8)
+    enc = bytearray(M.encode_jpeg(tiles))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 11] = 0x01  # Y component hv byte (marker+len+6+cid) -> h=0
+    with pytest.raises(ValueError):
+        M.decode_jpeg(bytes(enc))
+
+    # VAD trailing partial frame is examined
+    burst = np.concatenate([np.zeros(200, np.int16), np.full(50, 8000, np.int16)])
+    assert M.vad_segments(burst) == [(2, 3, 1)]
+    # hang boundary: gap == hang merges, gap == hang + 1 splits
+    def layout(gap):
+        t = np.where((np.arange(100) // 4) % 2 == 0, 8000, -8000).astype(np.int16)
+        return np.concatenate([t, np.zeros(gap * 100, np.int16), t])
+    assert M.vad_segments(layout(2), hang=2) == [(0, 4, 4)]
+    assert M.vad_segments(layout(3), hang=2) == [(0, 1, 1), (4, 5, 1)]
+
+
+def test_scan_cards_embedded_run_not_mangled(spark):
+    """Second review pass: a validated card's digits inside a LONGER run
+    (excluded by the \\b candidate guard) must not be redacted."""
+    from dataflow_spark.ops.safety import scan_cards
+
+    df = spark.createDataFrame(
+        [(1, "card 4111111111111111 ref 41111111111111112222")],
+        "id long, text string",
+    )
+    r = scan_cards(df).collect()[0]
+    assert r["n_card_candidates"] == 1 and r["n_cards_valid"] == 1
+    assert r["cards_redacted"] == "card [CARD] ref 41111111111111112222"
