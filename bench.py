@@ -117,6 +117,10 @@ HEADLINE = [
     "mathverify",
     "jpeg_decode",
     "image_dhash",
+    "image_resize",
+    "card_luhn",
+    "vad_segments",
+    "vqa_gen",
 ]
 
 
