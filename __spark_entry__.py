@@ -977,6 +977,39 @@ def q_image_dhash(spark, sf):
     )
 
 
+def q_html_extract(spark, sf):
+    """Main-content extraction (battery member, round 4 — the jusText/
+    trafilatura boilerplate-removal step of RefinedWeb §3.1.3): each doc
+    plants a page with a link-dense nav, one or two stopword-rich content
+    paragraphs (doc_id-templated), a short promo div and a stopword-poor
+    footer; ops/refine.py extract_main_content must keep exactly the
+    content paragraphs. The oracle rebuilds the expected main_text from
+    the same templates (construction-known classification)."""
+    from dataflow_spark.ops import refine
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    p1 = F.concat(
+        F.lit("the quick result of the run for doc "), sid,
+        F.lit(" is that it has all of the data in it"),
+    )
+    p2 = F.concat(
+        F.lit("here is the second part of the story for doc "), sid,
+        F.lit(" and it is also kept in the body"),
+    )
+    html = F.concat(
+        F.lit("<nav><a href='/'>Home</a> <a href='/a'>About</a> <a href='/c'>Contact</a></nav><p>"),
+        p1,
+        F.lit("</p><div>Short promo</div>"),
+        F.when(F.col("doc_id") % 4 != 0, F.concat(F.lit("<p>"), p2, F.lit("</p>"))).otherwise(F.lit("")),
+        F.lit("<footer>Copyright 2026 Example Corp All Rights Reserved Terms Privacy Sitemap</footer>"),
+    )
+    planted = d.select("doc_id", html.alias("text"))
+    return refine.extract_main_content(planted).select(
+        "doc_id", "n_blocks", "n_content_blocks", "main_text"
+    )
+
+
 def q_vad_segments(spark, sf):
     """Voice-activity detection (battery member, round 4 — the energy-gated
     segmentation every ASR pipeline runs before recognition, Rabiner &
@@ -3491,6 +3524,9 @@ def q_score_battery(spark, sf):
                       ["dhash_hex", "band0", "band1", "band2", "band3",
                        "hash_error"],
                       s1=F.col("keep")),
+        _battery_pack(q_html_extract(spark, sf), "html_extract",
+                      _kcat("doc_id"), ["main_text"],
+                      s1=F.col("n_blocks"), s2=F.col("n_content_blocks")),
         _battery_pack(q_vad_segments(spark, sf), "vad_segments",
                       _kcat("media_id", "seg_idx"),
                       ["start_frame", "end_frame", "vad_error"],
@@ -6743,6 +6779,23 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
     """
 
+    # html_extract: arithmetic oracle — the planting makes classification
+    # construction-known (nav is link-dense, promo too short, footer
+    # stopword-poor; the templated paragraphs always pass), so the oracle
+    # rebuilds n_blocks / n_content_blocks / main_text from the templates.
+    o["html_extract"] = """
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 4 <> 0 THEN 5 ELSE 4 END AS INT) AS n_blocks,
+               CAST(CASE WHEN doc_id % 4 <> 0 THEN 2 ELSE 1 END AS INT) AS n_content_blocks,
+               'the quick result of the run for doc ' || doc_id
+                 || ' is that it has all of the data in it'
+                 || CASE WHEN doc_id % 4 <> 0
+                         THEN chr(10) || 'here is the second part of the story for doc '
+                              || doc_id || ' and it is also kept in the body'
+                         ELSE '' END AS main_text
+        FROM documents
+    """
+
     # vad_segments: arithmetic oracle — the planted layout [2 sil][A tone]
     # [4 sil][B tone][2 sil] with hang=2 yields exactly two segments with
     # construction-known bounds (the 4-frame gap splits, nothing merges).
@@ -8331,6 +8384,8 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("image_dhash", o["image_dhash"], _kcat_sql("media_id"),
                   ["dhash_hex", "band0", "band1", "band2", "band3",
                    "hash_error"], s1="keep"),
+        _pack_sql("html_extract", o["html_extract"], _kcat_sql("doc_id"),
+                  ["main_text"], s1="n_blocks", s2="n_content_blocks"),
         _pack_sql("vad_segments", o["vad_segments"], _kcat_sql("media_id", "seg_idx"),
                   ["start_frame", "end_frame", "vad_error"], s1="n_frames"),
         _pack_sql("card_luhn", o["card_luhn"], _kcat_sql("doc_id"),
@@ -8428,8 +8483,8 @@ def oracle_sql() -> dict[str, str]:
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",
         "minhash_new", "media_decode", "jpeg_decode", "image_dhash",
-        "image_resize", "card_luhn", "vad_segments", "vqa_gen", "speech2text",
-        "pdf_extract", "mathverify",
+        "image_resize", "card_luhn", "vad_segments", "html_extract",
+        "vqa_gen", "speech2text", "pdf_extract", "mathverify",
         "sql_consistency", "mathbook_extract", "code_sandbox", "multihop_qa",
         "smiles_eval", "reasoning_judge", "reasoning_dataset", "pipeline_root",
         "code_instr_loop", "prompted_thin", "t2s_qgen_cot",

@@ -599,3 +599,61 @@ def extract_mathbook_questions(
         refs.alias("image_refs"),
         F.size(refs).cast("int").alias("n_images"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (jusText/trafilatura-lite — the boilerplate
+# removal step RefinedWeb §3.1.3 runs with trafilatura and CCNet-class
+# pipelines run with jusText, Pomikálek 2011): split the page into
+# block-level segments, classify each by length / stopword density / link
+# density, keep the content blocks. Pure JVM expressions (split + higher-
+# order array functions), so the stage is a map at any scale and the
+# DuckDB oracle replays it rule-for-rule.
+# ---------------------------------------------------------------------------
+
+BLOCK_TAG_RE = r"(?i)</?(?:p|div|h[1-6]|li|td|article|section|blockquote|header|footer|nav|aside|ul|ol|table|tr)[^>]*>"
+INLINE_TAG_RE = r"<[^>]+>"
+
+
+def extract_main_content(
+    df: DataFrame,
+    col: str = "text",
+    min_words: int = 10,
+    min_stop_ratio_bp: int = 1500,
+    max_links: int = 2,
+) -> DataFrame:
+    """jusText-lite block classification: the HTML splits into block-tag
+    segments; a block is CONTENT iff it has >= min_words words (after
+    inline-tag stripping and whitespace collapse), a stopword ratio of at
+    least min_stop_ratio_bp basis points, and at most max_links <a links
+    (headers/footers/navs are short, stopword-poor and link-dense — the
+    jusText signals in integer form). Appends `main_text` (content blocks
+    joined by newlines), `n_blocks`, `n_content_blocks`. NULL html ->
+    NULL/NULL/NULL."""
+    html = F.col(col)
+    blocks = F.split(html, BLOCK_TAG_RE)
+
+    def clean_of(b):
+        return F.trim(F.regexp_replace(F.regexp_replace(b, INLINE_TAG_RE, " "), r"\s+", " "))
+
+    def words_of(b):
+        return F.filter(F.split(clean_of(b), " "), lambda w: w != "")
+
+    def is_content(b):
+        ws = words_of(b)
+        n = F.size(ws)
+        stops = F.size(F.filter(ws, lambda w: F.lower(w).isin(*EN_STOPWORDS)))
+        links = F.size(F.split(b, r"(?i)<a[\s>]")) - 1
+        return (
+            (n >= F.lit(min_words))
+            & (stops * 10000 >= F.lit(min_stop_ratio_bp) * n)
+            & (links <= F.lit(max_links))
+        )
+
+    nonempty = F.filter(blocks, lambda b: clean_of(b) != "")
+    content = F.filter(nonempty, is_content)
+    return (
+        df.withColumn("main_text", F.array_join(F.transform(content, clean_of), "\n"))
+        .withColumn("n_blocks", F.size(nonempty).cast("int"))
+        .withColumn("n_content_blocks", F.size(content).cast("int"))
+    )

@@ -279,3 +279,33 @@ def test_url_quality_filter(spark):
     # NULL url coalesces to '': no signal fires, keep stays a defined TRUE
     # (never a NULL that a downstream WHERE would silently drop)
     assert got[7]["host"] == "" and got[7]["keep"] is True
+
+
+def test_extract_main_content_justext_lite(spark):
+    """Round 4: jusText/trafilatura-lite boilerplate removal — link-dense
+    navs, short promos and stopword-poor footers drop; stopword-rich
+    paragraphs survive; pure JVM (no Python eval in the plan)."""
+    from dataflow_spark.ops.refine import extract_main_content
+
+    html = (
+        "<nav><a href='/'>Home</a> <a href='/a'>About</a> <a href='/c'>C</a></nav>"
+        "<p>This is the main article and it has all of the words that a reader "
+        "would want to see in the content.</p>"
+        "<div>Short promo</div>"
+        "<p>Here is another long paragraph of the page with the usual mix of "
+        "the common words and it is kept too.</p>"
+        "<footer>Copyright 2026 Example Corp All Rights Reserved Terms Privacy</footer>"
+    )
+    df = spark.createDataFrame([(1, html), (2, None), (3, "<p></p>")],
+                               "id long, text string")
+    out = extract_main_content(df)
+    got = {r["id"]: r.asDict() for r in out.collect()}
+    assert got[1]["n_blocks"] == 5 and got[1]["n_content_blocks"] == 2
+    parts = got[1]["main_text"].split("\n")
+    assert parts[0].startswith("This is the main article")
+    assert parts[1].startswith("Here is another long paragraph")
+    assert "Copyright" not in got[1]["main_text"] and "Home" not in got[1]["main_text"]
+    assert got[2]["main_text"] is None and got[2]["n_blocks"] is None
+    assert got[3]["n_blocks"] == 0 and got[3]["n_content_blocks"] == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
