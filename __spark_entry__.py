@@ -6810,7 +6810,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE doc_id % 17 <> 0) t,
              (SELECT unnest(range(0, 2)) AS i) g
         UNION ALL
-        SELECT doc_id AS media_id, NULL, NULL, NULL, NULL, 'Error'
+        SELECT doc_id AS media_id, NULL, NULL, NULL, NULL, 'error'
         FROM documents WHERE doc_id % 17 = 0
     """
 
@@ -6950,7 +6950,7 @@ def oracle_sql() -> dict[str, str]:
                END AS transcript,
                CASE WHEN doc_id % 17 = 0 THEN NULL
                     ELSE CAST(doc_id % 4 + 1 AS BIGINT) END AS n_tokens,
-               CASE WHEN doc_id % 17 = 0 THEN 'Error' ELSE NULL END AS asr_error
+               CASE WHEN doc_id % 17 = 0 THEN 'error' ELSE NULL END AS asr_error
         FROM documents
     """
 

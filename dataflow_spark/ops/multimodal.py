@@ -827,7 +827,10 @@ def speech_to_text_stage(
                     _, s = decode_wav(bytes(payload) if payload is not None else b"")
                     row["transcript"], row["n_tokens"] = model.transcribe_samples(s)
                 except Exception as e:
-                    row["asr_error"] = type(e).__name__
+                    # fixed sentinel, NOT type(e).__name__ — the battery oracle
+                    # matches a literal, and exception class names must not
+                    # leak into the data contract (advice round 4)
+                    row["asr_error"] = "error"
                 out.append(row)
             yield pd.DataFrame(out, columns=[f.name for f in SPEECH_SCHEMA.fields])
 
@@ -1426,7 +1429,10 @@ def image_dhash_features(
                     for i in range(4):
                         row[f"band{i}"] = (hsh >> (16 * i)) & 0xFFFF
                 except Exception as e:
-                    row["hash_error"] = type(e).__name__
+                    # fixed sentinel, NOT type(e).__name__ — the battery oracle
+                    # matches a literal, and exception class names must not
+                    # leak into the data contract (advice round 4)
+                    row["hash_error"] = "error"
                 out.append(row)
             pdf_out = pd.DataFrame(out, columns=[f.name for f in IMAGE_DHASH_SCHEMA.fields])
             # build the hash column as nullable Int64 DIRECTLY from the
@@ -1615,7 +1621,10 @@ def resize_image(
                         out_sum_b=int(s[:, :, 2].sum()),
                     )
                 except Exception as e:
-                    row["resize_error"] = type(e).__name__
+                    # fixed sentinel, NOT type(e).__name__ — the battery oracle
+                    # matches a literal, and exception class names must not
+                    # leak into the data contract (advice round 4)
+                    row["resize_error"] = "error"
                 out.append(row)
             pdf_out = pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
             for c in ("out_sum_r", "out_sum_g", "out_sum_b"):
@@ -1714,7 +1723,10 @@ def vad_stage(
                         out.append(row)
                 except Exception as e:
                     row = dict(base)
-                    row["vad_error"] = type(e).__name__
+                    # fixed sentinel, NOT type(e).__name__ — the battery oracle
+                    # matches a literal, and exception class names must not
+                    # leak into the data contract (advice round 4)
+                    row["vad_error"] = "error"
                     out.append(row)
             yield pd.DataFrame(out, columns=[f.name for f in VAD_SCHEMA.fields])
 

@@ -29,6 +29,8 @@ All four close reference-parity gaps flagged in round 1:
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -447,6 +449,9 @@ NER_BUCKETS = 4096
 # the text diverges engine-vs-oracle (review round 4). The STRIP set keeps
 # \v because the oracle's trim list includes chr(11).
 RE2_WS = " \t\n\r\f"
+# the compiled splitter/collapser for that class — hoisted so per-row code
+# (NER tagger, trigram lang-ID) never re-enters re.compile (advice round 4)
+RE2_WS_RE = re.compile(f"[{RE2_WS}]+")
 _MD5_BUCKET_CACHE: dict[str, int] = {}
 
 
@@ -513,13 +518,11 @@ class NERTaggerModel:
         return "o"
 
     def tag_one(self, t: str | None) -> tuple[str | None, int | None]:
-        import re
-
         if t is None:
             return None, None
         if t.strip(" \t\n\r\f\v") == "":
             return t, 0  # no tokens to tag — avoids scoring the '' token
-        ws_re = re.compile(f"[{RE2_WS}]+")
+        ws_re = RE2_WS_RE
         bucket = md5_bucket
 
         out, n = [], 0
@@ -694,6 +697,17 @@ SCRIPT_SUBRULES: dict[str, tuple[tuple[str, str], ...]] = {
 }
 
 
+# one char-class union of every script range: a row matching it takes the
+# script path inside _script_or, so its trigram prediction is discarded.
+# lang_id_v3_stage skips scoring those rows (advice round 4 — the trained
+# head over to-be-discarded non-Latin rows dominated eval_accuracy's cost).
+# Exact: _script_or uses the fallback iff NO range matches, and matching
+# this union class is equivalent to matching some [lo-hi] member.
+_SCRIPT_UNION_RE = re.compile(
+    "[" + "".join(f"{lo}-{hi}" for _, lo, hi in SCRIPT_RANGES) + "]"
+)
+
+
 def lang_id_v2(col: Column) -> Column:
     """fastText-class stand-in (LanguageFilter, language_filter.py:61-65):
     27 scripts by codepoint presence (first match in SCRIPT_RANGES order),
@@ -796,15 +810,13 @@ class LangTrigramModel:
         self.langs = [str(x) for x in data["langs"]]
 
     def predict_one(self, t: str | None) -> str | None:
-        import re
-
         import numpy as np
 
         if t is None:
             return None
         # collapse on RE2's \s class (no \x0b) so the oracle's
         # regexp_replace('\s+') sees the same string (review round 4)
-        s = re.sub(f"[{RE2_WS}]+", " ", t.strip(" \t\n\r\f\v").lower())
+        s = RE2_WS_RE.sub(" ", t.strip(" \t\n\r\f\v").lower())
         s2 = " " + s + " "
         # no ascii letter at all (digits/punctuation soup) -> no linguistic
         # evidence; don't let collision buckets vote (every Latin-script
@@ -844,7 +856,17 @@ def lang_id_v3_stage(
         model = _load_model(lambda: LangTrigramModel(path), f"langid_tri:{path}")
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["__tri_lang"] = model.predict_batch(pdf[text_col])
+            texts = pdf[text_col]
+            # score only rows whose prediction _script_or will actually use:
+            # any row containing a script-range codepoint takes the script
+            # path, so its __tri_lang is dead — skip the trigram model there
+            mask = texts.map(
+                lambda t: t is not None and _SCRIPT_UNION_RE.search(t) is None
+            )
+            out = pd.Series([None] * len(pdf), index=pdf.index, dtype=object)
+            if bool(mask.any()):
+                out[mask] = model.predict_batch(texts[mask])
+            pdf["__tri_lang"] = out
             yield pdf
 
     staged = df.mapInPandas(run, schema)

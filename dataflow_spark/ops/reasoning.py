@@ -379,9 +379,18 @@ def math_verify_judge(
         # short-circuiting must happen inside, review round 4)
         @pandas_udf("boolean")
         def poly_or(v: pd.Series, a: pd.Series, g: pd.Series) -> pd.Series:
+            # NULL verdict + a NULL input stays NULL so symbolic mode only
+            # ever upgrades False->True — symbolic=False propagates NULL on
+            # NULL inputs and the two modes must agree there (advice r4)
+            def one(x, y, z):
+                if x is None or x is pd.NA:
+                    if y is None or z is None:
+                        return None
+                    return True if _poly_equivalent(y, z) else None
+                return True if x else _poly_equivalent(y, z)
+
             return pd.Series(
-                [True if x else _poly_equivalent(y, z)
-                 for x, y, z in zip(v, a, g)],
+                [one(x, y, z) for x, y, z in zip(v, a, g)],
                 dtype="boolean",
             )
 
