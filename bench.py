@@ -121,6 +121,13 @@ HEADLINE = [
     "card_luhn",
     "vad_segments",
     "vqa_gen",
+    # round-5 additions: the trained embedding head + the embed family
+    # re-run over the learned column
+    "embed_model",
+    "embed_topk_learned",
+    "embed_kcenter_learned",
+    "embed_semdedup_learned",
+    "embed_decontam_learned",
 ]
 
 

@@ -16,6 +16,77 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+class TextEmbedModel:
+    """TRAINED text-embedding head in the fastText sentence-vector
+    architecture (sentence embedding = sum of hashed word vectors, Joulin
+    et al. 2016) — the learned stand-in for the BERT encoder the reference
+    loads for its semantic-dedup family (sem_deduplicate_filter.py:114-155).
+    E: (4096 buckets x 16 dims) INTEGER matrix trained contrastively by
+    tools/train_tiny_embed.py (triplet hinge over topic sentences, then
+    int8-range quantization), shipped as artifacts/embed.npz.
+
+    embedding(text) = sum over tokens of E[md5_bucket('e:'+token)], tokens =
+    trim+lower text split on the RE2 \\s class. Integer sums, so downstream
+    float64 dot/norm/cosine are EXACT (|dot| << 2^53, any summation order)
+    and the DuckDB oracle replays ranking/threshold decisions bit-for-bit.
+    Untrained buckets are zero vectors (ignore semantics, like OOV)."""
+
+    def __init__(self, path: str | None = None):
+        import io
+
+        if path is None:
+            import importlib.resources as ir
+
+            raw = (
+                ir.files("dataflow_spark") / "artifacts" / "embed.npz"
+            ).read_bytes()
+            data = np.load(io.BytesIO(raw))
+        else:
+            data = np.load(path)
+        self.E = data["E"].astype("int64")
+
+    def embed_one(self, t: str | None) -> list[int] | None:
+        from dataflow_spark.ops.nlp import RE2_WS_RE, md5_bucket
+
+        if t is None:
+            return None
+        toks = RE2_WS_RE.split(t.strip(" \t\n\r\f\v").lower())
+        v = self.E[[md5_bucket("e:" + tok) for tok in toks]].sum(axis=0)
+        return [int(x) for x in v]
+
+    def embed_batch(self, texts: pd.Series) -> pd.Series:
+        return texts.map(self.embed_one)
+
+
+def text_embed_stage(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "embedding",
+    path: str | None = None,
+) -> DataFrame:
+    """Serve the trained embedding through the per-worker-singleton model
+    seam (ops/models.py lifecycle): mapInPandas, artifact loaded once per
+    python worker, Arrow batches streamed through. Appends `out` as
+    array<bigint> (exact integer sums — cast to array<double> for the
+    cosine/kcenter/dedup family, the cast is value-preserving)."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from dataflow_spark.ops.models import _load_model
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out, ArrayType(LongType()))]
+    )
+
+    def run(batches):
+        model = _load_model(lambda: TextEmbedModel(path), f"text_embed:{path}")
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out] = model.embed_batch(pdf[text_col])
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

@@ -517,3 +517,94 @@ def test_ivf_pq_bad_query_ids(spark):
         embeddings.ivf_pq_topk(e, [])
     with pytest.raises(ValueError, match="not present"):
         embeddings.ivf_pq_topk(e, [0, 99999999])
+
+
+# ---------------------------------------------------------------------------
+# trained text-embedding head (embed.npz, round-5)
+# ---------------------------------------------------------------------------
+
+
+def test_embed_artifact_reproducible():
+    """tools/train_tiny_embed.py retrains to the committed weights."""
+    import importlib.util
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "train_tiny_embed", "tools/train_tiny_embed.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    Q = m.train()
+    shipped = np.load("dataflow_spark/artifacts/embed.npz")["E"]
+    assert (Q == shipped).all()
+    # the quantized head still separates topics perfectly on its own triplets
+    assert m.triplet_accuracy(Q) == 1.0
+
+
+def test_text_embed_stage_matches_python_twin(spark):
+    """The mapInPandas stage reproduces the python twin row-for-row,
+    including None text and the empty-string zero vector."""
+    from dataflow_spark.ops.embeddings import TextEmbedModel, text_embed_stage
+
+    rows = [
+        (0, "the fast key order sort"),
+        (1, "join hash sort merge scan"),
+        (2, ""),
+        (3, None),
+        (4, "  stream   window\tbatch  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["emb"] for r in
+           text_embed_stage(df, out="emb").collect()}
+    twin = TextEmbedModel()
+    for did, text in rows:
+        assert got[did] == twin.embed_one(text), did
+    assert got[3] is None
+    assert got[2] == [0] * 16  # '' token -> untrained bucket -> zero vector
+    # whitespace collapse: tokens identical regardless of padding
+    assert got[4] == twin.embed_one("stream window batch")
+
+
+def test_text_embed_learned_semantics(spark):
+    """Learned geometry: same-topic sentences embed closer than cross-topic
+    ones, and identical text embeds identically (the semdedup planted-dup
+    invariant)."""
+    import numpy as np
+
+    from dataflow_spark.ops.embeddings import TextEmbedModel
+
+    m = TextEmbedModel()
+
+    def cos(a, b):
+        a, b = np.asarray(a, float), np.asarray(b, float)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    a = m.embed_one("join hash sort merge scan agg")
+    b = m.embed_one("sort merge join group query filter")
+    c = m.embed_one("stream window batch trigger watermark state")
+    assert cos(a, b) > cos(a, c)
+    assert m.embed_one("the big table scan") == m.embed_one("the big table scan")
+
+
+def test_semdedup_over_learned_column(spark):
+    """semantic_dedup (exact mode) over the learned column drops exactly the
+    planted later-id exact-text copies."""
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.ops import embeddings as E
+
+    texts = [
+        "join hash sort merge scan agg query",
+        "stream window batch trigger watermark",
+        "table column row part key value line",
+        "big small fast slow spark cluster",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)] + [(100 + i, texts[i]) for i in (0, 2)]
+    df = spark.createDataFrame(rows, "vec_id long, text string")
+    emb = E.text_embed_stage(df, out="embedding").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    kept = sorted(r["vec_id"] for r in
+                  E.semantic_dedup(emb, threshold=0.9995, n_bands=0).collect())
+    assert kept == [0, 1, 2, 3]

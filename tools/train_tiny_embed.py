@@ -1,0 +1,170 @@
+"""Train the shipped text-embedding artifact (run once, committed).
+
+Produces dataflow_spark/artifacts/embed.npz — an INTEGER hashed
+bag-of-words sentence-embedding matrix in the fastText/word2vec
+sentence-vector architecture (a sentence embedding IS the sum of its word
+vectors — Joulin et al. 2016 "Bag of Tricks"; Mikolov et al. 2013), trained
+CONTRASTIVELY: word vectors move so that same-topic sentences score a
+higher cosine than cross-topic sentences (the triplet/hinge objective of
+Sentence-BERT-class encoders, Reimers & Gurevych 2019, at tiny scale).
+The reference runs a BERT encoder for its semantic-dedup family
+(/root/reference/dataflow/operators/core_text/filter/sem_deduplicate_filter.py:114-155);
+this artifact closes the TRAINED half of that shape through the same
+per-worker model seam as langid_tri/ner_tagger — swap-in point for a real
+encoder, with the Spark-side plumbing identical.
+
+Features: word unigrams of trim+lower text split on RE2 \\s, hashed to
+4096 md5 buckets ('e:'+token, the shared md5_bucket). After float training
+the matrix is quantized to int8 range and stored as int64 — sentence
+embeddings become exact integer sums, so dot products and norms are exact
+in float64 (|dot| << 2^53) and the DuckDB oracle replays cosine ranking,
+k-center picks, and dedup thresholds bit-for-bit in ANY summation order.
+
+Reproduce: python tools/train_tiny_embed.py   (rewrites the npz in place)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+N_BUCKETS = 4096
+DIM = 16
+EPOCHS = 12
+LR = 0.05
+MARGIN = 0.4
+SENTS_PER_TOPIC = 30
+
+# 8 topics; the 31-word documents.parquet vocabulary is fully covered so no
+# driver-table token ever embeds to the zero vector. Overlapping words
+# across topics are deliberate (polysemy pressure on the objective).
+TOPICS: dict[str, list[str]] = {
+    "exec": ["join", "hash", "sort", "merge", "scan", "agg", "query", "group",
+             "order", "filter", "index", "plan", "nested", "probe"],
+    "streaming": ["stream", "window", "batch", "trigger", "watermark", "state",
+                  "checkpoint", "micro", "event", "lag", "emit", "replay"],
+    "storage": ["table", "column", "row", "part", "key", "value", "line",
+                "page", "format", "segment", "footer", "stripe"],
+    "scale": ["big", "small", "fast", "slow", "spark", "cluster", "executor",
+              "shuffle", "partition", "skew", "node", "core", "memory", "spill"],
+    "ml": ["vector", "embed", "model", "train", "weight", "layer", "gradient",
+           "loss", "cosine", "centroid", "norm", "feature"],
+    "corpus": ["data", "customer", "the", "a", "dup", "text", "token",
+               "corpus", "document", "word", "language", "dedup"],
+    "web": ["page", "link", "host", "url", "crawl", "site", "domain",
+            "anchor", "html", "fetch", "robots", "sitemap"],
+    "chat": ["user", "assistant", "tool", "turn", "message", "reply",
+             "prompt", "answer", "question", "conversation", "session", "role"],
+}
+
+DOC_VOCAB = [
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+    "row", "agg", "key", "query", "a", "scan", "batch", "dup",
+]
+
+
+def bucket(tok: str) -> int:
+    # THE shared bucket function (one implementation so train/serve/oracle
+    # can never desynchronize — the langid_tri/ner_tagger discipline)
+    from dataflow_spark.ops.nlp import md5_bucket
+
+    return md5_bucket("e:" + tok)
+
+
+def make_sentences(rng: np.random.RandomState) -> dict[str, list[list[int]]]:
+    """Deterministic topic sentences as bucket-id bags."""
+    out: dict[str, list[list[int]]] = {}
+    for topic, words in TOPICS.items():
+        sents = []
+        for i in range(SENTS_PER_TOPIC):
+            n = 6 + i % 5
+            toks = rng.choice(words, size=n, replace=True)
+            sents.append([bucket(str(t)) for t in toks])
+        out[topic] = sents
+    return out
+
+
+def _emb(E: np.ndarray, bag: list[int]) -> np.ndarray:
+    return E[bag].sum(axis=0)
+
+
+def _dcos(x: np.ndarray, y: np.ndarray):
+    """cos(x,y) and its gradients wrt x and y."""
+    nx, ny = float(np.linalg.norm(x)), float(np.linalg.norm(y))
+    c = float(x @ y) / (nx * ny)
+    gx = y / (nx * ny) - c * x / (nx * nx)
+    gy = x / (nx * ny) - c * y / (ny * ny)
+    return c, gx, gy
+
+
+def train() -> np.ndarray:
+    """Returns the quantized int64 (N_BUCKETS, DIM) embedding matrix."""
+    rng = np.random.RandomState(20250821)
+    sents = make_sentences(rng)
+    topics = list(TOPICS)
+    trained = sorted({b for ws in TOPICS.values() for w in ws for b in [bucket(w)]}
+                     | {bucket(w) for w in DOC_VOCAB})
+    E = np.zeros((N_BUCKETS, DIM), dtype=np.float64)
+    E[trained] = rng.standard_normal((len(trained), DIM)) * 0.1
+    for ep in range(EPOCHS):
+        for ti, topic in enumerate(topics):
+            ss = sents[topic]
+            for i, anchor in enumerate(ss):
+                pos = ss[(i + 1) % len(ss)]
+                nt = topics[(ti + 1 + ep) % len(topics)]
+                neg = sents[nt][i % len(sents[nt])]
+                a, p, n = _emb(E, anchor), _emb(E, pos), _emb(E, neg)
+                cp, gap, gp = _dcos(a, p)
+                cn, gan, gn = _dcos(a, n)
+                if MARGIN - cp + cn <= 0:
+                    continue
+                # dL/da = -gap + gan ; dL/dp = -gp ; dL/dn = +gn
+                np.add.at(E, anchor, -LR * (-gap + gan))
+                np.add.at(E, pos, -LR * (-gp))
+                np.add.at(E, neg, -LR * gn)
+    scale = 127.0 / float(np.abs(E).max())
+    return np.rint(E * scale).astype(np.int64)
+
+
+def triplet_accuracy(Q: np.ndarray) -> float:
+    """Evaluate the QUANTIZED matrix on the training triplets."""
+    rng = np.random.RandomState(20250821)
+    sents = make_sentences(rng)
+    topics = list(TOPICS)
+    ok = tot = 0
+    for ti, topic in enumerate(topics):
+        ss = sents[topic]
+        for i, anchor in enumerate(ss):
+            pos = ss[(i + 1) % len(ss)]
+            nt = topics[(ti + 1) % len(topics)]
+            neg = sents[nt][i % len(sents[nt])]
+            a, p, n = _emb(Q, anchor).astype(float), _emb(Q, pos).astype(float), _emb(Q, neg).astype(float)
+            cp = a @ p / (np.linalg.norm(a) * np.linalg.norm(p))
+            cn = a @ n / (np.linalg.norm(a) * np.linalg.norm(n))
+            ok += int(cp > cn)
+            tot += 1
+    return ok / tot
+
+
+def main() -> None:
+    Q = train()
+    acc = triplet_accuracy(Q)
+    for w in DOC_VOCAB:
+        assert np.abs(Q[bucket(w)]).sum() > 0, f"zero int vector for {w!r}"
+    out = os.path.join(
+        os.path.dirname(__file__), "..", "dataflow_spark", "artifacts", "embed.npz"
+    )
+    np.savez(out, E=Q)
+    nz = int((np.abs(Q).sum(axis=1) > 0).sum())
+    print(f"triplet accuracy {acc:.4f}; nonzero buckets {nz} -> {out}")
+    assert acc >= 0.97, acc
+
+
+if __name__ == "__main__":
+    main()
