@@ -977,6 +977,86 @@ def q_image_dhash(spark, sf):
     )
 
 
+def q_image_neardup(spark, sf):
+    """Perceptual NEAR-dup image dedup (battery member, round-5 judge item
+    #3 — Hamming <= 3 over dHash: band equi-join candidates, exact
+    bit_count verify, duplicate_components, first-wins keep). The planting
+    CONTROLS the hash bit-for-bit: an 8-tall 9-wide image where row cells
+    step +-8 from 128 encodes any chosen 64-bit hash exactly (cell c_j <
+    c_j+1 iff bit j), so groups of four docs plant base hash B(g) (bit k =
+    bit k%%4 of md5(g) hex nibble k//4 — well-mixed, so distinct groups
+    never land within the Hamming radius of each other) and three
+    engineered variants:
+      m=1: bit 0 flipped               -> Hamming 1, dup of m=0
+      m=2: bits 16/32/48 flipped       -> Hamming 3, shares ONLY band0, dup
+           (g%%5==0 groups instead flip bits 0..4 -> shares bands 1-3 but
+            Hamming 5: candidate generated and correctly REJECTED)
+      m=3: bits 1/17/33/49 flipped     -> one flip per band: no shared band
+           with ANY of m0/m1/m2 (the cross-band miss case: not even a
+           candidate; bit positions offset so m3 stays > Hamming 3 from
+           m1/m2 too, not just from the base)
+    so the value check pins candidate recall (pigeonhole), the verify
+    threshold on both sides, transitivity (m1~m0~m2 cluster despite
+    Hamming(m1,m2)=4), and first-wins. BMP/PNG containers alternate; every
+    17th payload is garbage -> error row with NULL component/keep. Oracle =
+    all-pairs Hamming over the arithmetically recomputed hashes + recursive
+    min-label components."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from dataflow_spark.ops import multimodal
+
+    @F.pandas_udf(BinaryType())
+    def synth_img(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 17 == 0:
+                out.append(b"BMgarbage-not-an-image")
+                continue
+            g, m = i // 4, i % 4
+            flips = set()
+            if m == 1:
+                flips = {0}
+            elif m == 2:
+                flips = {0, 1, 2, 3, 4} if g % 5 == 0 else {16, 32, 48}
+            elif m == 3:
+                flips = {1, 17, 33, 49}
+            import hashlib
+
+            hx = hashlib.md5(str(g).encode()).hexdigest()
+            a = np.zeros((8, 9, 3), dtype=np.uint8)
+            for r in range(8):
+                v = 128
+                a[r, 0, :] = v
+                for c in range(8):
+                    k = r * 8 + c
+                    bit = (int(hx[k // 4], 16) >> (k % 4)) & 1
+                    if k in flips:
+                        bit ^= 1
+                    v = v + 8 if bit else v - 8
+                    a[r, c + 1, :] = v
+            enc = multimodal.encode_bmp if m % 2 == 0 else multimodal.encode_png
+            out.append(enc(a))
+        return pd.Series(out)
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    media = d.select(
+        F.col("doc_id").alias("media_id"), synth_img(F.col("doc_id")).alias("payload")
+    )
+    feats = multimodal.image_dhash_features(media)
+    near = multimodal.image_dedup_near(feats, max_hamming=3)
+    hex4 = lambda c: F.lpad(F.lower(F.hex(c)), 4, "0")  # noqa: E731
+    return near.select(
+        "media_id",
+        F.when(
+            F.col("dhash").isNotNull(),
+            F.concat(*[hex4(F.col(f"band{i}")) for i in (3, 2, 1, 0)]),
+        ).alias("dhash_hex"),
+        "component", "csize", "hash_error", "keep",
+    )
+
+
 def q_html_extract(spark, sf):
     """Main-content extraction (battery member, round 4 — the jusText/
     trafilatura boilerplate-removal step of RefinedWeb §3.1.3): each doc
@@ -3597,6 +3677,10 @@ def q_score_battery(spark, sf):
                       _kcat("media_id"),
                       ["dhash_hex", "band0", "band1", "band2", "band3",
                        "hash_error"],
+                      s1=F.col("keep")),
+        _battery_pack(q_image_neardup(spark, sf), "image_neardup",
+                      _kcat("media_id"),
+                      ["dhash_hex", "component", "csize", "hash_error"],
                       s1=F.col("keep")),
         _battery_pack(q_html_extract(spark, sf), "html_extract",
                       _kcat("doc_id"), ["main_text"],
@@ -7106,6 +7190,65 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN kp k ON k.doc_id = d.doc_id
     """
 
+    # image_neardup: all-pairs arithmetic oracle — per doc the 4 band
+    # values are rebuilt from the planted bit rule (md5(g) nibble bits XOR
+    # the per-member engineered flips), pairs with banded Hamming <= 3 feed
+    # the recursive min-label component closure, keep = (component == id).
+    o["image_neardup"] = """
+        WITH RECURSIVE db AS (
+          SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents
+          WHERE doc_id % 17 <> 0
+        ),
+        bits AS (
+          SELECT doc_id, CAST(k AS BIGINT) AS k,
+                 xor(
+                   (('0x' || substr(md5(CAST(g AS VARCHAR)), CAST(k // 4 + 1 AS INT), 1))::INT
+                      >> CAST(k % 4 AS INT)) & 1,
+                   CASE WHEN m = 1 AND k = 0 THEN 1
+                        WHEN m = 2 AND g % 5 = 0 AND k <= 4 THEN 1
+                        WHEN m = 2 AND g % 5 <> 0 AND k IN (16, 32, 48) THEN 1
+                        WHEN m = 3 AND k IN (1, 17, 33, 49) THEN 1
+                        ELSE 0 END
+                 ) AS bit
+          FROM db, (SELECT unnest(range(0, 64)) AS k)
+        ),
+        bands AS (
+          SELECT doc_id, CAST(k // 16 AS INT) AS bi,
+                 CAST(sum(bit << CAST(k % 16 AS INT)) AS BIGINT) AS bv
+          FROM bits GROUP BY 1, 2
+        ),
+        hx AS (
+          SELECT doc_id, list(bv ORDER BY bi) AS bs FROM bands GROUP BY doc_id
+        ),
+        pr AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.bs[1], b.bs[1])) + bit_count(xor(a.bs[2], b.bs[2]))
+              + bit_count(xor(a.bs[3], b.bs[3])) + bit_count(xor(a.bs[4], b.bs[4])) <= 3
+        ),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pr
+                  UNION SELECT id_b, id_a FROM pr),
+        reach AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
+        fullc AS (
+          SELECT hx.doc_id, coalesce(c.component, hx.doc_id) AS component,
+                 printf('%04x%04x%04x%04x', bs[4], bs[3], bs[2], bs[1]) AS dhash_hex
+          FROM hx LEFT JOIN comp c ON hx.doc_id = c.id
+        ),
+        csz AS (SELECT component, CAST(count(*) AS BIGINT) AS csize FROM fullc GROUP BY component)
+        SELECT d.doc_id AS media_id, f.dhash_hex, f.component, z.csize,
+               CASE WHEN d.doc_id % 17 = 0 THEN 'error' END AS hash_error,
+               CASE WHEN d.doc_id % 17 = 0 THEN NULL
+                    WHEN f.component = d.doc_id THEN 1 ELSE 0 END AS keep
+        FROM documents d
+        LEFT JOIN fullc f ON f.doc_id = d.doc_id
+        LEFT JOIN csz z USING (component)
+    """
+
     # jpeg_decode: arithmetic oracle — channel sums recomputed from the
     # planted tile values (v_k = 2*((doc_id*7+k) % 128), 64 px per tile);
     # gray tiles => sum_r = sum_g = sum_b; garbage every 17th -> error row.
@@ -8571,6 +8714,9 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("image_dhash", o["image_dhash"], _kcat_sql("media_id"),
                   ["dhash_hex", "band0", "band1", "band2", "band3",
                    "hash_error"], s1="keep"),
+        _pack_sql("image_neardup", o["image_neardup"], _kcat_sql("media_id"),
+                  ["dhash_hex", "component", "csize", "hash_error"],
+                  s1="keep"),
         _pack_sql("html_extract", o["html_extract"], _kcat_sql("doc_id"),
                   ["main_text"], s1="n_blocks", s2="n_content_blocks"),
         _pack_sql("vad_segments", o["vad_segments"], _kcat_sql("media_id", "seg_idx"),
@@ -8670,7 +8816,7 @@ def oracle_sql() -> dict[str, str]:
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",
         "minhash_new", "media_decode", "jpeg_decode", "image_dhash",
-        "image_resize", "card_luhn", "vad_segments", "html_extract",
+        "image_neardup", "image_resize", "card_luhn", "vad_segments", "html_extract",
         "vqa_gen", "speech2text", "pdf_extract", "mathverify",
         "sql_consistency", "mathbook_extract", "code_sandbox", "multihop_qa",
         "smiles_eval", "reasoning_judge", "reasoning_dataset", "pipeline_root",

@@ -122,7 +122,8 @@ HEADLINE = [
     "vad_segments",
     "vqa_gen",
     # round-5 additions: the trained embedding head + the embed family
-    # re-run over the learned column
+    # re-run over the learned column + perceptual near-dup image dedup
+    "image_neardup",
     "embed_model",
     "embed_topk_learned",
     "embed_kcenter_learned",

@@ -220,6 +220,75 @@ class DedupAppendSink:
         return df.drop("__key") if not self.key_cols else df
 
 
+class NearDupImageAppendSink:
+    """foreachBatch writer implementing STREAMING PERCEPTUAL NEAR-DUP image
+    dedup — the streaming twin of ops/multimodal.image_dedup_near, and the
+    Hamming-radius generalization of DedupAppendSink (whose key equality is
+    the radius-0 case). Batches carry image_dhash_features output
+    (media_id, dhash, band0..band3, ...), non-null dhash rows.
+
+    Per micro-batch, in sequential-arrival order semantics (rejected rows
+    never join the seen-set):
+      1. drop every row within `max_hamming` of ANY already-accepted target
+         row — candidates via the 4x16-bit band equi-join against the
+         accumulated table (exact recall for max_hamming <= 3 by
+         pigeonhole), verified with bit_count(xor) <= max_hamming;
+      2. within-batch near-dup components over the survivors
+         (image_dedup_near), keep = min media_id per component;
+      3. append the keepers.
+
+    Naturally idempotent under replay: a replayed batch finds its own rows
+    at Hamming 0 in the target and appends nothing. The anti-join reads
+    only (dhash, band0..band3) from the target — column pruning reaches the
+    parquet footer, so per-batch cost is O(|batch| + |target hashes|); on
+    Iceberg the same band predicate prunes by partition metadata."""
+
+    def __init__(self, target_dir: str, max_hamming: int = 3):
+        if max_hamming > 3:
+            raise ValueError("max_hamming > 3 breaks the 4-band pigeonhole guarantee")
+        self.target_dir = target_dir
+        self.max_hamming = max_hamming
+
+    @staticmethod
+    def _bands(df: DataFrame, id_alias: str, hash_alias: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return df.select(
+            F.col("media_id").alias(id_alias),
+            F.col("dhash").alias(hash_alias),
+            F.posexplode(F.array("band0", "band1", "band2", "band3")).alias("bi", "bv"),
+        )
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from dataflow_spark.ops.multimodal import image_dedup_near
+
+        b = batch_df.filter(F.col("dhash").isNotNull())
+        if os.path.isdir(self.target_dir) and any(
+            f.endswith(".parquet") for _, _, fs in os.walk(self.target_dir) for f in fs
+        ):
+            tgt = b.sparkSession.read.parquet(self.target_dir)
+            bb = self._bands(b, "media_id", "hb")
+            tb = self._bands(tgt, "__tid", "ht").drop("__tid")
+            losers = (
+                bb.join(tb, ["bi", "bv"])
+                .filter(
+                    F.bit_count(F.col("hb").bitwiseXOR(F.col("ht"))) <= self.max_hamming
+                )
+                .select("media_id")
+                .distinct()
+            )
+            b = b.join(losers, "media_id", "left_anti")
+        keep = image_dedup_near(b, self.max_hamming).filter(F.col("keep") == 1)
+        keep.drop("component", "csize", "keep").write.mode("append").parquet(
+            self.target_dir
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.target_dir)
+
+
 class JDBCMergeSink:
     """DISTRIBUTED exactly-once streaming MERGE into a JDBC document store —
     the cluster-scale twin of DBMergeSink (which pages every micro-batch

@@ -611,3 +611,80 @@ def test_scan_cards_embedded_run_not_mangled(spark):
     r = scan_cards(df).collect()[0]
     assert r["n_card_candidates"] == 1 and r["n_cards_valid"] == 1
     assert r["cards_redacted"] == "card [CARD] ref 41111111111111112222"
+
+
+# ---------------------------------------------------------------------------
+# perceptual NEAR-dup image dedup (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _hash_img(bits64: int):
+    """8-tall 9-wide image whose dHash is EXACTLY bits64: row cells step
+    +-8 from 128, so cell c_j < c_j+1 iff bit r*8+c is set."""
+    import numpy as np
+
+    a = np.zeros((8, 9, 3), dtype=np.uint8)
+    for r in range(8):
+        v = 128
+        a[r, 0, :] = v
+        for c in range(8):
+            v = v + 8 if (bits64 >> (r * 8 + c)) & 1 else v - 8
+            a[r, c + 1, :] = v
+    return a
+
+
+def test_hash_img_encodes_exact_dhash():
+    from dataflow_spark.ops import multimodal as M
+
+    for h in (0, 0x0123456789ABCDEF, (1 << 64) - 1, 0xDEADBEEFCAFEF00D):
+        assert M.dhash64(_hash_img(h)) == h
+
+
+def test_image_dedup_near_planted_variants(spark):
+    """Hamming<=3 near-dup: 1-bit and 3-bit (cross-band-spread) variants
+    cluster with the base via transitivity; a 4-bit one-per-band variant
+    shares NO band (pigeonhole miss case) and a 5-bits-in-one-band variant
+    is candidate-generated but verify-REJECTED — both stay distinct."""
+    from dataflow_spark.ops import multimodal as M
+
+    H = 0x0123456789ABCDEF
+    rows = [
+        (1, M.encode_bmp(_hash_img(H))),
+        (2, M.encode_png(_hash_img(H ^ 1))),                      # Hamming 1
+        (3, M.encode_bmp(_hash_img(H ^ ((1 << 16) | (1 << 32) | (1 << 48))))),  # Hamming 3, shares band0 only
+        (4, M.encode_bmp(_hash_img(H ^ ((1 << 1) | (1 << 17) | (1 << 33) | (1 << 49))))),  # Hamming 4+, no shared band with ANY of 1-3
+        (5, M.encode_png(_hash_img(H ^ 0b11111))),                # Hamming 5 inside band0: candidate, rejected
+        (6, M.encode_bmp(_hash_img(~H & ((1 << 64) - 1)))),       # far away
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = M.image_dhash_features(df)
+    got = {r["media_id"]: r.asDict() for r in M.image_dedup_near(feats).collect()}
+    # 1, 2, 3 one cluster (2~1 H=1, 3~1 H=3; Hamming(2,3)=4 — transitivity)
+    assert got[1]["component"] == got[2]["component"] == got[3]["component"] == 1
+    assert got[1]["csize"] == 3
+    assert (got[1]["keep"], got[2]["keep"], got[3]["keep"]) == (1, 0, 0)
+    # 4, 5, 6 each their own singleton
+    for mid in (4, 5, 6):
+        assert got[mid]["component"] == mid and got[mid]["csize"] == 1
+        assert got[mid]["keep"] == 1
+
+
+def test_image_dedup_near_error_rows_pass_through(spark):
+    from dataflow_spark.ops import multimodal as M
+
+    rows = [(1, M.encode_bmp(_hash_img(42))), (2, b"BMnot-an-image")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict()
+           for r in M.image_dedup_near(M.image_dhash_features(df)).collect()}
+    assert got[2]["hash_error"] == "error"
+    assert got[2]["component"] is None and got[2]["keep"] is None
+    assert got[1]["keep"] == 1
+
+
+def test_image_dedup_near_rejects_loose_radius(spark):
+    import pytest
+
+    from dataflow_spark.ops import multimodal as M
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        M.image_dedup_near(None, max_hamming=4)

@@ -1312,3 +1312,68 @@ def test_streaming_image_dedup_on_perceptual_hash(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r["media_id"] for r in sink.read(spark).collect())
     assert got == [1, 2, 4]  # 3 (cross-container dup of 1) dropped
+
+
+def test_streaming_image_neardup_sink(spark, tmp_path):
+    """Round 5: NearDupImageAppendSink — perceptual NEAR-dup dedup across
+    micro-batches: a 1-bit dHash variant arriving in a LATER batch drops
+    against the accumulated table; a one-flip-per-band variant (no shared
+    band, Hamming 4) survives; an exact replay of an accepted image drops
+    at Hamming 0. Replaying the whole stream appends nothing (idempotent)."""
+    import numpy as np
+
+    from dataflow_spark.ops import multimodal as M
+    from dataflow_spark.streaming.sink import NearDupImageAppendSink
+    from tests.test_multimodal_lexical import _hash_img
+
+    H = 0x0123456789ABCDEF
+    far = ~H & ((1 << 64) - 1)
+    chunk1 = pd.DataFrame({
+        "media_id": [1, 2],
+        "payload": [M.encode_bmp(_hash_img(H)), M.encode_bmp(_hash_img(far))],
+    })
+    chunk2 = pd.DataFrame({
+        "media_id": [3, 4, 5],
+        "payload": [
+            M.encode_png(_hash_img(H ^ 1)),                      # near-dup of 1
+            M.encode_bmp(_hash_img(H ^ ((1 << 1) | (1 << 17) | (1 << 33) | (1 << 49)))),  # miss case
+            M.encode_png(_hash_img(far)),                        # exact dup of 2
+        ],
+    })
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 20
+    for i, ch in enumerate((chunk1, chunk2)):
+        p = os.path.join(src, f"part-{i:04d}.parquet")
+        ch.to_parquet(p, index=False)
+        os.utime(p, (t0 + i * 10, t0 + i * 10))
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+    sink = NearDupImageAppendSink(str(tmp_path / "out"), max_hamming=3)
+
+    def run(ck):
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        staged = M.image_dhash_features(sdf).filter(F.col("dhash").isNotNull())
+        q = (
+            staged.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ck1")
+    got = sorted(r["media_id"] for r in sink.read(spark).collect())
+    assert got == [1, 2, 4]  # 3 (Hamming-1 of 1) and 5 (exact dup of 2) dropped
+    # full replay from a fresh checkpoint: idempotent, nothing re-appends
+    run("ck2")
+    got2 = sorted(r["media_id"] for r in sink.read(spark).collect())
+    assert got2 == [1, 2, 4]
