@@ -1377,3 +1377,78 @@ def test_streaming_image_neardup_sink(spark, tmp_path):
     run("ck2")
     got2 = sorted(r["media_id"] for r in sink.read(spark).collect())
     assert got2 == [1, 2, 4]
+
+
+def test_compact_parquet_dir_bounds_files_and_preserves_contents(spark, tmp_path):
+    """Round 5: small-file compaction — 12 per-batch appends become <=4
+    files, the row multiset is unchanged, the seen-set semantics of the
+    sink survive (a post-compaction duplicate still drops), and a second
+    compaction of the same rows is a fixpoint (deterministic layout)."""
+    from dataflow_spark.streaming.sink import DedupAppendSink, compact_parquet_dir
+
+    out = str(tmp_path / "out")
+    sink = DedupAppendSink(out, key_cols=["k"], order_cols=["v"])
+    for b in range(12):
+        df = spark.createDataFrame([(b, f"row-{b}")], "k long, v string")
+        sink(df, b)
+    n_before = sum(1 for _, _, fs in os.walk(out) for f in fs if f.endswith(".parquet"))
+    assert n_before >= 12
+    before = sorted((r["k"], r["v"]) for r in spark.read.parquet(out).collect())
+
+    n_after = compact_parquet_dir(spark, out, n_files=4, order_cols=["k"])
+    assert n_after <= 4
+    after = sorted((r["k"], r["v"]) for r in spark.read.parquet(out).collect())
+    assert after == before
+
+    # determinism: compacting the already-compacted table reproduces the
+    # same per-file contents (layout is a function of row content only)
+    def file_hashes():
+        import hashlib
+        out_h = {}
+        for root, _, fs in os.walk(out):
+            for f in sorted(fs):
+                if f.endswith(".parquet"):
+                    out_h[f] = hashlib.md5(open(os.path.join(root, f), "rb").read()).hexdigest()
+        return sorted(out_h.values())
+    h1 = file_hashes()
+    compact_parquet_dir(spark, out, n_files=4, order_cols=["k"])
+    assert file_hashes() == h1
+
+    # sink still works: an exact duplicate of k=3 drops, a new key appends
+    sink(spark.createDataFrame([(3, "row-3"), (99, "row-99")], "k long, v string"), 12)
+    got = sorted(r["k"] for r in sink.read(spark).collect())
+    assert got == list(range(12)) + [99]
+
+
+def test_compact_parquet_dir_aborts_on_mismatch(spark, tmp_path, monkeypatch):
+    """A checksum mismatch (simulated) leaves the target untouched."""
+    import pytest
+
+    import dataflow_spark.streaming.sink as S
+
+    out = str(tmp_path / "out")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").write.parquet(out)
+    before = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    real_read = spark.read.parquet
+
+    def sabotage(src, dst):
+        raise AssertionError("swap must not be reached")
+
+    # fault injection: the post-rewrite checksum reads the tmp table through
+    # spark.read.parquet — serve it one row short so the verify must abort
+    # (and prove the abort happens BEFORE any rename touches the live dir)
+    class FakeReader:
+        def parquet(self, path):
+            df = real_read(path)
+            if path.endswith(".__compact_tmp"):
+                return df.limit(1)  # drop a row -> checksum mismatch
+            return df
+
+    monkeypatch.setattr(type(spark), "read", property(lambda self: FakeReader()))
+    monkeypatch.setattr(os, "rename", sabotage)
+    with pytest.raises(RuntimeError, match="checksum mismatch"):
+        S.compact_parquet_dir(spark, out, n_files=1, order_cols=["k"])
+    monkeypatch.undo()
+    after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert after == before
