@@ -46,16 +46,55 @@ def lowercase(df: DataFrame, col: str = "text") -> DataFrame:
     return df.withColumn(col, F.lower(F.col(col)))
 
 
+_DIGIT_CLASS = "[0-9]"
+_PUNCT_CLASS = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
+
+
 def remove_numbers(df: DataFrame, col: str = "text") -> DataFrame:
     """remove_number_refiner.py:42."""
-    return df.withColumn(col, F.regexp_replace(F.col(col), "[0-9]", ""))
+    return df.withColumn(col, F.regexp_replace(F.col(col), _DIGIT_CLASS, ""))
 
 
 def remove_punctuation(df: DataFrame, col: str = "text") -> DataFrame:
     """remove_punctuation_refiner.py:53 (str.translate over string.punctuation)."""
-    return df.withColumn(
-        col, F.regexp_replace(F.col(col), r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]""", "")
-    )
+    return df.withColumn(col, F.regexp_replace(F.col(col), _PUNCT_CLASS, ""))
+
+
+def fuse_char_removals(col: Column, classes: tuple[str, ...]) -> Column:
+    """SURVEY §4.2's named optional optimization — fuse consecutive
+    remove-this-character-class refiners into ONE regexp_replace scan.
+
+    Semantics: fusing is exact precisely when every rule is a
+    SINGLE-CHARACTER class replaced by '' — deleting characters of class A
+    can never create or destroy a match of another single-char class B
+    (matches are width-1 and content-only), so sequential passes equal one
+    pass over the union class, in any order. Multi-char rules (URL, tag,
+    entity) interact through adjacency ('&am'+'p;' joining into '&amp;')
+    and MUST stay sequential; this builder refuses anything that is not a
+    bracketed character class so the unsafe case cannot be expressed.
+
+    One scan instead of k scans over the same string — pure projection
+    width win inside whole-stage codegen, no plan-shape change."""
+    inner = []
+    for cls in classes:
+        body = cls[1:-1] if cls.startswith("[") and cls.endswith("]") else None
+        # reject nested/negated/closed-early classes: scan for an unescaped
+        # ']' or a leading '^' — those change semantics under union
+        ok = body is not None and not body.startswith("^")
+        if ok:
+            i = 0
+            while i < len(body):
+                if body[i] == "\\":
+                    i += 2
+                    continue
+                if body[i] in "[]":
+                    ok = False
+                    break
+                i += 1
+        if not ok:
+            raise ValueError(f"not a fusable single-char class: {cls!r}")
+        inner.append(body)
+    return F.regexp_replace(col, "[" + "".join(inner) + "]", "")
 
 
 def remove_emoji(df: DataFrame, col: str = "text") -> DataFrame:
@@ -102,8 +141,12 @@ def strip_markup(df: DataFrame, col: str = "text") -> DataFrame:
     URLs/tags → HTML entities → digits → punctuation → whitespace collapse."""
     out = remove_html_url(df, col)
     out = remove_html_entities(out, col)
-    out = remove_numbers(out, col)
-    out = remove_punctuation(out, col)
+    # digits + punctuation fused into one scan (fuse_char_removals — exact
+    # for single-char-class deletions; the URL/entity rules above stay
+    # sequential because multi-char patterns interact through adjacency)
+    out = out.withColumn(
+        col, fuse_char_removals(F.col(col), (_DIGIT_CLASS, _PUNCT_CLASS))
+    )
     return remove_extra_spaces(out, col)
 
 

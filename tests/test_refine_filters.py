@@ -309,3 +309,39 @@ def test_extract_main_content_justext_lite(spark):
     assert got[3]["n_blocks"] == 0 and got[3]["n_content_blocks"] == 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_fuse_char_removals_equals_sequential(spark):
+    """Fused digit+punct single-char-class removal == sequential refiners
+    on adversarial adjacency inputs (digit removal joining punctuation,
+    punctuation inside URLs-already-removed text, unicode passthrough)."""
+    from dataflow_spark.ops import refine
+
+    texts = [
+        "a1!b2?c3.",            # interleaved
+        "1!2?3.",               # nothing left but spaces
+        "ab&9;cd",              # digit removal creates '&;' adjacency
+        "héllo wörld 42 —",     # unicode untouched by the ascii classes
+        "", None,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    seq = refine.remove_punctuation(refine.remove_numbers(df, "text"), "text")
+    fused = df.withColumn(
+        "text",
+        refine.fuse_char_removals(
+            F.col("text"), (refine._DIGIT_CLASS, refine._PUNCT_CLASS)
+        ),
+    )
+    a = {r["i"]: r["text"] for r in seq.collect()}
+    b = {r["i"]: r["text"] for r in fused.collect()}
+    assert a == b
+
+
+def test_fuse_char_removals_rejects_unsafe():
+    import pytest
+
+    from dataflow_spark.ops import refine
+
+    for bad in ("foo", "[^a-z]", "[a[b]", r"https?://\S+", "[a]b[c]"):
+        with pytest.raises(ValueError, match="fusable"):
+            refine.fuse_char_removals(F.col("x"), (bad,))
