@@ -1057,6 +1057,76 @@ def q_image_neardup(spark, sf):
     )
 
 
+def q_audio_neardup(spark, sf):
+    """Audio near-dup fingerprint dedup (battery member, round-5 judge item
+    #6 — the dHash analog for audio: VAD-trimmed energy-envelope delta bits,
+    4x16-bit banded join, Hamming <= 3 verify, components, first-wins; the
+    chromaprint/AcoustID topology at integer scale). Groups of four docs
+    plant a base signal (65 fingerprint frames x 20 samples, frame
+    amplitude 110 + 10*nibble(md5(g)||md5(g||'x'), f%64), alternating sign)
+    and three production variants:
+      m=1: 2x amplitude (re-encode/normalize analog) -> every E_f scales
+           together, fingerprint IDENTICAL;
+      m=2: 200 leading + 300 trailing zero samples (padding) -> whole-VAD-
+           frame silence, trimmed exactly, fingerprint IDENTICAL;
+      m=3: frame-5 amplitude spiked to 600 -> only delta bits 4/5 can flip,
+           Hamming <= 2, caught by the banded near-dup join.
+    Every 17th payload is garbage -> 'error' row; every 13th is all-silence
+    -> 'silent' row (VAD finds nothing to fingerprint). Oracle = the
+    fingerprint bits recomputed from the amplitude rule + all-pairs Hamming
+    + recursive components (the image_neardup machinery over audio)."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from dataflow_spark.ops import multimodal
+
+    @F.pandas_udf(BinaryType())
+    def synth_wav(ids: pd.Series) -> pd.Series:
+        out = []
+        sign = np.where(np.arange(20) % 2 == 0, 1, -1)
+        for i in ids:
+            i = int(i)
+            if i % 17 == 0:
+                out.append(b"RIFFgarbage-not-a-wav")
+                continue
+            if i % 13 == 0:
+                out.append(multimodal.encode_wav(np.zeros(1300, dtype=np.int16)))
+                continue
+            g, m = i // 4, i % 4
+            hx = (hashlib.md5(str(g).encode()).hexdigest()
+                  + hashlib.md5((str(g) + "x").encode()).hexdigest())
+            amps = [110 + 10 * int(hx[f % 64], 16) for f in range(65)]
+            if m == 3:
+                amps[5] = 600
+            s = np.concatenate([a * sign for a in amps]).astype(np.int64)
+            if m == 1:
+                s = s * 2
+            if m == 2:
+                s = np.concatenate(
+                    [np.zeros(200, dtype=np.int64), s, np.zeros(300, dtype=np.int64)]
+                )
+            out.append(multimodal.encode_wav(s.astype(np.int16)))
+        return pd.Series(out)
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    media = d.select(
+        F.col("doc_id").alias("media_id"), synth_wav(F.col("doc_id")).alias("payload")
+    )
+    feats = multimodal.audio_fingerprint_features(media)
+    near = multimodal.dedup_near_banded64(feats, max_hamming=3)
+    hex4 = lambda c: F.lpad(F.lower(F.hex(c)), 4, "0")  # noqa: E731
+    return near.select(
+        "media_id",
+        F.when(
+            F.col("dhash").isNotNull(),
+            F.concat(*[hex4(F.col(f"band{i}")) for i in (3, 2, 1, 0)]),
+        ).alias("fp_hex"),
+        "component", "csize", "hash_error", "keep",
+    )
+
+
 def q_html_extract(spark, sf):
     """Main-content extraction (battery member, round 4 — the jusText/
     trafilatura boilerplate-removal step of RefinedWeb §3.1.3): each doc
@@ -3681,6 +3751,10 @@ def q_score_battery(spark, sf):
         _battery_pack(q_image_neardup(spark, sf), "image_neardup",
                       _kcat("media_id"),
                       ["dhash_hex", "component", "csize", "hash_error"],
+                      s1=F.col("keep")),
+        _battery_pack(q_audio_neardup(spark, sf), "audio_neardup",
+                      _kcat("media_id"),
+                      ["fp_hex", "component", "csize", "hash_error"],
                       s1=F.col("keep")),
         _battery_pack(q_html_extract(spark, sf), "html_extract",
                       _kcat("doc_id"), ["main_text"],
@@ -7249,6 +7323,70 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN csz z USING (component)
     """
 
+    # audio_neardup: all-pairs arithmetic oracle — fingerprint bands
+    # rebuilt from the planted amplitude rule (delta bits of the energy
+    # envelope: the 2x-scaled and zero-padded variants reduce to the SAME
+    # amplitude sequence by construction — scale cancels in comparisons,
+    # padding is VAD-trimmed — so only m=3's frame-5 spike alters bits),
+    # then the same Hamming<=3 closure + first-wins as image_neardup.
+    o["audio_neardup"] = """
+        WITH RECURSIVE db AS (
+          SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents
+          WHERE doc_id % 17 <> 0 AND doc_id % 13 <> 0
+        ),
+        amp AS (
+          SELECT doc_id, f,
+                 CASE WHEN m = 3 AND f = 5 THEN 600
+                      ELSE 110 + 10 * ('0x' || substr(
+                             md5(CAST(g AS VARCHAR)) || md5(CAST(g AS VARCHAR) || 'x'),
+                             CAST(f % 64 + 1 AS INT), 1))::INT
+                 END AS a
+          FROM db, (SELECT unnest(range(0, 65)) AS f)
+        ),
+        bits AS (
+          SELECT x.doc_id, CAST(x.f AS BIGINT) AS k,
+                 CASE WHEN x.a < y.a THEN 1 ELSE 0 END AS bit
+          FROM amp x JOIN amp y ON x.doc_id = y.doc_id AND y.f = x.f + 1
+          WHERE x.f < 64
+        ),
+        bands AS (
+          SELECT doc_id, CAST(k // 16 AS INT) AS bi,
+                 CAST(sum(bit << CAST(k % 16 AS INT)) AS BIGINT) AS bv
+          FROM bits GROUP BY 1, 2
+        ),
+        hx AS (
+          SELECT doc_id, list(bv ORDER BY bi) AS bs FROM bands GROUP BY doc_id
+        ),
+        pr AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.bs[1], b.bs[1])) + bit_count(xor(a.bs[2], b.bs[2]))
+              + bit_count(xor(a.bs[3], b.bs[3])) + bit_count(xor(a.bs[4], b.bs[4])) <= 3
+        ),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pr
+                  UNION SELECT id_b, id_a FROM pr),
+        reach AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
+        fullc AS (
+          SELECT hx.doc_id, coalesce(c.component, hx.doc_id) AS component,
+                 printf('%04x%04x%04x%04x', bs[4], bs[3], bs[2], bs[1]) AS fp_hex
+          FROM hx LEFT JOIN comp c ON hx.doc_id = c.id
+        ),
+        csz AS (SELECT component, CAST(count(*) AS BIGINT) AS csize FROM fullc GROUP BY component)
+        SELECT d.doc_id AS media_id, f.fp_hex, f.component, z.csize,
+               CASE WHEN d.doc_id % 17 = 0 THEN 'error'
+                    WHEN d.doc_id % 13 = 0 THEN 'silent' END AS hash_error,
+               CASE WHEN d.doc_id % 17 = 0 OR d.doc_id % 13 = 0 THEN NULL
+                    WHEN f.component = d.doc_id THEN 1 ELSE 0 END AS keep
+        FROM documents d
+        LEFT JOIN fullc f ON f.doc_id = d.doc_id
+        LEFT JOIN csz z USING (component)
+    """
+
     # jpeg_decode: arithmetic oracle — channel sums recomputed from the
     # planted tile values (v_k = 2*((doc_id*7+k) % 128), 64 px per tile);
     # gray tiles => sum_r = sum_g = sum_b; garbage every 17th -> error row.
@@ -8717,6 +8855,9 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("image_neardup", o["image_neardup"], _kcat_sql("media_id"),
                   ["dhash_hex", "component", "csize", "hash_error"],
                   s1="keep"),
+        _pack_sql("audio_neardup", o["audio_neardup"], _kcat_sql("media_id"),
+                  ["fp_hex", "component", "csize", "hash_error"],
+                  s1="keep"),
         _pack_sql("html_extract", o["html_extract"], _kcat_sql("doc_id"),
                   ["main_text"], s1="n_blocks", s2="n_content_blocks"),
         _pack_sql("vad_segments", o["vad_segments"], _kcat_sql("media_id", "seg_idx"),
@@ -8816,7 +8957,7 @@ def oracle_sql() -> dict[str, str]:
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",
         "minhash_new", "media_decode", "jpeg_decode", "image_dhash",
-        "image_neardup", "image_resize", "card_luhn", "vad_segments", "html_extract",
+        "image_neardup", "audio_neardup", "image_resize", "card_luhn", "vad_segments", "html_extract",
         "vqa_gen", "speech2text", "pdf_extract", "mathverify",
         "sql_consistency", "mathbook_extract", "code_sandbox", "multihop_qa",
         "smiles_eval", "reasoning_judge", "reasoning_dataset", "pipeline_root",

@@ -124,6 +124,7 @@ HEADLINE = [
     # round-5 additions: the trained embedding head + the embed family
     # re-run over the learned column + perceptual near-dup image dedup
     "image_neardup",
+    "audio_neardup",
     "embed_model",
     "embed_topk_learned",
     "embed_kcenter_learned",

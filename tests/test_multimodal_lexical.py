@@ -688,3 +688,76 @@ def test_image_dedup_near_rejects_loose_radius(spark):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         M.image_dedup_near(None, max_hamming=4)
+
+
+# ---------------------------------------------------------------------------
+# audio near-dup fingerprint (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _tone(amps, rep=20, scale=1):
+    import numpy as np
+
+    sign = np.where(np.arange(rep) % 2 == 0, 1, -1)
+    return np.concatenate([a * scale * sign for a in amps]).astype(np.int16)
+
+
+def test_audio_fingerprint_invariances():
+    """Scale invariance (2x amplitude), pad invariance (whole-VAD-frame
+    zeros via the VAD-trim composition), locality (one spiked frame flips
+    at most its two delta bits), silence -> None."""
+    import numpy as np
+
+    from dataflow_spark.ops import multimodal as M
+
+    rng_amps = [110 + 10 * ((7 * f * f + 3) % 16) for f in range(65)]
+    base = _tone(rng_amps)
+    fp = M.audio_fingerprint64(base)
+    assert fp is not None
+    # 2x amplitude: identical
+    assert M.audio_fingerprint64(_tone(rng_amps, scale=2)) == fp
+    # whole-VAD-frame zero padding: identical
+    padded = np.concatenate(
+        [np.zeros(200, np.int16), base, np.zeros(300, np.int16)]
+    )
+    assert M.audio_fingerprint64(padded) == fp
+    # frame-5 spike: Hamming <= 2, and only bits 4/5 may differ
+    spiked = list(rng_amps)
+    spiked[5] = 600
+    fp2 = M.audio_fingerprint64(_tone(spiked))
+    diff = fp ^ fp2
+    assert diff != 0 and diff & ~0b110000 == 0
+    assert bin(diff).count("1") <= 2
+    # silence
+    assert M.audio_fingerprint64(np.zeros(1300, np.int16)) is None
+
+
+def test_audio_neardup_shared_kernel(spark):
+    """audio_fingerprint_features + dedup_near_banded64 (the image kernel,
+    unchanged) cluster scaled/padded/spiked variants to the base and keep
+    garbage/silent rows as error rows."""
+    import numpy as np
+
+    from dataflow_spark.ops import multimodal as M
+
+    amps = [110 + 10 * ((11 * f + 5) % 16) for f in range(65)]
+    base = _tone(amps)
+    spiked = list(amps)
+    spiked[5] = 600
+    rows = [
+        (1, M.encode_wav(base)),
+        (2, M.encode_wav(_tone(amps, scale=2))),
+        (3, M.encode_wav(np.concatenate([np.zeros(200, np.int16), base, np.zeros(300, np.int16)]))),
+        (4, M.encode_wav(_tone(spiked))),
+        (5, M.encode_wav(_tone([110 + 10 * ((3 * f + 1) % 16) for f in range(65)]))),
+        (6, b"RIFFnot-a-wav"),
+        (7, M.encode_wav(np.zeros(1300, np.int16))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    near = M.dedup_near_banded64(M.audio_fingerprint_features(df))
+    got = {r["media_id"]: r.asDict() for r in near.collect()}
+    assert got[1]["component"] == got[2]["component"] == got[3]["component"] == got[4]["component"] == 1
+    assert got[1]["keep"] == 1 and got[2]["keep"] == got[3]["keep"] == got[4]["keep"] == 0
+    assert got[5]["keep"] == 1 and got[5]["csize"] == 1  # different profile, far
+    assert got[6]["hash_error"] == "error" and got[6]["keep"] is None
+    assert got[7]["hash_error"] == "silent" and got[7]["keep"] is None
