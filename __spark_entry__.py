@@ -1127,6 +1127,52 @@ def q_audio_neardup(spark, sf):
     )
 
 
+def q_mp3_meta(spark, sf):
+    """MP3 frame-header metadata cards (battery member, round-5 judge item
+    #7 — ISO 11172-3/13818-3 header walk, no decode): each doc plants a
+    VALID Layer-III frame chain from its id arithmetic (n = id%5+2 frames;
+    MPEG2 every 7th doc else MPEG1; samplerate index id%3; channel mode
+    id%4; per-frame bitrate index (id+3j)%14+1 — constant id%14+1 on every
+    11th doc for the CBR case; padding bit (id+j)%2; an ID3v2 tag with
+    synchsafe size 17 prefixes every 5th doc) via encode_mp3_frames, and
+    ops/multimodal.mp3_frame_scan must walk sync/version/layer/bitrate/
+    samplerate/padding arithmetic to recover frame count, bitrate band,
+    CBR/VBR flag and the integer duration. Every 17th payload is garbage ->
+    'error'. The oracle recomputes every stat from the same id arithmetic
+    and the public bitrate/samplerate tables."""
+    from pyspark.sql.types import BinaryType
+
+    from dataflow_spark.ops import multimodal
+
+    @F.pandas_udf(BinaryType())
+    def synth_mp3(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 17 == 0:
+                out.append(b"mp3garbage-no-sync")
+                continue
+            n = i % 5 + 2
+            specs = [
+                (i % 14 + 1 if i % 11 == 0 else (i + 3 * j) % 14 + 1, (i + j) % 2)
+                for j in range(n)
+            ]
+            out.append(multimodal.encode_mp3_frames(
+                specs,
+                ver=2 if i % 7 == 0 else 3,
+                sri=i % 3,
+                mode=i % 4,
+                id3_size=17 if i % 5 == 0 else None,
+            ))
+        return pd.Series(out)
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    media = d.select(
+        F.col("doc_id").alias("media_id"), synth_mp3(F.col("doc_id")).alias("payload")
+    )
+    return multimodal.mp3_meta_features(media)
+
+
 def q_html_extract(spark, sf):
     """Main-content extraction (battery member, round 4 — the jusText/
     trafilatura boilerplate-removal step of RefinedWeb §3.1.3): each doc
@@ -3756,6 +3802,11 @@ def q_score_battery(spark, sf):
                       _kcat("media_id"),
                       ["fp_hex", "component", "csize", "hash_error"],
                       s1=F.col("keep")),
+        _battery_pack(q_mp3_meta(spark, sf), "mp3_meta",
+                      _kcat("media_id"),
+                      ["kind", "samplerate", "mode", "bitrate_min",
+                       "bitrate_max", "cbr"],
+                      s1=F.col("n_frames"), s2=F.col("duration_ms")),
         _battery_pack(q_html_extract(spark, sf), "html_extract",
                       _kcat("doc_id"), ["main_text"],
                       s1=F.col("n_blocks"), s2=F.col("n_content_blocks")),
@@ -7387,6 +7438,43 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN csz z USING (component)
     """
 
+    # mp3_meta: arithmetic oracle — frame count, bitrate band, CBR flag and
+    # integer duration recomputed from the planting rule + the public
+    # Layer-III bitrate/samplerate tables (the header walk has no state
+    # beyond the tables, so the card is pure id arithmetic).
+    o["mp3_meta"] = """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 17 = 0 THEN 'error' ELSE 'mp3' END AS kind,
+               CASE WHEN doc_id % 17 = 0 THEN NULL ELSE n END AS n_frames,
+               CASE WHEN doc_id % 17 = 0 THEN NULL ELSE sr END AS samplerate,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    ELSE (['stereo','joint','dual','mono'])[CAST(doc_id % 4 AS INT) + 1]
+               END AS mode,
+               CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(list_min(ks) AS INT) END AS bitrate_min,
+               CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(list_max(ks) AS INT) END AS bitrate_max,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    WHEN len(list_distinct(ks)) = 1 THEN 1 ELSE 0 END AS cbr,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    ELSE CAST(n * spf * 1000 // sr AS BIGINT) END AS duration_ms
+        FROM (
+          SELECT doc_id,
+                 CAST(doc_id % 5 + 2 AS INT) AS n,
+                 CASE WHEN doc_id % 7 = 0 THEN 576 ELSE 1152 END AS spf,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN ([22050, 24000, 16000])[CAST(doc_id % 3 AS INT) + 1]
+                      ELSE ([44100, 48000, 32000])[CAST(doc_id % 3 AS INT) + 1]
+                 END AS sr,
+                 list_transform(range(0, doc_id % 5 + 2), j ->
+                   (CASE WHEN doc_id % 7 = 0
+                         THEN [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+                         ELSE [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320] END)
+                   [CAST(CASE WHEN doc_id % 11 = 0 THEN doc_id % 14 + 1
+                              ELSE (doc_id + 3 * j) % 14 + 1 END AS INT)]
+                 ) AS ks
+          FROM documents
+        )
+    """
+
     # jpeg_decode: arithmetic oracle — channel sums recomputed from the
     # planted tile values (v_k = 2*((doc_id*7+k) % 128), 64 px per tile);
     # gray tiles => sum_r = sum_g = sum_b; garbage every 17th -> error row.
@@ -8858,6 +8946,10 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("audio_neardup", o["audio_neardup"], _kcat_sql("media_id"),
                   ["fp_hex", "component", "csize", "hash_error"],
                   s1="keep"),
+        _pack_sql("mp3_meta", o["mp3_meta"], _kcat_sql("media_id"),
+                  ["kind", "samplerate", "mode", "bitrate_min",
+                   "bitrate_max", "cbr"],
+                  s1="n_frames", s2="duration_ms"),
         _pack_sql("html_extract", o["html_extract"], _kcat_sql("doc_id"),
                   ["main_text"], s1="n_blocks", s2="n_content_blocks"),
         _pack_sql("vad_segments", o["vad_segments"], _kcat_sql("media_id", "seg_idx"),
@@ -8957,7 +9049,7 @@ def oracle_sql() -> dict[str, str]:
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",
         "minhash_new", "media_decode", "jpeg_decode", "image_dhash",
-        "image_neardup", "audio_neardup", "image_resize", "card_luhn", "vad_segments", "html_extract",
+        "image_neardup", "audio_neardup", "mp3_meta", "image_resize", "card_luhn", "vad_segments", "html_extract",
         "vqa_gen", "speech2text", "pdf_extract", "mathverify",
         "sql_consistency", "mathbook_extract", "code_sandbox", "multihop_qa",
         "smiles_eval", "reasoning_judge", "reasoning_dataset", "pipeline_root",

@@ -125,6 +125,7 @@ HEADLINE = [
     # re-run over the learned column + perceptual near-dup image dedup
     "image_neardup",
     "audio_neardup",
+    "mp3_meta",
     "embed_model",
     "embed_topk_learned",
     "embed_kcenter_learned",

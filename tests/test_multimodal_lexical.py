@@ -761,3 +761,45 @@ def test_audio_neardup_shared_kernel(spark):
     assert got[5]["keep"] == 1 and got[5]["csize"] == 1  # different profile, far
     assert got[6]["hash_error"] == "error" and got[6]["keep"] is None
     assert got[7]["hash_error"] == "silent" and got[7]["keep"] is None
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header metadata scan (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_frame_scan_tables_and_id3():
+    from dataflow_spark.ops import multimodal as M
+
+    # MPEG1 Layer III, 48 kHz, VBR, ID3 skip, padding bits
+    p = M.encode_mp3_frames([(9, 0), (3, 1), (9, 0)], ver=3, sri=1, mode=2, id3_size=17)
+    got = M.mp3_frame_scan(p)
+    assert got == {"n_frames": 3, "samplerate": 48000, "mode": "dual",
+                   "bitrate_min": 48, "bitrate_max": 128, "cbr": False,
+                   "duration_ms": 3 * 1152 * 1000 // 48000}
+    # MPEG2 Layer III, 16 kHz mono CBR
+    got2 = M.mp3_frame_scan(M.encode_mp3_frames([(5, 1), (5, 0)], ver=2, sri=2, mode=3))
+    assert got2["samplerate"] == 16000 and got2["cbr"] is True
+    assert got2["duration_ms"] == 2 * 576 * 1000 // 16000
+    # trailing garbage after valid frames: frames before the break count
+    got3 = M.mp3_frame_scan(M.encode_mp3_frames([(1, 0)]) + b"\x00garbage")
+    assert got3["n_frames"] == 1
+    # no frames at all
+    import pytest
+
+    with pytest.raises(ValueError, match="no MP3 frames"):
+        M.mp3_frame_scan(b"ID3\x04\x00\x00\x00\x00\x00\x05AAAAA")
+
+
+def test_mp3_meta_features_stage(spark):
+    from dataflow_spark.ops import multimodal as M
+
+    rows = [
+        (1, M.encode_mp3_frames([(9, 0), (3, 1)], ver=3, sri=0, mode=0)),
+        (2, b"not-an-mp3"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict() for r in M.mp3_meta_features(df).collect()}
+    assert got[1]["kind"] == "mp3" and got[1]["n_frames"] == 2
+    assert got[1]["samplerate"] == 44100 and got[1]["mode"] == "stereo"
+    assert got[2]["kind"] == "error" and got[2]["n_frames"] is None
