@@ -2563,6 +2563,27 @@ def q_embed_decontam_learned(spark, sf):
     return embeddings.semantic_decontaminate(e, ev, threshold=0.9995)
 
 
+def q_embed_ivf_learned(spark, sf):
+    """IVF ANN over the LEARNED column in the exhaustive-probe regime
+    (n_probe = n_cells — candidate generation provably covers the corpus, so
+    the exact brute-force SQL over the recomputed learned vectors is a true
+    oracle for the whole IVF topology; the embed_ivf_topk trick on trained
+    embeddings). The IVF half of the IVFADC family on the learned column —
+    the PQ/ADC tail stays value-checked on the 64-dim embeddings table
+    (ivfpq_topk member; the subquantizer chain is a mechanical dim change)."""
+    e = _learned_embeddings(spark, sf)
+    qs = e.filter(F.col("vec_id") < 3)
+    return embeddings.ivf_topk(e, qs, k=5, n_cells=16, n_probe=16, two_level=False)
+
+
+def q_embed_vendi_learned(spark, sf):
+    """Vendi/Task2Vec-style dataset-diversity scalar over the LEARNED column
+    (size-targeted deterministic sample, exact pair-join average)."""
+    return embeddings.dataset_diversity(
+        _learned_embeddings(spark, sf), sample_target=250
+    )
+
+
 def _planted_dup_transcripts(spark, sf):
     """Planted-duplicate regime for the LSH dedup queries (the trick that made
     embed_neardup value-checkable in round 2): background texts are
@@ -4079,6 +4100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_kcenter_learned": q_embed_kcenter_learned,
         "embed_semdedup_learned": q_embed_semdedup_learned,
         "embed_decontam_learned": q_embed_decontam_learned,
+        "embed_ivf_learned": q_embed_ivf_learned,
+        "embed_vendi_learned": q_embed_vendi_learned,
         "media_features": q_media_features,
         "events_json": q_events_json,
         "orders_grouping": q_orders_grouping,
@@ -4939,6 +4962,26 @@ def oracle_sql() -> dict[str, str]:
           WHERE round({_dot} / ({_norm_a} * {_norm_b}), 6) >= 0.9995
         )
         SELECT vec_id FROM aug WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    """
+
+    # exhaustive-probe IVF over the learned column == exact brute force
+    o["embed_ivf_learned"] = o["embed_topk_learned"]
+
+    o["embed_vendi_learned"] = f"""
+        WITH lemb AS MATERIALIZED ({_lemb}),
+        s AS (
+          SELECT vec_id, embedding FROM lemb
+          WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::UBIGINT
+                < greatest(1, (281474976710656 * 250)
+                              // (SELECT count(*) FROM lemb))
+        )
+        SELECT count(*) AS n_pairs,
+               round(avg(sim), 6) AS avg_sim,
+               round(1.0 - avg(sim), 6) AS diversity
+        FROM (
+          SELECT round({_dot} / ({_norm_a} * {_norm_b}), 6) AS sim
+          FROM s a JOIN s b ON a.vec_id < b.vec_id
+        )
     """
 
     o["embed_decontam_learned"] = f"""
