@@ -3828,6 +3828,24 @@ def q_score_battery(spark, sf):
                       ["kind", "samplerate", "mode", "bitrate_min",
                        "bitrate_max", "cbr"],
                       s1=F.col("n_frames"), s2=F.col("duration_ms")),
+        _battery_pack(q_embed_model(spark, sf), "embed_model",
+                      _kcat("doc_id"), ["emb_str"], s1=F.col("norm_sq")),
+        _battery_pack(q_embed_topk_learned(spark, sf), "embed_topk_learned",
+                      _kcat("query_id", "neighbor_id"), [],
+                      s1=F.col("rank"), s2=F.col("sim")),
+        _battery_pack(q_embed_kcenter_learned(spark, sf), "embed_kcenter_learned",
+                      _kcat("vec_id"), [], s1=F.col("pick_order")),
+        _battery_pack(q_embed_semdedup_learned(spark, sf), "embed_semdedup_learned",
+                      _kcat("vec_id"), []),
+        _battery_pack(q_embed_decontam_learned(spark, sf), "embed_decontam_learned",
+                      _kcat("vec_id"), [],
+                      s1=F.col("n_hits"), s2=F.col("contaminated").cast("int")),
+        _battery_pack(q_embed_ivf_learned(spark, sf), "embed_ivf_learned",
+                      _kcat("query_id", "neighbor_id"), [],
+                      s1=F.col("rank"), s2=F.col("sim")),
+        _battery_pack(q_embed_vendi_learned(spark, sf), "embed_vendi_learned",
+                      F.lit("vendi"), ["n_pairs"],
+                      s1=F.col("avg_sim"), s2=F.col("diversity")),
         _battery_pack(q_html_extract(spark, sf), "html_extract",
                       _kcat("doc_id"), ["main_text"],
                       s1=F.col("n_blocks"), s2=F.col("n_content_blocks")),
@@ -4095,13 +4113,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "embed_dedup": q_embed_dedup,
         "embed_diversity": q_embed_diversity,
-        "embed_model": q_embed_model,
-        "embed_topk_learned": q_embed_topk_learned,
-        "embed_kcenter_learned": q_embed_kcenter_learned,
-        "embed_semdedup_learned": q_embed_semdedup_learned,
-        "embed_decontam_learned": q_embed_decontam_learned,
-        "embed_ivf_learned": q_embed_ivf_learned,
-        "embed_vendi_learned": q_embed_vendi_learned,
         "media_features": q_media_features,
         "events_json": q_events_json,
         "orders_grouping": q_orders_grouping,
@@ -8993,6 +9004,24 @@ def oracle_sql() -> dict[str, str]:
                   ["kind", "samplerate", "mode", "bitrate_min",
                    "bitrate_max", "cbr"],
                   s1="n_frames", s2="duration_ms"),
+        _pack_sql("embed_model", o["embed_model"], _kcat_sql("doc_id"),
+                  ["emb_str"], s1="norm_sq"),
+        _pack_sql("embed_topk_learned", o["embed_topk_learned"],
+                  _kcat_sql("query_id", "neighbor_id"), [],
+                  s1="rank", s2="sim"),
+        _pack_sql("embed_kcenter_learned", o["embed_kcenter_learned"],
+                  _kcat_sql("vec_id"), [], s1="pick_order"),
+        _pack_sql("embed_semdedup_learned", o["embed_semdedup_learned"],
+                  _kcat_sql("vec_id"), []),
+        _pack_sql("embed_decontam_learned", o["embed_decontam_learned"],
+                  _kcat_sql("vec_id"), [],
+                  s1="n_hits", s2="CAST(contaminated AS INT)"),
+        _pack_sql("embed_ivf_learned", o["embed_ivf_learned"],
+                  _kcat_sql("query_id", "neighbor_id"), [],
+                  s1="rank", s2="sim"),
+        _pack_sql("embed_vendi_learned", o["embed_vendi_learned"],
+                  "'vendi'", ["n_pairs"],
+                  s1="avg_sim", s2="diversity"),
         _pack_sql("html_extract", o["html_extract"], _kcat_sql("doc_id"),
                   ["main_text"], s1="n_blocks", s2="n_content_blocks"),
         _pack_sql("vad_segments", o["vad_segments"], _kcat_sql("media_id", "seg_idx"),
@@ -9092,7 +9121,10 @@ def oracle_sql() -> dict[str, str]:
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",
         "minhash_new", "media_decode", "jpeg_decode", "image_dhash",
-        "image_neardup", "audio_neardup", "mp3_meta", "image_resize", "card_luhn", "vad_segments", "html_extract",
+        "image_neardup", "audio_neardup", "mp3_meta", "embed_model",
+        "embed_topk_learned", "embed_kcenter_learned", "embed_semdedup_learned",
+        "embed_decontam_learned", "embed_ivf_learned", "embed_vendi_learned",
+        "image_resize", "card_luhn", "vad_segments", "html_extract",
         "vqa_gen", "speech2text", "pdf_extract", "mathverify",
         "sql_consistency", "mathbook_extract", "code_sandbox", "multihop_qa",
         "smiles_eval", "reasoning_judge", "reasoning_dataset", "pipeline_root",
