@@ -174,10 +174,20 @@ def _prepare_input(spark, sf_dir: str, rep: int, table_dir: str, skew: bool = Fa
         # conversation absorbs ~50% of ALL turns (deterministic per-turn
         # coin), the Zipf head every real transcript corpus has. Applied
         # after replication so the mega key holds half the full fixture.
+        # The merged turns get DENSE unique-ish turn_idx values (a real
+        # 2M-turn conversation numbers its turns 0..2M) via a deterministic
+        # narrow formula over (user, replica, turn) — no global sort.
+        parts = F.split(F.regexp_replace("conv_id", "^conv-", ""), "#")
+        num = F.coalesce(parts.getItem(0).cast("long"), F.lit(0))
+        r = F.coalesce(parts.getItem(1).cast("long"), F.lit(0))
+        mega = F.xxhash64("conv_id", "turn_idx") % 2 == 0
         t = t.withColumn(
+            "turn_idx",
+            F.when(mega, ((num * rep + r) * 1024 + F.col("turn_idx")).cast("int"))
+            .otherwise(F.col("turn_idx")),
+        ).withColumn(
             "conv_id",
-            F.when(F.xxhash64("conv_id", "turn_idx") % 2 == 0, F.lit("conv-MEGA"))
-            .otherwise(F.col("conv_id")),
+            F.when(mega, F.lit("conv-MEGA")).otherwise(F.col("conv_id")),
         )
     t.write.mode("overwrite").parquet(table_dir)
 
@@ -225,7 +235,13 @@ def _flagship(spark, table_dir: str, filters_first: bool = False):
     t = t.persist()
     try:
         _materialize(windows.window_quality_agg(t, "6 hours"))
-        _materialize(windows.reassemble_conversations(t))
+        # salted two-phase reassembly: per-group state bounded by the chunk
+        # size REGARDLESS of conversation length — the flat collect_list
+        # variant builds a conversation-sized buffer in one task, which the
+        # 50%-mega-conv skew fixture turns into a single thrashing straggler
+        # (measured; see windows.reassemble_conversations_salted). Stats are
+        # identical, the digest is the Merkle chunk fingerprint.
+        _materialize(windows.reassemble_conversations_salted(t))
     finally:
         t.unpersist()
         for c in caches:

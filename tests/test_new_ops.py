@@ -1466,3 +1466,44 @@ def test_windowed_top_terms_rank_rule_and_pushdown(spark):
     ]
     plan = W.windowed_top_terms(df, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan  # executor state O(k), not O(vocab)
+
+
+def test_reassemble_salted_matches_flat_stats_and_is_deterministic(spark):
+    """Round 5 (skew receipt fix): the two-phase salted reassembly emits
+    IDENTICAL stats to the flat variant, a deterministic
+    partitioning-independent Merkle digest, chunk-boundary-correct ordering,
+    and flips the digest on any turn edit."""
+    import datetime as dt
+
+    from dataflow_spark.ops import windows as W
+
+    rows = []
+    base = dt.datetime(2026, 1, 1)
+    for conv in ("a", "b"):
+        for i in range(10):
+            rows.append((conv, i, ["user", "assistant"][i % 2],
+                         f"turn {conv}{i}", None, base + dt.timedelta(minutes=i)))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    flat = {r["conv_id"]: r.asDict() for r in W.reassemble_conversations(df).collect()}
+    # chunk=4 forces multiple chunks per conversation
+    s1 = {r["conv_id"]: r.asDict()
+          for r in W.reassemble_conversations_salted(df, chunk=4).collect()}
+    for c in ("a", "b"):
+        for col in ("n_turns", "first_ts", "last_ts", "n_tool_turns"):
+            assert s1[c][col] == flat[c][col], (c, col)
+    # partitioning independence
+    s2 = {r["conv_id"]: r["convo_digest"]
+          for r in W.reassemble_conversations_salted(df.repartition(7), chunk=4).collect()}
+    assert {c: v["convo_digest"] for c, v in s1.items()} == s2
+    # sensitivity: edit one turn -> digest changes for that conv only
+    df2 = df.withColumn(
+        "text",
+        F.when((F.col("conv_id") == "a") & (F.col("turn_idx") == 7),
+               F.lit("EDITED")).otherwise(F.col("text")),
+    )
+    s3 = {r["conv_id"]: r["convo_digest"]
+          for r in W.reassemble_conversations_salted(df2, chunk=4).collect()}
+    assert s3["a"] != s1["a"]["convo_digest"]
+    assert s3["b"] == s1["b"]["convo_digest"]
