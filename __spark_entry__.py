@@ -2499,10 +2499,17 @@ def _learned_embeddings(spark, sf):
     double are EXACT, so every cosine/distance downstream is replayed
     bit-for-bit by the SQL twin in any summation order."""
     d = load_table(spark, sf, "documents").select("doc_id", "text")
-    return embeddings.text_embed_stage(d, text_col="text", out="embedding").select(
+    out = embeddings.text_embed_stage(d, text_col="text", out="embedding").select(
         F.col("doc_id").alias("vec_id"),
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
+    # one embed pass per query: every learned member self-joins this frame
+    # (query side, planted copies, both pair sides), and an unmaterialized
+    # plan re-runs the python embed stage once per reference (plan audit:
+    # 10 python stages inside semdedup_learned before this). Checkpoint the
+    # narrow (id, vec) projection once — a DISK_ONLY persist / temp table
+    # at 10^12 rows.
+    return out.localCheckpoint(eager=True)
 
 
 def q_embed_model(spark, sf):
