@@ -261,7 +261,7 @@ def test_ctc_speech_to_text_roundtrip_and_errors(spark):
     for i, toks in plans.items():
         assert got[i]["transcript"] == " ".join(names[t] for t in toks), i
         assert got[i]["n_tokens"] == len(toks) and got[i]["asr_error"] is None
-    assert got[99]["transcript"] is None and got[99]["asr_error"] == "Error"
+    assert got[99]["transcript"] is None and got[99]["asr_error"] == "error"
 
     # python twin agrees with the stage
     m = M.CTCSpeechModel()
