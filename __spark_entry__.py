@@ -2551,7 +2551,11 @@ def q_embed_semdedup_learned(spark, sf):
     identical integer embedding -> cosine exactly 1.0). n_bands=0 forces the
     exact all-pairs baseline so the member is value-checked end-to-end
     regardless of the (deliberately high-similarity) background."""
-    e = _learned_embeddings(spark, sf)
+    # every-4th-doc subset: the exact all-pairs baseline is quadratic by
+    # design ("small inputs only" — the scale path is the banded LSH); the
+    # subset keeps the member linear in sf while still containing every
+    # planted copy (20 is a multiple of 4)
+    e = _learned_embeddings(spark, sf).filter(F.col("vec_id") % 4 == 0)
     planted = e.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
@@ -4968,7 +4972,8 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["embed_semdedup_learned"] = f"""
-        WITH lemb AS MATERIALIZED ({_lemb}),
+        WITH lembfull AS MATERIALIZED ({_lemb}),
+        lemb AS (SELECT * FROM lembfull WHERE vec_id % 4 = 0),
         aug AS MATERIALIZED (
           SELECT vec_id, embedding FROM lemb
           UNION ALL
