@@ -1452,3 +1452,49 @@ def test_compact_parquet_dir_aborts_on_mismatch(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert after == before
+
+
+def test_streaming_audio_neardup_through_shared_sink(spark, tmp_path):
+    """Round 5: the banded-64 streaming sink is modality-agnostic — audio
+    fingerprints flow through NearDupImageAppendSink unchanged: a 2x-scaled
+    re-encode arriving in a later batch drops at Hamming 0, a different
+    amplitude profile survives."""
+    import numpy as np
+
+    from dataflow_spark.ops import multimodal as M
+    from dataflow_spark.streaming.sink import NearDupImageAppendSink
+    from tests.test_multimodal_lexical import _tone
+
+    amps_a = [110 + 10 * ((11 * f + 5) % 16) for f in range(65)]
+    amps_b = [110 + 10 * ((3 * f + 1) % 16) for f in range(65)]
+    chunk1 = pd.DataFrame({"media_id": [1], "payload": [M.encode_wav(_tone(amps_a))]})
+    chunk2 = pd.DataFrame({
+        "media_id": [2, 3],
+        "payload": [M.encode_wav(_tone(amps_a, scale=2)),  # re-encode of 1
+                    M.encode_wav(_tone(amps_b))],          # distinct
+    })
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 20
+    for i, ch in enumerate((chunk1, chunk2)):
+        p = os.path.join(src, f"part-{i:04d}.parquet")
+        ch.to_parquet(p, index=False)
+        os.utime(p, (t0 + i * 10, t0 + i * 10))
+
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+    sink = NearDupImageAppendSink(str(tmp_path / "out"), max_hamming=3)
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    staged = M.audio_fingerprint_features(sdf).filter(F.col("dhash").isNotNull())
+    q = (
+        staged.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["media_id"] for r in sink.read(spark).collect())
+    assert got == [1, 3]
