@@ -51,7 +51,16 @@ class TextEmbedModel:
         if t is None:
             return None
         toks = RE2_WS_RE.split(t.strip(" \t\n\r\f\v").lower())
-        v = self.E[[md5_bucket("e:" + tok) for tok in toks]].sum(axis=0)
+        # bincount then one (4096,) @ (4096, 16) matvec — O(buckets) scratch
+        # instead of an (n_tokens x 16) fancy-index copy, which a 10 MB
+        # document would turn into a transient multi-hundred-MB array (the
+        # langid_tri review fix, applied here at birth). Integer-exact
+        # either way: sum of rows == counts @ E.
+        counts = np.bincount(
+            np.asarray([md5_bucket("e:" + tok) for tok in toks], dtype=np.int64),
+            minlength=self.E.shape[0],
+        )
+        v = counts @ self.E
         return [int(x) for x in v]
 
     def embed_batch(self, texts: pd.Series) -> pd.Series:

@@ -2045,9 +2045,12 @@ def encode_mp3_frames(
         kbps = (MP3_BITRATES_V1L3 if ver == 3 else MP3_BITRATES_V2L3)[bi - 1]
         sr = MP3_SAMPLERATES[ver][sri]
         flen = (144000 if ver == 3 else 72000) * kbps // sr + pad
+        # protection bit SET (no CRC-16 after the header — bit 0 of byte 1
+        # is 0 when a CRC follows; the scanner steps by table length either
+        # way, but the emitted chain should not claim a CRC it lacks)
         hdr = bytes([
             0xFF,
-            0xE0 | (ver << 3) | (1 << 1),
+            0xE0 | (ver << 3) | (1 << 1) | 1,
             (bi << 4) | (sri << 2) | (pad << 1),
             mode << 6,
         ])
