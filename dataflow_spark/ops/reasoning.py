@@ -383,7 +383,10 @@ def math_verify_judge(
             # ever upgrades False->True — symbolic=False propagates NULL on
             # NULL inputs and the two modes must agree there (advice r4)
             def one(x, y, z):
-                if x is None or x is pd.NA:
+                # NULL may arrive as None (object), pd.NA (boolean ext) or
+                # nan (float coercion) depending on the Arrow->pandas path;
+                # a nan would otherwise be TRUTHY and fake a True verdict
+                if x is None or x is pd.NA or (isinstance(x, float) and x != x):
                     if y is None or z is None:
                         return None
                     return True if _poly_equivalent(y, z) else None
