@@ -489,3 +489,87 @@ def test_kmv_overlap_equals_python_twin(spark, rows, k):
             est = 10000 * sum(1 for v in U if v in skA and v in skB) // len(U)
             want[(a, b)] = (est, exact, abs(est - exact))
     assert got == want
+
+
+@given(
+    amps=st.lists(st.integers(min_value=111, max_value=400), min_size=65, max_size=65),
+    scale=st.integers(min_value=1, max_value=40),
+    pad_front=st.integers(min_value=0, max_value=5),
+    pad_back=st.integers(min_value=0, max_value=5),
+)
+@settings(max_examples=40, deadline=None)
+def test_audio_fingerprint_invariance_properties(amps, scale, pad_front, pad_back):
+    """For ANY 65-frame amplitude profile: (a) amplitude scaling never
+    changes the fingerprint; (b) whole-VAD-frame zero padding never changes
+    it; (c) the fingerprint bits equal the amplitude delta comparisons."""
+    import numpy as np
+
+    from dataflow_spark.ops import multimodal as M
+
+    sign = np.where(np.arange(20) % 2 == 0, 1, -1)
+    base = np.concatenate([a * sign for a in amps]).astype(np.int64)
+    fp = M.audio_fingerprint64(base)
+    want = 0
+    for f in range(64):
+        if amps[f] < amps[f + 1]:
+            want |= 1 << f
+    assert fp == want
+    assert M.audio_fingerprint64(base * scale) == fp  # |samples| scale together
+    padded = np.concatenate(
+        [np.zeros(100 * pad_front, np.int64), base, np.zeros(100 * pad_back, np.int64)]
+    )
+    assert M.audio_fingerprint64(padded) == fp
+
+
+@given(
+    specs=st.lists(
+        st.tuples(st.integers(min_value=1, max_value=14), st.integers(min_value=0, max_value=1)),
+        min_size=1, max_size=6,
+    ),
+    ver=st.sampled_from([2, 3]),
+    sri=st.integers(min_value=0, max_value=2),
+    mode=st.integers(min_value=0, max_value=3),
+    id3=st.one_of(st.none(), st.integers(min_value=0, max_value=64)),
+)
+@settings(max_examples=60, deadline=None)
+def test_mp3_scan_roundtrip_property(specs, ver, sri, mode, id3):
+    """encode_mp3_frames -> mp3_frame_scan recovers frame count, samplerate,
+    mode, bitrate band, CBR flag and integer duration for ANY valid chain."""
+    from dataflow_spark.ops import multimodal as M
+
+    p = M.encode_mp3_frames(specs, ver=ver, sri=sri, mode=mode, id3_size=id3)
+    got = M.mp3_frame_scan(p)
+    table = M.MP3_BITRATES_V1L3 if ver == 3 else M.MP3_BITRATES_V2L3
+    ks = [table[bi - 1] for bi, _ in specs]
+    sr = M.MP3_SAMPLERATES[ver][sri]
+    spf = 1152 if ver == 3 else 576
+    assert got == {
+        "n_frames": len(specs), "samplerate": sr, "mode": M.MP3_MODES[mode],
+        "bitrate_min": min(ks), "bitrate_max": max(ks),
+        "cbr": len(set(ks)) == 1,
+        "duration_ms": len(specs) * spf * 1000 // sr,
+    }
+
+
+@given(
+    bits=st.integers(min_value=0, max_value=(1 << 64) - 1),
+    flips=st.sets(st.integers(min_value=0, max_value=63), min_size=0, max_size=3),
+)
+@settings(max_examples=40, deadline=None)
+def test_dhash_banding_pigeonhole_property(bits, flips):
+    """Any <=3-bit perturbation of ANY 64-bit hash shares at least one
+    exact 16-bit band with the original (the recall guarantee the banded
+    near-dup join relies on), and the planted-image encoder reproduces the
+    perturbed hash exactly."""
+    from dataflow_spark.ops import multimodal as M
+    from tests.test_multimodal_lexical import _hash_img
+
+    pert = bits
+    for f in flips:
+        pert ^= 1 << f
+    shared = any(
+        ((bits >> (16 * i)) & 0xFFFF) == ((pert >> (16 * i)) & 0xFFFF)
+        for i in range(4)
+    )
+    assert shared
+    assert M.dhash64(_hash_img(pert)) == pert
