@@ -21,9 +21,9 @@ All four close reference-parity gaps flagged in round 1:
     NER, documented).
   - lang_id_v2: script detection (27 non-Latin scripts, refined by marker
     letters inside the pluricentric blocks — cyrillic be/uk/mk/sr/ru/bg,
-    arabic ps/ur/fa/ar, hebrew yi/he) + stopword-profile argmax (41 Latin
+    arabic ps/ur/fa/ar, hebrew yi/he) + stopword-profile argmax (51 Latin
     languages) — the fastText-class stand-in for LanguageFilter
-    (language_filter.py:61-65); 77 languages + 'und'. Pure JVM expressions,
+    (language_filter.py:61-65); 87 languages + 'und'. Pure JVM expressions,
     exactly replicated by the SQL oracle.
 """
 
@@ -631,6 +631,20 @@ LATIN_PROFILES: dict[str, tuple[str, ...]] = {
     "ht": ("nan", "ak", "yon", "li", "pou", "sa", "te", "ki", "pa", "men", "gen", "tout"),
     "eo": ("kaj", "la", "estas", "ne", "por", "kun", "sed", "tio", "ankaŭ", "povas", "esti", "pli"),
     "uz": ("va", "bu", "bilan", "uchun", "ham", "emas", "katta", "yangi", "deb", "edi", "lekin", "bor"),
+    # round-5 breadth pass 3: ten more Latin-script languages toward the
+    # fastText-176 inventory (function-word profiles, public vocabulary)
+    "zu": ("futhi", "ukuthi", "ngoba", "kodwa", "uma", "lapho", "kanye", "noma", "kakhulu", "konke", "njalo", "manje"),
+    "yo": ("àti", "pé", "kò", "wọn", "ṣe", "fún", "nítorí", "bí", "ṣùgbọ́n", "àwọn", "náà", "tí"),
+    "ha": ("kuma", "amma", "wannan", "don", "ba", "ne", "ce", "suka", "yana", "zai", "sun", "tare"),
+    # quote-free words only — profile entries render as SQL literals in the
+    # oracle (the EN_STOPWORDS convention)
+    "ig": ("bụ", "nke", "maka", "mana", "ndị", "dị", "otu", "ihe", "gị", "anyị", "nwere", "banyere"),
+    "mg": ("ny", "sy", "dia", "izay", "fa", "tsy", "ho", "izy", "koa", "ary", "amin", "rehefa"),
+    "ceb": ("ug", "nga", "mga", "kini", "dili", "ako", "siya", "usa", "kay", "wala", "busa", "ang"),
+    "jv": ("lan", "ing", "sing", "iku", "karo", "ora", "iki", "saka", "kanggo", "wis", "ana", "dadi"),
+    "la": ("et", "est", "non", "cum", "sed", "quod", "qui", "ad", "ut", "atque", "enim", "autem"),
+    "lb": ("den", "net", "mat", "fir", "ass", "awer", "ginn", "huet", "och", "dat", "eng", "vun"),
+    "fy": ("fan", "yn", "dat", "net", "mei", "foar", "hawwe", "wurde", "dy", "ek", "se", "binne"),
 }
 
 # script ranges (first-match wins, checked before Latin profiles)
@@ -713,8 +727,8 @@ def lang_id_v2(col: Column) -> Column:
     27 scripts by codepoint presence (first match in SCRIPT_RANGES order),
     refined within the pluricentric scripts by SCRIPT_SUBRULES marker
     letters (cyrillic -> be/uk/mk/sr/ru/bg, arabic -> ps/ur/fa/ar,
-    hebrew -> yi/he), else stopword-profile argmax over 41 Latin languages
-    (ties -> profile order), else 'und'. 77 languages + und, pure JVM
+    hebrew -> yi/he), else stopword-profile argmax over 51 Latin languages
+    (ties -> profile order), else 'und'. 87 languages + und, pure JVM
     expressions; the SQL oracle replicates rule-for-rule."""
     from dataflow_spark.ops.quality import _let
 
@@ -783,7 +797,7 @@ class LangTrigramModel:
     classifier over a bag of hashed character n-grams (Joulin et al. 2016;
     the reference loads fastText-176 in language_filter.py:61-65). An
     INTEGER perceptron over char TRIGRAMS of ' '+normalized-text+' '
-    (lower, whitespace collapsed), 4096 md5 buckets, 41 Latin-script
+    (lower, whitespace collapsed), 4096 md5 buckets, 51 Latin-script
     classes; trained + reproducible via tools/train_tiny_langid.py, shipped
     as artifacts/langid_tri.npz. Unlike the stopword profiles this learns
     orthography — trigrams straddle word boundaries, so diacritics and
@@ -842,7 +856,7 @@ def lang_id_v3_stage(
     df: DataFrame, text_col: str = "text", out: str = "lang_v3",
     path: str | None = None,
 ) -> DataFrame:
-    """Full 77-language lang-ID with the TRAINED Latin head: the exact
+    """Full 87-language lang-ID with the TRAINED Latin head: the exact
     codepoint-range script detector first (unchanged from lang_id_v2), and
     the Latin-script mass routed through the trigram perceptron served per
     worker via the model seam (ops/models.py lifecycle). Appends `out`."""

@@ -159,10 +159,10 @@ def test_ner_redact_covers_18_entity_labels(spark):
         assert tag in got[i], (cases[i][0], got[i])
 
 
-def test_lang_id_v2_breadth_77_languages(spark):
+def test_lang_id_v2_breadth_87_languages(spark):
     """Round-3 breadth: every script range, script subrule, and Latin
     profile detects a canonical sample of its language (the fastText-176
-    stand-in now covers 77 languages + und)."""
+    stand-in now covers 87 languages + und)."""
     samples = {
         # script-subrule languages (breadth pass 2): marker letters inside
         # a shared script block
@@ -232,6 +232,17 @@ def test_lang_id_v2_breadth_77_languages(spark):
         "id": "yang dan ini itu dengan tidak untuk dari akan saya ada juga",
         "vi": "của và là có không trong được người những một cho đã hôm nay",
         "ca": "els amb què més però aquest com ha són la seva una dels dies",
+        # round-5 breadth pass 3 (new Latin profiles)
+        "zu": "futhi ukuthi ngoba kodwa uma lapho kanye noma kakhulu konke njalo manje",
+        "yo": "àti pé kò wọn ṣe fún nítorí bí ṣùgbọ́n àwọn náà tí",
+        "ha": "kuma amma wannan don ba ne ce suka yana zai sun tare",
+        "ig": "bụ nke maka mana ndị dị otu ihe gị anyị nwere banyere",
+        "mg": "ny sy dia izay fa tsy ho izy koa ary amin rehefa",
+        "ceb": "ug nga mga kini dili ako siya usa kay wala busa ang",
+        "jv": "lan ing sing iku karo ora iki saka kanggo wis ana dadi",
+        "la": "et est non cum sed quod qui ad ut atque enim autem",
+        "lb": "den net mat fir ass awer ginn huet och dat eng vun",
+        "fy": "fan yn dat net mei foar hawwe wurde dy ek se binne",
     }
     rows = [(lang, text) for lang, text in samples.items()]
     df = spark.createDataFrame(rows, "lang: string, text: string")
@@ -514,13 +525,13 @@ def test_ner_tagger_artifact_reproducible():
     assert list(shipped["classes"]) == m.CLASSES
 
 
-def _fixture_77():
-    """The 77-language canonical samples from
-    test_lang_id_v2_breadth_77_languages (shared by the v3 test)."""
+def _fixture_87():
+    """The 87-language canonical samples from
+    test_lang_id_v2_breadth_87_languages (shared by the v3 test)."""
     import re
     import inspect
 
-    src = inspect.getsource(test_lang_id_v2_breadth_77_languages)
+    src = inspect.getsource(test_lang_id_v2_breadth_87_languages)
     m = re.search(r"samples = (\{.*?\n    \})", src, re.DOTALL)
     return eval(m.group(1))
 
@@ -528,18 +539,18 @@ def _fixture_77():
 def test_lang_id_v3_trained_head_beats_profiles_on_fixture(spark):
     """Round-3 task #5: the TRAINED char-trigram head (fastText
     architecture, shipped langid_tri.npz) — accuracy on the canonical
-    77-language fixture >= the profile model's (which is 100% there), the
+    87-language fixture >= the profile model's (which is 100% there), the
     script branch unchanged, und on no-evidence input, and the stage equals
     the python twin + script composition row-for-row."""
     from dataflow_spark.ops.nlp import LangTrigramModel, lang_id_v3_stage
 
-    samples = _fixture_77()
+    samples = _fixture_87()
     rows = [(lang, text) for lang, text in samples.items()]
     df = spark.createDataFrame(rows, "lang: string, text: string")
     got = {r["lang"]: r["pred"] for r in
            lang_id_v3_stage(df, "text", "pred").select("lang", "pred").collect()}
     wrong = {k: v for k, v in got.items() if v != k}
-    assert not wrong, wrong  # 77/77 — matches the v2 fixture bar exactly
+    assert not wrong, wrong  # 87/87 — matches the v2 fixture bar exactly
 
     out = lang_id_v3_stage(
         spark.createDataFrame([("12345 !!!",), ("",), (None,)], "text: string"),

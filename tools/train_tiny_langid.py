@@ -10,7 +10,7 @@ a hand-built stopword-profile model; this artifact learns orthography
 (trigrams cross word boundaries, so diacritic patterns and affixes count,
 not just whole function words).
 
-Classes = the 41 Latin-script languages of LATIN_PROFILES (non-Latin
+Classes = the 51 Latin-script languages of LATIN_PROFILES (non-Latin
 scripts are already solved exactly by the codepoint-range detector, which
 lang_id_v3 keeps as its first branch). Integer weights + first-max argmax
 keep the Spark stage and the DuckDB oracle bit-identical (the
@@ -126,6 +126,27 @@ SENTENCES: dict[str, list[str]] = {
            "ŝi diris ke ne estis eble fini la laboron hodiaŭ"],
     "uz": ["bolalar bog'da do'stlari bilan o'ynashmoqda",
            "u bugun ishni tugatish mumkin emasligini aytdi"],
+    # round-5 breadth pass 3
+    "zu": ["abantwana badlala engadini kanye nabangane babo futhi bajabule kakhulu",
+           "wathi ngeke kwenzeke ukuthi aqede umsebenzi namhlanje ngoba isikhathi sihambile"],
+    "yo": ["àwọn ọmọdé ń ṣeré nínú ọgbà pẹ̀lú àwọn ọ̀rẹ́ wọn",
+           "ó sọ pé kò ṣeé ṣe láti parí iṣẹ́ náà lónìí ṣùgbọ́n wọn yóò tẹ̀síwájú"],
+    "ha": ["yara suna wasa a cikin lambu tare da abokansu kuma suna farin ciki",
+           "ta ce ba zai yiwu ba a gama aikin yau amma za su ci gaba"],
+    "ig": ["ụmụaka na-egwuri egwu n'ogige ahụ na ndị enyi ha nwere otu obi",
+           "o kwuru na ọ gaghị ekwe omume ịrụcha ọrụ ahụ taa mana anyị ga-anwa ihe ọzọ"],
+    "mg": ["milalao ao anaty zaridaina ny ankizy miaraka amin'ny namany ary faly izy",
+           "nilaza izy fa tsy ho vita ny asa androany ka hiverina izy rehefa maraina"],
+    "ceb": ["ang mga bata nagdula sa tanaman uban sa ilang mga higala ug malipayon kaayo sila",
+            "miingon siya nga dili mahimo nga mahuman ang trabaho karon kay wala nay panahon busa"],
+    "jv": ["bocah-bocah dolanan ing taman karo kanca-kancane lan seneng banget",
+           "dheweke kandha yen ora bisa ngrampungake gawean iki dina iki amarga wis kesel"],
+    "la": ["pueri in horto cum amicis suis ludunt et valde gaudent",
+           "dixit non posse opus hodie perficere sed cras iterum conabitur atque enim laborabit"],
+    "lb": ["d'kanner spillen am gaart mat hire frënn an si sinn immens frou",
+           "si huet gesot datt et net méiglech ass d'aarbecht haut fäerdeg ze maachen awer si ginn weider"],
+    "fy": ["de bern boartsje yn de tún mei har freonen en se binne tige bliid",
+           "se sei dat it net mooglik wie om it wurk hjoed klear te meitsjen mar se sille trochgean"],
 }
 
 
