@@ -255,6 +255,12 @@ def compact_parquet_dir(
 
     from pyspark.sql import functions as F
 
+    old = target_dir.rstrip("/") + ".__compact_old"
+    if not os.path.isdir(target_dir) and os.path.isdir(old):
+        # crash window between the two renames of a previous compaction:
+        # the live dir is gone but the hold-back has the full verified
+        # table — restore it before doing anything else
+        os.rename(old, target_dir)
     df = spark.read.parquet(target_dir)
     order = order_cols or df.columns
 
@@ -271,7 +277,6 @@ def compact_parquet_dir(
 
     pre = checksum(df)
     tmp = target_dir.rstrip("/") + ".__compact_tmp"
-    old = target_dir.rstrip("/") + ".__compact_old"
     for p in (tmp, old):
         if os.path.isdir(p):
             shutil.rmtree(p)

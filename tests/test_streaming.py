@@ -1498,3 +1498,48 @@ def test_streaming_audio_neardup_through_shared_sink(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r["media_id"] for r in sink.read(spark).collect())
     assert got == [1, 3]
+
+
+def test_compact_parquet_dir_recovers_from_crash_window(spark, tmp_path):
+    """A crash between the two swap renames leaves only the .__compact_old
+    hold-back; the next compaction call restores it before rewriting."""
+    from dataflow_spark.streaming.sink import compact_parquet_dir
+
+    out = str(tmp_path / "out")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").write.parquet(out)
+    before = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    # simulate the crash window: live dir renamed away, tmp never promoted
+    os.rename(out, out + ".__compact_old")
+    n = compact_parquet_dir(spark, out, n_files=1, order_cols=["k"])
+    assert n == 1
+    after = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert after == before
+    assert not os.path.isdir(out + ".__compact_old")
+
+
+def test_compaction_composes_with_neardup_sink(spark, tmp_path):
+    """Compacting the near-dup sink's target between triggers preserves the
+    seen-set: a near-dup arriving AFTER compaction still drops against the
+    rewritten table."""
+    from dataflow_spark.ops import multimodal as M
+    from dataflow_spark.streaming.sink import (
+        NearDupImageAppendSink,
+        compact_parquet_dir,
+    )
+    from tests.test_multimodal_lexical import _hash_img
+
+    sink = NearDupImageAppendSink(str(tmp_path / "out"), max_hamming=3)
+    hashes = [0x0123456789ABCDEF, 0xF0E1D2C3B4A59687, 0x1111222233334444]
+    for b, h in enumerate(hashes):
+        df = spark.createDataFrame([(b + 1, M.encode_bmp(_hash_img(h)))],
+                                   "media_id long, payload binary")
+        sink(M.image_dhash_features(df), b)
+    n = compact_parquet_dir(spark, sink.target_dir, n_files=1,
+                            order_cols=["media_id"])
+    assert n == 1
+    # near-dup of image 2 (1-bit flip) post-compaction: must still drop
+    dup = spark.createDataFrame([(9, M.encode_bmp(_hash_img(hashes[1] ^ 1)))],
+                                "media_id long, payload binary")
+    sink(M.image_dhash_features(dup), 3)
+    got = sorted(r["media_id"] for r in sink.read(spark).collect())
+    assert got == [1, 2, 3]
