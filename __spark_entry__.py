@@ -78,6 +78,22 @@ def q_filter_rules(spark, sf):
     return t.select("conv_id", "turn_idx")
 
 
+def q_filter_funnel(spark, sf):
+    """Filter-cascade yield funnel (battery member, round 5 — the curation
+    funnel report): the 8 default quality rules applied as a SEQUENTIAL
+    cascade over transcripts, one row per stage with n_in/n_dropped/n_kept
+    and integer-basis-point keep rates, computed in ONE scan via a
+    first-failing-stage CASE chain + tiny count aggregation
+    (ops/filters.py filter_yield_funnel). Oracle replays the identical
+    first-fail arithmetic per stage."""
+    t = _transcripts(spark, sf)
+    c = F.col("text")
+    names = ["not_null", "colon_end", "word_count", "mean_word_len",
+             "unique_ratio", "lorem", "html_entity", "watermark"]
+    preds = list(zip(names, filters.default_quality_predicates(c)))
+    return filters.filter_yield_funnel(t, preds)
+
+
 def q_dedup_exact(spark, sf):
     """Exact first-wins dedup, both hash families in one result: md5
     (HashDeduplicateFilter) and sha-prefix (CCNetDeduplicateFilter analog),
@@ -3834,6 +3850,10 @@ def q_score_battery(spark, sf):
                       _kcat("media_id"),
                       ["fp_hex", "component", "csize", "hash_error"],
                       s1=F.col("keep")),
+        _battery_pack(q_filter_funnel(spark, sf), "filter_funnel",
+                      _kcat("stage"),
+                      ["filter_name", "n_in", "n_dropped", "n_kept"],
+                      s1=F.col("keep_bp"), s2=F.col("cum_keep_bp")),
         _battery_pack(q_mp3_meta(spark, sf), "mp3_meta",
                       _kcat("media_id"),
                       ["kind", "samplerate", "mode", "bitrate_min",
@@ -7504,6 +7524,36 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN csz z USING (component)
     """
 
+    # filter_funnel: the first-failing-stage CASE chain replayed per row,
+    # counts grouped, funnel derived with the same window cumsum + exact
+    # integer-division basis points.
+    o["filter_funnel"] = with_transcripts(f"""
+        , ff AS (
+          SELECT CASE WHEN NOT coalesce((text IS NOT NULL AND trim(text) <> ''), FALSE) THEN 0 WHEN NOT coalesce((substr(text, length(text), 1) <> ':'), FALSE) THEN 1 WHEN NOT coalesce((len({_WORDS}) >= 20 AND len({_WORDS}) < 100000), FALSE) THEN 2 WHEN NOT coalesce(((length(array_to_string({_WORDS}, '')) * 1.0 / len({_WORDS})) >= 2.0 AND (length(array_to_string({_WORDS}, '')) * 1.0 / len({_WORDS})) < 12.0), FALSE) THEN 3 WHEN NOT coalesce(((len(list_distinct({_WORDS})) * 1.0 / len({_WORDS})) > 0.35), FALSE) THEN 4 WHEN NOT coalesce((NOT contains(lower(text), 'lorem ipsum')), FALSE) THEN 5 WHEN NOT coalesce((NOT regexp_matches(text, '&[a-zA-Z]+;|&#[0-9]+;')), FALSE) THEN 6 WHEN NOT coalesce((NOT regexp_matches(text, 'Copyright|Watermark|Confidential')), FALSE) THEN 7 ELSE 8 END AS f FROM transcripts
+        ),
+        cnt AS (SELECT f, CAST(count(*) AS BIGINT) AS n FROM ff GROUP BY f),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM transcripts),
+        st AS (SELECT * FROM (VALUES (0, 'not_null'), (1, 'colon_end'), (2, 'word_count'), (3, 'mean_word_len'), (4, 'unique_ratio'), (5, 'lorem'), (6, 'html_entity'), (7, 'watermark')) AS t(stage, filter_name)),
+        funnel AS (
+          SELECT s.stage, s.filter_name, coalesce(c.n, 0) AS n_dropped,
+                 (SELECT total FROM tot)
+                   - coalesce(sum(coalesce(c.n, 0)) OVER (
+                       ORDER BY s.stage
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_in
+          FROM st s LEFT JOIN cnt c ON c.f = s.stage
+        )
+        SELECT CAST(stage AS BIGINT) AS stage, filter_name,
+               CAST(n_in AS BIGINT) AS n_in,
+               CAST(n_dropped AS BIGINT) AS n_dropped,
+               CAST(n_in - n_dropped AS BIGINT) AS n_kept,
+               CASE WHEN n_in > 0
+                    THEN (10000 * (n_in - n_dropped)) // n_in END AS keep_bp,
+               CASE WHEN (SELECT total FROM tot) > 0
+                    THEN (10000 * (n_in - n_dropped)) // (SELECT total FROM tot)
+               END AS cum_keep_bp
+        FROM funnel
+    """)
+
     # mp3_meta: arithmetic oracle — frame count, bitrate band, CBR flag and
     # integer duration recomputed from the planting rule + the public
     # Layer-III bitrate/samplerate tables (the header walk has no state
@@ -9012,6 +9062,9 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("audio_neardup", o["audio_neardup"], _kcat_sql("media_id"),
                   ["fp_hex", "component", "csize", "hash_error"],
                   s1="keep"),
+        _pack_sql("filter_funnel", o["filter_funnel"], _kcat_sql("stage"),
+                  ["filter_name", "n_in", "n_dropped", "n_kept"],
+                  s1="keep_bp", s2="cum_keep_bp"),
         _pack_sql("mp3_meta", o["mp3_meta"], _kcat_sql("media_id"),
                   ["kind", "samplerate", "mode", "bitrate_min",
                    "bitrate_max", "cbr"],
@@ -9133,7 +9186,7 @@ def oracle_sql() -> dict[str, str]:
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",
         "minhash_new", "media_decode", "jpeg_decode", "image_dhash",
-        "image_neardup", "audio_neardup", "mp3_meta", "embed_model",
+        "image_neardup", "audio_neardup", "mp3_meta", "filter_funnel", "embed_model",
         "embed_topk_learned", "embed_kcenter_learned", "embed_semdedup_learned",
         "embed_decontam_learned", "embed_ivf_learned", "embed_vendi_learned",
         "image_resize", "card_luhn", "vad_segments", "html_extract",

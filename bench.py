@@ -126,6 +126,7 @@ HEADLINE = [
     "image_neardup",
     "audio_neardup",
     "mp3_meta",
+    "filter_funnel",
     "embed_model",
     "embed_topk_learned",
     "embed_kcenter_learned",

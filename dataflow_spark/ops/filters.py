@@ -292,6 +292,67 @@ def apply_filters(df: DataFrame, *predicates: Column) -> DataFrame:
     return out.filter(acc) if acc is not None else out
 
 
+def filter_yield_funnel(
+    df: DataFrame, preds: list[tuple[str, Column]]
+) -> DataFrame:
+    """Filter-cascade YIELD AUDIT (round 5) — the funnel report every
+    production curation pipeline maintains: how many rows each filter in a
+    cascade drops, and the cumulative survival rate, in STAGE order (a row
+    rejected at stage i is never shown to stage i+1, matching the
+    sequential semantics of the reference's chained filter operators).
+
+    Spark-first shape — ONE scan regardless of cascade length: per row,
+    compute the index of the FIRST failing predicate (a single CASE chain
+    inside codegen; NULL predicate results count as failures, like
+    `filter` dropping them), aggregate the <= k+1 counts map-side, and
+    derive every stage's (n_in, n_dropped, n_kept) from the tiny counts
+    table with one window cumsum. The naive k-pass loop would scan the
+    corpus k times.
+
+    Returns one row per stage: (stage, filter_name, n_in, n_dropped, n_kept,
+    keep_bp, cum_keep_bp) — keep rates in integer basis points
+    (10000 * kept // n_in; NULL when n_in = 0) so the report is exact and
+    oracle-replayable."""
+    from pyspark.sql import Window
+
+    k = len(preds)
+    first_fail = F.lit(k)
+    for i in reversed(range(k)):
+        # coalesce(pred, false): a NULL verdict fails the stage, exactly
+        # like DataFrame.filter dropping NULL-predicate rows
+        first_fail = F.when(
+            ~F.coalesce(preds[i][1].cast("boolean"), F.lit(False)), F.lit(i)
+        ).otherwise(first_fail)
+    counts = (
+        df.select(first_fail.alias("__ff"))
+        .groupBy("__ff")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    spark = df.sparkSession
+    stages = spark.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(preds)], ["stage", "filter"]
+    )
+    joined = stages.join(counts, stages.stage == counts["__ff"], "left").select(
+        "stage", "filter", F.coalesce("__n", F.lit(0)).alias("n_dropped")
+    )
+    w = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, -1)
+    total = df.count()
+    out = joined.withColumn(
+        "n_in", F.lit(total) - F.coalesce(F.sum("n_dropped").over(w), F.lit(0))
+    ).withColumn("n_kept", F.col("n_in") - F.col("n_dropped"))
+    # `div` = exact integer division on longs (a double divide + cast loses
+    # exactness past 2^53 — real corpora get there)
+    return out.select(
+        F.col("stage").cast("long").alias("stage"),
+        F.col("filter").alias("filter_name"),
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.expr("CASE WHEN n_in > 0 THEN (10000 * n_kept) div n_in END").alias("keep_bp"),
+        F.expr(f"CASE WHEN {total} > 0 THEN (10000 * n_kept) div {total} END").alias("cum_keep_bp"),
+    )
+
+
 def label_columns(col: Column) -> dict[str, Column]:
     """The reference's label-column pattern: each rule emits an int 0/1 label
     instead of dropping rows (rule_based_filter.py:52-56 writes the label,
