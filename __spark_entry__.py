@@ -1189,6 +1189,84 @@ def q_mp3_meta(spark, sf):
     return multimodal.mp3_meta_features(media)
 
 
+def q_video_neardup(spark, sf):
+    """Video near-dup over keyframe signatures (battery member, round 5 —
+    completes the modality-dedup matrix text/image/audio/video): each doc
+    plants a VSEQ frame-sequence container whose sampled first/middle/last
+    frames carry hash-controlled images (bit k of slot s = bit k%%4 of
+    md5(g || ':' || s) nibble k//4), groups of four:
+      m=1: every frame re-encoded through the OTHER container (BMP<->PNG)
+           -> identical pixel hashes, exact signature dup;
+      m=2: one low bit flipped in EVERY slot hash -> per-frame Hamming 1, dup;
+      m=3: middle-frame hash with one flip per band (Hamming 4 there) while
+           the outer frames match exactly -> candidate through the shared
+           slot-0/2 bands but verify-REJECTED (the all-slots rule), distinct.
+    Every 5th group's base (m=0) ships 5 frames with the same keyframes
+    (sampling-arithmetic coverage); every 17th payload is garbage. Oracle =
+    per-slot banded Hamming over the arithmetically recomputed signatures +
+    recursive components + first-wins."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from dataflow_spark.ops import multimodal
+
+    def hash_img(bits):
+        a = np.zeros((8, 9, 3), dtype=np.uint8)
+        for r in range(8):
+            v = 128
+            a[r, 0, :] = v
+            for c in range(8):
+                v = v + 8 if (bits >> (r * 8 + c)) & 1 else v - 8
+                a[r, c + 1, :] = v
+        return a
+
+    @F.pandas_udf(BinaryType())
+    def synth_vseq(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 17 == 0:
+                out.append(b"VSEQgarbage-not-a-container")
+                continue
+            g, m = i // 4, i % 4
+            hs = []
+            for slot in range(3):
+                hx = hashlib.md5(f"{g}:{slot}".encode()).hexdigest()
+                bits = 0
+                for k in range(64):
+                    bit = (int(hx[k // 4], 16) >> (k % 4)) & 1
+                    if m == 2 and k == 0:
+                        bit ^= 1
+                    if m == 3 and slot == 1 and k in (1, 17, 33, 49):
+                        bit ^= 1
+                    bits |= bit << k
+                hs.append(bits)
+            enc = multimodal.encode_png if m == 1 else multimodal.encode_bmp
+            n = 5 if (m == 0 and g % 5 == 0) else 3
+            imgs = {0: hash_img(hs[0]), n // 2: hash_img(hs[1]), n - 1: hash_img(hs[2])}
+            frames = [enc(imgs.get(j, hash_img(hs[1]))) for j in range(n)]
+            out.append(multimodal.encode_vseq(frames))
+        return pd.Series(out)
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+    media = d.select(
+        F.col("doc_id").alias("media_id"), synth_vseq(F.col("doc_id")).alias("payload")
+    )
+    feats = multimodal.video_dhash_features(media)
+    near = multimodal.video_dedup_near(feats, max_hamming=3)
+    hex16 = lambda c: F.lpad(F.lower(F.hex(c)), 16, "0")  # noqa: E731
+    return near.select(
+        "media_id",
+        F.when(
+            F.col("h0").isNotNull(),
+            F.concat(hex16(F.col("h0")), hex16(F.col("h1")), hex16(F.col("h2"))),
+        ).alias("sig_hex"),
+        "n_frames", "component", "csize", "hash_error", "keep",
+    )
+
+
 def q_html_extract(spark, sf):
     """Main-content extraction (battery member, round 4 — the jusText/
     trafilatura boilerplate-removal step of RefinedWeb §3.1.3): each doc
@@ -3854,6 +3932,11 @@ def q_score_battery(spark, sf):
                       _kcat("stage"),
                       ["filter_name", "n_in", "n_dropped", "n_kept"],
                       s1=F.col("keep_bp"), s2=F.col("cum_keep_bp")),
+        _battery_pack(q_video_neardup(spark, sf), "video_neardup",
+                      _kcat("media_id"),
+                      ["sig_hex", "n_frames", "component", "csize",
+                       "hash_error"],
+                      s1=F.col("keep")),
         _battery_pack(q_mp3_meta(spark, sf), "mp3_meta",
                       _kcat("media_id"),
                       ["kind", "samplerate", "mode", "bitrate_min",
@@ -7554,6 +7637,74 @@ def oracle_sql() -> dict[str, str]:
         FROM funnel
     """)
 
+    # video_neardup: all-pairs arithmetic oracle — the three keyframe
+    # hashes rebuilt from the planted md5(g:slot) bit rule + per-member
+    # flips, banded per-slot Hamming <= 3 for ALL slots, recursive
+    # min-label components, first-wins keep.
+    o["video_neardup"] = """
+        WITH RECURSIVE db AS (
+          SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents
+          WHERE doc_id % 17 <> 0
+        ),
+        bits AS (
+          SELECT doc_id, s, CAST(k AS BIGINT) AS k,
+                 xor(
+                   (('0x' || substr(md5(CAST(g AS VARCHAR) || ':' || CAST(s AS VARCHAR)),
+                                    CAST(k // 4 + 1 AS INT), 1))::INT
+                      >> CAST(k % 4 AS INT)) & 1,
+                   CASE WHEN m = 2 AND k = 0 THEN 1
+                        WHEN m = 3 AND s = 1 AND k IN (1, 17, 33, 49) THEN 1
+                        ELSE 0 END
+                 ) AS bit
+          FROM db, (SELECT unnest(range(0, 3)) AS s), (SELECT unnest(range(0, 64)) AS k)
+        ),
+        bands AS (
+          SELECT doc_id, s, CAST(k // 16 AS INT) AS bi,
+                 CAST(sum(bit << CAST(k % 16 AS INT)) AS BIGINT) AS bv
+          FROM bits GROUP BY 1, 2, 3
+        ),
+        hx AS (
+          SELECT doc_id, list(bv ORDER BY s, bi) AS bs FROM bands GROUP BY doc_id
+        ),
+        pr AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.bs[1], b.bs[1])) + bit_count(xor(a.bs[2], b.bs[2]))
+              + bit_count(xor(a.bs[3], b.bs[3])) + bit_count(xor(a.bs[4], b.bs[4])) <= 3
+            AND bit_count(xor(a.bs[5], b.bs[5])) + bit_count(xor(a.bs[6], b.bs[6]))
+              + bit_count(xor(a.bs[7], b.bs[7])) + bit_count(xor(a.bs[8], b.bs[8])) <= 3
+            AND bit_count(xor(a.bs[9], b.bs[9])) + bit_count(xor(a.bs[10], b.bs[10]))
+              + bit_count(xor(a.bs[11], b.bs[11])) + bit_count(xor(a.bs[12], b.bs[12])) <= 3
+        ),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pr
+                  UNION SELECT id_b, id_a FROM pr),
+        reach AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
+        fullc AS (
+          SELECT hx.doc_id, coalesce(c.component, hx.doc_id) AS component,
+                 printf('%04x%04x%04x%04x%04x%04x%04x%04x%04x%04x%04x%04x',
+                        bs[4], bs[3], bs[2], bs[1], bs[8], bs[7], bs[6], bs[5],
+                        bs[12], bs[11], bs[10], bs[9]) AS sig_hex
+          FROM hx LEFT JOIN comp c ON hx.doc_id = c.id
+        ),
+        csz AS (SELECT component, CAST(count(*) AS BIGINT) AS csize FROM fullc GROUP BY component)
+        SELECT d.doc_id AS media_id, f.sig_hex,
+               CASE WHEN d.doc_id % 17 = 0 THEN NULL
+                    WHEN d.doc_id % 4 = 0 AND (d.doc_id // 4) % 5 = 0 THEN 5
+                    ELSE 3 END AS n_frames,
+               f.component, z.csize,
+               CASE WHEN d.doc_id % 17 = 0 THEN 'error' END AS hash_error,
+               CASE WHEN d.doc_id % 17 = 0 THEN NULL
+                    WHEN f.component = d.doc_id THEN 1 ELSE 0 END AS keep
+        FROM documents d
+        LEFT JOIN fullc f ON f.doc_id = d.doc_id
+        LEFT JOIN csz z USING (component)
+    """
+
     # mp3_meta: arithmetic oracle — frame count, bitrate band, CBR flag and
     # integer duration recomputed from the planting rule + the public
     # Layer-III bitrate/samplerate tables (the header walk has no state
@@ -9065,6 +9216,9 @@ def oracle_sql() -> dict[str, str]:
         _pack_sql("filter_funnel", o["filter_funnel"], _kcat_sql("stage"),
                   ["filter_name", "n_in", "n_dropped", "n_kept"],
                   s1="keep_bp", s2="cum_keep_bp"),
+        _pack_sql("video_neardup", o["video_neardup"], _kcat_sql("media_id"),
+                  ["sig_hex", "n_frames", "component", "csize",
+                   "hash_error"], s1="keep"),
         _pack_sql("mp3_meta", o["mp3_meta"], _kcat_sql("media_id"),
                   ["kind", "samplerate", "mode", "bitrate_min",
                    "bitrate_max", "cbr"],
@@ -9186,7 +9340,7 @@ def oracle_sql() -> dict[str, str]:
         "trunc_loss", "edit_verify", "cdc_upsert", "pref_pairs",
         "sft_examples", "tool_flow", "url_filter", "weighted_sample",
         "minhash_new", "media_decode", "jpeg_decode", "image_dhash",
-        "image_neardup", "audio_neardup", "mp3_meta", "filter_funnel", "embed_model",
+        "image_neardup", "audio_neardup", "video_neardup", "mp3_meta", "filter_funnel", "embed_model",
         "embed_topk_learned", "embed_kcenter_learned", "embed_semdedup_learned",
         "embed_decontam_learned", "embed_ivf_learned", "embed_vendi_learned",
         "image_resize", "card_luhn", "vad_segments", "html_extract",

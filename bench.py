@@ -125,6 +125,7 @@ HEADLINE = [
     # re-run over the learned column + perceptual near-dup image dedup
     "image_neardup",
     "audio_neardup",
+    "video_neardup",
     "mp3_meta",
     "filter_funnel",
     "embed_model",

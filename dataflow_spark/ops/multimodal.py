@@ -2056,3 +2056,165 @@ def encode_mp3_frames(
         ])
         out += hdr + b"\x00" * (flen - 4)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup (round-5 extension — completes the modality-dedup matrix
+# text/image/audio/VIDEO): a video's perceptual signature is the dHash of
+# three sampled frames (first / middle / last — the standard keyframe
+# sampling cheap path); two videos are near-dups when EVERY sampled frame
+# pair is within Hamming 3 (re-encoded / container-swapped / slightly
+# requantized copies). Real container demux of MP4/MKV stays the documented
+# decode seam (like MP3 PCM); the engine ships its own deterministic
+# frame-sequence container (VSEQ: magic + u32 count + length-prefixed
+# BMP/PNG frames) so the frame-extraction -> per-frame decode -> hash ->
+# banded join plumbing is fully real and value-checked.
+# ---------------------------------------------------------------------------
+
+
+def encode_vseq(frames) -> bytes:
+    """Pack encoded image blobs (BMP/PNG bytes) into the VSEQ container."""
+    import struct
+
+    out = bytearray(b"VSEQ" + struct.pack("<I", len(frames)))
+    for f in frames:
+        out += struct.pack("<I", len(f)) + f
+    return bytes(out)
+
+
+def decode_vseq(payload: bytes):
+    """Unpack a VSEQ container -> list of frame blobs. Raises on bad magic,
+    truncated frames, or a count/content mismatch."""
+    import struct
+
+    if payload[:4] != b"VSEQ" or len(payload) < 8:
+        raise ValueError("not a VSEQ container")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    frames, off = [], 8
+    for _ in range(n):
+        if off + 4 > len(payload):
+            raise ValueError("truncated VSEQ frame header")
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        if off + ln > len(payload):
+            raise ValueError("truncated VSEQ frame")
+        frames.append(bytes(payload[off : off + ln]))
+        off += ln
+    if not frames:
+        raise ValueError("empty VSEQ")
+    return frames
+
+
+def _decode_image_by_magic(raw: bytes):
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(raw)
+    if raw[:2] == b"\xff\xd8":
+        return decode_jpeg(raw)
+    return decode_bmp(raw)
+
+
+VIDEO_DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("h0", LongType()),
+        StructField("h1", LongType()),
+        StructField("h2", LongType()),
+        StructField("hash_error", StringType()),
+    ]
+)
+
+
+def video_dhash_features(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-video keyframe signature: demux VSEQ, REALLY decode the first /
+    middle / last frames (BMP/PNG/JPEG by magic), dHash each -> (h0, h1,
+    h2) signed int64 columns. Corrupt containers/frames -> 'error' rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                row = {"media_id": int(mid), "n_frames": None,
+                       "h0": None, "h1": None, "h2": None, "hash_error": None}
+                try:
+                    frames = decode_vseq(bytes(payload) if payload is not None else b"")
+                    n = len(frames)
+                    for slot, idx in enumerate((0, n // 2, n - 1)):
+                        _, _, arr = _decode_image_by_magic(frames[idx])
+                        h = dhash64(arr)
+                        row[f"h{slot}"] = h - (1 << 64) if h >= 1 << 63 else h
+                    row["n_frames"] = n
+                except Exception:
+                    row["hash_error"] = "error"  # fixed sentinel (advice r4)
+                out.append(row)
+            pdf_out = pd.DataFrame(out, columns=[f.name for f in VIDEO_DHASH_SCHEMA.fields])
+            for c in ("h0", "h1", "h2"):
+                pdf_out[c] = pd.array([r[c] for r in out], dtype="Int64")
+            pdf_out["n_frames"] = pd.array([r["n_frames"] for r in out], dtype="Int32")
+            yield pdf_out
+
+    return df.mapInPandas(run, VIDEO_DHASH_SCHEMA)
+
+
+def video_dedup_near(feats: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup video dedup over keyframe signatures: candidates via a
+    12-way band equi-join keyed (slot, band_idx, band_value) — if every
+    per-frame Hamming is <= 3 the pair MUST share a band in every slot
+    (pigeonhole per slot), so one shared band anywhere has total recall —
+    verified with per-slot bit_count(xor) <= max_hamming for ALL THREE
+    slots, then duplicate_components + first-wins keep (the image/audio
+    topology lifted to multi-hash signatures). Error rows pass through
+    with NULL component/keep."""
+    if max_hamming > 3:
+        raise ValueError("max_hamming > 3 breaks the 4-band pigeonhole guarantee")
+    from dataflow_spark.ops.dedup import duplicate_components
+
+    h = feats.filter(F.col("h0").isNotNull())
+    band_cols = [
+        F.struct(
+            F.lit(s * 4 + b).alias("bk"),
+            F.shiftright(F.col(f"h{s}"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("bv"),
+        )
+        for s in range(3)
+        for b in range(4)
+    ]
+    bands = h.select(
+        "media_id", "h0", "h1", "h2", F.explode(F.array(*band_cols)).alias("e")
+    ).select("media_id", "h0", "h1", "h2", F.col("e.bk").alias("bk"), F.col("e.bv").alias("bv"))
+    a = bands.select(
+        F.col("media_id").alias("id_a"), F.col("h0").alias("a0"),
+        F.col("h1").alias("a1"), F.col("h2").alias("a2"), "bk", "bv"
+    )
+    b = bands.select(
+        F.col("media_id").alias("id_b"), F.col("h0").alias("b0"),
+        F.col("h1").alias("b1"), F.col("h2").alias("b2"), "bk", "bv"
+    )
+    ham = lambda x, y: F.bit_count(F.col(x).bitwiseXOR(F.col(y)))  # noqa: E731
+    pairs = (
+        a.join(b, ["bk", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "a0", "a1", "a2", "b0", "b1", "b2")
+        .distinct()
+        .filter(
+            (ham("a0", "b0") <= max_hamming)
+            & (ham("a1", "b1") <= max_hamming)
+            & (ham("a2", "b2") <= max_hamming)
+        )
+        .select("id_a", "id_b")
+    )
+    comp = duplicate_components(pairs).withColumnRenamed("id", "media_id")
+    out = feats.join(comp, "media_id", "left")
+    return out.select(
+        *[F.col(c) for c in feats.columns],
+        F.when(
+            F.col("h0").isNotNull(),
+            F.coalesce(F.col("component"), F.col("media_id")),
+        ).alias("component"),
+        F.when(F.col("h0").isNotNull(), F.coalesce(F.col("csize"), F.lit(1))).alias("csize"),
+        F.when(
+            F.col("h0").isNotNull(),
+            (F.coalesce(F.col("component"), F.col("media_id")) == F.col("media_id")).cast("int"),
+        ).alias("keep"),
+    )

@@ -803,3 +803,62 @@ def test_mp3_meta_features_stage(spark):
     assert got[1]["kind"] == "mp3" and got[1]["n_frames"] == 2
     assert got[1]["samplerate"] == 44100 and got[1]["mode"] == "stereo"
     assert got[2]["kind"] == "error" and got[2]["n_frames"] is None
+
+
+# ---------------------------------------------------------------------------
+# video near-dup over keyframe signatures (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _vseq(hashes, enc=None, n_total=None):
+    """VSEQ container whose sampled (first/mid/last) frames carry exactly
+    the three given dHashes; optional filler frames exercise sampling."""
+    from dataflow_spark.ops import multimodal as M
+
+    enc = enc or M.encode_bmp
+    n = n_total or 3
+    imgs = {0: _hash_img(hashes[0]), n // 2: _hash_img(hashes[1]), n - 1: _hash_img(hashes[2])}
+    frames = [enc(imgs.get(i, _hash_img(hashes[1]))) for i in range(n)]
+    return M.encode_vseq(frames)
+
+
+def test_vseq_roundtrip_and_errors():
+    import pytest
+
+    from dataflow_spark.ops import multimodal as M
+
+    frames = [M.encode_bmp(_hash_img(7)), M.encode_png(_hash_img(8))]
+    assert M.decode_vseq(M.encode_vseq(frames)) == frames
+    for bad in (b"", b"VSEQ", b"VSEQ\x02\x00\x00\x00\x05\x00\x00\x00abc",
+                b"notavideo"):
+        with pytest.raises(ValueError):
+            M.decode_vseq(bad)
+
+
+def test_video_dedup_near_planted_variants(spark):
+    """Re-encoded (container-swapped), per-frame-1-bit, and 5-frame-sampled
+    copies cluster with the base; a middle-frame 4-spread variant is a
+    candidate via the other frames but verify-REJECTED; garbage -> error."""
+    from dataflow_spark.ops import multimodal as M
+
+    H = [0x0123456789ABCDEF, 0xCAFED00DDEADBEEF, 0x5A5A5A5AA5A5A5A5]
+    spread = (1 << 1) | (1 << 17) | (1 << 33) | (1 << 49)
+    rows = [
+        (1, _vseq(H)),
+        (2, _vseq(H, enc=M.encode_png)),              # container re-encode
+        (3, _vseq([h ^ 1 for h in H])),               # 1 bit per frame
+        (4, _vseq(H, n_total=5)),                     # same keyframes, 5 frames
+        (5, _vseq([H[0], H[1] ^ spread, H[2]])),      # mid frame Hamming 4
+        (6, _vseq([~h & ((1 << 64) - 1) for h in H])),  # far
+        (7, b"VSEQgarbage"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    feats = M.video_dhash_features(df)
+    got = {r["media_id"]: r.asDict() for r in M.video_dedup_near(feats).collect()}
+    assert got[1]["component"] == got[2]["component"] == got[3]["component"] == got[4]["component"] == 1
+    assert got[1]["keep"] == 1 and got[2]["keep"] == got[3]["keep"] == got[4]["keep"] == 0
+    assert got[1]["csize"] == 4
+    for mid in (5, 6):
+        assert got[mid]["component"] == mid and got[mid]["keep"] == 1
+    assert got[7]["hash_error"] == "error" and got[7]["keep"] is None
+    assert got[4]["n_frames"] == 5 and got[1]["n_frames"] == 3
