@@ -1250,7 +1250,13 @@ def q_video_neardup(spark, sf):
             out.append(multimodal.encode_vseq(frames))
         return pd.Series(out)
 
-    d = load_table(spark, sf, "documents").select("doc_id")
+    # every-4th GROUP (doc_id %% 16 < 4 keeps whole groups of four): the
+    # per-frame python codecs make this the priciest synth member; the
+    # subset keeps every planted case (garbage %%17, 5-frame %%20, all four
+    # member roles) while bounding the per-pass decode count
+    d = load_table(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") % 16 < 4
+    )
     media = d.select(
         F.col("doc_id").alias("media_id"), synth_vseq(F.col("doc_id")).alias("payload")
     )
@@ -7644,7 +7650,7 @@ def oracle_sql() -> dict[str, str]:
     o["video_neardup"] = """
         WITH RECURSIVE db AS (
           SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m FROM documents
-          WHERE doc_id % 17 <> 0
+          WHERE doc_id % 17 <> 0 AND doc_id % 16 < 4
         ),
         bits AS (
           SELECT doc_id, s, CAST(k AS BIGINT) AS k,
@@ -7700,7 +7706,7 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN d.doc_id % 17 = 0 THEN 'error' END AS hash_error,
                CASE WHEN d.doc_id % 17 = 0 THEN NULL
                     WHEN f.component = d.doc_id THEN 1 ELSE 0 END AS keep
-        FROM documents d
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 16 < 4) d
         LEFT JOIN fullc f ON f.doc_id = d.doc_id
         LEFT JOIN csz z USING (component)
     """
